@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Relational, SimilarityQueries, TextQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` with a matching `oracleSql` key is
+  * hash-checked against DuckDB on the same parquet tables; entries
+  * without an oracle get a weaker rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.regionalRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_filter_project" -> (Relational.filterProject _),
+    "q03_conditional_agg" -> (Relational.conditionalAgg _),
+    "q04_count_distinct" -> (Relational.countDistinctAgg _),
+    "q05_timestamp_range" -> (Relational.timestampRange _),
+    "q06_topk_customers" -> (Relational.topKCustomers _),
+    "q07_broadcast_enrich" -> (Relational.broadcastEnrich _),
+    "q08_regional_revenue" -> (Relational.regionalRevenue _),
+    "q09_anti_join" -> (Relational.antiJoinDormant _),
+    "q10_latest_per_key" -> (Relational.latestOrderPerCustomer _),
+    "q11_union_entities" -> (Relational.unionEntities _),
+    "q12_stable_ids" -> (Relational.stableIds _),
+    "q13_json_extract" -> (Relational.jsonExtractAgg _),
+    "q14_hourly_rollup" -> (Relational.hourlyEventRollup _),
+    "q15_top_tokens" -> (TextQueries.topTokens _),
+    "q16_exact_dedup" -> (TextQueries.exactDedup _),
+    "q17_doc_stats" -> (TextQueries.docStats _),
+    "q18_lang_profile" -> (TextQueries.langProfile _),
+    "q19_knn_cosine" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.knnBruteForce(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
 }

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables
+
+/** Core relational operator surface (SURVEY.md §2.3–§2.9), expressed
+  * declaratively over the driver test tables so Catalyst plans the
+  * physical execution (pushdown, partial aggregation, broadcast joins).
+  *
+  * Determinism conventions shared with the DuckDB oracles:
+  *   - money sums go through DECIMAL(18,2/4) so they are exact and
+  *     order-independent, then surface as DOUBLE;
+  *   - timestamps surface as formatted UTC strings;
+  *   - every query has a total deterministic ORDER BY (ties broken by a
+  *     unique key) so LIMIT/top-k agree across engines.
+  */
+object Relational {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  /** A1/A2/A9 — grouped aggregation with exact sums (TPC-H Q1 shape).
+    * Partial (map-side) aggregation + 2-phase hash agg come from Catalyst. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast(dec2)).cast("double").as("sum_base_price"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(dec4))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** P1-style filter + projection; both reach the parquet scan
+    * (PushedFilters / ReadSchema) so a 100 TB scan reads only 5 columns. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1999-01-01").cast("timestamp") &&
+        $"l_quantity" > 45)
+      .select(
+        $"l_orderkey", $"l_partkey", $"l_linenumber",
+        $"l_quantity".cast("double").as("l_quantity"),
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss").as("ship_ts"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** A10 — conditional counts, SUM(CASE(...)) (open/closed split of the
+    * reference's scenario 1, docs/test_scenario.md:21-23). */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when($"o_orderstatus" === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when($"o_orderstatus" === "O", 1).otherwise(0)).as("n_open"),
+        sum(when($"o_orderstatus" === "P", 1).otherwise(0)).as("n_partial"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** A11 — COUNT_DISTINCT (distinct authors of scenario 2). Exact here;
+    * `approx_count_distinct` is the 100 TB switch (see Scale.scala). */
+  def countDistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** A12 — MIN/MAX over timestamps (commit-history range, scenario 6). */
+  def timestampRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        date_format(min($"o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max($"o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** A13/W1 — grouped count + SORT DESC + LIMIT (top-k hotspots,
+    * scenario 5). Spark plans this as partial-agg → shuffle → TakeOrdered. */
+  def topKCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(dec2)).cast("double").as("total_spend"))
+      .orderBy($"n_orders".desc, $"o_custkey".asc)
+      .limit(10)
+  }
+
+  /** J3 — enrichment join against a small dimension: broadcast so the
+    * fact side never shuffles (dict-lookup of collectors.py:122-142). */
+  def broadcastEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        sum($"l_quantity").cast("double").as("sum_qty"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(dec4))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
+  /** ES|QL-implied cross-entity join chain by shared keys
+    * (docs/pipeline_outputs.md:220): fact table joined through three
+    * broadcast dimensions, aggregated per region/nation. */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        sum($"o_totalprice".cast(dec2)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** J7/§2.8 — set-difference semantics as a left-anti join (cache-diff
+    * of collectors.py:339-364): customers with no order since 2001. */
+  def antiJoinDormant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val recent = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+    c.join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** J5/W4 — dedup-by-recency: latest record per key via row_number over
+    * (key, recency desc), the merge-winner rule of collectors.py:596-609. */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("latest_order_ts"),
+        $"o_totalprice".cast(dec2).cast("double").as("o_totalprice"))
+      .orderBy($"o_custkey")
+  }
+
+  /** M3/M4 — union of two differently-shaped sources into one schema
+    * (linkers.py:253-263 issues ∪ PRs). */
+  def unionEntities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select(
+      $"c_name".as("name"), $"c_acctbal".as("acctbal"),
+      lit("customer").as("kind"))
+    val s = Tables.supplier(spark, dir).select(
+      $"s_name".as("name"), $"s_acctbal".as("acctbal"),
+      lit("supplier").as("kind"))
+    c.unionByName(s).orderBy($"kind", $"name")
+  }
+
+  /** P11/P12 — deterministic document identity: composite key via
+    * concat_ws + content hash (schema.py:303-366, stable_hash_id). */
+  def stableIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" <= 1000)
+      .select(
+        $"o_orderkey",
+        concat_ws("#", lit("tpch"), lit("order"), $"o_orderkey").as("doc_id"),
+        sha2(concat_ws("#", lit("tpch"), lit("order"), $"o_orderkey"), 256)
+          .as("doc_sha"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Dynamic-fringe JSON extraction (§1.3): pull a typed field out of an
+    * untyped JSON props column, then aggregate. */
+  def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** §2.10 — tumbling-window (hourly) aggregation over the event stream;
+    * batch form of the watermarked streaming agg (see streaming/). */
+  def hourlyEventRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(dec4)).cast("double").as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** SQL strings the DuckDB oracle runs on the same tables. Column names
+    * and ordering must match the DataFrame outputs above exactly. */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber,
+        | CAST(l_quantity AS DOUBLE) AS l_quantity,
+        | strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_conditional_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q04_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q05_timestamp_range" ->
+      """SELECT o_orderpriority,
+        | strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        | strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q06_topk_customers" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY n_orders DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q07_broadcast_enrich" ->
+      """SELECT p_brand,
+        | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q08_regional_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders,
+        | COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_order_ts,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q11_union_entities" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, name""".stripMargin,
+    "q12_stable_ids" ->
+      """SELECT o_orderkey,
+        | concat_ws('#', 'tpch', 'order', o_orderkey) AS doc_id,
+        | sha256(concat_ws('#', 'tpch', 'order', o_orderkey)) AS doc_sha
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+    "q13_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        | CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
+}
