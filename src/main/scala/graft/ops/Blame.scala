@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blame aggregation + re-chunking (reference collectors.py:145-217,
+  * indexer.py:87-112), as distributed per-file transforms.
+  *
+  * The per-file granularity is the unit of parallelism (SURVEY §7.4-6):
+  * a repo's blame fans out to one row per (file, range) for aggregation,
+  * so one huge repo can't pin a single task; the only shuffle keys are
+  * (path) and (path, author).
+  */
+object Blame {
+
+  /** P5 — author identity precedence login > name > email > "unknown"
+    * (collectors.py:42-48). `author` is the GraphQL blame author struct. */
+  def authorKey(author: Column): Column = coalesce(
+    when(length(author.getField("user").getField("login")) > 0,
+      author.getField("user").getField("login")),
+    when(length(author.getField("name")) > 0, author.getField("name")),
+    when(length(author.getField("email")) > 0, author.getField("email")),
+    lit("unknown"))
+
+  /** summarize_blame_ranges (collectors.py:145-217).
+    *
+    * @param ranges raw GraphQL blame ranges flattened to one row per
+    *   range: (path, startingLine, endingLine, age,
+    *   commit{oid, committedDate, message, author{name,email,user{login}}}),
+    *   in blame order (the input order drives example selection and
+    *   stable-sort tiebreaks, like the reference's list order).
+    * @param commitDetails commit-detail dimension (sha, html_url,
+    *   author_login, commit_author, files_changed, files_changed_count) —
+    *   the batch replacement for the COMMIT_CACHE memo dict; broadcast.
+    * @param exampleLimit BLAME_EXAMPLE_LIMIT; <=0 keeps all examples.
+    * @return one row per path: (path, total_lines, ranges_count, authors,
+    *   examples) with authors sorted by total_lines desc (first-seen order
+    *   on ties, matching Python's stable sort).
+    */
+  def summarizeBlame(
+      repoName: String,
+      ranges: DataFrame,
+      commitDetails: DataFrame,
+      exampleLimit: Int = 5): DataFrame = {
+    val withSeq = ranges
+      .withColumn("_seq", monotonically_increasing_id())
+      .withColumn("_start", coalesce(col("startingLine"), lit(0)).cast("int"))
+      .withColumn("_end",
+        coalesce(col("endingLine"), col("startingLine"), lit(0)).cast("int"))
+      .withColumn("_count", greatest(col("_end") - col("_start") + 1, lit(0)))
+      .withColumn("author", authorKey(col("commit.author")))
+
+    val details = commitDetails.select(
+      col("sha").as("_d_sha"),
+      struct(
+        coalesce(col("repo_name"), lit(repoName)).as("repo_name"),
+        col("sha"),
+        col("html_url"),
+        col("author_login"),
+        col("commit_author"),
+        col("files_changed"),
+        col("files_changed_count")).as("matching_commit"))
+
+    val enriched = withSeq
+      .join(broadcast(details), col("commit.oid") === col("_d_sha"), "left")
+      .withColumn("range_entry", struct(
+        col("_start").as("start"),
+        col("_end").as("end"),
+        col("_count").as("count"),
+        col("age"),
+        col("commit.oid").as("commit_sha"),
+        col("commit.committedDate").as("committed_date"),
+        TextRefs.one_line(col("commit.message")).as("message"),
+        col("matching_commit")))
+
+    // Per (path, author): lines, in-order ranges, first-seen position.
+    val perAuthor = enriched
+      .groupBy(col("path"), col("author"))
+      .agg(
+        sum(col("_count")).as("author_lines"),
+        min(col("_seq")).as("first_seq"),
+        transform(
+          array_sort(collect_list(struct(col("_seq"), col("range_entry")))),
+          x => x.getField("range_entry")).as("ranges"))
+
+    val authorsPerFile = perAuthor
+      .groupBy(col("path"))
+      .agg(transform(
+        array_sort(collect_list(struct(
+          (col("author_lines") * -1).as("neg_lines"),
+          col("first_seq"),
+          struct(col("author"), col("author_lines").as("total_lines"),
+            col("ranges")).as("a")))),
+        x => x.getField("a")).as("authors"))
+
+    val statsPerFile = enriched
+      .groupBy(col("path"))
+      .agg(
+        sum(col("_count")).as("total_lines"),
+        count(lit(1)).as("ranges_count"),
+        transform(
+          array_sort(collect_list(struct(col("_seq"), struct(
+            struct(col("_start").as("start"), col("_end").as("end"),
+              col("_count").as("count")).as("lines"),
+            col("commit.oid").as("commit_sha"),
+            col("commit.committedDate").as("committed_date"),
+            col("author").as("who"),
+            TextRefs.one_line(col("commit.message")).as("message"),
+            col("matching_commit")).as("ex")))),
+          x => x.getField("ex")).as("all_examples"))
+      .withColumn("examples",
+        if (exampleLimit <= 0) col("all_examples")
+        else slice(col("all_examples"), 1, exampleLimit))
+      .drop("all_examples")
+
+    statsPerFile.join(authorsPerFile, Seq("path"))
+      .select(col("path"), col("total_lines"), col("ranges_count"),
+        col("authors"), col("examples"))
+      .orderBy(col("path"))
+  }
+
+  /** K4 — blame re-chunker (indexer.py:87-112): split one repo_blame doc
+    * into one doc per file with replicated top-level metadata; a doc with
+    * no files yields a single placeholder row with files=[]. Pure
+    * explode_outer — no custom operator needed. */
+  def rechunk(repoBlame: DataFrame): DataFrame = {
+    val metaCols = repoBlame.columns.filterNot(_ == "files").map(col)
+    repoBlame
+      .select(metaCols :+ explode_outer(col("files")).as("file"): _*)
+      .withColumn("files",
+        when(col("file").isNotNull, array(col("file")))
+          .otherwise(array().cast(
+            repoBlame.schema("files").dataType)))
+      .drop("file")
+  }
+}
