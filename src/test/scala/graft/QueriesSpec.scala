@@ -1,0 +1,29 @@
+package graft
+
+import graft.SparkSpecBase
+
+/** Smoke-level invariants for the driver-facing query surface at
+  * sf0.001: every query runs, returns rows, and its column set matches
+  * what its DuckDB oracle would produce (column-name parity is what the
+  * driver's hash compare keys on).
+  */
+class QueriesSpec extends SparkSpecBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+}
