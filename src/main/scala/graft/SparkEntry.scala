@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Relational, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,10 +38,15 @@ object SparkEntry {
     "q18_lang_profile" -> (TextQueries.langProfile _),
     "q19_knn_cosine" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.knnBruteForce(s, d)),
+    "q20_minhash_signature" -> (DedupQueries.minhashSignature _),
+    "q21_minhash_lsh_dedup" -> (DedupQueries.minhashLshDedup _),
+    "q22_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "q23_simhash" -> (DedupQueries.simhash _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
+    Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
+      DedupQueries.oracles
 }

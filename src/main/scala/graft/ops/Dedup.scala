@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication primitives for large-corpus pipelines: exact
+  * content-hash, MinHash signatures + banded LSH, inverted-index exact
+  * n-gram Jaccard, and SimHash — the standard near-dup toolchain for
+  * training-data curation.
+  *
+  * Everything is built from deterministic, engine-portable primitives
+  * (lowercase md5 hex, left-to-right array folds) so results are
+  * bit-identical between Spark and the DuckDB oracle:
+  *   - a MinHash value is the STRING minimum of fixed-width hex md5
+  *     digests (same ordering as unsigned numeric, no int conversions);
+  *   - band keys are md5 over the comma-joined signature slice;
+  *   - SimHash uses the first 8 hex chars of md5 per token as a uint32.
+  *
+  * Scale notes (100 TB):
+  *   - signatures are embarrassingly parallel per document — no shuffle;
+  *   - LSH candidate generation shuffles on (band, band_hash) — bucket
+  *     sizes are the skew knob: more bands/rows → smaller buckets;
+  *   - the exact inverted-index Jaccard join shuffles one row per
+  *     (shingle, doc) and explodes quadratically in shingle document
+  *     frequency — use it to VERIFY candidate pairs (post-LSH) or on
+  *     df-capped shingles; banded MinHash is the scan-scale path.
+  */
+object Dedup {
+
+  /** Whitespace tokens of lowercased text, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct k-token shingles joined by single spaces. Documents
+    * shorter than k tokens collapse to one shingle of all tokens, so
+    * every document has a non-empty shingle set. */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array(concat_ws(" ", slice(toks, 1, k))))
+
+  /** MinHash signature: element s is min over shingles of
+    * md5("s|" + shingle), compared as fixed-width hex strings. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 16): Column =
+    array((0 until numHashes).map(s =>
+      array_min(transform(shingleCol, sh =>
+        md5(concat(lit(s"$s|"), sh))))): _*)
+
+  /** LSH band keys: md5 of the comma-joined r-element signature slice,
+    * one per band. numHashes = bands * rowsPerBand. */
+  def bandHashes(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
+    array((0 until bands).map(b =>
+      md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))): _*)
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** (id, shingles) → candidate near-dup pairs from banded-LSH bucket
+    * collisions, verified with exact Jaccard >= threshold.
+    *
+    * The only shuffles are on (band, band_hash) for candidates and on
+    * the id for the signature re-join; the corpus is never self-joined.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("id"), col(shingleCol).as("sh"))
+      .withColumn("bandh",
+        bandHashes(minhashSignature(col("sh"), numHashes), bands,
+          numHashes / bands))
+      .select(col("id"), col("sh"),
+        posexplode(col("bandh")).as(Seq("band", "band_hash")))
+    val a = sigs.select(col("band"), col("band_hash"),
+      col("id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sigs.select(col("band"), col("band_hash"),
+      col("id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .distinct() // same pair may collide in several bands
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard via an inverted shingle index:
+    * |A∩B| from the per-shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
+    * Exact but fan-out is quadratic in shingle document frequency —
+    * see scaladoc above for when to prefer LSH. */
+  def invertedIndexJaccard(
+      docs: DataFrame, idCol: String, shingleCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"),
+      size(col(shingleCol)).as("n"),
+      explode(col(shingleCol)).as("shingle"))
+    val a = ex.select(col("shingle"), col("id").as("doc_a"), col("n").as("n_a"))
+    val b = ex.select(col("shingle"), col("id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("j", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over (repeated) tokens: per bit, tokens vote
+    * +1/-1 by their md5-uint32 bit; the bit is set when the vote is
+    * positive. Bit-identical to the DuckDB formulation (same md5
+    * prefix, same integer division). */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    // bit i of h: floor(h / 2^i) % 2 — division by a power of two is
+    // exact in doubles for h < 2^32, and identical in DuckDB.
+    def bitOf(h: Column, i: Column): Column =
+      pmod(floor(h.cast("double") / pow(lit(2.0), i.cast("double")))
+        .cast("long"), lit(2L))
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, i) => acc + when(
+        aggregate(hashes, lit(0L),
+          (a, h) => a + when(bitOf(h, i) === 1L, 1L).otherwise(-1L)) > 0L,
+        floor(pow(lit(2.0), i.cast("double"))).cast("long")).otherwise(0L))
+  }
+}

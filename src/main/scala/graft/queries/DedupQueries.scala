@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Dedup
+
+/** Near-duplicate detection queries over the `documents` table — the
+  * dedup half of the training-data-pipeline surface. Each query is the
+  * driver-facing face of a `graft.ops.Dedup` primitive; the DuckDB
+  * oracles replicate the same md5-based arithmetic exactly (see
+  * Dedup's scaladoc for the determinism contract).
+  */
+object DedupQueries {
+
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Dedup.shingles(Dedup.tokens(col("text"))).as("shingles"))
+
+  /** Per-document MinHash signature digest + LSH band keys. Pure
+    * per-row map — no shuffle at any scale. */
+  def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
+    withShingles(spark, dir)
+      .withColumn("sig", Dedup.minhashSignature(col("shingles")))
+      .withColumn("bands", Dedup.bandHashes(col("sig")))
+      .select(col("doc_id"),
+        md5(concat_ws(",", col("sig"))).as("sig_digest"),
+        col("bands")(0).as("band0"), col("bands")(1).as("band1"),
+        col("bands")(2).as("band2"), col("bands")(3).as("band3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Banded-LSH candidate pairs verified with exact Jaccard ≥ 0.7. */
+  def minhashLshDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(withShingles(spark, dir), "doc_id", "shingles")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Exact inverted-index n-gram Jaccard pairs ≥ 0.5. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.invertedIndexJaccard(withShingles(spark, dir), "doc_id", "shingles")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Per-document 32-bit SimHash (near-dup docs differ in few bits). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Dedup.simhash32(Dedup.tokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // Shared oracle CTE fragments (DuckDB SQL mirroring Dedup's math).
+  private val toksCte =
+    """toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |              t -> length(t) > 0) AS tokens
+      | FROM documents)""".stripMargin
+  private val shCte =
+    """sh AS (SELECT doc_id, CASE WHEN len(tokens) >= 3
+      |  THEN list_distinct(list_transform(
+      |         generate_series(1, len(tokens) - 2),
+      |         i -> array_to_string(tokens[i:i+2], ' ')))
+      |  ELSE [array_to_string(tokens[1:3], ' ')] END AS shingles
+      | FROM toks)""".stripMargin
+  private val sigCte =
+    """sig AS (SELECT doc_id, shingles,
+      |  list_transform(generate_series(0, 15),
+      |    s -> list_min(list_transform(shingles, g -> md5(s || '|' || g))))
+      |    AS sig
+      | FROM sh)""".stripMargin
+  private val bandsCte =
+    """bands AS (SELECT doc_id, shingles, b,
+      |  md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+      | FROM sig, unnest(generate_series(0, 3)) AS t(b))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q20_minhash_signature" ->
+      s"""WITH $toksCte, $shCte, $sigCte
+         |SELECT doc_id, md5(array_to_string(sig, ',')) AS sig_digest,
+         | md5(array_to_string(sig[1:4], ',')) AS band0,
+         | md5(array_to_string(sig[5:8], ',')) AS band1,
+         | md5(array_to_string(sig[9:12], ',')) AS band2,
+         | md5(array_to_string(sig[13:16], ',')) AS band3
+         |FROM sig ORDER BY doc_id""".stripMargin,
+    "q21_minhash_lsh_dedup" ->
+      s"""WITH $toksCte, $shCte, $sigCte, $bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    len(list_intersect(a.shingles, b2.shingles))::DOUBLE
+         |      / len(list_distinct(list_concat(a.shingles, b2.shingles))) AS j
+         |  FROM bands a JOIN bands b2 USING (b, band_hash)
+         |  WHERE a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand
+         |WHERE j >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "q22_ngram_jaccard" ->
+      s"""WITH $toksCte, $shCte,
+         |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+         |       FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter,
+         |    any_value(a.n) AS n_a, any_value(b.n) AS n_b
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(inter::DOUBLE / (n_a + n_b - inter), 4) AS jaccard
+         |FROM pairs WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q23_simhash" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id,
+         |  list_transform(tokens,
+         |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hashes
+         | FROM toks)
+         |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
+         |  i -> CASE WHEN list_sum(list_transform(hashes,
+         |         h2 -> CASE WHEN CAST(floor(h2 / pow(2, i)) AS BIGINT) % 2 = 1
+         |               THEN 1 ELSE -1 END)) > 0
+         |       THEN CAST(floor(pow(2, i)) AS BIGINT) ELSE 0 END))
+         |  AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin,
+  )
+}
