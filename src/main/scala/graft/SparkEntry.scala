@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, PipelineQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,11 +42,23 @@ object SparkEntry {
     "q21_minhash_lsh_dedup" -> (DedupQueries.minhashLshDedup _),
     "q22_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "q23_simhash" -> (DedupQueries.simhash _),
+    "q24_embedding_topk_pairs" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.topKPairs(s, d)),
+    "q25_ann_lsh_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.annLshKnn(s, d)),
+    "q26_lang_id" -> (TextQueries.langId _),
+    "q27_winnow_fingerprint" -> (TextQueries.winnowFingerprint _),
+    "q28_bpe_token_count" -> (TextQueries.bpeTokenCount _),
+    "q29_quality_score" -> (TextQueries.qualityScore _),
+    "q30_multimodal_meta" -> (PipelineQueries.multimodalMeta _),
+    "q31_multimodal_decode" -> (PipelineQueries.multimodalDecode _),
+    "q32_incremental_merge" -> (PipelineQueries.incrementalMerge _),
+    "q33_sessionize" -> (PipelineQueries.sessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
-      DedupQueries.oracles
+      DedupQueries.oracles ++ PipelineQueries.oracles
 }

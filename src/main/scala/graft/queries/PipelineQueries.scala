@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables
+import graft.ops.{IncrementalMerge, Multimodal}
+
+/** Pipeline-machinery queries: multimodal metadata/decode, the
+  * incremental watermark merge (reference J5/J6), and event
+  * sessionization — the stateful/windowed end of the surface.
+  */
+object PipelineQueries {
+
+  private val dec4 = DecimalType(18, 4)
+
+  /** Multimodal metadata pass: typed metadata over opaque binary
+    * payloads — size, content hash, frame count. Pure projection, no
+    * shuffle; the scan prunes to (doc_id, text). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.deriveMedia(Tables.documents(spark, dir))
+      .select(
+        $"media_id",
+        $"media_type",
+        length($"payload").cast("long").as("n_bytes"),
+        sha2($"payload", 256).as("payload_sha"),
+        ceil(length($"payload").cast("double") / Multimodal.FrameBytes)
+          .cast("long").as("n_frames"))
+      .orderBy($"media_id")
+  }
+
+  /** Multimodal decode stub: batched per-partition decode + feature
+    * extraction (see Multimodal scaladoc). No SQL oracle — binary
+    * decode isn't expressible in DuckDB; driver does the rows check,
+    * MultimodalSpec pins the per-frame math. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.deriveMedia(Tables.documents(spark, dir))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeFeatures(media)
+      .toDF()
+      .select($"media_id", $"media_type", $"n_bytes", $"n_frames",
+        round($"feature_norm", 4).as("feature_norm"))
+      .orderBy($"media_id")
+  }
+
+  /** J5 — incremental merge: a cached snapshot (orders before the
+    * cutoff) merged with a re-fetched delta window that overlaps it by
+    * a lookback; fetched rows win per key. Output: per-status counts
+    * plus how many winners came from the fetch. */
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val cutoff = lit("2001-01-01").cast("timestamp")
+    val lookback = lit("2000-12-01").cast("timestamp")
+    val cached = orders.filter($"o_orderdate" < cutoff)
+    val fetched = orders.filter($"o_orderdate" >= lookback)
+    IncrementalMerge.mergeLatest(cached, fetched, Seq("o_orderkey"))
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"from_fetched").cast("long").as("n_from_fetched"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Sessionization: per-user event streams split at >30 min gaps
+    * (lag + running sum of boundaries), then per-session aggregates.
+    * One shuffle on user_id; both windows share the partitioning. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        sum($"value".cast(dec4)).cast("double").as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q30_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |   ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS payload_sha,
+        | CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q32_incremental_merge" ->
+      """WITH unioned AS (
+        |  SELECT *, 1 AS from_fetched FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-12-01'
+        |  UNION ALL
+        |  SELECT *, 0 AS from_fetched FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '2001-01-01'),
+        |merged AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY from_fetched DESC) AS rn
+        |    FROM unioned) WHERE rn = 1)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(from_fetched) AS BIGINT) AS n_from_fetched,
+        | COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q33_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | COUNT(*) AS n_events,
+        | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+        | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+  )
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.ops.Ann
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, 64-d).
   *
@@ -44,6 +45,39 @@ object SimilarityQueries {
       .select($"vec_id", round($"cos_full", 4).as("cosine"))
   }
 
+  /** Embedding near-dup baseline: brute-force all-pairs cosine, top-k
+    * most-similar pairs. The quadratic pair scan is the recall oracle
+    * for the LSH-bucketed variant below — at corpus scale run THAT; at
+    * verification scale run this. */
+  def topKPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .withColumn("cos_full", cosine($"emb_a", $"emb_b"))
+      .orderBy($"cos_full".desc, $"vec_a".asc, $"vec_b".asc)
+      .limit(k)
+      .select($"vec_a", $"vec_b", round($"cos_full", 4).as("cosine"))
+  }
+
+  /** ANN top-k via deterministic random-hyperplane LSH: only vectors
+    * in the query's bucket are scored (candidate set ~ N/2^planes). */
+  def annLshKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, numPlanes: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", Ann.bucket($"embedding", numPlanes))
+    val q = e.filter($"vec_id" === queryId)
+      .select($"embedding".as("q_embedding"), $"bucket".as("q_bucket"))
+    e.join(broadcast(q), $"bucket" === $"q_bucket")
+      .filter($"vec_id" =!= queryId)
+      .withColumn("cos_full", cosine($"embedding", $"q_embedding"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q19_knn_cosine" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
@@ -51,6 +85,35 @@ object SimilarityQueries {
         | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings e, q
         |WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        | e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q24_embedding_topk_pairs" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+        | vec_a ASC, vec_b ASC
+        |LIMIT 20""".stripMargin,
+    "q25_ann_lsh_knn" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(generate_series(0, 63),
+        |    d -> (CAST(('0x' || substr(md5(p || '|' || d), 1, 8)) AS BIGINT)
+        |          / 4294967296.0) - 0.5) AS w
+        |  FROM unnest(generate_series(0, 3)) AS t(p)
+        |), buckets AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |           i -> embedding[i] * w[i])) > 0
+        |         THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM embeddings, planes GROUP BY vec_id, embedding
+        |)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+        |FROM buckets e,
+        | (SELECT embedding, bucket FROM buckets WHERE vec_id = 0) q
+        |WHERE e.bucket = q.bucket AND e.vec_id <> 0
         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
         | e.vec_id ASC
         |LIMIT 10""".stripMargin,

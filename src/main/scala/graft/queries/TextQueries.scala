@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.ops.TextAnalysis
 
 /** Text-analysis operator surface over the `documents` table: tokenize /
   * explode (MV_EXPAND, §2.9), exact dedup, and per-document quality
@@ -75,6 +76,70 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** Stopword-profile language ID vs the labeled lang column:
+    * (labeled, predicted) confusion counts. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextAnalysis.tokensOf($"text"))
+      .select($"lang", TextAnalysis.langId($"toks").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** Winnowing document fingerprints: per-doc k-gram and fingerprint
+    * counts (the MOSS-style rolling-hash sketch). */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("hashes",
+        TextAnalysis.kgramHashes(TextAnalysis.tokensOf($"text")))
+      .select(
+        $"doc_id",
+        size($"hashes").cast("long").as("n_kgrams"),
+        size(TextAnalysis.winnowFingerprints($"hashes"))
+          .cast("long").as("n_fingerprints"))
+      .orderBy($"doc_id")
+  }
+
+  /** BPE-style pretokenizer counts per document. */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("pre", TextAnalysis.bpeTokens($"text"))
+      .select(
+        $"doc_id",
+        size($"pre").cast("long").as("n_pretokens"),
+        size(filter($"pre", m => m.rlike("\\S"))).cast("long")
+          .as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: stopword ratio, mean token length, punctuation
+    * ratio, and a keep flag — the standard corpus-filter columns. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enStops = TextAnalysis.stopwords.toMap.apply("en")
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextAnalysis.tokensOf($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("stop_ratio",
+        round(TextAnalysis.stopwordHits($"toks", enStops).cast("double") /
+          $"n_tokens".cast("double"), 4))
+      .withColumn("mean_token_len",
+        round(aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / $"n_tokens".cast("double"), 4))
+      .withColumn("punct_ratio",
+        round(TextAnalysis.punctCount($"text").cast("double") /
+          length($"text").cast("double"), 4))
+      .select($"doc_id", $"n_tokens", $"stop_ratio", $"mean_token_len",
+        $"punct_ratio",
+        when($"n_tokens".between(20, 1000) && $"stop_ratio" >= 0.05, 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "q15_top_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
@@ -99,5 +164,71 @@ object TextQueries {
         | CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0))) AS BIGINT) AS total_tokens,
         | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q26_lang_id" ->
+      """WITH toks AS (SELECT lang,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |              t -> length(t) > 0) AS tokens
+        | FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(tokens, t -> t IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+        |  len(list_filter(tokens, t -> t IN ('the','a','of','and','is','not','to','in'))) AS s_en,
+        |  len(list_filter(tokens, t -> t IN ('el','la','y','los','es','no','un','con'))) AS s_es,
+        |  len(list_filter(tokens, t -> t IN ('le','la','et','les','est','pas','un','dans'))) AS s_fr,
+        |  len(list_filter(tokens, t -> t IN ('的','是','不','了','在','我','有','和'))) AS s_zh
+        | FROM toks),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |       ELSE 'und' END AS predicted
+        | FROM s)
+        |SELECT lang, predicted, COUNT(*) AS n_docs FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q27_winnow_fingerprint" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |              t -> length(t) > 0) AS tokens
+        | FROM documents),
+        |kg AS (SELECT doc_id, CASE WHEN len(tokens) >= 4
+        |  THEN list_transform(generate_series(1, len(tokens) - 3),
+        |         i -> md5(array_to_string(tokens[i:i+3], ' ')))
+        |  ELSE [md5(array_to_string(tokens[1:4], ' '))] END AS hashes
+        | FROM toks)
+        |SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_kgrams,
+        | CAST(len(list_distinct(CASE WHEN len(hashes) >= 5
+        |   THEN list_transform(generate_series(1, len(hashes) - 4),
+        |          j -> list_min(hashes[j:j+4]))
+        |   ELSE [list_min(hashes)] END)) AS BIGINT) AS n_fingerprints
+        |FROM kg ORDER BY doc_id""".stripMargin,
+    "q28_bpe_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |   AS BIGINT) AS n_pretokens,
+        | CAST(len(list_filter(regexp_extract_all(text,
+        |   '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+        |   m -> regexp_matches(m, '\S'))) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_quality_score" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |              t -> length(t) > 0) AS tokens
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |  round(len(list_filter(tokens,
+        |    t -> t IN ('the','a','of','and','is','not','to','in')))::DOUBLE
+        |    / len(tokens), 4) AS stop_ratio,
+        |  round(list_sum(list_transform(tokens, t -> length(t)))::DOUBLE
+        |    / len(tokens), 4) AS mean_token_len,
+        |  round(length(regexp_replace(text, '[\p{L}\p{N}\s]+', '', 'g'))::DOUBLE
+        |    / length(text), 4) AS punct_ratio
+        | FROM toks)
+        |SELECT doc_id, n_tokens, stop_ratio, mean_token_len, punct_ratio,
+        | CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.05
+        |      THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

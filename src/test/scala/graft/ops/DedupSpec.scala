@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpecBase
+
+class DedupSpec extends SparkSpecBase {
+
+  private val docT = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), docT)
+      .select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("text")))
+        .as("shingles"))
+
+  test("shingles: distinct 3-grams; short docs collapse to one shingle") {
+    val out = docs((1L, "a b c d"), (2L, "x y"), (3L, "a b c d"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[String]]("shingles")).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq("x y"))
+    assert(out(1L) == out(3L))
+  }
+
+  test("identical docs have identical minhash signatures and band keys") {
+    val sig = docs((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now today ok"))
+      .withColumn("sig", Dedup.minhashSignature(col("shingles")))
+      .withColumn("bands", Dedup.bandHashes(col("sig")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[scala.collection.Seq[String]]("sig"),
+          r.getAs[scala.collection.Seq[String]]("bands"))).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    assert(sig(1L)._1.length == 16 && sig(1L)._2.length == 4)
+  }
+
+  test("minhashLshPairs finds a near-dup pair and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs((1L, base), (2L, base + " phi"),
+      (3L, "one two three four five six seven eight nine ten"))
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "shingles",
+      threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val j = pairs.head.getAs[Double]("jaccard")
+    assert(j > 0.8 && j < 1.0)
+  }
+
+  test("invertedIndexJaccard matches direct array jaccard") {
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e g"),
+      (3L, "z z z z z z"))
+    val viaIndex = Dedup.invertedIndexJaccard(d, "doc_id", "shingles",
+      threshold = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .toMap
+    // doc1: shingles {abc,bcd,cde,def}; doc2: {abc,bcd,cde,deg}
+    // intersection 3, union 5 → 0.6
+    assert(viaIndex((1L, 2L)) == 0.6)
+    assert(!viaIndex.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs equal, near docs close in hamming") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val out = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      Row(2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      Row(3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zz")), 2), docT)
+      .select(col("doc_id"), Dedup.simhash32(Dedup.tokens(col("text")))
+        .as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) >= 0 && out(1L) < (1L << 32))
+    assert(hamming(out(1L), out(3L)) < 16) // near dup → small distance
+  }
+}

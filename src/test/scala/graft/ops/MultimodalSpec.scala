@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("decodeStub chunks payloads into fixed-size frames") {
+    val frames = Multimodal.decodeStub(new Array[Byte](600), "image")
+    assert(frames.map(_.length).toSeq == Seq(256, 256, 88))
+    assert(Multimodal.decodeStub(Array.empty[Byte], "audio").isEmpty)
+  }
+
+  test("frameFeature is mean unsigned byte value") {
+    assert(Multimodal.frameFeature(Array[Byte](0, -1)) == 127.5) // (0+255)/2
+    assert(Multimodal.frameFeature(Array.empty[Byte]) == 0.0)
+  }
+
+  test("decodeFeatures: typed batched pipeline end to end") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array.fill[Byte](300)(2)),
+      Multimodal.MediaRow(2L, "audio", Array.empty[Byte]))
+      .toDS().repartition(2)
+    val out = Multimodal.decodeFeatures(media).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out(1L).n_frames == 2L)
+    assert(out(1L).n_bytes == 300L)
+    assert(out(1L).features.toSeq == Seq(2.0, 2.0))
+    assert(out(1L).feature_norm == math.sqrt(8.0))
+    assert(out(2L).n_frames == 0L)
+    assert(out(2L).feature_norm == 0.0)
+  }
+}
