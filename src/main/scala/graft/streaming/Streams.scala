@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's incremental semantics
+  * (SURVEY §2.10): the reference's watermark-refresh loop is exactly
+  * event-time watermarking + keyed dedup/upsert, so the same operators
+  * are exposed over `readStream` sources.
+  *
+  * All transforms are DataFrame → DataFrame and source-agnostic: tests
+  * drive them from MemoryStream, production from Kafka/files. State
+  * size is bounded by the watermark — expired keys/windows are dropped,
+  * so executors hold O(active window) state at any corpus rate.
+  */
+object Streams {
+
+  /** Tumbling-window rollup with late-data allowance — the streaming
+    * twin of the batch hourly rollup (q14). Append mode emits a window
+    * only once the watermark passes it. */
+  def windowedRollup(events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Keyed dedup within the watermark horizon — the streaming form of
+    * the reference's "refetched records upsert over cache" (J5): the
+    * first record per key wins, replays inside the lookback are
+    * dropped, state for expired keys is reclaimed. */
+  def dedupStream(events: DataFrame, keyCol: String,
+      lateness: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
+  case class LatestState(ts: java.sql.Timestamp, value: Double)
+
+  /** flatMapGroupsWithState upsert: emits the latest value per key on
+    * every trigger, keeping one record of state per key (the custom-
+    * state form of merge-latest, for semantics unionByName+row_number
+    * can't express incrementally). */
+  def latestPerKey(events: Dataset[KeyedValue]): Dataset[KeyedValue] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LatestState, KeyedValue](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[KeyedValue],
+            state: GroupState[LatestState]) =>
+          val incoming = rows.toSeq
+          val newest = (state.getOption.map(s =>
+            KeyedValue(key, s.ts, s.value)) ++ incoming)
+            .maxBy(_.ts.getTime)
+          state.update(LatestState(newest.ts, newest.value))
+          Iterator.single(newest)
+      }
+  }
+}
