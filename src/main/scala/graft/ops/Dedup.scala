@@ -53,6 +53,22 @@ object Dedup {
     array((0 until bands).map(b =>
       md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))): _*)
 
+  /** Band keys computed directly from the shingle set, each signature
+    * element appearing in exactly ONE band expression. Use this form
+    * when the signature array is not needed as output:
+    * `bandHashes(minhashSignature(sh))` duplicates the whole
+    * 16-element signature subtree into every band (higher-order
+    * functions get no common-subexpression elimination), multiplying
+    * the per-row hashing cost by the band count. */
+  def bandHashesDirect(shingleCol: Column, numHashes: Int = 16,
+      bands: Int = 4): Column = {
+    val r = numHashes / bands
+    def elem(s: Int): Column =
+      array_min(transform(shingleCol, sh => md5(concat(lit(s"$s|"), sh))))
+    array((0 until bands).map(b =>
+      md5(concat_ws(",", (0 until r).map(i => elem(b * r + i)): _*))): _*)
+  }
+
   /** Exact Jaccard of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -68,22 +84,34 @@ object Dedup {
       docs: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    val sigs = docs
-      .select(col(idCol).as("id"), col(shingleCol).as("sh"))
-      .withColumn("bandh",
-        bandHashes(minhashSignature(col("sh"), numHashes), bands,
-          numHashes / bands))
-      .select(col("id"), col("sh"),
-        posexplode(col("bandh")).as(Seq("band", "band_hash")))
-    val a = sigs.select(col("band"), col("band_hash"),
-      col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sigs.select(col("band"), col("band_hash"),
-      col("id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val base = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+    // Candidate generation carries ONLY (band, band_hash, id) through
+    // the collision join — never the shingle arrays — and dedups pairs
+    // BEFORE the (expensive) exact-Jaccard verify, so each unique pair
+    // is verified once no matter how many bands it collides in.
+    // posexplode_OUTER, not posexplode: the band array is never empty,
+    // but plain posexplode makes InferFiltersFromGenerate add a
+    // `size(bandh) > 0` filter that embeds the whole minhash tree and
+    // gets pushed below the repartition — re-evaluating every hash on
+    // the (single-split) scan side. outer generators get no such filter.
+    val banded = base
+      .withColumn("bandh", bandHashesDirect(col("sh"), numHashes, bands))
+      .select(col("id"),
+        posexplode_outer(col("bandh")).as(Seq("band", "band_hash")))
+    val candA = banded.select(col("band"), col("band_hash"),
+      col("id").as("doc_a"))
+    val candB = banded.select(col("band"), col("band_hash"),
+      col("id").as("doc_b"))
+    val pairs = candA.join(candB, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("j"))
-      .distinct() // same pair may collide in several bands
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val shA = base.select(col("id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = base.select(col("id").as("doc_b"), col("sh").as("sh_b"))
+    pairs
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b"))
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
@@ -95,16 +123,26 @@ object Dedup {
   def invertedIndexJaccard(
       docs: DataFrame, idCol: String, shingleCol: String,
       threshold: Double = 0.5): DataFrame = {
+    // The per-shingle self-join rows carry only (shingle, id) — set
+    // sizes join back in afterwards from a per-doc dimension (tiny,
+    // broadcast) instead of riding every fan-out row through the agg.
+    // explode_outer for the same InferFiltersFromGenerate reason as in
+    // minhashLshPairs; shingle sets are non-empty by construction and
+    // a null shingle row cannot survive the equi-join anyway.
     val ex = docs.select(col(idCol).as("id"),
-      size(col(shingleCol)).as("n"),
-      explode(col(shingleCol)).as("shingle"))
-    val a = ex.select(col("shingle"), col("id").as("doc_a"), col("n").as("n_a"))
-    val b = ex.select(col("shingle"), col("id").as("doc_b"), col("n").as("n_b"))
+      explode_outer(col(shingleCol)).as("shingle"))
+    val sizes = docs.select(col(idCol).as("id"),
+      size(col(shingleCol)).as("n"))
+    val a = ex.select(col("shingle"), col("id").as("doc_a"))
+    val b = ex.select(col("shingle"), col("id").as("doc_b"))
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("id").as("doc_a"),
+        col("n").as("n_a"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("id").as("doc_b"),
+        col("n").as("n_b"))), Seq("doc_b"))
       .withColumn("j", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("j") >= threshold)

@@ -14,8 +14,17 @@ import graft.ops.Dedup
   */
 object DedupQueries {
 
+  /** Shingled docs, spread across the cluster BEFORE the expensive
+    * per-row minhash work: the test tables are single parquet files
+    * (one input split), and signature hashing is CPU-bound per row —
+    * without an explicit repartition the whole corpus would hash on
+    * one core. At warehouse scale the scan has many splits and this
+    * repartition collapses into the existing distribution. */
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // explicit N: AQE would coalesce a few-MB shuffle to one
+      // partition, but the cost here is CPU per row, not bytes
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         Dedup.shingles(Dedup.tokens(col("text"))).as("shingles"))
 

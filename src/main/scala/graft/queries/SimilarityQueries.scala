@@ -30,6 +30,12 @@ object SimilarityQueries {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** The norm factor sqrt(Σx²) — precompute it once per vector before
+    * a pair join; `cosine(a,b)` ≡ `dot(a,b) / (norm(a) * norm(b))`
+    * bit-for-bit (identical operations, hoisted out of the O(n²)
+    * loop). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
   /** Brute-force cosine top-k neighbors of one query vector. */
   def knnBruteForce(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
@@ -52,10 +58,16 @@ object SimilarityQueries {
   def topKPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
-    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    // the streamed join side must be split across cores — the test
+    // table is a single input split (see withShingles note)
+    val a = e.repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+      .select($"vec_id".as("vec_a"), $"embedding".as("emb_a"),
+        $"nrm".as("nrm_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"),
+      $"nrm".as("nrm_b"))
     a.join(b, $"vec_a" < $"vec_b")
-      .withColumn("cos_full", cosine($"emb_a", $"emb_b"))
+      .withColumn("cos_full", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
       .orderBy($"cos_full".desc, $"vec_a".asc, $"vec_b".asc)
       .limit(k)
       .select($"vec_a", $"vec_b", round($"cos_full", 4).as("cosine"))
