@@ -35,6 +35,17 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+
+  /** documents spread across all cores for CPU-heavy per-row work:
+    * the test tables are single parquet files (one input split), so
+    * without an explicit repartition a hashing-heavy scan runs on one
+    * core; explicit N keeps AQE from coalescing the few-MB shuffle
+    * back to one partition. At warehouse scale the scan already has
+    * many splits and this collapses into the existing distribution. */
+  def documentsDistributed(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(
+      s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
   /** Register every table as a temp view for `spark.sql` use. */

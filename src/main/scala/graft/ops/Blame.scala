@@ -119,6 +119,30 @@ object Blame {
       .orderBy(col("path"))
   }
 
+  /** J7 — blame cache diff (collectors.py:334-373): decide which files
+    * can reuse the cached blame snapshot and which need a refresh,
+    * from the current tree listing and the compare-API change set.
+    *
+    * Set semantics: reusable = cached ∩ desired − changed (any status
+    * — removed/renamed drop the cache entry, modified invalidates it);
+    * refresh = desired − reusable. Expressed as anti/semi joins on the
+    * path key, the engine's only set-operation surface (§2.8).
+    *
+    * @param cachedPaths  paths present in the cached snapshot ("path")
+    * @param desiredPaths paths in the current tree ("path")
+    * @param changedPaths compare-API change set ("path", "status")
+    * @return (reusable, refresh) path DataFrames
+    */
+  def diffPaths(cachedPaths: DataFrame, desiredPaths: DataFrame,
+      changedPaths: DataFrame): (DataFrame, DataFrame) = {
+    val reusable = cachedPaths.select("path")
+      .join(desiredPaths.select("path"), Seq("path"), "left_semi")
+      .join(changedPaths.select("path"), Seq("path"), "left_anti")
+    val refresh = desiredPaths.select("path")
+      .join(reusable, Seq("path"), "left_anti")
+    (reusable, refresh)
+  }
+
   /** K4 — blame re-chunker (indexer.py:87-112): split one repo_blame doc
     * into one doc per file with replicated top-level metadata; a doc with
     * no files yields a single placeholder row with files=[]. Pure

@@ -161,12 +161,20 @@ object Dedup {
     def bitOf(h: Column, i: Column): Column =
       pmod(floor(h.cast("double") / pow(lit(2.0), i.cast("double")))
         .cast("long"), lit(2L))
+    // Single pass over tokens with a 32-wide vote accumulator: the
+    // naive bit-outer/token-inner nesting re-evaluates the md5 hash
+    // array once per bit (HOF subtrees get no common-subexpression
+    // elimination) — 32× the hashing work for identical votes.
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+        (a, i) => a + when(bitOf(h, i) === 1L, 1L).otherwise(-1L)))
     aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, i) => acc + when(
-        aggregate(hashes, lit(0L),
-          (a, h) => a + when(bitOf(h, i) === 1L, 1L).otherwise(-1L)) > 0L,
-        floor(pow(lit(2.0), i.cast("double"))).cast("long")).otherwise(0L))
+      zip_with(votes, sequence(lit(0), lit(31)),
+        (v, i) => when(v > 0L,
+          floor(pow(lit(2.0), i.cast("double"))).cast("long"))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 }

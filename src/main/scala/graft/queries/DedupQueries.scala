@@ -21,10 +21,7 @@ object DedupQueries {
     * one core. At warehouse scale the scan has many splits and this
     * repartition collapses into the existing distribution. */
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      // explicit N: AQE would coalesce a few-MB shuffle to one
-      // partition, but the cost here is CPU per row, not bytes
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.documentsDistributed(spark, dir)
       .select(col("doc_id"),
         Dedup.shingles(Dedup.tokens(col("text"))).as("shingles"))
 
@@ -53,7 +50,7 @@ object DedupQueries {
 
   /** Per-document 32-bit SimHash (near-dup docs differ in few bits). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsDistributed(spark, dir)
       .select(col("doc_id"),
         Dedup.simhash32(Dedup.tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))

@@ -80,7 +80,7 @@ object TextQueries {
     * (labeled, predicted) confusion counts. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsDistributed(spark, dir)
       .withColumn("toks", TextAnalysis.tokensOf($"text"))
       .select($"lang", TextAnalysis.langId($"toks").as("predicted"))
       .groupBy($"lang", $"predicted")
@@ -92,7 +92,7 @@ object TextQueries {
     * counts (the MOSS-style rolling-hash sketch). */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsDistributed(spark, dir)
       .withColumn("hashes",
         TextAnalysis.kgramHashes(TextAnalysis.tokensOf($"text")))
       .select(
@@ -106,7 +106,7 @@ object TextQueries {
   /** BPE-style pretokenizer counts per document. */
   def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsDistributed(spark, dir)
       .withColumn("pre", TextAnalysis.bpeTokens($"text"))
       .select(
         $"doc_id",
@@ -121,7 +121,7 @@ object TextQueries {
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val enStops = TextAnalysis.stopwords.toMap.apply("en")
-    Tables.documents(spark, dir)
+    Tables.documentsDistributed(spark, dir)
       .withColumn("toks", TextAnalysis.tokensOf($"text"))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("stop_ratio",

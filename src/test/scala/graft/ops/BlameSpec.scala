@@ -112,6 +112,18 @@ class BlameSpec extends SparkSpecBase {
       .map(_.getAs[String]("path")).toSet == Set("a.txt", "b.txt"))
   }
 
+  test("diffPaths: reusable = cached ∩ desired − changed; refresh = rest") {
+    val pathT = StructType(Seq(StructField("path", StringType)))
+    val chT = StructType(Seq(StructField("path", StringType),
+      StructField("status", StringType)))
+    val cached = df(pathT, Row("a"), Row("b"), Row("c"), Row("gone"))
+    val desired = df(pathT, Row("a"), Row("b"), Row("c"), Row("new"))
+    val changed = df(chT, Row("b", "modified"), Row("gone", "removed"))
+    val (reuse, refresh) = Blame.diffPaths(cached, desired, changed)
+    assert(reuse.collect().map(_.getString(0)).toSet == Set("a", "c"))
+    assert(refresh.collect().map(_.getString(0)).toSet == Set("b", "new"))
+  }
+
   test("rechunk emits placeholder row for empty files") {
     val fileT = StructType(Seq(StructField("path", StringType)))
     val blameT = StructType(Seq(
