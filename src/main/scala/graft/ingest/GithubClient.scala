@@ -17,8 +17,15 @@ object GithubClient {
   final case class Response(status: Int,
       headers: Map[String, String] = Map.empty, body: String = "")
 
-  /** Pluggable HTTP GET. Must be pure per (url, headers) in replay. */
-  trait Transport { def get(url: String, headers: Map[String, String]): Response }
+  /** Pluggable HTTP. Must be pure per (url, headers, body) in replay.
+    * `post` powers the GraphQL endpoint (S2); transports that only
+    * serve REST replay can leave the default. */
+  trait Transport {
+    def get(url: String, headers: Map[String, String]): Response
+    def post(url: String, headers: Map[String, String],
+        body: String): Response =
+      Response(405, body = "POST not supported by this transport")
+  }
 
   final case class Config(
       tokens: Seq[String] = Seq.empty,
@@ -98,14 +105,38 @@ object GithubClient {
     * rate-limit (403/429) rotates to the next token, then backs off;
     * 5xx backs off; 422 and other 4xx are terminal. Returns the final
     * response (success or the terminal/give-up response). */
-  @tailrec
   def getWithRetry(transport: Transport, cfg: Config, url: String,
+      tokenIdx: Int = 0, attempt: Int = 0): Response =
+    requestWithRetry(cfg, h => transport.get(url, h), tokenIdx, attempt)
+
+  /** S2 — GraphQL query execution (the blame queries of
+    * collectors.py:58-119 run through this): POST {query, variables}
+    * with the same retry/rotation machine as REST. Variables are
+    * already-serialized JSON values. */
+  def graphql(transport: Transport, cfg: Config, endpoint: String,
+      query: String, variablesJson: String = "{}"): Response = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val body = s"""{"query":${q(query)},"variables":$variablesJson}"""
+    requestWithRetry(cfg, h => transport.post(endpoint, h, body))
+  }
+
+  @tailrec
+  private def requestWithRetry(cfg: Config,
+      doRequest: Map[String, String] => Response,
       tokenIdx: Int = 0, attempt: Int = 0): Response = {
     val headers =
       if (cfg.tokens.isEmpty) Map.empty[String, String]
       else Map("Authorization" ->
         s"token ${cfg.tokens(tokenIdx % cfg.tokens.size)}")
-    val resp = transport.get(url, headers)
+    val resp = doRequest(headers)
     val rateLimited = resp.status == 429 ||
       (resp.status == 403 && resp.headers.getOrElse("X-RateLimit-Remaining",
         "1") == "0")
@@ -114,14 +145,14 @@ object GithubClient {
     else if (rateLimited) {
       // rotate first; only sleep once every token has been tried
       if (tokenIdx + 1 < math.max(cfg.tokens.size, 1))
-        getWithRetry(transport, cfg, url, tokenIdx + 1, attempt)
+        requestWithRetry(cfg, doRequest, tokenIdx + 1, attempt)
       else {
         cfg.sleeper(cfg.backoffBaseMs * (1L << attempt))
-        getWithRetry(transport, cfg, url, 0, attempt + 1)
+        requestWithRetry(cfg, doRequest, 0, attempt + 1)
       }
     } else if (resp.status >= 500) {
       cfg.sleeper(cfg.backoffBaseMs * (1L << attempt))
-      getWithRetry(transport, cfg, url, tokenIdx, attempt + 1)
+      requestWithRetry(cfg, doRequest, tokenIdx, attempt + 1)
     } else resp // terminal 4xx (404, 422, ...)
   }
 

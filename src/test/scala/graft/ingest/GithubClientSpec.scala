@@ -101,6 +101,26 @@ class GithubClientSpec extends AnyFunSuite {
     assert(slept == List(10L, 20L))
   }
 
+  test("graphql posts escaped query with variables through retry machine") {
+    var seen: (String, String) = null
+    val t = new Transport {
+      def get(url: String, headers: Map[String, String]) = Response(404)
+      override def post(url: String, headers: Map[String, String],
+          body: String): Response = {
+        seen = (url, body)
+        Response(200, Map.empty, """{"data":{}}""")
+      }
+    }
+    val r = GithubClient.graphql(t, Config(tokens = Seq("tk")),
+      "https://api.github.com/graphql",
+      "query Blame($path: String!) {\n repository { name }\n}",
+      """{"path":"a.txt"}""")
+    assert(r.status == 200)
+    assert(seen._1 == "https://api.github.com/graphql")
+    assert(seen._2 ==
+      """{"query":"query Blame($path: String!) {\n repository { name }\n}","variables":{"path":"a.txt"}}""")
+  }
+
   test("422 is terminal — no retries") {
     val t = new FakeTransport(Map("http://x" -> Response(422)))
     assert(getWithRetry(t, Config(), "http://x").status == 422)
