@@ -1,0 +1,28 @@
+package graft
+
+import graft.SparkSpecBase
+
+class FunctionsSpec extends SparkSpecBase {
+
+  test("registered SQL functions run in spark.sql") {
+    Functions.register(spark)
+    val refs = spark.sql(
+      "SELECT inline(extract_issue_refs('Fixes #5. See owner/lib#9.'))")
+      .collect()
+    assert(refs.length == 2)
+    assert(refs(0).getAs[Int]("number") == 5)
+    assert(refs(0).getAs[Boolean]("has_closing_kw"))
+    assert(refs(1).getAs[String]("full_repo") == "owner/lib")
+    assert(!refs(1).getAs[Boolean]("has_closing_kw"))
+
+    assert(spark.sql("SELECT one_line(' top \nrest')").head.getString(0)
+      == "top")
+
+    // stable_hash_id over a struct is field-order invariant in SQL too
+    val h = spark.sql(
+      """SELECT stable_hash_id(named_struct('a', 1, 'b', 'x')) AS h1,
+        |       stable_hash_id(named_struct('b', 'x', 'a', 1)) AS h2""".stripMargin)
+      .head
+    assert(h.getString(0) == h.getString(1))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import graft.SparkSpecBase
+
+/** End-to-end file-replay run of the process_repo DAG (mirrors the
+  * reference tests/test_runner.py orchestration check): raw artifact
+  * JSON in → all derived artifacts out, with the P1 filter, linker
+  * joins, and deterministic persistence working together.
+  */
+class PipelineSpec extends SparkSpecBase {
+  private val repo = "owner/repo"
+
+  private def writeFixture(dir: java.io.File): Unit = {
+    val d = new java.io.File(dir, "owner_repo")
+    d.mkdirs()
+    def put(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(d, name), "UTF-8")
+      w.println(body); w.close()
+    }
+    put("issues.json",
+      """[
+        {"number":5,"state":"closed","title":"crash","body":"boom",
+         "user":{"login":"reporter5"},"created_at":"2024-01-01T00:00:00Z"},
+        {"number":6,"state":"open","title":"mixed-in PR","body":"",
+         "user":{"login":"x"},"pull_request":{"url":"u"},
+         "created_at":"2024-01-02T00:00:00Z"},
+        {"number":9,"state":"open","title":"dep",
+         "body":"blocked by other/lib#3",
+         "user":{"login":"reporter9"},"created_at":"2024-01-03T00:00:00Z"}
+      ]""")
+    put("pull_requests.json",
+      """[
+        {"number":7,"title":"Fix crash","body":"Fixes #5","state":"closed",
+         "user":{"login":"dev7"},"merged_at":"2024-03-01T00:00:00Z",
+         "html_url":"pr7-url","created_at":"2024-02-01T00:00:00Z"}
+      ]""")
+    put("commits.json",
+      """[
+        {"sha":"c1","html_url":"c1-url","author":{"login":"dev7"},
+         "commit":{"message":"closes #5\nfull fix",
+                   "author":{"name":"Dev Seven","date":"2024-02-01T00:00:00Z"}}},
+        {"sha":"c2","html_url":"c2-url","author":{"login":"other"},
+         "commit":{"message":"refactor only",
+                   "author":{"name":"O","date":"2024-02-02T00:00:00Z"}}}
+      ]""")
+  }
+
+  test("processRepo derives and persists all artifacts from raw JSON") {
+    val inDir = Files.createTempDirectory("graft-pipe-in").toFile
+    val outDir = Files.createTempDirectory("graft-pipe-out").toString
+    writeFixture(inDir)
+
+    val out = Pipeline.processRepo(spark, repo, inDir.getAbsolutePath, outDir)
+
+    // P1: the mixed-in PR row is dropped from issues
+    assert(out.issues.count() == 2)
+
+    // PR #7 links issue #5 with auto-close and the local author joined
+    val prLinks = out.prsWithLinkedIssues.collect()
+    assert(prLinks.length == 1)
+    val link = prLinks.head.getAs[scala.collection.Seq[Row]]("links").head
+    assert(link.getAs[Int]("issue_number") == 5)
+    assert(link.getAs[Boolean]("would_auto_close"))
+    assert(link.getAs[String]("issue_author") == "reporter5")
+
+    // commit c1 closes #5; c2 has no closing ref
+    val closed = out.issuesClosedByCommits.collect()
+    assert(closed.map(_.getAs[String]("commit_sha")).toSeq == Seq("c1"))
+    assert(closed.head.getAs[String]("issue_author") == "reporter5")
+
+    // issue #9 cross-references other/lib#3 (404-null target kept)
+    val cross = out.crossRepoLinks.collect()
+    assert(cross.length == 1)
+    assert(cross.head.getAs[Row]("target").getAs[String]("repo_name") ==
+      "other/lib")
+    assert(cross.head.getAs[Row]("target").getAs[String]("author") == null)
+
+    // all five artifacts persisted and re-readable
+    for (name <- Seq("issues", "pull_requests", "prs_with_linked_issues",
+        "issues_closed_by_commits", "cross_repo_links")) {
+      val back = spark.read.json(s"$outDir/owner_repo/$name")
+      assert(back.count() > 0, s"$name round-trip")
+    }
+    // repo_name stamped everywhere (the universal join key contract)
+    assert(spark.read.json(s"$outDir/owner_repo/issues")
+      .filter(org.apache.spark.sql.functions.col("repo_name") === repo)
+      .count() == 2)
+  }
+}
