@@ -38,7 +38,7 @@ object BulkSink {
 
     val payload = df.select(
       idExpr.cast("string").as("_id"),
-      to_json(struct(df.columns.map(col): _*)).as("_doc"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("_doc"))
 
     payload.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>

@@ -148,7 +148,7 @@ object Blame {
     * no files yields a single placeholder row with files=[]. Pure
     * explode_outer — no custom operator needed. */
   def rechunk(repoBlame: DataFrame): DataFrame = {
-    val metaCols = repoBlame.columns.filterNot(_ == "files").map(col)
+    val metaCols = repoBlame.columns.toIndexedSeq.filterNot(_ == "files").map(col)
     repoBlame
       .select(metaCols :+ explode_outer(col("files")).as("file"): _*)
       .withColumn("files",

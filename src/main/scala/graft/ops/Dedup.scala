@@ -40,12 +40,20 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
       .otherwise(array(concat_ws(" ", slice(toks, 1, k))))
 
+  /** One MinHash signature element: min over shingles of
+    * md5("s|" + shingle), compared as a fixed-width hex string. */
+  def minhashElem(shingleCol: Column, s: Int): Column =
+    array_min(transform(shingleCol, sh => md5(concat(lit(s"$s|"), sh))))
+
   /** MinHash signature: element s is min over shingles of
-    * md5("s|" + shingle), compared as fixed-width hex strings. */
+    * md5("s|" + shingle), compared as fixed-width hex strings.
+    *
+    * NOTE: reference the result at most once per output column —
+    * interpreted HOF expressions get no common-subexpression
+    * elimination, so every reference re-hashes every shingle. Build
+    * from `minhashElem` directly when deriving several columns. */
   def minhashSignature(shingleCol: Column, numHashes: Int = 16): Column =
-    array((0 until numHashes).map(s =>
-      array_min(transform(shingleCol, sh =>
-        md5(concat(lit(s"$s|"), sh))))): _*)
+    array((0 until numHashes).map(s => minhashElem(shingleCol, s)): _*)
 
   /** LSH band keys: md5 of the comma-joined r-element signature slice,
     * one per band. numHashes = bands * rowsPerBand. */
@@ -63,10 +71,9 @@ object Dedup {
   def bandHashesDirect(shingleCol: Column, numHashes: Int = 16,
       bands: Int = 4): Column = {
     val r = numHashes / bands
-    def elem(s: Int): Column =
-      array_min(transform(shingleCol, sh => md5(concat(lit(s"$s|"), sh))))
     array((0 until bands).map(b =>
-      md5(concat_ws(",", (0 until r).map(i => elem(b * r + i)): _*))): _*)
+      md5(concat_ws(",",
+        (0 until r).map(i => minhashElem(shingleCol, b * r + i)): _*))): _*)
   }
 
   /** Exact Jaccard of two distinct-element arrays. */

@@ -21,7 +21,7 @@ object IncrementalMerge {
       lookbackSec: Long = 300): Option[java.sql.Timestamp] = {
     val casts = tsCols.map(c => col(c).cast("timestamp"))
     val newest = if (casts.length == 1) casts.head else greatest(casts: _*)
-    val m = cached.agg(max(newest).as("wm")).head.getTimestamp(0)
+    val m = cached.agg(max(newest).as("wm")).head().getTimestamp(0)
     Option(m).map(ts => new java.sql.Timestamp(ts.getTime - lookbackSec * 1000))
   }
 

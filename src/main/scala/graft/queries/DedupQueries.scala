@@ -26,7 +26,12 @@ object DedupQueries {
         Dedup.shingles(Dedup.tokens(col("text"))).as("shingles"))
 
   /** Per-document MinHash signature digest + LSH band keys. Pure
-    * per-row map — no shuffle at any scale. */
+    * per-row map — no shuffle at any scale. The multi-referenced
+    * `sig`/`bands` columns stay as withColumn projections on purpose:
+    * CollapseProject keeps non-cheap expressions with multiple
+    * references in their own Project, so the signature is evaluated
+    * once per row (measured faster than element-wise expansion, which
+    * costs one extra evaluation per extra reference). */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
     withShingles(spark, dir)
       .withColumn("sig", Dedup.minhashSignature(col("shingles")))
