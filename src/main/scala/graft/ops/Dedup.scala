@@ -156,6 +156,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
 
+  /** Exact all-pairs Jaccard with PREFIX FILTERING (the PPJoin-family
+    * optimization): under a global shingle order (ascending document
+    * frequency, then value), two sets with J ≥ t must share at least
+    * one shingle among each one's first |A| − ⌈t·|A|⌉ + 1 — so only
+    * those prefixes are indexed. Rare shingles lead the order, so the
+    * candidate join fans out on low-df keys instead of every
+    * co-occurrence; results are identical to invertedIndexJaccard.
+    *
+    * Shuffles: df-count (map-side combined), the rank window on id,
+    * the prefix self-join, and the verify joins — all on keys that
+    * partition evenly; the quadratic-in-df blowup is confined to the
+    * rarest shingles. */
+  def prefixFilterJaccard(
+      docs: DataFrame, idCol: String, shingleCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+    val ex = base.select(col("id"), size(col("sh")).as("n"),
+      explode_outer(col("sh")).as("shingle"))
+    val dfCounts = ex.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_df").asc, col("shingle").asc)
+    val prefix = ex.join(dfCounts, Seq("shingle"))
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <=
+        col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("shingle"), col("id"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), Seq("shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val shA = base.select(col("id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = base.select(col("id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b"))
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
   /** 32-bit SimHash over (repeated) tokens: per bit, tokens vote
     * +1/-1 by their md5-uint32 bit; the bit is set when the vote is
     * positive. Bit-identical to the DuckDB formulation (same md5

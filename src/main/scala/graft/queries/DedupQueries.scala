@@ -48,9 +48,12 @@ object DedupQueries {
     Dedup.minhashLshPairs(withShingles(spark, dir), "doc_id", "shingles")
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Exact inverted-index n-gram Jaccard pairs ≥ 0.5. */
+  /** Exact n-gram Jaccard pairs ≥ 0.5, via prefix filtering (PPJoin):
+    * identical output to the naive inverted-index join, but only each
+    * document's rarest-shingle prefix is indexed (DedupSpec proves the
+    * equality on a clustered fixture). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.invertedIndexJaccard(withShingles(spark, dir), "doc_id", "shingles")
+    Dedup.prefixFilterJaccard(withShingles(spark, dir), "doc_id", "shingles")
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Per-document 32-bit SimHash (near-dup docs differ in few bits). */

@@ -64,6 +64,29 @@ class DedupSpec extends SparkSpecBase {
     assert(!viaIndex.contains((1L, 3L)))
   }
 
+  test("prefixFilterJaccard returns exactly invertedIndexJaccard's pairs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val base = (1 to 30).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val rows = (1L to 40L).map { id =>
+      // clusters of near-dups: perturb a shared base a little
+      val words = base.map(wd =>
+        if (rnd.nextInt(10) < 2) vocab(rnd.nextInt(vocab.size)) else wd)
+      (id, words.mkString(" "))
+    }
+    val d = docs(rows: _*)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = collectPairs(
+        Dedup.invertedIndexJaccard(d, "doc_id", "shingles", t))
+      val filtered = collectPairs(
+        Dedup.prefixFilterJaccard(d, "doc_id", "shingles", t))
+      assert(filtered == exact, s"threshold $t")
+    }
+  }
+
   test("simhash: identical docs equal, near docs close in hamming") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val out = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
