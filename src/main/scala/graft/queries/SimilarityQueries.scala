@@ -21,11 +21,11 @@ import graft.ops.Ann
   */
 object SimilarityQueries {
 
-  /** Σ aᵢ·bᵢ accumulated left-to-right in doubles. */
+  /** Σ aᵢ·bᵢ accumulated left-to-right in doubles: the codegen'd
+    * native expression (bit-identical to the interpreted
+    * aggregate(zip_with(...)) form, see FloatVectorDot scaladoc). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.FloatVectorDot.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access shim for `private[sql]` bridge APIs: building a classic
+  * `Column` from a Catalyst `Expression` and back. This is the
+  * standard pattern Spark extension libraries use to register custom
+  * expressions against the classic (non-Connect) Column API.
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
