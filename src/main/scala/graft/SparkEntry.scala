@@ -54,6 +54,8 @@ object SparkEntry {
     "q31_multimodal_decode" -> (PipelineQueries.multimodalDecode _),
     "q32_incremental_merge" -> (PipelineQueries.incrementalMerge _),
     "q33_sessionize" -> (PipelineQueries.sessionize _),
+    "q34_ivf_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.ivfKnn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

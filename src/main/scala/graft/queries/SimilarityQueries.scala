@@ -90,6 +90,38 @@ object SimilarityQueries {
       .select($"vec_id", round($"cos_full", 4).as("cosine"))
   }
 
+  /** IVF-style ANN: vectors are assigned to their nearest of
+    * `numCentroids` coarse centroids (deterministic seed vectors so
+    * both engines derive identical cells — a k-means refinement would
+    * slot in unchanged); a query probes only the `probes` nearest
+    * cells. Assignment is one broadcast pass over the corpus; the
+    * search scans ~probes/numCentroids of the data. */
+  def ivfKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, numCentroids: Int = 16, probes: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cents = e.filter($"vec_id" < numCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine($"embedding", $"cemb"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cent_id", $"cos").as("cent_id"))
+    val q = e.filter($"vec_id" === queryId)
+      .select($"embedding".as("qemb"))
+    val probe = cents.crossJoin(broadcast(q))
+      .withColumn("qcos", cosine($"cemb", $"qemb"))
+      .orderBy($"qcos".desc, $"cent_id".asc)
+      .limit(probes)
+      .select($"cent_id")
+    e.join(assigned.join(broadcast(probe), Seq("cent_id")), Seq("vec_id"))
+      .filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q19_knn_cosine" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
@@ -127,6 +159,31 @@ object SimilarityQueries {
         | (SELECT embedding, bucket FROM buckets WHERE vec_id = 0) q
         |WHERE e.bucket = q.bucket AND e.vec_id <> 0
         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        | e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q34_ivf_knn" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cemb
+        |  FROM embeddings WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT e.vec_id,
+        |    arg_max(c.cent_id,
+        |      list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
+        |      AS cent_id
+        |  FROM embeddings e, cents c GROUP BY e.vec_id),
+        |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT c.cent_id FROM cents c, q
+        |  ORDER BY list_cosine_similarity(c.cemb::DOUBLE[], q.qemb::DOUBLE[]) DESC,
+        |    c.cent_id ASC LIMIT 2)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(e.embedding::DOUBLE[], q.qemb::DOUBLE[]), 4)
+        |   AS cosine
+        |FROM embeddings e
+        | JOIN assign a ON e.vec_id = a.vec_id
+        | JOIN probe p ON a.cent_id = p.cent_id, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qemb::DOUBLE[]) DESC,
         | e.vec_id ASC
         |LIMIT 10""".stripMargin,
   )
