@@ -32,7 +32,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Bulk-sink throughput, the reference's headline indexing metric
+    // (BASELINE.md: ~5-7k docs/s ES bulk): orders rows → NDJSON
+    // action/doc batches with deterministic ids via the file transport.
+    val bulkDir = java.nio.file.Files.createTempDirectory("graft-bulk")
+    val docsPerSec = try {
+      import org.apache.spark.sql.functions._
+      val orders = graft.io.Tables.orders(spark, sfDir)
+      val t0 = System.nanoTime()
+      val res = graft.io.BulkSink.write(orders, "orders",
+        concat_ws("#", lit("tpch"), lit("order"), col("o_orderkey")),
+        new graft.io.BulkSink.FileTransport(bulkDir.toString), 500)
+      res.ok / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(bulkDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bulk_sink_docs_per_sec":${docsPerSec.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
