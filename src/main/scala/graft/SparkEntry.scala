@@ -56,6 +56,7 @@ object SparkEntry {
     "q33_sessionize" -> (PipelineQueries.sessionize _),
     "q34_ivf_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.ivfKnn(s, d)),
+    "q35_dedup_clusters" -> (DedupQueries.dedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -198,6 +198,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the cluster
+    * step of dedup canonicalization (pairs say "these two match";
+    * clusters say "keep one of these N"). Iterative min-label
+    * propagation: each round every node takes the minimum label among
+    * itself and its neighbors, until no label changes; rounds needed =
+    * graph diameter, which for near-dup clusters is tiny. Each round
+    * is one join + aggregate on the edge list — the standard
+    * large-scale CC shape (label exchange only, never payloads).
+    *
+    * @param pairs (doc_a, doc_b) edges
+    * @return (doc_id, cluster_id) for every endpoint, cluster_id =
+    *         min doc id reachable; singletons (docs with no pair) are
+    *         not emitted — callers treat absence as its own cluster.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vl")),
+          Seq("v"))
+        .groupBy(col("u"))
+        .agg(min(col("vl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("id"), col("nbr_min")), Seq("id"),
+          "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 32-bit SimHash over (repeated) tokens: per bit, tokens vote
     * +1/-1 by their md5-uint32 bit; the bit is set when the vote is
     * positive. Bit-identical to the DuckDB formulation (same md5

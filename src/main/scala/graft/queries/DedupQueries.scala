@@ -56,6 +56,19 @@ object DedupQueries {
     Dedup.prefixFilterJaccard(withShingles(spark, dir), "doc_id", "shingles")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Near-dup clusters: connected components over the verified LSH
+    * pairs, with the minimum doc id as the canonical representative —
+    * the keep-one-per-cluster step of corpus dedup. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(withShingles(spark, dir),
+      "doc_id", "shingles")
+    Dedup.connectedComponents(pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)
+          .as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document 32-bit SimHash (near-dup docs differ in few bits). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsDistributed(spark, dir)
@@ -121,6 +134,29 @@ object DedupQueries {
          |  round(inter::DOUBLE / (n_a + n_b - inter), 4) AS jaccard
          |FROM pairs WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q35_dedup_clusters" ->
+      s"""WITH RECURSIVE $toksCte, $shCte, $sigCte, $bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    len(list_intersect(a.shingles, b2.shingles))::DOUBLE
+         |      / len(list_distinct(list_concat(a.shingles, b2.shingles))) AS j
+         |  FROM bands a JOIN bands b2 USING (b, band_hash)
+         |  WHERE a.doc_id < b2.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE j >= 0.7),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_canonical
+         |FROM labels ORDER BY doc_id""".stripMargin,
     "q23_simhash" ->
       s"""WITH $toksCte,
          |h AS (SELECT doc_id,

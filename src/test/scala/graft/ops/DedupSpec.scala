@@ -87,6 +87,19 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents: chains collapse to min-id clusters") {
+    import org.apache.spark.sql.functions.col
+    val pairT = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    // components: {1,2,3,4} (a chain), {10,11}, pair order mixed
+    val pairs = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(3L, 4L), Row(1L, 2L), Row(2L, 3L), Row(10L, 11L)), 2), pairT)
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: identical docs equal, near docs close in hamming") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val out = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
