@@ -25,5 +25,11 @@ object Functions {
       (r: Row) => CanonicalJson.canonicalize(r))
     spark.udf.register("stable_hash_id",
       (r: Row) => CanonicalJson.stableHashId(r))
+    // native codegen'd expression, registered straight into the
+    // session's function registry
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vector_dot",
+      exprs => graft.expressions.FloatVectorDot(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

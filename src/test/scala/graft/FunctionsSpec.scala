@@ -18,6 +18,11 @@ class FunctionsSpec extends SparkSpecBase {
     assert(spark.sql("SELECT one_line(' top \nrest')").head.getString(0)
       == "top")
 
+    assert(spark.sql(
+      """SELECT float_vector_dot(array(cast(1 as float), cast(2 as float)),
+        |                        array(cast(3 as float), cast(4 as float)))"""
+        .stripMargin).head.getDouble(0) == 11.0)
+
     // stable_hash_id over a struct is field-order invariant in SQL too
     val h = spark.sql(
       """SELECT stable_hash_id(named_struct('a', 1, 'b', 'x')) AS h1,
