@@ -57,6 +57,8 @@ object SparkEntry {
     "q34_ivf_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.ivfKnn(s, d)),
     "q35_dedup_clusters" -> (DedupQueries.dedupClusters _),
+    "q36_blame_rollup" -> (Relational.blameRollup _),
+    "q37_salted_join" -> (Relational.saltedJoinRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -223,6 +223,52 @@ object Relational {
       .orderBy($"hour", $"event_type")
   }
 
+  /** A1–A4 blame-rollup shape under the oracle gate: synthetic blame
+    * ranges derived from lineitem (path/author/lines columns), rolled
+    * up per file with the dominant author — the same
+    * per-(path,author) sum → per-path argmax pipeline
+    * `Blame.summarizeBlame` runs, with deterministic (lines desc,
+    * author asc) tiebreaks both engines agree on. */
+  def blameRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranges = Tables.lineitem(spark, dir).select(
+      concat(lit("f"), ($"l_partkey" % 100).cast("string")).as("path"),
+      concat(lit("a"), ($"l_suppkey" % 25).cast("string")).as("author"),
+      ($"l_linenumber" + 1).cast("long").as("lines"))
+    val perAuthor = ranges.groupBy($"path", $"author")
+      .agg(sum($"lines").as("author_lines"), count(lit(1)).as("n_ranges"))
+    val w = Window.partitionBy($"path")
+      .orderBy($"author_lines".desc, $"author".asc)
+    perAuthor
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"path")
+      .agg(
+        sum($"author_lines").as("total_lines"),
+        sum($"n_ranges").as("ranges_count"),
+        max(when($"rn" === 1, $"author")).as("top_author"),
+        max(when($"rn" === 1, $"author_lines")).as("top_author_lines"))
+      .orderBy($"path")
+  }
+
+  /** Skew-salted join under the oracle gate: a synthetically hot key
+    * (80% of lineitem rows collapse to partkey 1) joined to the part
+    * dimension through Scale.saltedJoin — output must equal the plain
+    * join, which is exactly what the DuckDB oracle runs. */
+  def saltedJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir).select(
+      when($"l_orderkey" % 10 < 8, 1L).otherwise($"l_partkey").as("k"),
+      $"l_quantity")
+    val dim = Tables.part(spark, dir)
+      .select($"p_partkey".as("k"), $"p_brand")
+    graft.ops.Scale.saltedJoin(big, dim, "k", 16)
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum($"l_quantity").cast("double").as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+
   /** SQL strings the DuckDB oracle runs on the same tables. Column names
     * and ordering must match the DataFrame outputs above exactly. */
   val oracles: Map[String, String] = Map(
@@ -317,5 +363,36 @@ object Relational {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q36_blame_rollup" ->
+      """WITH ranges AS (
+        |  SELECT 'f' || CAST(l_partkey % 100 AS VARCHAR) AS path,
+        |    'a' || CAST(l_suppkey % 25 AS VARCHAR) AS author,
+        |    CAST(l_linenumber + 1 AS BIGINT) AS lines
+        |  FROM lineitem),
+        |per_author AS (
+        |  SELECT path, author, CAST(SUM(lines) AS BIGINT) AS author_lines,
+        |    COUNT(*) AS n_ranges
+        |  FROM ranges GROUP BY path, author),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY path ORDER BY author_lines DESC, author ASC) AS rn
+        |  FROM per_author)
+        |SELECT path,
+        |  CAST(SUM(author_lines) AS BIGINT) AS total_lines,
+        |  CAST(SUM(n_ranges) AS BIGINT) AS ranges_count,
+        |  MAX(CASE WHEN rn = 1 THEN author END) AS top_author,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN author_lines END) AS BIGINT)
+        |    AS top_author_lines
+        |FROM ranked GROUP BY path ORDER BY path""".stripMargin,
+    "q37_salted_join" ->
+      """WITH big AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1
+        |         ELSE l_partkey END AS k, l_quantity
+        |  FROM lineitem),
+        |dim AS (SELECT p_partkey AS k, p_brand FROM part)
+        |SELECT p_brand, COUNT(*) AS n_lines,
+        | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM big JOIN dim USING (k)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }
