@@ -61,6 +61,42 @@ class StreamsSpec extends SparkSpecBase {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("file-source stream: JSON drops roll up through the same transform") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    def drop(name: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(s"$dir/$name", "UTF-8")
+      lines.foreach(w.println); w.close()
+    }
+    drop("batch1.json",
+      """{"ts":"2020-01-01T00:01:00Z","event_type":"click","value":1.0}""",
+      """{"ts":"2020-01-01T00:04:00Z","event_type":"click","value":2.0}""")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).json(dir)
+    val out = Streams.windowedRollup(stream, "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("filerollup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark hasn't passed the window yet → nothing emitted
+      assert(spark.table("filerollup").count() == 0)
+      drop("batch2.json",
+        """{"ts":"2020-01-01T01:00:00Z","event_type":"view","value":5.0}""")
+      q.processAllAvailable()
+      q.processAllAvailable() // second microbatch finalizes the watermark
+      val rows = spark.table("filerollup")
+        .select($"window_start".cast("string"), $"event_type", $"n_events")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains(("2020-01-01 00:00:00", "click", 2L)))
+    } finally q.stop()
+  }
+
   test("latestPerKey keeps newest value per key across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
