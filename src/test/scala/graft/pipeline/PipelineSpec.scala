@@ -48,6 +48,20 @@ class PipelineSpec extends SparkSpecBase {
       ]""")
   }
 
+  test("multi-repo loop: per-repo isolation, one repo's failure is contained") {
+    val inDir = Files.createTempDirectory("graft-multi-in").toFile
+    val outDir = Files.createTempDirectory("graft-multi-out").toString
+    writeFixture(inDir) // owner_repo has data; empty_repo has none
+    val results = Seq("owner/repo", "empty/repo").map { r =>
+      r -> scala.util.Try(
+        Pipeline.processRepo(spark, r, inDir.getAbsolutePath, outDir))
+    }.toMap
+    assert(results("owner/repo").isSuccess)
+    assert(results("empty/repo").isSuccess) // empty inputs → empty outputs
+    assert(results("empty/repo").get.issues.count() == 0)
+    assert(results("owner/repo").get.issues.count() == 2)
+  }
+
   test("processRepo derives and persists all artifacts from raw JSON") {
     val inDir = Files.createTempDirectory("graft-pipe-in").toFile
     val outDir = Files.createTempDirectory("graft-pipe-out").toString
