@@ -1,0 +1,307 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled per-row kernels for the dedup/fingerprint hot path —
+  * tokenize, shingle, MinHash, LSH band keys, SimHash, k-gram hashes,
+  * winnowing. Each is bit-identical to the interpreted higher-order-
+  * function formulation it replaces (kept in `graft.ops.Dedup` /
+  * `graft.ops.TextAnalysis` as the `*Hof` reference forms and pinned
+  * by HashExpressionsSpec), but runs as one tight JVM loop per row
+  * instead of per-element lambda dispatch: higher-order functions are
+  * `CodegenFallback` expressions, so e.g. 16 MinHash seeds × S
+  * shingles cost 16·S interpreted md5 subtree evaluations with no
+  * common-subexpression elimination — the round-1 bench's single
+  * largest cost (q20/q21/q22/q35).
+  *
+  * Determinism contract (shared with the DuckDB oracles, see
+  * Dedup's scaladoc): md5 = lowercase hex over UTF-8 bytes; MinHash
+  * minima compare hex strings (≡ unsigned digest bytes); band keys =
+  * md5 over the comma-joined hex slice; SimHash token hash = first 8
+  * hex chars of md5 as a uint32.
+  *
+  * All methods are static (Scala object forwarders) so generated
+  * whole-stage code can call them directly.
+  */
+object HashKernels {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".getBytes(UTF_8)
+  private val COMMA = ','.toByte
+  private val SPACE = ' '.toByte
+
+  /** UTF-8 bytes of the MinHash seed prefix "s|", precomputed for the
+    * seed range any realistic signature width uses. */
+  private val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(128)(s => (s.toString + "|").getBytes(UTF_8))
+  private def seedPrefix(s: Int): Array[Byte] =
+    if (s < 128) seedPrefixes(s) else (s.toString + "|").getBytes(UTF_8)
+
+  private def hexBytes(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** a < b over 16-byte digests, unsigned — the same order as
+    * comparing their lowercase-hex renderings as strings. */
+  private def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Per-seed minimum md5 digests over the non-null shingles: element
+    * s = min over shingles of md5(s + "|" + shingle); null when no
+    * non-null shingle exists (array_min-over-empty semantics). */
+  private def minDigests(sh: ArrayData, numHashes: Int): Array[Array[Byte]] = {
+    val md = md5Local.get()
+    val mins = new Array[Array[Byte]](numHashes)
+    val scratch = new Array[Byte](16)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      if (!sh.isNullAt(i)) {
+        val tok = sh.getUTF8String(i).getBytes
+        var s = 0
+        while (s < numHashes) {
+          md.reset()
+          md.update(seedPrefix(s))
+          md.update(tok)
+          md.digest(scratch, 0, 16)
+          if (mins(s) == null) mins(s) = java.util.Arrays.copyOf(scratch, 16)
+          else if (ltUnsigned(scratch, mins(s))) {
+            System.arraycopy(scratch, 0, mins(s), 0, 16)
+          }
+          s += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** MinHash signature: numHashes lowercase-hex minima. */
+  def minhashSignature(sh: ArrayData, numHashes: Int): ArrayData = {
+    val mins = minDigests(sh, numHashes)
+    val out = new Array[Any](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      out(s) = if (mins(s) == null) null else UTF8String.fromBytes(hexBytes(mins(s)))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** LSH band keys straight from the shingle set: band b = md5 of the
+    * comma-joined (concat_ws semantics: nulls skipped) hex signature
+    * slice [b·r, b·r+r). */
+  def minhashBands(sh: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val mins = minDigests(sh, numHashes)
+    val r = numHashes / bands
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      md.reset()
+      var first = true
+      var j = b * r
+      val end = j + r
+      while (j < end) {
+        if (mins(j) != null) {
+          if (!first) md.update(COMMA)
+          md.update(hexBytes(mins(j)))
+          first = false
+        }
+        j += 1
+      }
+      md.digest(dig, 0, 16)
+      out(b) = UTF8String.fromBytes(hexBytes(dig))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 32-bit SimHash: per token, h = first 4 md5 digest bytes as a
+    * big-endian uint32 (≡ first 8 hex chars); bit i votes +1 when
+    * (h >> i) & 1 else -1 (a null token behaves as h = 0, matching the
+    * HOF form's null-propagated CASE falling to the -1 branch); result
+    * sets bit i when its vote is positive. */
+  def simhash32(toks: ArrayData): Long = {
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val votes = new Array[Int](32)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        md.update(toks.getUTF8String(i).getBytes)
+        md.digest(dig, 0, 16)
+        h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      }
+      var bit = 0
+      while (bit < 32) {
+        if (((h >> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var res = 0L
+    var bit = 0
+    while (bit < 32) {
+      if (votes(bit) > 0) res |= 1L << bit
+      bit += 1
+    }
+    res
+  }
+
+  /** md5 hex of tokens[from, from+len) joined by single spaces,
+    * concat_ws-style (null elements skipped, no separator). */
+  private def gramMd5(md: MessageDigest, toks: ArrayData, from: Int,
+      len: Int, dig: Array[Byte]): UTF8String = {
+    md.reset()
+    var first = true
+    var i = from
+    val end = from + len
+    while (i < end) {
+      if (!toks.isNullAt(i)) {
+        if (!first) md.update(SPACE)
+        md.update(toks.getUTF8String(i).getBytes)
+        first = false
+      }
+      i += 1
+    }
+    md.digest(dig, 0, 16)
+    UTF8String.fromBytes(hexBytes(dig))
+  }
+
+  /** Positional k-token-gram md5 hashes (repeats kept); arrays shorter
+    * than k collapse to one gram of all tokens (md5("") when empty). */
+  def kgramMd5(toks: ArrayData, k: Int): ArrayData = {
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val n = toks.numElements()
+    if (n >= k) {
+      val out = new Array[Any](n - k + 1)
+      var i = 0
+      while (i <= n - k) {
+        out(i) = gramMd5(md, toks, i, k, dig)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(Array[Any](gramMd5(md, toks, 0, n, dig)))
+    }
+  }
+
+  /** Space-joined token gram [from, from+len), concat_ws semantics. */
+  private def gram(toks: ArrayData, from: Int, len: Int): UTF8String = {
+    val parts = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      parts(i) = if (toks.isNullAt(from + i)) null
+        else toks.getUTF8String(from + i)
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+  }
+
+  /** Distinct k-token shingles in first-occurrence order (the
+    * array_distinct contract); short arrays collapse to one shingle of
+    * all tokens. */
+  def tokenShingles(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n >= k) {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= n - k) {
+        seen.add(gram(toks, i, k))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    } else {
+      new GenericArrayData(Array[Any](gram(toks, 0, n)))
+    }
+  }
+
+  /** Whitespace tokens of the lowercased text, empties dropped —
+    * exactly filter(split(lower(text), "\s+"), length > 0): Java
+    * regex \s (ASCII), UTF8String.toLowerCase. */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  def whitespaceTokens(text: UTF8String): ArrayData = {
+    val parts = wsPattern.split(text.toLowerCase.toString, -1)
+    var nonEmpty = 0
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) nonEmpty += 1
+      i += 1
+    }
+    val out = new Array[Any](nonEmpty)
+    var j = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) {
+        out(j) = UTF8String.fromString(parts(i))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing minima: distinct (first-occurrence order) per-window
+    * string minima over the hash sequence; windows shorter arrays
+    * collapse to one global minimum (null when the array is empty —
+    * array_min semantics). */
+  def winnowMin(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      arr(i) = if (hashes.isNullAt(i)) null else hashes.getUTF8String(i)
+      i += 1
+    }
+    def minRange(from: Int, len: Int): UTF8String = {
+      var m: UTF8String = null
+      var j = from
+      val end = from + len
+      while (j < end) {
+        val v = arr(j)
+        if (v != null && (m == null || v.compareTo(m) < 0)) m = v
+        j += 1
+      }
+      m
+    }
+    if (n >= w) {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var j = 0
+      while (j <= n - w) {
+        seen.add(minRange(j, w))
+        j += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    } else {
+      new GenericArrayData(Array[Any](minRange(0, n)))
+    }
+  }
+}

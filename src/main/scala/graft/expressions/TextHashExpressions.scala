@@ -1,0 +1,184 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions over the compiled `HashKernels` — the
+  * dedup/fingerprint pipeline's per-row hot path with whole-stage
+  * codegen (the same treatment FloatVectorDot gives the embedding dot
+  * product). Each expression is bit-parity-pinned against its
+  * interpreted higher-order-function twin by HashExpressionsSpec;
+  * both eval and the generated code call the identical static kernel,
+  * so interpreted and codegen paths cannot diverge.
+  */
+private[expressions] trait HashKernelExpression extends UnaryExpression {
+  /** array<T> input element check, or StringType for text inputs. */
+  protected def inputOk(dt: DataType): Boolean
+
+  protected def inputDescription: String
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (inputOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires $inputDescription, got " +
+        child.dataType.catalogString)
+}
+
+private object HashKernelExpression {
+  val kernels = "graft.expressions.HashKernels"
+
+  def isStringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+}
+
+import HashKernelExpression.{isStringArray, kernels}
+
+/** MinHash signature of a shingle set: element s = min over shingles
+  * of md5(s + "|" + shingle) as lowercase hex (graft.ops.Dedup
+  * determinism contract; reference near-dup semantics per
+  * SURVEY §7 scale extensions). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSignature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.minhashSignature($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** LSH band keys computed directly from the shingle set: band b = md5
+  * of the comma-joined hex signature slice [b·r, b·r+r). */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+    extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashBands(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.minhashBands($c, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash over (repeated) tokens. */
+case class SimHash32(child: Expression) extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> tokens"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Positional k-token-gram md5 hashes (winnowing input). */
+case class KgramMd5(child: Expression, k: Int) extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "kgram_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.kgramMd5(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.kgramMd5($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): KgramMd5 =
+    copy(child = newChild)
+}
+
+/** Distinct k-token shingles in first-occurrence order. */
+case class TokenShingles(child: Expression, k: Int) extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.tokenShingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.tokenShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+/** Whitespace tokens of the lowercased text, empties dropped. */
+case class WhitespaceTokens(child: Expression) extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = dt == StringType
+  override protected def inputDescription: String = "a string"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "whitespace_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.whitespaceTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.whitespaceTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WhitespaceTokens =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints: distinct per-window minima over a hash
+  * sequence (MOSS-style). */
+case class WinnowMin(child: Expression, w: Int) extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> hashes"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "winnow_min"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.winnowMin(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.winnowMin($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMin =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the kernel expressions. */
+object TextHashes {
+  private def c(e: Expression): Column = Shim.column(e)
+  private def e(col: Column): Expression = Shim.expression(col)
+
+  def whitespaceTokens(text: Column): Column = c(WhitespaceTokens(e(text)))
+  def tokenShingles(toks: Column, k: Int): Column = c(TokenShingles(e(toks), k))
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    c(MinHashSignature(e(sh), numHashes))
+  def minhashBands(sh: Column, numHashes: Int, bands: Int): Column =
+    c(MinHashBands(e(sh), numHashes, bands))
+  def simhash32(toks: Column): Column = c(SimHash32(e(toks)))
+  def kgramMd5(toks: Column, k: Int): Column = c(KgramMd5(e(toks), k))
+  def winnowMin(hashes: Column, w: Int): Column = c(WinnowMin(e(hashes), w))
+}

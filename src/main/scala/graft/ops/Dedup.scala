@@ -27,32 +27,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace tokens of lowercased text, empties dropped. */
+  /** Whitespace tokens of lowercased text, empties dropped. Codegen'd
+    * kernel expression; `tokensHof` is the builtin-composed twin. */
   def tokens(text: Column): Column =
+    graft.expressions.TextHashes.whitespaceTokens(text)
+
+  /** Interpreted-HOF twin of `tokens` (parity pinned by
+    * HashExpressionsSpec). */
+  def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Distinct k-token shingles joined by single spaces. Documents
     * shorter than k tokens collapse to one shingle of all tokens, so
     * every document has a non-empty shingle set. */
   def shingles(toks: Column, k: Int = 3): Column =
+    graft.expressions.TextHashes.tokenShingles(toks, k)
+
+  /** Interpreted-HOF twin of `shingles`. */
+  def shinglesHof(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
       .otherwise(array(concat_ws(" ", slice(toks, 1, k))))
 
   /** One MinHash signature element: min over shingles of
-    * md5("s|" + shingle), compared as a fixed-width hex string. */
+    * md5("s|" + shingle), compared as a fixed-width hex string —
+    * interpreted-HOF reference form of the kernel's math. */
   def minhashElem(shingleCol: Column, s: Int): Column =
     array_min(transform(shingleCol, sh => md5(concat(lit(s"$s|"), sh))))
 
   /** MinHash signature: element s is min over shingles of
-    * md5("s|" + shingle), compared as fixed-width hex strings.
-    *
-    * NOTE: reference the result at most once per output column —
-    * interpreted HOF expressions get no common-subexpression
-    * elimination, so every reference re-hashes every shingle. Build
-    * from `minhashElem` directly when deriving several columns. */
+    * md5("s|" + shingle), compared as fixed-width hex strings. One
+    * codegen'd pass over the shingles computes all elements. */
   def minhashSignature(shingleCol: Column, numHashes: Int = 16): Column =
+    graft.expressions.TextHashes.minhashSignature(shingleCol, numHashes)
+
+  /** Interpreted-HOF twin of `minhashSignature`: numHashes separate
+    * array traversals with no common-subexpression elimination — kept
+    * as the semantic reference the kernel is pinned against. */
+  def minhashSignatureHof(shingleCol: Column, numHashes: Int = 16): Column =
     array((0 until numHashes).map(s => minhashElem(shingleCol, s)): _*)
 
   /** LSH band keys: md5 of the comma-joined r-element signature slice,
@@ -61,14 +74,18 @@ object Dedup {
     array((0 until bands).map(b =>
       md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))): _*)
 
-  /** Band keys computed directly from the shingle set, each signature
-    * element appearing in exactly ONE band expression. Use this form
-    * when the signature array is not needed as output:
-    * `bandHashes(minhashSignature(sh))` duplicates the whole
-    * 16-element signature subtree into every band (higher-order
-    * functions get no common-subexpression elimination), multiplying
-    * the per-row hashing cost by the band count. */
+  /** Band keys computed directly from the shingle set: one codegen'd
+    * pass computes the signature minima and the band digests, so the
+    * shingles are hashed exactly once however many bands there are. */
   def bandHashesDirect(shingleCol: Column, numHashes: Int = 16,
+      bands: Int = 4): Column =
+    graft.expressions.TextHashes.minhashBands(shingleCol, numHashes, bands)
+
+  /** Interpreted-HOF twin of `bandHashesDirect` (each signature
+    * element appears in exactly one band expression — already the
+    * best shape available to builtins, still numHashes interpreted
+    * traversals per row). */
+  def bandHashesDirectHof(shingleCol: Column, numHashes: Int = 16,
       bands: Int = 4): Column = {
     val r = numHashes / bands
     array((0 until bands).map(b =>
@@ -217,10 +234,16 @@ object Dedup {
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
-      .cache()
+      // localCheckpoint (eager) materializes AND truncates lineage, so
+      // every round's plan starts from a materialized RDD instead of
+      // replaying an ever-deeper join DAG — without it the driver
+      // re-plans (and the convergence count re-executes) the whole
+      // history each round, which melts down on high-diameter graphs.
+      .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .cache()
+      .withColumn("old", col("label"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -228,27 +251,34 @@ object Dedup {
           Seq("v"))
         .groupBy(col("u"))
         .agg(min(col("vl")).as("nbr_min"))
+      // Carry (label, old) through one checkpointed materialization:
+      // the convergence count then reads the materialized rows instead
+      // of re-running the join — exactly one shuffle job per round.
       val next = labels
+        .select(col("id"), col("label"))
         .join(nbrMin.select(col("u").as("id"), col("nbr_min")), Seq("id"),
           "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
+            .as("label"),
+          col("label").as("old"))
+        .localCheckpoint()
+      changed = next.filter(col("label") < col("old")).count()
       labels = next
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** 32-bit SimHash over (repeated) tokens: per bit, tokens vote
     * +1/-1 by their md5-uint32 bit; the bit is set when the vote is
     * positive. Bit-identical to the DuckDB formulation (same md5
-    * prefix, same integer division). */
-  def simhash32(toks: Column): Column = {
+    * prefix, same integer division). Codegen'd kernel. */
+  def simhash32(toks: Column): Column =
+    graft.expressions.TextHashes.simhash32(toks)
+
+  /** Interpreted-HOF twin of `simhash32` (single-fold 32-wide vote
+    * accumulator — the best builtin shape, still interpreted). */
+  def simhash32Hof(toks: Column): Column = {
     val hashes = transform(toks, t =>
       conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     // bit i of h: floor(h / 2^i) % 2 — division by a power of two is

@@ -30,10 +30,22 @@ object Linkers {
 
   /** Newest-N cap on the PR scan (linkers.py:66-72): sort key is
     * created_at, falling back to updated_at then "". `_seq` (input order)
-    * breaks ties exactly like Python's stable sort. */
+    * breaks ties exactly like Python's stable sort.
+    *
+    * Pure plan construction — no Spark job runs here (`limit(n)` on an
+    * empty frame is free, so there is no isEmpty guard). If the input
+    * already carries a `_seq` column (e.g. a file row index the reader
+    * attached) it is respected; otherwise `_seq` is derived from
+    * `monotonically_increasing_id`, which is input-order-faithful
+    * within each split and across splits follows split index — exact
+    * Python-stable-sort tiebreak parity therefore holds on single-split
+    * replay input (the artifact-replay case); multi-split readers that
+    * need it should supply `_seq` explicitly. */
   def newestPrs(prs: DataFrame, maxPrs: Int): DataFrame = {
-    val withSeq = prs.withColumn("_seq", monotonically_increasing_id())
-    if (maxPrs <= 0 || prs.isEmpty) withSeq
+    val withSeq =
+      if (prs.columns.contains("_seq")) prs
+      else prs.withColumn("_seq", monotonically_increasing_id())
+    if (maxPrs <= 0) withSeq
     else withSeq
       .withColumn("_sort_ts",
         coalesce(col("created_at"), colOr(prs, "updated_at", lit(null)), lit("")))

@@ -44,8 +44,14 @@ object TextAnalysis {
   }
 
   /** Positional k-token-gram md5 hashes (repeats kept — winnowing needs
-    * positions). Short docs collapse to one gram of all tokens. */
+    * positions). Short docs collapse to one gram of all tokens.
+    * Codegen'd kernel; `kgramHashesHof` is the builtin twin. */
   def kgramHashes(toks: Column, k: Int = 4): Column =
+    graft.expressions.TextHashes.kgramMd5(toks, k)
+
+  /** Interpreted-HOF twin of `kgramHashes` (parity pinned by
+    * HashExpressionsSpec). */
+  def kgramHashesHof(toks: Column, k: Int = 4): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
@@ -53,8 +59,12 @@ object TextAnalysis {
 
   /** Winnowing (MOSS-style): the distinct set of per-window minima over
     * the k-gram hash sequence — a position-robust document fingerprint.
-    * Window w=1 degenerates to all hashes. */
+    * Window w=1 degenerates to all hashes. Codegen'd kernel. */
   def winnowFingerprints(hashes: Column, w: Int = 5): Column =
+    graft.expressions.TextHashes.winnowMin(hashes, w)
+
+  /** Interpreted-HOF twin of `winnowFingerprints`. */
+  def winnowFingerprintsHof(hashes: Column, w: Int = 5): Column =
     array_distinct(
       when(size(hashes) >= w,
         transform(sequence(lit(0), size(hashes) - w),

@@ -1,0 +1,125 @@
+package graft.expressions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Bit-parity pins for the compiled text-hash kernels against their
+  * interpreted higher-order-function twins — the HOF forms are the
+  * semantic source of truth the DuckDB oracles replicate, so any
+  * kernel drift would surface here before it surfaced in the
+  * correctness gate. */
+class HashExpressionsSpec extends SparkSpecBase {
+
+  /** Texts covering the edge cases: empty, whitespace-only, shorter
+    * than shingle/gram width, unicode, repeated tokens, punctuation,
+    * mixed case, plus pseudo-random token soup. */
+  private def corpus: Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("the", "cat", "sat", "on", "a", "mat", "Über",
+      "naïve", "東京", "x", "don't", "co-op", "3.14", "MIXED", "Case")
+    val random = (1 to 80).map { _ =>
+      (1 to (1 + rnd.nextInt(60))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    Seq("", " ", "\t\n  ", "one", "two tokens", "three token doc",
+      "four token document here", "Tab\tand\nnewline  splits",
+      "ÜBER Naïve 東京 équipe", "dup dup dup dup dup",
+      "punct, punct! punct? (punct)") ++ random
+  }
+
+  private def df = {
+    import spark.implicits._
+    corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(4)
+  }
+
+  private def assertColsEqual(native: org.apache.spark.sql.Column,
+      hof: org.apache.spark.sql.Column): Unit = {
+    val rows = df.select(native.as("a"), hof.as("b")).collect()
+    rows.foreach { r: Row => assert(r.get(0) == r.get(1), r.toString) }
+  }
+
+  test("whitespaceTokens == filter(split(lower))") {
+    assertColsEqual(Dedup.tokens(col("text")), Dedup.tokensHof(col("text")))
+  }
+
+  test("tokenShingles == distinct transform/slice form") {
+    assertColsEqual(
+      Dedup.shingles(Dedup.tokensHof(col("text"))),
+      Dedup.shinglesHof(Dedup.tokensHof(col("text"))))
+  }
+
+  test("minhashSignature == per-element HOF md5 minima") {
+    val sh = Dedup.shinglesHof(Dedup.tokensHof(col("text")))
+    assertColsEqual(
+      Dedup.minhashSignature(sh), Dedup.minhashSignatureHof(sh))
+  }
+
+  test("minhashBands == HOF band digests") {
+    val sh = Dedup.shinglesHof(Dedup.tokensHof(col("text")))
+    assertColsEqual(
+      Dedup.bandHashesDirect(sh), Dedup.bandHashesDirectHof(sh))
+  }
+
+  test("simhash32 == single-fold vote accumulator") {
+    val toks = Dedup.tokensHof(col("text"))
+    assertColsEqual(Dedup.simhash32(toks), Dedup.simhash32Hof(toks))
+  }
+
+  test("kgramMd5 == positional md5 HOF") {
+    val toks = Dedup.tokensHof(col("text"))
+    assertColsEqual(
+      TextAnalysis.kgramHashes(toks), TextAnalysis.kgramHashesHof(toks))
+  }
+
+  test("winnowMin == distinct window-min HOF") {
+    val hashes = TextAnalysis.kgramHashesHof(Dedup.tokensHof(col("text")))
+    assertColsEqual(
+      TextAnalysis.winnowFingerprints(hashes),
+      TextAnalysis.winnowFingerprintsHof(hashes))
+  }
+
+  test("null text propagates null through every kernel") {
+    import spark.implicits._
+    val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")
+    val row = nulls.select(
+      Dedup.tokens($"text"),
+      Dedup.minhashSignature(Dedup.shingles(Dedup.tokens($"text"))),
+      Dedup.bandHashesDirect(Dedup.shingles(Dedup.tokens($"text"))),
+      Dedup.simhash32(Dedup.tokens($"text")),
+      TextAnalysis.kgramHashes(Dedup.tokens($"text")),
+      TextAnalysis.winnowFingerprints(
+        TextAnalysis.kgramHashes(Dedup.tokens($"text")))).head
+    (0 until row.length).foreach(i => assert(row.isNullAt(i)))
+  }
+
+  test("kernels participate in whole-stage codegen plans") {
+    import spark.implicits._
+    val plan = spark.range(5)
+      .select(concat(lit("w x y z "), $"id".cast("string")).as("text"))
+      .select(Dedup.minhashSignature(
+        Dedup.shingles(Dedup.tokens($"text"))).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[minhash_signature.*"),
+      plan)
+  }
+
+  test("SQL registration surface evaluates") {
+    graft.Functions.register(spark)
+    import spark.implicits._
+    Seq(("a b c d e f", 1)).toDF("text", "n")
+      .createOrReplaceTempView("hk_docs")
+    val r = spark.sql(
+      """SELECT minhash_signature(token_shingles(whitespace_tokens(text), 3), 16) AS sig,
+        |  minhash_bands(token_shingles(whitespace_tokens(text), 3), 16, 4) AS bands,
+        |  simhash32(whitespace_tokens(text)) AS sh,
+        |  winnow_min(kgram_md5(whitespace_tokens(text), 4), 5) AS wm
+        |FROM hk_docs""".stripMargin).head
+    assert(r.getSeq[String](0).size == 16)
+    assert(r.getSeq[String](1).size == 4)
+    assert(!r.isNullAt(2))
+    assert(r.getSeq[String](3).nonEmpty)
+  }
+}

@@ -100,6 +100,23 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: high-diameter chain converges (checkpointed)") {
+    val pairT = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    // One adversarial 17-node chain (diameter 16 → 16 label-prop
+    // rounds) plus a separate triangle. Without per-round lineage
+    // truncation the plan depth would explode here.
+    val chain = (1L to 16L).map(i => Row(i, i + 1))
+    val tri = Seq(Row(100L, 101L), Row(101L, 102L), Row(100L, 102L))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(chain ++ tri, 4), pairT)
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 17L).forall(out(_) == 1L))
+    assert(Seq(100L, 101L, 102L).forall(out(_) == 100L))
+    assert(out.size == 20)
+  }
+
   test("simhash: identical docs equal, near docs close in hamming") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val out = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
