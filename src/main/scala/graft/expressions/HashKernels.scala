@@ -269,6 +269,41 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Exact Jaccard of two string arrays with builtin parity:
+    * size(array_intersect(a,b)) / size(array_union(a,b)) as doubles.
+    * Distinct/null handling matches the builtins: intersection =
+    * distinct elements present in both (null counts when in both),
+    * union = distinct elements of either. Union-empty yields null
+    * (the ANSI builtin form raises DIVIDE_BY_ZERO there; unreachable
+    * for the engine's by-construction non-empty shingle sets). */
+  def jaccard(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val setB = new java.util.HashSet[UTF8String]()
+    var bHasNull = false
+    var i = 0
+    val nb = b.numElements()
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true else setB.add(b.getUTF8String(i))
+      i += 1
+    }
+    val setA = new java.util.HashSet[UTF8String]()
+    var aHasNull = false
+    var inter = 0
+    i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i)) aHasNull = true
+      else {
+        val v = a.getUTF8String(i)
+        if (setA.add(v) && setB.contains(v)) inter += 1
+      }
+      i += 1
+    }
+    var union = setA.size + setB.size - inter
+    if (aHasNull || bHasNull) union += 1
+    if (aHasNull && bHasNull) inter += 1
+    if (union == 0) null else inter.toDouble / union.toDouble
+  }
+
   /** Winnowing minima: distinct (first-occurrence order) per-window
     * string minima over the hash sequence; windows shorter arrays
     * collapse to one global minimum (null when the array is empty —

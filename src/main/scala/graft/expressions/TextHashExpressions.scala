@@ -167,6 +167,42 @@ case class WinnowMin(child: Expression, w: Int) extends HashKernelExpression {
     copy(child = newChild)
 }
 
+/** Exact Jaccard similarity of two array<string> columns — the
+  * near-dup verify step — as one compiled pass (hash-set intersection
+  * / union sizes) instead of two interpreted array traversals. */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(left.dataType) && isStringArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("j")
+      s"""
+         |java.lang.Double $boxed = $kernels.jaccard($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the kernel expressions. */
 object TextHashes {
   private def c(e: Expression): Column = Shim.column(e)
@@ -181,4 +217,6 @@ object TextHashes {
   def simhash32(toks: Column): Column = c(SimHash32(e(toks)))
   def kgramMd5(toks: Column, k: Int): Column = c(KgramMd5(e(toks), k))
   def winnowMin(hashes: Column, w: Int): Column = c(WinnowMin(e(hashes), w))
+  def arrayJaccard(a: Column, b: Column): Column =
+    c(ArrayJaccard(e(a), e(b)))
 }

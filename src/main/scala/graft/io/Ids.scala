@@ -39,17 +39,35 @@ object Ids {
     concat_ws("#", col("repo_name"), lit("contrib"), col("login"))
 
   /** cross_repo_links → SHA-1 of the source→target identity string
-    * (schema.py:334-341). */
-  def crossLinkId: Column = sha1(concat_ws("->",
-    concat_ws("#", col("source.repo_name"), col("source.type"),
-      col("source.number")),
-    concat_ws("#", col("target.repo_name"), col("target.type"),
-      col("target.number"))))
+    * `{repo}:{type}:{number}->{repo}:{type}:{number}` (schema.py:334-341).
+    * Absent/null fields render as the literal "None", exactly like the
+    * reference's f-string over dict.get() misses — null targets (404s
+    * kept per docs/project_analytics.md:18) therefore hash identically
+    * to the reference ids. */
+  def crossLinkId: Column = {
+    def f(c: Column): Column = coalesce(c.cast("string"), lit("None"))
+    sha1(concat(
+      f(col("source.repo_name")), lit(":"), f(col("source.type")),
+      lit(":"), f(col("source.number")), lit("->"),
+      f(col("target.repo_name")), lit(":"), f(col("target.type")),
+      lit(":"), f(col("target.number"))))
+  }
 
-  /** repo_blame (re-chunked per-file) → SHA-1 of `repo:ref:path`
-    * (schema.py:344-358). */
-  def blameFileId: Column = sha1(concat_ws(":",
-    col("repo_name"), col("ref"), col("files")(0)("path")))
+  /** repo_blame (re-chunked per-file, the K4 single-file-doc shape) →
+    * `{repo}#blame#{ref}#file#{sha1("{repo}:{ref}:{path}")}`
+    * (schema.py:344-358). Docs without exactly one pathed file fall
+    * back to `{repo}#blame#{ref}` (the reference's un-chunked form;
+    * its chunk_id variant has no counterpart because this engine
+    * always re-chunks per-file). */
+  def blameFileId: Column = {
+    val path = col("files")(0)("path")
+    val digest = sha1(concat(
+      col("repo_name"), lit(":"), col("ref"), lit(":"), path))
+    when(size(col("files")) === 1 && path.isNotNull,
+      concat_ws("#", col("repo_name"), lit("blame"), col("ref"),
+        lit("file"), digest))
+      .otherwise(concat_ws("#", col("repo_name"), lit("blame"), col("ref")))
+  }
 
   /** Fallback — stable_hash_id: SHA-1 over canonical sorted-key JSON
     * of the whole record (schema.py:25-29). */

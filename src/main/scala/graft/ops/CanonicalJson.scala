@@ -72,10 +72,59 @@ object CanonicalJson {
   }
 
   private def writeDouble(d: Double, sb: StringBuilder): Unit =
-    if (d == d.toLong.toDouble && math.abs(d) < 1e15)
-      // integral doubles print like Python's json (42.0 -> "42.0")
+    if (d == d.toLong.toDouble && math.abs(d) < 1e15 &&
+        java.lang.Double.doubleToRawLongBits(d) != Long.MinValue)
+      // integral doubles print like Python's json (42.0 -> "42.0");
+      // abs < 1e15 keeps decpt <= 16 (Python's fixed-notation range);
+      // -0.0 (sign bit alone) falls through to keep its sign
       sb.append(d.toLong).append(".0")
-    else sb.append(d)
+    else sb.append(pythonRepr(d))
+
+  /** Python float repr: the shortest decimal digit string that parses
+    * back to the same double, rendered with CPython's notation rule
+    * (fixed when the decimal point lands in (-4, 16], else exponential
+    * with a signed, >=2-digit exponent) — so e.g. 12345678.5 and 1e-07
+    * print exactly as json.dumps writes them, where Scala's
+    * Double.toString would emit 1.23456785E7 / 1.0E-7 and diverge the
+    * stable hashes (reference schema.py:25-29). */
+  private def pythonRepr(d: Double): String = {
+    if (d.isNaN) return "NaN" // json.dumps spellings for non-finite
+    if (d == Double.PositiveInfinity) return "Infinity"
+    if (d == Double.NegativeInfinity) return "-Infinity"
+    val neg = java.lang.Double.doubleToRawLongBits(d) < 0
+    val a = math.abs(d)
+    if (a == 0.0) return if (neg) "-0.0" else "0.0"
+    // shortest round-tripping digits via %.{p-1}e candidates (the
+    // round-trip check makes the choice exact, not heuristic)
+    var p = 1
+    var sci = ""
+    while ({
+      sci = String.format(java.util.Locale.ROOT, s"%.${p - 1}e", Double.box(a))
+      sci.toDouble != a && p < 17
+    }) p += 1
+    val Array(mant, expStr) = sci.split("e")
+    val digits = mant.replace(".", "")
+    val decpt = expStr.toInt + 1 // value = 0.<digits> * 10^decpt
+    val sb = new StringBuilder
+    if (neg) sb.append('-')
+    if (decpt <= -4 || decpt > 16) {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits.substring(1))
+      val e = decpt - 1
+      sb.append('e').append(if (e < 0) '-' else '+')
+      val ae = math.abs(e)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+    } else if (decpt <= 0) {
+      sb.append("0.").append("0" * -decpt).append(digits)
+    } else if (decpt >= digits.length) {
+      sb.append(digits).append("0" * (decpt - digits.length)).append(".0")
+    } else {
+      sb.append(digits.substring(0, decpt)).append('.')
+        .append(digits.substring(decpt))
+    }
+    sb.toString
+  }
 
   private def writeObj(fields: SortedMap[String, Any], sb: StringBuilder): Unit = {
     sb.append('{')

@@ -93,8 +93,13 @@ object Dedup {
         (0 until r).map(i => minhashElem(shingleCol, b * r + i)): _*))): _*)
   }
 
-  /** Exact Jaccard of two distinct-element arrays. */
+  /** Exact Jaccard of two distinct-element arrays (compiled kernel;
+    * `jaccardHof` is the builtin twin). */
   def jaccard(a: Column, b: Column): Column =
+    graft.expressions.TextHashes.arrayJaccard(a, b)
+
+  /** Builtin twin of `jaccard` (parity pinned by HashExpressionsSpec). */
+  def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
@@ -191,11 +196,16 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
     val ex = base.select(col("id"), size(col("sh")).as("n"),
       explode_outer(col("sh")).as("shingle"))
-    val dfCounts = ex.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("_df"))
+    // Document frequency via an unordered window over (shingle): one
+    // shuffle of the exploded rows, versus the groupBy+join form's
+    // separate aggregate shuffle plus a re-shuffle of the same rows
+    // for the join — identical counts, one fewer pass over the
+    // (corpus × shingles) row set.
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("_df").asc, col("shingle").asc)
-    val prefix = ex.join(dfCounts, Seq("shingle"))
+    val prefix = ex.withColumn("_df", count(lit(1)).over(wDf))
       .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <=
         col("n") - ceil(lit(threshold) * col("n")) + 1)

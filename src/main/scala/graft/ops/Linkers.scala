@@ -66,8 +66,10 @@ object Linkers {
     * @param prCommits      (pr_number, message) rows from the PR-commits
     *                       source; may be empty
     * @param commitDetails  (sha, message[, error]) commit-detail lookups for
-    *                       merge commits; rows with error="invalid_sha" are
-    *                       dropped like the reference's 422 guard
+    *                       merge commits; error="invalid_sha" drops the
+    *                       WHOLE PR (all its refs), replicating the
+    *                       reference's `continue` on the 422 guard
+    *                       (linkers.py:115-117)
     * @param externalIssueDetails (repo_name, number, author) details fetched
     *                       for refs outside localIssues; misses → null author
     */
@@ -81,7 +83,7 @@ object Linkers {
       maxPrs: Int = 0): DataFrame = {
     val spark = prs.sparkSession
 
-    val base = newestPrs(prs, maxPrs)
+    val base0 = newestPrs(prs, maxPrs)
       .select(
         col("_seq"),
         col("number").as("pr_number"),
@@ -94,6 +96,25 @@ object Linkers {
         colOr(prs, "html_url", lit(null)).as("url"),
         coalesce(col("created_at"), colOr(prs, "updated_at", lit(null)))
           .as("created_at"))
+
+    // Whole-PR drop on a bad merge SHA (linkers.py:115-117): when the
+    // merge-commit detail was looked up (sha present AND the squash
+    // guard allowed the scan) and came back error="invalid_sha", the
+    // reference `continue`s the PR loop — every ref already collected
+    // for that PR (pr_text, commit_message) is discarded, not just the
+    // merge-commit refs. Anti-join those PRs out of the base set.
+    val base =
+      if (!commitDetails.columns.contains("error")) base0
+      else {
+        val poisoned = base0
+          .filter(col("merge_commit_sha").isNotNull && mergeScanAllowed(
+            when(length(col("body")) > 0, col("body"))))
+          .join(commitDetails.withColumnRenamed("sha", "merge_commit_sha"),
+            Seq("merge_commit_sha"))
+          .filter(col("error") === "invalid_sha")
+          .select(col("pr_number"))
+        base0.join(broadcast(poisoned), Seq("pr_number"), "left_anti")
+      }
 
     // Source 0: PR title+body ("pr_text", linkers.py:104-105)
     val textRefs = base.select(col("pr_number"), lit(0).as("src_rank"),

@@ -33,21 +33,42 @@ object TextRefs {
     * mentions, null for `owner/repo#N` style. */
   case class CrossRef(full_repo: String, kind: String, number: Int)
 
+  // UNICODE_CHARACTER_CLASS everywhere: Python's `re` gives \b/\s/\d
+  // Unicode semantics on str patterns, while Java defaults them to
+  // ASCII — without the flag "closesé #5" gets a spurious word
+  // boundary (é is a word char to Python), NBSP doesn't separate a
+  // keyword from its ref, and U+2028 doesn't split sentences.
+  private val uFlags = Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CHARACTER_CLASS
+
   private val issueRefPattern = Pattern.compile(
     "(?:(?<kw>close[sd]?|fixe?[sd]?|resolve[sd]?)\\s*[:\\-–—]*\\s+)?" +
       "(?:(?<full>[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+)#(?<num1>\\d+)|#(?<num2>\\d+))",
-    Pattern.CASE_INSENSITIVE)
+    uFlags)
 
   private val crossRepoPattern = Pattern.compile(
     "(?:(?:https?://github\\.com/)?(?<full>[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+)" +
       "(?:(?:/(?<kind>issues|pull))/(?<num1>\\d+)|#(?<num2>\\d+)))",
-    Pattern.CASE_INSENSITIVE)
+    uFlags)
 
   private val closingKwPattern = Pattern.compile(
-    "\\b(close[sd]?|fixe?[sd]?|resolve[sd]?)\\b", Pattern.CASE_INSENSITIVE)
+    "\\b(close[sd]?|fixe?[sd]?|resolve[sd]?)\\b", uFlags)
 
   /** Sentence boundary: lookbehind for ., !, ? or newline, then spaces. */
-  private val sentenceSplitPattern = Pattern.compile("(?<=[.!?\\n])\\s+")
+  private val sentenceSplitPattern = Pattern.compile("(?<=[.!?\\n])\\s+",
+    Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Base-10 value of a digit run the Unicode-aware \d matched —
+    * Python's int() accepts any Unicode decimal digits (e.g. ٤٢),
+    * Integer.parseInt does not. */
+  private def intOfDigits(s: String): Int = {
+    var r = 0
+    var i = 0
+    while (i < s.length) {
+      r = r * 10 + Character.digit(s.charAt(i), 10)
+      i += 1
+    }
+    r
+  }
 
   def hasClosingKeyword(s: String): Boolean =
     s != null && closingKwPattern.matcher(s).find()
@@ -65,7 +86,7 @@ object TextRefs {
         val number = Option(m.group("num1")).getOrElse(m.group("num2"))
         if (number != null) {
           val hasKw = m.group("kw") != null || sentenceHasKw
-          out += IssueRef(m.group("full"), number.toInt, hasKw)
+          out += IssueRef(m.group("full"), intOfDigits(number), hasKw)
         }
       }
     }
@@ -80,7 +101,7 @@ object TextRefs {
     while (m.find()) {
       val number = Option(m.group("num1")).getOrElse(m.group("num2"))
       if (number != null)
-        out += CrossRef(m.group("full"), m.group("kind"), number.toInt)
+        out += CrossRef(m.group("full"), m.group("kind"), intOfDigits(number))
     }
     out.result()
   }

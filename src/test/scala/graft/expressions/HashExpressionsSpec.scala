@@ -81,6 +81,23 @@ class HashExpressionsSpec extends SparkSpecBase {
       TextAnalysis.winnowFingerprintsHof(hashes))
   }
 
+  test("arrayJaccard == size(intersect)/size(union) incl. empty arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rows = (1 to 60).map { _ =>
+      ((1 to 1 + rnd.nextInt(7)).map(_ => vocab(rnd.nextInt(8))).distinct,
+        (1 to rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(8))).distinct)
+    } :+ ((Seq("a"), Seq.empty[String])) // both-empty is unreachable:
+    // the ANSI builtin raises DIVIDE_BY_ZERO, the kernel returns null
+    val rows2 = rows.map { case (a, b) => (a.toArray, b.toArray) }
+    val out = rows2.toDF("a", "b").repartition(3)
+      .select(Dedup.jaccard(col("a"), col("b")).as("k"),
+        Dedup.jaccardHof(col("a"), col("b")).as("h"))
+      .collect()
+    out.foreach(r => assert(r.get(0) == r.get(1), r.toString))
+  }
+
   test("null text propagates null through every kernel") {
     import spark.implicits._
     val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")

@@ -59,6 +59,32 @@ class IoSpec extends SparkSpecBase {
     assert(closed.select(Ids.closedById).head.getString(0) ==
       "o/r#closedby#133#abc")
 
+    // cross_repo_links: ':'-separated identity string, nulls render
+    // "None" — pinned against CPython
+    // hashlib.sha1 of the reference's schema.py:334-341 f-string
+    def src = struct(lit("o/r").as("repo_name"), lit("issue").as("type"),
+      lit(155L).as("number")).as("source")
+    val hit = spark.range(1).select(src,
+      struct(lit("x/y").as("repo_name"), lit("pull_request").as("type"),
+        lit(7L).as("number")).as("target"))
+    val miss = spark.range(1).select(src,
+      struct(lit(null).cast("string").as("repo_name"),
+        lit(null).cast("string").as("type"),
+        lit(null).cast("long").as("number")).as("target"))
+    val linkIds = hit.unionByName(miss)
+      .select(Ids.crossLinkId).collect().map(_.getString(0))
+    assert(linkIds(0) == "7354426685f42f7278513901eddc510ceafdae90")
+    assert(linkIds(1) == "d95ae7b7e5035b0c4ecc568d1fab89dd1dfc016b")
+
+    // repo_blame per-file doc: '{repo}#blame#{ref}#file#{digest}'
+    // (schema.py:344-358), digest pinned against CPython hashlib
+    val blame = Seq(("o/r", "main", Seq("src/a.js")))
+      .toDF("repo_name", "ref", "paths")
+      .select(col("repo_name"), col("ref"),
+        transform(col("paths"), p => struct(p.as("path"))).as("files"))
+    assert(blame.select(Ids.blameFileId).head.getString(0) ==
+      "o/r#blame#main#file#2cd5cc19daa9d633a64bcb4c06b0eb681bf61ff0")
+
     // stable hash: invariant under column order (schema.py:25-29)
     val a = Seq((1, "x")).toDF("k", "v")
       .select(Ids.stableHashId(struct(col("k"), col("v"))))

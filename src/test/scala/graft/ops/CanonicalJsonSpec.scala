@@ -57,6 +57,24 @@ class CanonicalJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("doubles render exactly as CPython json.dumps (320-case pin)") {
+    val schema = StructType(Seq(StructField("d", DoubleType)))
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/double_repr_fixture.txt"), "UTF-8")
+    val cases = src.getLines().filter(_.nonEmpty).map { line =>
+      val Array(bits, want) = line.split(" ", 2)
+      java.lang.Double.longBitsToDouble(
+        java.lang.Long.parseUnsignedLong(bits)) -> want
+    }.toSeq
+    src.close()
+    assert(cases.size == 320)
+    for ((d, want) <- cases) {
+      val got = CanonicalJson.canonicalize(row(schema, d))
+      assert(got == s"""{"d":$want}""",
+        s"bits=${java.lang.Double.doubleToRawLongBits(d)} got=$got want=$want")
+    }
+  }
+
   test("different salt changes the hash") {
     val schema = StructType(Seq(StructField("k", StringType)))
     val r = row(schema, "v")

@@ -77,6 +77,32 @@ class LinkersSpec extends SparkSpecBase {
     assert(!l.getAs[Boolean]("would_auto_close"))
   }
 
+  test("invalid_sha merge commit drops the WHOLE PR (linkers.py:115-117)") {
+    val detailT = StructType(Seq(
+      StructField("sha", StringType),
+      StructField("message", StringType),
+      StructField("error", StringType)))
+    val prs = df(prSchema,
+      // PR 1: pr_text ref AND a bad merge sha -> the reference
+      // `continue`s before persisting, so even the pr_text ref is gone
+      pr(1, "t", "Fixes #10", "2020-01-01T00:00:00Z",
+        mergeSha = "badsha"),
+      // PR 2: good merge sha -> merge-commit refs plus pr_text survive
+      pr(2, "t", "Fixes #11", "2020-01-02T00:00:00Z",
+        mergeSha = "goodsha"))
+    val details = df(detailT,
+      Row("badsha", null, "invalid_sha"),
+      Row("goodsha", "closes #12", null))
+    val issues = df(issueSchema,
+      Row(10, Row("a")), Row(11, Row("b")), Row(12, Row("c")))
+    val out = Linkers.prsWithLinkedIssues("o/r", prs, issues,
+      df(prCommitsT), details, df(emptyExt)).collect()
+    assert(out.map(_.getAs[Int]("pr_number")).toSeq == Seq(2))
+    val types = out.head.getAs[scala.collection.Seq[Row]]("links")
+      .map(_.getAs[String]("reference_type"))
+    assert(types == Seq("pr_text", "merge_commit_message"))
+  }
+
   test("newestPrs caps to newest N by created_at") {
     val prs = df(prSchema,
       pr(1, "old", "", "2019-01-01T00:00:00Z"),

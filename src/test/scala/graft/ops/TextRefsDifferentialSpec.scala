@@ -6,10 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Differential parity against CPython `re` (the reference's regex
   * engine): tools/gen_textrefs_fixture.py runs the same extraction
-  * semantics in Python over a 400-case seeded corpus and pins the
-  * expected refs; this spec replays the corpus through the Scala
-  * implementation. Catches Java-vs-Python regex divergence (lookbehind
-  * split behavior, word boundaries, case folding, '' separators).
+  * semantics in Python over a seeded corpus (400 random cases + 12
+  * handcrafted non-ASCII cases) and pins the expected refs; this spec
+  * replays the corpus through the Scala implementation. Catches
+  * Java-vs-Python regex divergence (lookbehind split behavior, word
+  * boundaries incl. Unicode word chars, \s on NBSP/U+2028/U+3000,
+  * Unicode decimal digits, case folding, '' separators).
   */
 class TextRefsDifferentialSpec extends AnyFunSuite {
 
@@ -57,12 +59,12 @@ class TextRefsDifferentialSpec extends AnyFunSuite {
     }.toSeq
   }
 
-  test("400-case corpus matches CPython re extraction exactly") {
+  test("412-case corpus matches CPython re extraction exactly") {
     val json = Source.fromInputStream(
       getClass.getResourceAsStream("/textrefs_fixture.json"), "UTF-8")
       .mkString
     val cases = parseCases(json)
-    assert(cases.length == 400, s"parsed ${cases.length} fixture cases")
+    assert(cases.length == 412, s"parsed ${cases.length} fixture cases")
     var checked = 0
     for (c <- cases) {
       val got = TextRefs.extractIssueRefs(c.text)

@@ -44,7 +44,26 @@ def main():
     repos = ["", "owner/repo", "a.b/c-d", "x_1/y.2"]
     seps = [" ", ". ", "! ", "? ", "\n", "\n ", ", ", ": ", " - ", "\t"]
     fillers = ["see", "also", "this", "unfixed", "refactor", "PR", "", "résumé"]
-    cases = []
+    # Handcrafted non-ASCII-adjacent cases: Unicode word chars against
+    # \b (closesé), NBSP / U+2028 against \s, Unicode decimal digits
+    # against \d + int() — the places Java's default ASCII classes
+    # diverge from Python re (pinned via UNICODE_CHARACTER_CLASS on
+    # the Scala side).
+    unicode_texts = [
+        "closes\u00e9 #5",                  # \u00e9 is a word char: no \\b
+        "closes\u00a0#6 done.",             # NBSP as kw/ref separator
+        "done.\u2028fixes #7",              # U+2028 after sentence dot
+        "r\u00e9sum\u00e9 closes #8. unrelated #9",
+        "closes\u00a0:\u00a0#10",
+        "pr\u00e9fixes #11",                # embedded 'fixes' kw group
+        "fixes #\u0661\u0662",             # Arabic-Indic digits, int()=12
+        "na\u00efve fix. resolves #13 too",
+        "closes#14 no space",
+        "Fix\u00e9 #15. closes #16",
+        "closes\u3000#17",                  # U+3000 ideographic space
+        "closes\u2009#18. end",             # thin space
+    ]
+    cases = [{"text": t, "refs": extract(t)} for t in unicode_texts]
     for i in range(400):
         parts = []
         for _ in range(rnd.randint(1, 5)):
