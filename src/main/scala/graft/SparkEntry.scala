@@ -59,6 +59,7 @@ object SparkEntry {
     "q35_dedup_clusters" -> (DedupQueries.dedupClusters _),
     "q36_blame_rollup" -> (Relational.blameRollup _),
     "q37_salted_join" -> (Relational.saltedJoinRollup _),
+    "q38_selective_enrich" -> (PipelineQueries.selectiveEnrich _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

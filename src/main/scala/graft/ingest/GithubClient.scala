@@ -15,7 +15,15 @@ import scala.annotation.tailrec
 object GithubClient {
 
   final case class Response(status: Int,
-      headers: Map[String, String] = Map.empty, body: String = "")
+      headers: Map[String, String] = Map.empty, body: String = "") {
+    /** Case-insensitive header lookup — HTTP/2 transports deliver
+      * names lowercased, replay fixtures use canonical casing. */
+    def header(name: String): Option[String] =
+      headers.get(name).orElse {
+        val l = name.toLowerCase
+        headers.collectFirst { case (k, v) if k.toLowerCase == l => v }
+      }
+  }
 
   /** Pluggable HTTP. Must be pure per (url, headers, body) in replay.
     * `post` powers the GraphQL endpoint (S2); transports that only
@@ -138,8 +146,8 @@ object GithubClient {
         s"token ${cfg.tokens(tokenIdx % cfg.tokens.size)}")
     val resp = doRequest(headers)
     val rateLimited = resp.status == 429 ||
-      (resp.status == 403 && resp.headers.getOrElse("X-RateLimit-Remaining",
-        "1") == "0")
+      (resp.status == 403 &&
+        resp.header("X-RateLimit-Remaining").getOrElse("1") == "0")
     if (resp.status >= 200 && resp.status < 300) resp
     else if (attempt >= cfg.maxRetries) resp
     else if (rateLimited) {
@@ -172,7 +180,7 @@ object GithubClient {
         splitTopLevel(resp.body).foreach(r =>
           out += stampRepoName(r, repoName))
         pages += 1
-        url = parseLinkNext(resp.headers.getOrElse("Link", null))
+        url = parseLinkNext(resp.header("Link").orNull)
           .map(normalizeUrl(_, cfg.perPage))
       }
     }

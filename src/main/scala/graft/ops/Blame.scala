@@ -143,6 +143,120 @@ object Blame {
     (reusable, refresh)
   }
 
+  /** The refresh decision for one repo's blame snapshot
+    * (collectors.py:310-373). `reuseWholeSnapshot` short-circuits all
+    * file work (head SHA unchanged); otherwise `reusable` names cached
+    * per-file entries to keep and `refresh` the paths to re-blame. */
+  final case class RefreshPlan(
+      reuseWholeSnapshot: Boolean,
+      reusable: DataFrame,
+      refresh: DataFrame)
+
+  /** Blame refresh orchestration (collectors.py:310-373) — the piece
+    * that makes blame cheap on a large repo:
+    *
+    *  1. cached head == current head → reuse the whole snapshot, zero
+    *     file work (collectors.py:310-317 early return).
+    *  2. heads differ and the compare API listed the changes → drop
+    *     removed paths and rename-sources from the cache, refresh
+    *     changed paths that still exist, plus anything desired that the
+    *     cache lacks (collectors.py:344-364).
+    *  3. compare unavailable (None) → refresh everything
+    *     (collectors.py:346-347).
+    *
+    * @param cachedHead   head_commit_sha of the cached snapshot
+    * @param currentHead  first commit SHA of the current history (A6)
+    * @param cachedPaths  ("path") per-file entries in the cached doc
+    * @param desiredPaths ("path") current tree listing (already
+    *                     BLAME_FILE_LIMIT-capped by the caller, W2)
+    * @param changed      compare-API change set ("path", "previous",
+    *                     "status"), None when the compare call failed
+    */
+  def planRefresh(
+      cachedHead: Option[String],
+      currentHead: Option[String],
+      cachedPaths: DataFrame,
+      desiredPaths: DataFrame,
+      changed: Option[DataFrame]): RefreshPlan = {
+    val desired = desiredPaths.select("path")
+    val cached = cachedPaths.select("path")
+    val empty = desired.limit(0)
+    val headsEqual = cachedHead.isDefined && cachedHead == currentHead
+    if (headsEqual)
+      return RefreshPlan(reuseWholeSnapshot = true, cached, empty)
+    val bothHeads = cachedHead.isDefined && currentHead.isDefined
+    if (bothHeads && changed.isEmpty)
+      // compare API failed: refresh the full desired set
+      return RefreshPlan(reuseWholeSnapshot = false, empty, desired)
+    val existing0 = cached.join(desired, Seq("path"), "left_semi")
+    val (existing, extraRefresh) = changed.filter(_ => bothHeads) match {
+      case Some(ch) =>
+        // removed: drop path and rename-source; renamed: drop source
+        val dropped = ch.filter(lower(col("status")) === "removed")
+          .select(col("path"))
+          .unionByName(ch.filter(col("previous").isNotNull)
+            .select(col("previous").as("path")))
+        // any still-desired changed path needs a fresh blame
+        val needs = ch.filter(lower(col("status")) =!= "removed")
+          .select(col("path"))
+          .join(desired, Seq("path"), "left_semi")
+        (existing0.join(dropped, Seq("path"), "left_anti"), needs)
+      case None => (existing0, empty)
+    }
+    val refresh = desired.join(existing, Seq("path"), "left_anti")
+      .unionByName(extraRefresh)
+      .distinct()
+    val reusable = existing.join(refresh, Seq("path"), "left_anti")
+    RefreshPlan(reuseWholeSnapshot = false, reusable, refresh)
+  }
+
+  /** Assemble the one-row repo_blame document (the collect_repo_blame
+    * return shape, collectors.py:405-419): top-level repo/ref/head
+    * metadata plus the per-file summaries as a `files` array ordered
+    * by path (the reference orders by tree listing; replay input has
+    * no tree, so path order is the deterministic stand-in).
+    *
+    * @param ranges     flattened blame ranges (summarizeBlame input)
+    *                   with an optional per-path root_commit_oid column
+    * @param generatedAt ISO-8601 stamp the caller controls (the
+    *                   reference stamps now(); injectable for
+    *                   deterministic replay)
+    */
+  def repoBlameDoc(
+      repoName: String,
+      ref: String,
+      headCommitSha: Option[String],
+      generatedAt: String,
+      ranges: DataFrame,
+      commitDetails: DataFrame,
+      exampleLimit: Int = 5): DataFrame = {
+    val perFile = summarizeBlame(repoName, ranges, commitDetails, exampleLimit)
+    val roots =
+      if (ranges.columns.contains("root_commit_oid"))
+        ranges.groupBy(col("path"))
+          .agg(first(col("root_commit_oid"), ignoreNulls = true)
+            .as("root_commit_oid"))
+      else perFile.select(col("path"),
+        lit(null).cast("string").as("root_commit_oid"))
+    perFile.join(roots, Seq("path"), "left")
+      .agg(transform(
+        array_sort(collect_list(struct(col("path"), struct(
+          col("path"),
+          lit(ref).as("ref"),
+          col("root_commit_oid"),
+          col("ranges_count"),
+          col("total_lines"),
+          col("authors"),
+          col("examples")).as("f")))),
+        x => x.getField("f")).as("files"))
+      .select(
+        lit(repoName).as("repo_name"),
+        lit(ref).as("ref"),
+        col("files"),
+        lit(generatedAt).as("generated_at"),
+        lit(headCommitSha.orNull).cast("string").as("head_commit_sha"))
+  }
+
   /** K4 — blame re-chunker (indexer.py:87-112): split one repo_blame doc
     * into one doc per file with replicated top-level metadata; a doc with
     * no files yields a single placeholder row with files=[]. Pure

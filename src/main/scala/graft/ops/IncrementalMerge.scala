@@ -25,6 +25,29 @@ object IncrementalMerge {
     Option(m).map(ts => new java.sql.Timestamp(ts.getTime - lookbackSec * 1000))
   }
 
+  /** J6 — selective enrichment (collectors.py:643-657): after a merge,
+    * expensive per-record detail (the commit-detail fetch that adds
+    * files_changed) is computed ONLY for keys not already enriched;
+    * records the cache already enriched pass through untouched.
+    * Anti-join picks the new keys, semi-join keeps the rest, and the
+    * two halves union back — so a refresh touching 0.1% of a huge
+    * table pays detail cost for 0.1%, not a full recompute.
+    *
+    * @param merged       post-merge record set (all rows)
+    * @param enrichedKeys key set already carrying detail (broadcast —
+    *                     it is a key projection, small by construction)
+    * @param enrich       schema-preserving detail computation applied
+    *                     to the not-yet-enriched rows only
+    */
+  def enrichNew(merged: DataFrame, enrichedKeys: DataFrame,
+      keys: Seq[String])(enrich: DataFrame => DataFrame): DataFrame = {
+    val keyDim = broadcast(
+      enrichedKeys.select(keys.map(col): _*).dropDuplicates(keys))
+    val have = merged.join(keyDim, keys, "left_semi")
+    val fresh = merged.join(keyDim, keys, "left_anti")
+    have.unionByName(enrich(fresh))
+  }
+
   /** J5/J6 — merge fetched over cached by key: the fetched version of
     * a key wins; cached records without a fetched update survive. */
   def mergeLatest(cached: DataFrame, fetched: DataFrame,

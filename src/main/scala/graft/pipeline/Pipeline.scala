@@ -6,13 +6,16 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructFiel
 
 import graft.io.JsonEntities
 import graft.model.Entities
-import graft.ops.Linkers
+import graft.ops.{Blame, Linkers}
 
 /** End-to-end per-repo derivation DAG (reference
   * src/retrieval/runner.py:27-77 process_repo): from the raw entity
-  * artifacts (issues, pull_requests, commits — fetched by
-  * `ingest.GithubClient` or replayed from disk) derive the three
-  * linker datasets and persist all artifacts deterministically.
+  * artifacts (repo_meta, issues, pull_requests, contributors,
+  * commits — fetched by `ingest.GithubClient` or replayed from disk)
+  * derive the three linker datasets plus the repo_blame document, and
+  * persist all NINE artifacts deterministically (the reference's
+  * tests/test_runner.py:17-34 asserts save_json is called 9×; the
+  * Scala twin is PipelineSpec's nine-artifact check).
   *
   * The reference runs repos serially with per-repo crash isolation;
   * here each stage is a DataFrame job, so one repo's artifacts are a
@@ -26,20 +29,28 @@ object Pipeline {
     * model.Entities; point-lookup tables may be empty when no remote
     * fetches are replayed). */
   final case class RepoInputs(
+      repoMeta: DataFrame,
       issues: DataFrame,
       pullRequests: DataFrame,
+      contributors: DataFrame,
       commits: DataFrame,
       prCommits: DataFrame,
       commitDetails: DataFrame,
       externalIssueDetails: DataFrame,
-      targetDetails: DataFrame)
+      targetDetails: DataFrame,
+      blameRanges: DataFrame)
 
+  /** The nine persisted artifacts (runner.py:36-75 order). */
   final case class RepoOutputs(
+      repoMeta: DataFrame,
       issues: DataFrame,
       pullRequests: DataFrame,
+      contributors: DataFrame,
+      commits: DataFrame,
       prsWithLinkedIssues: DataFrame,
       issuesClosedByCommits: DataFrame,
-      crossRepoLinks: DataFrame)
+      crossRepoLinks: DataFrame,
+      repoBlame: DataFrame)
 
   val prCommitsSchema: StructType = StructType(Seq(
     StructField("pr_number", LongType),
@@ -59,6 +70,25 @@ object Pipeline {
     StructField("url", StringType),
     StructField("author", StringType)))
 
+  /** Replay shape for raw GraphQL blame ranges: one row per range,
+    * with the per-file root commit oid (collectors.py blame payload
+    * flattened — in live mode ingest.GithubClient.graphql fills this). */
+  val blameRangesSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("root_commit_oid", StringType),
+    StructField("startingLine", LongType),
+    StructField("endingLine", LongType),
+    StructField("age", LongType),
+    StructField("commit", StructType(Seq(
+      StructField("oid", StringType),
+      StructField("committedDate", StringType),
+      StructField("message", StringType),
+      StructField("author", StructType(Seq(
+        StructField("name", StringType),
+        StructField("email", StringType),
+        StructField("user", StructType(Seq(
+          StructField("login", StringType))))))))))))
+
   /** P1 — GitHub mixes PRs into /issues; the issues artifact drops
     * them (collectors.py:590). */
   def filterRealIssues(issues: DataFrame): DataFrame =
@@ -66,13 +96,27 @@ object Pipeline {
       issues.filter(col("pull_request").isNull)
     else issues
 
-  /** The derivation DAG. Stages mirror runner.py:36-71; fan-ins:
+  /** A6 — head commit selection: first commit with a SHA in input
+    * order (GitHub returns newest-first; collectors.py:312). */
+  def headCommitSha(commits: DataFrame): Option[String] = {
+    val withSeq = commits
+      .withColumn("_seq", monotonically_increasing_id())
+      .filter(col("sha").isNotNull)
+    withSeq.orderBy(col("_seq")).select(col("sha")).limit(1)
+      .collect().headOption.map(_.getString(0))
+  }
+
+  /** The derivation DAG. Stages mirror runner.py:36-75; fan-ins:
     * (prs, issues) → pr_links, commits → closed_by,
-    * (issues, prs) → cross_links. */
-  def deriveAll(repoName: String, in: RepoInputs): RepoOutputs = {
+    * (issues, prs) → cross_links, (repo_meta, commits, blame ranges)
+    * → repo_blame. */
+  def deriveAll(repoName: String, in: RepoInputs,
+      generatedAt: String = ""): RepoOutputs = {
+    val repoMeta = JsonEntities.ensureRepoName(in.repoMeta, repoName)
     val issues = filterRealIssues(
       JsonEntities.ensureRepoName(in.issues, repoName))
     val prs = JsonEntities.ensureRepoName(in.pullRequests, repoName)
+    val contributors = JsonEntities.ensureRepoName(in.contributors, repoName)
     val commits = JsonEntities.ensureRepoName(in.commits, repoName)
 
     val prLinks = Linkers.prsWithLinkedIssues(repoName, prs, issues,
@@ -90,30 +134,60 @@ object Pipeline {
     val crossLinks = Linkers.crossRepoLinks(repoName, issues, prs,
       in.targetDetails)
 
-    RepoOutputs(issues, prs, prLinks, closedBy, crossLinks)
+    // repo_blame (runner.py:73-75): default branch from repo_meta,
+    // head SHA from the commit history (A6), matching-commit detail
+    // joined from the commits table (J3's dict-lookup as a broadcast
+    // dimension, collectors.py:122-142).
+    val defaultBranch = repoMeta.select(col("default_branch"))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+      .getOrElse("main")
+    val blameCommitDetails = commits.select(
+      col("sha"),
+      col("repo_name"),
+      col("html_url"),
+      col("author.login").as("author_login"),
+      col("commit.author.name").as("commit_author"),
+      col("files_changed"),
+      col("files_changed_count"))
+    val repoBlame = Blame.repoBlameDoc(repoName, defaultBranch,
+      headCommitSha(commits), generatedAt, in.blameRanges,
+      blameCommitDetails)
+
+    RepoOutputs(repoMeta, issues, prs, contributors, commits, prLinks,
+      closedBy, crossLinks, repoBlame)
   }
 
-  /** Persist every artifact under `outDir/{owner_repo}/` as
-    * deterministic sorted JSON (K1 contract). */
+  /** Persist all nine artifacts under `outDir/{owner_repo}/` as
+    * deterministic sorted JSON (K1 contract; runner.py save_json ×9). */
   def persist(repoName: String, out: RepoOutputs, outDir: String): Unit = {
     val dir = s"$outDir/${repoName.replace("/", "_")}"
+    JsonEntities.writeDeterministic(out.repoMeta, s"$dir/repo_meta",
+      Seq("repo_name"))
     JsonEntities.writeDeterministic(out.issues, s"$dir/issues",
       Seq("number"))
     JsonEntities.writeDeterministic(out.pullRequests, s"$dir/pull_requests",
       Seq("number"))
+    JsonEntities.writeDeterministic(out.contributors, s"$dir/contributors",
+      Seq("login"))
+    JsonEntities.writeDeterministic(out.commits, s"$dir/commits",
+      Seq("sha"))
     JsonEntities.writeDeterministic(out.prsWithLinkedIssues,
       s"$dir/prs_with_linked_issues", Seq("pr_number"))
     JsonEntities.writeDeterministic(out.issuesClosedByCommits,
       s"$dir/issues_closed_by_commits", Seq("commit_sha", "issue_number"))
     JsonEntities.writeDeterministic(out.crossRepoLinks,
       s"$dir/cross_repo_links", Seq("source.number", "target.number"))
+    JsonEntities.writeDeterministic(out.repoBlame, s"$dir/repo_blame",
+      Seq("repo_name"))
   }
 
-  /** File-replay form of process_repo: read raw artifacts from
-    * `inDir/{owner_repo}/{issues,pull_requests,commits}.json`,
-    * derive, persist. Point-lookup inputs default to empty. */
+  /** File-replay form of process_repo: read the raw per-entity JSON
+    * artifacts under `inDir/{owner_repo}/`, derive, persist all nine
+    * outputs.
+    * Point-lookup and blame-range inputs default to empty when no
+    * replay file exists. */
   def processRepo(spark: SparkSession, repoName: String, inDir: String,
-      outDir: String): RepoOutputs = {
+      outDir: String, generatedAt: String = ""): RepoOutputs = {
     val dir = s"$inDir/${repoName.replace("/", "_")}"
     def empty(s: StructType): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
@@ -123,16 +197,27 @@ object Pipeline {
       if (p.exists()) JsonEntities.readEntity(spark, entity, p.getAbsolutePath)
       else empty(schema)
     }
+    def readRawOrEmpty(schema: StructType, file: String): DataFrame = {
+      val p = new java.io.File(s"$dir/$file.json")
+      if (p.exists())
+        spark.read.schema(schema).option("multiLine", value = true)
+          .json(p.getAbsolutePath)
+      else empty(schema)
+    }
     val in = RepoInputs(
+      repoMeta = readOrEmpty("repo_meta", Entities.repoMeta, "repo_meta"),
       issues = readOrEmpty("issues", Entities.issue, "issues"),
       pullRequests =
         readOrEmpty("pull_requests", Entities.pullRequest, "pull_requests"),
+      contributors =
+        readOrEmpty("contributors", Entities.contributor, "contributors"),
       commits = readOrEmpty("commits", Entities.commit, "commits"),
       prCommits = empty(prCommitsSchema),
       commitDetails = empty(commitDetailsSchema),
       externalIssueDetails = empty(issueDetailsSchema),
-      targetDetails = empty(targetDetailsSchema))
-    val out = deriveAll(repoName, in)
+      targetDetails = empty(targetDetailsSchema),
+      blameRanges = readRawOrEmpty(blameRangesSchema, "blame_ranges"))
+    val out = deriveAll(repoName, in, generatedAt)
     persist(repoName, out, outDir)
     out
   }

@@ -67,6 +67,30 @@ object PipelineQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** J6 — selective enrichment under the oracle gate: orders whose
+    * key is divisible by 3 play the already-enriched cache (detail
+    * "cached"); `enrichNew` must route ONLY the rest through the
+    * expensive detail join (broadcast customer lookup) and union the
+    * halves back. The oracle expresses the same result as one CASE
+    * over the full join — equality proves the split-and-union is
+    * lossless. */
+  def selectiveEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merged = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        when($"o_orderkey" % 3 === 0, lit("cached"))
+          .otherwise(lit(null).cast("string")).as("detail"))
+    val enrichedKeys = merged.filter($"detail".isNotNull)
+    val customers = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name")
+    IncrementalMerge.enrichNew(merged, enrichedKeys, Seq("o_orderkey")) {
+      fresh =>
+        fresh.drop("detail")
+          .join(broadcast(customers), $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"o_custkey", $"c_name".as("detail"))
+    }.orderBy($"o_orderkey")
+  }
+
   /** Sessionization: per-user event streams split at >30 min gaps
     * (lag + running sum of boundaries), then per-session aggregates.
     * One shuffle on user_id; both windows share the partitioning. */
@@ -115,6 +139,11 @@ object PipelineQueries {
         | CAST(SUM(from_fetched) AS BIGINT) AS n_from_fetched,
         | COUNT(DISTINCT o_custkey) AS n_customers
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q38_selective_enrich" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 'cached' ELSE c_name END AS detail
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q33_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id, value,

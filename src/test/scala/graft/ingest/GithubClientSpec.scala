@@ -67,6 +67,21 @@ class GithubClientSpec extends AnyFunSuite {
     assert(capped.length == 2)
   }
 
+  test("lowercased headers (HTTP/2 wire form) still drive pagination") {
+    val pages = Map(
+      "http://x/items?per_page=2" -> Response(200,
+        Map("link" -> """<http://x/items?page=2&per_page=2>; rel="next""""),
+        """[{"n":1}]"""),
+      "http://x/items?page=2&per_page=2" -> Response(200, Map.empty,
+        """[{"n":2}]"""))
+    val recs = paginate(new FakeTransport(pages), Config(perPage = 2),
+      "http://x/items", "o/r")
+    assert(recs.length == 2)
+    // and the rate-limit header check is case-insensitive too
+    assert(Response(403, Map("x-ratelimit-remaining" -> "0"))
+      .header("X-RateLimit-Remaining").contains("0"))
+  }
+
   test("rate limit rotates tokens before backing off") {
     var slept = List.empty[Long]
     val cfg = Config(tokens = Seq("t1", "t2"), maxRetries = 2,

@@ -124,6 +124,51 @@ class BlameSpec extends SparkSpecBase {
     assert(refresh.collect().map(_.getString(0)).toSet == Set("b", "new"))
   }
 
+  test("planRefresh: equal head SHAs reuse the whole snapshot") {
+    val pathT = StructType(Seq(StructField("path", StringType)))
+    val cached = df(pathT, Row("a"), Row("b"))
+    val desired = df(pathT, Row("a"), Row("b"), Row("new"))
+    val plan = Blame.planRefresh(Some("h1"), Some("h1"), cached, desired,
+      changed = None)
+    assert(plan.reuseWholeSnapshot)
+    assert(plan.refresh.count() == 0)
+    assert(plan.reusable.collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
+  test("planRefresh: compare-API changes drive the refresh set") {
+    val pathT = StructType(Seq(StructField("path", StringType)))
+    val chT = StructType(Seq(StructField("path", StringType),
+      StructField("previous", StringType),
+      StructField("status", StringType)))
+    val cached = df(pathT, Row("a"), Row("b"), Row("old_name"), Row("gone"))
+    val desired = df(pathT, Row("a"), Row("b"), Row("new_name"), Row("brand"))
+    val changed = df(chT,
+      Row("b", null, "modified"),             // refresh in place
+      Row("new_name", "old_name", "renamed"), // drops old, refreshes new
+      Row("gone", null, "removed"))           // cache entry dropped
+    val plan = Blame.planRefresh(Some("h1"), Some("h2"), cached, desired,
+      Some(changed))
+    assert(!plan.reuseWholeSnapshot)
+    assert(plan.reusable.collect().map(_.getString(0)).toSet == Set("a"))
+    assert(plan.refresh.collect().map(_.getString(0)).toSet ==
+      Set("b", "new_name", "brand"))
+  }
+
+  test("planRefresh: compare failure or missing cache refreshes all") {
+    val pathT = StructType(Seq(StructField("path", StringType)))
+    val cached = df(pathT, Row("a"))
+    val desired = df(pathT, Row("a"), Row("b"))
+    // heads differ, compare API failed -> everything refreshes
+    val failed = Blame.planRefresh(Some("h1"), Some("h2"), cached, desired,
+      changed = None)
+    assert(!failed.reuseWholeSnapshot)
+    assert(failed.refresh.collect().map(_.getString(0)).toSet == Set("a", "b"))
+    // no cached head (fresh repo) -> desired minus nothing cached
+    val fresh = Blame.planRefresh(None, Some("h2"), cached.limit(0), desired,
+      changed = None)
+    assert(fresh.refresh.collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
   test("rechunk emits placeholder row for empty files") {
     val fileT = StructType(Seq(StructField("path", StringType)))
     val blameT = StructType(Seq(

@@ -31,6 +31,27 @@ class IncrementalMergeSpec extends SparkSpecBase {
       1 -> ("open", 0), 2 -> ("closed", 1), 3 -> ("open", 1)))
   }
 
+  test("enrichNew computes detail only for not-yet-enriched keys (J6)") {
+    val recT = StructType(Seq(
+      StructField("sha", StringType),
+      StructField("files_changed_count", IntegerType)))
+    def rdf(rows: Row*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), recT)
+    // merged history: s1/s2 cached (already enriched), s3 new
+    val merged = rdf(Row("s1", 4), Row("s2", 2), Row("s3", null))
+    val enrichedKeys = rdf(Row("s1", 4), Row("s2", 2))
+    var enrichedRows: Set[String] = Set.empty
+    val out = IncrementalMerge.enrichNew(merged, enrichedKeys,
+      Seq("sha")) { fresh =>
+      // the expensive detail pass must only ever see the new keys
+      enrichedRows = fresh.collect().map(_.getString(0)).toSet
+      fresh.withColumn("files_changed_count",
+        org.apache.spark.sql.functions.lit(9))
+    }.collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(enrichedRows == Set("s3"))
+    assert(out == Map("s1" -> 4, "s2" -> 2, "s3" -> 9))
+  }
+
   test("watermark = max ts minus lookback; None on empty cache") {
     val cached = df(
       Row(1, "open", "2020-01-01T00:00:00Z"),

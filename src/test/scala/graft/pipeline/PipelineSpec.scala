@@ -46,6 +46,29 @@ class PipelineSpec extends SparkSpecBase {
          "commit":{"message":"refactor only",
                    "author":{"name":"O","date":"2024-02-02T00:00:00Z"}}}
       ]""")
+    put("repo_meta.json",
+      """{"full_name":"owner/repo","default_branch":"trunk",
+          "stargazers_count":7}""")
+    put("contributors.json",
+      """[
+        {"login":"dev7","contributions":10},
+        {"login":"other","contributions":3}
+      ]""")
+    put("blame_ranges.json",
+      """[
+        {"path":"src/a.js","root_commit_oid":"r1","startingLine":1,
+         "endingLine":10,"age":1,
+         "commit":{"oid":"c1","committedDate":"2024-02-01T00:00:00Z",
+                   "message":"closes #5\nfull fix",
+                   "author":{"name":"Dev Seven","email":null,
+                             "user":{"login":"dev7"}}}},
+        {"path":"src/a.js","root_commit_oid":"r1","startingLine":11,
+         "endingLine":12,"age":2,
+         "commit":{"oid":"c2","committedDate":"2024-02-02T00:00:00Z",
+                   "message":"refactor only",
+                   "author":{"name":"O","email":null,
+                             "user":{"login":"other"}}}}
+      ]""")
   }
 
   test("multi-repo loop: per-repo isolation, one repo's failure is contained") {
@@ -92,9 +115,11 @@ class PipelineSpec extends SparkSpecBase {
       "other/lib")
     assert(cross.head.getAs[Row]("target").getAs[String]("author") == null)
 
-    // all five artifacts persisted and re-readable
-    for (name <- Seq("issues", "pull_requests", "prs_with_linked_issues",
-        "issues_closed_by_commits", "cross_repo_links")) {
+    // ALL NINE artifacts persisted and re-readable (the Scala twin of
+    // tests/test_runner.py:17-34 asserting save_json called 9×)
+    for (name <- Seq("repo_meta", "issues", "pull_requests", "contributors",
+        "commits", "prs_with_linked_issues", "issues_closed_by_commits",
+        "cross_repo_links", "repo_blame")) {
       val back = spark.read.json(s"$outDir/owner_repo/$name")
       assert(back.count() > 0, s"$name round-trip")
     }
@@ -102,5 +127,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(spark.read.json(s"$outDir/owner_repo/issues")
       .filter(org.apache.spark.sql.functions.col("repo_name") === repo)
       .count() == 2)
+
+    // repo_blame doc shape: branch from repo_meta, head SHA from the
+    // commit history, per-file summary with matching_commit enrichment
+    val blame = out.repoBlame.collect()
+    assert(blame.length == 1)
+    val b = blame.head
+    assert(b.getAs[String]("ref") == "trunk")
+    assert(b.getAs[String]("head_commit_sha") == "c1")
+    val files = b.getAs[scala.collection.Seq[Row]]("files")
+    assert(files.length == 1)
+    val f = files.head
+    assert(f.getAs[String]("path") == "src/a.js")
+    assert(f.getAs[Long]("total_lines") == 12L)
+    assert(f.getAs[Long]("ranges_count") == 2L)
+    val topAuthor = f.getAs[scala.collection.Seq[Row]]("authors").head
+    assert(topAuthor.getAs[String]("author") == "dev7")
+    val ex = f.getAs[scala.collection.Seq[Row]]("examples").head
+    assert(ex.getAs[Row]("matching_commit").getAs[String]("html_url") ==
+      "c1-url")
   }
 }
