@@ -60,6 +60,8 @@ object SparkEntry {
     "q36_blame_rollup" -> (Relational.blameRollup _),
     "q37_salted_join" -> (Relational.saltedJoinRollup _),
     "q38_selective_enrich" -> (PipelineQueries.selectiveEnrich _),
+    "q39_ivf_kmeans_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.kmeansIvfKnn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -122,6 +122,69 @@ object SimilarityQueries {
       .select($"vec_id", round($"cos_full", 4).as("cosine"))
   }
 
+  /** Lloyd-refined IVF centroids (deterministic, engine-portable):
+    * seeds are the first `numCentroids` vectors; each round reassigns
+    * every vector to its max-cosine centroid and recomputes
+    * element-wise means. The mean goes through a 2^24 fixed-point
+    * quantization — round(x·2²⁴) is exact in doubles and its integer
+    * sum is order-independent, so Spark and the SQL oracle derive
+    * bit-identical centroids regardless of partitioning; the final
+    * ranking still scores full-precision floats. At corpus scale each
+    * round is one broadcast assignment pass plus one (centroid, dim)
+    * aggregation — no quadratic work, no driver-side math. */
+  def kmeansCentroids(e: DataFrame, numCentroids: Int,
+      iters: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val scale = 16777216.0 // 2^24
+    var cents = e.filter($"vec_id" < numCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"))
+    for (_ <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine($"embedding", $"cemb"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cent_id", $"cos").as("cent_id"))
+      cents = assigned.join(e, Seq("vec_id"))
+        .select($"cent_id",
+          posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cent_id", $"pos")
+        .agg((sum(round($"v".cast("double") * scale).cast("long"))
+          .cast("double") / scale / count(lit(1))).cast("float").as("m"))
+        .groupBy($"cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct($"pos", $"m"))),
+          x => x.getField("m")).as("cemb"))
+    }
+    cents
+  }
+
+  /** IVF with k-means-refined cells: the q34 pipeline with
+    * `kmeansCentroids` slotted in (2 Lloyd rounds), then the same
+    * 2-probe search. */
+  def kmeansIvfKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, numCentroids: Int = 16, iters: Int = 2,
+      probes: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cents = kmeansCentroids(e, numCentroids, iters)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine($"embedding", $"cemb"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cent_id", $"cos").as("cent_id"))
+    val q = e.filter($"vec_id" === queryId).select($"embedding".as("qemb"))
+    val probe = cents.crossJoin(broadcast(q))
+      .withColumn("qcos", cosine($"cemb", $"qemb"))
+      .orderBy($"qcos".desc, $"cent_id".asc)
+      .limit(probes)
+      .select($"cent_id")
+    e.join(assigned.join(broadcast(probe), Seq("cent_id")), Seq("vec_id"))
+      .filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q19_knn_cosine" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
@@ -160,6 +223,59 @@ object SimilarityQueries {
         |WHERE e.bucket = q.bucket AND e.vec_id <> 0
         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
         | e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q39_ivf_kmeans_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cents0 AS (
+        |  SELECT vec_id AS cent_id, embedding AS cemb FROM e
+        |  WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT e.vec_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
+        |    AS cent_id
+        |  FROM e, cents0 c GROUP BY e.vec_id),
+        |m1 AS (
+        |  SELECT a.cent_id, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(e.embedding[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM a1 a JOIN e USING (vec_id),
+        |    unnest(generate_series(1, 64)) t(i)
+        |  GROUP BY a.cent_id, t.i),
+        |cents1 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cemb FROM m1
+        |  GROUP BY cent_id),
+        |a2 AS (
+        |  SELECT e.vec_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
+        |    AS cent_id
+        |  FROM e, cents1 c GROUP BY e.vec_id),
+        |m2 AS (
+        |  SELECT a.cent_id, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(e.embedding[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM a2 a JOIN e USING (vec_id),
+        |    unnest(generate_series(1, 64)) t(i)
+        |  GROUP BY a.cent_id, t.i),
+        |cents2 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cemb FROM m2
+        |  GROUP BY cent_id),
+        |a3 AS (
+        |  SELECT e.vec_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
+        |    AS cent_id
+        |  FROM e, cents2 c GROUP BY e.vec_id),
+        |q AS (SELECT embedding AS qemb FROM e WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT c.cent_id FROM cents2 c, q
+        |  ORDER BY list_cosine_similarity(c.cemb::DOUBLE[], q.qemb::DOUBLE[])
+        |    DESC, c.cent_id ASC LIMIT 2)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(e.embedding::DOUBLE[], q.qemb::DOUBLE[]),
+        |   4) AS cosine
+        |FROM e JOIN a3 USING (vec_id) JOIN probe USING (cent_id), q
+        |WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qemb::DOUBLE[])
+        |  DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
     "q34_ivf_knn" ->
       """WITH cents AS (

@@ -19,6 +19,19 @@ class QueriesSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("k-means-refined IVF recalls the brute-force nearest neighbor") {
+    import graft.queries.SimilarityQueries
+    val exact = SimilarityQueries.knnBruteForce(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val approx = SimilarityQueries.kmeansIvfKnn(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    // 2-probe IVF is approximate: require the top hit and a majority
+    // of the top-10 to survive the cell restriction
+    assert(approx.head == exact.head)
+    assert(exact.take(10).count(approx.toSet) >= 5,
+      s"exact=$exact approx=$approx")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, dir)
