@@ -19,7 +19,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    // Warmup so one-time JVM/codegen/file-index costs aren't charged to
+    // the alphabetically-first query: a shuffle-agg over range, plus a
+    // tiny parquet scan + broadcast join + hash aggregate at sf0.001 to
+    // compile the parquet reader and join/agg codegen paths once.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try {
+      import org.apache.spark.sql.functions._
+      val warmDir = "/root/testdata/sf0.001"
+      graft.io.Tables.lineitem(spark, warmDir)
+        .join(broadcast(graft.io.Tables.part(spark, warmDir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(sum(col("l_quantity")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

@@ -304,6 +304,36 @@ object HashKernels {
     if (union == 0) null else inter.toDouble / union.toDouble
   }
 
+  /** Count (with repeats) of array elements contained in `words` —
+    * the stopword-hit counter, one compiled set-lookup pass instead of
+    * an interpreted filter lambda. */
+  def countIn(toks: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
+    var c = 0
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      if (!toks.isNullAt(i) && words.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Σ length (character count) over the token array — the
+    * mean-token-length numerator, matching aggregate(toks, 0L,
+    * (acc, t) => acc + length(t)) incl. its null-propagation (a null
+    * element nulls the whole fold). */
+  def tokenLengthSum(toks: ArrayData): java.lang.Long = {
+    var s = 0L
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      s += toks.getUTF8String(i).numChars()
+      i += 1
+    }
+    s
+  }
+
   /** Winnowing minima: distinct (first-occurrence order) per-window
     * string minima over the hash sequence; windows shorter arrays
     * collapse to one global minimum (null when the array is empty —

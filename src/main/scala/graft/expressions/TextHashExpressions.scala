@@ -167,6 +167,63 @@ case class WinnowMin(child: Expression, w: Int) extends HashKernelExpression {
     copy(child = newChild)
 }
 
+/** Count (with repeats) of tokens contained in a fixed word set — the
+  * stopword-hit counter of the language-ID / quality-score path, as a
+  * compiled set-lookup pass. */
+case class StopwordHits(child: Expression, words: Seq[String])
+    extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> tokens"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "stopword_hits"
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.countIn(input.asInstanceOf[ArrayData], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwords", wordSet,
+      classOf[java.util.HashSet[_]].getName)
+    defineCodeGen(ctx, ev, c => s"$kernels.countIn($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
+/** Σ character length over a token array (mean-token-length numerator). */
+case class TokenLengthSum(child: Expression) extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> tokens"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_length_sum"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.tokenLengthSum(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("s")
+      s"""
+         |java.lang.Long $boxed = $kernels.tokenLengthSum($c);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenLengthSum =
+    copy(child = newChild)
+}
+
 /** Exact Jaccard similarity of two array<string> columns — the
   * near-dup verify step — as one compiled pass (hash-set intersection
   * / union sizes) instead of two interpreted array traversals. */
@@ -219,4 +276,7 @@ object TextHashes {
   def winnowMin(hashes: Column, w: Int): Column = c(WinnowMin(e(hashes), w))
   def arrayJaccard(a: Column, b: Column): Column =
     c(ArrayJaccard(e(a), e(b)))
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    c(StopwordHits(e(toks), words))
+  def tokenLengthSum(toks: Column): Column = c(TokenLengthSum(e(toks)))
 }

@@ -27,9 +27,23 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "est", "pas", "un", "dans"),
     "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "和"))
 
-  /** Count of tokens contained in `words` (with repeats). */
+  /** Count of tokens contained in `words` (with repeats). Compiled
+    * set-lookup kernel; `stopwordHitsHof` is the builtin twin. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
+    graft.expressions.TextHashes.stopwordHits(toks, words)
+
+  /** Interpreted-HOF twin of `stopwordHits`. */
+  def stopwordHitsHof(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
+
+  /** Σ character length over tokens (compiled; the quality score's
+    * mean-token-length numerator). */
+  def tokenLengthSum(toks: Column): Column =
+    graft.expressions.TextHashes.tokenLengthSum(toks)
+
+  /** Interpreted-HOF twin of `tokenLengthSum`. */
+  def tokenLengthSumHof(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
 
   /** Predicted language: max stopword hits, ties broken by language
     * code order (the CASE chain order — identical in the oracle SQL). */

@@ -128,7 +128,7 @@ object TextQueries {
         round(TextAnalysis.stopwordHits($"toks", enStops).cast("double") /
           $"n_tokens".cast("double"), 4))
       .withColumn("mean_token_len",
-        round(aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+        round(TextAnalysis.tokenLengthSum($"toks")
           .cast("double") / $"n_tokens".cast("double"), 4))
       .withColumn("punct_ratio",
         round(TextAnalysis.punctCount($"text").cast("double") /

@@ -98,6 +98,20 @@ class HashExpressionsSpec extends SparkSpecBase {
     out.foreach(r => assert(r.get(0) == r.get(1), r.toString))
   }
 
+  test("stopwordHits == size(filter(isInCollection))") {
+    val en = TextAnalysis.stopwords.toMap.apply("en")
+    assertColsEqual(
+      TextAnalysis.stopwordHits(Dedup.tokensHof(col("text")), en)
+        .cast("int"),
+      TextAnalysis.stopwordHitsHof(Dedup.tokensHof(col("text")), en))
+  }
+
+  test("tokenLengthSum == aggregate fold over length") {
+    assertColsEqual(
+      TextAnalysis.tokenLengthSum(Dedup.tokensHof(col("text"))),
+      TextAnalysis.tokenLengthSumHof(Dedup.tokensHof(col("text"))))
+  }
+
   test("null text propagates null through every kernel") {
     import spark.implicits._
     val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")
