@@ -209,10 +209,16 @@ object Dedup {
       .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <=
         col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("shingle"), col("id"))
+      .select(col("shingle"), col("id"), col("n"))
+    // PPJoin length filter: J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|), so a
+    // pair with min < t·max can never verify — prune it BEFORE the
+    // pair-distinct and the shingle-array verify join. Lossless by the
+    // inequality; DedupSpec proves output equality with the naive join.
     val candidates = prefix.as("a")
       .join(prefix.as("b"), Seq("shingle"))
-      .filter(col("a.id") < col("b.id"))
+      .filter(col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          lit(threshold) * greatest(col("a.n"), col("b.n")).cast("double"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val shA = base.select(col("id").as("doc_a"), col("sh").as("sh_a"))

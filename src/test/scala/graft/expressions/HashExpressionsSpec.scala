@@ -126,6 +126,43 @@ class HashExpressionsSpec extends SparkSpecBase {
     (0 until row.length).foreach(i => assert(row.isNullAt(i)))
   }
 
+  test("ScalaCheck corpus: all kernels match HOF twins on arbitrary text") {
+    import org.scalacheck.{Gen, rng}
+    // arbitrary BMP chars (incl. controls, CJK, whitespace variants) —
+    // both evaluation paths flow through the same UTF8String machinery,
+    // so parity must hold on anything
+    val charGen = Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', ' ', '　', ' '),
+      2 -> Gen.choose('¡', 'ɏ'),
+      1 -> Gen.choose('一', '鿿'),
+      1 -> Gen.choose('', ''))
+    val textGen = Gen.chooseNum(0, 120)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = (0 until 200).flatMap(i =>
+      textGen(Gen.Parameters.default, rng.Seed(i.toLong)))
+    import spark.implicits._
+    val pdf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(4)
+    val toks = Dedup.tokensHof(col("text"))
+    val sh = Dedup.shinglesHof(toks)
+    val rows = pdf.select(
+      Dedup.tokens(col("text")).as("k_toks"), toks.as("h_toks"),
+      Dedup.shingles(toks).as("k_sh"), Dedup.shinglesHof(toks).as("h_sh"),
+      Dedup.minhashSignature(sh).as("k_sig"),
+      Dedup.minhashSignatureHof(sh).as("h_sig"),
+      Dedup.bandHashesDirect(sh).as("k_b"),
+      Dedup.bandHashesDirectHof(sh).as("h_b"),
+      Dedup.simhash32(toks).as("k_sim"), Dedup.simhash32Hof(toks).as("h_sim"),
+      TextAnalysis.kgramHashes(toks).as("k_kg"),
+      TextAnalysis.kgramHashesHof(toks).as("h_kg")).collect()
+    rows.foreach { r =>
+      (0 until r.length by 2).foreach(i =>
+        assert(r.get(i) == r.get(i + 1), s"col $i: ${r.get(i)} vs ${r.get(i + 1)}"))
+    }
+    assert(rows.length == texts.length)
+  }
+
   test("kernels participate in whole-stage codegen plans") {
     import spark.implicits._
     val plan = spark.range(5)
