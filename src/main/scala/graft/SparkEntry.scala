@@ -62,6 +62,8 @@ object SparkEntry {
     "q38_selective_enrich" -> (PipelineQueries.selectiveEnrich _),
     "q39_ivf_kmeans_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.kmeansIvfKnn(s, d)),
+    "q40_embedding_near_dup" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.embeddingNearDupPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -33,16 +33,19 @@ object IncrementalMerge {
     * two halves union back — so a refresh touching 0.1% of a huge
     * table pays detail cost for 0.1%, not a full recompute.
     *
+    * The key set is a projection but NOT assumed small — the
+    * already-enriched side is the whole history (every cached commit),
+    * so join strategy is left to Catalyst/AQE: a shuffle join on the
+    * key at scale, auto-broadcast when the runtime size is small.
+    *
     * @param merged       post-merge record set (all rows)
-    * @param enrichedKeys key set already carrying detail (broadcast —
-    *                     it is a key projection, small by construction)
+    * @param enrichedKeys key set already carrying detail
     * @param enrich       schema-preserving detail computation applied
     *                     to the not-yet-enriched rows only
     */
   def enrichNew(merged: DataFrame, enrichedKeys: DataFrame,
       keys: Seq[String])(enrich: DataFrame => DataFrame): DataFrame = {
-    val keyDim = broadcast(
-      enrichedKeys.select(keys.map(col): _*).dropDuplicates(keys))
+    val keyDim = enrichedKeys.select(keys.map(col): _*).dropDuplicates(keys)
     val have = merged.join(keyDim, keys, "left_semi")
     val fresh = merged.join(keyDim, keys, "left_anti")
     have.unionByName(enrich(fresh))

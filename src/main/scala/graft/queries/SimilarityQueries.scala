@@ -122,6 +122,35 @@ object SimilarityQueries {
       .select($"vec_id", round($"cos_full", 4).as("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs at corpus scale: vectors
+    * sharing a deterministic hyperplane-LSH bucket are verified with
+    * exact cosine ≥ threshold. The self-join key is the bucket (one
+    * bucket per vector — unlike banded MinHash there is no
+    * multi-probe duplication, so the embedding payload rides the one
+    * collision join it is needed in and the verify is inline); norms
+    * are precomputed once per vector, not per pair. Bucket count
+    * scales with `numPlanes` — more planes, smaller buckets, cheaper
+    * join, lower recall; the all-pairs q24 is the recall oracle. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, numPlanes: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+      .select($"vec_id", $"embedding",
+        Ann.bucket($"embedding", numPlanes).as("bucket"),
+        norm($"embedding").as("nrm"))
+    val a = e.select($"bucket", $"vec_id".as("vec_a"),
+      $"embedding".as("emb_a"), $"nrm".as("nrm_a"))
+    val b = e.select($"bucket", $"vec_id".as("vec_b"),
+      $"embedding".as("emb_b"), $"nrm".as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos_full", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
+      .filter($"cos_full" >= threshold)
+      .select($"vec_a", $"vec_b", round($"cos_full", 4).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** Lloyd-refined IVF centroids (deterministic, engine-portable):
     * seeds are the first `numCentroids` vectors; each round reassigns
     * every vector to its max-cosine centroid and recomputes
@@ -224,6 +253,29 @@ object SimilarityQueries {
         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
         | e.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q40_embedding_near_dup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |planes AS (
+        |  SELECT p, list_transform(generate_series(0, 63),
+        |    d -> (CAST(('0x' || substr(md5(p || '|' || d), 1, 8)) AS BIGINT)
+        |          / 4294967296.0) - 0.5) AS w
+        |  FROM unnest(generate_series(0, 3)) AS t(p)
+        |), buckets AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |           i -> embedding[i] * w[i])) > 0
+        |         THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM e, planes GROUP BY vec_id, embedding
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |   b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM buckets a JOIN buckets b
+        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |  b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q39_ivf_kmeans_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |cents0 AS (
