@@ -181,6 +181,20 @@ object Pipeline {
       Seq("repo_name"))
   }
 
+  /** Multi-repo run (runner.py:80-94 main): process each repo with
+    * per-repo crash isolation — one repo's failure is recorded and the
+    * loop continues, exactly the reference's try/except-per-repo. The
+    * serial driver loop is the faithful shape for the reference's
+    * 15-repo corpus; at a 10⁵-repo scale the per-repo jobs submit
+    * concurrently from a driver thread pool or the inputs union into
+    * one repo_name-partitioned job (SURVEY §3.1). */
+  def processRepos(spark: SparkSession, repoNames: Seq[String],
+      inDir: String, outDir: String,
+      generatedAt: String = ""): Map[String, scala.util.Try[RepoOutputs]] =
+    repoNames.map { r =>
+      r -> scala.util.Try(processRepo(spark, r, inDir, outDir, generatedAt))
+    }.toMap
+
   /** File-replay form of process_repo: read the raw per-entity JSON
     * artifacts under `inDir/{owner_repo}/`, derive, persist all nine
     * outputs.

@@ -75,10 +75,8 @@ class PipelineSpec extends SparkSpecBase {
     val inDir = Files.createTempDirectory("graft-multi-in").toFile
     val outDir = Files.createTempDirectory("graft-multi-out").toString
     writeFixture(inDir) // owner_repo has data; empty_repo has none
-    val results = Seq("owner/repo", "empty/repo").map { r =>
-      r -> scala.util.Try(
-        Pipeline.processRepo(spark, r, inDir.getAbsolutePath, outDir))
-    }.toMap
+    val results = Pipeline.processRepos(spark,
+      Seq("owner/repo", "empty/repo"), inDir.getAbsolutePath, outDir)
     assert(results("owner/repo").isSuccess)
     assert(results("empty/repo").isSuccess) // empty inputs → empty outputs
     assert(results("empty/repo").get.issues.count() == 0)
