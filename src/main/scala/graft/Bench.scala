@@ -21,18 +21,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup so one-time JVM/codegen/file-index costs aren't charged to
     // the alphabetically-first query: a shuffle-agg over range, plus a
-    // tiny parquet scan + broadcast join + hash aggregate at sf0.001 to
-    // compile the parquet reader and join/agg codegen paths once.
+    // parquet scan + broadcast join + hash aggregate over the two tiny
+    // dimension tables of the BENCH's OWN sf dir (present by
+    // definition) to compile the reader and join/agg codegen paths.
     spark.range(1000000).selectExpr("sum(id)").collect()
     try {
       import org.apache.spark.sql.functions._
-      val warmDir = "/root/testdata/sf0.001"
-      graft.io.Tables.lineitem(spark, warmDir)
-        .join(broadcast(graft.io.Tables.part(spark, warmDir)),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand")).agg(sum(col("l_quantity")))
+      graft.io.Tables.nation(spark, sfDir)
+        .join(broadcast(graft.io.Tables.region(spark, sfDir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (timings for the " +
+        s"first query may include one-time costs): ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

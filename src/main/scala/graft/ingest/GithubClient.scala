@@ -20,8 +20,12 @@ object GithubClient {
       * names lowercased, replay fixtures use canonical casing. */
     def header(name: String): Option[String] =
       headers.get(name).orElse {
-        val l = name.toLowerCase
-        headers.collectFirst { case (k, v) if k.toLowerCase == l => v }
+        // Locale.ROOT: default-locale lowercasing corrupts 'I' under
+        // Turkish locales, silently missing e.g. If-None-Match
+        val l = name.toLowerCase(java.util.Locale.ROOT)
+        headers.collectFirst {
+          case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == l => v
+        }
       }
   }
 

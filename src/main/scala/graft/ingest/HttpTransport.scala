@@ -32,7 +32,11 @@ final class HttpTransport(
   private def send(builder: HttpRequest.Builder,
       headers: Map[String, String]): GithubClient.Response = {
     headers.foreach { case (k, v) => builder.header(k, v) }
-    builder.header("Accept", "application/vnd.github+json")
+    // default media type only when the caller didn't pick one —
+    // Builder.header ADDS, so an unconditional append would duplicate
+    // a caller-supplied Accept and flip GitHub's content negotiation
+    if (!headers.keys.exists(_.equalsIgnoreCase("Accept")))
+      builder.header("Accept", "application/vnd.github+json")
     builder.timeout(requestTimeout)
     try {
       val resp = client.send(builder.build(),

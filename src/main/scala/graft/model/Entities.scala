@@ -214,6 +214,7 @@ object Entities {
     StructField("repo_name", StringType),
     StructField("ref", StringType),
     StructField("generated_at", StringType),
+    StructField("head_commit_sha", StringType),
     StructField("error", StringType),
     StructField("files", ArrayType(StructType(Seq(
       StructField("path", StringType),

@@ -170,7 +170,12 @@ object Blame {
     * @param desiredPaths ("path") current tree listing (already
     *                     BLAME_FILE_LIMIT-capped by the caller, W2)
     * @param changed      compare-API change set ("path", "previous",
-    *                     "status"), None when the compare call failed
+    *                     "status"), None when the compare call failed.
+    *                     Consulted only when BOTH heads are known —
+    *                     with a head missing the reference never runs
+    *                     the compare (collectors.py:344-345), so a
+    *                     change set passed anyway is ignored and the
+    *                     refresh set falls back to desired − cached.
     */
   def planRefresh(
       cachedHead: Option[String],

@@ -194,8 +194,12 @@ object Dedup {
       docs: DataFrame, idCol: String, shingleCol: String,
       threshold: Double = 0.5): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+    // drop null shingle entries before ranking — the inverted-index
+    // form's equi-join discards them implicitly, and a null would rank
+    // first in the prefix window and displace a real shingle
     val ex = base.select(col("id"), size(col("sh")).as("n"),
       explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
     // Document frequency via an unordered window over (shingle): one
     // shuffle of the exploded rows, versus the groupBy+join form's
     // separate aggregate shuffle plus a re-shuffle of the same rows
@@ -255,10 +259,13 @@ object Dedup {
       // replaying an ever-deeper join DAG — without it the driver
       // re-plans (and the convergence count re-executes) the whole
       // history each round, which melts down on high-diameter graphs.
+      // Blocks live in executor storage only: on a cluster with
+      // executor churn, swap in reliable `checkpoint()` (HDFS-backed)
+      // every k rounds — the standard iterative-graph tradeoff; local
+      // is right for the common 2-4-round near-dup diameters.
       .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .withColumn("old", col("label"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {

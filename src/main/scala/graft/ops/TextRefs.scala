@@ -27,11 +27,11 @@ object TextRefs {
 
   /** One issue reference found in text. `full_repo` is null for bare
     * `#123` refs (caller resolves against the current repo). */
-  case class IssueRef(full_repo: String, number: Int, has_closing_kw: Boolean)
+  case class IssueRef(full_repo: String, number: Long, has_closing_kw: Boolean)
 
   /** One cross-repo mention. `kind` is "issues"/"pull" for URL-style
     * mentions, null for `owner/repo#N` style. */
-  case class CrossRef(full_repo: String, kind: String, number: Int)
+  case class CrossRef(full_repo: String, kind: String, number: Long)
 
   // UNICODE_CHARACTER_CLASS everywhere: Python's `re` gives \b/\s/\d
   // Unicode semantics on str patterns, while Java defaults them to
@@ -59,9 +59,12 @@ object TextRefs {
 
   /** Base-10 value of a digit run the Unicode-aware \d matched —
     * Python's int() accepts any Unicode decimal digits (e.g. ٤٢),
-    * Integer.parseInt does not. */
-  private def intOfDigits(s: String): Int = {
-    var r = 0
+    * Long.parseLong does not. Long-width so pathological 10-18-digit
+    * "refs" keep their value like the reference's unbounded int (a
+    * >18-digit run would wrap — document-noise territory the
+    * reference would also never resolve to a real issue). */
+  private def longOfDigits(s: String): Long = {
+    var r = 0L
     var i = 0
     while (i < s.length) {
       r = r * 10 + Character.digit(s.charAt(i), 10)
@@ -86,7 +89,7 @@ object TextRefs {
         val number = Option(m.group("num1")).getOrElse(m.group("num2"))
         if (number != null) {
           val hasKw = m.group("kw") != null || sentenceHasKw
-          out += IssueRef(m.group("full"), intOfDigits(number), hasKw)
+          out += IssueRef(m.group("full"), longOfDigits(number), hasKw)
         }
       }
     }
@@ -101,7 +104,7 @@ object TextRefs {
     while (m.find()) {
       val number = Option(m.group("num1")).getOrElse(m.group("num2"))
       if (number != null)
-        out += CrossRef(m.group("full"), m.group("kind"), intOfDigits(number))
+        out += CrossRef(m.group("full"), m.group("kind"), longOfDigits(number))
     }
     out.result()
   }

@@ -141,12 +141,16 @@ object Pipeline {
     val defaultBranch = repoMeta.select(col("default_branch"))
       .collect().headOption.flatMap(r => Option(r.getString(0)))
       .getOrElse("main")
+    // commit_author is the full git-actor struct (collectors.py:136:
+    // matching_commit carries commit["commit"]["author"] verbatim),
+    // matching Entities.matchingCommit so persisted docs round-trip
+    // through readEntity("repo_blame", ...).
     val blameCommitDetails = commits.select(
       col("sha"),
       col("repo_name"),
       col("html_url"),
       col("author.login").as("author_login"),
-      col("commit.author.name").as("commit_author"),
+      col("commit.author").as("commit_author"),
       col("files_changed"),
       col("files_changed_count"))
     val repoBlame = Blame.repoBlameDoc(repoName, defaultBranch,

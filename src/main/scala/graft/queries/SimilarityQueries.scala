@@ -165,8 +165,14 @@ object SimilarityQueries {
       iters: Int): DataFrame = {
     import e.sparkSession.implicits._
     val scale = 16777216.0 // 2^24
+    // Each round's centroids are localCheckpoint'd: the Lloyd DAG is
+    // referenced by the next round AND (after the loop) by assignment,
+    // probe selection and the final join — without materialization each
+    // reference re-executes the full refinement, and a max_by cosine
+    // tie could even resolve differently between those re-executions.
     var cents = e.filter($"vec_id" < numCentroids)
       .select($"vec_id".as("cent_id"), $"embedding".as("cemb"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("cos", cosine($"embedding", $"cemb"))
@@ -182,6 +188,7 @@ object SimilarityQueries {
         .agg(transform(
           array_sort(collect_list(struct($"pos", $"m"))),
           x => x.getField("m")).as("cemb"))
+        .localCheckpoint()
     }
     cents
   }

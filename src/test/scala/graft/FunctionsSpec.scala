@@ -10,7 +10,7 @@ class FunctionsSpec extends SparkSpecBase {
       "SELECT inline(extract_issue_refs('Fixes #5. See owner/lib#9.'))")
       .collect()
     assert(refs.length == 2)
-    assert(refs(0).getAs[Int]("number") == 5)
+    assert(refs(0).getAs[Long]("number") == 5L)
     assert(refs(0).getAs[Boolean]("has_closing_kw"))
     assert(refs(1).getAs[String]("full_repo") == "owner/lib")
     assert(!refs(1).getAs[Boolean]("has_closing_kw"))

@@ -60,7 +60,7 @@ class LinkersSpec extends SparkSpecBase {
     assert(links.length == 1)
     val l = links.head
     assert(l.getAs[String]("referenced_repo") == "owner/repo")
-    assert(l.getAs[Int]("issue_number") == 155)
+    assert(l.getAs[Long]("issue_number") == 155L)
     assert(l.getAs[String]("reference_type") == "pr_text")
     assert(l.getAs[Boolean]("has_closing_kw"))
     assert(l.getAs[Boolean]("would_auto_close"))
@@ -121,7 +121,7 @@ class LinkersSpec extends SparkSpecBase {
       prCommits, df(commitDetailT), df(emptyExt)).collect()
     val l = out.head.getAs[scala.collection.Seq[Row]]("links").head
     assert(l.getAs[String]("reference_type") == "commit_message")
-    assert(l.getAs[Int]("issue_number") == 9)
+    assert(l.getAs[Long]("issue_number") == 9L)
     assert(l.getAs[String]("issue_author") == "iz")
   }
 
@@ -161,7 +161,7 @@ class LinkersSpec extends SparkSpecBase {
     val out = Linkers.issuesClosedByCommits("o/r", commits, authors).collect()
     assert(out.length == 1)
     assert(out.head.getAs[String]("commit_sha") == "s1")
-    assert(out.head.getAs[Int]("issue_number") == 133)
+    assert(out.head.getAs[Long]("issue_number") == 133L)
     assert(out.head.getAs[String]("issue_author") == "reporter")
     assert(out.head.getAs[String]("commit_author") == "alice")
   }

@@ -53,7 +53,7 @@ class TextRefsDifferentialSpec extends AnyFunSuite {
           case "null" => null
           case quoted => unescape(quoted.substring(1, quoted.length - 1))
         }
-        TextRefs.IssueRef(repo, r.group(2).toInt, r.group(3) == "true")
+        TextRefs.IssueRef(repo, r.group(2).toLong, r.group(3) == "true")
       }.toSeq
       Case(unescape(m.group(1)), refs)
     }.toSeq

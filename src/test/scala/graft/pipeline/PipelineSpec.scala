@@ -97,7 +97,7 @@ class PipelineSpec extends SparkSpecBase {
     val prLinks = out.prsWithLinkedIssues.collect()
     assert(prLinks.length == 1)
     val link = prLinks.head.getAs[scala.collection.Seq[Row]]("links").head
-    assert(link.getAs[Int]("issue_number") == 5)
+    assert(link.getAs[Long]("issue_number") == 5L)
     assert(link.getAs[Boolean]("would_auto_close"))
     assert(link.getAs[String]("issue_author") == "reporter5")
 
@@ -144,5 +144,23 @@ class PipelineSpec extends SparkSpecBase {
     val ex = f.getAs[scala.collection.Seq[Row]]("examples").head
     assert(ex.getAs[Row]("matching_commit").getAs[String]("html_url") ==
       "c1-url")
+
+    // the persisted doc must round-trip through the ENTITY reader (the
+    // K4 re-chunk / indexing path), not just schema inference: enriched
+    // files survive, head_commit_sha is retained, nothing lands in the
+    // rescue column
+    val back = graft.io.JsonEntities.readEntity(spark, "repo_blame",
+      s"$outDir/owner_repo/repo_blame")
+    val br = back.collect()
+    assert(br.length == 1)
+    assert(br.head.getAs[String]("_rescued_fringe") == null)
+    assert(br.head.getAs[String]("head_commit_sha") == "c1")
+    val backFile = br.head.getAs[scala.collection.Seq[Row]]("files").head
+    assert(backFile.getAs[Long]("total_lines") == 12L)
+    val backEx = backFile.getAs[scala.collection.Seq[Row]]("examples").head
+    assert(backEx.getAs[Row]("matching_commit")
+      .getAs[Row]("commit_author").getAs[String]("name") == "Dev Seven")
+    // and the re-chunker consumes the re-read doc directly
+    assert(graft.ops.Blame.rechunk(back).count() == 1)
   }
 }
