@@ -40,13 +40,31 @@ object Tables {
     * the test tables are single parquet files (one input split), so
     * without an explicit repartition a hashing-heavy scan runs on one
     * core; explicit N keeps AQE from coalescing the few-MB shuffle
-    * back to one partition. At warehouse scale the scan already has
-    * many splits and this collapses into the existing distribution. */
-  def documentsDistributed(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(
+    * back to one partition. The repartition is CONDITIONAL on the scan
+    * actually being narrower than the cluster — `repartition` always
+    * shuffles, and at warehouse scale the scan already has more splits
+    * than cores, so the narrow-input fix must not become a full-corpus
+    * shuffle there. */
+  def documentsDistributed(s: SparkSession, d: String): DataFrame = {
+    val df = documents(s, d)
+    val scanParts = df.rdd.getNumPartitions // plan-time, runs no job
+    if (scanParts >= s.sparkContext.defaultParallelism) df
+    else df.repartition(
       s.sparkContext.defaultParallelism,
       org.apache.spark.sql.functions.col("doc_id"))
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** embeddings spread across cores for CPU-heavy pair work — same
+    * conditional-repartition contract as `documentsDistributed`. */
+  def embeddingsDistributed(s: SparkSession, d: String): DataFrame = {
+    val df = embeddings(s, d)
+    val scanParts = df.rdd.getNumPartitions
+    if (scanParts >= s.sparkContext.defaultParallelism) df
+    else df.repartition(
+      s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("vec_id"))
+  }
 
   /** Register every table as a temp view for `spark.sql` use. */
   def registerAll(s: SparkSession, d: String): Unit =

@@ -57,11 +57,11 @@ object SimilarityQueries {
     * verification scale run this. */
   def topKPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     // the streamed join side must be split across cores — the test
-    // table is a single input split (see withShingles note)
-    val a = e.repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+    // table is a single input split (conditional, see Tables scaladoc)
+    val e = Tables.embeddingsDistributed(spark, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val a = e
       .select($"vec_id".as("vec_a"), $"embedding".as("emb_a"),
         $"nrm".as("nrm_a"))
     val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"),
@@ -134,8 +134,7 @@ object SimilarityQueries {
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.35, numPlanes: Int = 4): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+    val e = Tables.embeddingsDistributed(spark, dir)
       .select($"vec_id", $"embedding",
         Ann.bucket($"embedding", numPlanes).as("bucket"),
         norm($"embedding").as("nrm"))

@@ -38,6 +38,29 @@ object Streams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming near-duplicate suppression: each document keyed by its
+    * FIRST MinHash-LSH band key (the same compiled kernels as the
+    * batch dedup path), deduped within the watermark horizon — a
+    * near-dup arriving inside the lookback collides on the band and is
+    * dropped; exact replays collide on every band, the first of which
+    * suffices. One band (vs the batch path's 4) trades recall for a
+    * single dedup key per doc — the standard streaming-ingest
+    * pre-filter in front of a periodic exact batch dedup, with state
+    * bounded by the watermark rather than corpus size.
+    *
+    * @param docs streaming frame with `ts` (event time) and `textCol`
+    */
+  def nearDupDropStream(docs: DataFrame, textCol: String,
+      lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_band0",
+        graft.ops.Dedup.bandHashesDirect(
+          graft.ops.Dedup.shingles(
+            graft.ops.Dedup.tokens(col(textCol))))(0))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("_band0")
+      .drop("_band0")
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: java.sql.Timestamp, value: Double)
 

@@ -61,6 +61,28 @@ class StreamsSpec extends SparkSpecBase {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("nearDupDropStream suppresses near-identical docs via band keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String) // local shape
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val out = Streams.nearDupDropStream(
+      src.toDF().toDF("doc_id", "ts", "text"), "text")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    runBatches(out, "neardup") {
+      src.addData(
+        (1L, t("2020-01-01 00:00:00"), base),
+        (2L, t("2020-01-01 00:00:10"), base), // exact dup -> dropped
+        (3L, t("2020-01-01 00:00:20"),
+          "one two three four five six seven eight nine ten"))
+      src.addData((4L, t("2020-01-01 00:01:00"), base)) // replayed dup
+    }
+    val ids = spark.table("neardup").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 3L))
+  }
+
   test("file-source stream: JSON drops roll up through the same transform") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
