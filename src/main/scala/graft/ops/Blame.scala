@@ -22,26 +22,31 @@ object Blame {
     when(length(author.getField("email")) > 0, author.getField("email")),
     lit("unknown"))
 
-  /** summarize_blame_ranges (collectors.py:145-217).
+  /** summarize_blame_ranges (collectors.py:145-217) over a multi-repo
+    * corpus: every aggregation keys on (repo_name, path), so blame for
+    * a whole lake of repositories summarizes in one partitioned job
+    * (two repos sharing a path never collide).
     *
     * @param ranges raw GraphQL blame ranges flattened to one row per
-    *   range: (path, startingLine, endingLine, age,
+    *   range: (repo_name, path, startingLine, endingLine, age,
     *   commit{oid, committedDate, message, author{name,email,user{login}}}),
     *   in blame order (the input order drives example selection and
     *   stable-sort tiebreaks, like the reference's list order).
-    * @param commitDetails commit-detail dimension (sha, html_url,
-    *   author_login, commit_author, files_changed, files_changed_count) —
-    *   the batch replacement for the COMMIT_CACHE memo dict; broadcast.
+    * @param commitDetails commit-detail dimension (repo_name, sha,
+    *   html_url, author_login, commit_author, files_changed,
+    *   files_changed_count) — the batch replacement for the
+    *   COMMIT_CACHE memo dict, joined by SHA (globally unique).
     * @param exampleLimit BLAME_EXAMPLE_LIMIT; <=0 keeps all examples.
-    * @return one row per path: (path, total_lines, ranges_count, authors,
-    *   examples) with authors sorted by total_lines desc (first-seen order
-    *   on ties, matching Python's stable sort).
+    * @return one row per (repo_name, path): (+ total_lines,
+    *   ranges_count, authors, examples) with authors sorted by
+    *   total_lines desc (first-seen order on ties, matching Python's
+    *   stable sort).
     */
-  def summarizeBlame(
-      repoName: String,
+  def summarizeBlameAll(
       ranges: DataFrame,
       commitDetails: DataFrame,
       exampleLimit: Int = 5): DataFrame = {
+    val fileKey = Seq("repo_name", "path")
     val withSeq = ranges
       .withColumn("_seq", monotonically_increasing_id())
       .withColumn("_start", coalesce(col("startingLine"), lit(0)).cast("int"))
@@ -53,7 +58,7 @@ object Blame {
     val details = commitDetails.select(
       col("sha").as("_d_sha"),
       struct(
-        coalesce(col("repo_name"), lit(repoName)).as("repo_name"),
+        col("repo_name"),
         col("sha"),
         col("html_url"),
         col("author_login"),
@@ -73,9 +78,9 @@ object Blame {
         TextRefs.one_line(col("commit.message")).as("message"),
         col("matching_commit")))
 
-    // Per (path, author): lines, in-order ranges, first-seen position.
+    // Per (repo, path, author): lines, in-order ranges, first-seen pos.
     val perAuthor = enriched
-      .groupBy(col("path"), col("author"))
+      .groupBy(col("repo_name"), col("path"), col("author"))
       .agg(
         sum(col("_count")).as("author_lines"),
         min(col("_seq")).as("first_seq"),
@@ -84,7 +89,7 @@ object Blame {
           x => x.getField("range_entry")).as("ranges"))
 
     val authorsPerFile = perAuthor
-      .groupBy(col("path"))
+      .groupBy(col("repo_name"), col("path"))
       .agg(transform(
         array_sort(collect_list(struct(
           (col("author_lines") * -1).as("neg_lines"),
@@ -94,7 +99,7 @@ object Blame {
         x => x.getField("a")).as("authors"))
 
     val statsPerFile = enriched
-      .groupBy(col("path"))
+      .groupBy(col("repo_name"), col("path"))
       .agg(
         sum(col("_count")).as("total_lines"),
         count(lit(1)).as("ranges_count"),
@@ -113,10 +118,29 @@ object Blame {
         else slice(col("all_examples"), 1, exampleLimit))
       .drop("all_examples")
 
-    statsPerFile.join(authorsPerFile, Seq("path"))
-      .select(col("path"), col("total_lines"), col("ranges_count"),
-        col("authors"), col("examples"))
-      .orderBy(col("path"))
+    statsPerFile.join(authorsPerFile, fileKey)
+      .select(col("repo_name"), col("path"), col("total_lines"),
+        col("ranges_count"), col("authors"), col("examples"))
+      .orderBy(col("repo_name"), col("path"))
+  }
+
+  /** Single-repo summarize_blame_ranges (the reference's granularity):
+    * stamps the literal repo onto ranges and fills absent/null detail
+    * repo_names, then delegates to the partitioned form. */
+  def summarizeBlame(
+      repoName: String,
+      ranges: DataFrame,
+      commitDetails: DataFrame,
+      exampleLimit: Int = 5): DataFrame = {
+    val detailsStamped =
+      if (commitDetails.columns.contains("repo_name"))
+        commitDetails.withColumn("repo_name",
+          coalesce(col("repo_name"), lit(repoName)))
+      else commitDetails.withColumn("repo_name", lit(repoName))
+    summarizeBlameAll(
+      ranges.withColumn("repo_name", lit(repoName)),
+      detailsStamped, exampleLimit)
+      .drop("repo_name")
   }
 
   /** J7 — blame cache diff (collectors.py:334-373): decide which files

@@ -124,6 +124,30 @@ class BlameSpec extends SparkSpecBase {
     assert(refresh.collect().map(_.getString(0)).toSet == Set("b", "new"))
   }
 
+  test("summarizeBlameAll keys on (repo_name, path): same path, two repos") {
+    val rangeAllT = StructType(StructField("repo_name", StringType) +:
+      rangeT.fields.toIndexedSeq)
+    def r(repo: String, path: String, s: Int, e: Int, sha: String,
+        login: String): Row =
+      Row(repo, path, s, e, 1,
+        Row(sha, "2020-01-01T00:00:00Z", s"msg for $sha", Row(null, null,
+          Row(login))))
+    val detailAllT = StructType(detailT.fields.toIndexedSeq)
+    // both repos blame the SAME path — a path-only key would merge them
+    val ranges = df(rangeAllT,
+      r("o/a", "src/f.txt", 1, 10, "sa", "alice"),
+      r("o/b", "src/f.txt", 1, 4, "sb", "bob"))
+    val out = Blame.summarizeBlameAll(ranges, df(detailAllT)).collect()
+    assert(out.length == 2)
+    val byRepo = out.map(x => x.getAs[String]("repo_name") -> x).toMap
+    assert(byRepo("o/a").getAs[Long]("total_lines") == 10L)
+    assert(byRepo("o/b").getAs[Long]("total_lines") == 4L)
+    assert(byRepo("o/a").getAs[scala.collection.Seq[Row]]("authors")
+      .head.getAs[String]("author") == "alice")
+    assert(byRepo("o/b").getAs[scala.collection.Seq[Row]]("authors")
+      .head.getAs[String]("author") == "bob")
+  }
+
   test("planRefresh: equal head SHAs reuse the whole snapshot") {
     val pathT = StructType(Seq(StructField("path", StringType)))
     val cached = df(pathT, Row("a"), Row("b"))
