@@ -37,6 +37,10 @@ object IncrementalMerge {
     * already-enriched side is the whole history (every cached commit),
     * so join strategy is left to Catalyst/AQE: a shuffle join on the
     * key at scale, auto-broadcast when the runtime size is small.
+    * The semi and anti branches each evaluate `merged` (Spark reuses
+    * identical exchanges, not arbitrary subtrees) — callers re-running
+    * this over an expensive upstream should persist/checkpoint
+    * `merged` first.
     *
     * @param merged       post-merge record set (all rows)
     * @param enrichedKeys key set already carrying detail

@@ -98,6 +98,29 @@ class HashExpressionsSpec extends SparkSpecBase {
     out.foreach(r => assert(r.get(0) == r.get(1), r.toString))
   }
 
+  test("kernel parity holds across parameter edges (k=1, w=1, odd bands)") {
+    val toks = Dedup.tokensHof(col("text"))
+    for (k <- Seq(1, 2, 5)) {
+      assertColsEqual(
+        Dedup.shingles(toks, k), Dedup.shinglesHof(toks, k))
+      assertColsEqual(
+        TextAnalysis.kgramHashes(toks, k), TextAnalysis.kgramHashesHof(toks, k))
+    }
+    val sh = Dedup.shinglesHof(toks)
+    for ((n, b) <- Seq((8, 2), (6, 3), (4, 4))) {
+      assertColsEqual(
+        Dedup.minhashSignature(sh, n), Dedup.minhashSignatureHof(sh, n))
+      assertColsEqual(
+        Dedup.bandHashesDirect(sh, n, b), Dedup.bandHashesDirectHof(sh, n, b))
+    }
+    val hashes = TextAnalysis.kgramHashesHof(toks)
+    for (w <- Seq(1, 2, 7)) {
+      assertColsEqual(
+        TextAnalysis.winnowFingerprints(hashes, w),
+        TextAnalysis.winnowFingerprintsHof(hashes, w))
+    }
+  }
+
   test("stopwordHits == size(filter(isInCollection))") {
     val en = TextAnalysis.stopwords.toMap.apply("en")
     assertColsEqual(
