@@ -64,6 +64,8 @@ object SparkEntry {
       SimilarityQueries.kmeansIvfKnn(s, d)),
     "q40_embedding_near_dup" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.embeddingNearDupPairs(s, d)),
+    "q41_multimodal_frame_sample" ->
+      (PipelineQueries.multimodalFrameSample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -48,6 +48,19 @@ object Multimodal {
     if (frame.isEmpty) 0.0
     else frame.map(b => (b & 0xFF).toDouble).sum / frame.length
 
+  /** Frame sampling: every `every`-th frame starting at 0 — the
+    * video-keyframe subsampling step (a real pipeline samples before
+    * the expensive per-frame model). */
+  def sampleFrames(frames: Array[Array[Byte]], every: Int): Array[Array[Byte]] =
+    frames.zipWithIndex.collect { case (f, i) if i % every == 0 => f }
+
+  /** STUB resize — a real implementation rescales pixel data; the
+    * deterministic fake truncates or zero-pads to the target byte
+    * size, preserving the plumbing contract (fixed-size output per
+    * frame, pure per-frame map). */
+  def resizeStub(frame: Array[Byte], targetBytes: Int): Array[Byte] =
+    java.util.Arrays.copyOf(frame, targetBytes)
+
   /** Batched decode + feature extraction. One task per partition, rows
     * processed in BatchSize groups (the mapInPandas batch shape); all
     * state is per-batch, so executors stream arbitrarily large

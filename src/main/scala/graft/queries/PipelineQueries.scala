@@ -67,6 +67,35 @@ object PipelineQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** Frame-sampling metadata pass (the keyframe-subsample step of a
+    * video pipeline) under the oracle gate: frame geometry and the
+    * first/last sampled frame digests are pure byte arithmetic over
+    * the opaque payload, so DuckDB can verify them exactly — the
+    * binary-column analogue of partition pruning (sample before the
+    * expensive per-frame model runs). */
+  def multimodalFrameSample(spark: SparkSession, dir: String,
+      every: Int = 4): DataFrame = {
+    import spark.implicits._
+    val fb = Multimodal.FrameBytes
+    Multimodal.deriveMedia(Tables.documents(spark, dir))
+      .withColumn("n_frames",
+        ceil(length($"payload").cast("double") / fb).cast("long"))
+      .withColumn("n_sampled",
+        ceil($"n_frames".cast("double") / every).cast("long"))
+      .select(
+        $"media_id",
+        $"n_frames",
+        $"n_sampled",
+        // digests over the (uppercase, byte-aligned) hex rendering of
+        // the frame — DuckDB's sha256/slicing are VARCHAR-only, so the
+        // portable frame fingerprint hashes hex text in both engines
+        sha2(hex(substring($"payload", 1, fb)), 256).as("first_frame_sha"),
+        sha2(hex($"payload".substr(
+          (($"n_sampled" - 1) * every * fb + 1).cast("int"), lit(fb))), 256)
+          .as("last_sampled_frame_sha"))
+      .orderBy($"media_id")
+  }
+
   /** J6 — selective enrichment under the oracle gate: orders whose
     * key is divisible by 3 play the already-enriched cache (detail
     * "cached"); `enrichNew` must route ONLY the rest through the
@@ -139,6 +168,22 @@ object PipelineQueries {
         | CAST(SUM(from_fetched) AS BIGINT) AS n_from_fetched,
         | COUNT(DISTINCT o_custkey) AS n_customers
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q41_multimodal_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, encode(text) AS payload,
+        |    CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT)
+        |      AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, payload, n_frames,
+        |    CAST(ceil(n_frames / 4.0) AS BIGINT) AS n_sampled
+        |  FROM m)
+        |SELECT media_id, n_frames, n_sampled,
+        | sha256(substring(hex(payload), 1, 512)) AS first_frame_sha,
+        | sha256(substring(hex(payload),
+        |   CAST((n_sampled - 1) * 4 * 256 * 2 + 1 AS BIGINT), 512))
+        |   AS last_sampled_frame_sha
+        |FROM s ORDER BY media_id""".stripMargin,
     "q38_selective_enrich" ->
       """SELECT o_orderkey, o_custkey,
         | CASE WHEN o_orderkey % 3 = 0 THEN 'cached' ELSE c_name END AS detail

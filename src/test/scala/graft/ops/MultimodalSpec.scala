@@ -15,6 +15,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.frameFeature(Array.empty[Byte]) == 0.0)
   }
 
+  test("sampleFrames keeps every k-th frame; resizeStub truncates/pads") {
+    val frames = Array.tabulate(9)(i => Array.fill[Byte](4)(i.toByte))
+    val sampled = Multimodal.sampleFrames(frames, 4)
+    assert(sampled.map(_.head.toInt).toSeq == Seq(0, 4, 8))
+    assert(Multimodal.sampleFrames(frames, 1).length == 9)
+    assert(Multimodal.sampleFrames(Array.empty[Array[Byte]], 4).isEmpty)
+    assert(Multimodal.resizeStub(Array[Byte](1, 2, 3, 4), 2).toSeq ==
+      Seq[Byte](1, 2))
+    assert(Multimodal.resizeStub(Array[Byte](1, 2), 4).toSeq ==
+      Seq[Byte](1, 2, 0, 0))
+  }
+
   test("decodeFeatures: typed batched pipeline end to end") {
     import spark.implicits._
     val media = Seq(
