@@ -103,6 +103,21 @@ class LinkersSpec extends SparkSpecBase {
     assert(types == Seq("pr_text", "merge_commit_message"))
   }
 
+  test("linker composition is pure plan construction — zero Spark jobs") {
+    val prs = df(prSchema, pr(1, "t", "body", "2020-01-01T00:00:00Z"))
+    val issues = df(issueSchema, Row(2, Row("a")))
+    // job submission is synchronous (runJob blocks), so the tracker
+    // reflects every triggered job by the time composition returns
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    Linkers.newestPrs(prs, 5)
+    Linkers.newestPrs(prs, 0)
+    Linkers.prsWithLinkedIssues("o/r", prs, issues,
+      df(prCommitsT), df(commitDetailT), df(emptyExt))
+    assert(tracker.getJobIdsForGroup(null).length == before,
+      "plan construction must not run Spark jobs")
+  }
+
   test("newestPrs caps to newest N by created_at") {
     val prs = df(prSchema,
       pr(1, "old", "", "2019-01-01T00:00:00Z"),
