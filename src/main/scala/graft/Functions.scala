@@ -26,36 +26,18 @@ object Functions {
     spark.udf.register("stable_hash_id",
       (r: Row) => CanonicalJson.stableHashId(r))
     // native codegen'd expressions, registered straight into the
-    // session's function registry
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vector_dot",
-      exprs => graft.expressions.FloatVectorDot(exprs(0), exprs(1)),
-      "scala_udf")
+    // session's function registry (incl. float_vector_dot)
     registerKernels(spark)
   }
 
-  /** The compiled text-hash kernel surface (graft.expressions): int
-    * parameters arrive as literal arguments in SQL. */
+  /** The compiled kernel surface (graft.expressions): the same
+    * KernelRegistry table the GraftExtensions session extension
+    * injects, so both registration paths expose identical functions. */
   private def registerKernels(spark: SparkSession): Unit = {
-    import graft.expressions._
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-    def intArg(e: Expression): Int =
-      e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("whitespace_tokens",
-      exprs => WhitespaceTokens(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("token_shingles",
-      exprs => TokenShingles(exprs(0), intArg(exprs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs(0), intArg(exprs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_bands",
-      exprs => MinHashBands(exprs(0), intArg(exprs(1)), intArg(exprs(2))),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("simhash32",
-      exprs => SimHash32(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("kgram_md5",
-      exprs => KgramMd5(exprs(0), intArg(exprs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("winnow_min",
-      exprs => WinnowMin(exprs(0), intArg(exprs(1))), "scala_udf")
+    graft.expressions.KernelRegistry.all.foreach {
+      case (name, _, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -1,0 +1,36 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** The single name → builder table for every native kernel expression,
+  * consumed by BOTH registration paths (`graft.Functions.register` and
+  * the `graft.GraftExtensions` session extension) so the two SQL
+  * surfaces cannot drift. */
+object KernelRegistry {
+
+  private def intArg(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
+  /** (name, usage, builder) for every kernel expression. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("float_vector_dot", "_FUNC_(a, b) - dot product of float vectors",
+      exprs => FloatVectorDot(exprs(0), exprs(1))),
+    ("whitespace_tokens", "_FUNC_(text) - lowercased tokens",
+      exprs => WhitespaceTokens(exprs(0))),
+    ("token_shingles", "_FUNC_(tokens, k) - distinct k-grams",
+      exprs => TokenShingles(exprs(0), intArg(exprs(1)))),
+    ("minhash_signature", "_FUNC_(shingles, n) - MinHash signature",
+      exprs => MinHashSignature(exprs(0), intArg(exprs(1)))),
+    ("minhash_bands", "_FUNC_(shingles, n, b) - LSH band keys",
+      exprs => MinHashBands(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    ("simhash32", "_FUNC_(tokens) - 32-bit SimHash",
+      exprs => SimHash32(exprs(0))),
+    ("kgram_md5", "_FUNC_(tokens, k) - positional k-gram md5s",
+      exprs => KgramMd5(exprs(0), intArg(exprs(1)))),
+    ("winnow_min", "_FUNC_(hashes, w) - winnowing fingerprints",
+      exprs => WinnowMin(exprs(0), intArg(exprs(1)))),
+    ("array_jaccard", "_FUNC_(a, b) - exact Jaccard of string arrays",
+      exprs => ArrayJaccard(exprs(0), exprs(1))),
+    ("token_length_sum", "_FUNC_(tokens) - total character length",
+      exprs => TokenLengthSum(exprs(0))))
+}

@@ -72,33 +72,47 @@ object BlameFetch {
     StructField("errors", ArrayType(StructType(Seq(
       StructField("message", StringType)))))))
 
+  /** The flattened output row shape (= Pipeline.blameRangesSchema). */
+  private val rangeRowSchema = StructType(
+    StructField("path", StringType) +:
+      StructField("root_commit_oid", StringType) +:
+      range.fields.toIndexedSeq)
+
   private def parse(spark: SparkSession, body: String): DataFrame = {
     import spark.implicits._
     spark.read.schema(responseSchema).json(Seq(body).toDS())
   }
 
   /** (root_commit_oid, ranges rows) from a parsed Commit target, None
-    * when the response errored or the target is not a Commit. */
+    * when the response errored or the target is not a Commit (the
+    * fallback trigger). A Commit with ZERO ranges yields an EMPTY
+    * DataFrame — the reference's skip-this-file signal
+    * (collectors.py:397-399) — decided from the already-collected
+    * head, so callers never run a job just to test emptiness. */
   private def commitRows(parsed: DataFrame, targetPath: String,
       path: String): Option[DataFrame] = {
     val head = parsed.select(
       col(s"$targetPath.__typename").as("tpe"),
-      size(coalesce(col("errors"), array())).as("n_errors"))
+      size(coalesce(col("errors"), array())).as("n_errors"),
+      size(coalesce(col(s"$targetPath.blame.ranges"), array()))
+        .as("n_ranges"))
       .collect().headOption
     val ok = head.exists(r =>
       r.getAs[String]("tpe") == "Commit" && r.getAs[Int]("n_errors") == 0)
     if (!ok) None
+    else if (head.get.getAs[Int]("n_ranges") <= 0)
+      Some(parsed.sparkSession.createDataFrame(
+        parsed.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], rangeRowSchema))
     else Some(parsed.select(
       lit(path).as("path"),
       col(s"$targetPath.oid").as("root_commit_oid"),
-      explode_outer(col(s"$targetPath.blame.ranges")).as("r"))
+      explode(col(s"$targetPath.blame.ranges")).as("r"))
       .select(col("path"), col("root_commit_oid"),
         col("r.startingLine").as("startingLine"),
         col("r.endingLine").as("endingLine"),
         col("r.age").as("age"),
-        col("r.commit").as("commit"))
-      .filter(col("startingLine").isNotNull ||
-        col("root_commit_oid").isNotNull))
+        col("r.commit").as("commit")))
   }
 
   private def vars(pairs: (String, String)*): String =
@@ -108,9 +122,10 @@ object BlameFetch {
 
   /** fetch_file_blame (collectors.py:240-279): ref query first, object
     * query when the ref path fails; IllegalStateException when neither
-    * yields a Commit (the reference raises — per-repo isolation in
-    * Pipeline.processRepos contains it). Rows conform to
-    * Pipeline.blameRangesSchema. */
+    * yields a Commit (the reference raises per file, and its caller
+    * warns and skips that file, collectors.py:386-389 — LivePipeline
+    * does the same). An empty result (Commit with no ranges) is the
+    * skip-this-file signal. Rows conform to Pipeline.blameRangesSchema. */
   def fetchFileBlame(
       spark: SparkSession,
       transport: GithubClient.Transport,

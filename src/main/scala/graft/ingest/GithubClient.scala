@@ -125,9 +125,11 @@ object GithubClient {
     * collectors.py:58-119 run through this): POST {query, variables}
     * with the same retry/rotation machine as REST. Variables are
     * already-serialized JSON values. */
-  def graphql(transport: Transport, cfg: Config, endpoint: String,
-      query: String, variablesJson: String = "{}"): Response = {
-    def q(s: String): String = "\"" + s.flatMap {
+  /** JSON string literal (null → the literal null token) — shared by
+    * the GraphQL body builder and record synthesis in LivePipeline. */
+  def jsonString(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
@@ -136,7 +138,11 @@ object GithubClient {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val body = s"""{"query":${q(query)},"variables":$variablesJson}"""
+
+  def graphql(transport: Transport, cfg: Config, endpoint: String,
+      query: String, variablesJson: String = "{}"): Response = {
+    val body =
+      s"""{"query":${jsonString(query)},"variables":$variablesJson}"""
     requestWithRetry(cfg, h => transport.post(endpoint, h, body))
   }
 

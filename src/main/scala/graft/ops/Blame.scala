@@ -66,8 +66,12 @@ object Blame {
         col("files_changed"),
         col("files_changed_count")).as("matching_commit"))
 
+    // Join strategy left to Catalyst/AQE: per-repo runs broadcast the
+    // small detail set automatically; a corpus run's commit dimension
+    // is every commit in the lake — far too big to force onto the
+    // driver (same reasoning as the Linkers author dimension).
     val enriched = withSeq
-      .join(broadcast(details), col("commit.oid") === col("_d_sha"), "left")
+      .join(details, col("commit.oid") === col("_d_sha"), "left")
       .withColumn("range_entry", struct(
         col("_start").as("start"),
         col("_end").as("end"),

@@ -51,8 +51,10 @@ object Multimodal {
   /** Frame sampling: every `every`-th frame starting at 0 — the
     * video-keyframe subsampling step (a real pipeline samples before
     * the expensive per-frame model). */
-  def sampleFrames(frames: Array[Array[Byte]], every: Int): Array[Array[Byte]] =
+  def sampleFrames(frames: Array[Array[Byte]], every: Int): Array[Array[Byte]] = {
+    require(every > 0, s"sampling stride must be positive, got $every")
     frames.zipWithIndex.collect { case (f, i) if i % every == 0 => f }
+  }
 
   /** STUB resize — a real implementation rescales pixel data; the
     * deterministic fake truncates or zero-pads to the target byte

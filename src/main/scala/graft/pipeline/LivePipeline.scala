@@ -92,7 +92,7 @@ object LivePipeline {
         val parsed = readEntity(spark, Seq(resp.body), Entities.commit)
           .select(col("sha"), col("commit.message").as("message"))
           .collect().headOption
-        parsed.map(r => s"""{"sha":"$sha","message":${q(r.getString(1))},""" +
+        parsed.map(r => s"""{"sha":"$sha","message":${GithubClient.jsonString(r.getString(1))},""" +
           """"error":null}""").getOrElse(
           s"""{"sha":"$sha","message":null,"error":null}""")
       } else s"""{"sha":"$sha","message":null,"error":"http_${resp.status}"}"""
@@ -134,8 +134,8 @@ object LivePipeline {
         val author = readEntity(spark, Seq(resp.body), Entities.issue)
           .select(col("user.login")).collect().headOption
           .flatMap(x => Option(x.getString(0)))
-        s"""{"repo_name":${q(r)},"number":$n,"author":${q(author.orNull)}}"""
-      } else s"""{"repo_name":${q(r)},"number":$n,"author":null}"""
+        s"""{"repo_name":${GithubClient.jsonString(r)},"number":$n,"author":${GithubClient.jsonString(author.orNull)}}"""
+      } else s"""{"repo_name":${GithubClient.jsonString(r)},"number":$n,"author":null}"""
     }, Pipeline.issueDetailsSchema)
 
     val targetRefs = probe.crossRepoLinks
@@ -152,9 +152,9 @@ object LivePipeline {
               col("created_at").as("c"),
               col("pull_request").isNotNull.as("p"))
             .collect().headOption
-          row.map(x => s"""{"repo_name":${q(r)},"number":$n,""" +
-            s""""is_pr":${x.getBoolean(3)},"created_at":${q(x.getString(2))},""" +
-            s""""url":${q(x.getString(1))},"author":${q(x.getString(0))}}""")
+          row.map(x => s"""{"repo_name":${GithubClient.jsonString(r)},"number":$n,""" +
+            s""""is_pr":${x.getBoolean(3)},"created_at":${GithubClient.jsonString(x.getString(2))},""" +
+            s""""url":${GithubClient.jsonString(x.getString(1))},"author":${GithubClient.jsonString(x.getString(0))}}""")
         } else None // 404 ⇒ join miss ⇒ null-target row kept downstream
     }, Pipeline.targetDetailsSchema)
 
@@ -181,10 +181,17 @@ object LivePipeline {
           .select(col("t.path")).collect().map(_.getString(0)).toSeq
           .take(if (blameFileLimit > 0) blameFileLimit else Int.MaxValue)
       }
+    // Per-file failures warn and skip, exactly collectors.py:386-389;
+    // empty blame results union to nothing (the reference's skip).
     val blameRanges = blamePaths.flatMap { p =>
       scala.util.Try(BlameFetch.fetchFileBlame(spark, transport, cfg,
-        endpoints.graphql, owner, repo, defaultBranch, p))
-        .toOption.filter(df => !df.isEmpty) // empty blame skipped (ref 399)
+        endpoints.graphql, owner, repo, defaultBranch, p)) match {
+        case scala.util.Success(df) => Some(df)
+        case scala.util.Failure(e) =>
+          System.err.println(
+            s"[warn] blame failed for $repoName:$p -> ${e.getMessage}")
+          None
+      }
     } match {
       case Seq() => emptyOf(Pipeline.blameRangesSchema)
       case dfs => dfs.reduce(_ unionByName _)
@@ -198,17 +205,5 @@ object LivePipeline {
     out
   }
 
-  /** JSON string literal (null-safe). */
-  private def q(s: String): String =
-    if (s == null) "null"
-    else "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
 
 }

@@ -72,10 +72,12 @@ object PipelineQueries {
     * first/last sampled frame digests are pure byte arithmetic over
     * the opaque payload, so DuckDB can verify them exactly — the
     * binary-column analogue of partition pruning (sample before the
-    * expensive per-frame model runs). */
-  def multimodalFrameSample(spark: SparkSession, dir: String,
-      every: Int = 4): DataFrame = {
+    * expensive per-frame model runs). The stride is fixed at 4
+    * because the q41 oracle SQL hard-codes it — a parameter here
+    * would silently desynchronize engine and oracle. */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val every = 4 // pinned by the q41 oracle
     val fb = Multimodal.FrameBytes
     Multimodal.deriveMedia(Tables.documents(spark, dir))
       .withColumn("n_frames",

@@ -77,6 +77,17 @@ class BlameFetchSpec extends SparkSpecBase {
     assert(rows.length == 1)
   }
 
+  test("Commit with zero ranges yields an EMPTY frame (skip-file signal)") {
+    val t = new GqlTransport(_ => GithubClient.Response(200, body =
+      """{"data":{"repository":{"ref":{"target":{
+        |  "__typename":"Commit","oid":"root1",
+        |  "blame":{"ranges":[]}}}}}}""".stripMargin))
+    val df = BlameFetch.fetchFileBlame(spark, t, cfg, endpoint,
+      "o", "r", "main", "empty.bin")
+    assert(t.posts.length == 1) // empty ranges do NOT trigger fallback
+    assert(df.collect().isEmpty) // no phantom all-null range row
+  }
+
   test("neither path yielding a Commit raises (reference raise parity)") {
     val t = new GqlTransport(_ => GithubClient.Response(200,
       body = """{"data":{"repository":{}}}"""))
