@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Storage hygiene for `localCheckpoint()`-driven iterative loops
+  * (connected components, Lloyd refinement).
+  *
+  * `Dataset.localCheckpoint()` persists the materialized rows in
+  * executor storage and TRUNCATES lineage — so those blocks are not
+  * recomputable and are never dropped by query completion; without an
+  * explicit unpersist they sit in executor memory for the rest of the
+  * session. On a long-lived 100 TB cluster session that retention is
+  * what OOMs executors (and locally it is what made unrelated
+  * queries' cost depend on which dedup query ran before them). The
+  * iterative operators therefore free every superseded round's blocks
+  * as soon as the next round has materialized, and callers that fully
+  * consumed a returned checkpointed frame can free the final copy
+  * with [[Checkpoints.unpersist]].
+  *
+  * IMPORTANT: because lineage is truncated, unpersisting a
+  * local-checkpointed frame that will still be READ is unsafe (the
+  * blocks cannot be rebuilt) — only frames that no live plan will
+  * scan again may be freed.
+  */
+object Checkpoints {
+
+  /** Drop the executor-storage blocks behind every checkpointed leaf
+    * of `df`'s plan. No-op for plans with no checkpointed scan. Safe
+    * only once nothing will read `df` (or another frame sharing its
+    * leaves) again. */
+  def unpersist(df: Dataset[_], blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking)
+      case _ => ()
+    }
+
+  /** IDs of RDDs currently registered in executor storage — the
+    * bench-hygiene observable: iterative operators must leave at most
+    * their RESULT frame here, never per-round intermediates. */
+  def retainedRddIds(df: Dataset[_]): Set[Int] =
+    df.sparkSession.sparkContext.getPersistentRDDs.keySet.toSet
+}

@@ -287,8 +287,20 @@ object Dedup {
           col("label").as("old"))
         .localCheckpoint()
       changed = next.filter(col("label") < col("old")).count()
+      // `next` is already materialized (eager checkpoint), so the
+      // previous round's blocks are dead — free them now instead of
+      // letting every round's full label frame pile up in executor
+      // storage for the rest of the session (O(diameter) copies of
+      // the vertex set; the retention that OOMs long sessions).
+      Checkpoints.unpersist(labels)
       labels = next
     }
+    // Converged: nothing reads the edge list again.
+    Checkpoints.unpersist(edges)
+    // The final round's frame stays materialized — it IS the result
+    // the (lazy) caller will scan; freeing it here would discard
+    // non-recomputable rows. Callers done with the frame can release
+    // this last copy via Checkpoints.unpersist.
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -177,7 +177,7 @@ object SimilarityQueries {
         .withColumn("cos", cosine($"embedding", $"cemb"))
         .groupBy($"vec_id")
         .agg(max_by($"cent_id", $"cos").as("cent_id"))
-      cents = assigned.join(e, Seq("vec_id"))
+      val next = assigned.join(e, Seq("vec_id"))
         .select($"cent_id",
           posexplode($"embedding").as(Seq("pos", "v")))
         .groupBy($"cent_id", $"pos")
@@ -188,6 +188,12 @@ object SimilarityQueries {
           array_sort(collect_list(struct($"pos", $"m"))),
           x => x.getField("m")).as("cemb"))
         .localCheckpoint()
+      // The new round is materialized (eager checkpoint); the previous
+      // round's centroid blocks are dead — free them rather than retain
+      // one frame per Lloyd round in executor storage. The LAST round
+      // stays materialized: assignment/probing/final-join all scan it.
+      graft.ops.Checkpoints.unpersist(cents)
+      cents = next
     }
     cents
   }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import graft.queries.{DedupQueries, Relational, SimilarityQueries}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Bench-hygiene: the iterative checkpointed loops (connected
+  * components, Lloyd k-means) must not leave per-round blocks in
+  * executor storage after they return — a query's cost must not
+  * depend on which dedup query ran before it. The contract: at most
+  * the RESULT frame's blocks are retained, and Checkpoints.unpersist
+  * on the consumed result releases those too.
+  */
+class CheckpointHygieneSpec extends SparkSpecBase {
+
+  private def retained: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private val pairT = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType)))
+
+  test("connectedComponents retains only the final label frame") {
+    val before = retained
+    // 9-node chain → 8 label-propagation rounds; without the
+    // per-round unpersist this retains edges + 9 label frames.
+    val chain = (1L to 8L).map(i => Row(i, i + 1))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(chain, 2), pairT)
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.collect().length == 9)
+    val during = retained -- before
+    // Exactly the final round's checkpoint may remain — never the
+    // superseded rounds or the edge list.
+    assert(during.size <= 1,
+      s"retained ${during.size} RDDs after connectedComponents: $during")
+    Checkpoints.unpersist(cc)
+    assert((retained -- before).isEmpty,
+      "result frame blocks survived Checkpoints.unpersist")
+  }
+
+  test("kmeansCentroids retains only the last Lloyd round") {
+    val before = retained
+    import spark.implicits._
+    val e = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i % 4) * 8 + d).toFloat / 32f)))
+      .toDF("vec_id", "embedding")
+    val cents = SimilarityQueries.kmeansCentroids(e, 4, 3)
+    assert(cents.collect().length == 4)
+    val during = retained -- before
+    assert(during.size <= 1,
+      s"retained ${during.size} RDDs after 3 Lloyd rounds: $during")
+    Checkpoints.unpersist(cents)
+    assert((retained -- before).isEmpty)
+  }
+
+  test("q35 then q36: dedup leaves storage clean for the next query") {
+    val dir = "/root/testdata/sf0.001"
+    val before = retained
+    val clusters = DedupQueries.dedupClusters(spark, dir)
+    assert(clusters.collect().nonEmpty)
+    val during = retained -- before
+    assert(during.size <= 1,
+      s"dedupClusters retained ${during.size} RDDs: $during")
+    Checkpoints.unpersist(clusters)
+    assert((retained -- before).isEmpty,
+      "dedupClusters result blocks survived unpersist")
+    // The session-state victim from the bench history: q36 must run
+    // against clean storage no matter that q35 just ran.
+    assert(Relational.blameRollup(spark, dir).collect().nonEmpty)
+    assert((retained -- before).isEmpty)
+  }
+}
