@@ -8,8 +8,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   * surfaces cannot drift. */
 object KernelRegistry {
 
-  private def intArg(e: Expression): Int =
-    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+  /** Integer parameters (shingle size, signature width, band count)
+    * shape the kernel's compiled loop, so they must be literals at
+    * registration time. A column argument fails analysis with a
+    * readable error instead of a ClassCastException. */
+  private def intArg(e: Expression): Int = e match {
+    case Literal(v: Number, _) => v.intValue()
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      "INVALID_PARAMETER_VALUE.INTEGER",
+      Map("parameter" -> "n", "functionName" -> "graft kernel function",
+        "invalidValue" -> other.sql),
+      None)
+  }
 
   /** (name, usage, builder) for every kernel expression. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(

@@ -115,9 +115,14 @@ object BlameFetch {
         col("r.commit").as("commit")))
   }
 
+  /** GraphQL variables object. Values go through the full JSON string
+    * escape (GithubClient.jsonString) — repo paths can legally contain
+    * control characters (a file named with a tab/newline), which a
+    * quote-and-backslash-only escape would emit as raw bytes inside
+    * the string literal, producing an invalid request body. */
   private def vars(pairs: (String, String)*): String =
     pairs.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":" + GithubClient.jsonString(v)
     }.mkString("{", ",", "}")
 
   /** fetch_file_blame (collectors.py:240-279): ref query first, object

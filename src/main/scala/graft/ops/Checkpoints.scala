@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Storage hygiene for `localCheckpoint()`-driven iterative loops
   * (connected components, Lloyd refinement).
@@ -25,19 +26,23 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
-  /** Drop the executor-storage blocks behind every checkpointed leaf
-    * of `df`'s plan. No-op for plans with no checkpointed scan. Safe
-    * only once nothing will read `df` (or another frame sharing its
-    * leaves) again. */
+  /** Drop the executor-storage blocks behind every STORED RDD-scan
+    * leaf of `df`'s plan (localCheckpoint / persisted createDataFrame
+    * leaves). Leaves with no storage (StorageLevel.NONE) are left
+    * untouched, so a plan mixing a checkpointed frame with an
+    * unpersisted caller RDD only frees the former. No-op for plans
+    * with no stored scan. Safe only once nothing will read `df` (or
+    * another frame sharing its leaves) again. */
   def unpersist(df: Dataset[_], blocking: Boolean = false): Unit =
     df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking)
+      case l: LogicalRDD if l.rdd.getStorageLevel != StorageLevel.NONE =>
+        l.rdd.unpersist(blocking)
       case _ => ()
     }
 
   /** IDs of RDDs currently registered in executor storage — the
     * bench-hygiene observable: iterative operators must leave at most
     * their RESULT frame here, never per-round intermediates. */
-  def retainedRddIds(df: Dataset[_]): Set[Int] =
-    df.sparkSession.sparkContext.getPersistentRDDs.keySet.toSet
+  def retainedRddIds(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
 }

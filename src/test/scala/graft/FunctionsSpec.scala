@@ -30,4 +30,14 @@ class FunctionsSpec extends SparkSpecBase {
       .head
     assert(h.getString(0) == h.getString(1))
   }
+
+  test("non-literal kernel size parameter fails analysis readably") {
+    Functions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT minhash_signature(array('a'), cast(id AS int))
+          |FROM range(1)""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
 }

@@ -100,4 +100,21 @@ class BlameFetchSpec extends SparkSpecBase {
     assert(BlameFetch.qualifiedRef("main") == "refs/heads/main")
     assert(BlameFetch.qualifiedRef("refs/tags/v1") == "refs/tags/v1")
   }
+
+  test("control characters in paths produce a valid JSON request body") {
+    // A path with a tab and newline is legal in git; the variables
+    // object must escape them (raw control bytes inside a JSON string
+    // literal are invalid and GitHub rejects the body).
+    val t = new GqlTransport(_ => GithubClient.Response(200, body = refBody))
+    BlameFetch.fetchFileBlame(spark, t, cfg, endpoint,
+      "o", "r", "main", "odd\tname\nfile.js").collect()
+    val body = t.posts.head
+    assert(!body.exists(c => c == '\t' || c == '\n'),
+      "raw control characters leaked into the request body")
+    // the body itself must round-trip through a JSON parser
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(body).toDS())
+      .select(org.apache.spark.sql.functions.col("variables.path"))
+    assert(parsed.head.getString(0) == "odd\tname\nfile.js")
+  }
 }

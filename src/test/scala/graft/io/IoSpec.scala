@@ -93,6 +93,33 @@ class IoSpec extends SparkSpecBase {
     assert(a.head.getString(0) == b.head.getString(0))
   }
 
+  test("degraded records fall back to salted whole-record hashes") {
+    import spark.implicits._
+    // Each pinned against CPython: sha1(salt + json.dumps(doc,
+    // sort_keys=True, separators=(',',':'), ensure_ascii=False)) — the
+    // reference's stable_hash_id(doc, salt) fallback branches.
+    val blame = Seq(("o/r", null: String, Seq("src/a.js")))
+      .toDF("repo_name", "ref", "paths")
+      .select(col("repo_name"), col("ref"),
+        transform(col("paths"), p => struct(p.as("path"))).as("files"))
+    assert(blame.select(Ids.blameFileId).head.getString(0) ==
+      "61f86c584e14466bb530ff2d49b71538c633500d")
+
+    // empty-string sha is Python-falsy (schema.py:303-304 `or`)
+    val commits = Seq(("", "m")).toDF("sha", "message")
+    assert(commits.select(Ids.commitId).head.getString(0) ==
+      "80391c42ebda157713a4448734070ac3ae9dedfe")
+
+    val issues = Seq(("o/r", null.asInstanceOf[java.lang.Long], "t"))
+      .toDF("repo_name", "number", "title")
+    assert(issues.select(Ids.issueId).head.getString(0) ==
+      "94735e4e8aea9637e32eb96bd0194372ce75ff33")
+
+    // non-degraded keys are untouched by the fallback wiring
+    val ok = Seq(("sha1", "m")).toDF("sha", "message")
+    assert(ok.select(Ids.commitId).head.getString(0) == "sha1")
+  }
+
   test("entity schemas cover all nine tables") {
     assert(Entities.all.keySet == Set(
       "repo_meta", "issues", "pull_requests", "commits", "contributors",

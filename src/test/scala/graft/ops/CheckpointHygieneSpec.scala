@@ -15,11 +15,29 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 class CheckpointHygieneSpec extends SparkSpecBase {
 
-  private def retained: Set[Int] =
-    spark.sparkContext.getPersistentRDDs.keySet.toSet
+  private def retained: Set[Int] = Checkpoints.retainedRddIds(spark)
 
   private val pairT = StructType(Seq(
     StructField("doc_a", LongType), StructField("doc_b", LongType)))
+
+  test("unpersist drops only STORED RDD-scan leaves") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.storage.StorageLevel
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L)), 1), pairT)
+    val leaf = df.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd
+    }.head
+    // Never-persisted leaf: unpersist must be a no-op, not a surprise
+    // drop on a recomputable scan.
+    assert(leaf.getStorageLevel == StorageLevel.NONE)
+    Checkpoints.unpersist(df)
+    assert(df.count() == 1)
+    // Stored leaf: the consumed-frame release drops it.
+    leaf.persist(StorageLevel.MEMORY_ONLY)
+    Checkpoints.unpersist(df)
+    assert(leaf.getStorageLevel == StorageLevel.NONE)
+  }
 
   test("connectedComponents retains only the final label frame") {
     val before = retained
