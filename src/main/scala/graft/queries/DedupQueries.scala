@@ -25,6 +25,10 @@ object DedupQueries {
       .select(col("doc_id"),
         Dedup.shingles(Dedup.tokens(col("text"))).as("shingles"))
 
+  /** Profiling hook (ProbeQ22) — same frame as the gated queries. */
+  def shingledForProbe(spark: SparkSession, dir: String): DataFrame =
+    withShingles(spark, dir)
+
   /** Per-document MinHash signature digest + LSH band keys. Pure
     * per-row map — no shuffle at any scale. The multi-referenced
     * `sig`/`bands` columns stay as withColumn projections on purpose:
