@@ -66,6 +66,10 @@ object SparkEntry {
       SimilarityQueries.embeddingNearDupPairs(s, d)),
     "q41_multimodal_frame_sample" ->
       (PipelineQueries.multimodalFrameSample(_, _)),
+    "q42_ann_multiprobe_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.annMultiProbeKnn(s, d)),
+    "q43_embedding_near_dup_multiprobe" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.embeddingNearDupPairsMultiProbe(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -90,6 +90,35 @@ object SimilarityQueries {
       .select($"vec_id", round($"cos_full", 4).as("cosine"))
   }
 
+  /** Multi-probe ANN top-k (the classic recall lift for hyperplane
+    * LSH): the query scores its own bucket PLUS the `numPlanes`
+    * buckets at Hamming distance 1 — one hyperplane flip each — so a
+    * neighbor on the wrong side of a single plane is still found.
+    * Candidate set ≈ (planes+1)/2^planes of the corpus instead of
+    * 1/2^planes, still with zero corpus-side shuffle: the probe list
+    * is planes+1 broadcast rows and each vector joins at most one
+    * probe (probe buckets are distinct). Recall oracle is exact q19. */
+  def annMultiProbeKnn(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10, numPlanes: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", Ann.bucket($"embedding", numPlanes))
+    val q = e.filter($"vec_id" === queryId)
+      .select($"embedding".as("q_embedding"), $"bucket".as("q_bucket"))
+    // flip 0 = the home bucket itself, then one bit per plane
+    val flips = typedLit(0L +: (0 until numPlanes).map(p => 1L << p))
+    val probes = q
+      .select($"q_embedding", $"q_bucket", explode(flips).as("flip"))
+      .select($"q_embedding",
+        $"q_bucket".bitwiseXOR($"flip").as("q_probe"))
+    e.join(broadcast(probes), $"bucket" === $"q_probe")
+      .filter($"vec_id" =!= queryId)
+      .withColumn("cos_full", cosine($"embedding", $"q_embedding"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
   /** IVF-style ANN: vectors are assigned to their nearest of
     * `numCentroids` coarse centroids (deterministic seed vectors so
     * both engines derive identical cells — a k-means refinement would
@@ -143,6 +172,38 @@ object SimilarityQueries {
     val b = e.select($"bucket", $"vec_id".as("vec_b"),
       $"embedding".as("emb_b"), $"nrm".as("nrm_b"))
     a.join(b, Seq("bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos_full", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
+      .filter($"cos_full" >= threshold)
+      .select($"vec_a", $"vec_b", round($"cos_full", 4).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Multi-probe embedding near-dup pairs: q40's one-bucket collision
+    * join widened to Hamming-distance-1 — each vector additionally
+    * probes the `numPlanes` one-bit-flip buckets, so a near-dup pair
+    * split by a single hyperplane is still caught. Join volume is
+    * (planes+1)× the home-bucket join, far below banded-MinHash-style
+    * replication; each qualifying pair matches EXACTLY ONE (probe,
+    * home) combination (hamming 0 ⇒ flip 0, hamming 1 ⇒ the one
+    * differing plane), so no pair-dedup pass is needed before the
+    * inline verify. Recall oracle is the all-pairs q24. */
+  def embeddingNearDupPairsMultiProbe(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, numPlanes: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddingsDistributed(spark, dir)
+      .select($"vec_id", $"embedding",
+        Ann.bucket($"embedding", numPlanes).as("bucket"),
+        norm($"embedding").as("nrm"))
+    val flips = typedLit(0L +: (0 until numPlanes).map(p => 1L << p))
+    val a = e
+      .select($"vec_id".as("vec_a"), $"embedding".as("emb_a"),
+        $"nrm".as("nrm_a"), $"bucket", explode(flips).as("flip"))
+      .select($"vec_a", $"emb_a", $"nrm_a",
+        $"bucket".bitwiseXOR($"flip").as("probe"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"),
+      $"nrm".as("nrm_b"), $"bucket".as("probe"))
+    a.join(b, Seq("probe"))
       .filter($"vec_a" < $"vec_b")
       .withColumn("cos_full", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
       .filter($"cos_full" >= threshold)
@@ -285,6 +346,57 @@ object SimilarityQueries {
         |   b.embedding::DOUBLE[]), 4) AS cosine
         |FROM buckets a JOIN buckets b
         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |  b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q42_ann_multiprobe_knn" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(generate_series(0, 63),
+        |    d -> (CAST(('0x' || substr(md5(p || '|' || d), 1, 8)) AS BIGINT)
+        |          / 4294967296.0) - 0.5) AS w
+        |  FROM unnest(generate_series(0, 3)) AS t(p)
+        |), buckets AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |           i -> embedding[i] * w[i])) > 0
+        |         THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM embeddings, planes GROUP BY vec_id, embedding
+        |), q AS (SELECT embedding, bucket FROM buckets WHERE vec_id = 0
+        |), probes AS (
+        |  SELECT q.embedding, xor(q.bucket, f) AS probe
+        |  FROM q, unnest([0, 1, 2, 4, 8]::BIGINT[]) AS t(f)
+        |)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(e.embedding::DOUBLE[], p.embedding::DOUBLE[]), 4) AS cosine
+        |FROM buckets e JOIN probes p ON e.bucket = p.probe
+        |WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) DESC,
+        | e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q43_embedding_near_dup_multiprobe" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |planes AS (
+        |  SELECT p, list_transform(generate_series(0, 63),
+        |    d -> (CAST(('0x' || substr(md5(p || '|' || d), 1, 8)) AS BIGINT)
+        |          / 4294967296.0) - 0.5) AS w
+        |  FROM unnest(generate_series(0, 3)) AS t(p)
+        |), buckets AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |           i -> embedding[i] * w[i])) > 0
+        |         THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM e, planes GROUP BY vec_id, embedding
+        |), probe AS (
+        |  SELECT vec_id, embedding, xor(bucket, f) AS probe
+        |  FROM buckets, unnest([0, 1, 2, 4, 8]::BIGINT[]) AS t(f)
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |   b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM probe a JOIN buckets b
+        |  ON a.probe = b.bucket AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         |  b.embedding::DOUBLE[]) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
