@@ -56,12 +56,19 @@ object Indexer {
     val filePaths = repoDirs.map(d => new java.io.File(d, s"$entity.json"))
       .filter(_.isFile).map(_.getAbsolutePath)
     val schema = Entities.all(entity)
+    // ensure_repo_name_field ADDS the field when the entity doesn't
+    // carry one (cross_repo_links keys on source/target instead)
+    val pathName = repoNameFromPath(entity)
+    val enriched =
+      if (schema.fieldNames.contains("repo_name"))
+        (df: DataFrame) => df.withColumn("repo_name",
+          coalesce(col("repo_name"), pathName))
+      else
+        (df: DataFrame) => df.withColumn("repo_name", pathName)
     def readPaths(paths: Seq[String], multiLine: Boolean): Option[DataFrame] =
       if (paths.isEmpty) None
-      else Some(spark.read.schema(schema)
-        .option("multiLine", multiLine).json(paths: _*)
-        .withColumn("repo_name",
-          coalesce(col("repo_name"), repoNameFromPath(entity))))
+      else Some(enriched(spark.read.schema(schema)
+        .option("multiLine", multiLine).json(paths: _*)))
     (readPaths(dirPaths, multiLine = false),
       readPaths(filePaths, multiLine = true)) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))

@@ -281,6 +281,29 @@ class LiveIncrementalSpec extends SparkSpecBase {
       s"job count grew with item count: $jobsSmall -> $jobsBig")
   }
 
+  test("full pipeline: retrieval completes, then the lake indexes") {
+    // pipeline/runner.py:11-14 — one call fetches the corpus live and
+    // bulk-indexes every produced artifact.
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-full-out").toString
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft-full-sink").toString
+    val t = new ScriptedGithub(fleetFixture(2),
+      Map("src/a.js" -> blameBody("root1", "c1", 12, "2024-02-01T00:00:00Z")))
+    var ensured: List[String] = Nil
+    val res = FullPipeline.run(spark, t, GithubClient.Config(),
+      Seq("o/r"), outDir, new graft.io.BulkSink.FileTransport(sink),
+      eps, indexPrefix = "gh_", generatedAt = "2026-01-01T00:00:00Z",
+      ensureIndex = n => ensured = ensured :+ n)
+    assert(res.fetched("o/r").isSuccess)
+    assert(ensured.length == 9)
+    // the fetched lake landed in the store: issues + commits keyed
+    assert(res.indexed("issues").ok == 1L)
+    assert(res.indexed("commits").ok == 1L)
+    assert(res.indexed("repo_blame").ok >= 1L)
+    assert(res.indexed.values.forall(_.failed == 0L))
+  }
+
   test("multi-repo live run isolates per-repo failures") {
     // runner.py:88-92 — the first repo's transport explodes mid-fetch;
     // the second repo still produces all nine artifacts.
