@@ -174,6 +174,15 @@ object GithubClient {
     } else resp // terminal 4xx (404, 422, ...)
   }
 
+  /** get_issue_comments (collectors.py:660-663): all comments for one
+    * issue, paginated like any list endpoint. Exported for parity with
+    * the reference's public API (its pipeline never calls it either);
+    * feed the records to spark.read.json with a caller schema. */
+  def issueComments(transport: Transport, cfg: Config, apiBase: String,
+      repoName: String, issueNumber: Long): Seq[String] =
+    paginate(transport, cfg,
+      s"$apiBase/repos/$repoName/issues/$issueNumber/comments", repoName)
+
   /** S1 — paginated scan: follow rel="next" links, normalize per_page,
     * stamp repo_name on every record, honor maxPages. Returns the
     * record strings (feed to spark.read.json). */

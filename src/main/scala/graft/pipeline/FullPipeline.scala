@@ -31,9 +31,10 @@ object FullPipeline {
       generatedAt: String = "",
       blameFileLimit: Int = 25,
       batchSize: Int = 1000,
-      ensureIndex: String => Unit = _ => ()): Result = {
+      ensureIndex: String => Unit = _ => (),
+      limits: Pipeline.Limits = Pipeline.Limits()): Result = {
     val fetched = LivePipeline.processReposLive(spark, transport, cfg,
-      repoNames, outDir, endpoints, generatedAt, blameFileLimit)
+      repoNames, outDir, endpoints, generatedAt, blameFileLimit, limits)
     val indexed = Indexer.scanAndIndex(spark, outDir, bulkTransport,
       indexPrefix, batchSize, ensureIndex = ensureIndex)
     Result(fetched, indexed)

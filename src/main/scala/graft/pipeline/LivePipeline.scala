@@ -112,11 +112,16 @@ object LivePipeline {
       outDir: String,
       endpoints: Endpoints = Endpoints(),
       generatedAt: String = "",
-      blameFileLimit: Int = 25): Pipeline.RepoOutputs = {
+      blameFileLimit: Int = 25,
+      limits: Pipeline.Limits = Pipeline.Limits()): Pipeline.RepoOutputs = {
     import GithubClient.{getWithRetry, paginate}
     val Array(owner, repo) = repoName.split("/", 2)
     val base = s"${endpoints.apiBase}/repos/$owner/$repo"
     val cacheDir = s"$outDir/${repoName.replace("/", "_")}"
+    // Per-endpoint page caps (config.py:20,29): 0 falls back to the
+    // client config's global cap.
+    def capped(maxPages: Int): GithubClient.Config =
+      if (maxPages > 0) cfg.copy(maxPages = maxPages) else cfg
 
     // Raw entities (runner.py:36-53): paginated REST scans. repo_meta,
     // PRs and contributors are always full fetches (the reference has
@@ -124,7 +129,8 @@ object LivePipeline {
     val repoMeta = readEntity(spark,
       paginate(transport, cfg, base, repoName), Entities.repoMeta)
     val prs = readEntity(spark,
-      paginate(transport, cfg, s"$base/pulls?state=all", repoName),
+      paginate(transport, capped(limits.maxPagesPrs),
+        s"$base/pulls?state=all", repoName),
       Entities.pullRequest)
     val contributors = readEntity(spark,
       paginate(transport, cfg, s"$base/contributors", repoName),
@@ -162,7 +168,8 @@ object LivePipeline {
       case None => s"$base/commits"
     }
     val fetchedCommits = readEntity(spark,
-      paginate(transport, cfg, commitsUrl, repoName), Entities.commit)
+      paginate(transport, capped(limits.maxPagesCommits), commitsUrl,
+        repoName), Entities.commit)
     val mergedCommits = commitsWm match {
       case Some(_) => IncrementalMerge
         .mergeLatest(cachedCommits.get, fetchedCommits, Seq("sha"))
@@ -273,7 +280,7 @@ object LivePipeline {
       prCommits, commitDetails,
       emptyOf(Pipeline.issueDetailsSchema),
       emptyOf(Pipeline.targetDetailsSchema),
-      emptyOf(Pipeline.blameRangesSchema)), generatedAt)
+      emptyOf(Pipeline.blameRangesSchema)), generatedAt, limits)
 
     val issueWrapSchema = StructType(Seq(
       StructField("repo_name", StringType),
@@ -428,7 +435,7 @@ object LivePipeline {
     val out = Pipeline.deriveAll(repoName, Pipeline.RepoInputs(
       repoMeta, issues, prs, contributors, commits,
       prCommits, commitDetails, extDetails, targetDetails, blameRanges),
-      generatedAt)
+      generatedAt, limits)
 
     // Assemble the final repo_blame doc: short-circuit re-stamps the
     // cached doc (collectors.py:314-317); partial refresh merges the
@@ -477,10 +484,11 @@ object LivePipeline {
       outDir: String,
       endpoints: Endpoints = Endpoints(),
       generatedAt: String = "",
-      blameFileLimit: Int = 25): Map[String, scala.util.Try[Pipeline.RepoOutputs]] =
+      blameFileLimit: Int = 25,
+      limits: Pipeline.Limits = Pipeline.Limits()): Map[String, scala.util.Try[Pipeline.RepoOutputs]] =
     repoNames.map { r =>
       val res = scala.util.Try(processRepoLive(spark, transport, cfg,
-        r.trim, outDir, endpoints, generatedAt, blameFileLimit))
+        r.trim, outDir, endpoints, generatedAt, blameFileLimit, limits))
       res.failed.foreach(e =>
         System.err.println(s"[error] $r: ${e.getMessage}"))
       r -> res

@@ -40,6 +40,14 @@ object Pipeline {
       targetDetails: DataFrame,
       blameRanges: DataFrame)
 
+  /** The reference's tunable fetch/derive caps (config.py:20-29), all
+    * 0 = uncapped like the reference defaults. Page caps apply to the
+    * live fetch; the PR cap applies to the linker derivation (W1). */
+  final case class Limits(
+      maxPrsWithLinkedIssues: Int = 0, // MAX_PRS_WITH_LINKED_ISSUES
+      maxPagesPrs: Int = 0, // MAX_PAGES_PRS
+      maxPagesCommits: Int = 0) // MAX_PAGES_COMMITS
+
   /** The nine persisted artifacts (runner.py:36-75 order). */
   final case class RepoOutputs(
       repoMeta: DataFrame,
@@ -111,7 +119,8 @@ object Pipeline {
     * (issues, prs) → cross_links, (repo_meta, commits, blame ranges)
     * → repo_blame. */
   def deriveAll(repoName: String, in: RepoInputs,
-      generatedAt: String = ""): RepoOutputs = {
+      generatedAt: String = "",
+      limits: Limits = Limits()): RepoOutputs = {
     val repoMeta = JsonEntities.ensureRepoName(in.repoMeta, repoName)
     val issues = filterRealIssues(
       JsonEntities.ensureRepoName(in.issues, repoName))
@@ -120,7 +129,8 @@ object Pipeline {
     val commits = JsonEntities.ensureRepoName(in.commits, repoName)
 
     val prLinks = Linkers.prsWithLinkedIssues(repoName, prs, issues,
-      in.prCommits, in.commitDetails, in.externalIssueDetails)
+      in.prCommits, in.commitDetails, in.externalIssueDetails,
+      limits.maxPrsWithLinkedIssues)
 
     // J2's author lookup feeds from the local issues (plus any
     // replayed remote details, same shape).

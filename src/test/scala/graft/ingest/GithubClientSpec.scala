@@ -141,4 +141,15 @@ class GithubClientSpec extends AnyFunSuite {
     assert(getWithRetry(t, Config(), "http://x").status == 422)
     assert(t.calls.length == 1)
   }
+
+  test("issueComments pages the comments endpoint with repo_name stamp") {
+    val url = "https://api.t/repos/o/r/issues/7/comments?per_page=100"
+    val t = new FakeTransport(Map(url -> Response(200,
+      body = """[{"id":1,"body":"lgtm","user":{"login":"rev"}}]""")))
+    val recs = GithubClient.issueComments(t, Config(), "https://api.t",
+      "o/r", 7L)
+    assert(recs.length == 1)
+    assert(recs.head.contains(""""repo_name":"o/r""""))
+    assert(recs.head.contains(""""body":"lgtm""""))
+  }
 }

@@ -304,6 +304,37 @@ class LiveIncrementalSpec extends SparkSpecBase {
     assert(res.indexed.values.forall(_.failed == 0L))
   }
 
+  test("per-endpoint caps: MAX_PAGES_PRS and MAX_PRS_WITH_LINKED_ISSUES") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-live-caps").toString
+    // pulls paginates to a second page that the cap must never request
+    val page2 = s"$base/pulls?state=all&page=2&per_page=100"
+    val fixture = fleetFixture(2) +
+      (s"$base/pulls?state=all&per_page=100" -> GithubClient.Response(200,
+        Map("Link" -> s"""<$base/pulls?state=all&page=2>; rel="next""""),
+        """[{"number":101,"title":"t1","body":"Fixes #5","state":"closed",
+          |"user":{"login":"dev"},"merge_commit_sha":"m1",
+          |"created_at":"2024-02-01T00:00:00Z"},
+          |{"number":102,"title":"t2","body":"Fixes #5","state":"closed",
+          |"user":{"login":"dev"},"merge_commit_sha":"m2",
+          |"created_at":"2024-03-01T00:00:00Z"}]"""
+          .stripMargin.replaceAll("\n", "")))
+    val t = new ScriptedGithub(fixture,
+      Map("src/a.js" -> blameBody("root1", "c1", 12, "2024-02-01T00:00:00Z")))
+    val out = LivePipeline.processRepoLive(spark, t,
+      GithubClient.Config(), "o/r", outDir, eps,
+      generatedAt = "2026-01-01T00:00:00Z",
+      limits = Pipeline.Limits(
+        maxPrsWithLinkedIssues = 1, maxPagesPrs = 1))
+    // page cap: the rel=next page was never fetched
+    assert(!t.gets.contains(page2), t.gets.filter(_.contains("pulls")))
+    // derive cap (W1): only the newest PR carries links
+    val links = out.prsWithLinkedIssues.collect()
+    assert(links.map(_.getAs[Long]("pr_number")).toSeq == Seq(102L))
+    // the raw pull_requests artifact itself stays uncapped
+    assert(out.pullRequests.count() == 2)
+  }
+
   test("multi-repo live run isolates per-repo failures") {
     // runner.py:88-92 — the first repo's transport explodes mid-fetch;
     // the second repo still produces all nine artifacts.
