@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.io.BulkSink
 
 /** Structured Streaming forms of the engine's incremental semantics
   * (SURVEY §2.10): the reference's watermark-refresh loop is exactly
@@ -60,6 +62,26 @@ object Streams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("_band0")
       .drop("_band0")
+
+  /** Stream → document store: every micro-batch flushes through the
+    * batch [[BulkSink]] (executor-side NDJSON batches, injectable
+    * transport — FileTransport replay or live `_bulk` HTTP). The
+    * deterministic per-doc ids make the at-least-once foreachBatch
+    * contract effectively-once at the store: a replayed batch
+    * re-indexes the same `_id`s as upserts instead of duplicating
+    * (the streaming twin of the K2 sink, same identity layer as the
+    * reference's idempotent re-index). */
+  def bulkSinkStream(docs: DataFrame, index: String, idExpr: Column,
+      transport: BulkSink.BulkTransport, checkpointDir: String,
+      batchSize: Int = 500): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        BulkSink.write(batch, index, idExpr, transport, batchSize)
+        ()
+      }
+      .start()
 
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: java.sql.Timestamp, value: Double)

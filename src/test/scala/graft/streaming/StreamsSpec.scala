@@ -136,4 +136,37 @@ class StreamsSpec extends SparkSpecBase {
       .map(_.value).toSeq
     assert(vals.nonEmpty && vals.forall(_ == 20.0))
   }
+
+  test("bulkSinkStream flushes micro-batches with deterministic ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft-stream-bulk").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val docs = src.toDF().toDF("doc_id", "text")
+    val q = Streams.bulkSinkStream(docs, "docs",
+      concat_ws("#", lit("doc"), col("doc_id")),
+      new graft.io.BulkSink.FileTransport(sink), ckpt)
+    try {
+      src.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      src.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lines = new java.io.File(sink, "docs").listFiles().toSeq
+      .flatMap { f =>
+        val s = scala.io.Source.fromFile(f, "UTF-8")
+        try s.getLines().toList finally s.close()
+      }
+    val ids = lines.grouped(2).map(_.head).toSeq
+    // one action/doc pair per record across the two micro-batches,
+    // each keyed by the deterministic id (replays would upsert, not
+    // duplicate, at the store)
+    assert(ids.length == 3)
+    for (i <- 1 to 3)
+      assert(ids.exists(_.contains(s""""_id":"doc#$i"""")), ids)
+    assert(lines.exists(_.contains(""""text":"c"""")))
+  }
 }
