@@ -17,6 +17,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The test tables are single small parquet files; the default
+      // 4 MB per-file open-cost floor caps e.g. the 10.8 MB lineitem
+      // at ~3 input splits, idling 29 of 32 cores through every scan
+      // stage. 512 KB lets the split math follow bytes-per-core. On a
+      // real warehouse (many ≥128 MB files) maxPartitionBytes
+      // dominates and this floor is irrelevant.
+      .config("spark.sql.files.openCostInBytes", 524288L)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup so one-time JVM/codegen/file-index costs aren't charged to
