@@ -227,6 +227,83 @@ class LiveIncrementalSpec extends SparkSpecBase {
     assert(files3(1).getAs[String]("root_commit_oid") == "root2")
   }
 
+  test("failed compare API falls back to refreshing every desired path") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-live-cmpfail").toString
+    // run 1: cold, one blamed file
+    val t1 = new ScriptedGithub(common ++ Map(
+      s"$base/issues?state=all&per_page=100" -> page(s"[$issue5v1]"),
+      s"$base/commits?per_page=100" -> page(s"[$c1]"),
+      s"$base/git/trees/trunk?recursive=1" -> page(
+        """{"tree":[{"path":"src/a.js","type":"blob"}]}""")),
+      Map("src/a.js" ->
+        blameBody("root1", "c1", 12, "2024-02-01T00:00:00Z")))
+    run(t1, outDir)
+
+    // run 2: head moved, compare 500s → planRefresh refreshes ALL
+    // desired paths (collectors.py:346-347), cached entries dropped
+    val commitsSince =
+      s"$base/commits?since=2024-01-31T23%3A55%3A00Z&per_page=100"
+    val issuesSince1 =
+      s"$base/issues?state=all&since=2024-01-01T00%3A00%3A00Z&per_page=100"
+    val t2 = new ScriptedGithub(common ++ Map(
+      issuesSince1 -> page("[]"),
+      commitsSince -> page(s"[$c2]"),
+      s"$base/git/trees/trunk?recursive=1" -> page(
+        """{"tree":[{"path":"src/a.js","type":"blob"},
+          |{"path":"src/b.js","type":"blob"}]}"""
+          .stripMargin.replaceAll("\n", "")),
+      s"$base/compare/c1...c2" -> GithubClient.Response(500)),
+      Map(
+        "src/a.js" -> blameBody("root1b", "c2", 11, "2024-03-01T00:00:00Z"),
+        "src/b.js" -> blameBody("root2", "c2", 5, "2024-03-01T00:00:00Z")))
+    val out2 = run(t2, outDir)
+    assert(t2.gets.contains(s"$base/compare/c1...c2"))
+    // BOTH paths re-blamed: the cached a.js summary was not trusted
+    assert(t2.posts.length == 2, t2.posts.map(_.take(80)).toString)
+    val files = out2.repoBlame.collect().head
+      .getAs[scala.collection.Seq[Row]]("files")
+    assert(files.map(_.getAs[String]("path"))
+      == Seq("src/a.js", "src/b.js"))
+    // a.js carries the FRESH blame (11 lines, new root), not the cache
+    assert(files(0).getAs[Long]("total_lines") == 11L)
+    assert(files(0).getAs[String]("root_commit_oid") == "root1b")
+  }
+
+  test("empty cached artifacts fall back to a full fetch") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-live-emptycache").toString
+    // run 1: repo with zero issues/commits — artifacts persist empty
+    val t1 = new ScriptedGithub(common ++ Map(
+      s"$base/issues?state=all&per_page=100" -> page("[]"),
+      s"$base/commits?per_page=100" -> page("[]"),
+      s"$base/git/trees/trunk?recursive=1" -> page(
+        """{"tree":[]}""")))
+    run(t1, outDir)
+    assert(new java.io.File(s"$outDir/o_r/issues").isDirectory)
+
+    // run 2: no watermark is derivable from an empty cache, so the
+    // FULL listing is fetched (collectors.py:583 `incremental = bool(
+    // cached_map and latest_ts)`), never a ?since= URL
+    val t2 = new ScriptedGithub(common ++ Map(
+      s"$base/issues?state=all&per_page=100" -> page(s"[$issue5v1]"),
+      s"$base/commits?per_page=100" -> page(s"[$c1]"),
+      s"$base/commits/c1" -> page(
+        """{"sha":"c1","files":[{"filename":"src/a.js"}],
+          |"stats":{"additions":1,"deletions":0,"total":1}}"""
+          .stripMargin.replaceAll("\n", "")),
+      s"$base/git/trees/trunk?recursive=1" -> page(
+        """{"tree":[{"path":"src/a.js","type":"blob"}]}""")),
+      Map("src/a.js" ->
+        blameBody("root1", "c1", 12, "2024-02-01T00:00:00Z")))
+    val out2 = run(t2, outDir)
+    assert(t2.gets.contains(s"$base/issues?state=all&per_page=100"))
+    assert(t2.gets.contains(s"$base/commits?per_page=100"))
+    assert(!t2.gets.exists(_.contains("since=")), t2.gets.toString)
+    assert(out2.issues.count() == 1)
+    assert(out2.commits.count() == 1)
+  }
+
   // ---- batching invariant (Task: one parse per detail class) ----
 
   private def fleetFixture(n: Int): Map[String, GithubClient.Response] = {
