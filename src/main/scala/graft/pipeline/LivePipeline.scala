@@ -475,7 +475,16 @@ object LivePipeline {
   /** Multi-repo live run with per-repo crash isolation
     * (runner.py:80-94 main): one repo's failure is recorded and the
     * loop continues — a bad repo never blocks the corpus. Results map
-    * each repo to its outputs or its failure. */
+    * each repo to its outputs or its failure.
+    *
+    * `parallelism` > 1 overlaps repos from a fixed driver thread pool
+    * — the corpus-scale lever the serial reference lacks: live
+    * fetching is HTTP-latency-bound, Spark job submission is
+    * thread-safe, and each repo writes its own directory, so N-way
+    * overlap divides corpus wall-clock by ~N until the API rate limit
+    * binds. Transports must be thread-safe under parallelism (the
+    * shipped HttpTransport is; per-run state like the detail memo is
+    * per-repo and unshared). Crash isolation is per repo either way. */
   def processReposLive(
       spark: SparkSession,
       transport: GithubClient.Transport,
@@ -485,12 +494,26 @@ object LivePipeline {
       endpoints: Endpoints = Endpoints(),
       generatedAt: String = "",
       blameFileLimit: Int = 25,
-      limits: Pipeline.Limits = Pipeline.Limits()): Map[String, scala.util.Try[Pipeline.RepoOutputs]] =
-    repoNames.map { r =>
+      limits: Pipeline.Limits = Pipeline.Limits(),
+      parallelism: Int = 1): Map[String, scala.util.Try[Pipeline.RepoOutputs]] = {
+    def one(r: String): (String, scala.util.Try[Pipeline.RepoOutputs]) = {
       val res = scala.util.Try(processRepoLive(spark, transport, cfg,
         r.trim, outDir, endpoints, generatedAt, blameFileLimit, limits))
       res.failed.foreach(e =>
         System.err.println(s"[error] $r: ${e.getMessage}"))
       r -> res
-    }.toMap
+    }
+    if (parallelism <= 1) repoNames.map(one).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = repoNames.map(r => scala.concurrent.Future(one(r)))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf).toMap
+      } finally pool.shutdown()
+    }
+  }
 }

@@ -412,6 +412,34 @@ class LiveIncrementalSpec extends SparkSpecBase {
     assert(out.pullRequests.count() == 2)
   }
 
+  test("parallel multi-repo run overlaps repos and matches serial results") {
+    // HTTP-latency-bound fetches: a transport that sleeps per GET and
+    // counts in-flight requests proves two repos actually overlap.
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t = new GithubClient.Transport {
+      def get(url: String,
+          headers: Map[String, String]): GithubClient.Response = {
+        val n = inFlight.incrementAndGet()
+        maxInFlight.updateAndGet(m => math.max(m, n))
+        try { Thread.sleep(30); GithubClient.Response(404) }
+        finally inFlight.decrementAndGet()
+      }
+    }
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-live-par").toString
+    val res = LivePipeline.processReposLive(spark, t,
+      GithubClient.Config(maxRetries = 0), Seq("p/one", "p/two"), outDir,
+      eps, generatedAt = "2026-01-01T00:00:00Z", parallelism = 2)
+    // all-404 fetches still derive (empty) artifacts per repo
+    assert(res.values.forall(_.isSuccess))
+    assert(res.keySet == Set("p/one", "p/two"))
+    assert(maxInFlight.get() >= 2,
+      s"repos never overlapped (max in-flight ${maxInFlight.get()})")
+    for (r <- Seq("p_one", "p_two"))
+      assert(new java.io.File(s"$outDir/$r/issues").isDirectory, r)
+  }
+
   test("multi-repo live run isolates per-repo failures") {
     // runner.py:88-92 — the first repo's transport explodes mid-fetch;
     // the second repo still produces all nine artifacts.
