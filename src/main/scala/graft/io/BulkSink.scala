@@ -24,7 +24,14 @@ object BulkSink {
     def flush(index: String, ndjsonLines: Seq[String]): Int
   }
 
-  /** Result accumulators: visible on the driver after the job. */
+  /** Result accumulators: visible on the driver after the job.
+    * Accumulator semantics are at-least-once under task retries — a
+    * re-run partition re-flushes (the deterministic `_id`s make that
+    * an upsert at the store, not duplication) and re-counts, so after
+    * retries the counts can exceed the distinct-doc total. Exact
+    * accounting at scale comes from the store's own response stats;
+    * these counters are the reference's ok/fail progress numbers
+    * (indexer.py:165-177), not a ledger. */
   final case class BulkResult(ok: Long, failed: Long)
 
   /** Write df to `index`: each row becomes an action line carrying the
