@@ -69,4 +69,47 @@ object IncrementalMerge {
       .drop("_rn")
       .withColumnRenamed("_src", "from_fetched")
   }
+
+  /** Corpus-scale MERGE INTO over a partitioned parquet cache: only
+    * the partitions the delta touches are read, merged, and
+    * rewritten — a refresh touching 0.1% of a 100 TB table pays
+    * 0.1%, while `mergeLatest` alone would shuffle the whole cache
+    * through the window every refresh.
+    *
+    *  1. the touched partition values come off the (small) delta;
+    *  2. the cache read filters to them — partition pruning keeps
+    *     every untouched partition's files unread;
+    *  3. fetched-wins merge (`mergeLatest`) runs on that slice;
+    *  4. dynamic partition overwrite commits ONLY the touched
+    *     partitions; untouched partition directories are not
+    *     rewritten.
+    *
+    * The merged slice is materialized (localCheckpoint) before the
+    * write because the write target IS the read source — the blocks
+    * are freed once the commit lands. Storage cost is the touched
+    * slice, not the corpus.
+    *
+    * @param partitionCol the cache's physical partition column (e.g.
+    *   repo_name); delta rows must carry it.
+    * @return touched partition count */
+  def mergeLatestPartitioned(cacheDir: String, delta: DataFrame,
+      keys: Seq[String], partitionCol: String): Int = {
+    val spark = delta.sparkSession
+    val touched = delta.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    if (touched.isEmpty) return 0
+    val cached = spark.read.parquet(cacheDir)
+      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    val merged = mergeLatest(cached, delta, keys)
+      .drop("from_fetched")
+      .localCheckpoint()
+    try {
+      merged.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(cacheDir)
+    } finally Checkpoints.unpersist(merged)
+    touched.length
+  }
 }

@@ -60,4 +60,45 @@ class IncrementalMergeSpec extends SparkSpecBase {
     assert(wm.get.toInstant.toString == "2020-01-01T23:55:10Z")
     assert(IncrementalMerge.watermark(df(), Seq("updated_at")).isEmpty)
   }
+
+  test("partitioned merge rewrites ONLY the touched partitions") {
+    import spark.implicits._
+    val cacheDir = java.nio.file.Files
+      .createTempDirectory("graft-merge-part").toString
+    Seq(
+      ("r1", 1L, "a-v1"), ("r1", 2L, "b-v1"),
+      ("r2", 1L, "c-v1"),
+      ("r3", 1L, "d-v1"))
+      .toDF("repo_name", "number", "title")
+      .write.mode("overwrite").partitionBy("repo_name").parquet(cacheDir)
+
+    def partFiles(p: String): Map[String, Long] = {
+      val d = new java.io.File(s"$cacheDir/repo_name=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val r1Before = partFiles("r1")
+    val r3Before = partFiles("r3")
+
+    // delta: updates r2's key 1, adds r2 key 2 — r1/r3 untouched
+    val delta = Seq(("r2", 1L, "c-v2"), ("r2", 2L, "e-v1"))
+      .toDF("repo_name", "number", "title")
+    val touched = IncrementalMerge.mergeLatestPartitioned(
+      cacheDir, delta, Seq("repo_name", "number"), "repo_name")
+    assert(touched == 1)
+
+    // untouched partitions: identical files, not rewritten
+    assert(partFiles("r1") == r1Before)
+    assert(partFiles("r3") == r3Before)
+
+    // merged content: fetched wins, residue survives, corpus intact
+    val after = spark.read.parquet(cacheDir)
+      .collect().map(r => (r.getAs[String]("repo_name"),
+        r.getAs[Long]("number")) -> r.getAs[String]("title")).toMap
+    assert(after == Map(
+      ("r1", 1L) -> "a-v1", ("r1", 2L) -> "b-v1",
+      ("r2", 1L) -> "c-v2", ("r2", 2L) -> "e-v1",
+      ("r3", 1L) -> "d-v1"))
+
+  }
 }
