@@ -48,11 +48,12 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
-          df.write.format("noop").mode("overwrite").save()
           // Iterative queries (q35/q39) return a checkpointed result
-          // frame; it is fully consumed now, so release its blocks —
-          // the next query must start from clean executor storage.
-          graft.ops.Checkpoints.unpersist(df)
+          // frame; release its blocks once consumed — even when the
+          // write THROWS, or the orphaned blocks would skew every
+          // later query (the bench-hygiene invariant).
+          try df.write.format("noop").mode("overwrite").save()
+          finally graft.ops.Checkpoints.unpersist(df)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }

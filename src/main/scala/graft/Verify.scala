@@ -18,10 +18,11 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        // Release checkpointed result frames (q35/q39) once dumped so
-        // later queries run against clean executor storage.
-        graft.ops.Checkpoints.unpersist(df)
+        // Release checkpointed result frames (q35/q39) once dumped —
+        // also on a failed write — so later queries run against clean
+        // executor storage.
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally graft.ops.Checkpoints.unpersist(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -183,19 +183,29 @@ object GithubClient {
     paginate(transport, cfg,
       s"$apiBase/repos/$repoName/issues/$issueNumber/comments", repoName)
 
+  /** Paginated-scan result: `complete` is false when the scan ended
+    * on a terminal HTTP error instead of the last page — the records
+    * are the pages fetched before the failure (the reference's
+    * warn-and-break partial result, http_client.py:395-401), but the
+    * caller can tell the difference. */
+  final case class PageResult(records: Seq[String], complete: Boolean)
+
   /** S1 — paginated scan: follow rel="next" links, normalize per_page,
     * stamp repo_name on every record, honor maxPages. Returns the
-    * record strings (feed to spark.read.json). */
-  def paginate(transport: Transport, cfg: Config, startUrl: String,
-      repoName: String): Seq[String] = {
+    * record strings (feed to spark.read.json) plus the completeness
+    * flag. */
+  def paginateChecked(transport: Transport, cfg: Config, startUrl: String,
+      repoName: String): PageResult = {
     val out = Seq.newBuilder[String]
     var url: Option[String] = Some(normalizeUrl(startUrl, cfg.perPage))
     var pages = 0
+    var complete = true
     while (url.isDefined && (cfg.maxPages <= 0 || pages < cfg.maxPages)) {
       val resp = getWithRetry(transport, cfg, url.get)
-      if (resp.status < 200 || resp.status >= 300)
+      if (resp.status < 200 || resp.status >= 300) {
+        complete = false
         url = None // stop on terminal error; caller sees partial data
-      else {
+      } else {
         splitTopLevel(resp.body).foreach(r =>
           out += stampRepoName(r, repoName))
         pages += 1
@@ -203,6 +213,13 @@ object GithubClient {
           .map(normalizeUrl(_, cfg.perPage))
       }
     }
-    out.result()
+    PageResult(out.result(), complete)
   }
+
+  /** `paginateChecked` without the completeness flag — for callers
+    * where partial data is acceptable (the reference's behavior for
+    * every full fetch). */
+  def paginate(transport: Transport, cfg: Config, startUrl: String,
+      repoName: String): Seq[String] =
+    paginateChecked(transport, cfg, startUrl, repoName).records
 }

@@ -43,17 +43,21 @@ object BulkSink {
     val okAcc: LongAccumulator = spark.sparkContext.longAccumulator(s"$index-ok")
     val failAcc: LongAccumulator = spark.sparkContext.longAccumulator(s"$index-fail")
 
+    // The action line is built with to_json, not string interpolation:
+    // ids derive from arbitrary record fields (logins, repo names) and
+    // a quote/backslash/control char in one would otherwise emit
+    // invalid NDJSON and fail the whole batch at a real store.
     val payload = df.select(
-      idExpr.cast("string").as("_id"),
+      to_json(struct(struct(
+        lit(index).as("_index"),
+        idExpr.cast("string").as("_id")).as("index"))).as("_action"),
       to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("_doc"))
 
     payload.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.grouped(batchSize).foreach { batch =>
           val lines = batch.flatMap { r =>
-            val id = r.getString(0)
-            val doc = r.getString(1)
-            Seq(s"""{"index":{"_index":"$index","_id":"$id"}}""", doc)
+            Seq(r.getString(0), r.getString(1))
           }
           val failed = transport.flush(index, lines)
           okAcc.add(batch.size - failed)

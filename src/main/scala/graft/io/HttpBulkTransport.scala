@@ -97,16 +97,23 @@ final class HttpBulkTransport(
     auth.foreach(a => headBuilder.header("Authorization", a))
     val head = client.send(headBuilder.build(),
       HttpResponse.BodyHandlers.discarding())
-    if (head.statusCode() == 404) {
-      val body = mappingJson.getOrElse(
-        """{"settings":{"number_of_shards":1,"number_of_replicas":0},""" +
-          """"mappings":{"dynamic":true}}""")
-      val resp = client.send(
-        request("PUT", s"$base/$index", body, "application/json"),
-        HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() >= 300)
+    head.statusCode() match {
+      case 404 =>
+        val body = mappingJson.getOrElse(
+          """{"settings":{"number_of_shards":1,"number_of_replicas":0},""" +
+            """"mappings":{"dynamic":true}}""")
+        val resp = client.send(
+          request("PUT", s"$base/$index", body, "application/json"),
+          HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() >= 300)
+          throw new RuntimeException(
+            s"Failed to create index '$index': ${resp.statusCode()} ${resp.body()}")
+      case ok if ok >= 200 && ok < 300 => () // exists
+      case other =>
+        // 401/403/503 is NOT "exists": silently skipping creation would
+        // send the whole distributed write at a missing index
         throw new RuntimeException(
-          s"Failed to create index '$index': ${resp.statusCode()} ${resp.body()}")
+          s"HEAD '$index' returned $other; cannot determine existence")
     }
   }
 }

@@ -96,7 +96,8 @@ object Indexer {
       blameBatchSize: Int = 50,
       ensureIndex: String => Unit = _ => (),
       dryRun: Boolean = false): Map[String, BulkSink.BulkResult] = {
-    entityFiles.foreach(e => ensureIndex(s"$indexPrefix$e"))
+    // dry run means NO store mutations — including index creation
+    if (!dryRun) entityFiles.foreach(e => ensureIndex(s"$indexPrefix$e"))
     entityFiles.flatMap { entity =>
       readEntityLake(spark, dataDir, entity).map { df =>
         val docs =

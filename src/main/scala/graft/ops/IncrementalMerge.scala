@@ -98,8 +98,18 @@ object IncrementalMerge {
     val touched = delta.select(col(partitionCol)).distinct()
       .collect().map(_.get(0))
     if (touched.isEmpty) return 0
-    val cached = spark.read.parquet(cacheDir)
-      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    // null partition values (parquet's default partition — degraded
+    // records can legally carry a null key) need an explicit isNull
+    // arm: isin(null) evaluates to null/false, which would EXCLUDE
+    // the cached null-partition rows from the merge while dynamic
+    // overwrite still rewrites that partition — silently deleting them.
+    val (nullTouched, valTouched) = touched.partition(_ == null)
+    val inVals =
+      if (valTouched.nonEmpty) col(partitionCol).isin(valTouched.toIndexedSeq: _*)
+      else lit(false)
+    val touchedCond =
+      if (nullTouched.nonEmpty) inVals || col(partitionCol).isNull else inVals
+    val cached = spark.read.parquet(cacheDir).filter(touchedCond)
     val merged = mergeLatest(cached, delta, keys)
       .drop("from_fetched")
       .localCheckpoint()

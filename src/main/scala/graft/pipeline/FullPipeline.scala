@@ -32,9 +32,11 @@ object FullPipeline {
       blameFileLimit: Int = 25,
       batchSize: Int = 1000,
       ensureIndex: String => Unit = _ => (),
-      limits: Pipeline.Limits = Pipeline.Limits()): Result = {
+      limits: Pipeline.Limits = Pipeline.Limits(),
+      parallelism: Int = 1): Result = {
     val fetched = LivePipeline.processReposLive(spark, transport, cfg,
-      repoNames, outDir, endpoints, generatedAt, blameFileLimit, limits)
+      repoNames, outDir, endpoints, generatedAt, blameFileLimit, limits,
+      parallelism)
     val indexed = Indexer.scanAndIndex(spark, outDir, bulkTransport,
       indexPrefix, batchSize, ensureIndex = ensureIndex)
     Result(fetched, indexed)

@@ -146,9 +146,20 @@ object LivePipeline {
       case Some(wm) => s"$base/issues?state=all&since=${sinceParam(wm)}"
       case None => s"$base/issues?state=all"
     }
+    val issuesFetch = GithubClient.paginateChecked(transport, cfg,
+      issuesUrl, repoName)
     val fetchedIssues = Pipeline.filterRealIssues(readEntity(spark,
-      paginate(transport, cfg, issuesUrl, repoName), Entities.issue))
+      issuesFetch.records, Entities.issue))
+    // A PARTIAL delta must not merge: its newest page would advance
+    // the next run's watermark past the lost pages forever. Keeping
+    // the cache untouched means the next run retries the same window.
+    // (Full fetches keep the reference's partial-data behavior,
+    // http_client.py:395-401 — the next run recovers them anyway.)
     val issues = issuesWm match {
+      case Some(_) if !issuesFetch.complete =>
+        System.err.println(s"[warn] partial issues delta for $repoName " +
+          "discarded; keeping cached snapshot")
+        cachedIssues.get
       case Some(_) => IncrementalMerge
         .mergeLatest(cachedIssues.get, fetchedIssues, Seq("number"))
         .drop("from_fetched")
@@ -167,10 +178,19 @@ object LivePipeline {
       case Some(wm) => s"$base/commits?since=${sinceParam(wm)}"
       case None => s"$base/commits"
     }
-    val fetchedCommits = readEntity(spark,
-      paginate(transport, capped(limits.maxPagesCommits), commitsUrl,
-        repoName), Entities.commit)
+    val commitsFetch = GithubClient.paginateChecked(transport,
+      capped(limits.maxPagesCommits), commitsUrl, repoName)
+    val fetchedCommits = readEntity(spark, commitsFetch.records,
+      Entities.commit)
+    // same partial-delta rule as issues: an incomplete ?since= fetch
+    // is discarded rather than merged, so the watermark cannot skip
+    // the lost pages
+    val commitsDeltaOk = commitsFetch.complete
     val mergedCommits = commitsWm match {
+      case Some(_) if !commitsDeltaOk =>
+        System.err.println(s"[warn] partial commits delta for $repoName " +
+          "discarded; keeping cached snapshot")
+        cachedCommits.get
       case Some(_) => IncrementalMerge
         .mergeLatest(cachedCommits.get, fetchedCommits, Seq("sha"))
         .drop("from_fetched")
@@ -192,6 +212,9 @@ object LivePipeline {
     // carry, and a re-fetched row (inside the lookback window) is
     // re-enriched because the merge replaced its cached copy.
     val alreadyEnriched = commitsWm match {
+      case Some(_) if !commitsDeltaOk =>
+        // discarded delta ⇒ the cache is the output; nothing new to enrich
+        mergedCommits.select(col("sha"))
       case Some(_) => cachedCommits.get.select(col("sha"))
         .join(fetchedCommits.select(col("sha")), Seq("sha"), "left_anti")
       case None => mergedCommits.select(col("sha")).limit(0)
@@ -287,6 +310,15 @@ object LivePipeline {
       StructField("number", LongType),
       StructField("rec", Entities.issue)))
 
+    // ISSUE_CACHE twin: external-ref and cross-link-target lookups
+    // hit the same /repos/{r}/issues/{n} endpoint and typically
+    // overlap — one fetch per (repo, number) for both loops.
+    val issueMemo =
+      scala.collection.mutable.Map.empty[(String, Long), GithubClient.Response]
+    def issueDetailResp(r: String, n: Long): GithubClient.Response =
+      issueMemo.getOrElseUpdate((r, n), getWithRetry(transport, cfg,
+        s"${endpoints.apiBase}/repos/$r/issues/$n"))
+
     val externalRefs = probe.prsWithLinkedIssues
       .select(explode(col("links")).as("l"))
       .filter(col("l.issue_author").isNull) // cache miss after local seed
@@ -295,8 +327,7 @@ object LivePipeline {
       .distinct().collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val extResponses = externalRefs.toIndexedSeq.map { case (r, n) =>
-      (r, n, getWithRetry(transport, cfg,
-        s"${endpoints.apiBase}/repos/$r/issues/$n"))
+      (r, n, issueDetailResp(r, n))
     }
     val extDetails = readEntity(spark, extResponses.collect {
       case (r, n, resp) if resp.status >= 200 && resp.status < 300 =>
@@ -331,8 +362,7 @@ object LivePipeline {
     // kept downstream (docs/project_analytics.md:18).
     val targetDetails = readEntity(spark, targetRefs.toIndexedSeq.flatMap {
       case (r, n) =>
-        val resp = getWithRetry(transport, cfg,
-          s"${endpoints.apiBase}/repos/$r/issues/$n")
+        val resp = issueDetailResp(r, n)
         if (resp.status >= 200 && resp.status < 300)
           Some(s"""{"repo_name":${jsonString(r)},"number":$n,"rec":${resp.body}}""")
         else None
@@ -357,11 +387,16 @@ object LivePipeline {
         .collect().headOption.flatMap(r => Option(r.getString(0)))
     }
     // Current head = newest commit: first fetched SHA (GitHub returns
-    // newest-first; the reference's merge puts fetched first), falling
-    // back to the cached history when the delta fetch was empty.
+    // newest-first; the reference's merge puts fetched first). When
+    // the delta was empty or discarded, the head comes from the
+    // CACHED artifact — which persist() sorted by sha, so input-order
+    // selection would return the lexicographically smallest sha and
+    // defeat the short-circuit; the date-based form recovers the
+    // true head of the order-lost frame.
     val currentHead: Option[String] = commitsWm match {
-      case Some(_) => Pipeline.headCommitSha(fetchedCommits)
-        .orElse(Pipeline.headCommitSha(cachedCommits.get))
+      case Some(_) if commitsDeltaOk => Pipeline.headCommitSha(fetchedCommits)
+        .orElse(Pipeline.headCommitShaByDate(cachedCommits.get))
+      case Some(_) => Pipeline.headCommitShaByDate(cachedCommits.get)
       case None => Pipeline.headCommitSha(fetchedCommits)
     }
     val headsEqual = cachedBlame.isDefined && cachedHead.isDefined &&
@@ -438,24 +473,27 @@ object LivePipeline {
       generatedAt, limits)
 
     // Assemble the final repo_blame doc: short-circuit re-stamps the
-    // cached doc (collectors.py:314-317); partial refresh merges the
-    // reusable cached per-file entries with the freshly summarized
-    // ones, ordered by path (collectors.py:375-381,405-419).
+    // cached doc (collectors.py:314-317); otherwise the doc rebuilds
+    // from the freshly summarized files plus any reusable cached
+    // entries, ordered by path (collectors.py:375-381,405-419). The
+    // rebuild ALWAYS stamps `currentHead` — deriveAll's own head came
+    // from input order, which the merge window no longer guarantees.
     val repoBlame =
       if (headsEqual)
         cachedBlame.get.select(col("repo_name"), col("ref"), col("files"),
           lit(generatedAt).as("generated_at"),
           lit(currentHead.orNull).cast(StringType).as("head_commit_sha"))
-      else if (reusablePaths.isEmpty) out.repoBlame
       else {
-        val keepCached = cachedBlame.get
-          .select(explode(col("files")).as("f"))
-          .filter(col("f.path").isin(reusablePaths: _*))
-          .select(col("f").cast(blameFileType).as("f"))
         val freshFiles = out.repoBlame
           .select(explode(col("files")).as("f"))
           .select(col("f").cast(blameFileType).as("f"))
-        freshFiles.unionByName(keepCached)
+        val allFiles =
+          if (reusablePaths.isEmpty) freshFiles
+          else freshFiles.unionByName(cachedBlame.get
+            .select(explode(col("files")).as("f"))
+            .filter(col("f.path").isin(reusablePaths: _*))
+            .select(col("f").cast(blameFileType).as("f")))
+        allFiles
           .agg(transform(
             array_sort(collect_list(struct(col("f.path").as("p"), col("f")))),
             x => x.getField("f")).as("files"))

@@ -105,12 +105,28 @@ object Pipeline {
     else issues
 
   /** A6 — head commit selection: first commit with a SHA in input
-    * order (GitHub returns newest-first; collectors.py:312). */
+    * order (GitHub returns newest-first; collectors.py:312). ONLY
+    * valid on frames that preserve API order — a persisted commits
+    * artifact is sorted by sha and must use
+    * [[headCommitShaByDate]] instead. */
   def headCommitSha(commits: DataFrame): Option[String] = {
     val withSeq = commits
       .withColumn("_seq", monotonically_increasing_id())
       .filter(col("sha").isNotNull)
     withSeq.orderBy(col("_seq")).select(col("sha")).limit(1)
+      .collect().headOption.map(_.getString(0))
+  }
+
+  /** Head of an order-lost commits frame (the persisted artifact is
+    * sorted by sha, so "first row" is the lexicographically smallest
+    * sha, not the branch head): newest git date wins, sha-desc
+    * tiebreak for determinism. */
+  def headCommitShaByDate(commits: DataFrame): Option[String] = {
+    val ts = greatest(col("commit.author.date").cast("timestamp"),
+      col("commit.committer.date").cast("timestamp"))
+    commits.filter(col("sha").isNotNull)
+      .orderBy(ts.desc_nulls_last, col("sha").desc)
+      .select(col("sha")).limit(1)
       .collect().headOption.map(_.getString(0))
   }
 

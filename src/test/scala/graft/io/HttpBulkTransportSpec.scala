@@ -86,6 +86,28 @@ class HttpBulkTransportSpec extends SparkSpecBase {
     } finally store.stop()
   }
 
+  test("ids with JSON-special characters stay valid NDJSON") {
+    val store = new ScriptedStore
+    try {
+      import spark.implicits._
+      // quotes/backslashes/newlines in a key field — ingested data can
+      // legally contain them (login, repo_name)
+      val df = Seq("""a"b""", """c\d""", "e\nf").toDF("k").coalesce(1)
+      val res = BulkSink.write(df, "docs", col("k"),
+        new HttpBulkTransport(store.url), batchSize = 10)
+      assert(res == BulkSink.BulkResult(3, 0))
+      // every line of the received batch parses as standalone JSON
+      val lines = store.bulkBatches.flatten
+      assert(lines.size == 6)
+      val parsed = spark.read.json(lines.toDS())
+      assert(!parsed.columns.contains("_corrupt_record"), lines)
+      // round-trip: the escaped id decodes back to the raw key
+      val ids = spark.read.json(lines.filter(_.contains("_id")).toDS())
+        .select(col("index._id")).collect().map(_.getString(0)).toSet
+      assert(ids == Set("""a"b""", """c\d""", "e\nf"))
+    } finally store.stop()
+  }
+
   test("whole batch counts failed on transport-level failure") {
     // No server listening on this port: I/O failure → every doc in
     // the batch failed, nothing thrown on the executor.

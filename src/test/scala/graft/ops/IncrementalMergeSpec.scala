@@ -101,4 +101,31 @@ class IncrementalMergeSpec extends SparkSpecBase {
       ("r3", 1L) -> "d-v1"))
 
   }
+
+  test("partitioned merge keeps cached rows in a null-valued partition") {
+    import spark.implicits._
+    val cacheDir = java.nio.file.Files
+      .createTempDirectory("graft-merge-nullpart").toString
+    // degraded records with a null partition key land in parquet's
+    // default partition; a delta touching it must MERGE, not replace
+    Seq((null.asInstanceOf[String], 1L, "n1-v1"),
+      (null.asInstanceOf[String], 2L, "n2-v1"),
+      ("r1", 1L, "a-v1"))
+      .toDF("repo_name", "number", "title")
+      .write.mode("overwrite").partitionBy("repo_name").parquet(cacheDir)
+
+    val delta = Seq((null.asInstanceOf[String], 1L, "n1-v2"))
+      .toDF("repo_name", "number", "title")
+    val touched = IncrementalMerge.mergeLatestPartitioned(
+      cacheDir, delta, Seq("repo_name", "number"), "repo_name")
+    assert(touched == 1)
+
+    val after = spark.read.parquet(cacheDir)
+      .collect().map(r => (Option(r.getAs[String]("repo_name")),
+        r.getAs[Long]("number")) -> r.getAs[String]("title")).toMap
+    // n2-v1 survived the rewrite of the null partition; n1 updated
+    assert(after == Map(
+      (None, 1L) -> "n1-v2", (None, 2L) -> "n2-v1",
+      (Some("r1"), 1L) -> "a-v1"), after)
+  }
 }

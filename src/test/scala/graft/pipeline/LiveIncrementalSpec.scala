@@ -225,6 +225,25 @@ class LiveIncrementalSpec extends SparkSpecBase {
     assert(files3(0).getAs[String]("root_commit_oid") == "root1")
     assert(files3(1).getAs[Long]("total_lines") == 5L)
     assert(files3(1).getAs[String]("root_commit_oid") == "root2")
+
+    // ---- run 4: TWO cached commits {c1, c2}, empty delta ----
+    // The persisted commits artifact is sorted by sha, so the head
+    // fallback must pick by git DATE (c2), not by row order (c1) —
+    // the short-circuit depends on it.
+    val issuesSince4 =
+      s"$base/issues?state=all&since=2024-03-05T00%3A05%3A00Z&per_page=100"
+    val commitsSince4 = // 2024 is a leap year: 03-01 − 300 s = 02-29
+      s"$base/commits?since=2024-02-29T23%3A55%3A00Z&per_page=100"
+    val t4 = new ScriptedGithub(common ++ Map(
+      issuesSince4 -> page("[]"),
+      commitsSince4 -> page("[]")))
+    val out4 = run(t4, outDir)
+    assert(t4.gets.contains(commitsSince4), t4.gets.toString)
+    assert(!t4.gets.exists(_.contains("/git/trees/")),
+      "head-SHA short-circuit must fire with a multi-commit cache")
+    assert(t4.posts.isEmpty)
+    assert(out4.repoBlame.collect().head
+      .getAs[String]("head_commit_sha") == "c2")
   }
 
   test("failed compare API falls back to refreshing every desired path") {
@@ -244,8 +263,10 @@ class LiveIncrementalSpec extends SparkSpecBase {
     // desired paths (collectors.py:346-347), cached entries dropped
     val commitsSince =
       s"$base/commits?since=2024-01-31T23%3A55%3A00Z&per_page=100"
+    // issue 5 created 2024-01-01 is the only timestamp → watermark
+    // minus the 300 s lookback
     val issuesSince1 =
-      s"$base/issues?state=all&since=2024-01-01T00%3A00%3A00Z&per_page=100"
+      s"$base/issues?state=all&since=2023-12-31T23%3A55%3A00Z&per_page=100"
     val t2 = new ScriptedGithub(common ++ Map(
       issuesSince1 -> page("[]"),
       commitsSince -> page(s"[$c2]"),
@@ -258,6 +279,7 @@ class LiveIncrementalSpec extends SparkSpecBase {
         "src/a.js" -> blameBody("root1b", "c2", 11, "2024-03-01T00:00:00Z"),
         "src/b.js" -> blameBody("root2", "c2", 5, "2024-03-01T00:00:00Z")))
     val out2 = run(t2, outDir)
+    assert(t2.gets.contains(issuesSince1), t2.gets.filter(_.contains("issues")))
     assert(t2.gets.contains(s"$base/compare/c1...c2"))
     // BOTH paths re-blamed: the cached a.js summary was not trusted
     assert(t2.posts.length == 2, t2.posts.map(_.take(80)).toString)
@@ -302,6 +324,57 @@ class LiveIncrementalSpec extends SparkSpecBase {
     assert(!t2.gets.exists(_.contains("since=")), t2.gets.toString)
     assert(out2.issues.count() == 1)
     assert(out2.commits.count() == 1)
+  }
+
+  test("partial ?since= delta is discarded, not merged") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-live-partial").toString
+    val t1 = new ScriptedGithub(common ++ Map(
+      s"$base/issues?state=all&per_page=100" -> page(s"[$issue5v1,$issue9]"),
+      s"$base/commits?per_page=100" -> page(s"[$c1]"),
+      s"$base/git/trees/trunk?recursive=1" -> page(
+        """{"tree":[{"path":"src/a.js","type":"blob"}]}""")),
+      Map("src/a.js" ->
+        blameBody("root1", "c1", 12, "2024-02-01T00:00:00Z")))
+    run(t1, outDir)
+
+    // run 2: the issues delta's page 1 succeeds but its rel=next page
+    // terminally 500s — merging the partial page would advance the
+    // next watermark past the lost updates forever, so the cache must
+    // be kept as-is.
+    val issuesSince =
+      s"$base/issues?state=all&since=2024-01-02T23%3A55%3A00Z&per_page=100"
+    val commitsSince =
+      s"$base/commits?since=2024-01-31T23%3A55%3A00Z&per_page=100"
+    val t2 = new ScriptedGithub(common ++ Map(
+      issuesSince -> GithubClient.Response(200,
+        Map("Link" -> s"""<$base/issues?state=all&page=2>; rel="next""""),
+        s"[$issue5v2]"),
+      s"$base/issues?state=all&page=2&per_page=100" ->
+        GithubClient.Response(500),
+      commitsSince -> page("[]")))
+    val out2 = LivePipeline.processRepoLive(spark, t2,
+      GithubClient.Config(maxRetries = 0), "o/r", outDir, eps,
+      generatedAt = "2026-01-01T00:00:00Z")
+    val issues2 = out2.issues.collect()
+      .map(r => r.getAs[Long]("number") -> r.getAs[String]("title")).toMap
+    // the v2 update from the partial page was NOT applied
+    assert(issues2 == Map(5L -> "crash", 9L -> "dep"), issues2)
+  }
+
+  test("overlapping external-ref and target lookups fetch once (memo)") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-live-memo").toString
+    val t = new ScriptedGithub(fleetFixture(2),
+      Map("src/a.js" -> blameBody("root1", "c1", 12, "2024-02-01T00:00:00Z")))
+    run(t, outDir)
+    // each PR body "Fixes ext/libN#1" creates BOTH an external linked
+    // issue and a cross-repo-link target for the same (repo, number)
+    for (i <- 1 to 2) {
+      val url = s"$api/repos/ext/lib$i/issues/1"
+      assert(t.gets.count(_ == url) == 1,
+        s"$url fetched ${t.gets.count(_ == url)} times")
+    }
   }
 
   // ---- batching invariant (Task: one parse per detail class) ----
