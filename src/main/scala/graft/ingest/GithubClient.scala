@@ -187,8 +187,12 @@ object GithubClient {
     * on a terminal HTTP error instead of the last page — the records
     * are the pages fetched before the failure (the reference's
     * warn-and-break partial result, http_client.py:395-401), but the
-    * caller can tell the difference. */
-  final case class PageResult(records: Seq[String], complete: Boolean)
+    * caller can tell the difference. `truncated` marks a scan cut off
+    * by the caller's own maxPages cap with more pages available — a
+    * DELIBERATE bound (the reference's MAX_PAGES_* semantics), kept
+    * distinct from failure. */
+  final case class PageResult(records: Seq[String], complete: Boolean,
+      truncated: Boolean = false)
 
   /** S1 — paginated scan: follow rel="next" links, normalize per_page,
     * stamp repo_name on every record, honor maxPages. Returns the
@@ -213,7 +217,7 @@ object GithubClient {
           .map(normalizeUrl(_, cfg.perPage))
       }
     }
-    PageResult(out.result(), complete)
+    PageResult(out.result(), complete, truncated = url.isDefined)
   }
 
   /** `paginateChecked` without the completeness flag — for callers

@@ -47,10 +47,15 @@ object BulkSink {
     // ids derive from arbitrary record fields (logins, repo names) and
     // a quote/backslash/control char in one would otherwise emit
     // invalid NDJSON and fail the whole batch at a real store.
+    // null ids render as the literal "null" id rather than vanishing:
+    // to_json drops null fields, and an action line without _id makes
+    // the store auto-generate one — re-indexing would then duplicate
+    // instead of upsert.
     val payload = df.select(
       to_json(struct(struct(
         lit(index).as("_index"),
-        idExpr.cast("string").as("_id")).as("index"))).as("_action"),
+        coalesce(idExpr.cast("string"), lit("null")).as("_id"))
+        .as("index"))).as("_action"),
       to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("_doc"))
 
     payload.foreachPartition {

@@ -184,7 +184,13 @@ object LivePipeline {
       Entities.commit)
     // same partial-delta rule as issues: an incomplete ?since= fetch
     // is discarded rather than merged, so the watermark cannot skip
-    // the lost pages
+    // the lost pages. A delta cut off by the caller's OWN page cap is
+    // different: the cap is the reference's deliberate history bound
+    // (MAX_PAGES_COMMITS), so it merges like the reference — but the
+    // skipped-window hazard is the user's choice, so say so.
+    if (commitsFetch.truncated && commitsWm.isDefined)
+      System.err.println(s"[warn] commits delta for $repoName hit the " +
+        "page cap; commits beyond it stay unfetched until a full run")
     val commitsDeltaOk = commitsFetch.complete
     val mergedCommits = commitsWm match {
       case Some(_) if !commitsDeltaOk =>
@@ -199,11 +205,20 @@ object LivePipeline {
 
     // COMMIT_CACHE (collectors.py:678-697): one memoized detail fetch
     // per SHA, shared by file-metadata enrichment and the merge-SHA
-    // linker lookups below.
+    // linker lookups below. Only DEFINITIVE outcomes memoize (2xx,
+    // 404, 422) — a transient failure (rate-limit, 5xx) must not be
+    // replayed on a later pass that could succeed with a fresh
+    // retry/rotation cycle.
+    def definitive(r: GithubClient.Response): Boolean =
+      (r.status >= 200 && r.status < 300) ||
+        r.status == 404 || r.status == 422
     val detailMemo = scala.collection.mutable.Map.empty[String, GithubClient.Response]
     def commitDetailResp(sha: String): GithubClient.Response =
-      detailMemo.getOrElseUpdate(sha,
-        getWithRetry(transport, cfg, s"$base/commits/$sha"))
+      detailMemo.get(sha).getOrElse {
+        val r = getWithRetry(transport, cfg, s"$base/commits/$sha")
+        if (definitive(r)) detailMemo(sha) = r
+        r
+      }
 
     // _ensure_commit_file_metadata (collectors.py:505-518): attach
     // files_changed/stats from the per-SHA detail endpoint. Full fetch
@@ -312,12 +327,17 @@ object LivePipeline {
 
     // ISSUE_CACHE twin: external-ref and cross-link-target lookups
     // hit the same /repos/{r}/issues/{n} endpoint and typically
-    // overlap — one fetch per (repo, number) for both loops.
+    // overlap — one fetch per (repo, number) for both loops, with the
+    // same definitive-only memoization rule as the commit cache.
     val issueMemo =
       scala.collection.mutable.Map.empty[(String, Long), GithubClient.Response]
     def issueDetailResp(r: String, n: Long): GithubClient.Response =
-      issueMemo.getOrElseUpdate((r, n), getWithRetry(transport, cfg,
-        s"${endpoints.apiBase}/repos/$r/issues/$n"))
+      issueMemo.get((r, n)).getOrElse {
+        val resp = getWithRetry(transport, cfg,
+          s"${endpoints.apiBase}/repos/$r/issues/$n")
+        if (definitive(resp)) issueMemo((r, n)) = resp
+        resp
+      }
 
     val externalRefs = probe.prsWithLinkedIssues
       .select(explode(col("links")).as("l"))
@@ -395,8 +415,8 @@ object LivePipeline {
     // true head of the order-lost frame.
     val currentHead: Option[String] = commitsWm match {
       case Some(_) if commitsDeltaOk => Pipeline.headCommitSha(fetchedCommits)
-        .orElse(Pipeline.headCommitShaByDate(cachedCommits.get))
-      case Some(_) => Pipeline.headCommitShaByDate(cachedCommits.get)
+        .orElse(Pipeline.headCommitShaOfSnapshot(cachedCommits.get))
+      case Some(_) => Pipeline.headCommitShaOfSnapshot(cachedCommits.get)
       case None => Pipeline.headCommitSha(fetchedCommits)
     }
     val headsEqual = cachedBlame.isDefined && cachedHead.isDefined &&

@@ -120,7 +120,8 @@ object Pipeline {
   /** Head of an order-lost commits frame (the persisted artifact is
     * sorted by sha, so "first row" is the lexicographically smallest
     * sha, not the branch head): newest git date wins, sha-desc
-    * tiebreak for determinism. */
+    * tiebreak for determinism. Git dates are client-set and can be
+    * skewed — prefer [[headCommitShaOfSnapshot]], which this backs. */
   def headCommitShaByDate(commits: DataFrame): Option[String] = {
     val ts = greatest(col("commit.author.date").cast("timestamp"),
       col("commit.committer.date").cast("timestamp"))
@@ -128,6 +129,24 @@ object Pipeline {
       .orderBy(ts.desc_nulls_last, col("sha").desc)
       .select(col("sha")).limit(1)
       .collect().headOption.map(_.getString(0))
+  }
+
+  /** Head of an order-lost commits snapshot by the commit GRAPH: the
+    * branch tip is the one sha never referenced as a parent — robust
+    * to client-set date skew, which a newest-date pick is not. Falls
+    * back to [[headCommitShaByDate]] when the graph doesn't identify
+    * exactly one tip (parents absent from the payload, or a snapshot
+    * mixing branch histories). */
+  def headCommitShaOfSnapshot(commits: DataFrame): Option[String] = {
+    val withSha = commits.filter(col("sha").isNotNull)
+    val tips = withSha.select(col("sha"))
+      .join(withSha.select(
+        explode(coalesce(col("parents.sha"),
+          array().cast("array<string>"))).as("sha")),
+        Seq("sha"), "left_anti")
+      .select(col("sha")).limit(2).collect().map(_.getString(0))
+    if (tips.length == 1) Some(tips.head)
+    else headCommitShaByDate(commits)
   }
 
   /** The derivation DAG. Stages mirror runner.py:36-75; fan-ins:

@@ -163,4 +163,26 @@ class PipelineSpec extends SparkSpecBase {
     // and the re-chunker consumes the re-read doc directly
     assert(graft.ops.Blame.rechunk(back).count() == 1)
   }
+
+  test("snapshot head: commit graph beats skewed git dates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A is the true tip (B is its parent) but B carries a NEWER
+    // client-set date — the graph pick must ignore the skew.
+    val commits = Seq(
+      ("A", Seq("B"), "2024-01-01T00:00:00Z"),
+      ("B", Seq.empty[String], "2030-01-01T00:00:00Z"))
+      .toDF("sha", "psha", "d")
+      .select(col("sha"),
+        transform(col("psha"), p => struct(p.as("sha"))).as("parents"),
+        struct(
+          struct(col("d").as("date")).as("author"),
+          struct(lit(null).cast("string").as("date")).as("committer"))
+          .as("commit"))
+    assert(Pipeline.headCommitShaOfSnapshot(commits) == Some("A"))
+    // without parent data the graph is silent and the date decides
+    val noParents = commits.withColumn("parents",
+      lit(null).cast(commits.schema("parents").dataType))
+    assert(Pipeline.headCommitShaOfSnapshot(noParents) == Some("B"))
+  }
 }
