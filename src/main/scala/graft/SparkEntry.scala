@@ -70,6 +70,7 @@ object SparkEntry {
       SimilarityQueries.annMultiProbeKnn(s, d)),
     "q43_embedding_near_dup_multiprobe" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.embeddingNearDupPairsMultiProbe(s, d)),
+    "q44_simhash_near_dup" -> (DedupQueries.simhashNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -311,6 +311,58 @@ object Dedup {
   def simhash32(toks: Column): Column =
     graft.expressions.TextHashes.simhash32(toks)
 
+  /** (id, simhash) → near-dup pairs with Hamming distance <= maxHamming,
+    * via Hamming-band LSH: the 32-bit fingerprint is split into `bands`
+    * equal bit slices and pairs collide on ANY identical slice. By
+    * pigeonhole, a pair within Hamming distance d has at least one
+    * untouched slice whenever d < bands, so for maxHamming <= bands - 1
+    * the banded join returns EXACTLY the pairs an all-pairs Hamming
+    * scan would (the DuckDB oracle runs that scan) — without ever
+    * self-joining the corpus.
+    *
+    * Shuffles: one on (band, band_val) for candidates, one pair-dedup.
+    * Unlike `minhashLshPairs` there is no verify re-join: the
+    * fingerprint is 4 bytes, so it rides through the collision join
+    * and the exact Hamming check is a bit_count on the spot.
+    *
+    * Scale: with a 32-bit fingerprint, 8-bit slices give only 256
+    * buckets per band — fine per-partition, but at corpus scale use a
+    * 64-bit fingerprint with 16-bit slices (65k buckets) plus a
+    * df-cap on pathological buckets; the operator shape is unchanged.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int = 2, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 32 % bands == 0, s"bands must divide 32: $bands")
+    require(maxHamming < bands,
+      s"banding is only exact for maxHamming < bands " +
+        s"(got maxHamming=$maxHamming, bands=$bands)")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val base = docs.select(col(idCol).as("id"),
+      col(simhashCol).cast("long").as("sh"))
+    // posexplode_outer for the same reason as minhashLshPairs: outer
+    // generators get no InferFiltersFromGenerate size()-filter pushed
+    // below the upstream repartition.
+    val banded = base.select(col("id"), col("sh"),
+      posexplode_outer(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "band_val")))
+    val candA = banded.select(col("band"), col("band_val"),
+      col("id").as("doc_a"), col("sh").as("sh_a"))
+    val candB = banded.select(col("band"), col("band_val"),
+      col("id").as("doc_b"), col("sh").as("sh_b"))
+    candA.join(candB, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      // sh_a/sh_b are functions of the ids, so this is pair-dedup.
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Interpreted-HOF twin of `simhash32` (single-fold 32-wide vote
     * accumulator — the best builtin shape, still interpreted). */
   def simhash32Hof(toks: Column): Column = {

@@ -80,6 +80,17 @@ object DedupQueries {
         Dedup.simhash32(Dedup.tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup pairs at Hamming distance <= 2, via Hamming-band
+    * LSH (exact for the threshold — see Dedup.simhashNearDupPairs).
+    * The oracle runs the all-pairs Hamming scan; identical output. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documentsDistributed(spark, dir)
+      .select(col("doc_id"),
+        Dedup.simhash32(Dedup.tokens(col("text"))).as("simhash"))
+    Dedup.simhashNearDupPairs(fp, "doc_id", "simhash")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // Shared oracle CTE fragments (DuckDB SQL mirroring Dedup's math).
   private val toksCte =
     """toks AS (SELECT doc_id,
@@ -103,6 +114,19 @@ object DedupQueries {
     """bands AS (SELECT doc_id, shingles, b,
       |  md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
       | FROM sig, unnest(generate_series(0, 3)) AS t(b))""".stripMargin
+  private val simhashCte =
+    """h AS (SELECT doc_id,
+      |  list_transform(tokens,
+      |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hashes
+      | FROM toks),
+      |fp AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 31),
+      |   i -> CASE WHEN list_sum(list_transform(hashes,
+      |          h2 -> CASE WHEN CAST(floor(h2 / pow(2, i)) AS BIGINT) % 2 = 1
+      |                THEN 1 ELSE -1 END)) > 0
+      |        THEN CAST(floor(pow(2, i)) AS BIGINT) ELSE 0 END))
+      |   AS BIGINT) AS simhash
+      | FROM h)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q20_minhash_signature" ->
@@ -162,17 +186,14 @@ object DedupQueries {
          |    AS is_canonical
          |FROM labels ORDER BY doc_id""".stripMargin,
     "q23_simhash" ->
-      s"""WITH $toksCte,
-         |h AS (SELECT doc_id,
-         |  list_transform(tokens,
-         |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hashes
-         | FROM toks)
-         |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
-         |  i -> CASE WHEN list_sum(list_transform(hashes,
-         |         h2 -> CASE WHEN CAST(floor(h2 / pow(2, i)) AS BIGINT) % 2 = 1
-         |               THEN 1 ELSE -1 END)) > 0
-         |       THEN CAST(floor(pow(2, i)) AS BIGINT) ELSE 0 END))
-         |  AS BIGINT) AS simhash
-         |FROM h ORDER BY doc_id""".stripMargin,
+      s"""WITH $toksCte, $simhashCte
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+    "q44_simhash_near_dup" ->
+      s"""WITH $toksCte, $simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -130,4 +130,41 @@ class DedupSpec extends SparkSpecBase {
     assert(out(1L) >= 0 && out(1L) < (1L << 32))
     assert(hamming(out(1L), out(3L)) < 16) // near dup → small distance
   }
+
+  test("simhashNearDupPairs equals the all-pairs Hamming scan") {
+    // Synthetic fingerprints exercising every band position: pairs at
+    // distance 0..3 (within the 4-band pigeonhole guarantee), a pair
+    // whose 3 differing bits straddle 3 bands, and far-apart noise.
+    val fpT = StructType(Seq(
+      StructField("doc_id", LongType), StructField("simhash", LongType)))
+    val base = 0x5a5a5a5aL
+    val fps = Seq(
+      1L -> base,
+      2L -> base,                                  // d(1,2)=0
+      3L -> (base ^ 0x1L),                         // d(1,3)=1 (band 0)
+      4L -> (base ^ 0x80000000L),                  // d(1,4)=1 (band 3)
+      5L -> (base ^ 0x00010100L),                  // d(1,5)=2 (bands 1,2)
+      6L -> (base ^ 0x01010100L),                  // d(1,6)=3 (3 bands)
+      7L -> 0x00000000L,                           // far from everything
+      8L -> 0xffffffffL)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      fps.map { case (id, h) => Row(id, h) }, 2), fpT)
+
+    def naive(maxHam: Int): Set[(Long, Long, Long)] = (for {
+      (ia, ha) <- fps; (ib, hb) <- fps if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxHam
+    } yield (ia, ib, d.toLong)).toSet
+
+    for (maxHam <- Seq(1, 2, 3)) { // exact up to bands-1 = 3
+      val got = Dedup.simhashNearDupPairs(df, "doc_id", "simhash",
+        maxHamming = maxHam).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive(maxHam), s"maxHamming=$maxHam")
+    }
+    // Beyond the pigeonhole bound the banding would lose pairs — the
+    // operator refuses rather than silently under-recalling.
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(df, "doc_id", "simhash", maxHamming = 4)
+    }
+  }
 }
