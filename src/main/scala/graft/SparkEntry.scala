@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, PipelineQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, PipelineQueries, Relational, SimilarityQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,11 +71,14 @@ object SparkEntry {
     "q43_embedding_near_dup_multiprobe" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.embeddingNearDupPairsMultiProbe(s, d)),
     "q44_simhash_near_dup" -> (DedupQueries.simhashNearDup _),
+    "q45_asof_join" -> (TemporalQueries.asofJoin _),
+    "q46_range_join" -> (TemporalQueries.rangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
-      DedupQueries.oracles ++ PipelineQueries.oracles
+      DedupQueries.oracles ++ PipelineQueries.oracles ++
+      TemporalQueries.oracles
 }
