@@ -73,6 +73,9 @@ object SparkEntry {
     "q44_simhash_near_dup" -> (DedupQueries.simhashNearDup _),
     "q45_asof_join" -> (TemporalQueries.asofJoin _),
     "q46_range_join" -> (TemporalQueries.rangeJoin _),
+    "q47_revenue_rollup" -> (Relational.revenueRollup _),
+    "q48_event_pivot" -> (Relational.eventPivot _),
+    "q49_length_quantiles" -> (TextQueries.lengthQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -269,9 +269,75 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** §2.9 OLAP hierarchy rollup: (region, nation) revenue, per-region
+    * subtotals, and the grand total in ONE aggregation pass — Spark
+    * expands the grouping sets map-side and partial-aggregates all
+    * three levels in the same shuffle, vs. three scans + a union.
+    * grouping() flags disambiguate a real 'ALL' value from a subtotal
+    * row and give the deterministic level sort. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        grouping($"r_name").cast("long").as("g_region"),
+        grouping($"n_name").cast("long").as("g_nation"),
+        sum($"o_totalprice".cast(dec2)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"g_region", $"g_nation", $"revenue", $"n_orders")
+      .orderBy($"g_region", $"g_nation", $"region", $"nation")
+  }
+
+  /** §2.9 pivot: per-customer-segmentless event matrix — one row per
+    * user, one column per event type. The pivot is a single groupBy
+    * with a fixed column list (values supplied, so no extra distinct
+    * scan to discover them), i.e. one shuffle on user_id. */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .select($"user_id" +: types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy($"user_id")
+  }
+
   /** SQL strings the DuckDB oracle runs on the same tables. Column names
     * and ordering must match the DataFrame outputs above exactly. */
   val oracles: Map[String, String] = Map(
+    "q47_revenue_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        | coalesce(n_name, 'ALL') AS nation,
+        | CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+        | CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_region, g_nation, region, nation""".stripMargin,
+    "q48_event_pivot" ->
+      """SELECT user_id,
+        | CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        | CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+        | CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |   AS n_purchase,
+        | CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        | CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,

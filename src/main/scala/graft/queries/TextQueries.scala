@@ -140,7 +140,38 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** §2.9 exact grouped quantiles: per-language document-length
+    * quartiles. `percentile` is the exact R-7 linear-interpolation
+    * quantile — bit-identical to DuckDB's quantile_cont on integer
+    * inputs because position (n−1)·p and the interpolation are exact
+    * double ops. Exact quantiles sort within each group, so at corpus
+    * scale (billions of rows per language) flip the documented switch
+    * to approx_percentile — a mergeable sketch with no per-group sort
+    * — and loosen the oracle; the cheap per-group stats stay exact. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile($"n_chars", array(lit(0.25), lit(0.5), lit(0.75)))
+          .as("q"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .select($"lang", $"n_docs",
+        $"q"(0).as("p25"), $"q"(1).as("p50"), $"q"(2).as("p75"),
+        $"min_chars", $"max_chars")
+      .orderBy($"lang")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q49_length_quantiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | quantile_cont(n_chars, 0.25) AS p25,
+        | quantile_cont(n_chars, 0.5) AS p50,
+        | quantile_cont(n_chars, 0.75) AS p75,
+        | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q15_top_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token
