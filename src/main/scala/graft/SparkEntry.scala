@@ -76,6 +76,7 @@ object SparkEntry {
     "q47_revenue_rollup" -> (Relational.revenueRollup _),
     "q48_event_pivot" -> (Relational.eventPivot _),
     "q49_length_quantiles" -> (TextQueries.lengthQuantiles _),
+    "q50_simhash64_near_dup" -> (DedupQueries.simhashNearDup64 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -175,6 +175,50 @@ object HashKernels {
     res
   }
 
+  /** 64-bit SimHash: per token, h = first 8 md5 digest bytes as a
+    * big-endian uint64 (≡ first 16 hex chars); bit i votes +1 when
+    * (h >> i) & 1 else -1 (nulls vote as h = 0, like simhash32);
+    * result sets bit i when its vote is positive. Bit 63 set renders
+    * the Long negative — callers treat it as a raw 64-bit pattern.
+    *
+    * Because the first 4 digest bytes are the HIGH half of h, the
+    * high 32 bits of simhash64 equal simhash32 of the same tokens
+    * ((simhash64 >>> 32) == simhash32) — HashExpressionsSpec pins
+    * that cross-width invariant. */
+  def simhash64(toks: ArrayData): Long = {
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        md.update(toks.getUTF8String(i).getBytes)
+        md.digest(dig, 0, 16)
+        var b = 0
+        while (b < 8) {
+          h = (h << 8) | (dig(b) & 0xffL)
+          b += 1
+        }
+      }
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var res = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) res |= 1L << bit
+      bit += 1
+    }
+    res
+  }
+
   /** md5 hex of tokens[from, from+len) joined by single spaces,
     * concat_ws-style (null elements skipped, no separator). */
   private def gramMd5(md: MessageDigest, toks: ArrayData, from: Int,

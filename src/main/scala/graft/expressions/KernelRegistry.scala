@@ -35,6 +35,8 @@ object KernelRegistry {
       exprs => MinHashBands(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     ("simhash32", "_FUNC_(tokens) - 32-bit SimHash",
       exprs => SimHash32(exprs(0))),
+    ("simhash64", "_FUNC_(tokens) - 64-bit SimHash",
+      exprs => SimHash64(exprs(0))),
     ("kgram_md5", "_FUNC_(tokens, k) - positional k-gram md5s",
       exprs => KgramMd5(exprs(0), intArg(exprs(1)))),
     ("winnow_min", "_FUNC_(hashes, w) - winnowing fingerprints",

@@ -98,6 +98,24 @@ case class SimHash32(child: Expression) extends HashKernelExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over (repeated) tokens (high 32 bits ≡ simhash32
+  * of the same tokens; see HashKernels.simhash64). */
+case class SimHash64(child: Expression) extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> tokens"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Positional k-token-gram md5 hashes (winnowing input). */
 case class KgramMd5(child: Expression, k: Int) extends HashKernelExpression {
   override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
@@ -272,6 +290,7 @@ object TextHashes {
   def minhashBands(sh: Column, numHashes: Int, bands: Int): Column =
     c(MinHashBands(e(sh), numHashes, bands))
   def simhash32(toks: Column): Column = c(SimHash32(e(toks)))
+  def simhash64(toks: Column): Column = c(SimHash64(e(toks)))
   def kgramMd5(toks: Column, k: Int): Column = c(KgramMd5(e(toks), k))
   def winnowMin(hashes: Column, w: Int): Column = c(WinnowMin(e(hashes), w))
   def arrayJaccard(a: Column, b: Column): Column =

@@ -311,6 +311,13 @@ object Dedup {
   def simhash32(toks: Column): Column =
     graft.expressions.TextHashes.simhash32(toks)
 
+  /** 64-bit SimHash (first 16 md5 hex chars as a big-endian uint64 per
+    * token; bit 63 set renders the Long negative — treat as raw bits).
+    * High 32 bits coincide with [[simhash32]] by construction.
+    * Codegen'd kernel. */
+  def simhash64(toks: Column): Column =
+    graft.expressions.TextHashes.simhash64(toks)
+
   /** (id, simhash) → near-dup pairs with Hamming distance <= maxHamming,
     * via Hamming-band LSH: the 32-bit fingerprint is split into `bands`
     * equal bit slices and pairs collide on ANY identical slice. By
@@ -326,31 +333,93 @@ object Dedup {
     * and the exact Hamming check is a bit_count on the spot.
     *
     * Scale: with a 32-bit fingerprint, 8-bit slices give only 256
-    * buckets per band — fine per-partition, but at corpus scale use a
-    * 64-bit fingerprint with 16-bit slices (65k buckets) plus a
-    * df-cap on pathological buckets; the operator shape is unchanged.
+    * buckets per band — fine per-partition, but a corpus-scale
+    * candidate set grows ~N²/256 per band. Use
+    * [[simhashNearDupPairs64]] (64-bit fingerprint, 16-bit slices =
+    * 65k buckets, optional df-cap) for anything beyond a partition;
+    * this 32-bit form is kept for its cheaper fingerprint and its
+    * oracle (q44).
     */
   def simhashNearDupPairs(
       docs: DataFrame, idCol: String, simhashCol: String,
-      maxHamming: Int = 2, bands: Int = 4): DataFrame = {
-    require(bands > 0 && 32 % bands == 0, s"bands must divide 32: $bands")
-    require(maxHamming < bands,
-      s"banding is only exact for maxHamming < bands " +
-        s"(got maxHamming=$maxHamming, bands=$bands)")
-    val width = 32 / bands
-    val mask = (1L << width) - 1
+      maxHamming: Int = 2, bands: Int = 4): DataFrame =
+    simhashBandedPairs(docs, idCol, simhashCol, bits = 32,
+      maxHamming = maxHamming, bands = bands, dfCap = None)
+
+  /** 64-bit twin of `simhashNearDupPairs` — the corpus-scale default.
+    * With bands = 4 the slices are 16 bits wide, so each band hashes
+    * into 65,536 buckets instead of the 32-bit form's 256: candidate
+    * volume per band is ~N²/65k rather than ~N²/256, which is the
+    * difference between a bucketed join and a disguised cross join as
+    * the corpus grows. Exactness is the same pigeonhole argument
+    * (maxHamming < bands ⇒ every qualifying pair shares at least one
+    * untouched slice).
+    *
+    * `dfCap`: optional per-bucket document-frequency cap. Buckets
+    * whose occupancy exceeds the cap (degenerate slices — e.g. the
+    * all-zeros slice of boilerplate-heavy corpora) are DROPPED from
+    * candidate generation, bounding any bucket's join contribution at
+    * dfCap². This deliberately trades exactness for a hard cost
+    * ceiling: a true pair is lost only if EVERY band with an untouched
+    * slice lands in a hot bucket. The gated query runs uncapped;
+    * DedupSpec pins the capped semantics. */
+  def simhashNearDupPairs64(
+      docs: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      dfCap: Option[Int] = None): DataFrame =
+    simhashBandedPairs(docs, idCol, simhashCol, bits = 64,
+      maxHamming = maxHamming, bands = bands, dfCap = dfCap)
+
+  /** (id, sh, band, band_val) — one row per fingerprint slice, the
+    * Hamming-band LSH bucketing both pair variants join on. Public so
+    * bucket-cardinality behavior is testable through the real code
+    * path (DedupSpec pins that 16-bit slices keep scaling where 8-bit
+    * slices saturate at 256 values per band). */
+  def simhashBands(
+      docs: DataFrame, idCol: String, simhashCol: String,
+      bits: Int, bands: Int): DataFrame = {
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64: $bits")
+    require(bands > 0 && bits % bands == 0,
+      s"bands must divide $bits: $bands")
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val base = docs.select(col(idCol).as("id"),
       col(simhashCol).cast("long").as("sh"))
     // posexplode_outer for the same reason as minhashLshPairs: outer
     // generators get no InferFiltersFromGenerate size()-filter pushed
     // below the upstream repartition.
-    val banded = base.select(col("id"), col("sh"),
+    // shiftrightunsigned: bit 63 of a 64-bit fingerprint sets the
+    // Long's sign, and an arithmetic shift would smear it across the
+    // top band's slice value.
+    base.select(col("id"), col("sh"),
       posexplode_outer(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * width).bitwiseAND(lit(mask))): _*))
+        shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "band_val")))
-    val candA = banded.select(col("band"), col("band_val"),
+  }
+
+  private def simhashBandedPairs(
+      docs: DataFrame, idCol: String, simhashCol: String,
+      bits: Int, maxHamming: Int, bands: Int,
+      dfCap: Option[Int]): DataFrame = {
+    require(maxHamming < bands,
+      s"banding is only exact for maxHamming < bands " +
+        s"(got maxHamming=$maxHamming, bands=$bands)")
+    val banded = simhashBands(docs, idCol, simhashCol, bits, bands)
+    // df-cap: one extra aggregation on the SAME (band, band_val) key
+    // the candidate join shuffles on, so AQE colocates it; hot-bucket
+    // pruning must happen on both join sides to keep pairs symmetric.
+    val kept = dfCap match {
+      case None => banded
+      case Some(cap) =>
+        val df = banded.groupBy("band", "band_val")
+          .agg(count(lit(1)).as("bucket_df"))
+          .filter(col("bucket_df") <= cap)
+          .select(col("band"), col("band_val"))
+        banded.join(df, Seq("band", "band_val"), "left_semi")
+    }
+    val candA = kept.select(col("band"), col("band_val"),
       col("id").as("doc_a"), col("sh").as("sh_a"))
-    val candB = banded.select(col("band"), col("band_val"),
+    val candB = kept.select(col("band"), col("band_val"),
       col("id").as("doc_b"), col("sh").as("sh_b"))
     candA.join(candB, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
@@ -364,10 +433,14 @@ object Dedup {
   }
 
   /** Interpreted-HOF twin of `simhash32` (single-fold 32-wide vote
-    * accumulator — the best builtin shape, still interpreted). */
-  def simhash32Hof(toks: Column): Column = {
+    * accumulator — the best builtin shape, still interpreted).
+    * `hexOffset` selects which 8 md5 hex chars feed the per-token
+    * uint32 (1 = simhash32's; 9 = the LOW half of simhash64, whose
+    * high half is simhash32 itself — together the two offsets pin the
+    * 64-bit kernel against this interpreted form). */
+  def simhash32Hof(toks: Column, hexOffset: Int = 1): Column = {
     val hashes = transform(toks, t =>
-      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+      conv(substring(md5(t), hexOffset, 8), 16, 10).cast("long"))
     // bit i of h: floor(h / 2^i) % 2 — division by a power of two is
     // exact in doubles for h < 2^32, and identical in DuckDB.
     def bitOf(h: Column, i: Column): Column =

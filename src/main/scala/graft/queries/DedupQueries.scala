@@ -91,6 +91,19 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** 64-bit SimHash near-dup pairs at Hamming distance <= 3 with
+    * 16-bit Hamming-band LSH — the corpus-scale form of q44 (65k
+    * buckets per band vs 256; see Dedup.simhashNearDupPairs64). The
+    * oracle re-derives the 64-bit fingerprint from two uint32 md5
+    * halves (no 64-bit float math) and runs the all-pairs scan. */
+  def simhashNearDup64(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documentsDistributed(spark, dir)
+      .select(col("doc_id"),
+        Dedup.simhash64(Dedup.tokens(col("text"))).as("simhash"))
+    Dedup.simhashNearDupPairs64(fp, "doc_id", "simhash")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // Shared oracle CTE fragments (DuckDB SQL mirroring Dedup's math).
   private val toksCte =
     """toks AS (SELECT doc_id,
@@ -127,6 +140,34 @@ object DedupQueries {
       |        THEN CAST(floor(pow(2, i)) AS BIGINT) ELSE 0 END))
       |   AS BIGINT) AS simhash
       | FROM h)""".stripMargin
+
+  // 64-bit SimHash oracle: the signed two's-complement value is
+  // assembled WITHOUT 64-bit float math — bits 0..31 from the low
+  // uint32 half (md5 hex chars 9..16), bits 32..62 from the high half
+  // (chars 1..8), and bit 63 as an explicit Long.MinValue addend (2^63
+  // itself overflows BIGINT; u − 2^64 ≡ low bits + (−2^63 when bit 63
+  // set)). Bit tests use DuckDB's native >>/& on BIGINT halves.
+  private val simhash64Cte =
+    """h64 AS (SELECT doc_id,
+      |  list_transform(tokens,
+      |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS his,
+      |  list_transform(tokens,
+      |    t -> CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)) AS los
+      | FROM toks),
+      |fp64 AS (SELECT doc_id, CAST(
+      |   list_sum(list_transform(generate_series(0, 31), i ->
+      |     CASE WHEN list_sum(list_transform(los,
+      |            h2 -> CASE WHEN (h2 >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |          THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))
+      | + list_sum(list_transform(generate_series(32, 62), i ->
+      |     CASE WHEN list_sum(list_transform(his,
+      |            h2 -> CASE WHEN (h2 >> (i - 32)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |          THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))
+      | + CASE WHEN list_sum(list_transform(his,
+      |          h2 -> CASE WHEN (h2 >> 31) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |        THEN -9223372036854775807 - 1 ELSE 0 END
+      | AS BIGINT) AS simhash64
+      | FROM h64)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q20_minhash_signature" ->
@@ -194,6 +235,13 @@ object DedupQueries {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q50_simhash64_near_dup" ->
+      s"""WITH $toksCte, $simhash64Cte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+         |FROM fp64 a JOIN fp64 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

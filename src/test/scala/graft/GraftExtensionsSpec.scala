@@ -30,7 +30,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("all kernel functions are injected and evaluate") {
     for (name <- Seq("float_vector_dot", "whitespace_tokens",
         "token_shingles", "minhash_signature", "minhash_bands", "simhash32",
-        "kgram_md5", "winnow_min", "array_jaccard", "token_length_sum")) {
+        "simhash64", "kgram_md5", "winnow_min", "array_jaccard",
+        "token_length_sum")) {
       assert(registry.functionExists(FunctionIdentifier(name)), name)
     }
 
@@ -42,6 +43,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .numElements() == 16)
 
     assert(build("simhash32", toks).eval().isInstanceOf[Long])
+    assert(build("simhash64", toks).eval().isInstanceOf[Long])
 
     def floats(xs: Float*) = Literal.create(
       new GenericArrayData(xs.toArray.map(_.asInstanceOf[Any])),

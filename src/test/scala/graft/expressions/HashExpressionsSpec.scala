@@ -68,6 +68,47 @@ class HashExpressionsSpec extends SparkSpecBase {
     assertColsEqual(Dedup.simhash32(toks), Dedup.simhash32Hof(toks))
   }
 
+  test("simhash64 halves == simhash32 kernel (high) + offset-9 HOF (low)") {
+    // The 64-bit fingerprint's per-token hash is md5 hex chars 1..16
+    // big-endian, so bits 32..63 vote on chars 1..8 (≡ simhash32) and
+    // bits 0..31 on chars 9..16 (≡ the HOF twin at hexOffset = 9).
+    // Both halves together pin every vote of the 64-bit kernel.
+    val toks = Dedup.tokensHof(col("text"))
+    assertColsEqual(
+      shiftrightunsigned(Dedup.simhash64(toks), 32), Dedup.simhash32(toks))
+    assertColsEqual(
+      Dedup.simhash64(toks).bitwiseAND(lit(0xffffffffL)),
+      Dedup.simhash32Hof(toks, hexOffset = 9))
+  }
+
+  test("simhash64 matches an independent MessageDigest vote count") {
+    import spark.implicits._
+    // Hand-rolled reference: same algorithm, written against
+    // java.security directly rather than the kernel's ArrayData loop.
+    def expected(tokens: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(0L)((acc, b) => (acc << 8) | (d(b) & 0xffL))
+        (0 until 64).foreach(i =>
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (votes(i) > 0) acc | (1L << i) else acc)
+    }
+    val docs = Seq(
+      Seq("the", "cat", "sat"), Seq("a"), Seq("dup", "dup", "dup"),
+      Seq("Über", "東京"), (1 to 40).map(i => s"tok$i"))
+    val got = docs.map(_.toArray).toDF("toks").repartition(2)
+      .select(Dedup.simhash64(col("toks"))).collect().map(_.getLong(0))
+    // Row order survives: repartition(2) is round-robin but collect
+    // order is partition-major — compare as multisets to be safe.
+    assert(got.sorted.toSeq == docs.map(expected).sorted)
+    // Bit 63 is exercised somewhere in the fixture (negative Long).
+    assert(docs.map(expected).exists(_ < 0L))
+  }
+
   test("kgramMd5 == positional md5 HOF") {
     val toks = Dedup.tokensHof(col("text"))
     assertColsEqual(

@@ -167,4 +167,87 @@ class DedupSpec extends SparkSpecBase {
       Dedup.simhashNearDupPairs(df, "doc_id", "simhash", maxHamming = 4)
     }
   }
+
+  private val fpT = StructType(Seq(
+    StructField("doc_id", LongType), StructField("simhash", LongType)))
+
+  private def fpDf(fps: Seq[(Long, Long)]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      fps.map { case (id, h) => Row(id, h) }, 2), fpT)
+
+  test("simhashNearDupPairs64 equals the all-pairs scan incl. sign band") {
+    // 64-bit fingerprints with the top bit set on the base so the Long
+    // is negative: an arithmetic shift would corrupt band 3's slice
+    // value for every doc — the cross-sign pairs below catch that.
+    val base = 0xa5a5a5a5_5a5a5a5aL
+    assert(base < 0L)
+    val fps = Seq(
+      1L -> base,
+      2L -> base,                                  // d(1,2)=0
+      3L -> (base ^ 0x1L),                         // d(1,3)=1 (band 0)
+      4L -> (base ^ 0x8000000000000000L),          // d(1,4)=1 (sign bit,
+      //                        flips the Long's sign: band-3 collision
+      //                        with doc 1 must still happen on bands 0-2)
+      5L -> (base ^ 0x0001000100000000L),          // d(1,5)=2 (bands 2,3)
+      6L -> (base ^ 0x0100010000010000L),          // d(1,6)=3 (3 bands)
+      7L -> 0L, 8L -> -1L)                         // far noise
+    val df = fpDf(fps)
+    def naive(maxHam: Int): Set[(Long, Long, Long)] = (for {
+      (ia, ha) <- fps; (ib, hb) <- fps if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxHam
+    } yield (ia, ib, d.toLong)).toSet
+    for (maxHam <- Seq(1, 2, 3)) {
+      val got = Dedup.simhashNearDupPairs64(df, "doc_id", "simhash",
+        maxHamming = maxHam).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive(maxHam), s"maxHamming=$maxHam")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs64(df, "doc_id", "simhash", maxHamming = 4)
+    }
+  }
+
+  test("16-bit bands keep scaling where 8-bit bands saturate at 256") {
+    // The q44→q50 scale argument, measured through the real banding
+    // path: on the same corpus of distinct fingerprints, the 32-bit
+    // form's buckets are capped at 256 per band (so bucket occupancy —
+    // and candidate volume — grows linearly with corpus size), while
+    // the 64-bit form keeps ~one bucket per doc per band.
+    val rnd = new scala.util.Random(42)
+    def buckets(n: Int, bits: Int): Long = {
+      val fps = (1 to n).map(i => i.toLong ->
+        (if (bits == 32) rnd.nextInt().toLong & 0xffffffffL else rnd.nextLong()))
+      Dedup.simhashBands(fpDf(fps), "doc_id", "simhash", bits, bands = 4)
+        .select("band", "band_val").distinct().count()
+    }
+    val small32 = buckets(600, 32)
+    val large32 = buckets(3000, 32)
+    val small64 = buckets(600, 64)
+    val large64 = buckets(3000, 64)
+    assert(large32 <= 4 * 256) // saturated: more docs, same buckets
+    assert(small64 > 4 * 256) // already past the 32-bit ceiling at 600
+    // 64-bit buckets track corpus size (collisions are rare at 65k
+    // values per band: expect ≈ 4N distinct, allow generous slack).
+    assert(large64 > small64 * 3)
+    assert(large64 > 4L * 3000 * 9 / 10)
+  }
+
+  test("dfCap drops degenerate buckets, keeps cold ones") {
+    // 50 identical fingerprints (a boilerplate cluster: every band
+    // bucket holds all 50) plus one true near-dup pair elsewhere.
+    val hot = (1L to 50L).map(_ -> 0x0123456789abcdefL)
+    val cold = Seq(100L -> 0x7edcba9876543210L,
+      101L -> (0x7edcba9876543210L ^ 0x4L)) // d=1
+    val df = fpDf(hot ++ cold)
+    // Uncapped: all C(50,2) boilerplate pairs + the cold pair.
+    assert(Dedup.simhashNearDupPairs64(df, "doc_id", "simhash")
+      .count() == 50L * 49 / 2 + 1)
+    // Capped at 10: every hot bucket (50 > 10) is pruned from BOTH
+    // join sides, so the boilerplate contributes nothing; the cold
+    // pair's buckets (occupancy ≤ 2) survive untouched.
+    val capped = Dedup.simhashNearDupPairs64(df, "doc_id", "simhash",
+      dfCap = Some(10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((100L, 101L, 1L)))
+  }
 }
