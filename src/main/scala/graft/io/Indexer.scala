@@ -45,16 +45,26 @@ object Indexer {
   /** Read one entity across every repo folder under `dataDir`:
     * directory-layout paths line-JSON, file-layout paths multiLine;
     * either may be absent. Returns None when no repo has the
-    * artifact (the reference's per-file `continue`). */
+    * artifact (the reference's per-file `continue`).
+    *
+    * Listing goes through the Hadoop FileSystem bound to `dataDir`'s
+    * scheme (the same resolution `spark.read` itself uses), so the
+    * lake can live on any object store the cluster can read — a
+    * POSIX-only `java.io.File` walk would silently see an empty lake
+    * behind `s3a://`-style URIs. One glob per layout, not one
+    * existence RPC per repo folder. */
   private def readEntityLake(spark: SparkSession, dataDir: String,
       entity: String): Option[DataFrame] = {
-    val root = new java.io.File(dataDir)
-    val repoDirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).toSeq.sortBy(_.getName)
-    val dirPaths = repoDirs.map(d => new java.io.File(d, entity))
-      .filter(_.isDirectory).map(_.getAbsolutePath)
-    val filePaths = repoDirs.map(d => new java.io.File(d, s"$entity.json"))
-      .filter(_.isFile).map(_.getAbsolutePath)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def glob(child: String, wantDir: Boolean): Seq[String] =
+      Option(fs.globStatus(new Path(root, child)))
+        .getOrElse(Array.empty)
+        .filter(_.isDirectory == wantDir)
+        .map(_.getPath.toString).toSeq.sorted
+    val dirPaths = glob(s"*/$entity", wantDir = true)
+    val filePaths = glob(s"*/$entity.json", wantDir = false)
     val schema = Entities.all(entity)
     // ensure_repo_name_field ADDS the field when the entity doesn't
     // carry one (cross_repo_links keys on source/target instead)
@@ -79,10 +89,13 @@ object Indexer {
   /** Scan `dataDir`'s repo folders and bulk-index all nine entities.
     *
     * @param ensureIndex index-creation hook run once per target index
-    *                    before any write (K3) — pass
-    *                    `httpTransport.ensureIndex(_)` for a live
-    *                    store, leave default for stores that
-    *                    auto-create.
+    *                    before any write (K3), handed the index name
+    *                    and the entity's typed mapping body
+    *                    ([[StoreMappings.forEntity]], the reference's
+    *                    MAPPINGS contract wired at
+    *                    indexer.py:128-131) — pass
+    *                    `httpTransport.ensureIndex` for a live store,
+    *                    leave default for stores that auto-create.
     * @param dryRun      parse and count only, no writes
     *                    (indexer.py:160-162).
     * @return entity → ok/fail counts (dry runs report parsed counts
@@ -94,10 +107,11 @@ object Indexer {
       indexPrefix: String = "",
       batchSize: Int = 1000,
       blameBatchSize: Int = 50,
-      ensureIndex: String => Unit = _ => (),
+      ensureIndex: (String, Option[String]) => Unit = (_, _) => (),
       dryRun: Boolean = false): Map[String, BulkSink.BulkResult] = {
     // dry run means NO store mutations — including index creation
-    if (!dryRun) entityFiles.foreach(e => ensureIndex(s"$indexPrefix$e"))
+    if (!dryRun) entityFiles.foreach(e =>
+      ensureIndex(s"$indexPrefix$e", StoreMappings.forEntity.get(e)))
     entityFiles.flatMap { entity =>
       readEntityLake(spark, dataDir, entity).map { df =>
         val docs =

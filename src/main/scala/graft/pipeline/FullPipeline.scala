@@ -31,7 +31,7 @@ object FullPipeline {
       generatedAt: String = "",
       blameFileLimit: Int = 25,
       batchSize: Int = 1000,
-      ensureIndex: String => Unit = _ => (),
+      ensureIndex: (String, Option[String]) => Unit = (_, _) => (),
       limits: Pipeline.Limits = Pipeline.Limits(),
       parallelism: Int = 1): Result = {
     val fetched = LivePipeline.processReposLive(spark, transport, cfg,

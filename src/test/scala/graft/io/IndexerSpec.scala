@@ -58,16 +58,25 @@ class IndexerSpec extends SparkSpecBase {
   }
 
   test("scanAndIndex streams both layouts with ids, rechunk, and hooks") {
-    val lake = buildLake()
+    // `file:` URI on purpose: the lake listing must go through the
+    // Hadoop FileSystem API (globStatus), not java.io.File — this is
+    // the path an object-store lake takes.
+    val lake = "file:" + buildLake()
     val sink = Files.createTempDirectory("graft-sink").toString
-    var ensured: List[String] = Nil
+    var ensured: List[(String, Option[String])] = Nil
     val res = Indexer.scanAndIndex(spark, lake,
       new BulkSink.FileTransport(sink), indexPrefix = "gh_",
-      ensureIndex = n => ensured = ensured :+ n)
+      ensureIndex = (n, m) => ensured = ensured :+ (n -> m))
 
-    // all nine indices ensured up front, prefixed
-    assert(ensured.length == 9 && ensured.forall(_.startsWith("gh_")))
-    assert(ensured.contains("gh_repo_blame"))
+    // all nine indices ensured up front, prefixed, each with its typed
+    // mapping body (the reference's MAPPINGS contract)
+    assert(ensured.length == 9 && ensured.forall(_._1.startsWith("gh_")))
+    assert(ensured.map(_._1).contains("gh_repo_blame"))
+    ensured.foreach { case (name, mapping) =>
+      assert(mapping == StoreMappings.forEntity.get(name.stripPrefix("gh_")),
+        name)
+      assert(mapping.isDefined, name)
+    }
 
     // issues: 2 from the file layout + 1 from the directory layout,
     // repo_name enriched from the folder when absent
@@ -99,8 +108,11 @@ class IndexerSpec extends SparkSpecBase {
   test("dry run counts without writing") {
     val lake = buildLake()
     val sink = Files.createTempDirectory("graft-sink-dry").toString
+    var ensured = 0
     val res = Indexer.scanAndIndex(spark, lake,
-      new BulkSink.FileTransport(sink), dryRun = true)
+      new BulkSink.FileTransport(sink), dryRun = true,
+      ensureIndex = (_, _) => ensured += 1)
+    assert(ensured == 0) // dry run: no store mutations at all
     assert(res("issues") == BulkSink.BulkResult(3, 0))
     assert(res("repo_blame") == BulkSink.BulkResult(2, 0))
     assert(new java.io.File(sink).listFiles() == null ||

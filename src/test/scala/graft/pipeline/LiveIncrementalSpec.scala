@@ -444,7 +444,7 @@ class LiveIncrementalSpec extends SparkSpecBase {
     val res = FullPipeline.run(spark, t, GithubClient.Config(),
       Seq("o/r"), outDir, new graft.io.BulkSink.FileTransport(sink),
       eps, indexPrefix = "gh_", generatedAt = "2026-01-01T00:00:00Z",
-      ensureIndex = n => ensured = ensured :+ n)
+      ensureIndex = (n, m) => { assert(m.isDefined, n); ensured = ensured :+ n })
     assert(res.fetched("o/r").isSuccess)
     assert(ensured.length == 9)
     // the fetched lake landed in the store: issues + commits keyed
