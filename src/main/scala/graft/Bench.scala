@@ -47,13 +47,12 @@ object Bench {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          val df = fn(spark, sfDir)
           // Iterative queries (q35/q39) return a checkpointed result
-          // frame; release its blocks once consumed — even when the
-          // write THROWS, or the orphaned blocks would skew every
-          // later query (the bench-hygiene invariant).
-          try df.write.format("noop").mode("overwrite").save()
-          finally graft.ops.Checkpoints.unpersist(df)
+          // frame; consume releases its blocks once evaluated — even
+          // when the write THROWS, or the orphaned blocks would skew
+          // every later query (the bench-hygiene invariant).
+          graft.ops.Checkpoints.consume(fn(spark, sfDir))(
+            _.write.format("noop").mode("overwrite").save())
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }

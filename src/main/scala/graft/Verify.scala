@@ -17,12 +17,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        // Release checkpointed result frames (q35/q39) once dumped —
-        // also on a failed write — so later queries run against clean
-        // executor storage.
-        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        finally graft.ops.Checkpoints.unpersist(df)
+        // consume releases checkpointed result frames (q35/q39) once
+        // dumped — also on a failed write — so later queries run
+        // against clean executor storage.
+        graft.ops.Checkpoints.consume(fn(spark, sfDir))(
+          _.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name"))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

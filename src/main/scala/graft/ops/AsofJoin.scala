@@ -32,6 +32,19 @@ import org.apache.spark.sql.functions._
   * Column contract: output = every left column, plus every non-key
   * right column (including `rightTime`); the two sets must be disjoint
   * — rename right-side columns before calling.
+  *
+  * Skew: the window partitions by key, so ONE hot key's entire
+  * (left + right) history sorts inside one task — inherent to
+  * running-last semantics (each row needs every earlier right row's
+  * carry-forward), not a planning defect. The sort is disk-spillable
+  * ExternalSort, so a hot key degrades to spilled-sort throughput
+  * rather than OOM (TemporalJoinSpec pins correctness on a
+  * one-key-dominates fixture). For a pathologically hot key at corpus
+  * scale, pre-compact the RIGHT side first — keep only the last right
+  * row per (key, coarse time bucket) that any later-bucket left row
+  * could see, which shrinks the sorted run to ~buckets + left rows —
+  * then as-of join the compacted side; the left side's own volume
+  * parallelizes only across keys, by definition of the semantics.
   */
 object AsofJoin {
 

@@ -40,6 +40,19 @@ object Checkpoints {
       case _ => ()
     }
 
+  /** Consume-and-free: apply `f` — the caller's one materialization
+    * (collect, write, count) — to a checkpointed result frame, then
+    * drop the frame's storage, also when `f` throws. The
+    * library-caller face of the hygiene contract:
+    * `consume(dedupClusters(pairs))(_.collect())` cannot leak a
+    * result frame per call the way a forgotten [[unpersist]] does
+    * (CheckpointHygieneSpec pins flat storage across repeated calls).
+    * After it returns the frame must not be scanned again — lineage
+    * is truncated, the rows are gone. */
+  def consume[R, T](df: Dataset[R], blocking: Boolean = false)(
+      f: Dataset[R] => T): T =
+    try f(df) finally unpersist(df, blocking)
+
   /** IDs of RDDs currently registered in executor storage — the
     * bench-hygiene observable: iterative operators must leave at most
     * their RESULT frame here, never per-round intermediates. */

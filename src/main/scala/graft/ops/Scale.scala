@@ -41,4 +41,18 @@ object Scale {
     * sketch vs a full sort. */
   def approxMedian(c: Column): Column =
     percentile_approx(c, lit(0.5), lit(10000))
+
+  /** q49's multi-quantile shape at scale: the exact `percentile(c,
+    * array(...))` keeps every group's values for a per-group sort —
+    * fine at fixture cardinality, pathological at billions of rows per
+    * group. This twin is the mergeable KLL-style sketch with bounded
+    * memory: rank error ≤ n/accuracy, so accuracy=10000 pins every
+    * returned quantile within ±0.01% of the true rank (ScaleSpec
+    * asserts the bound). Returns an array aligned with `percentages`,
+    * same as the exact form; values are actual data points rather than
+    * interpolations, which is why the oracle-gated q49 keeps the exact
+    * aggregate and this switch stays caller-opt-in. */
+  def approxQuantiles(c: Column, percentages: Seq[Double],
+      accuracy: Int = 10000): Column =
+    percentile_approx(c, array(percentages.map(lit): _*), lit(accuracy))
 }

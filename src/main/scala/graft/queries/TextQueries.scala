@@ -145,9 +145,10 @@ object TextQueries {
     * quantile — bit-identical to DuckDB's quantile_cont on integer
     * inputs because position (n−1)·p and the interpolation are exact
     * double ops. Exact quantiles sort within each group, so at corpus
-    * scale (billions of rows per language) flip the documented switch
-    * to approx_percentile — a mergeable sketch with no per-group sort
-    * — and loosen the oracle; the cheap per-group stats stay exact. */
+    * scale (billions of rows per language) flip to
+    * `Scale.approxQuantiles` — a mergeable sketch with no per-group
+    * sort, rank error ≤ n/accuracy (ScaleSpec pins the bound) — and
+    * loosen the oracle; the cheap per-group stats stay exact. */
   def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)

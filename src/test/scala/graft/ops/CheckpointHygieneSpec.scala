@@ -73,6 +73,32 @@ class CheckpointHygieneSpec extends SparkSpecBase {
     assert((retained -- before).isEmpty)
   }
 
+  test("consume: repeated dedupClusters calls leave storage flat") {
+    val before = retained
+    val chain = (1L to 6L).map(i => Row(i, i + 1))
+    // Three back-to-back invocations through the consuming API — the
+    // long-session library pattern that used to leak one result frame
+    // per call when the caller forgot the manual unpersist.
+    (1 to 3).foreach { round =>
+      val pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize(chain, 2), pairT)
+      val n = Checkpoints.consume(Dedup.connectedComponents(pairs))(
+        _.collect().length)
+      assert(n == 7, s"round $round")
+      assert((retained -- before).isEmpty,
+        s"round $round left blocks in storage")
+    }
+    // ...and the frame is freed even when the consumer THROWS.
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(chain, 2), pairT)
+    intercept[RuntimeException] {
+      Checkpoints.consume(Dedup.connectedComponents(pairs)) { df =>
+        df.collect(); throw new RuntimeException("consumer boom")
+      }
+    }
+    assert((retained -- before).isEmpty, "failed consumer leaked blocks")
+  }
+
   test("q35 then q36: dedup leaves storage clean for the next query") {
     val dir = "/root/testdata/sf0.001"
     val before = retained

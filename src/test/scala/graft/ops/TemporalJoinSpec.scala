@@ -85,6 +85,42 @@ class TemporalJoinSpec extends SparkSpecBase {
     assert(joins(plan).isEmpty, s"expected join-free plan:\n$plan")
   }
 
+  test("leftAsof stays exact when one hot key dominates both sides") {
+    // Skew shape from the scaladoc: one key carries ~95% of all rows
+    // (plus a couple of cold keys as canaries), so its whole history
+    // lands in one sort partition. Correctness must not depend on the
+    // distribution; expected values come from a driver-side binary
+    // search over the sorted right history.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val hotLeft = (1L to 2000L).map(i =>
+      (i, 1L, 1700000000L + rnd.nextInt(1000000).toLong))
+    val coldLeft = Seq((9001L, 2L, 1700000500L), (9002L, 3L, 1700000500L))
+    val hotRight = (1L to 2000L).map(i =>
+      (1L, i, 1700000000L + rnd.nextInt(1000000).toLong, i.toDouble))
+    val coldRight = Seq((2L, 5000L, 1700000400L, 1.0)) // key 3: no rows
+    val l = (hotLeft ++ coldLeft).toDF("id", "k", "epoch")
+      .select($"id", $"k", $"epoch".cast("timestamp").as("t"))
+      .repartition(8)
+    val r = (hotRight ++ coldRight).toDF("k", "rid", "repoch", "v")
+      .select($"k", $"rid", $"repoch".cast("timestamp").as("rt"), $"v")
+      .repartition(8)
+    val got = AsofJoin.leftAsof(l, r, Seq("k"), "t", "rt",
+      rightTies = Seq("rid")).collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+    // expected: greatest (rt, rid) with rt <= t, per key
+    val byKey = (hotRight ++ coldRight).groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(x => (x._3, x._2)).sorted }
+    val expected = (hotLeft ++ coldLeft).map { case (id, k, t) =>
+      id -> byKey.get(k).flatMap(
+        _.takeWhile(_._1 <= t).lastOption.map(_._2))
+    }.toMap
+    assert(got.size == 2002)
+    assert(got == expected)
+    assert(got(9002L).isEmpty) // key with no right history
+  }
+
   test("leftAsof rejects colliding or reserved column names") {
     val l = leftDf((1L, 10L, "2024-01-01 12:00:00"))
     val r = rightDf((10L, 100L, "2024-01-01 08:00:00", 1.0))
