@@ -391,9 +391,21 @@ object Dedup {
     // shiftrightunsigned: bit 63 of a 64-bit fingerprint sets the
     // Long's sign, and an arithmetic shift would smear it across the
     // top band's slice value.
+    // coalesce(-1): makes the slice NON-NULLABLE so the candidate
+    // join's constraint inference has no isnotnull(band_val) to
+    // derive — without it, InferFiltersFromConstraints rewrites that
+    // into isnotnull(simhash(tokens(text))) and predicate pushdown
+    // carries it below the upstream repartition, where the fingerprint
+    // kernel is then evaluated a SECOND time per row on the scan side
+    // (caught in the round-6 plan audit, PLANS.md). −1 is outside the
+    // masked slice range so it cannot collide with a real value; a
+    // null fingerprint (null text) puts −1 in every band on both
+    // sides, and any resulting self-pairs die in the Hamming filter
+    // (null xor → null ≤ d → dropped), so output is unchanged.
     base.select(col("id"), col("sh"),
       posexplode_outer(array((0 until bands).map(b =>
-        shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))): _*))
+        coalesce(shiftrightunsigned(col("sh"), b * width)
+          .bitwiseAND(lit(mask)), lit(-1L))): _*))
         .as(Seq("band", "band_val")))
   }
 
@@ -428,7 +440,15 @@ object Dedup {
       .distinct()
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
+      // Null-TOLERANT threshold guard (null hamming → MaxValue →
+      // dropped, same result as a plain <=): a bare `hamming <=
+      // maxHamming` is null-intolerant, so constraint inference
+      // derives isnotnull(sh_a/sh_b), substitutes the fingerprint
+      // expression, and pushes `isnotnull(simhash(tokens(text)))`
+      // below the repartition — evaluating the kernel twice per row
+      // (round-6 plan audit). Catalyst still folds this predicate
+      // into the collision join's condition for early pruning.
+      .filter(coalesce(col("hamming"), lit(Long.MaxValue)) <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 

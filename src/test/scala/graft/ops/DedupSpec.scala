@@ -232,6 +232,29 @@ class DedupSpec extends SparkSpecBase {
     assert(large64 > 4L * 3000 * 9 / 10)
   }
 
+  test("banded pairs evaluate the fingerprint kernel once per side") {
+    // Round-6 plan-audit regression pin: the join's null-intolerant
+    // predicates used to make constraint inference push an
+    // isnotnull(simhash(tokens(text))) filter below the repartition —
+    // a second kernel evaluation per row on the scan side. The
+    // optimized plan must contain the kernel exactly twice (one
+    // projection per join side), never in a Filter.
+    import graft.io.Tables
+    val docs = Tables.documentsDistributed(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        Dedup.simhash64(Dedup.tokens(col("text"))).as("simhash"))
+    val plan = Dedup.simhashNearDupPairs64(docs, "doc_id", "simhash")
+      .queryExecution.optimizedPlan
+    val kernelCount = "simhash64\\(".r
+      .findAllMatchIn(plan.toString).length
+    assert(kernelCount == 2, s"expected 2 kernel sites, got $kernelCount:\n$plan")
+    val inFilters = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("simhash64") => f
+    }
+    assert(inFilters.isEmpty, s"kernel leaked into filters: $inFilters")
+  }
+
   test("dfCap drops degenerate buckets, keeps cold ones") {
     // 50 identical fingerprints (a boilerplate cluster: every band
     // bucket holds all 50) plus one true near-dup pair elsewhere.
