@@ -29,15 +29,24 @@ final class HttpBulkTransport(
     baseUrl: String,
     auth: Option[String] = None,
     connectTimeout: Duration = Duration.ofSeconds(10),
-    requestTimeout: Duration = Duration.ofSeconds(60))
+    requestTimeout: Duration = Duration.ofSeconds(60),
+    verifyTls: Boolean = true)
     extends BulkSink.BulkTransport {
 
   private val base = baseUrl.stripSuffix("/")
 
   // One client per task JVM; HttpClient is not serializable.
-  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
-    .connectTimeout(connectTimeout)
-    .build()
+  // verifyTls=false (the reference's requests `verify=False` default,
+  // config.py:21) accepts the self-signed certs of a dev/local store
+  // by trusting any chain. Certificate validation only: the JDK
+  // client's hostname check stays on unless the JVM-global
+  // `jdk.internal.httpclient.disableHostnameVerification` property is
+  // set, which this class deliberately does not touch.
+  @transient private lazy val client: HttpClient = {
+    val b = HttpClient.newBuilder().connectTimeout(connectTimeout)
+    if (!verifyTls) b.sslContext(HttpBulkTransport.trustAllContext)
+    b.build()
+  }
   @transient private lazy val mapper = new ObjectMapper()
 
   private def request(method: String, url: String, body: String,
@@ -119,6 +128,23 @@ final class HttpBulkTransport(
 }
 
 object HttpBulkTransport {
+  /** Accept-any-chain SSLContext backing `verifyTls = false`. */
+  private[io] def trustAllContext: javax.net.ssl.SSLContext = {
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(
+            chain: Array[java.security.cert.X509Certificate],
+            authType: String): Unit = ()
+        override def checkServerTrusted(
+            chain: Array[java.security.cert.X509Certificate],
+            authType: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array.empty
+      }), new java.security.SecureRandom())
+    ctx
+  }
+
   /** `Authorization: ApiKey ...` (client.py:27). */
   def apiKey(key: String): Option[String] = Some(s"ApiKey $key")
 
