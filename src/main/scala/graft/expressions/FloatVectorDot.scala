@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
@@ -73,8 +73,80 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ embᵢ·wᵢ against a CONSTANT double-weight vector (the hyperplane
+  * projection of Ann.bucket), compiled: the weights ride into the
+  * generated code as a reference `double[]`, so per row the work is
+  * one tight fused loop instead of an interpreted
+  * `aggregate(zip_with(emb, lit(w), …))` fold — which is
+  * CodegenFallback and was the last interpreted HOF in a gated query
+  * hot path (round-6 plan audit; Ann's scaladoc already promised
+  * codegen).
+  *
+  * Bit-parity with the HOF form (pinned by FloatVectorDotSpec):
+  * left-to-right double accumulation of `(double) emb(i) * w(i)`;
+  * null when the input array is null, contains a null element, or its
+  * length differs from the weight vector (zip_with pads the shorter
+  * side with nulls, nulling the whole fold — same observable). */
+case class FloatVectorDotConst(child: Expression, weights: Seq[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_vector_dot_const"
+
+  @transient private lazy val w: Array[Double] = weights.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != w.length) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < w.length) {
+        if (x.isNullAt(i)) return null
+        s += x.getFloat(i).toDouble * w(i)
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wRef = ctx.addReferenceObj("weights", w, "double[]")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.numElements() != $wRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $wRef.length; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.getFloat($i) * $wRef[$i];
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FloatVectorDotConst = copy(child = newChild)
+}
+
 object FloatVectorDot {
   /** Column-API entry point. */
   def dot(a: Column, b: Column): Column =
     Shim.column(FloatVectorDot(Shim.expression(a), Shim.expression(b)))
+
+  /** Dot against a constant weight vector (codegen'd). */
+  def dotConst(emb: Column, weights: Seq[Double]): Column =
+    Shim.column(FloatVectorDotConst(Shim.expression(emb), weights))
 }

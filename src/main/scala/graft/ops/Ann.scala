@@ -38,8 +38,15 @@ object Ann {
     (0 until numPlanes).map(p => (0 until dim).map(d => planeWeight(p, d)))
 
   /** Σ embᵢ·wᵢ accumulated left-to-right (same fold order as the
-    * oracle's list_sum over list_transform). */
+    * oracle's list_sum over list_transform) — the codegen'd
+    * constant-weight kernel; [[dotLitHof]] is its interpreted twin,
+    * bit-parity-pinned by FloatVectorDotSpec. */
   private def dotLit(emb: Column, w: Seq[Double]): Column =
+    graft.expressions.FloatVectorDot.dotConst(emb, w)
+
+  /** Interpreted-HOF reference form of [[dotLit]] (CodegenFallback —
+    * kept only as the parity oracle, never in a query path). */
+  private[graft] def dotLitHof(emb: Column, w: Seq[Double]): Column =
     aggregate(
       zip_with(emb, typedLit(w), (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)

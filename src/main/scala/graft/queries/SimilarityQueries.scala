@@ -174,7 +174,13 @@ object SimilarityQueries {
     a.join(b, Seq("bucket"))
       .filter($"vec_a" < $"vec_b")
       .withColumn("cos_full", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
-      .filter($"cos_full" >= threshold)
+      // Null-tolerant threshold (null cosine → -∞ → dropped, same
+      // result as a bare >=): the bare form is null-intolerant, so
+      // constraint inference derives isnotnull(nrm) and pushes a
+      // second sqrt(dot(emb,emb)) evaluation below the repartition
+      // (round-6 plan audit, same mechanism as the simhash fix).
+      .filter(coalesce($"cos_full", lit(Double.NegativeInfinity))
+        >= threshold)
       .select($"vec_a", $"vec_b", round($"cos_full", 4).as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }
@@ -206,7 +212,9 @@ object SimilarityQueries {
     a.join(b, Seq("probe"))
       .filter($"vec_a" < $"vec_b")
       .withColumn("cos_full", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
-      .filter($"cos_full" >= threshold)
+      // null-tolerant for the same reason as embeddingNearDupPairs
+      .filter(coalesce($"cos_full", lit(Double.NegativeInfinity))
+        >= threshold)
       .select($"vec_a", $"vec_b", round($"cos_full", 4).as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }
