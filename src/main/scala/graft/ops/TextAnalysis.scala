@@ -46,7 +46,16 @@ object TextAnalysis {
     aggregate(toks, lit(0L), (acc, t) => acc + length(t))
 
   /** Predicted language: max stopword hits, ties broken by language
-    * code order (the CASE chain order — identical in the oracle SQL). */
+    * code order (the CASE chain order — identical in the oracle SQL).
+    *
+    * SINGLE-EXPRESSION form — each language's hit count appears once
+    * in `greatest` and the `greatest` is replicated into every CASE
+    * branch, so one evaluation costs ~6× the necessary kernel work
+    * (expression trees get no common-subexpression elimination across
+    * references; round-6 plan audit measured ×30 stopword_hits sites
+    * for 5 languages). Kept for Column-API composability on small
+    * frames; scan-scale callers use [[withLangId]], which stages the
+    * five counts as named columns so each kernel runs once per row. */
   def langId(toks: Column): Column = {
     val scores = stopwords.map { case (lang, words) =>
       lang -> stopwordHits(toks, words)
@@ -55,6 +64,27 @@ object TextAnalysis {
     scores.foldRight(lit("und"): Column) { case ((lang, s), rest) =>
       when(s === best, lit(lang)).otherwise(rest)
     }
+  }
+
+  /** Scan-scale language ID: stages each language's hit count as a
+    * named column — CollapseProject keeps multi-referenced non-cheap
+    * aliases in their own Project (the q20 sig/bands mechanism), so
+    * the arg-max CASE reads five computed INTs instead of
+    * re-evaluating five token-scan kernels per reference. Identical
+    * output to `langId` (ArgMaxSpec-style parity pinned in
+    * TextAnalysisSpec). */
+  def withLangId(df: org.apache.spark.sql.DataFrame, toks: Column,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val hitCols = stopwords.map { case (lang, _) => s"__hits_$lang" }
+    val staged = stopwords.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"__hits_$lang", stopwordHits(toks, words))
+    }
+    val best = hitCols.map(col).reduce((a, b) => greatest(a, b))
+    val pred = stopwords.foldRight(lit("und"): Column) {
+      case ((lang, _), rest) =>
+        when(col(s"__hits_$lang") === best, lit(lang)).otherwise(rest)
+    }
+    staged.withColumn(out, pred).drop(hitCols: _*)
   }
 
   /** Positional k-token-gram md5 hashes (repeats kept — winnowing needs

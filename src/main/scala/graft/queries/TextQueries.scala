@@ -80,9 +80,12 @@ object TextQueries {
     * (labeled, predicted) confusion counts. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documentsDistributed(spark, dir)
-      .withColumn("toks", TextAnalysis.tokensOf($"text"))
-      .select($"lang", TextAnalysis.langId($"toks").as("predicted"))
+    // staged form: five kernel passes per row, not ~30 (see
+    // TextAnalysis.withLangId scaladoc)
+    TextAnalysis.withLangId(
+        Tables.documentsDistributed(spark, dir)
+          .withColumn("toks", TextAnalysis.tokensOf($"text")),
+        $"toks", "predicted")
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"predicted")

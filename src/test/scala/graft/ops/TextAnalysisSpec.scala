@@ -26,6 +26,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(lid("zzz qqq www") == "de")
   }
 
+  test("withLangId equals langId and evaluates each profile once") {
+    // Parity corpus: clear winners, zero-hit ties, mixed-language docs
+    // (greatest-tie at nonzero hits), empties.
+    val texts = Seq(
+      "the cat and the dog is in a house",
+      "der hund und die katze ist nicht da",
+      "el perro y los gatos no es un", "", "zzz qqq www",
+      "the der le el 的", // every profile scores 1 → tie → de
+      "la la la") // la is in es AND fr profiles → tie → es
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(2)
+      .withColumn("toks", TextAnalysis.tokensOf(col("text")))
+    val both = TextAnalysis.withLangId(df, col("toks"), "staged")
+      .withColumn("single", TextAnalysis.langId(col("toks")))
+    both.collect().foreach(r =>
+      assert(r.getAs[String]("staged") == r.getAs[String]("single"), r))
+    // The staged plan runs one stopword_hits per language per row —
+    // the single-expression form inlines ~6× that (round-6 audit).
+    val staged = TextAnalysis.withLangId(df, col("toks"), "predicted")
+      .select("doc_id", "predicted")
+    val sites = "stopword_hits\\(".r
+      .findAllMatchIn(staged.queryExecution.optimizedPlan.toString).length
+    assert(sites == TextAnalysis.stopwords.length,
+      s"expected ${TextAnalysis.stopwords.length} kernel sites, got $sites")
+    // withLangId leaves no staging residue
+    assert(!staged.columns.exists(_.startsWith("__hits_")))
+  }
+
   test("kgram hashes are positional (repeats kept) and winnowing dedups") {
     val toks = TextAnalysis.tokensOf(col("text"))
     val r = run("a b c d a b c d a b c d",
