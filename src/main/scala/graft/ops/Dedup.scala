@@ -112,7 +112,8 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      dfCap: Option[Int] = None): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
     // Candidate generation carries ONLY (band, band_hash, id) through
     // the collision join — never the shingle arrays — and dedups pairs
@@ -123,10 +124,26 @@ object Dedup {
     // `size(bandh) > 0` filter that embeds the whole minhash tree and
     // gets pushed below the repartition — re-evaluating every hash on
     // the (single-split) scan side. outer generators get no such filter.
-    val banded = base
+    val allBanded = base
       .withColumn("bandh", bandHashesDirect(col("sh"), numHashes, bands))
       .select(col("id"),
         posexplode_outer(col("bandh")).as(Seq("band", "band_hash")))
+    // Optional hot-bucket guard, same contract as
+    // simhashNearDupPairs64's dfCap: buckets whose occupancy exceeds
+    // the cap (boilerplate/empty-doc signatures) are DROPPED from
+    // candidate generation on BOTH sides, bounding any bucket's join
+    // fan-out at dfCap². Trades recall for a hard cost ceiling — a
+    // true pair is lost only when EVERY band it collides in is hot.
+    // The gated q21/q35 run uncapped; DedupSpec pins the semantics.
+    val banded = dfCap match {
+      case None => allBanded
+      case Some(cap) =>
+        val cold = allBanded.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("bucket_df"))
+          .filter(col("bucket_df") <= cap)
+          .select(col("band"), col("band_hash"))
+        allBanded.join(cold, Seq("band", "band_hash"), "left_semi")
+    }
     val candA = banded.select(col("band"), col("band_hash"),
       col("id").as("doc_a"))
     val candB = banded.select(col("band"), col("band_hash"),

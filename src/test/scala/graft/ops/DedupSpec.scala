@@ -255,6 +255,29 @@ class DedupSpec extends SparkSpecBase {
     assert(inFilters.isEmpty, s"kernel leaked into filters: $inFilters")
   }
 
+  test("minhashLshPairs dfCap prunes a boilerplate cluster, keeps others") {
+    // 40 identical docs (every band bucket holds all 40) + one
+    // distinct near-dup pair: uncapped finds all pairs; capped at 10
+    // drops the boilerplate cluster's pairs and keeps the cold pair.
+    val docT = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val boiler = (1L to 40L).map(i =>
+      Row(i, "the quick brown fox jumps over the lazy dog again"))
+    val cold = Seq(
+      Row(100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      Row(101L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(boiler ++ cold, 2), docT)
+      .select(col("doc_id"),
+        Dedup.shingles(Dedup.tokens(col("text"))).as("sh"))
+    assert(Dedup.minhashLshPairs(df, "doc_id", "sh").count() ==
+      40L * 39 / 2 + 1)
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "sh",
+      dfCap = Some(10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+  }
+
   test("dfCap drops degenerate buckets, keeps cold ones") {
     // 50 identical fingerprints (a boilerplate cluster: every band
     // bucket holds all 50) plus one true near-dup pair elsewhere.
