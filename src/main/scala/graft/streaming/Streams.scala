@@ -83,6 +83,75 @@ object Streams {
       }
       .start()
 
+  case class BandedDoc(bucket: Long, doc_id: Long, simhash: Long)
+  case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Int)
+  case class BucketState(entries: Seq[(Long, Long)])
+
+  /** Stateful streaming SimHash near-dup flagging — the streaming twin
+    * of the batch q50 operator, same 64-bit fingerprint + 16-bit
+    * Hamming-band bucketing (compiled kernel). Each document lands in
+    * `bands` bucket groups; per bucket, flatMapGroupsWithState keeps
+    * the most recent `maxBucketEntries` (doc_id, fingerprint) pairs
+    * and emits a hit when an arrival is within `maxHamming` of a
+    * retained entry (closest match, ties to the lowest id).
+    *
+    * Output is PER-BAND verdicts: a pair colliding in several buckets
+    * is flagged once per bucket — downstream `groupBy(doc_id).min` or
+    * the batch verifier dedups, the same contract as the batch
+    * candidate stage. State is bounded by construction — buckets cap
+    * their entry list FIFO (the streaming face of the batch df-cap:
+    * a degenerate bucket forgets oldest entries instead of growing),
+    * so executors hold ≤ buckets·maxBucketEntries tuples regardless
+    * of stream length. Intra-batch arrivals process in doc_id order
+    * for deterministic replay. */
+  def simhashNearDupStream(docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, bands: Int = 4,
+      maxBucketEntries: Int = 256): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = docs
+      .withColumn("_sh",
+        graft.ops.Dedup.simhash64(graft.ops.Dedup.tokens(col(textCol))))
+      .select(col(idCol).cast("long").as("doc_id"),
+        col("_sh").as("simhash"),
+        posexplode_outer(array((0 until bands).map(b =>
+          coalesce(shiftrightunsigned(col("_sh"), b * width)
+            .bitwiseAND(lit(mask)), lit(-1L))): _*))
+          .as(Seq("band", "band_val")))
+      // distinct (band, slice) → distinct bucket id; -1 null-sentinel
+      // shifts into range via the +1
+      .select((col("band").cast("long") * (mask + 2) + col("band_val") + 1)
+        .as("bucket"), col("doc_id"), col("simhash"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BandedDoc],
+            state: GroupState[BucketState]) =>
+          var entries = state.getOption.map(_.entries.toVector)
+            .getOrElse(Vector.empty)
+          val out = Vector.newBuilder[NearDupHit]
+          rows.toVector.sortBy(_.doc_id).foreach { d =>
+            val hits = entries.collect {
+              case (id, fp)
+                  if java.lang.Long.bitCount(fp ^ d.simhash) <= maxHamming =>
+                (java.lang.Long.bitCount(fp ^ d.simhash), id)
+            }
+            if (hits.nonEmpty) {
+              val (h, dupOf) = hits.min
+              out += NearDupHit(d.doc_id, dupOf, h)
+            }
+            entries = (entries :+ (d.doc_id -> d.simhash))
+              .takeRight(maxBucketEntries)
+          }
+          state.update(BucketState(entries))
+          out.result().iterator
+      }
+  }
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: java.sql.Timestamp, value: Double)
 

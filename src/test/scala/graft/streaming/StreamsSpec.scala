@@ -83,6 +83,57 @@ class StreamsSpec extends SparkSpecBase {
     assert(ids == Seq(1L, 3L))
   }
 
+  test("simhashNearDupStream flags clones across batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val out = Streams.simhashNearDupStream(
+      src.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val far = "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince"
+    runBatches(out.toDF(), "shstream") {
+      src.addData(
+        (1L, t("2020-01-01 00:00:00"), base),
+        (3L, t("2020-01-01 00:00:20"), far))
+      // clone arrives in a LATER batch → must hit batch-1 state
+      src.addData((7L, t("2020-01-01 00:01:00"), base))
+      // clone of the far doc, same-batch as an unrelated doc
+      src.addData((9L, t("2020-01-01 00:02:00"), far),
+        (10L, t("2020-01-01 00:02:10"), "completely different words here"))
+    }
+    val hits = spark.table("shstream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exact clones → hamming 0 in EVERY band (4 per-band verdicts each)
+    assert(hits.count(_ == (7L, 1L, 0)) == 1) // set → 1, but all 4 agree
+    assert(hits == Set((7L, 1L, 0), (9L, 3L, 0)),
+      s"unexpected hit set: $hits")
+    assert(spark.table("shstream").count() == 8) // 4 bands × 2 clones
+  }
+
+  test("simhashNearDupStream FIFO state cap forgets oldest entries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    // cap 1: each bucket remembers ONLY its latest doc. A clone chain
+    // makes the eviction observable through the match target: the
+    // tie-break prefers the LOWEST id, so doc 3 reporting dup_of=2
+    // (not 1) proves doc 1 left the bucket when doc 2 arrived.
+    val out = Streams.simhashNearDupStream(
+      src.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      maxBucketEntries = 1)
+    val a = "red orange yellow green blue indigo violet white black grey"
+    runBatches(out.toDF(), "shcap") {
+      src.addData((1L, t("2020-01-01 00:00:00"), a))
+      src.addData((2L, t("2020-01-01 00:00:10"), a)) // hits 1, evicts 1
+      src.addData((3L, t("2020-01-01 00:00:20"), a)) // must hit 2, not 1
+    }
+    val hits = spark.table("shcap")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((2L, 1L), (3L, 2L)), s"unexpected: $hits")
+  }
+
   test("file-source stream: JSON drops roll up through the same transform") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
