@@ -40,11 +40,9 @@ import org.apache.spark.sql.functions._
   * ExternalSort, so a hot key degrades to spilled-sort throughput
   * rather than OOM (TemporalJoinSpec pins correctness on a
   * one-key-dominates fixture). For a pathologically hot key at corpus
-  * scale, pre-compact the RIGHT side first — keep only the last right
-  * row per (key, coarse time bucket) that any later-bucket left row
-  * could see, which shrinks the sorted run to ~buckets + left rows —
-  * then as-of join the compacted side; the left side's own volume
-  * parallelizes only across keys, by definition of the semantics.
+  * scale use [[leftAsofBucketed]], which splits the sweep by coarse
+  * time bucket (within-bucket join + per-bucket carry) so no sort
+  * partition holds more than one bucket's history.
   */
 object AsofJoin {
 
@@ -89,5 +87,78 @@ object AsofJoin {
       .filter(col("__tag") === lTag)
       .select(left.columns.map(col) ++
         payload.map(p => col(s"__m.$p").as(p)): _*)
+  }
+
+  /** [[leftAsof]] with time-bucketed skew mitigation — identical
+    * output (TemporalJoinSpec pins equality on random and hot-key
+    * fixtures), different cost shape: instead of one sort partition
+    * holding a hot key's ENTIRE history, work splits into
+    *
+    *   1. a within-bucket as-of join partitioned by (key, bucket) —
+    *      each sort bounded by one bucket's rows;
+    *   2. a carry table: the last right row per (key, bucket)
+    *      (one aggregation, max_by the (time, ties) tuple);
+    *   3. a bucket-index as-of sweep of the left's DISTINCT
+    *      (key, bucket) pairs against the carry table — ~|buckets|
+    *      rows per key, not |history|;
+    *   4. per left row: the within-bucket match if one exists, else
+    *      its bucket's carried match.
+    *
+    * Correct because only the LAST right row of an earlier bucket can
+    * ever be the as-of match for a later-bucket left row (anything
+    * else in that bucket is dominated), and same-bucket matches are
+    * exact by (1). `bucketSeconds` trades the two extremes: huge →
+    * degenerates to [[leftAsof]]'s single sweep; tiny → the carry
+    * sweep dominates. Event times must be orderable after a
+    * cast-to-seconds floor (any monotone bucketing is correct; the
+    * floor keeps pre-1970 times monotone too). */
+  def leftAsofBucketed(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String],
+      leftTime: String, rightTime: String,
+      bucketSeconds: Long = 3600,
+      rightTies: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "left/right must not contain reserved column __b")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    // epoch-seconds floor division; floor() keeps negatives monotone
+    def bucketOf(t: String) = floor(col(t).cast("timestamp").cast("long")
+      .cast("double") / lit(bucketSeconds.toDouble)).cast("long")
+
+    // __matched marks real within-bucket matches (a matched row's
+    // payload may be legitimately all-null, so payload nullness can't)
+    val lb = left.withColumn("__b", bucketOf(leftTime))
+    val rb = right.withColumn("__matched", lit(true))
+      .withColumn("__b", bucketOf(rightTime))
+
+    // (1) within-bucket: the bucket joins the key, so each window
+    // partition holds one bucket's history only
+    val sameBucket = leftAsof(lb, rb, keys :+ "__b", leftTime, rightTime,
+      rightTies, strict)
+
+    // (2) last right row per (key, bucket): max_by the same
+    // (time, ties) tuple the sweep's tie order uses
+    val tieOrder = struct((rightTime +: rightTies).map(col): _*)
+    val carry = rb.groupBy((keys :+ "__b").map(col): _*)
+      .agg(max_by(struct((payload :+ "__matched").map(col): _*), tieOrder)
+        .as("__c"))
+      .select(keys.map(col) ++ Seq(col("__b").as("__cb"), col("__c")): _*)
+
+    // (3) strict bucket-index sweep: a left bucket takes the carry of
+    // the LATEST EARLIER bucket (its own bucket is step 1's job)
+    val lDist = lb.select((keys :+ "__b").map(col): _*).distinct()
+    val boundary = leftAsof(lDist, carry, keys, "__b", "__cb",
+      rightTies = Nil, strict = true)
+
+    // (4) within-bucket match wins; else the carried one
+    sameBucket
+      .join(boundary.select((keys :+ "__b").map(col) :+ col("__c"): _*),
+        keys :+ "__b", "left")
+      .select(left.columns.map(col) ++
+        payload.map(p =>
+          when(col("__matched").isNotNull, col(p))
+            .otherwise(col(s"__c.$p")).as(p)): _*)
   }
 }

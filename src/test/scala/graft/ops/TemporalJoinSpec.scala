@@ -121,6 +121,41 @@ class TemporalJoinSpec extends SparkSpecBase {
     assert(got(9002L).isEmpty) // key with no right history
   }
 
+  test("leftAsofBucketed equals leftAsof across bucket widths") {
+    // Random two-key data plus a 95%-hot key; compare the bucketed
+    // rewrite to the single-sweep reference at widths spanning
+    // "every row its own bucket" → "one bucket for everything"
+    // (the latter degenerates to the plain sweep), in both inclusive
+    // and strict modes.
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val lRows = ((1L to 800L).map(i =>
+      (i, if (i <= 760) 1L else 2L, 1700000000L + rnd.nextInt(100000))) :+
+      ((9001L, 3L, 1700000000L))) // key with no right rows
+    val rRows = (1L to 800L).map(i =>
+      (if (i <= 760) 1L else 2L, i, 1700000000L + rnd.nextInt(100000),
+        i.toDouble))
+    val l = lRows.toDF("id", "k", "epoch")
+      .select($"id", $"k", $"epoch".cast("timestamp").as("t"))
+      .repartition(8)
+    val r = rRows.toDF("k", "rid", "repoch", "v")
+      .select($"k", $"rid", $"repoch".cast("timestamp").as("rt"), $"v")
+      .repartition(8)
+    def collectMap(df: DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+    for (strict <- Seq(false, true)) {
+      val reference = collectMap(AsofJoin.leftAsof(l, r, Seq("k"),
+        "t", "rt", rightTies = Seq("rid"), strict = strict))
+      for (bucketSeconds <- Seq(1L, 600L, 7L * 24 * 3600)) {
+        val got = collectMap(AsofJoin.leftAsofBucketed(l, r, Seq("k"),
+          "t", "rt", bucketSeconds, rightTies = Seq("rid"),
+          strict = strict))
+        assert(got == reference, s"strict=$strict bucket=$bucketSeconds")
+      }
+    }
+  }
+
   test("leftAsof rejects colliding or reserved column names") {
     val l = leftDf((1L, 10L, "2024-01-01 12:00:00"))
     val r = rightDf((10L, 100L, "2024-01-01 08:00:00", 1.0))
