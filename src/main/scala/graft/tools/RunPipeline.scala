@@ -38,15 +38,20 @@ object RunPipeline {
   private def envInt(name: String, default: Int): Int =
     sys.env.get(name).flatMap(_.toIntOption).getOrElse(default)
 
-  def main(args: Array[String]): Unit = {
-    val (pipelineArgs, indexingArgs) = args.indexOf("--") match {
-      case -1 => (args.toSeq, Seq.empty[String])
-      case i => (args.take(i).toSeq, args.drop(i + 1).toSeq)
-    }
-    val repos = pipelineArgs.filter(_.contains("/")) match {
+  /** Repo names from CLI args (anything containing `/`), else the
+    * built-in corpus — runner.py:17-19's filter. */
+  def reposFrom(args: Seq[String]): Seq[String] =
+    args.filter(_.contains("/")) match {
       case Seq() => defaultRepos
       case named => named
     }
+
+  /** Retrieval half (retrieval runner.py main): fetch every repo's
+    * nine artifacts live into `outDir`, incremental when a prior run
+    * is present. Returns per-repo outcomes. */
+  def retrieve(spark: org.apache.spark.sql.SparkSession,
+      repos: Seq[String], outDir: String)
+      : Map[String, scala.util.Try[Pipeline.RepoOutputs]] = {
     val secrets = LocalSecrets.load()
     val cfg = GithubClient.Config(
       tokens = LocalSecrets.strings(secrets, "github_tokens"),
@@ -55,26 +60,48 @@ object RunPipeline {
       maxPrsWithLinkedIssues = envInt("MAX_PRS_WITH_LINKED_ISSUES", 0),
       maxPagesPrs = envInt("MAX_PAGES_PRS", 0),
       maxPagesCommits = envInt("MAX_PAGES_COMMITS", 0))
-    val indexing = RunIndexing.parseArgs(indexingArgs,
-      RunIndexing.defaults(secrets))
+    val generatedAt = DateTimeFormatter.ISO_INSTANT
+      .format(Instant.now().atOffset(ZoneOffset.UTC).toInstant)
+    val fetched = LivePipeline.processReposLive(spark,
+      new HttpTransport(), cfg, repos, outDir,
+      generatedAt = generatedAt,
+      blameFileLimit = envInt("BLAME_FILE_LIMIT", 0),
+      limits = limits,
+      parallelism = envInt("GRAFT_PARALLELISM", 1))
+    fetched.toSeq.sortBy(_._1).foreach {
+      case (repo, scala.util.Success(_)) =>
+        println(s"[pipeline] $repo: fetched")
+      case (repo, scala.util.Failure(e)) =>
+        println(s"[pipeline] $repo: FAILED ${e.getMessage}")
+    }
+    fetched
+  }
 
+  def main(args: Array[String]): Unit = {
+    val (pipelineArgs, indexingArgs) = args.indexOf("--") match {
+      case -1 => (args.toSeq, Seq.empty[String])
+      case i => (args.take(i).toSeq, args.drop(i + 1).toSeq)
+    }
+    val indexing = RunIndexing.parseArgs(indexingArgs,
+      RunIndexing.defaults(LocalSecrets.load()))
     val spark = RunIndexing.localSession("graft-pipeline")
     try {
-      val generatedAt = DateTimeFormatter.ISO_INSTANT
-        .format(Instant.now().atOffset(ZoneOffset.UTC).toInstant)
-      val fetched = LivePipeline.processReposLive(spark,
-        new HttpTransport(), cfg, repos, indexing.dataDir,
-        generatedAt = generatedAt,
-        blameFileLimit = envInt("BLAME_FILE_LIMIT", 0),
-        limits = limits,
-        parallelism = envInt("GRAFT_PARALLELISM", 1))
-      fetched.toSeq.sortBy(_._1).foreach {
-        case (repo, scala.util.Success(_)) =>
-          println(s"[pipeline] $repo: fetched")
-        case (repo, scala.util.Failure(e)) =>
-          println(s"[pipeline] $repo: FAILED ${e.getMessage}")
-      }
+      retrieve(spark, reposFrom(pipelineArgs), indexing.dataDir)
       RunIndexing.run(spark, indexing)
     } finally spark.stop()
+  }
+}
+
+/** Retrieval-only CLI (reference run_retrieval.py): same repo-name
+  * arg filter, artifacts land in `--out-dir` (default ./output), no
+  * indexing step. */
+object RunRetrieval {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.sliding(2).collectFirst {
+      case Array("--out-dir", d) => d
+    }.getOrElse("./output")
+    val spark = RunIndexing.localSession("graft-retrieval")
+    try RunPipeline.retrieve(spark, RunPipeline.reposFrom(args.toSeq), outDir)
+    finally spark.stop()
   }
 }
