@@ -218,6 +218,11 @@ class HashExpressionsSpec extends SparkSpecBase {
       Dedup.bandHashesDirect(sh).as("k_b"),
       Dedup.bandHashesDirectHof(sh).as("h_b"),
       Dedup.simhash32(toks).as("k_sim"), Dedup.simhash32Hof(toks).as("h_sim"),
+      Dedup.simhash64(toks).as("k_s64"),
+      // interpreted 64-bit twin: high half = the 32-bit HOF vote over
+      // md5 chars 1-8, low half = the same fold at hexOffset 9
+      shiftleft(Dedup.simhash32Hof(toks), 32)
+        .bitwiseOR(Dedup.simhash32Hof(toks, hexOffset = 9)).as("h_s64"),
       TextAnalysis.kgramHashes(toks).as("k_kg"),
       TextAnalysis.kgramHashesHof(toks).as("h_kg")).collect()
     rows.foreach { r =>
