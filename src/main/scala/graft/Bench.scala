@@ -39,6 +39,14 @@ object Bench {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name")).agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
+      // ...and the DECIMAL sum-aggregate codegen path over the tiny
+      // nation table: q01 runs first alphabetically, and without this
+      // its measurement absorbed ~1 s of one-time decimal-agg JIT the
+      // warmups above don't reach.
+      graft.io.Tables.nation(spark, sfDir)
+        .groupBy(col("n_regionkey"))
+        .agg(sum(col("n_nationkey").cast("decimal(18,2)")).cast("double"))
+        .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (timings for the " +
         s"first query may include one-time costs): ${e.getMessage}")

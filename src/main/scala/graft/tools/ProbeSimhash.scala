@@ -61,6 +61,17 @@ object ProbeSimhash {
       println(s"""{"variant":"simhash$bits","n":$n,"candidates":$cands,""" +
         s""""max_bucket_df":$maxdf,"buckets":$buckets,""" +
         s""""stats_sec":${math.rint(secs * 100) / 100}}""")
+      // End-to-end pair-join wall-clock (candidates → distinct →
+      // Hamming verify), the cost the candidate volume predicts.
+      val joinFn: DataFrame => DataFrame =
+        if (bits == 32) Dedup.simhashNearDupPairs(_, "doc_id", "simhash",
+          maxHamming = 3, bands = 4)
+        else Dedup.simhashNearDupPairs64(_, "doc_id", "simhash")
+      val tj = System.nanoTime()
+      val pairs = joinFn(fp).count()
+      val joinSecs = (System.nanoTime() - tj) / 1e9
+      println(s"""{"variant":"simhash${bits}_join","n":$n,""" +
+        s""""pairs":$pairs,"join_sec":${math.rint(joinSecs * 100) / 100}}""")
       if (bits == 64) {
         val capped = banded.groupBy("band", "band_val")
           .agg(count(lit(1)).as("df"))
