@@ -120,8 +120,10 @@ object AsofJoin {
       rightTies: Seq[String] = Nil,
       strict: Boolean = false): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
-    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
-      "left/right must not contain reserved column __b")
+    val reserved = Seq("__b", "__bb", "__cb", "__c", "__matched")
+    require(!reserved.exists(c =>
+        left.columns.contains(c) || right.columns.contains(c)),
+      s"left/right must not contain reserved columns $reserved")
     val payload = right.columns.filterNot(keys.contains).toSeq
     // epoch-seconds floor division; floor() keeps negatives monotone
     def bucketOf(t: String) = floor(col(t).cast("timestamp").cast("long")
@@ -152,10 +154,20 @@ object AsofJoin {
     val boundary = leftAsof(lDist, carry, keys, "__b", "__cb",
       rightTies = Nil, strict = true)
 
-    // (4) within-bucket match wins; else the carried one
+    // (4) within-bucket match wins; else the carried one. The
+    // re-join must be NULL-SAFE on both the keys and the bucket:
+    // leftAsof groups null keys together (window semantics) and a
+    // null event time yields a null bucket — a plain equi-join here
+    // would silently drop their carried matches (round-6 review
+    // finding; the parity spec covers a null-keyed history).
+    val bSel = boundary.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") } ++
+        Seq(col("__b").as("__bb"), col("__c")): _*)
+    val joinCond = keys.zipWithIndex
+      .map { case (k, i) => col(k) <=> col(s"__k$i") }
+      .reduce(_ && _) && (col("__b") <=> col("__bb"))
     sameBucket
-      .join(boundary.select((keys :+ "__b").map(col) :+ col("__c"): _*),
-        keys :+ "__b", "left")
+      .join(bSel, joinCond, "left")
       .select(left.columns.map(col) ++
         payload.map(p =>
           when(col("__matched").isNotNull, col(p))

@@ -83,7 +83,8 @@ object Streams {
       }
       .start()
 
-  case class BandedDoc(bucket: Long, doc_id: Long, simhash: Long)
+  case class BandedDoc(band: Int, band_val: Long, doc_id: Long,
+      simhash: Long)
   case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Int)
   case class BucketState(entries: Seq[(Long, Long)])
 
@@ -108,28 +109,29 @@ object Streams {
       textCol: String, maxHamming: Int = 3, bands: Int = 4,
       maxBucketEntries: Int = 256): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    val banded = docs
-      .withColumn("_sh",
-        graft.ops.Dedup.simhash64(graft.ops.Dedup.tokens(col(textCol))))
+    require(maxHamming < bands,
+      s"banding is only exact for maxHamming < bands " +
+        s"(got maxHamming=$maxHamming, bands=$bands)")
+    // Null id or null fingerprint (null text) cannot produce a hit in
+    // the batch twin (null hamming is dropped there), so such rows
+    // are filtered rather than crashing the non-nullable encoding.
+    val fingerprinted = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        col("_sh").as("simhash"),
-        posexplode_outer(array((0 until bands).map(b =>
-          coalesce(shiftrightunsigned(col("_sh"), b * width)
-            .bitwiseAND(lit(mask)), lit(-1L))): _*))
-          .as(Seq("band", "band_val")))
-      // distinct (band, slice) → distinct bucket id; -1 null-sentinel
-      // shifts into range via the +1
-      .select((col("band").cast("long") * (mask + 2) + col("band_val") + 1)
-        .as("bucket"), col("doc_id"), col("simhash"))
+        graft.ops.Dedup.simhash64(graft.ops.Dedup.tokens(col(textCol)))
+          .as("simhash"))
+      .filter(col("doc_id").isNotNull && col("simhash").isNotNull)
+    // The SAME banding path as the batch operator (width/mask edge
+    // cases incl. bands=1 handled there once).
+    val banded = graft.ops.Dedup
+      .simhashBands(fingerprinted, "doc_id", "simhash", bits = 64, bands)
+      .select(col("band"), col("band_val"),
+        col("id").as("doc_id"), col("sh").as("simhash"))
       .as[BandedDoc]
     banded
-      .groupByKey(_.bucket)
+      .groupByKey(d => (d.band, d.band_val))
       .flatMapGroupsWithState[BucketState, NearDupHit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[BandedDoc],
+        (_: (Int, Long), rows: Iterator[BandedDoc],
             state: GroupState[BucketState]) =>
           var entries = state.getOption.map(_.entries.toVector)
             .getOrElse(Vector.empty)

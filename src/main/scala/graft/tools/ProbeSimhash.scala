@@ -36,18 +36,23 @@ object ProbeSimhash {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // Deterministic token soup: token t of doc i picks vocab word
-    // md5-style via Spark's xxhash64 (seeded, stable across runs).
-    // Every 50th doc copies its predecessor with one token changed —
-    // a planted near-dup population.
+    // Deterministic token soup: token t of doc i picks a vocab word
+    // via Spark's seeded xxhash64 (stable across runs). Most docs are
+    // mutually distinct; every 50th doc (2%) reuses its PREDECESSOR's
+    // base tokens with one changed token — the planted near-dup
+    // population. (The first version of this generator keyed tokens
+    // on the 50-block id, which made every block a 50-doc dup clique
+    // — a far more duplicate-saturated corpus than described; caught
+    // in the round-6 review, numbers re-measured.)
     val vocabSize = 5000
+    val baseId = when($"id" % 50 === 0 && $"id" > 0, $"id" - 1)
+      .otherwise($"id")
     val docs = spark.range(n.toLong).select(
       $"id".as("doc_id"),
       concat_ws(" ", (0 until 30).map(t =>
-        concat(lit("w"), pmod(xxhash64($"id" - ($"id" % 50), lit(t)),
-          lit(vocabSize)))) :+
-        when($"id" % 50 === 0, lit("tail"))
-          .otherwise(concat(lit("m"), $"id" % 50)): _*).as("text"))
+        concat(lit("w"), pmod(xxhash64(baseId, lit(t)), lit(vocabSize)))) :+
+        when($"id" % 50 === 0, lit("mutated")).otherwise(lit("tail")): _*)
+        .as("text"))
       .repartition(32)
 
     val toks = Dedup.tokens($"text")

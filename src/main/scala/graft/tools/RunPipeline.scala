@@ -100,8 +100,15 @@ object RunRetrieval {
     val outDir = args.sliding(2).collectFirst {
       case Array("--out-dir", d) => d
     }.getOrElse("./output")
+    // strip the flag AND its value before the '/'-filter — a path
+    // value would otherwise be mistaken for an owner/repo name
+    val repoArgs = args.toSeq.foldLeft((Seq.empty[String], false)) {
+      case ((acc, true), _) => (acc, false) // skip the flag's value
+      case ((acc, false), "--out-dir") => (acc, true)
+      case ((acc, false), a) => (acc :+ a, false)
+    }._1
     val spark = RunIndexing.localSession("graft-retrieval")
-    try RunPipeline.retrieve(spark, RunPipeline.reposFrom(args.toSeq), outDir)
+    try RunPipeline.retrieve(spark, RunPipeline.reposFrom(repoArgs), outDir)
     finally spark.stop()
   }
 }

@@ -141,15 +141,27 @@ class TemporalJoinSpec extends SparkSpecBase {
     val r = rRows.toDF("k", "rid", "repoch", "v")
       .select($"k", $"rid", $"repoch".cast("timestamp").as("rt"), $"v")
       .repartition(8)
+    // null-keyed history in a DIFFERENT bucket than its left row:
+    // leftAsof groups null keys (window semantics), so the bucketed
+    // rewrite's re-join must be null-safe or the carry is lost
+    // (round-6 review finding)
+    val lNull = l.unionByName(Seq((9100L, 1700009000L)).toDF("id", "epoch")
+      .select($"id", lit(null).cast("long").as("k"),
+        $"epoch".cast("timestamp").as("t")))
+    val rNull = r.unionByName(Seq((9200L, 1700000100L, 42.0))
+      .toDF("rid", "repoch", "v")
+      .select(lit(null).cast("long").as("k"), $"rid",
+        $"repoch".cast("timestamp").as("rt"), $"v"))
     def collectMap(df: DataFrame): Map[Long, Option[Long]] =
       df.collect().map(row => row.getLong(0) ->
         (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
     for (strict <- Seq(false, true)) {
-      val reference = collectMap(AsofJoin.leftAsof(l, r, Seq("k"),
+      val reference = collectMap(AsofJoin.leftAsof(lNull, rNull, Seq("k"),
         "t", "rt", rightTies = Seq("rid"), strict = strict))
+      assert(reference(9100L).contains(9200L)) // null-key match exists
       for (bucketSeconds <- Seq(1L, 600L, 7L * 24 * 3600)) {
-        val got = collectMap(AsofJoin.leftAsofBucketed(l, r, Seq("k"),
-          "t", "rt", bucketSeconds, rightTies = Seq("rid"),
+        val got = collectMap(AsofJoin.leftAsofBucketed(lNull, rNull,
+          Seq("k"), "t", "rt", bucketSeconds, rightTies = Seq("rid"),
           strict = strict))
         assert(got == reference, s"strict=$strict bucket=$bucketSeconds")
       }

@@ -99,9 +99,12 @@ class StreamsSpec extends SparkSpecBase {
         (3L, t("2020-01-01 00:00:20"), far))
       // clone arrives in a LATER batch → must hit batch-1 state
       src.addData((7L, t("2020-01-01 00:01:00"), base))
-      // clone of the far doc, same-batch as an unrelated doc
+      // clone of the far doc, same-batch as an unrelated doc, plus a
+      // null-text row — must be tolerated (filtered), not crash the
+      // query (round-6 review finding)
       src.addData((9L, t("2020-01-01 00:02:00"), far),
-        (10L, t("2020-01-01 00:02:10"), "completely different words here"))
+        (10L, t("2020-01-01 00:02:10"), "completely different words here"),
+        (11L, t("2020-01-01 00:02:20"), null))
     }
     val hits = spark.table("shstream")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
