@@ -77,6 +77,7 @@ object SparkEntry {
     "q48_event_pivot" -> (Relational.eventPivot _),
     "q49_length_quantiles" -> (TextQueries.lengthQuantiles _),
     "q50_simhash64_near_dup" -> (DedupQueries.simhashNearDup64 _),
+    "q51_bm25_search" -> (TextQueries.bm25Search _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.TextAnalysis
+import graft.ops.{FullText, TextAnalysis}
 
 /** Text-analysis operator surface over the `documents` table: tokenize /
   * explode (MV_EXPAND, §2.9), exact dedup, and per-document quality
@@ -168,7 +168,44 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** §7 item 5 (full-text `text_en`): BM25-ranked match query for
+    * "fast vector query" over documents — the relevance-ranked FTS the
+    * reference's ES layer provides via the `text_en` analyzer
+    * (schema.py:13-19,46). Plan: see [[graft.ops.FullText.bm25TopK]] —
+    * the only corpus-sized shuffle carries query-term postings. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    FullText.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      bm25QueryTerms, k = 20)
+
+  private val bm25QueryTerms = Seq("fast", "vector", "query")
+
   val oracles: Map[String, String] = Map(
+    "q51_bm25_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  WHERE term IN ('fast','vector','query')
+        |  GROUP BY doc_id, doclen, term),
+        |withdf AS (
+        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf)
+        |SELECT doc_id, round(SUM(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+        |FROM withdf CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q49_length_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | quantile_cont(n_chars, 0.25) AS p25,

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class FullTextSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("analyzer lowercases, splits on non-alphanumerics, drops English stopwords") {
+    val out = docs((1L, "The Quick-Brown FOX, and a dog!"))
+      .select(FullText.analyze($"text").as("toks"))
+      .head.getSeq[String](0)
+    assert(out == Seq("quick", "brown", "fox", "dog"))
+  }
+
+  test("bm25 matches a hand-computed score on a 3-doc corpus") {
+    // Corpus: d1 has "cat" twice of 4 tokens, d2 has "cat" once of 2,
+    // d3 no match. N=3, df(cat)=2, doclens 4/2/3, avgdl=3.
+    val d = docs(
+      (1L, "cat cat dog bird"),
+      (2L, "cat fish"),
+      (3L, "dog bird fish"))
+    val got = FullText.bm25TopK(d, "doc_id", "text", Seq("cat"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    val k1 = 1.2; val b = 0.75
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.0)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d2: shorter doc, single occurrence; d1: two occurrences, longer.
+    val expected = Seq(1L -> s(2, 4), 2L -> s(1, 2))
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(got.toSeq == expected)
+    assert(!got.map(_._1).contains(3L))
+  }
+
+  test("multi-term scores sum per document and rank accordingly") {
+    val d = docs(
+      (1L, "spark query engine"),
+      (2L, "spark spark spark"),
+      (3L, "query planner"),
+      (4L, "unrelated words here"))
+    val got = FullText.bm25TopK(d, "doc_id", "text",
+      Seq("spark", "query"), k = 10).collect()
+    // d1 matches both terms; its summed score must exceed every
+    // single-term doc's.
+    assert(got.head.getLong(0) == 1L)
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("stopword-only and empty documents neither match nor break length stats") {
+    val d = docs(
+      (1L, "the and of to"),
+      (2L, ""),
+      (3L, "vector search"))
+    val got = FullText.bm25TopK(d, "doc_id", "text", Seq("vector"), k = 5)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(got.head.getDouble(1) > 0.0)
+  }
+
+  test("k caps the result and ties break by doc id") {
+    val d = docs((1L to 6L).map(i => i -> "same text match"): _*)
+    val got = FullText.bm25TopK(d, "doc_id", "text", Seq("match"), k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("query-term filter sits below the first exchange (postings-only shuffle)") {
+    val d = docs((1L, "a b"), (2L, "c d"))
+    val plan = FullText.bm25TopK(d, "doc_id", "text", Seq("b"), k = 5)
+      .queryExecution.executedPlan.toString
+    // The Filter on the exploded term column must appear under the
+    // first Exchange in at least one scan branch: Generate → Filter →
+    // ... → Exchange, never Exchange → Filter(term).
+    val gen = plan.linesIterator.toSeq
+    val genIdx = gen.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, s"no explode in plan:\n$plan")
+    val above = gen.take(genIdx)
+    // lines above the Generate in the tree-string are its consumers;
+    // find the nearest Exchange above and ensure a term-filter sits
+    // between the Generate and that Exchange.
+    val exIdx = above.lastIndexWhere(_.contains("Exchange"))
+    assert(exIdx >= 0, s"no exchange above explode:\n$plan")
+    assert(above.drop(exIdx).exists(l =>
+      l.contains("Filter") || gen(genIdx).contains("Filter")),
+      s"expected term filter between explode and exchange:\n$plan")
+  }
+}
