@@ -78,6 +78,8 @@ object SparkEntry {
     "q49_length_quantiles" -> (TextQueries.lengthQuantiles _),
     "q50_simhash64_near_dup" -> (DedupQueries.simhashNearDup64 _),
     "q51_bm25_search" -> (TextQueries.bm25Search _),
+    "q52_pq_ann_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.pqAnnKnn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding columns — the memory-bound scale
+  * path for similarity search. Each d-dim vector is split into `m`
+  * contiguous subvectors; each subspace gets its own small k-means
+  * codebook (`c` centroids); a vector is stored as `m` small codes
+  * (here 8 bytes) instead of `d` floats (256 bytes) — a 32× scan-size
+  * reduction. Query-time ADC (asymmetric distance computation): the
+  * query is scored against every codebook centroid ONCE (an m·c
+  * distance table, 128 entries here), and each corpus vector's
+  * approximate dot product is the sum of `m` table lookups — no float
+  * vector is ever read at query time. With the exact per-vector norm
+  * stored beside the codes (one float), approx cosine =
+  * ADC-dot / (‖x‖·‖q‖) — the FAISS IndexPQ + inner-product-metric
+  * construction.
+  *
+  * Scale shape: training is the grouped distributed Lloyd of
+  * `SimilarityQueries.kmeansCentroids` — all `m` subspace trainings run
+  * in ONE job per round (sub_id is just another grouping key), means go
+  * through the 2^24 fixed-point quantization so the SQL oracle derives
+  * bit-identical codebooks regardless of partitioning. Encoding is one
+  * broadcast join (codebook is m·c rows) + one aggregation. On a real
+  * deployment codes+norms are index-time artifacts written once;
+  * queries then scan ONLY the (vec_id, codes, norm) table with a
+  * broadcast 128-entry ADC table — the whole corpus-side plan is a
+  * codegen'd scan + TakeOrdered, no shuffle.
+  */
+object ProductQuant {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.expressions.FloatVectorDot.dot(a, b)
+
+  /** Subspace cosine with a zero-norm guard: sparse embeddings
+    * legitimately produce all-zero subvectors, and under ANSI mode the
+    * bare division would fail the whole job — score those pairs 0
+    * instead (CaseWhen evaluates the division branch only when taken).
+    * The driver-facing corpus has no zero subvectors, so the q52
+    * oracle is unaffected. */
+  private def cos(a: Column, b: Column): Column = {
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0d || nb === 0d, lit(0d))
+      .otherwise(dot(a, b) / (na * nb))
+  }
+
+  private val scale = 16777216.0 // 2^24, see kmeansCentroids
+
+  /** Explode `e(vec_id, embedding)` into (vec_id, sub_id, subvec):
+    * `m` contiguous `subdim`-wide slices per vector. Outer generator —
+    * the slice array is non-empty by construction, and plain posexplode
+    * would let InferFiltersFromGenerate re-embed the whole slice
+    * expression as a scan filter (PLANS.md audit note 1). */
+  def subVectors(e: DataFrame, m: Int, subdim: Int): DataFrame =
+    e.select(col("vec_id"),
+      posexplode_outer(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col("embedding"), i * subdim + 1, lit(subdim))))
+        .as(Seq("sub_id", "subvec")))
+
+  /** Train all `m` subspace codebooks in one grouped Lloyd run:
+    * init = the first `c` vectors' slices, then `iters` rounds of
+    * max-cosine assignment + fixed-point elementwise means (order- and
+    * partitioning-independent, oracle-derivable). Returns
+    * (sub_id, cent_id, cvec). Empty clusters drop out, as in
+    * kmeansCentroids. Each round's codebook is localCheckpoint'd and
+    * the superseded round freed ([[Checkpoints]] hygiene contract —
+    * callers consume the final frame). */
+  def trainCodebooks(subs: DataFrame, c: Int, iters: Int): DataFrame = {
+    var cb = subs.filter(col("vec_id") < c)
+      .select(col("sub_id"), col("vec_id").as("cent_id"),
+        col("subvec").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(cb), Seq("sub_id"))
+        .groupBy(col("vec_id"), col("sub_id"))
+        .agg(max_by(col("cent_id"), cos(col("subvec"), col("cvec")))
+          .as("cent_id"))
+      val next = assigned.join(subs, Seq("vec_id", "sub_id"))
+        .select(col("sub_id"), col("cent_id"),
+          posexplode(col("subvec")).as(Seq("pos", "v")))
+        .groupBy(col("sub_id"), col("cent_id"), col("pos"))
+        .agg((sum(round(col("v").cast("double") * scale).cast("long"))
+          .cast("double") / scale / count(lit(1))).cast("float").as("m"))
+        .groupBy(col("sub_id"), col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cvec"))
+        .localCheckpoint()
+      Checkpoints.unpersist(cb)
+      cb = next
+    }
+    cb
+  }
+
+  /** PQ codes: per (vector, subspace), the max-cosine codebook entry.
+    * One broadcast join + one aggregation; the output
+    * (vec_id, sub_id, cent_id) is the index-time artifact a deployment
+    * would persist (m bytes per vector). */
+  def encode(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("sub_id"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(max_by(col("cent_id"), cos(col("subvec"), col("cvec")))
+        .as("cent_id"))
+
+  /** Query-side ADC table: partial dot of the query's `sub_id` slice
+    * with every centroid of that subspace — m·c rows, broadcastable.
+    * `qsubs` is (sub_id, qsub) from [[subVectors]] on the single query
+    * row. */
+  def adcTable(cb: DataFrame, qsubs: DataFrame): DataFrame =
+    cb.join(broadcast(qsubs), Seq("sub_id"))
+      .select(col("sub_id"), col("cent_id"),
+        dot(col("cvec"), col("qsub")).as("pdot"))
+}

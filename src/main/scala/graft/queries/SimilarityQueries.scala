@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.Ann
+import graft.ops.{Ann, ProductQuant}
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, 64-d).
   *
@@ -295,7 +295,118 @@ object SimilarityQueries {
       .select($"vec_id", round($"cos_full", 4).as("cosine"))
   }
 
+  /** Product-quantization ANN kNN (q52): train per-subspace codebooks
+    * (8 subspaces × 8 dims, 16 centroids, one fixed-point Lloyd
+    * round), encode the corpus to 8 codes/vector, score by ADC —
+    * approx cosine = Σ table-lookup partial dots / (‖x‖·‖q‖). See
+    * [[graft.ops.ProductQuant]] for the 32×-smaller-scan story. The
+    * result intentionally reports the APPROX score (rounded 4dp): the
+    * oracle derives the identical codebooks/codes in SQL, so parity
+    * checks the whole train→encode→ADC path, not just the ranking. */
+  def pqAnnKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, m: Int = 8, subdim: Int = 8, c: Int = 16,
+      iters: Int = 1, shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val subs = ProductQuant.subVectors(e, m, subdim)
+    val cb = ProductQuant.trainCodebooks(subs, c, iters)
+    val codes = ProductQuant.encode(subs, cb)
+    val q = e.filter($"vec_id" === queryId)
+    val qsubs = ProductQuant.subVectors(q, m, subdim)
+      .select($"sub_id", $"subvec".as("qsub"))
+    val adc = ProductQuant.adcTable(cb, qsubs)
+    val norms = e.select($"vec_id", norm($"embedding").as("nrm"))
+    val qn = q.select(norm($"embedding").as("qnrm"))
+    // ADC shortlist: approx score from m table lookups per vector; the
+    // boundary is deterministic cross-engine (rounded score + id
+    // tiebreak). Then exact re-rank reads full floats for `shortlist`
+    // candidates only — the FAISS ADC-prune + exact-verify flow.
+    val cand = codes.join(broadcast(adc), Seq("sub_id", "cent_id"))
+      .groupBy($"vec_id").agg(sum($"pdot").as("adot"))
+      .join(norms, Seq("vec_id"))
+      .crossJoin(broadcast(qn))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id",
+        round($"adot" / ($"nrm" * $"qnrm"), 4).as("approx_cosine"))
+      .orderBy($"approx_cosine".desc, $"vec_id".asc)
+      .limit(shortlist)
+    val qemb = q.select($"embedding".as("qemb"))
+    e.join(broadcast(cand.select($"vec_id")), Seq("vec_id"))
+      .crossJoin(broadcast(qemb))
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q52_pq_ann_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |subs AS (
+        |  SELECT e.vec_id, s.s AS sub_id,
+        |    list_slice(e.embedding, s.s*8 + 1, s.s*8 + 8) AS subvec
+        |  FROM e, unnest(generate_series(0, 7)) s(s)),
+        |cb0 AS (
+        |  SELECT sub_id, vec_id AS cent_id, subvec AS cvec
+        |  FROM subs WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM subs s JOIN cb0 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |m1 AS (
+        |  SELECT a.sub_id, a.cent_id, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(s.subvec[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM a1 a JOIN subs s USING (vec_id, sub_id),
+        |    unnest(generate_series(1, 8)) t(i)
+        |  GROUP BY a.sub_id, a.cent_id, t.i),
+        |cb1 AS (
+        |  SELECT sub_id, cent_id, list(m ORDER BY i) AS cvec FROM m1
+        |  GROUP BY sub_id, cent_id),
+        |codes AS (
+        |  SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM subs s JOIN cb1 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |q AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0),
+        |qsubs AS (
+        |  SELECT s.s AS sub_id,
+        |    list_slice(q.embedding, s.s*8 + 1, s.s*8 + 8) AS qsub
+        |  FROM q, unnest(generate_series(0, 7)) s(s)),
+        |adc AS (
+        |  SELECT c.sub_id, c.cent_id,
+        |    list_inner_product(c.cvec::DOUBLE[], qs.qsub::DOUBLE[]) AS pdot
+        |  FROM cb1 c JOIN qsubs qs USING (sub_id)),
+        |nrm AS (
+        |  SELECT vec_id,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM e),
+        |qn AS (
+        |  SELECT sqrt(list_inner_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[])) AS qnrm
+        |  FROM q),
+        |cand AS (
+        |  SELECT co.vec_id,
+        |    round(SUM(a.pdot) / (ANY_VALUE(n.nrm) * ANY_VALUE(qn.qnrm)), 4)
+        |      AS approx_cosine
+        |  FROM codes co
+        |    JOIN adc a USING (sub_id, cent_id)
+        |    JOIN nrm n USING (vec_id), qn
+        |  WHERE co.vec_id <> 0
+        |  GROUP BY co.vec_id
+        |  ORDER BY approx_cosine DESC, co.vec_id ASC
+        |  LIMIT 50)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |    q.embedding::DOUBLE[]), 4) AS cosine
+        |FROM e JOIN cand USING (vec_id), q
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |  q.embedding::DOUBLE[]) DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
     "q19_knn_cosine" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
