@@ -80,6 +80,7 @@ object SparkEntry {
     "q51_bm25_search" -> (TextQueries.bm25Search _),
     "q52_pq_ann_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.pqAnnKnn(s, d)),
+    "q53_curation_funnel" -> (PipelineQueries.curationFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

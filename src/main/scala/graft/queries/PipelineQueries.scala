@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Tables
-import graft.ops.{IncrementalMerge, Multimodal}
+import graft.ops.{Dedup, IncrementalMerge, Multimodal, TextAnalysis}
 
 /** Pipeline-machinery queries: multimodal metadata/decode, the
   * incremental watermark merge (reference J5/J6), and event
@@ -145,7 +145,118 @@ object PipelineQueries {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** §LLM curation funnel (q53): the end-to-end training-data pass —
+    * quality gate (q29's keep rule) → language gate (declared 'en') →
+    * exact dedup (md5, min-id wins) → MinHash-LSH near-dup removal
+    * (q21's pairs, the larger id of each verified pair drops) — with
+    * per-stage document and token counts, the numbers a curation run
+    * reports.
+    *
+    * Scale shape: stages 0–2 are ONE conditional-aggregation scan
+    * (no per-stage rescan); exact dedup is one hash shuffle; near-dup
+    * reuses the banded-LSH pair machinery (collision join carries
+    * (band, hash, id) only). The lineage re-derives the survivor
+    * frame for the later stage stats — at corpus scale a real run
+    * materializes each stage's survivors (the reference pipeline's
+    * per-stage artifacts) instead of recomputing, but the per-stage
+    * SEMANTICS are exactly these. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enStops = TextAnalysis.stopwords.toMap.apply("en")
+    val flagged = Tables.documentsDistributed(spark, dir)
+      .withColumn("toks", TextAnalysis.tokensOf($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("q_ok",
+        $"n_tokens".between(20, 1000) &&
+          (TextAnalysis.stopwordHits($"toks", enStops).cast("double") /
+            $"n_tokens".cast("double")) >= 0.05)
+      .withColumn("l_ok", $"q_ok" && $"lang" === "en")
+    val s012 = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(when($"q_ok", 1L).otherwise(0L)).as("n1"),
+      sum(when($"l_ok", 1L).otherwise(0L)).as("n2"),
+      sum($"n_tokens").as("t0"),
+      sum(when($"q_ok", $"n_tokens").otherwise(0L)).as("t1"),
+      sum(when($"l_ok", $"n_tokens").otherwise(0L)).as("t2"))
+      .selectExpr("stack(3, '0_raw', n0, t0, '1_quality', n1, t1, " +
+        "'2_lang', n2, t2) AS (stage, n_docs, total_tokens)")
+    val exact = flagged.filter($"l_ok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5($"text")).orderBy($"doc_id")))
+      .filter($"rn" === 1)
+    val pairs = Dedup.minhashLshPairs(
+      exact.select($"doc_id", Dedup.shingles($"toks").as("shingles")),
+      "doc_id", "shingles")
+    val keep = exact.join(pairs.select($"doc_b".as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    def stat(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum($"n_tokens"), lit(0L)).as("total_tokens"))
+        .select(lit(name).as("stage"), $"n_docs", $"total_tokens")
+    s012.unionByName(stat("3_exact_dedup", exact))
+      .unionByName(stat("4_near_dedup", keep))
+      .orderBy($"stage")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q53_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, text, tokens,
+        |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |    (len(list_filter(tokens, t -> t IN
+        |       ('the','a','of','and','is','not','to','in')))::DOUBLE
+        |      / len(tokens)) AS stop_ratio
+        |  FROM base),
+        |f AS (
+        |  SELECT *,
+        |    (n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.05) AS q_ok,
+        |    (n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.05
+        |      AND lang = 'en') AS l_ok
+        |  FROM m),
+        |ex AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM f WHERE l_ok) WHERE rn = 1),
+        |sh AS (SELECT doc_id, CASE WHEN len(tokens) >= 3
+        |    THEN list_distinct(list_transform(
+        |           generate_series(1, len(tokens) - 2),
+        |           i -> array_to_string(tokens[i:i+2], ' ')))
+        |    ELSE [array_to_string(tokens[1:3], ' ')] END AS shingles
+        |  FROM ex),
+        |sig AS (SELECT doc_id, shingles,
+        |    list_transform(generate_series(0, 15),
+        |      s -> list_min(list_transform(shingles, g -> md5(s || '|' || g))))
+        |      AS sig
+        |  FROM sh),
+        |bands AS (SELECT doc_id, shingles, b,
+        |    md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    len(list_intersect(a.shingles, b2.shingles))::DOUBLE
+        |      / len(list_distinct(list_concat(a.shingles, b2.shingles))) AS j
+        |  FROM bands a JOIN bands b2 USING (b, band_hash)
+        |  WHERE a.doc_id < b2.doc_id),
+        |nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE j >= 0.7),
+        |keep AS (SELECT * FROM ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nd))
+        |SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens FROM m
+        |UNION ALL SELECT '1_quality', COUNT(*),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM f WHERE q_ok
+        |UNION ALL SELECT '2_lang', COUNT(*),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM f WHERE l_ok
+        |UNION ALL SELECT '3_exact_dedup', COUNT(*),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM ex
+        |UNION ALL SELECT '4_near_dedup', COUNT(*),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM keep
+        |ORDER BY stage""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
