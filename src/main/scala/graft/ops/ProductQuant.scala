@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * ADC-dot / (‖x‖·‖q‖) — the FAISS IndexPQ + inner-product-metric
   * construction.
   *
-  * Scale shape: training is the grouped distributed Lloyd of
-  * `SimilarityQueries.kmeansCentroids` — all `m` subspace trainings run
-  * in ONE job per round (sub_id is just another grouping key), means go
-  * through the 2^24 fixed-point quantization so the SQL oracle derives
-  * bit-identical codebooks regardless of partitioning. Encoding is one
+  * Scale shape: training is THE grouped distributed Lloyd — all `m`
+  * subspace trainings run in ONE job per round (sub_id is just another
+  * grouping key), means go through the 2^24 fixed-point quantization
+  * so the SQL oracle derives bit-identical codebooks regardless of
+  * partitioning. `SimilarityQueries.kmeansCentroids` (q39) is the
+  * single-subspace wrapper over [[trainCodebooks]] — one shared
+  * implementation of the mean/checkpoint machinery. Encoding is one
   * broadcast join (codebook is m·c rows) + one aggregation. On a real
   * deployment codes+norms are index-time artifacts written once;
   * queries then scan ONLY the (vec_id, codes, norm) table with a
@@ -46,7 +48,11 @@ object ProductQuant {
       .otherwise(dot(a, b) / (na * nb))
   }
 
-  private val scale = 16777216.0 // 2^24, see kmeansCentroids
+  /** 2^24 — the fixed-point quantum shared by the Lloyd means and the
+    * ADC sum: round(x·2²⁴) is exact in doubles, and the resulting
+    * integer sums are order-independent, so both codebooks and ADC
+    * scores are bit-identical across partitionings and engines. */
+  val fixedPointScale = 16777216.0
 
   /** Explode `e(vec_id, embedding)` into (vec_id, sub_id, subvec):
     * `m` contiguous `subdim`-wide slices per vector. Outer generator —
@@ -81,8 +87,8 @@ object ProductQuant {
         .select(col("sub_id"), col("cent_id"),
           posexplode(col("subvec")).as(Seq("pos", "v")))
         .groupBy(col("sub_id"), col("cent_id"), col("pos"))
-        .agg((sum(round(col("v").cast("double") * scale).cast("long"))
-          .cast("double") / scale / count(lit(1))).cast("float").as("m"))
+        .agg((sum(round(col("v").cast("double") * fixedPointScale).cast("long"))
+          .cast("double") / fixedPointScale / count(lit(1))).cast("float").as("m"))
         .groupBy(col("sub_id"), col("cent_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),

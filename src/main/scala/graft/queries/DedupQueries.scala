@@ -105,28 +105,42 @@ object DedupQueries {
   }
 
   // Shared oracle CTE fragments (DuckDB SQL mirroring Dedup's math).
-  private val toksCte =
+  // private[queries] so composite oracles (q53's curation funnel)
+  // compose the EXACT MinHash scheme instead of copying it — a scheme
+  // change (hash count, band width, salt format) then reaches every
+  // oracle from one place.
+  private[queries] val toksCte =
     """toks AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(text), '\s+'),
       |              t -> length(t) > 0) AS tokens
       | FROM documents)""".stripMargin
-  private val shCte =
-    """sh AS (SELECT doc_id, CASE WHEN len(tokens) >= 3
-      |  THEN list_distinct(list_transform(
-      |         generate_series(1, len(tokens) - 2),
-      |         i -> array_to_string(tokens[i:i+2], ' ')))
-      |  ELSE [array_to_string(tokens[1:3], ' ')] END AS shingles
-      | FROM toks)""".stripMargin
-  private val sigCte =
+  /** Shingle CTE over any source CTE exposing (doc_id, tokens). */
+  private[queries] def shCte(src: String = "toks") =
+    s"""sh AS (SELECT doc_id, CASE WHEN len(tokens) >= 3
+       |  THEN list_distinct(list_transform(
+       |         generate_series(1, len(tokens) - 2),
+       |         i -> array_to_string(tokens[i:i+2], ' ')))
+       |  ELSE [array_to_string(tokens[1:3], ' ')] END AS shingles
+       | FROM $src)""".stripMargin
+  private[queries] val sigCte =
     """sig AS (SELECT doc_id, shingles,
       |  list_transform(generate_series(0, 15),
       |    s -> list_min(list_transform(shingles, g -> md5(s || '|' || g))))
       |    AS sig
       | FROM sh)""".stripMargin
-  private val bandsCte =
+  private[queries] val bandsCte =
     """bands AS (SELECT doc_id, shingles, b,
       |  md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
       | FROM sig, unnest(generate_series(0, 3)) AS t(b))""".stripMargin
+  /** Banded-collision candidates with exact Jaccard (q21/q35/q53's
+    * shared pair source; consumers filter `j >= threshold`). */
+  private[queries] val candPairsCte =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |    len(list_intersect(a.shingles, b2.shingles))::DOUBLE
+      |      / len(list_distinct(list_concat(a.shingles, b2.shingles))) AS j
+      |  FROM bands a JOIN bands b2 USING (b, band_hash)
+      |  WHERE a.doc_id < b2.doc_id)""".stripMargin
   private val simhashCte =
     """h AS (SELECT doc_id,
       |  list_transform(tokens,
@@ -171,7 +185,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q20_minhash_signature" ->
-      s"""WITH $toksCte, $shCte, $sigCte
+      s"""WITH $toksCte, ${shCte()}, $sigCte
          |SELECT doc_id, md5(array_to_string(sig, ',')) AS sig_digest,
          | md5(array_to_string(sig[1:4], ',')) AS band0,
          | md5(array_to_string(sig[5:8], ',')) AS band1,
@@ -179,17 +193,11 @@ object DedupQueries {
          | md5(array_to_string(sig[13:16], ',')) AS band3
          |FROM sig ORDER BY doc_id""".stripMargin,
     "q21_minhash_lsh_dedup" ->
-      s"""WITH $toksCte, $shCte, $sigCte, $bandsCte,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         |    len(list_intersect(a.shingles, b2.shingles))::DOUBLE
-         |      / len(list_distinct(list_concat(a.shingles, b2.shingles))) AS j
-         |  FROM bands a JOIN bands b2 USING (b, band_hash)
-         |  WHERE a.doc_id < b2.doc_id)
+      s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte, $candPairsCte
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand
          |WHERE j >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
     "q22_ngram_jaccard" ->
-      s"""WITH $toksCte, $shCte,
+      s"""WITH $toksCte, ${shCte()},
          |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
          |       FROM sh),
          |pairs AS (
@@ -204,13 +212,8 @@ object DedupQueries {
          |FROM pairs WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q35_dedup_clusters" ->
-      s"""WITH RECURSIVE $toksCte, $shCte, $sigCte, $bandsCte,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         |    len(list_intersect(a.shingles, b2.shingles))::DOUBLE
-         |      / len(list_distinct(list_concat(a.shingles, b2.shingles))) AS j
-         |  FROM bands a JOIN bands b2 USING (b, band_hash)
-         |  WHERE a.doc_id < b2.doc_id),
+      s"""WITH RECURSIVE $toksCte, ${shCte()}, $sigCte, $bandsCte,
+         |$candPairsCte,
          |pairs AS (SELECT doc_a, doc_b FROM cand WHERE j >= 0.7),
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -168,16 +168,18 @@ object PipelineQueries {
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("q_ok",
         $"n_tokens".between(20, 1000) &&
-          (TextAnalysis.stopwordHits($"toks", enStops).cast("double") /
-            $"n_tokens".cast("double")) >= 0.05)
+          round(TextAnalysis.stopwordHits($"toks", enStops).cast("double") /
+            $"n_tokens".cast("double"), 4) >= 0.05)
       .withColumn("l_ok", $"q_ok" && $"lang" === "en")
     val s012 = flagged.agg(
       count(lit(1)).as("n0"),
-      sum(when($"q_ok", 1L).otherwise(0L)).as("n1"),
-      sum(when($"l_ok", 1L).otherwise(0L)).as("n2"),
-      sum($"n_tokens").as("t0"),
-      sum(when($"q_ok", $"n_tokens").otherwise(0L)).as("t1"),
-      sum(when($"l_ok", $"n_tokens").otherwise(0L)).as("t2"))
+      coalesce(sum(when($"q_ok", 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when($"l_ok", 1L).otherwise(0L)), lit(0L)).as("n2"),
+      coalesce(sum($"n_tokens"), lit(0L)).as("t0"),
+      coalesce(sum(when($"q_ok", $"n_tokens").otherwise(0L)), lit(0L))
+        .as("t1"),
+      coalesce(sum(when($"l_ok", $"n_tokens").otherwise(0L)), lit(0L))
+        .as("t2"))
       .selectExpr("stack(3, '0_raw', n0, t0, '1_quality', n1, t1, " +
         "'2_lang', n2, t2) AS (stage, n_docs, total_tokens)")
     val exact = flagged.filter($"l_ok")
@@ -200,17 +202,17 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q53_curation_funnel" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, lang, text,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
         |                t -> length(t) > 0) AS tokens
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, lang, text, tokens,
         |    CAST(len(tokens) AS BIGINT) AS n_tokens,
-        |    (len(list_filter(tokens, t -> t IN
+        |    round(len(list_filter(tokens, t -> t IN
         |       ('the','a','of','and','is','not','to','in')))::DOUBLE
-        |      / len(tokens)) AS stop_ratio
+        |      / len(tokens), 4) AS stop_ratio
         |  FROM base),
         |f AS (
         |  SELECT *,
@@ -223,27 +225,11 @@ object PipelineQueries {
         |    SELECT *, row_number() OVER
         |      (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |    FROM f WHERE l_ok) WHERE rn = 1),
-        |sh AS (SELECT doc_id, CASE WHEN len(tokens) >= 3
-        |    THEN list_distinct(list_transform(
-        |           generate_series(1, len(tokens) - 2),
-        |           i -> array_to_string(tokens[i:i+2], ' ')))
-        |    ELSE [array_to_string(tokens[1:3], ' ')] END AS shingles
-        |  FROM ex),
-        |sig AS (SELECT doc_id, shingles,
-        |    list_transform(generate_series(0, 15),
-        |      s -> list_min(list_transform(shingles, g -> md5(s || '|' || g))))
-        |      AS sig
-        |  FROM sh),
-        |bands AS (SELECT doc_id, shingles, b,
-        |    md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
-        |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-        |    len(list_intersect(a.shingles, b2.shingles))::DOUBLE
-        |      / len(list_distinct(list_concat(a.shingles, b2.shingles))) AS j
-        |  FROM bands a JOIN bands b2 USING (b, band_hash)
-        |  WHERE a.doc_id < b2.doc_id),
-        |nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE j >= 0.7),
+        |${DedupQueries.shCte("ex")},
+        |${DedupQueries.sigCte},
+        |${DedupQueries.bandsCte},
+        |${DedupQueries.candPairsCte},
+        |nd AS (SELECT DISTINCT doc_b AS doc_id FROM cand WHERE j >= 0.7),
         |keep AS (SELECT * FROM ex
         |  WHERE doc_id NOT IN (SELECT doc_id FROM nd))
         |SELECT '0_raw' AS stage, COUNT(*) AS n_docs,

@@ -232,39 +232,14 @@ object SimilarityQueries {
   def kmeansCentroids(e: DataFrame, numCentroids: Int,
       iters: Int): DataFrame = {
     import e.sparkSession.implicits._
-    val scale = 16777216.0 // 2^24
-    // Each round's centroids are localCheckpoint'd: the Lloyd DAG is
-    // referenced by the next round AND (after the loop) by assignment,
-    // probe selection and the final join — without materialization each
-    // reference re-executes the full refinement, and a max_by cosine
-    // tie could even resolve differently between those re-executions.
-    var cents = e.filter($"vec_id" < numCentroids)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine($"embedding", $"cemb"))
-        .groupBy($"vec_id")
-        .agg(max_by($"cent_id", $"cos").as("cent_id"))
-      val next = assigned.join(e, Seq("vec_id"))
-        .select($"cent_id",
-          posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"cent_id", $"pos")
-        .agg((sum(round($"v".cast("double") * scale).cast("long"))
-          .cast("double") / scale / count(lit(1))).cast("float").as("m"))
-        .groupBy($"cent_id")
-        .agg(transform(
-          array_sort(collect_list(struct($"pos", $"m"))),
-          x => x.getField("m")).as("cemb"))
-        .localCheckpoint()
-      // The new round is materialized (eager checkpoint); the previous
-      // round's centroid blocks are dead — free them rather than retain
-      // one frame per Lloyd round in executor storage. The LAST round
-      // stays materialized: assignment/probing/final-join all scan it.
-      graft.ops.Checkpoints.unpersist(cents)
-      cents = next
-    }
-    cents
+    // Single-subspace case of the grouped Lloyd in
+    // ProductQuant.trainCodebooks (ONE shared implementation of the
+    // fixed-point mean, checkpoint rotation, and seed init — q39 and
+    // q52 cannot silently diverge): the whole vector is subspace 0.
+    val subs = e.select($"vec_id", lit(0).as("sub_id"),
+      $"embedding".as("subvec"))
+    ProductQuant.trainCodebooks(subs, numCentroids, iters)
+      .select($"cent_id", $"cvec".as("cemb"))
   }
 
   /** IVF with k-means-refined cells: the q34 pipeline with
@@ -318,16 +293,24 @@ object SimilarityQueries {
     val norms = e.select($"vec_id", norm($"embedding").as("nrm"))
     val qn = q.select(norm($"embedding").as("qnrm"))
     // ADC shortlist: approx score from m table lookups per vector; the
-    // boundary is deterministic cross-engine (rounded score + id
-    // tiebreak). Then exact re-rank reads full floats for `shortlist`
-    // candidates only — the FAISS ADC-prune + exact-verify flow.
+    // boundary is deterministic cross-engine — each pdot is quantized
+    // to 2^24 fixed-point and summed as integers (order-independent,
+    // the Lloyd-mean trick), then rounded with an id tiebreak. Exact
+    // re-rank reads full floats for `shortlist` candidates only — the
+    // FAISS ADC-prune + exact-verify flow. Zero-norm embeddings score
+    // 0 rather than failing ANSI division (matches ProductQuant.cos).
     val cand = codes.join(broadcast(adc), Seq("sub_id", "cent_id"))
-      .groupBy($"vec_id").agg(sum($"pdot").as("adot"))
+      .groupBy($"vec_id")
+      .agg((sum(round($"pdot" * ProductQuant.fixedPointScale)
+        .cast("long")).cast("double") / ProductQuant.fixedPointScale)
+        .as("adot"))
       .join(norms, Seq("vec_id"))
       .crossJoin(broadcast(qn))
       .filter($"vec_id" =!= queryId)
       .select($"vec_id",
-        round($"adot" / ($"nrm" * $"qnrm"), 4).as("approx_cosine"))
+        when($"nrm" === 0d || $"qnrm" === 0d, lit(0d))
+          .otherwise(round($"adot" / ($"nrm" * $"qnrm"), 4))
+          .as("approx_cosine"))
       .orderBy($"approx_cosine".desc, $"vec_id".asc)
       .limit(shortlist)
     val qemb = q.select($"embedding".as("qemb"))
@@ -391,7 +374,9 @@ object SimilarityQueries {
         |  FROM q),
         |cand AS (
         |  SELECT co.vec_id,
-        |    round(SUM(a.pdot) / (ANY_VALUE(n.nrm) * ANY_VALUE(qn.qnrm)), 4)
+        |    round((CAST(SUM(CAST(round(a.pdot * 16777216.0) AS BIGINT))
+        |        AS DOUBLE) / 16777216.0)
+        |      / (ANY_VALUE(n.nrm) * ANY_VALUE(qn.qnrm)), 4)
         |      AS approx_cosine
         |  FROM codes co
         |    JOIN adc a USING (sub_id, cent_id)
