@@ -81,6 +81,7 @@ object SparkEntry {
     "q52_pq_ann_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.pqAnnKnn(s, d)),
     "q53_curation_funnel" -> (PipelineQueries.curationFunnel _),
+    "q54_dataset_split" -> (PipelineQueries.datasetSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -200,7 +200,30 @@ object PipelineQueries {
       .orderBy($"stage")
   }
 
+  /** §LLM dataset split (q54): stable md5-bucket train/val/test
+    * assignment (90/5/5) — reproducible across runs, engines, and
+    * corpus growth (an id's split never changes when other documents
+    * arrive, unlike `rand`/`sample`). Pure per-row map; see
+    * [[graft.ops.Sampling]]. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.ops.Sampling.assignSplit($"doc_id", "split",
+          Seq("train" -> 90, "val" -> 95), "test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q54_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))
+        |          AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q53_curation_funnel" ->
       s"""WITH base AS (
         |  SELECT doc_id, lang, text,
