@@ -141,6 +141,85 @@ case class FloatVectorDotConst(child: Expression, weights: Seq[Double])
       newChild: Expression): FloatVectorDotConst = copy(child = newChild)
 }
 
+/** Σ_s table[s·c + codes[s]] over a packed PQ-codes column against a
+  * CONSTANT flattened ADC table — the product-quantization scan kernel
+  * (ProductQuant.adcScoreLit). Per corpus row the work is m array
+  * lookups into a reference `double[]` in one fused loop; the
+  * interpreted `aggregate(zip_with(codes, sequence(...), …))` twin is
+  * CodegenFallback and measured ~40% slower than even the brute-force
+  * FloatVectorDot scan at 200k×64 (tools/ProbePq), which would defeat
+  * PQ's entire purpose.
+  *
+  * Null when the input array is null, its length disagrees with
+  * table.length / c, any element is null, or a code falls outside
+  * [0, c) (a corrupt code is a data error — surfaced as null, not an
+  * exception, matching element_at-out-of-range-under-try semantics the
+  * HOF twin would produce as an ANSI error; ProductQuantSpec pins
+  * kernel-vs-join-form score parity). */
+case class AdcLookupSum(child: Expression, table: Seq[Double], c: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        if (c > 0 && table.nonEmpty && table.length % c == 0)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a non-empty table with length divisible by c=$c")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> codes, got ${other.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_lookup_sum"
+
+  @transient private lazy val t: Array[Double] = table.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val m = x.numElements()
+    if (m * c != t.length) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        if (x.isNullAt(i)) return null
+        val code = x.getLong(i)
+        if (code < 0 || code >= c) return null
+        s += t(i * c + code.toInt)
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tRef = ctx.addReferenceObj("adcTable", t, "double[]")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val code = ctx.freshName("code")
+      s"""
+         |if ($a.numElements() * $c != $tRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $code = $a.getLong($i);
+         |    if ($code < 0 || $code >= $c) { ${ev.isNull} = true; break; }
+         |    $s += $tRef[$i * $c + (int) $code];
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AdcLookupSum = copy(child = newChild)
+}
+
 object FloatVectorDot {
   /** Column-API entry point. */
   def dot(a: Column, b: Column): Column =
@@ -149,4 +228,8 @@ object FloatVectorDot {
   /** Dot against a constant weight vector (codegen'd). */
   def dotConst(emb: Column, weights: Seq[Double]): Column =
     Shim.column(FloatVectorDotConst(Shim.expression(emb), weights))
+
+  /** PQ ADC lookup-sum against a constant flattened table (codegen'd). */
+  def adcLookup(codes: Column, table: Seq[Double], c: Int): Column =
+    Shim.column(AdcLookupSum(Shim.expression(codes), table, c))
 }

@@ -118,4 +118,41 @@ object ProductQuant {
     cb.join(broadcast(qsubs), Seq("sub_id"))
       .select(col("sub_id"), col("cent_id"),
         dot(col("cvec"), col("qsub")).as("pdot"))
+
+  /** Pack per-(vector, subspace) codes into one row per vector —
+    * (vec_id, codes[m]) — the layout a deployment actually persists.
+    * The join-form score in q52 shuffles the exploded codes per query;
+    * the packed form turns ADC into a PER-ROW expression over this
+    * table ([[adcScoreLit]]) — no join, no shuffle, scan + TakeOrdered
+    * only, which is what makes PQ pay off at corpus scale (measured in
+    * tools/ProbePq: the join form LOSES to brute force locally because
+    * its per-query shuffle dominates; the packed form wins). */
+  def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("cent_id")))),
+        x => x.getField("cent_id")).as("codes"))
+
+  /** ADC score as a constant-lookup expression over a packed codes
+    * column: Σ_s table[s·c + codes[s]]. `table` is the m·c ADC table
+    * flattened in (sub_id, cent_id) order — a per-QUERY constant
+    * (bounded by config, not data; the planes-as-literals precedent
+    * from Ann), compiled into the generated plan
+    * (expressions.AdcLookupSum) so the corpus-side scan carries zero
+    * join AND zero interpreted HOF work. Missing centroids (dropped
+    * empty clusters) must be pre-filled with 0.0 by the caller. */
+  def adcScoreLit(codes: Column, table: Seq[Double], c: Int): Column =
+    graft.expressions.FloatVectorDot.adcLookup(codes, table, c)
+
+  /** Interpreted-HOF twin of [[adcScoreLit]] (parity pinned by
+    * ProductQuantSpec; CodegenFallback — measured ~40% slower than
+    * even the full-float brute scan, hence the kernel). */
+  private[graft] def adcScoreLitHof(codes: Column, table: Seq[Double],
+      m: Int, c: Int): Column = {
+    val t = array(table.map(lit): _*)
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (code, s) => element_at(t, (s * c + code + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+  }
 }

@@ -73,6 +73,63 @@ class ProductQuantSpec extends SparkSpecBase {
       s"cluster A not ranked first: ${ranked.mkString(",")}")
   }
 
+  test("packCodes orders each vector's codes by subspace") {
+    val codes = Seq((1L, 1, 7L), (1L, 0, 3L), (2L, 0, 2L), (2L, 1, 5L))
+      .toDF("vec_id", "sub_id", "cent_id")
+    val packed = ProductQuant.packCodes(codes)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed(1L) == Seq(3L, 7L))
+    assert(packed(2L) == Seq(2L, 5L))
+  }
+
+  test("compiled ADC lookup matches the HOF twin and the join-form score") {
+    val e = toyCorpus
+    val subs = ProductQuant.subVectors(e, m = 2, subdim = 4)
+    val cb = ProductQuant.trainCodebooks(subs, c = 4, iters = 1)
+    val codes = ProductQuant.encode(subs, cb)
+    val q = e.filter($"vec_id" === 0L)
+    val qsubs = ProductQuant.subVectors(q, m = 2, subdim = 4)
+      .select($"sub_id", $"subvec".as("qsub"))
+    val adc = ProductQuant.adcTable(cb, qsubs)
+    // join-form per-vector sum (the q52 oracle-gated path)
+    val joinForm = codes.join(broadcast(adc), Seq("sub_id", "cent_id"))
+      .groupBy($"vec_id").agg(sum($"pdot").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // packed + literal-table forms (the deployment scan path)
+    val tbl = adc.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val flat = (0 until 2).flatMap(s =>
+      (0 until 4).map(ci => tbl.getOrElse((s, ci.toLong), 0.0)))
+    val packed = ProductQuant.packCodes(codes)
+    val kernel = packed
+      .select($"vec_id", ProductQuant.adcScoreLit($"codes", flat, 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = packed
+      .select($"vec_id",
+        ProductQuant.adcScoreLitHof($"codes", flat, 2, 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel == hof)
+    joinForm.foreach { case (id, s) =>
+      assert(math.abs(kernel(id) - s) < 1e-9, s"vec $id: $s vs ${kernel(id)}")
+    }
+  }
+
+  test("ADC kernel nulls on out-of-range or wrong-arity codes") {
+    val flat = Seq(1.0, 2.0, 3.0, 4.0) // m=2, c=2
+    val rows = Seq(
+      (1L, Seq(0L, 1L)),   // valid: t[0] + t[2+1] = 1 + 4
+      (2L, Seq(0L, 5L)),   // code out of range
+      (3L, Seq(1L)))       // wrong arity
+      .toDF("vec_id", "codes")
+    val out = rows
+      .select($"vec_id", ProductQuant.adcScoreLit($"codes", flat, 2).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).contains(5.0))
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+  }
+
   test("repeated train/encode cycles leave executor storage flat") {
     val subs = ProductQuant.subVectors(toyCorpus, m = 2, subdim = 4)
     def run(): Unit = {
