@@ -82,6 +82,8 @@ object SparkEntry {
       SimilarityQueries.pqAnnKnn(s, d)),
     "q53_curation_funnel" -> (PipelineQueries.curationFunnel _),
     "q54_dataset_split" -> (PipelineQueries.datasetSplit _),
+    "q55_ivfpq_ann_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.ivfPqAnnKnn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -322,7 +322,156 @@ object SimilarityQueries {
       .select($"vec_id", round($"cos_full", 4).as("cosine"))
   }
 
+  /** IVF+PQ ANN kNN (q55) — the production ANN layout (FAISS
+    * IndexIVFPQ): IVF cells prune WHICH vectors are scanned
+    * (probes/cells of the corpus), PQ codes shrink WHAT is read per
+    * scanned vector (m bytes vs 4·d) — combined here 2/16 of the
+    * corpus at 1/32 the bytes ≈ 1/256 of the brute-force scan. Cells
+    * are q34's static-seed cells; codebooks/codes are q52's; ADC
+    * scores the probed cells' codes (fixed-point sum), a 50-candidate
+    * shortlist re-ranks exact. At deployment, codes live
+    * cell-partitioned on disk so probing prunes files, not rows. */
+  def ivfPqAnnKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, m: Int = 8, subdim: Int = 8, c: Int = 16,
+      iters: Int = 1, numCells: Int = 16, probes: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    // IVF side (q34's static-seed cells)
+    val cells = e.filter($"vec_id" < numCells)
+      .select($"vec_id".as("cell_id"), $"embedding".as("cellemb"))
+    val assign = e.crossJoin(broadcast(cells))
+      .groupBy($"vec_id")
+      .agg(max_by($"cell_id", cosine($"embedding", $"cellemb"))
+        .as("cell_id"))
+    val q = e.filter($"vec_id" === queryId)
+    val qemb = q.select($"embedding".as("qemb"))
+    val probe = cells.crossJoin(broadcast(qemb))
+      .withColumn("qcos", cosine($"cellemb", $"qemb"))
+      .orderBy($"qcos".desc, $"cell_id".asc)
+      .limit(probes)
+      .select($"cell_id")
+    // PQ side (q52's codebooks/codes — index-time artifacts)
+    val subs = ProductQuant.subVectors(e, m, subdim)
+    val cb = ProductQuant.trainCodebooks(subs, c, iters)
+    val codes = ProductQuant.encode(subs, cb)
+    val qsubs = ProductQuant.subVectors(q, m, subdim)
+      .select($"sub_id", $"subvec".as("qsub"))
+    val adc = ProductQuant.adcTable(cb, qsubs)
+    val norms = e.select($"vec_id", norm($"embedding").as("nrm"))
+    val qn = q.select(norm($"embedding").as("qnrm"))
+    // ADC over the probed cells' codes only
+    val probedIds = assign.join(broadcast(probe), Seq("cell_id"))
+      .select($"vec_id")
+    val cand = codes.join(probedIds, Seq("vec_id"), "left_semi")
+      .join(broadcast(adc), Seq("sub_id", "cent_id"))
+      .groupBy($"vec_id")
+      .agg((sum(round($"pdot" * ProductQuant.fixedPointScale)
+        .cast("long")).cast("double") / ProductQuant.fixedPointScale)
+        .as("adot"))
+      .join(norms, Seq("vec_id"))
+      .crossJoin(broadcast(qn))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id",
+        when($"nrm" === 0d || $"qnrm" === 0d, lit(0d))
+          .otherwise(round($"adot" / ($"nrm" * $"qnrm"), 4))
+          .as("approx_cosine"))
+      .orderBy($"approx_cosine".desc, $"vec_id".asc)
+      .limit(shortlist)
+    e.join(broadcast(cand.select($"vec_id")), Seq("vec_id"))
+      .crossJoin(broadcast(qemb))
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q55_ivfpq_ann_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id AS cell_id, embedding AS cellemb
+        |  FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT e.vec_id, arg_max(cl.cell_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      cl.cellemb::DOUBLE[])) AS cell_id
+        |  FROM e, cells cl GROUP BY e.vec_id),
+        |q AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cl.cell_id FROM cells cl, q
+        |  ORDER BY list_cosine_similarity(cl.cellemb::DOUBLE[],
+        |    q.embedding::DOUBLE[]) DESC, cl.cell_id ASC
+        |  LIMIT 2),
+        |subs AS (
+        |  SELECT e.vec_id, s.s AS sub_id,
+        |    list_slice(e.embedding, s.s*8 + 1, s.s*8 + 8) AS subvec
+        |  FROM e, unnest(generate_series(0, 7)) s(s)),
+        |cb0 AS (
+        |  SELECT sub_id, vec_id AS cent_id, subvec AS cvec
+        |  FROM subs WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM subs s JOIN cb0 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |m1 AS (
+        |  SELECT a.sub_id, a.cent_id, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(s.subvec[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM a1 a JOIN subs s USING (vec_id, sub_id),
+        |    unnest(generate_series(1, 8)) t(i)
+        |  GROUP BY a.sub_id, a.cent_id, t.i),
+        |cb1 AS (
+        |  SELECT sub_id, cent_id, list(m ORDER BY i) AS cvec FROM m1
+        |  GROUP BY sub_id, cent_id),
+        |codes AS (
+        |  SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM subs s JOIN cb1 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |qsubs AS (
+        |  SELECT s.s AS sub_id,
+        |    list_slice(q.embedding, s.s*8 + 1, s.s*8 + 8) AS qsub
+        |  FROM q, unnest(generate_series(0, 7)) s(s)),
+        |adc AS (
+        |  SELECT c.sub_id, c.cent_id,
+        |    list_inner_product(c.cvec::DOUBLE[], qs.qsub::DOUBLE[]) AS pdot
+        |  FROM cb1 c JOIN qsubs qs USING (sub_id)),
+        |nrm AS (
+        |  SELECT vec_id,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM e),
+        |qn AS (
+        |  SELECT sqrt(list_inner_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[])) AS qnrm
+        |  FROM q),
+        |probed AS (
+        |  SELECT a.vec_id FROM assign a JOIN probe p USING (cell_id)),
+        |cand AS (
+        |  SELECT co.vec_id,
+        |    round((CAST(SUM(CAST(round(a.pdot * 16777216.0) AS BIGINT))
+        |        AS DOUBLE) / 16777216.0)
+        |      / (ANY_VALUE(n.nrm) * ANY_VALUE(qn.qnrm)), 4)
+        |      AS approx_cosine
+        |  FROM codes co
+        |    JOIN probed USING (vec_id)
+        |    JOIN adc a USING (sub_id, cent_id)
+        |    JOIN nrm n USING (vec_id), qn
+        |  WHERE co.vec_id <> 0
+        |  GROUP BY co.vec_id
+        |  ORDER BY approx_cosine DESC, co.vec_id ASC
+        |  LIMIT 50)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |    q.embedding::DOUBLE[]), 4) AS cosine
+        |FROM e JOIN cand USING (vec_id), q
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |  q.embedding::DOUBLE[]) DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
     "q52_pq_ann_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |subs AS (
