@@ -146,13 +146,18 @@ object ProductQuant {
 
   /** Interpreted-HOF twin of [[adcScoreLit]] (parity pinned by
     * ProductQuantSpec; CodegenFallback — measured ~40% slower than
-    * even the full-float brute scan, hence the kernel). */
+    * even the full-float brute scan, hence the kernel). The
+    * out-of-range guard mirrors the kernel's null contract — without
+    * it element_at would index FROM THE END for negative codes and
+    * raise under ANSI for too-large ones, silently breaking twin
+    * parity on exactly the corrupt inputs the contract covers. */
   private[graft] def adcScoreLitHof(codes: Column, table: Seq[Double],
       m: Int, c: Int): Column = {
     val t = array(table.map(lit): _*)
     aggregate(
       zip_with(codes, sequence(lit(0), lit(m - 1)),
-        (code, s) => element_at(t, (s * c + code + 1).cast("int"))),
+        (code, s) => when(code < 0 || code >= c, lit(null).cast("double"))
+          .otherwise(element_at(t, (s * c + code + 1).cast("int")))),
       lit(0.0), (acc, x) => acc + x)
   }
 }

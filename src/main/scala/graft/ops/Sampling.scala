@@ -38,8 +38,13 @@ object Sampling {
     * rest to test. Deterministic, disjoint, complete. */
   def assignSplit(id: Column, salt: String,
       cuts: Seq[(String, Int)], other: String): Column = {
-    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted,
-      "cuts must be non-empty cumulative percentages")
+    val pcts = cuts.map(_._2)
+    require(cuts.nonEmpty &&
+      pcts.zip(pcts.tail).forall { case (a, b) => a < b } &&
+      pcts.head > 0 && pcts.last <= 100,
+      s"cuts must be strictly increasing percentages in (0, 100], got $pcts" +
+        " — equal cuts would silently empty a split, >100 would make" +
+        " the remainder unreachable")
     val b = stableBucket(id, salt, 100)
     cuts.foldRight(lit(other)) { case ((name, cut), rest) =>
       when(b < cut, lit(name)).otherwise(rest)

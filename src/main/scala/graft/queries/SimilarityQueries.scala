@@ -129,22 +129,77 @@ object SimilarityQueries {
       k: Int = 10, numCentroids: Int = 16, probes: Int = 2): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val cents = e.filter($"vec_id" < numCentroids)
+    val cents = seedCells(e, numCentroids)
+    val assigned = assignToCells(e, cents)
+    val q = e.filter($"vec_id" === queryId)
+      .select($"embedding".as("qemb"))
+    val probe = probeTop(cents, q, probes)
+    e.join(assigned.join(broadcast(probe), Seq("cent_id")), Seq("vec_id"))
+      .filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
+  /** The IVF building blocks, shared by q34/q39/q55 so the three
+    * cells/assignment/probe stanzas cannot drift apart. */
+  private def seedCells(e: DataFrame, n: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter($"vec_id" < n)
       .select($"vec_id".as("cent_id"), $"embedding".as("cemb"))
-    val assigned = e.crossJoin(broadcast(cents))
+  }
+
+  private def assignToCells(e: DataFrame, cells: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.crossJoin(broadcast(cells))
       .withColumn("cos", cosine($"embedding", $"cemb"))
       .groupBy($"vec_id")
       .agg(max_by($"cent_id", $"cos").as("cent_id"))
-    val q = e.filter($"vec_id" === queryId)
-      .select($"embedding".as("qemb"))
-    val probe = cents.crossJoin(broadcast(q))
+  }
+
+  private def probeTop(cells: DataFrame, qemb: DataFrame,
+      probes: Int): DataFrame = {
+    import cells.sparkSession.implicits._
+    cells.crossJoin(broadcast(qemb))
       .withColumn("qcos", cosine($"cemb", $"qemb"))
       .orderBy($"qcos".desc, $"cent_id".asc)
       .limit(probes)
       .select($"cent_id")
-    e.join(assigned.join(broadcast(probe), Seq("cent_id")), Seq("vec_id"))
+  }
+
+  /** The ADC shortlist shared by q52/q55: fixed-point order-
+    * independent sum of table lookups, optional cell restriction,
+    * zero-norm-safe cosine, deterministic rounded-score boundary. */
+  private def adcShortlist(codes: DataFrame, adc: DataFrame,
+      norms: DataFrame, qn: DataFrame, queryId: Long, shortlist: Int,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
+    import codes.sparkSession.implicits._
+    val base = restrictTo.fold(codes)(ids =>
+      codes.join(ids, Seq("vec_id"), "left_semi"))
+    base.join(broadcast(adc), Seq("sub_id", "cent_id"))
+      .groupBy($"vec_id")
+      .agg((sum(round($"pdot" * ProductQuant.fixedPointScale)
+        .cast("long")).cast("double") / ProductQuant.fixedPointScale)
+        .as("adot"))
+      .join(norms, Seq("vec_id"))
+      .crossJoin(broadcast(qn))
       .filter($"vec_id" =!= queryId)
-      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        when($"nrm" === 0d || $"qnrm" === 0d, lit(0d))
+          .otherwise(round($"adot" / ($"nrm" * $"qnrm"), 4))
+          .as("approx_cosine"))
+      .orderBy($"approx_cosine".desc, $"vec_id".asc)
+      .limit(shortlist)
+  }
+
+  /** Exact-cosine re-rank of a shortlist (q52/q55 tail). */
+  private def exactRerank(e: DataFrame, cand: DataFrame,
+      qemb: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    e.join(broadcast(cand.select($"vec_id")), Seq("vec_id"))
+      .crossJoin(broadcast(qemb))
       .withColumn("cos_full", cosine($"embedding", $"qemb"))
       .orderBy($"cos_full".desc, $"vec_id".asc)
       .limit(k)
@@ -251,16 +306,9 @@ object SimilarityQueries {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val cents = kmeansCentroids(e, numCentroids, iters)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos", cosine($"embedding", $"cemb"))
-      .groupBy($"vec_id")
-      .agg(max_by($"cent_id", $"cos").as("cent_id"))
+    val assigned = assignToCells(e, cents)
     val q = e.filter($"vec_id" === queryId).select($"embedding".as("qemb"))
-    val probe = cents.crossJoin(broadcast(q))
-      .withColumn("qcos", cosine($"cemb", $"qemb"))
-      .orderBy($"qcos".desc, $"cent_id".asc)
-      .limit(probes)
-      .select($"cent_id")
+    val probe = probeTop(cents, q, probes)
     e.join(assigned.join(broadcast(probe), Seq("cent_id")), Seq("vec_id"))
       .filter($"vec_id" =!= queryId)
       .crossJoin(broadcast(q))
@@ -292,34 +340,12 @@ object SimilarityQueries {
     val adc = ProductQuant.adcTable(cb, qsubs)
     val norms = e.select($"vec_id", norm($"embedding").as("nrm"))
     val qn = q.select(norm($"embedding").as("qnrm"))
-    // ADC shortlist: approx score from m table lookups per vector; the
-    // boundary is deterministic cross-engine — each pdot is quantized
-    // to 2^24 fixed-point and summed as integers (order-independent,
-    // the Lloyd-mean trick), then rounded with an id tiebreak. Exact
-    // re-rank reads full floats for `shortlist` candidates only — the
-    // FAISS ADC-prune + exact-verify flow. Zero-norm embeddings score
-    // 0 rather than failing ANSI division (matches ProductQuant.cos).
-    val cand = codes.join(broadcast(adc), Seq("sub_id", "cent_id"))
-      .groupBy($"vec_id")
-      .agg((sum(round($"pdot" * ProductQuant.fixedPointScale)
-        .cast("long")).cast("double") / ProductQuant.fixedPointScale)
-        .as("adot"))
-      .join(norms, Seq("vec_id"))
-      .crossJoin(broadcast(qn))
-      .filter($"vec_id" =!= queryId)
-      .select($"vec_id",
-        when($"nrm" === 0d || $"qnrm" === 0d, lit(0d))
-          .otherwise(round($"adot" / ($"nrm" * $"qnrm"), 4))
-          .as("approx_cosine"))
-      .orderBy($"approx_cosine".desc, $"vec_id".asc)
-      .limit(shortlist)
-    val qemb = q.select($"embedding".as("qemb"))
-    e.join(broadcast(cand.select($"vec_id")), Seq("vec_id"))
-      .crossJoin(broadcast(qemb))
-      .withColumn("cos_full", cosine($"embedding", $"qemb"))
-      .orderBy($"cos_full".desc, $"vec_id".asc)
-      .limit(k)
-      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+    // ADC shortlist (adcShortlist: fixed-point order-independent sum,
+    // zero-norm-safe, deterministic rounded boundary), then exact
+    // re-rank of `shortlist` candidates — the FAISS ADC-prune +
+    // exact-verify flow.
+    val cand = adcShortlist(codes, adc, norms, qn, queryId, shortlist)
+    exactRerank(e, cand, q.select($"embedding".as("qemb")), k)
   }
 
   /** IVF+PQ ANN kNN (q55) — the production ANN layout (FAISS
@@ -337,20 +363,15 @@ object SimilarityQueries {
       shortlist: Int = 50): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    // IVF side (q34's static-seed cells)
-    val cells = e.filter($"vec_id" < numCells)
-      .select($"vec_id".as("cell_id"), $"embedding".as("cellemb"))
-    val assign = e.crossJoin(broadcast(cells))
-      .groupBy($"vec_id")
-      .agg(max_by($"cell_id", cosine($"embedding", $"cellemb"))
-        .as("cell_id"))
+    // IVF side: q34's building blocks (seedCells/assignToCells/
+    // probeTop) — the cells frame uses cent_id naming like q34; it
+    // never meets the PQ codebook's cent_id in one frame (the probed
+    // ids are projected to vec_id before touching codes).
+    val cells = seedCells(e, numCells)
+    val assign = assignToCells(e, cells)
     val q = e.filter($"vec_id" === queryId)
     val qemb = q.select($"embedding".as("qemb"))
-    val probe = cells.crossJoin(broadcast(qemb))
-      .withColumn("qcos", cosine($"cellemb", $"qemb"))
-      .orderBy($"qcos".desc, $"cell_id".asc)
-      .limit(probes)
-      .select($"cell_id")
+    val probe = probeTop(cells, qemb, probes)
     // PQ side (q52's codebooks/codes — index-time artifacts)
     val subs = ProductQuant.subVectors(e, m, subdim)
     val cb = ProductQuant.trainCodebooks(subs, c, iters)
@@ -360,30 +381,13 @@ object SimilarityQueries {
     val adc = ProductQuant.adcTable(cb, qsubs)
     val norms = e.select($"vec_id", norm($"embedding").as("nrm"))
     val qn = q.select(norm($"embedding").as("qnrm"))
-    // ADC over the probed cells' codes only
-    val probedIds = assign.join(broadcast(probe), Seq("cell_id"))
+    // ADC shortlist over the probed cells' codes only, then exact
+    // re-rank — the shared q52 machinery with a cell restriction.
+    val probedIds = assign.join(broadcast(probe), Seq("cent_id"))
       .select($"vec_id")
-    val cand = codes.join(probedIds, Seq("vec_id"), "left_semi")
-      .join(broadcast(adc), Seq("sub_id", "cent_id"))
-      .groupBy($"vec_id")
-      .agg((sum(round($"pdot" * ProductQuant.fixedPointScale)
-        .cast("long")).cast("double") / ProductQuant.fixedPointScale)
-        .as("adot"))
-      .join(norms, Seq("vec_id"))
-      .crossJoin(broadcast(qn))
-      .filter($"vec_id" =!= queryId)
-      .select($"vec_id",
-        when($"nrm" === 0d || $"qnrm" === 0d, lit(0d))
-          .otherwise(round($"adot" / ($"nrm" * $"qnrm"), 4))
-          .as("approx_cosine"))
-      .orderBy($"approx_cosine".desc, $"vec_id".asc)
-      .limit(shortlist)
-    e.join(broadcast(cand.select($"vec_id")), Seq("vec_id"))
-      .crossJoin(broadcast(qemb))
-      .withColumn("cos_full", cosine($"embedding", $"qemb"))
-      .orderBy($"cos_full".desc, $"vec_id".asc)
-      .limit(k)
-      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+    val cand = adcShortlist(codes, adc, norms, qn, queryId, shortlist,
+      restrictTo = Some(probedIds))
+    exactRerank(e, cand, qemb, k)
   }
 
   val oracles: Map[String, String] = Map(
@@ -453,10 +457,12 @@ object SimilarityQueries {
         |  SELECT a.vec_id FROM assign a JOIN probe p USING (cell_id)),
         |cand AS (
         |  SELECT co.vec_id,
-        |    round((CAST(SUM(CAST(round(a.pdot * 16777216.0) AS BIGINT))
-        |        AS DOUBLE) / 16777216.0)
-        |      / (ANY_VALUE(n.nrm) * ANY_VALUE(qn.qnrm)), 4)
-        |      AS approx_cosine
+        |    CASE WHEN ANY_VALUE(n.nrm) = 0 OR ANY_VALUE(qn.qnrm) = 0
+        |      THEN 0 ELSE
+        |        round((CAST(SUM(CAST(round(a.pdot * 16777216.0) AS BIGINT))
+        |            AS DOUBLE) / 16777216.0)
+        |          / (ANY_VALUE(n.nrm) * ANY_VALUE(qn.qnrm)), 4)
+        |      END AS approx_cosine
         |  FROM codes co
         |    JOIN probed USING (vec_id)
         |    JOIN adc a USING (sub_id, cent_id)
@@ -523,10 +529,12 @@ object SimilarityQueries {
         |  FROM q),
         |cand AS (
         |  SELECT co.vec_id,
-        |    round((CAST(SUM(CAST(round(a.pdot * 16777216.0) AS BIGINT))
-        |        AS DOUBLE) / 16777216.0)
-        |      / (ANY_VALUE(n.nrm) * ANY_VALUE(qn.qnrm)), 4)
-        |      AS approx_cosine
+        |    CASE WHEN ANY_VALUE(n.nrm) = 0 OR ANY_VALUE(qn.qnrm) = 0
+        |      THEN 0 ELSE
+        |        round((CAST(SUM(CAST(round(a.pdot * 16777216.0) AS BIGINT))
+        |            AS DOUBLE) / 16777216.0)
+        |          / (ANY_VALUE(n.nrm) * ANY_VALUE(qn.qnrm)), 4)
+        |      END AS approx_cosine
         |  FROM codes co
         |    JOIN adc a USING (sub_id, cent_id)
         |    JOIN nrm n USING (vec_id), qn

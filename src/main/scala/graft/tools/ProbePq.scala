@@ -65,7 +65,8 @@ object ProbePq {
     // centroids — index metadata, bounded by config) in memory; only
     // corpus-sized state stays distributed. Model that for both paths:
     // queries and codebook collected once, outside the timed region.
-    val queryIds = (0 until nQueries).map(i => (i * 37 + 11).toLong)
+    val queryIds = (0 until nQueries)
+      .map(i => ((i.toLong * 37 + 11) % n).toLong).distinct
     val queryEmb: Map[Long, Array[Float]] = e
       .filter($"vec_id".isin(queryIds: _*))
       .collect().map(r => r.getLong(0) ->
@@ -102,10 +103,12 @@ object ProbePq {
           (ProductQuant.adcScoreLit($"codes", flat, c) /
             ($"nrm" * qnrm)).as("a"))
         .orderBy($"a".desc, $"vec_id".asc).limit(shortlist)
+      // exact-cosine re-rank — same score as brute() so the two timed
+      // paths return the same answer (modulo shortlist recall)
       e.join(broadcast(cand.select($"vec_id")), Seq("vec_id"))
         .select($"vec_id",
-          (graft.expressions.FloatVectorDot.dotConst($"embedding", q))
-            .as("cos"))
+          (graft.expressions.FloatVectorDot.dotConst($"embedding", q) /
+            (sqrt(dot($"embedding", $"embedding")) * qnrm)).as("cos"))
         .orderBy($"cos".desc, $"vec_id".asc).limit(k).count()
     }
 

@@ -128,6 +128,21 @@ class ProductQuantSpec extends SparkSpecBase {
     assert(out(1L).contains(5.0))
     assert(out(2L).isEmpty)
     assert(out(3L).isEmpty)
+    // the HOF twin agrees on the corrupt inputs too (its guard mirrors
+    // the kernel's null contract — negative codes would otherwise hit
+    // element_at's from-the-end indexing)
+    val negRows = Seq((1L, Seq(0L, 1L)), (2L, Seq(-2L, 1L)),
+      (4L, Seq(0L, 3L))).toDF("vec_id", "codes")
+    val kernelOut = negRows.select($"vec_id",
+      ProductQuant.adcScoreLit($"codes", flat, 2).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val hofOut = negRows.select($"vec_id",
+      ProductQuant.adcScoreLitHof($"codes", flat, 2, 2).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(kernelOut == hofOut)
+    assert(kernelOut(2L).isEmpty && kernelOut(4L).isEmpty)
   }
 
   test("repeated train/encode cycles leave executor storage flat") {

@@ -50,9 +50,20 @@ class SamplingSpec extends SparkSpecBase {
     assert(splits("test") > 350 && splits("test") < 650, splits)
   }
 
-  test("non-cumulative cuts are rejected") {
+  test("non-increasing, zero, or >100 cuts are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.assignSplit(lit(1L), "s", Seq("a" -> 95, "b" -> 90), "c")
+    }
+    // equal cuts would silently produce an empty split
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(lit(1L), "s", Seq("a" -> 90, "b" -> 90), "c")
+    }
+    // a cut above 100 would make the remainder unreachable
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(lit(1L), "s", Seq("a" -> 90, "b" -> 101), "c")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(lit(1L), "s", Seq("a" -> 0), "c")
     }
   }
 }
