@@ -155,11 +155,12 @@ object PipelineQueries {
     * Scale shape: stages 0–2 are ONE conditional-aggregation scan
     * (no per-stage rescan); exact dedup is one hash shuffle; near-dup
     * reuses the banded-LSH pair machinery (collision join carries
-    * (band, hash, id) only). The lineage re-derives the survivor
-    * frame for the later stage stats — at corpus scale a real run
-    * materializes each stage's survivors (the reference pipeline's
-    * per-stage artifacts) instead of recomputing, but the per-stage
-    * SEMANTICS are exactly these. */
+    * (band, hash, id) only). The dedup-survivor frame — read by its
+    * own stats, both pair-join sides, and the keep stage — is
+    * localCheckpoint'd (the reference pipeline's per-stage artifact,
+    * in-memory form) rather than re-derived per consumer; callers
+    * free it via Checkpoints.consume as with the other checkpointed
+    * results. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val enStops = TextAnalysis.stopwords.toMap.apply("en")
@@ -182,10 +183,18 @@ object PipelineQueries {
         .as("t2"))
       .selectExpr("stack(3, '0_raw', n0, t0, '1_quality', n1, t1, " +
         "'2_lang', n2, t2) AS (stage, n_docs, total_tokens)")
+    // The exact-dedup survivor frame is read ~5 more times (its own
+    // stats, both sides of the LSH pair join, the shingle join-backs,
+    // and the final keep stats) — materialize it instead of
+    // re-deriving the scan+window chain per consumer (plan audit
+    // showed 6 parquet scans without this). This IS the reference's
+    // per-stage artifact, in in-memory form; the caller's
+    // Checkpoints.consume frees it with the result.
     val exact = flagged.filter($"l_ok")
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5($"text")).orderBy($"doc_id")))
       .filter($"rn" === 1)
+      .localCheckpoint()
     val pairs = Dedup.minhashLshPairs(
       exact.select($"doc_id", Dedup.shingles($"toks").as("shingles")),
       "doc_id", "shingles")
