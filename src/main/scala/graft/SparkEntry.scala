@@ -84,6 +84,7 @@ object SparkEntry {
     "q54_dataset_split" -> (PipelineQueries.datasetSplit _),
     "q55_ivfpq_ann_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.ivfPqAnnKnn(s, d)),
+    "q56_order_cube" -> (Relational.orderCube _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

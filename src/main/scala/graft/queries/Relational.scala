@@ -297,6 +297,28 @@ object Relational {
       .orderBy($"g_region", $"g_nation", $"region", $"nation")
   }
 
+  /** §2.9 OLAP cube: (status, priority) over the FULL grouping
+    * lattice — all four combinations in one aggregation pass (rollup
+    * covers only the hierarchy prefix). Same single-shuffle property
+    * as q47: Spark Expands the grouping sets map-side and
+    * partial-aggregates every level in the same exchange; grouping()
+    * flags disambiguate a real value from a subtotal row. */
+  def orderCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping($"o_orderstatus").cast("long").as("g_status"),
+        grouping($"o_orderpriority").cast("long").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(dec2)).cast("double").as("revenue"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"g_status", $"g_priority", $"n_orders", $"revenue")
+      .orderBy($"g_status", $"g_priority", $"status", $"priority")
+  }
+
   /** §2.9 pivot: per-customer-segmentless event matrix — one row per
     * user, one column per event type. The pivot is a single groupBy
     * with a fixed column list (values supplied, so no extra distinct
@@ -329,6 +351,16 @@ object Relational {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY g_region, g_nation, region, nation""".stripMargin,
+    "q56_order_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
     "q48_event_pivot" ->
       """SELECT user_id,
         | CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
