@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, PipelineQueries, Relational, SimilarityQueries, TemporalQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, PipelineQueries, Relational, SimilarityQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -85,6 +85,12 @@ object SparkEntry {
     "q55_ivfpq_ann_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.ivfPqAnnKnn(s, d)),
     "q56_order_cube" -> (Relational.orderCube _),
+    "q57_decontaminate" -> ((s: SparkSession, d: String) =>
+      CurationQueries.decontaminate(s, d)),
+    "q58_repetition_filter" -> (CurationQueries.repetitionFilter _),
+    "q59_pii_redaction" -> (CurationQueries.piiRedaction _),
+    "q60_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.semanticDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,5 +98,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
       DedupQueries.oracles ++ PipelineQueries.oracles ++
-      TemporalQueries.oracles
+      TemporalQueries.oracles ++ CurationQueries.oracles
 }

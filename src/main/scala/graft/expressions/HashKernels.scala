@@ -378,6 +378,36 @@ object HashKernels {
     s
   }
 
+  /** Gram-repetition statistics for quality filtering (the Gopher-rule
+    * family): over the positional (repeats kept) space-joined n-grams
+    * of the token array, returns [n_grams, max_freq, dup_positions] —
+    * gram count, the highest frequency of any single gram, and the
+    * number of gram POSITIONS whose gram occurs more than once.
+    * Arrays shorter than n have no grams → [0, 0, 0] (strict; unlike
+    * kgramMd5 there is no short-document collapse — a 2-token doc has
+    * no trigram repetition signal). One hash-map pass per row. */
+  def gramRepetitionStats(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i <= len - n) {
+      val g = gram(toks, i, n)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1 else prev.intValue() + 1)
+      i += 1
+    }
+    var maxFreq = 0L
+    var dupPositions = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      if (c > maxFreq) maxFreq = c
+      if (c > 1) dupPositions += c
+    }
+    new GenericArrayData(Array[Any]((len - n + 1).toLong, maxFreq, dupPositions))
+  }
+
   /** Winnowing minima: distinct (first-occurrence order) per-window
     * string minima over the hash sequence; windows shorter arrays
     * collapse to one global minimum (null when the array is empty —

@@ -185,6 +185,27 @@ case class WinnowMin(child: Expression, w: Int) extends HashKernelExpression {
     copy(child = newChild)
 }
 
+/** Gram-repetition statistics [n_grams, max_freq, dup_positions] over
+  * positional n-grams — the per-row kernel behind the repetition
+  * quality filter (no explode, no shuffle; see
+  * HashKernels.gramRepetitionStats for the exact contract). */
+case class GramRepetitionStats(child: Expression, n: Int)
+    extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> tokens"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.gramRepetitionStats(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.gramRepetitionStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramRepetitionStats =
+    copy(child = newChild)
+}
+
 /** Count (with repeats) of tokens contained in a fixed word set — the
   * stopword-hit counter of the language-ID / quality-score path, as a
   * compiled set-lookup pass. */
@@ -292,6 +313,8 @@ object TextHashes {
   def simhash32(toks: Column): Column = c(SimHash32(e(toks)))
   def simhash64(toks: Column): Column = c(SimHash64(e(toks)))
   def kgramMd5(toks: Column, k: Int): Column = c(KgramMd5(e(toks), k))
+  def gramRepetitionStats(toks: Column, n: Int): Column =
+    c(GramRepetitionStats(e(toks), n))
   def winnowMin(hashes: Column, w: Int): Column = c(WinnowMin(e(hashes), w))
   def arrayJaccard(a: Column, b: Column): Column =
     c(ArrayJaccard(e(a), e(b)))

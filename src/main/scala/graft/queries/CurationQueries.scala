@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.{Decontaminate, Dedup, Pii, TextAnalysis}
+
+/** Corpus-curation queries beyond dedup: benchmark decontamination
+  * (q57), gram-repetition quality filtering (q58), and PII
+  * detection/redaction (q59) — the remaining hygiene passes of a
+  * training-data pipeline. All three are scan-shaped: per-row kernels
+  * or broadcast probes, no corpus-side shuffle (see each op's
+  * scaladoc for the 100 TB argument).
+  */
+object CurationQueries {
+
+  /** q57 — benchmark decontamination: documents sharing a 13-token
+    * gram with the benchmark slice (doc_id ≡ 0 mod 7 stands in for an
+    * eval set; k=13 is the GPT-3/PaLM convention). Output is the
+    * contamination report — ONLY the contaminated documents, which is
+    * what keeps the operator corpus-shuffle-free: zero-hit documents
+    * never leave their scan task. */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 13): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id",
+        Decontaminate.gramHashes(Dedup.tokens($"text"), k).as("grams"))
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    Decontaminate.overlapReport(corpus, bench, "doc_id", "grams")
+      .orderBy($"doc_id")
+  }
+
+  /** q58 — repetition quality filter (the Gopher-rule family): per
+    * document, the most frequent bigram's share of all bigram slots
+    * and the share of trigram slots occupied by repeated trigrams;
+    * `repetitive` flags documents where either (4dp-rounded, so both
+    * engines compare the same value) share exceeds 0.1. ONE compiled
+    * hash-map pass per row per gram size (no explode, no shuffle —
+    * graft.expressions.HashKernels.gramRepetitionStats). */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = graft.expressions.TextHashes.gramRepetitionStats _
+    Tables.documentsDistributed(spark, dir)
+      .withColumn("toks", TextAnalysis.tokensOf($"text"))
+      .withColumn("bi", stats($"toks", 2))
+      .withColumn("tri", stats($"toks", 3))
+      .select(
+        $"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        $"bi".getItem(1).as("max_bigram_freq"),
+        when($"bi".getItem(0) === 0L, lit(0d))
+          .otherwise(round($"bi".getItem(1).cast("double") / $"bi".getItem(0), 4))
+          .as("top_bigram_frac"),
+        when($"tri".getItem(0) === 0L, lit(0d))
+          .otherwise(round($"tri".getItem(2).cast("double") / $"tri".getItem(0), 4))
+          .as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        ($"top_bigram_frac" > 0.1 || $"dup_trigram_frac" > 0.1)
+          .cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** q59 — PII detection + redaction. The corpus is synthetic word
+    * soup with no real PII, so the query first embeds DETERMINISTIC
+    * synthetic PII derived from each row (an email always; a phone
+    * for doc_id ≡ 0 mod 3; an IPv4 for doc_id ≡ 0 mod 4) — the same
+    * construction the oracle performs — then runs the real operator:
+    * per-pattern match counts and the md5 of the redacted text
+    * ([[graft.ops.Pii]]; order email → IPv4 → phone is pinned). */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dirty = concat(
+      $"text", lit(" contact "), $"source", lit("."),
+      $"doc_id".cast("string"), lit("@example.com"),
+      when($"doc_id" % 3 === 0,
+        concat(lit(" call 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when($"doc_id" % 4 === 0,
+        concat(lit(" from 10."), ($"doc_id" % 256).cast("string"),
+          lit("."), (($"doc_id" * 3) % 256).cast("string"),
+          lit("."), (($"doc_id" * 7) % 256).cast("string")))
+        .otherwise(lit("")))
+    Tables.documentsDistributed(spark, dir)
+      .withColumn("dirty", dirty)
+      .select(
+        $"doc_id",
+        Pii.emailCount($"dirty").as("n_emails"),
+        Pii.ipv4Count($"dirty").as("n_ips"),
+        Pii.phoneCount($"dirty").as("n_phones"),
+        md5(Pii.redact($"dirty")).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q57_decontaminate" ->
+      s"""WITH ${DedupQueries.toksCte},
+         |kg AS (SELECT doc_id, CASE WHEN len(tokens) >= 13
+         |  THEN list_distinct(list_transform(
+         |         generate_series(1, len(tokens) - 12),
+         |         i -> md5(array_to_string(tokens[i:i+12], ' '))))
+         |  ELSE [md5(array_to_string(tokens[1:13], ' '))] END AS grams
+         | FROM toks),
+         |bench AS (SELECT DISTINCT unnest(grams) AS g FROM kg
+         |          WHERE doc_id % 7 = 0),
+         |corpus AS (SELECT doc_id, len(grams) AS n_grams,
+         |             unnest(grams) AS g
+         |           FROM kg WHERE doc_id % 7 <> 0)
+         |SELECT doc_id, CAST(any_value(n_grams) AS BIGINT) AS n_grams,
+         |  count(*) AS n_hit,
+         |  round(count(*)::DOUBLE / any_value(n_grams), 4) AS contamination
+         |FROM corpus JOIN bench USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q58_repetition_filter" ->
+      s"""WITH ${DedupQueries.toksCte},
+         |g AS (SELECT doc_id, len(tokens) AS n_tokens,
+         |  CASE WHEN len(tokens) >= 2
+         |    THEN list_transform(generate_series(1, len(tokens) - 1),
+         |           i -> array_to_string(tokens[i:i+1], ' '))
+         |    ELSE [] END AS bi,
+         |  CASE WHEN len(tokens) >= 3
+         |    THEN list_transform(generate_series(1, len(tokens) - 2),
+         |           i -> array_to_string(tokens[i:i+2], ' '))
+         |    ELSE [] END AS tri
+         | FROM toks),
+         |m AS (SELECT doc_id, n_tokens,
+         |  COALESCE(list_max(list_transform(list_distinct(bi),
+         |    d -> len(list_filter(bi, x -> x = d)))), 0) AS max_bi,
+         |  len(bi) AS n_bi,
+         |  COALESCE(len(list_filter(tri,
+         |    t -> len(list_filter(tri, x -> x = t)) > 1)), 0) AS dup_tri,
+         |  len(tri) AS n_tri
+         | FROM g),
+         |f AS (SELECT doc_id, n_tokens, max_bi,
+         |  CASE WHEN n_bi = 0 THEN 0
+         |       ELSE round(max_bi::DOUBLE / n_bi, 4) END AS top_bigram_frac,
+         |  CASE WHEN n_tri = 0 THEN 0
+         |       ELSE round(dup_tri::DOUBLE / n_tri, 4) END AS dup_trigram_frac
+         | FROM m)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(max_bi AS BIGINT) AS max_bigram_freq,
+         |  top_bigram_frac, dup_trigram_frac,
+         |  CAST(CASE WHEN top_bigram_frac > 0.1 OR dup_trigram_frac > 0.1
+         |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q59_pii_redaction" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  text || ' contact ' || source || '.' || doc_id || '@example.com' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN ' from 10.' || (doc_id % 256) || '.' ||
+        |         ((doc_id * 3) % 256) || '.' || ((doc_id * 7) % 256)
+        |    ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT)
+        |    AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+  )
+}

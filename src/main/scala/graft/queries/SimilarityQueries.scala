@@ -297,6 +297,50 @@ object SimilarityQueries {
       .select($"cent_id", $"cvec".as("cemb"))
   }
 
+  /** q60 — semantic deduplication (SemDeDup, Abbas et al. 2023): the
+    * embedding-space twin of the text near-dup pass. Cluster the
+    * corpus with k-means (the shared fixed-point Lloyd — identical
+    * centroids in both engines), then prune ONLY within clusters: of
+    * any within-cluster pair with cosine ≥ `threshold`, the larger
+    * vec_id drops (the q53 funnel's keep-the-smaller convention).
+    *
+    * Scale shape: the cluster id is the LSH-style bucket — the pair
+    * join shuffles on cent_id, so candidate volume is Σ|cluster|², not
+    * N². At corpus scale the df-cap analogue is a cluster-size cap
+    * (raise k so clusters stay bounded; SemDeDup runs k≈10⁵ at
+    * billion-doc scale for exactly this reason). The assigned frame
+    * feeds both join sides and the final report, so it is
+    * localCheckpoint'd (never re-derives the Lloyd rounds); callers
+    * free it via Checkpoints.consume like the other checkpointed
+    * results. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, numCentroids: Int = 16,
+      iters: Int = 1): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddingsDistributed(spark, dir)
+      .select($"vec_id", $"embedding")
+    val cents = kmeansCentroids(e, numCentroids, iters)
+    val x = e.join(assignToCells(e, cents), Seq("vec_id"))
+      .withColumn("nrm", norm($"embedding"))
+      .localCheckpoint()
+    val a = x.select($"cent_id", $"vec_id".as("vec_a"),
+      $"embedding".as("emb_a"), $"nrm".as("nrm_a"))
+    val b = x.select($"cent_id", $"vec_id".as("vec_b"),
+      $"embedding".as("emb_b"), $"nrm".as("nrm_b"))
+    val drops = a.join(b, Seq("cent_id"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos_full", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
+      // null-tolerant threshold — same constraint-inference mechanism
+      // as embeddingNearDupPairs (round-6 plan audit)
+      .filter(coalesce($"cos_full", lit(Double.NegativeInfinity))
+        >= threshold)
+      .select($"vec_b".as("vec_id")).distinct()
+    x.join(drops.withColumn("__dropped", lit(1L)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cent_id",
+        when($"__dropped".isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy($"vec_id")
+  }
+
   /** IVF with k-means-refined cells: the q34 pipeline with
     * `kmeansCentroids` slotted in (2 Lloyd rounds), then the same
     * 2-probe search. */
@@ -714,6 +758,42 @@ object SimilarityQueries {
         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qemb::DOUBLE[])
         |  DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q60_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cents0 AS (
+        |  SELECT vec_id AS cent_id, embedding AS cemb FROM e
+        |  WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT e.vec_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
+        |    AS cent_id
+        |  FROM e, cents0 c GROUP BY e.vec_id),
+        |m1 AS (
+        |  SELECT a.cent_id, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(e.embedding[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM a1 a JOIN e USING (vec_id),
+        |    unnest(generate_series(1, 64)) t(i)
+        |  GROUP BY a.cent_id, t.i),
+        |cents1 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cemb FROM m1
+        |  GROUP BY cent_id),
+        |a2 AS (
+        |  SELECT e.vec_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
+        |    AS cent_id
+        |  FROM e, cents1 c GROUP BY e.vec_id),
+        |x AS (SELECT a2.vec_id, a2.cent_id, e.embedding
+        |      FROM a2 JOIN e USING (vec_id)),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id FROM x a JOIN x b
+        |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) >= 0.35)
+        |SELECT x.vec_id, x.cent_id,
+        |  CAST(CASE WHEN x.vec_id IN (SELECT vec_id FROM drops)
+        |       THEN 0 ELSE 1 END AS BIGINT) AS kept
+        |FROM x ORDER BY x.vec_id""".stripMargin,
     "q34_ivf_knn" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cemb
