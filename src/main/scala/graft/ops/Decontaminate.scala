@@ -47,7 +47,7 @@ object Decontaminate {
     val benchGrams = bench
       .select(explode_outer(col(gramsCol)).as("__g")).distinct()
     corpus
-      .select(col(idCol), size(col(gramsCol)).as("n_grams"),
+      .select(col(idCol), size(col(gramsCol)).cast("long").as("n_grams"),
         explode_outer(col(gramsCol)).as("__g"))
       .join(broadcast(benchGrams), Seq("__g"))
       .groupBy(col(idCol))

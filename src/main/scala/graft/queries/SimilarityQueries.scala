@@ -323,6 +323,12 @@ object SimilarityQueries {
     val x = e.join(assignToCells(e, cents), Seq("vec_id"))
       .withColumn("nrm", norm($"embedding"))
       .localCheckpoint()
+    // x's eager checkpoint truncated lineage above it, so the Lloyd
+    // result's blocks are no longer reachable from the returned plan —
+    // free them here or they outlive the query (the q39-style path
+    // keeps cents IN the final plan and lets the caller's consume free
+    // it; the checkpoint boundary changes the ownership).
+    graft.ops.Checkpoints.unpersist(cents)
     val a = x.select($"cent_id", $"vec_id".as("vec_a"),
       $"embedding".as("emb_a"), $"nrm".as("nrm_a"))
     val b = x.select($"cent_id", $"vec_id".as("vec_b"),

@@ -176,6 +176,32 @@ class HashExpressionsSpec extends SparkSpecBase {
       TextAnalysis.tokenLengthSumHof(Dedup.tokensHof(col("text"))))
   }
 
+  /** Interpreted twin of gramRepetitionStats: positional grams via
+    * transform/slice, frequencies via nested filters. Quadratic per
+    * row — the spec-only reference the compiled one-pass kernel is
+    * pinned against. */
+  private def repStatsHof(toks: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    array(
+      size(grams).cast("long"),
+      coalesce(array_max(transform(array_distinct(grams),
+        d => size(filter(grams, x => x === d)))), lit(0)).cast("long"),
+      size(filter(grams,
+        g => size(filter(grams, x => x === g)) > 1)).cast("long"))
+  }
+
+  test("gramRepetitionStats == nested-filter HOF across gram sizes") {
+    val toks = Dedup.tokensHof(col("text"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      assertColsEqual(
+        TextHashes.gramRepetitionStats(toks, n), repStatsHof(toks, n))
+    }
+  }
+
   test("null text propagates null through every kernel") {
     import spark.implicits._
     val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")
@@ -185,6 +211,7 @@ class HashExpressionsSpec extends SparkSpecBase {
       Dedup.bandHashesDirect(Dedup.shingles(Dedup.tokens($"text"))),
       Dedup.simhash32(Dedup.tokens($"text")),
       TextAnalysis.kgramHashes(Dedup.tokens($"text")),
+      TextHashes.gramRepetitionStats(Dedup.tokens($"text"), 2),
       TextAnalysis.winnowFingerprints(
         TextAnalysis.kgramHashes(Dedup.tokens($"text")))).head
     (0 until row.length).foreach(i => assert(row.isNullAt(i)))

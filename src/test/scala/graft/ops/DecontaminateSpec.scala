@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Benchmark-decontamination semantics: gram overlap detection,
+  * distinct-gram counting, the short-document collapse, and the
+  * removal anti-join. */
+class DecontaminateSpec extends SparkSpecBase {
+
+  private val K = 5 // small gram width keeps fixtures readable
+
+  private def grams(textCol: String) =
+    Decontaminate.gramHashes(Dedup.tokens(col(textCol)), K).as("grams")
+
+  test("a corpus doc sharing a k-token run with the benchmark is reported") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "what is the capital of france paris obviously")).toDF("doc_id", "text")
+      .select($"doc_id", grams("text"))
+    val corpus = Seq(
+      // embeds the benchmark's 5-token run "what is the capital of"
+      (1L, "trivia section what is the capital of france answered"),
+      // no shared 5-gram
+      (2L, "completely unrelated text about spark shuffles and joins"),
+      // shares TWO distinct benchmark grams
+      (3L, "what is the capital of france paris people ask")).toDF("doc_id", "text")
+      .select($"doc_id", grams("text"))
+    val report = Decontaminate.overlapReport(corpus, bench, "doc_id", "grams")
+      .orderBy($"doc_id").collect()
+    assert(report.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val hit1 = report(0)
+    // doc 1: 9 tokens → 5 grams, of which exactly 2 are benchmark grams
+    // ("what is the capital of", "is the capital of france")
+    assert(hit1.getAs[Long]("n_hit") == 2L)
+    assert(hit1.getAs[Long]("n_grams") == 5L)
+    assert(hit1.getAs[Double]("contamination") == 0.4)
+    val hit3 = report(1)
+    assert(hit3.getAs[Long]("n_hit") > hit1.getAs[Long]("n_hit"))
+  }
+
+  test("repeated grams in a document count once (distinct semantics)") {
+    import spark.implicits._
+    val run = "a b c d e"
+    val bench = Seq((9L, run)).toDF("doc_id", "text")
+      .select($"doc_id", grams("text"))
+    val corpus = Seq((1L, s"$run $run $run")).toDF("doc_id", "text")
+      .select($"doc_id", grams("text"))
+    val r = Decontaminate.overlapReport(corpus, bench, "doc_id", "grams")
+      .collect()
+    assert(r.length == 1)
+    // "a b c d e" appears at three positions in the corpus doc, but
+    // n_hit counts DISTINCT matching grams — once, not 3×
+    assert(r(0).getAs[Long]("n_hit") == 1L)
+  }
+
+  test("documents shorter than k collapse to one whole-text gram") {
+    import spark.implicits._
+    val bench = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+      .select($"doc_id", grams("text"))
+    val exact = Seq((1L, "tiny doc"), (2L, "tiny doc extended past"))
+      .toDF("doc_id", "text").select($"doc_id", grams("text"))
+    val r = Decontaminate.overlapReport(exact, bench, "doc_id", "grams")
+      .collect()
+    // only the exact short copy collides with the collapsed gram
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(r(0).getAs[Double]("contamination") == 1.0)
+  }
+
+  test("removeContaminated drops exactly the reported ids") {
+    import spark.implicits._
+    val bench = Seq((9L, "one two three four five")).toDF("doc_id", "text")
+      .select($"doc_id", grams("text"))
+    val corpus = Seq(
+      (1L, "x one two three four five y"),
+      (2L, "clean document with no overlap at all")).toDF("doc_id", "text")
+      .select($"doc_id", grams("text"))
+    val report = Decontaminate.overlapReport(corpus, bench, "doc_id", "grams")
+    val left = Decontaminate.removeContaminated(corpus, report, "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(2L))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** PII detection/redaction contract: match sets per pattern, the
+  * pinned redaction order (email → IPv4 → phone), and idempotence. */
+class PiiSpec extends SparkSpecBase {
+
+  private def one(text: String): (Long, Long, Long, String) = {
+    import spark.implicits._
+    val r = Seq(Tuple1(text)).toDF("t")
+      .select(
+        Pii.emailCount($"t"), Pii.ipv4Count($"t"), Pii.phoneCount($"t"),
+        Pii.redact($"t"))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+  }
+
+  test("counts and redaction over a mixed sample") {
+    val (e, ip, ph, red) = one(
+      "mail a.b+c%d@sub.example.org or x@y.io, host 10.0.255.1, call 555-0199")
+    assert(e == 2L)
+    assert(ip == 1L)
+    assert(ph == 1L)
+    assert(red ==
+      "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>")
+  }
+
+  test("email redaction runs first: digits and dots inside an address never leak as IP/phone") {
+    // the local part contains an IPv4-shaped and a phone-shaped token;
+    // with email first the whole address collapses to <EMAIL>
+    val (e, ip, ph, red) = one("report 10.1.1.1-555-0000@spam.example.com end")
+    assert(e == 1L)
+    assert(red == "report <EMAIL> end")
+    // the raw counters still see the embedded shapes (detection is
+    // per-pattern, independent of redaction order)
+    assert(ip == 1L && ph == 1L)
+  }
+
+  test("word boundaries: digits embedded in tokens do not match") {
+    val (_, ip, ph, red) = one("version v1.2.3.4beta and id 123-45678 stay")
+    assert(ip == 0L)
+    assert(ph == 0L)
+    assert(red == "version v1.2.3.4beta and id 123-45678 stay")
+  }
+
+  test("over-matching octets is intended scrubber behavior") {
+    val (_, ip, _, red) = one("bad octet 999.999.999.999 still masked")
+    assert(ip == 1L)
+    assert(red == "bad octet <IP> still masked")
+  }
+
+  test("redaction is idempotent") {
+    import spark.implicits._
+    val dirty = "a@b.co at 10.0.0.1 tel 555-1234"
+    val once = one(dirty)._4
+    val twice = Seq(Tuple1(once)).toDF("t").select(Pii.redact($"t"))
+      .head().getString(0)
+    assert(once == twice)
+  }
+
+  test("null and empty text pass through") {
+    import spark.implicits._
+    val r = Seq(Tuple1(Option.empty[String]), Tuple1(Some("")))
+      .toDF("t")
+      .select(Pii.emailCount($"t").as("e"), Pii.redact($"t").as("r"))
+      .collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(r(1).getLong(0) == 0L && r(1).getString(1) == "")
+  }
+}
