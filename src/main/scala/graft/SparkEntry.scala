@@ -91,6 +91,7 @@ object SparkEntry {
     "q59_pii_redaction" -> (CurationQueries.piiRedaction _),
     "q60_semantic_dedup" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.semanticDedup(s, d)),
+    "q61_lm_score" -> (CurationQueries.lmScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -378,6 +378,22 @@ object HashKernels {
     s
   }
 
+  /** Raw positional n-grams (space-joined, repeats kept), strict:
+    * arrays shorter than n produce an empty array — the bigram-LM
+    * scoring input (counts need every occurrence, and a 1-token doc
+    * has no bigram evidence). */
+  def tokenGrams(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = gram(toks, i, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Gram-repetition statistics for quality filtering (the Gopher-rule
     * family): over the positional (repeats kept) space-joined n-grams
     * of the token array, returns [n_grams, max_freq, dup_positions] —

@@ -185,6 +185,24 @@ case class WinnowMin(child: Expression, w: Int) extends HashKernelExpression {
     copy(child = newChild)
 }
 
+/** Raw positional n-grams, strict (len < n → empty) — the LM-scoring
+  * twin of KgramMd5 (which hashes and collapses short docs). */
+case class TokenGrams(child: Expression, n: Int) extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.tokenGrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.tokenGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenGrams =
+    copy(child = newChild)
+}
+
 /** Gram-repetition statistics [n_grams, max_freq, dup_positions] over
   * positional n-grams — the per-row kernel behind the repetition
   * quality filter (no explode, no shuffle; see
@@ -315,6 +333,7 @@ object TextHashes {
   def kgramMd5(toks: Column, k: Int): Column = c(KgramMd5(e(toks), k))
   def gramRepetitionStats(toks: Column, n: Int): Column =
     c(GramRepetitionStats(e(toks), n))
+  def tokenGrams(toks: Column, n: Int): Column = c(TokenGrams(e(toks), n))
   def winnowMin(hashes: Column, w: Int): Column = c(WinnowMin(e(hashes), w))
   def arrayJaccard(a: Column, b: Column): Column =
     c(ArrayJaccard(e(a), e(b)))

@@ -57,6 +57,15 @@ object Decontaminate {
         round(col("n_hit").cast("double") / col("n_grams"), 4))
   }
 
+  /** The benchmark's distinct gram set as a driver-side list (sorted
+    * for determinism) — the deploy-time artifact the STREAMING
+    * decontamination flag consumes (Streams.decontaminateStream).
+    * Bounded by eval-set size, the same broadcast-small argument as
+    * [[overlapReport]]'s build side. */
+  def benchGramList(bench: DataFrame, gramsCol: String): Seq[String] =
+    bench.select(explode_outer(col(gramsCol)).as("__g")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
   /** The removal step: corpus rows whose id is NOT in the report —
     * a broadcast anti-join (the report is small by construction). */
   def removeContaminated(corpus: DataFrame, report: DataFrame,

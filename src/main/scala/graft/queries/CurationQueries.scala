@@ -94,6 +94,48 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q61 — bigram-LM scoring (the CCNet/KenLM-style perplexity
+    * filter): train a maximum-likelihood bigram model ON the corpus
+    * (c(w1 w2) and its prefix marginal c(w1·)), then score each
+    * document by its average negative log-probability — high scores
+    * mark documents whose word transitions are atypical for the
+    * corpus. Scoring the training corpus itself means every bigram is
+    * in-vocabulary (MLE needs no smoothing here; a deployment scoring
+    * UNSEEN text against a reference-corpus LM adds smoothing, which
+    * slots into the `lnp_fp` column).
+    *
+    * Scale shape: the LM build is one count shuffle keyed by bigram —
+    * bounded by vocabulary², not corpus size — and the prefix
+    * marginal is a window over that same small frame. The model then
+    * BROADCASTS (like the benchmark grams of q57), so scoring is a
+    * map-side probe; the per-document aggregation reuses the scan's
+    * doc_id distribution (no corpus exchange — q57's mechanism).
+    * Per-term log-probs go through the 2^24 fixed-point quantization
+    * so the per-document sum is order-independent (the Lloyd/ADC
+    * convention — double sums across partitions are not). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = graft.ops.ProductQuant.fixedPointScale
+    val bg = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id",
+        graft.expressions.TextHashes
+          .tokenGrams(Dedup.tokens($"text"), 2).as("grams"))
+      .select($"doc_id", explode_outer($"grams").as("g"))
+    val lm = bg.groupBy($"g").agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum($"c2").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(split($"g", " ").getItem(0))))
+      .select($"g",
+        round(log($"c2".cast("double") / $"c1") * fp).cast("long")
+          .as("lnp_fp"))
+    bg.join(broadcast(lm), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lnp_fp").as("s"))
+      .select($"doc_id", $"n_bigrams",
+        round(-($"s".cast("double") / fp) / $"n_bigrams", 4).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "q57_decontaminate" ->
       s"""WITH ${DedupQueries.toksCte},
@@ -145,6 +187,25 @@ object CurationQueries {
          |  CAST(CASE WHEN top_bigram_frac > 0.1 OR dup_trigram_frac > 0.1
          |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q61_lm_score" ->
+      s"""WITH ${DedupQueries.toksCte},
+         |bg AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(tokens) >= 2
+         |      THEN list_transform(generate_series(1, len(tokens) - 1),
+         |             i -> array_to_string(tokens[i:i+1], ' '))
+         |      ELSE [] END) AS g
+         |  FROM toks),
+         |lm0 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |lm AS (SELECT g,
+         |    CAST(round(ln(c2::DOUBLE /
+         |      SUM(c2) OVER (PARTITION BY split_part(g, ' ', 1)))
+         |      * 16777216.0) AS BIGINT) AS lnp_fp
+         |  FROM lm0)
+         |SELECT b.doc_id, count(*) AS n_bigrams,
+         |  round(-(CAST(SUM(l.lnp_fp) AS DOUBLE) / 16777216.0)
+         |    / count(*), 4) AS avg_nll
+         |FROM bg b JOIN lm l USING (g)
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "q59_pii_redaction" ->
       """WITH dirty AS (SELECT doc_id,
         |  text || ' contact ' || source || '.' || doc_id || '@example.com' ||

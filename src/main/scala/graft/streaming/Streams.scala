@@ -154,6 +154,24 @@ object Streams {
       }
   }
 
+  /** Streaming benchmark decontamination — the stateless twin of the
+    * batch q57 report: each arriving document is flagged when any of
+    * its distinct k-token-gram md5s is in the benchmark gram set. The
+    * eval-set grams arrive as a DRIVER-SIDE list on purpose: eval
+    * sets are broadcast-small (the q57 scale argument), and an inline
+    * literal array keeps the operator a pure per-row map — no
+    * stream-static join, no state, no watermark; it composes with any
+    * downstream streaming sink or aggregation. Re-plan the query to
+    * pick up a refreshed benchmark (the set is a deploy-time
+    * artifact, not a stream). */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+      benchGrams: Seq[String], k: Int = 13): DataFrame =
+    docs.withColumn("is_contaminated",
+      arrays_overlap(
+        graft.ops.Decontaminate.gramHashes(
+          graft.ops.Dedup.tokens(col(textCol)), k),
+        typedLit(benchGrams)))
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: java.sql.Timestamp, value: Double)
 

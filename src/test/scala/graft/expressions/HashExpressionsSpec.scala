@@ -202,6 +202,17 @@ class HashExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("tokenGrams == strict transform/slice HOF (no short-doc collapse)") {
+    val toks = Dedup.tokensHof(col("text"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val hof = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      assertColsEqual(TextHashes.tokenGrams(toks, n), hof)
+    }
+  }
+
   test("null text propagates null through every kernel") {
     import spark.implicits._
     val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")

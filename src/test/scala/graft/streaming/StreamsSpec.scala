@@ -173,6 +173,33 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("decontaminateStream flags gram overlap against batch-derived set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // benchmark artifact built with the BATCH operator (same k)
+    val bench = Seq((100L, "what is the capital of france"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.ops.Decontaminate.gramHashes(
+          graft.ops.Dedup.tokens($"text"), 5).as("grams"))
+    val set = graft.ops.Decontaminate.benchGramList(bench, "grams")
+    assert(set.size == 2) // 6 tokens → 2 positional 5-grams
+    case class Doc(doc_id: Long, text: String)
+    val src = MemoryStream[(Long, String)]
+    val out = Streams.decontaminateStream(
+      src.toDF().toDF("doc_id", "text"), "text", set, k = 5)
+      .select($"doc_id", $"is_contaminated")
+    runBatches(out, "decon") {
+      src.addData(
+        (1L, "quiz what is the capital of france here"),
+        (2L, "completely unrelated text about shuffle plans today"))
+      src.addData((3L, "what is the capital of france"))
+    }
+    val flags = spark.table("decon").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("latestPerKey keeps newest value per key across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
