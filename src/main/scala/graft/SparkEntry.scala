@@ -91,7 +91,10 @@ object SparkEntry {
     "q59_pii_redaction" -> (CurationQueries.piiRedaction _),
     "q60_semantic_dedup" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.semanticDedup(s, d)),
-    "q61_lm_score" -> (CurationQueries.lmScore _),
+    "q61_lm_score" -> ((s: SparkSession, d: String) =>
+      CurationQueries.lmScore(s, d)),
+    "q62_lm_score_split" -> ((s: SparkSession, d: String) =>
+      CurationQueries.lmScoreSplit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.{Decontaminate, Dedup, Pii, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, LangModel, Pii, TextAnalysis}
 
 /** Corpus-curation queries beyond dedup: benchmark decontamination
   * (q57), gram-repetition quality filtering (q58), and PII
@@ -95,44 +95,63 @@ object CurationQueries {
   }
 
   /** q61 — bigram-LM scoring (the CCNet/KenLM-style perplexity
-    * filter): train a maximum-likelihood bigram model ON the corpus
-    * (c(w1 w2) and its prefix marginal c(w1·)), then score each
-    * document by its average negative log-probability — high scores
-    * mark documents whose word transitions are atypical for the
-    * corpus. Scoring the training corpus itself means every bigram is
-    * in-vocabulary (MLE needs no smoothing here; a deployment scoring
-    * UNSEEN text against a reference-corpus LM adds smoothing, which
-    * slots into the `lnp_fp` column).
+    * filter): train a maximum-likelihood bigram model ON the corpus,
+    * then score each document by its average negative log-probability
+    * — high scores mark documents whose word transitions are atypical
+    * for the corpus. Scoring the training corpus itself at the
+    * default minCount=1 means every bigram is in-vocabulary (MLE
+    * needs no smoothing; [[lmScoreSplit]] is the held-out/smoothed
+    * deployment shape). Build/score machinery and the 100 TB argument
+    * — minCount pruning bounds the model (Heaps' law makes the
+    * unpruned bigram table corpus-sized), hint-free scoring join
+    * degrades broadcast→shuffle for large models — live in
+    * [[graft.ops.LangModel]].
     *
-    * Scale shape: the LM build is one count shuffle keyed by bigram —
-    * bounded by vocabulary², not corpus size — and the prefix
-    * marginal is a window over that same small frame. The model then
-    * BROADCASTS (like the benchmark grams of q57), so scoring is a
-    * map-side probe; the per-document aggregation reuses the scan's
-    * doc_id distribution (no corpus exchange — q57's mechanism).
-    * Per-term log-probs go through the 2^24 fixed-point quantization
-    * so the per-document sum is order-independent (the Lloyd/ADC
-    * convention — double sums across partitions are not). */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    * The exploded bigram frame feeds both the model build and the
+    * scoring probe, so it is localCheckpoint'd — the corpus is
+    * scanned and tokenized ONCE (disk-backed blocks; callers free
+    * them via Checkpoints.consume like the other checkpointed
+    * results). Per-term log-probs use the 2^24 fixed-point
+    * quantization so the per-document sum is order-independent (the
+    * Lloyd/ADC convention — double sums across partitions are not). */
+  def lmScore(spark: SparkSession, dir: String,
+      minCount: Long = 1L): DataFrame = {
     import spark.implicits._
-    val fp = graft.ops.ProductQuant.fixedPointScale
-    val bg = Tables.documentsDistributed(spark, dir)
-      .select($"doc_id",
-        graft.expressions.TextHashes
-          .tokenGrams(Dedup.tokens($"text"), 2).as("grams"))
-      .select($"doc_id", explode_outer($"grams").as("g"))
-    val lm = bg.groupBy($"g").agg(count(lit(1)).as("c2"))
-      .withColumn("c1", sum($"c2").over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(split($"g", " ").getItem(0))))
-      .select($"g",
-        round(log($"c2".cast("double") / $"c1") * fp).cast("long")
-          .as("lnp_fp"))
-    bg.join(broadcast(lm), Seq("g"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"lnp_fp").as("s"))
-      .select($"doc_id", $"n_bigrams",
-        round(-($"s".cast("double") / fp) / $"n_bigrams", 4).as("avg_nll"))
+    val bg = LangModel.bigrams(
+      Tables.documentsDistributed(spark, dir), "doc_id", "text")
+      .localCheckpoint()
+    LangModel.score(bg, LangModel.train(bg, minCount))
+      .orderBy($"doc_id")
+  }
+
+  /** q62 — held-out LM scoring with add-one smoothing (the CCNet
+    * deployment shape the q61 scaladoc promises): train the bigram
+    * model on the doc_id % 5 ≠ 0 slice, score the held-out % 5 = 0
+    * slice, where unseen bigrams are the norm and are scored by the
+    * Laplace rule ln((c2+1)/(c1+V)) with V = training unigram
+    * vocabulary (+1 OOV mass). Emits per-document n_oov beside the
+    * smoothed avg_nll — the rows a perplexity-threshold filter
+    * consumes. Same fixed-point/ordering discipline as q61; the
+    * train/test frames come from one tokenized pass over the corpus
+    * (a partition filter on the shared checkpointed bigram frame). */
+  def lmScoreSplit(spark: SparkSession, dir: String,
+      minCount: Long = 1L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsDistributed(spark, dir)
+    val bg = LangModel.bigrams(docs, "doc_id", "text").localCheckpoint()
+    val bgTrain = bg.filter($"doc_id" % 5 =!= 0)
+    val bgTest = bg.filter($"doc_id" % 5 === 0)
+    // Training vocabulary: distinct unigrams of the train slice, +1
+    // for the OOV type — one broadcast row (FullText's corpus-stats
+    // pattern); derived from the checkpointed bigram frame's prefix
+    // words plus each document's final token is NOT equivalent (the
+    // last token of a doc appears only as a suffix), so tokenize the
+    // train docs directly for the exact unigram alphabet.
+    val vocab = docs.filter($"doc_id" % 5 =!= 0)
+      .select(explode_outer(Dedup.tokens($"text")).as("t"))
+      .agg((count_distinct($"t") + 1L).as("v"))
+    LangModel.scoreSmoothed(bgTest,
+      LangModel.trainCounts(bgTrain, minCount), vocab)
       .orderBy($"doc_id")
   }
 
@@ -206,6 +225,38 @@ object CurationQueries {
          |    / count(*), 4) AS avg_nll
          |FROM bg b JOIN lm l USING (g)
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q62_lm_score_split" ->
+      s"""WITH ${DedupQueries.toksCte},
+         |bg AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(tokens) >= 2
+         |      THEN list_transform(generate_series(1, len(tokens) - 1),
+         |             i -> array_to_string(tokens[i:i+1], ' '))
+         |      ELSE [] END) AS g
+         |  FROM toks),
+         |cnt AS (SELECT g, count(*) AS c2 FROM bg
+         |        WHERE doc_id % 5 <> 0 GROUP BY g),
+         |model AS (SELECT g, c2,
+         |    SUM(c2) OVER (PARTITION BY split_part(g, ' ', 1)) AS c1
+         |  FROM cnt),
+         |marg AS (SELECT DISTINCT split_part(g, ' ', 1) AS w1, c1
+         |         FROM model),
+         |voc AS (SELECT count(DISTINCT t) + 1 AS v
+         |        FROM (SELECT unnest(tokens) AS t FROM toks
+         |              WHERE doc_id % 5 <> 0)),
+         |sc AS (SELECT te.doc_id, model.c2,
+         |    CAST(round(ln((COALESCE(model.c2, 0) + 1.0) /
+         |      CAST(COALESCE(marg.c1, 0) + v AS DOUBLE))
+         |      * 16777216.0) AS BIGINT) AS lnp_fp
+         |  FROM (SELECT * FROM bg WHERE doc_id % 5 = 0) te
+         |  LEFT JOIN model ON te.g = model.g
+         |  LEFT JOIN marg ON split_part(te.g, ' ', 1) = marg.w1
+         |  CROSS JOIN voc)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  round(-(CAST(SUM(lnp_fp) AS DOUBLE) / 16777216.0)
+         |    / count(*), 4) AS avg_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q59_pii_redaction" ->
       """WITH dirty AS (SELECT doc_id,
         |  text || ' contact ' || source || '.' || doc_id || '@example.com' ||
