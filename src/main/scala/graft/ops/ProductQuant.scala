@@ -66,16 +66,27 @@ object ProductQuant {
         .as(Seq("sub_id", "subvec")))
 
   /** Train all `m` subspace codebooks in one grouped Lloyd run:
-    * init = the first `c` vectors' slices, then `iters` rounds of
-    * max-cosine assignment + fixed-point elementwise means (order- and
-    * partitioning-independent, oracle-derivable). Returns
-    * (sub_id, cent_id, cvec). Empty clusters drop out, as in
-    * kmeansCentroids. Each round's codebook is localCheckpoint'd and
-    * the superseded round freed ([[Checkpoints]] hygiene contract —
-    * callers consume the final frame). */
+    * init = the `c` SMALLEST vec_ids' slices ranked 0..c-1 (NOT
+    * `vec_id < c` — an id space that doesn't cover 0..c-1, e.g.
+    * snowflake ids or a filtered corpus, would silently seed fewer or
+    * zero clusters), then `iters` rounds of max-cosine assignment +
+    * fixed-point elementwise means (order- and partitioning-
+    * independent, oracle-derivable; for 0-based dense ids the rank IS
+    * the id, so the oracles' `vec_id < c` seeding derives identical
+    * codebooks). Returns (sub_id, cent_id, cvec). Empty clusters drop
+    * out, as in kmeansCentroids. Each round's codebook is
+    * localCheckpoint'd and the superseded round freed ([[Checkpoints]]
+    * hygiene contract — callers consume the final frame). The seed
+    * selection is a TakeOrdered over distinct ids (no global sort) +
+    * a rank window over `c` rows. */
   def trainCodebooks(subs: DataFrame, c: Int, iters: Int): DataFrame = {
-    var cb = subs.filter(col("vec_id") < c)
-      .select(col("sub_id"), col("vec_id").as("cent_id"),
+    val seedIds = subs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(c)
+      .withColumn("cent_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).cast("long"))
+    var cb = subs.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("sub_id"), col("cent_id"),
         col("subvec").as("cvec"))
       .localCheckpoint()
     for (_ <- 1 to iters) {

@@ -32,6 +32,15 @@ object Sampling {
       16, 10).cast("long") % buckets
   }
 
+  /** Dynamic-modulus twin of [[stableBucket]] for per-row bucket
+    * counts (e.g. the SemDeDup cluster-size cap, where the number of
+    * sub-buckets is ⌈|cluster|/cap⌉ and differs per cluster). The
+    * md5-prefix value is a uint32 (non-negative), so plain `%` is a
+    * true modulus. Callers must guarantee `buckets` ≥ 1. */
+  def stableBucket(id: Column, salt: String, buckets: Column): Column =
+    conv(substring(md5(concat(lit(salt + "|"), id.cast("string"))), 1, 8),
+      16, 10).cast("long") % buckets
+
   /** Split assignment from cumulative percentage cuts over a 100-way
     * stable bucket: e.g. `Seq("train" -> 90, "val" -> 95)` with
     * `other = "test"` sends bucket 0–89 to train, 90–94 to val, the

@@ -145,10 +145,18 @@ object SimilarityQueries {
 
   /** The IVF building blocks, shared by q34/q39/q55 so the three
     * cells/assignment/probe stanzas cannot drift apart. */
+  /** Static IVF cells: the `n` smallest vec_ids' embeddings, ranked
+    * 0..n-1 (the trainCodebooks seeding convention — `vec_id < n`
+    * would silently yield fewer cells on id spaces not covering
+    * 0..n-1; for the 0-based dense ids of the driver tables the rank
+    * IS the id, so oracles are unchanged). */
   private def seedCells(e: DataFrame, n: Int): DataFrame = {
     import e.sparkSession.implicits._
-    e.filter($"vec_id" < n)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"))
+    e.select($"vec_id", $"embedding").orderBy($"vec_id").limit(n)
+      .select(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"vec_id")) - 1).cast("long").as("cent_id"),
+        $"embedding".as("cemb"))
   }
 
   private def assignToCells(e: DataFrame, cells: DataFrame): DataFrame = {
@@ -305,17 +313,25 @@ object SimilarityQueries {
     * vec_id drops (the q53 funnel's keep-the-smaller convention).
     *
     * Scale shape: the cluster id is the LSH-style bucket — the pair
-    * join shuffles on cent_id, so candidate volume is Σ|cluster|², not
-    * N². At corpus scale the df-cap analogue is a cluster-size cap
-    * (raise k so clusters stay bounded; SemDeDup runs k≈10⁵ at
-    * billion-doc scale for exactly this reason). The assigned frame
-    * feeds both join sides and the final report, so it is
-    * localCheckpoint'd (never re-derives the Lloyd rounds); callers
-    * free it via Checkpoints.consume like the other checkpointed
-    * results. */
+    * join shuffles on cent_id, so candidate volume is Σ|bucket|², not
+    * N². Clusters larger than `maxClusterSize` are sub-bucketed by a
+    * stable md5 hash of vec_id into ⌈|cluster|/cap⌉ groups (the df-cap
+    * guard minhashLshPairs/simhashNearDupPairs already have: a
+    * degenerate k-means — or a too-small default k at a grown corpus —
+    * overflows into bounded sub-buckets instead of planning an N²/k
+    * join), so candidate volume is ≤ N·cap BY CONSTRUCTION
+    * (SemDedupSpec pins it); pairs split across sub-buckets are the
+    * accepted recall loss, same as a df-capped hot LSH bucket. Raising
+    * k remains the quality knob (SemDeDup runs k≈10⁵ at billion-doc
+    * scale); the cap is the safety net. Cluster sizes are one
+    * aggregate over the checkpointed assigned frame — k rows,
+    * broadcast back. The assigned frame feeds both join sides and the
+    * final report, so it is localCheckpoint'd (never re-derives the
+    * Lloyd rounds); callers free it via Checkpoints.consume like the
+    * other checkpointed results. */
   def semanticDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.35, numCentroids: Int = 16,
-      iters: Int = 1): DataFrame = {
+      iters: Int = 1, maxClusterSize: Int = 256): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddingsDistributed(spark, dir)
       .select($"vec_id", $"embedding")
@@ -329,11 +345,12 @@ object SimilarityQueries {
     // keeps cents IN the final plan and lets the caller's consume free
     // it; the checkpoint boundary changes the ownership).
     graft.ops.Checkpoints.unpersist(cents)
-    val a = x.select($"cent_id", $"vec_id".as("vec_a"),
+    val xb = capBuckets(x, maxClusterSize)
+    val a = xb.select($"cent_id", $"sub_id", $"vec_id".as("vec_a"),
       $"embedding".as("emb_a"), $"nrm".as("nrm_a"))
-    val b = x.select($"cent_id", $"vec_id".as("vec_b"),
+    val b = xb.select($"cent_id", $"sub_id", $"vec_id".as("vec_b"),
       $"embedding".as("emb_b"), $"nrm".as("nrm_b"))
-    val drops = a.join(b, Seq("cent_id"))
+    val drops = a.join(b, Seq("cent_id", "sub_id"))
       .filter($"vec_a" < $"vec_b")
       .withColumn("cos_full", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
       // null-tolerant threshold — same constraint-inference mechanism
@@ -345,6 +362,26 @@ object SimilarityQueries {
       .select($"vec_id", $"cent_id",
         when($"__dropped".isNull, 1L).otherwise(0L).as("kept"))
       .orderBy($"vec_id")
+  }
+
+  /** Cluster-size guard for bucketed pair joins: split every cluster
+    * of `x(cent_id, vec_id, …)` larger than `maxClusterSize` into
+    * ⌈|cluster|/cap⌉ md5-stable sub-buckets (adds a `sub_id` column;
+    * in-cap clusters get the single sub-bucket 0, so the guard is the
+    * identity wherever it doesn't engage). One tiny aggregate over the
+    * input (k rows, broadcast back) — candidate volume of a
+    * (cent_id, sub_id) self-join is then ≤ ~N·cap regardless of how
+    * degenerate the clustering is (SemDedupSpec pins the bound). */
+  private[queries] def capBuckets(x: DataFrame,
+      maxClusterSize: Int): DataFrame = {
+    import x.sparkSession.implicits._
+    val sizes = x.groupBy($"cent_id").agg(count(lit(1)).as("csize"))
+    x.join(broadcast(sizes), Seq("cent_id"))
+      .withColumn("n_sub",
+        ceil($"csize".cast("double") / maxClusterSize).cast("long"))
+      .withColumn("sub_id",
+        graft.ops.Sampling.stableBucket($"vec_id", "semdedup", $"n_sub"))
+      .drop("csize", "n_sub")
   }
 
   /** IVF with k-means-refined cells: the q34 pipeline with
