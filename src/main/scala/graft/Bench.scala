@@ -47,6 +47,20 @@ object Bench {
         .groupBy(col("n_regionkey"))
         .agg(sum(col("n_nationkey").cast("decimal(18,2)")).cast("double"))
         .write.format("noop").mode("overwrite").save()
+      // ...and the Window + BroadcastNestedLoopJoin (crossJoin of a
+      // broadcast 1-row aggregate) class-load/codegen paths that q51's
+      // BM25 plan pays: measured ~3 s of one-time cost in shared-JVM
+      // driver runs (PLANS.md), which made q51's driver-bench number a
+      // phantom 8-15x regression for several rounds. Same tiny nation
+      // frame — milliseconds of real work.
+      graft.io.Tables.nation(spark, sfDir)
+        .withColumn("c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("n_regionkey"))))
+        .crossJoin(broadcast(
+          graft.io.Tables.region(spark, sfDir).agg(count(lit(1)).as("n"))))
+        .withColumn("s", round(log(col("c") + col("n")), 4))
+        .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (timings for the " +
         s"first query may include one-time costs): ${e.getMessage}")

@@ -40,12 +40,21 @@ object FullText {
     "that", "the", "their", "then", "there", "these", "they", "this",
     "to", "was", "will", "with")
 
-  /** `text_en` analyzer: lowercase, split on non-alphanumeric runs
-    * (≈ the standard tokenizer over ASCII text), drop empties and
-    * English stopwords. Builtin-composed — stays in whole-stage
-    * codegen, no UDF. */
+  /** `text_en` analyzer: lowercase, split on runs of characters that
+    * are neither Unicode letters nor decimal digits, drop empties and
+    * English stopwords. `\p{L}`/`\p{Nd}` are Unicode categories in
+    * BOTH Java regex and RE2 (the DuckDB oracle engine) with no flag
+    * needed — the Java∩RE2 class-form discipline of Pii — so accented
+    * and non-Latin text tokenizes as words ("café", "naïve", "日本語")
+    * instead of splitting at every non-ASCII byte, approximating the
+    * ES `standard` tokenizer's Unicode segmentation (reference
+    * schema.py:13-19; the TextRefs UNICODE_CHARACTER_CLASS precedent).
+    * Known divergence from ES, pinned in FullTextSpec: an unspaced
+    * CJK run stays ONE token (the standard tokenizer emits per-char
+    * unigrams) — acceptable for a term-match engine, documented here.
+    * Builtin-composed — stays in whole-stage codegen, no UDF. */
   def analyze(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"),
+    filter(split(lower(text), "[^\\p{L}\\p{Nd}]+"),
       t => length(t) > 0 && !t.isInCollection(englishStopwords))
 
   /** BM25 top-k search for `queryTerms` over `docs(idCol, textCol)`.

@@ -183,7 +183,7 @@ object TextQueries {
     "q51_bm25_search" ->
       """WITH lens AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
         |      t -> length(t) > 0 AND t NOT IN
         |        ('a','an','and','are','as','at','be','but','by','for','if',
         |         'in','into','is','it','no','not','of','on','or','such',

@@ -16,6 +16,22 @@ class FullTextSpec extends SparkSpecBase {
     assert(out == Seq("quick", "brown", "fox", "dog"))
   }
 
+  test("analyzer is Unicode-aware: accents and non-Latin words stay whole") {
+    // The exact token sets DuckDB's RE2 derives for the same strings
+    // (verified out-of-band) — the analyzer regex is the Java∩RE2
+    // \p{L}/\p{Nd} class form, so both engines must tokenize alike.
+    val out = docs(
+      (1L, "Café NAÏVE résumé 123 text, x—y"), // em-dash boundary
+      (2L, "日本語 text"), // unspaced CJK run = ONE token (not ES per-char)
+      (3L, "Ünïcode-Wörds"))
+      .orderBy($"doc_id")
+      .select(FullText.analyze($"text").as("toks"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("café", "naïve", "résumé", "123", "text", "x", "y"))
+    assert(out(1) == Seq("日本語", "text"))
+    assert(out(2) == Seq("ünïcode", "wörds"))
+  }
+
   test("bm25 matches a hand-computed score on a 3-doc corpus") {
     // Corpus: d1 has "cat" twice of 4 tokens, d2 has "cat" once of 2,
     // d3 no match. N=3, df(cat)=2, doclens 4/2/3, avgdl=3.
