@@ -30,9 +30,21 @@ object Pii {
   val ipv4Pattern: String =
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Short phone form NNN-NNNN (the fixture corpus's shape; extend
-    * with locale forms in production). */
-  val phonePattern: String = "\\b\\d{3}-\\d{4}\\b"
+  /** NANP phone shapes, leftmost-first alternation (Java and RE2
+    * agree on leftmost-first here; RE2 has no lookbehind, so the
+    * boundary anchors are spelled per-alternative):
+    *  1. parenthesized area code   — `(555) 123-4567`
+    *  2. 10-digit with optional +1 — `555-123-4567`, `+1 555.123.4567`
+    *  3. bare 7-digit              — `555-0199`
+    * The 10-digit alternative is tried before the 7-digit one, so a
+    * full number is never carved into `555-<PHONE>` (the
+    * partial-redaction artifact of the old NNN-NNNN-only pattern).
+    * Separators are `-`, `.`, or space; like the IPv4 pattern this
+    * over-matches rather than leaks (a scrubber's contract). */
+  val phonePattern: String =
+    "(?:\\(\\d{3}\\) ?\\d{3}[-. ]\\d{4}\\b" +
+      "|(?:\\+1[-. ])?\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" +
+      "|\\b\\d{3}-\\d{4}\\b)"
 
   /** Number of matches of `pattern` in `text`. */
   def countMatches(text: Column, pattern: String): Column =

@@ -257,8 +257,11 @@ object CurationQueries {
          |  round(-(CAST(SUM(lnp_fp) AS DOUBLE) / 16777216.0)
          |    / count(*), 4) AS avg_nll
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The regex literals interpolate from Pii's constants — the Spark
+    // expression and the oracle can never drift (they are the same
+    // Java∩RE2 class-form strings by construction).
     "q59_pii_redaction" ->
-      """WITH dirty AS (SELECT doc_id,
+      s"""WITH dirty AS (SELECT doc_id,
         |  text || ' contact ' || source || '.' || doc_id || '@example.com' ||
         |  CASE WHEN doc_id % 3 = 0
         |    THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
@@ -270,16 +273,16 @@ object CurationQueries {
         | FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    '${Pii.emailPattern}')) AS BIGINT)
         |    AS n_emails,
         |  CAST(len(regexp_extract_all(t,
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT)
+        |    '${Pii.ipv4Pattern}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '${Pii.phonePattern}')) AS BIGINT)
         |    AS n_phones,
         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |    '${Pii.emailPattern}', '<EMAIL>', 'g'),
+        |    '${Pii.ipv4Pattern}', '<IP>', 'g'),
+        |    '${Pii.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
         |FROM dirty ORDER BY doc_id""".stripMargin,
   )
 }

@@ -167,10 +167,16 @@ object Streams {
   def decontaminateStream(docs: DataFrame, textCol: String,
       benchGrams: Seq[String], k: Int = 13): DataFrame =
     docs.withColumn("is_contaminated",
-      arrays_overlap(
-        graft.ops.Decontaminate.gramHashes(
-          graft.ops.Dedup.tokens(col(textCol)), k),
-        typedLit(benchGrams)))
+      // coalesce: a null text column null-propagates through
+      // gramHashes/arrays_overlap, and a NULL flag would silently
+      // fall out of BOTH branches of a downstream boolean filter —
+      // a document with no text cannot share a gram, so it is clean.
+      coalesce(
+        arrays_overlap(
+          graft.ops.Decontaminate.gramHashes(
+            graft.ops.Dedup.tokens(col(textCol)), k),
+          typedLit(benchGrams)),
+        lit(false)))
 
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: java.sql.Timestamp, value: Double)

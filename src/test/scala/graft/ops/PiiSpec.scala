@@ -51,6 +51,21 @@ class PiiSpec extends SparkSpecBase {
     assert(red == "bad octet <IP> still masked")
   }
 
+  test("NANP forms: 10-digit, parenthesized, +1 — redacted whole, never carved") {
+    val (_, _, ph, red) = one(
+      "call 555-123-4567 or (555) 123-4567 or +1 555.123.4567 or 555-0199")
+    assert(ph == 4L)
+    // the old NNN-NNNN-only pattern produced "555-<PHONE>" here
+    assert(red == "call <PHONE> or <PHONE> or <PHONE> or <PHONE>")
+  }
+
+  test("longer digit runs don't partially redact") {
+    val (_, _, ph, red) = one("ref 555-123-45678 stays")
+    // 3-3-5 is neither a 10-digit nor a 7-digit phone; no partial bite
+    assert(ph == 0L)
+    assert(red == "ref 555-123-45678 stays")
+  }
+
   test("redaction is idempotent") {
     import spark.implicits._
     val dirty = "a@b.co at 10.0.0.1 tel 555-1234"

@@ -193,11 +193,14 @@ class StreamsSpec extends SparkSpecBase {
       src.addData(
         (1L, "quiz what is the capital of france here"),
         (2L, "completely unrelated text about shuffle plans today"))
-      src.addData((3L, "what is the capital of france"))
+      // null text: flag must be FALSE (not NULL — a tri-state flag
+      // silently drops the row from both branches of a boolean filter)
+      src.addData((3L, "what is the capital of france"),
+        (4L, null.asInstanceOf[String]))
     }
     val flags = spark.table("decon").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(flags == Map(1L -> true, 2L -> false, 3L -> true))
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
   test("latestPerKey keeps newest value per key across triggers") {
