@@ -95,6 +95,8 @@ object SparkEntry {
       CurationQueries.lmScore(s, d)),
     "q62_lm_score_split" -> ((s: SparkSession, d: String) =>
       CurationQueries.lmScoreSplit(s, d)),
+    "q63_curation_sweep" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.curationSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

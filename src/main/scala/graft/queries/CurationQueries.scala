@@ -155,15 +155,56 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** Shared 13-token-gram oracle fragment (the GPT-3/PaLM
+    * decontamination convention, mirroring Decontaminate.gramHashes):
+    * distinct md5 grams of `src(doc_id, $tokCol)`, short documents
+    * collapsing to one whole-document gram. Composed by q57 and the
+    * q63 sweep. */
+  private[queries] def gramCte(name: String, src: String,
+      tokCol: String = "tokens"): String =
+    s"""$name AS (SELECT doc_id, CASE WHEN len($tokCol) >= 13
+       |  THEN list_distinct(list_transform(
+       |         generate_series(1, len($tokCol) - 12),
+       |         i -> md5(array_to_string($tokCol[i:i+12], ' '))))
+       |  ELSE [md5(array_to_string($tokCol[1:13], ' '))] END AS grams
+       | FROM $src)""".stripMargin
+
+  /** Shared Gopher-repetition oracle fragment over any source CTE
+    * `src(doc_id, tokens)` — defines `rep_f(doc_id, n_tokens, max_bi,
+    * top_bigram_frac, dup_trigram_frac)`, mirroring
+    * `TextHashes.gramRepetitionStats` + the q58 fraction math. q58 and
+    * the q63 sweep compose this one fragment (the DedupQueries CTE
+    * discipline: a rule change reaches every oracle from one place). */
+  private[queries] def repCtes(src: String): String =
+    s"""rep_g AS (SELECT doc_id, len(tokens) AS n_tokens,
+       |  CASE WHEN len(tokens) >= 2
+       |    THEN list_transform(generate_series(1, len(tokens) - 1),
+       |           i -> array_to_string(tokens[i:i+1], ' '))
+       |    ELSE [] END AS bi,
+       |  CASE WHEN len(tokens) >= 3
+       |    THEN list_transform(generate_series(1, len(tokens) - 2),
+       |           i -> array_to_string(tokens[i:i+2], ' '))
+       |    ELSE [] END AS tri
+       | FROM $src),
+       |rep_m AS (SELECT doc_id, n_tokens,
+       |  COALESCE(list_max(list_transform(list_distinct(bi),
+       |    d -> len(list_filter(bi, x -> x = d)))), 0) AS max_bi,
+       |  len(bi) AS n_bi,
+       |  COALESCE(len(list_filter(tri,
+       |    t -> len(list_filter(tri, x -> x = t)) > 1)), 0) AS dup_tri,
+       |  len(tri) AS n_tri
+       | FROM rep_g),
+       |rep_f AS (SELECT doc_id, n_tokens, max_bi,
+       |  CASE WHEN n_bi = 0 THEN 0
+       |       ELSE round(max_bi::DOUBLE / n_bi, 4) END AS top_bigram_frac,
+       |  CASE WHEN n_tri = 0 THEN 0
+       |       ELSE round(dup_tri::DOUBLE / n_tri, 4) END AS dup_trigram_frac
+       | FROM rep_m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q57_decontaminate" ->
       s"""WITH ${DedupQueries.toksCte},
-         |kg AS (SELECT doc_id, CASE WHEN len(tokens) >= 13
-         |  THEN list_distinct(list_transform(
-         |         generate_series(1, len(tokens) - 12),
-         |         i -> md5(array_to_string(tokens[i:i+12], ' '))))
-         |  ELSE [md5(array_to_string(tokens[1:13], ' '))] END AS grams
-         | FROM toks),
+         |${gramCte("kg", "toks")},
          |bench AS (SELECT DISTINCT unnest(grams) AS g FROM kg
          |          WHERE doc_id % 7 = 0),
          |corpus AS (SELECT doc_id, len(grams) AS n_grams,
@@ -176,36 +217,13 @@ object CurationQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q58_repetition_filter" ->
       s"""WITH ${DedupQueries.toksCte},
-         |g AS (SELECT doc_id, len(tokens) AS n_tokens,
-         |  CASE WHEN len(tokens) >= 2
-         |    THEN list_transform(generate_series(1, len(tokens) - 1),
-         |           i -> array_to_string(tokens[i:i+1], ' '))
-         |    ELSE [] END AS bi,
-         |  CASE WHEN len(tokens) >= 3
-         |    THEN list_transform(generate_series(1, len(tokens) - 2),
-         |           i -> array_to_string(tokens[i:i+2], ' '))
-         |    ELSE [] END AS tri
-         | FROM toks),
-         |m AS (SELECT doc_id, n_tokens,
-         |  COALESCE(list_max(list_transform(list_distinct(bi),
-         |    d -> len(list_filter(bi, x -> x = d)))), 0) AS max_bi,
-         |  len(bi) AS n_bi,
-         |  COALESCE(len(list_filter(tri,
-         |    t -> len(list_filter(tri, x -> x = t)) > 1)), 0) AS dup_tri,
-         |  len(tri) AS n_tri
-         | FROM g),
-         |f AS (SELECT doc_id, n_tokens, max_bi,
-         |  CASE WHEN n_bi = 0 THEN 0
-         |       ELSE round(max_bi::DOUBLE / n_bi, 4) END AS top_bigram_frac,
-         |  CASE WHEN n_tri = 0 THEN 0
-         |       ELSE round(dup_tri::DOUBLE / n_tri, 4) END AS dup_trigram_frac
-         | FROM m)
+         |${repCtes("toks")}
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(max_bi AS BIGINT) AS max_bigram_freq,
          |  top_bigram_frac, dup_trigram_frac,
          |  CAST(CASE WHEN top_bigram_frac > 0.1 OR dup_trigram_frac > 0.1
          |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
-         |FROM f ORDER BY doc_id""".stripMargin,
+         |FROM rep_f ORDER BY doc_id""".stripMargin,
     "q61_lm_score" ->
       s"""WITH ${DedupQueries.toksCte},
          |bg AS (SELECT doc_id, unnest(

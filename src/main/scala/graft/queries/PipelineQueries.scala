@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Tables
-import graft.ops.{Dedup, IncrementalMerge, Multimodal, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, IncrementalMerge, LangModel, Multimodal, Pii, Sampling, TextAnalysis}
 
 /** Pipeline-machinery queries: multimodal metadata/decode, the
   * incremental watermark merge (reference J5/J6), and event
@@ -209,6 +209,144 @@ object PipelineQueries {
       .orderBy($"stage")
   }
 
+  /** q63 — the END-TO-END curation sweep: every hygiene pass of the
+    * engine composed in deployment order over one corpus, reporting
+    * per-stage (n_docs, total_tokens) — the artifact a training-data
+    * run actually ships with its dataset card:
+    *
+    *   0_raw → 1_quality (length/stopword/lang, q53's rule)
+    *         → 2_repetition (Gopher gram rules, q58)
+    *         → 3_pii (redaction TRANSFORM, q59 — counts survive, text
+    *           and token totals are re-derived from the redacted text,
+    *           which all later stages consume)
+    *         → 4_decontaminate (13-gram eval overlap, q57; the eval
+    *           slice itself leaves the corpus here too)
+    *         → 5_exact_dedup (md5 keep-smallest, q16)
+    *         → 6_near_dedup (MinHash LSH ≥ 0.7, q21/q53)
+    *         → 7_semantic_dedup (SemDeDup over the survivors'
+    *           embeddings, q60 — subset k-means, rank-seeded)
+    *         → 8_lm_filter (self-trained bigram LM, drop
+    *           avg_nll > `nllThreshold`, q61)
+    *         → 9_split_{train,val,test} (stable md5 split, q54).
+    *
+    * Composing forces the stage interfaces to agree: each stage
+    * consumes exactly the previous stage's survivor frame (and the
+    * PII stage's redacted text), and the oracle composes the SAME
+    * shared CTE fragments the individual queries gate on
+    * (DedupQueries.sh/sig/bands/cand, CurationQueries.rep/gram,
+    * SimilarityQueries.semDedupCtes), so a scheme change anywhere
+    * breaks parity here first.
+    *
+    * Scale shape: stages 0–3 ride one scan (per-row kernels +
+    * conditional aggregation); decontamination broadcasts only eval
+    * grams; the dedup stages are the bucketed candidate generators of
+    * their standalone queries; the LM scoring join is hint-free
+    * (broadcast below threshold, shuffle above). Stage frames that
+    * feed multiple consumers (pair-join sides + stats + next stage)
+    * are localCheckpoint'd, each reachable from the returned plan, so
+    * the caller's Checkpoints.consume frees all of them. */
+  def curationSweep(spark: SparkSession, dir: String,
+      nllThreshold: Double = 3.43, k: Int = 13): DataFrame = {
+    import spark.implicits._
+    val enStops = TextAnalysis.stopwords.toMap.apply("en")
+    val rep = graft.expressions.TextHashes.gramRepetitionStats _
+    // Stages 0–2: flags on one scan (q53's conditional-agg mechanism).
+    val base = Tables.documentsDistributed(spark, dir)
+      .withColumn("toks", TextAnalysis.tokensOf($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("q_ok",
+        $"n_tokens".between(20, 1000) &&
+          round(TextAnalysis.stopwordHits($"toks", enStops).cast("double") /
+            $"n_tokens".cast("double"), 4) >= 0.05 && $"lang" === "en")
+      .withColumn("bi", rep($"toks", 2))
+      .withColumn("tri", rep($"toks", 3))
+      .withColumn("rep_ok", $"q_ok" &&
+        !(when($"bi".getItem(0) === 0L, lit(0d))
+          .otherwise(round($"bi".getItem(1).cast("double") /
+            $"bi".getItem(0), 4)) > 0.1) &&
+        !(when($"tri".getItem(0) === 0L, lit(0d))
+          .otherwise(round($"tri".getItem(2).cast("double") /
+            $"tri".getItem(0), 4)) > 0.1))
+      .localCheckpoint() // feeds stats 0–2, the eval-gram side, and s3
+    // Stage 3: redact, re-tokenize — later stages see REDACTED text.
+    val s3 = base.filter($"rep_ok")
+      .select($"doc_id", Pii.redact($"text").as("rtext"))
+      .withColumn("rtoks", TextAnalysis.tokensOf($"rtext"))
+      .withColumn("rn_tokens", size($"rtoks").cast("long"))
+      .localCheckpoint() // feeds stat 3 + decontamination sides
+    // Stage 4: eval slice out + contaminated out (q57 mechanism; eval
+    // grams come from the RAW corpus — the benchmark is an external
+    // artifact, not a pipeline product).
+    val bench = base.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", Decontaminate.gramHashes($"toks", k).as("grams"))
+    val corpus4 = s3.filter($"doc_id" % 7 =!= 0)
+    val report = Decontaminate.overlapReport(
+      corpus4.select($"doc_id",
+        Decontaminate.gramHashes($"rtoks", k).as("grams")),
+      bench, "doc_id", "grams")
+    val s4 = Decontaminate.removeContaminated(corpus4, report, "doc_id")
+    // Stage 5: exact dedup on the redacted text, keep smallest id.
+    val s5 = s4.withColumn("__rn", row_number().over(
+        Window.partitionBy(md5($"rtext")).orderBy($"doc_id")))
+      .filter($"__rn" === 1).drop("__rn")
+      .localCheckpoint() // feeds stat 5 + both LSH pair sides + s6
+    // Stage 6: near-dup (the q21/q53 MinHash LSH, drop doc_b).
+    val pairs = Dedup.minhashLshPairs(
+      s5.select($"doc_id", Dedup.shingles($"rtoks").as("shingles")),
+      "doc_id", "shingles")
+    val s6 = s5.join(pairs.select($"doc_b".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds stat 6 + the embedding subset + s7
+    // Stage 7: SemDeDup over the SURVIVORS' embeddings (subset
+    // k-means — rank seeding makes the sparse survivor id space
+    // cluster correctly).
+    val eSub = Tables.embeddingsDistributed(spark, dir)
+      .select($"vec_id", $"embedding")
+      .join(s6.select($"doc_id".as("vec_id")), Seq("vec_id"))
+    val semDrops = SimilarityQueries.semanticDedupFrame(eSub)
+      .filter($"kept" === 0L).select($"vec_id".as("doc_id"))
+    val s7 = s6.join(semDrops, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds stat 7 + LM build/probe + s8
+    // Stage 8: self-trained bigram LM (q61's shape over survivors).
+    val bg = s7.select($"doc_id", explode_outer(
+      graft.expressions.TextHashes.tokenGrams($"rtoks", 2)).as("g"))
+    val scored = LangModel.score(bg, LangModel.train(bg))
+    val s8 = s7.join(
+        scored.filter($"avg_nll" > nllThreshold).select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds stat 8 + the split stats
+    // Stage 9: stable split of the final corpus.
+    val s9 = s8.withColumn("split", Sampling.assignSplit($"doc_id",
+      "split", Seq("train" -> 90, "val" -> 95), "test"))
+    def stat(name: String, df: DataFrame, tok: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col(tok)), lit(0L)).as("total_tokens"))
+        .select(lit(name).as("stage"), $"n_docs", $"total_tokens")
+    base.agg(
+        count(lit(1)).as("n0"),
+        coalesce(sum(when($"q_ok", 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when($"rep_ok", 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum($"n_tokens"), lit(0L)).as("t0"),
+        coalesce(sum(when($"q_ok", $"n_tokens").otherwise(0L)), lit(0L))
+          .as("t1"),
+        coalesce(sum(when($"rep_ok", $"n_tokens").otherwise(0L)), lit(0L))
+          .as("t2"))
+      .selectExpr("stack(3, '0_raw', n0, t0, '1_quality', n1, t1, " +
+        "'2_repetition', n2, t2) AS (stage, n_docs, total_tokens)")
+      .unionByName(stat("3_pii", s3, "rn_tokens"))
+      .unionByName(stat("4_decontaminate", s4, "rn_tokens"))
+      .unionByName(stat("5_exact_dedup", s5, "rn_tokens"))
+      .unionByName(stat("6_near_dedup", s6, "rn_tokens"))
+      .unionByName(stat("7_semantic_dedup", s7, "rn_tokens"))
+      .unionByName(stat("8_lm_filter", s8, "rn_tokens"))
+      .unionByName(s9.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"rn_tokens"), lit(0L)).as("total_tokens"))
+        .select(concat(lit("9_split_"), $"split").as("stage"),
+          $"n_docs", $"total_tokens"))
+      .orderBy($"stage")
+  }
+
   /** §LLM dataset split (q54): stable md5-bucket train/val/test
     * assignment (90/5/5) — reproducible across runs, engines, and
     * corpus growth (an id's split never changes when other documents
@@ -224,6 +362,112 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q63_curation_sweep" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, text, tokens,
+        |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |    round(len(list_filter(tokens, t -> t IN
+        |       ('the','a','of','and','is','not','to','in')))::DOUBLE
+        |      / len(tokens), 4) AS stop_ratio
+        |  FROM base),
+        |${CurationQueries.repCtes("base")},
+        |f2 AS (
+        |  SELECT m.*, q_ok,
+        |    (q_ok AND NOT (rep_f.top_bigram_frac > 0.1
+        |      OR rep_f.dup_trigram_frac > 0.1)) AS rep_ok
+        |  FROM (SELECT m.*,
+        |      (n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.05
+        |        AND lang = 'en') AS q_ok FROM m) m
+        |    JOIN rep_f USING (doc_id)),
+        |s3 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '${graft.ops.Pii.emailPattern}', '<EMAIL>', 'g'),
+        |      '${graft.ops.Pii.ipv4Pattern}', '<IP>', 'g'),
+        |      '${graft.ops.Pii.phonePattern}', '<PHONE>', 'g') AS rtext
+        |  FROM f2 WHERE rep_ok),
+        |s3t AS (SELECT doc_id, rtext,
+        |    list_filter(string_split_regex(lower(rtext), '\\s+'),
+        |                t -> length(t) > 0) AS rtokens
+        |  FROM s3),
+        |s3n AS (SELECT *, CAST(len(rtokens) AS BIGINT) AS rn_tokens
+        |  FROM s3t),
+        |${CurationQueries.gramCte("kg4", "s3n", "rtokens")},
+        |benchsrc AS (SELECT doc_id, tokens FROM base WHERE doc_id % 7 = 0),
+        |${CurationQueries.gramCte("kgb", "benchsrc")},
+        |benchg AS (SELECT DISTINCT unnest(grams) AS g FROM kgb),
+        |cont AS (SELECT DISTINCT doc_id FROM
+        |    (SELECT doc_id, unnest(grams) AS g FROM kg4
+        |     WHERE doc_id % 7 <> 0) cg
+        |  JOIN benchg USING (g)),
+        |s4 AS (SELECT * FROM s3n WHERE doc_id % 7 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        |s5 AS (SELECT doc_id, rtext, rtokens, rn_tokens FROM
+        |    (SELECT *, row_number() OVER
+        |      (PARTITION BY md5(rtext) ORDER BY doc_id) AS rn5 FROM s4)
+        |  WHERE rn5 = 1),
+        |s5a AS (SELECT doc_id, rtokens AS tokens FROM s5),
+        |${DedupQueries.shCte("s5a")},
+        |${DedupQueries.sigCte},
+        |${DedupQueries.bandsCte},
+        |${DedupQueries.candPairsCte},
+        |nd AS (SELECT DISTINCT doc_b AS doc_id FROM cand WHERE j >= 0.7),
+        |s6 AS (SELECT * FROM s5
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+        |se AS (SELECT e.vec_id, e.embedding FROM embeddings e
+        |  JOIN s6 ON e.vec_id = s6.doc_id),
+        |${SimilarityQueries.semDedupCtes("se")},
+        |s7 AS (SELECT * FROM s6
+        |  WHERE doc_id NOT IN (SELECT vec_id FROM sem_drops)),
+        |bg8 AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(rtokens) >= 2
+        |      THEN list_transform(generate_series(1, len(rtokens) - 1),
+        |             i -> array_to_string(rtokens[i:i+1], ' '))
+        |      ELSE [] END) AS g
+        |  FROM s7),
+        |lm8c AS (SELECT g, count(*) AS c2 FROM bg8 GROUP BY g),
+        |lm8 AS (SELECT g,
+        |    CAST(round(ln(c2::DOUBLE /
+        |      SUM(c2) OVER (PARTITION BY split_part(g, ' ', 1)))
+        |      * 16777216.0) AS BIGINT) AS lnp_fp
+        |  FROM lm8c),
+        |bad8 AS (SELECT b.doc_id FROM bg8 b JOIN lm8 l USING (g)
+        |  GROUP BY b.doc_id
+        |  HAVING round(-(CAST(SUM(l.lnp_fp) AS DOUBLE) / 16777216.0)
+        |    / count(*), 4) > 3.43),
+        |s8 AS (SELECT * FROM s7
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bad8)),
+        |s9 AS (SELECT *, CASE WHEN b9 < 90 THEN 'train'
+        |    WHEN b9 < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |      CAST(('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))
+        |        AS BIGINT) % 100 AS b9 FROM s8))
+        |SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens FROM f2
+        |UNION ALL SELECT '1_quality', COUNT(*),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM f2 WHERE q_ok
+        |UNION ALL SELECT '2_repetition', COUNT(*),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM f2 WHERE rep_ok
+        |UNION ALL SELECT '3_pii', COUNT(*),
+        |  CAST(COALESCE(SUM(rn_tokens), 0) AS BIGINT) FROM s3n
+        |UNION ALL SELECT '4_decontaminate', COUNT(*),
+        |  CAST(COALESCE(SUM(rn_tokens), 0) AS BIGINT) FROM s4
+        |UNION ALL SELECT '5_exact_dedup', COUNT(*),
+        |  CAST(COALESCE(SUM(rn_tokens), 0) AS BIGINT) FROM s5
+        |UNION ALL SELECT '6_near_dedup', COUNT(*),
+        |  CAST(COALESCE(SUM(rn_tokens), 0) AS BIGINT) FROM s6
+        |UNION ALL SELECT '7_semantic_dedup', COUNT(*),
+        |  CAST(COALESCE(SUM(rn_tokens), 0) AS BIGINT) FROM s7
+        |UNION ALL SELECT '8_lm_filter', COUNT(*),
+        |  CAST(COALESCE(SUM(rn_tokens), 0) AS BIGINT) FROM s8
+        |UNION ALL SELECT '9_split_' || split, COUNT(*),
+        |  CAST(COALESCE(SUM(rn_tokens), 0) AS BIGINT) FROM s9 GROUP BY split
+        |ORDER BY stage""".stripMargin,
     "q54_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'

@@ -333,8 +333,21 @@ object SimilarityQueries {
       threshold: Double = 0.35, numCentroids: Int = 16,
       iters: Int = 1, maxClusterSize: Int = 256): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddingsDistributed(spark, dir)
-      .select($"vec_id", $"embedding")
+    semanticDedupFrame(
+      Tables.embeddingsDistributed(spark, dir)
+        .select($"vec_id", $"embedding"),
+      threshold, numCentroids, iters, maxClusterSize)
+      .orderBy($"vec_id")
+  }
+
+  /** Frame-level SemDeDup over any `e(vec_id, embedding)` — the piece
+    * the q63 curation sweep composes over a survivor subset (its
+    * seeds are then the subset's k smallest ids, the rank-seeding
+    * contract). Returns (vec_id, cent_id, kept), unordered. */
+  def semanticDedupFrame(e: DataFrame,
+      threshold: Double = 0.35, numCentroids: Int = 16,
+      iters: Int = 1, maxClusterSize: Int = 256): DataFrame = {
+    import e.sparkSession.implicits._
     val cents = kmeansCentroids(e, numCentroids, iters)
     val x = e.join(assignToCells(e, cents), Seq("vec_id"))
       .withColumn("nrm", norm($"embedding"))
@@ -361,7 +374,6 @@ object SimilarityQueries {
     x.join(drops.withColumn("__dropped", lit(1L)), Seq("vec_id"), "left")
       .select($"vec_id", $"cent_id",
         when($"__dropped".isNull, 1L).otherwise(0L).as("kept"))
-      .orderBy($"vec_id")
   }
 
   /** Cluster-size guard for bucketed pair joins: split every cluster
@@ -383,6 +395,55 @@ object SimilarityQueries {
         graft.ops.Sampling.stableBucket($"vec_id", "semdedup", $"n_sub"))
       .drop("csize", "n_sub")
   }
+
+  /** Shared SemDeDup oracle fragment (DuckDB SQL mirroring
+    * [[semanticDedupFrame]] at the default parameters: 16 centroids,
+    * 1 Lloyd round, threshold 0.35, cluster cap 256) over any source
+    * CTE `src(vec_id, embedding)`. Defines `x(vec_id, cent_id,
+    * embedding)` and `sem_drops(vec_id)`. Seeding is rank-based (the
+    * k smallest vec_ids, ranks 0..k-1 — identical to `vec_id < k` on
+    * dense 0-based ids); the cluster-size cap sub-buckets with the
+    * same md5('semdedup|id') hash as Sampling.stableBucket. q60 and
+    * the q63 sweep compose this one fragment, so a scheme change
+    * reaches both oracles from one place. */
+  private[queries] def semDedupCtes(src: String): String =
+    s"""cents0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+       |    embedding AS cemb
+       |  FROM $src ORDER BY vec_id LIMIT 16),
+       |a1 AS (
+       |  SELECT e.vec_id, arg_max(c.cent_id,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
+       |    AS cent_id
+       |  FROM $src e, cents0 c GROUP BY e.vec_id),
+       |m1 AS (
+       |  SELECT a.cent_id, t.i AS i,
+       |    CAST(CAST(SUM(CAST(round(e.embedding[t.i]::DOUBLE * 16777216.0)
+       |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+       |  FROM a1 a JOIN $src e USING (vec_id),
+       |    unnest(generate_series(1, 64)) t(i)
+       |  GROUP BY a.cent_id, t.i),
+       |cents1 AS (
+       |  SELECT cent_id, list(m ORDER BY i) AS cemb FROM m1
+       |  GROUP BY cent_id),
+       |a2 AS (
+       |  SELECT e.vec_id, arg_max(c.cent_id,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
+       |    AS cent_id
+       |  FROM $src e, cents1 c GROUP BY e.vec_id),
+       |x AS (SELECT a2.vec_id, a2.cent_id, e.embedding
+       |      FROM a2 JOIN $src e USING (vec_id)),
+       |xsz AS (SELECT cent_id, COUNT(*) AS csize FROM x GROUP BY cent_id),
+       |xb AS (SELECT x.vec_id, x.cent_id, x.embedding,
+       |    CAST(('0x' || substr(md5('semdedup|' || x.vec_id::VARCHAR), 1, 8))
+       |      AS BIGINT) % CAST(ceil(csize / 256.0) AS BIGINT) AS sub_id
+       |  FROM x JOIN xsz USING (cent_id)),
+       |sem_drops AS (
+       |  SELECT DISTINCT b.vec_id FROM xb a JOIN xb b
+       |    ON a.cent_id = b.cent_id AND a.sub_id = b.sub_id
+       |      AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+       |    b.embedding::DOUBLE[]) >= 0.35)""".stripMargin
 
   /** IVF with k-means-refined cells: the q34 pipeline with
     * `kmeansCentroids` slotted in (2 Lloyd rounds), then the same
@@ -802,39 +863,10 @@ object SimilarityQueries {
         |  DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
     "q60_semantic_dedup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |cents0 AS (
-        |  SELECT vec_id AS cent_id, embedding AS cemb FROM e
-        |  WHERE vec_id < 16),
-        |a1 AS (
-        |  SELECT e.vec_id, arg_max(c.cent_id,
-        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
-        |    AS cent_id
-        |  FROM e, cents0 c GROUP BY e.vec_id),
-        |m1 AS (
-        |  SELECT a.cent_id, t.i AS i,
-        |    CAST(CAST(SUM(CAST(round(e.embedding[t.i]::DOUBLE * 16777216.0)
-        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
-        |  FROM a1 a JOIN e USING (vec_id),
-        |    unnest(generate_series(1, 64)) t(i)
-        |  GROUP BY a.cent_id, t.i),
-        |cents1 AS (
-        |  SELECT cent_id, list(m ORDER BY i) AS cemb FROM m1
-        |  GROUP BY cent_id),
-        |a2 AS (
-        |  SELECT e.vec_id, arg_max(c.cent_id,
-        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]))
-        |    AS cent_id
-        |  FROM e, cents1 c GROUP BY e.vec_id),
-        |x AS (SELECT a2.vec_id, a2.cent_id, e.embedding
-        |      FROM a2 JOIN e USING (vec_id)),
-        |drops AS (
-        |  SELECT DISTINCT b.vec_id FROM x a JOIN x b
-        |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-        |    b.embedding::DOUBLE[]) >= 0.35)
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |${semDedupCtes("e")}
         |SELECT x.vec_id, x.cent_id,
-        |  CAST(CASE WHEN x.vec_id IN (SELECT vec_id FROM drops)
+        |  CAST(CASE WHEN x.vec_id IN (SELECT vec_id FROM sem_drops)
         |       THEN 0 ELSE 1 END AS BIGINT) AS kept
         |FROM x ORDER BY x.vec_id""".stripMargin,
     "q34_ivf_knn" ->

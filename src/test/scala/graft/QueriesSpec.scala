@@ -32,6 +32,26 @@ class QueriesSpec extends SparkSpecBase {
       s"exact=$exact approx=$approx")
   }
 
+  test("curation sweep: stages only shrink, splits partition the final set") {
+    import graft.queries.PipelineQueries
+    val rows = graft.ops.Checkpoints.consume(
+      PipelineQueries.curationSweep(spark, dir))(_.collect())
+    val byStage = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chain = Seq("0_raw", "1_quality", "2_repetition", "3_pii",
+      "4_decontaminate", "5_exact_dedup", "6_near_dedup",
+      "7_semantic_dedup", "8_lm_filter")
+    chain.foreach(s => assert(byStage.contains(s), s"missing stage $s"))
+    chain.sliding(2).foreach { case Seq(a, b) =>
+      assert(byStage(a)._1 >= byStage(b)._1, s"$a -> $b grew docs")
+      assert(byStage(a)._2 >= byStage(b)._2, s"$a -> $b grew tokens")
+    }
+    val splits = rows.filter(_.getString(0).startsWith("9_split_"))
+    assert(splits.map(_.getLong(1)).sum == byStage("8_lm_filter")._1,
+      "splits must partition the stage-8 survivors")
+    assert(splits.map(_.getLong(2)).sum == byStage("8_lm_filter")._2)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, dir)
