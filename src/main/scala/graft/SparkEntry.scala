@@ -97,6 +97,8 @@ object SparkEntry {
       CurationQueries.lmScoreSplit(s, d)),
     "q63_curation_sweep" -> ((s: SparkSession, d: String) =>
       PipelineQueries.curationSweep(s, d)),
+    "q64_ivfpq_residual_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.ivfPqResidualKnn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

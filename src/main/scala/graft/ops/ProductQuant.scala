@@ -121,6 +121,27 @@ object ProductQuant {
       .agg(max_by(col("cent_id"), cos(col("subvec"), col("cvec")))
         .as("cent_id"))
 
+  /** Deterministic-tie-break twin of [[encode]] for RESIDUAL coding
+    * (q64): a vector that coincides with its coarse centroid has an
+    * exactly-zero residual, every subspace cosine guards to 0, and
+    * `max_by`'s arbitrary tie pick would make its code
+    * partitioning-dependent (and diverge from any SQL `arg_max`).
+    * Here the max score is taken per (vector, subspace) with a window
+    * and ties break to the SMALLEST cent_id — order-independent and
+    * mirrored exactly by the q64 oracle. Same cost class as encode
+    * (the window repartitions the scored frame the groupBy shuffles
+    * anyway). */
+  def encodeDet(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("sub_id"))
+    subs.join(broadcast(cb), Seq("sub_id"))
+      .withColumn("__cos", cos(col("subvec"), col("cvec")))
+      .withColumn("__mx", max(col("__cos")).over(w))
+      .filter(col("__cos") === col("__mx"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(col("cent_id")).as("cent_id"))
+  }
+
   /** Query-side ADC table: partial dot of the query's `sub_id` slice
     * with every centroid of that subspace — m·c rows, broadcastable.
     * `qsubs` is (sub_id, qsub) from [[subVectors]] on the single query
