@@ -137,18 +137,23 @@ object CurationQueries {
   def lmScoreSplit(spark: SparkSession, dir: String,
       minCount: Long = 1L): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documentsDistributed(spark, dir)
-    val bg = LangModel.bigrams(docs, "doc_id", "text").localCheckpoint()
+    // ONE scan+tokenize of the corpus: the checkpointed token frame
+    // feeds all three consumers (train bigrams, test bigrams, and the
+    // vocabulary count — the latter needs unigrams, which the bigram
+    // frame alone can't reconstruct: a document's final token appears
+    // only as a suffix).
+    val toks = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", Dedup.tokens($"text").as("toks"))
+      .localCheckpoint()
+    val bg = toks.select($"doc_id", explode_outer(
+      graft.expressions.TextHashes.tokenGrams($"toks", 2)).as("g"))
     val bgTrain = bg.filter($"doc_id" % 5 =!= 0)
     val bgTest = bg.filter($"doc_id" % 5 === 0)
     // Training vocabulary: distinct unigrams of the train slice, +1
     // for the OOV type — one broadcast row (FullText's corpus-stats
-    // pattern); derived from the checkpointed bigram frame's prefix
-    // words plus each document's final token is NOT equivalent (the
-    // last token of a doc appears only as a suffix), so tokenize the
-    // train docs directly for the exact unigram alphabet.
-    val vocab = docs.filter($"doc_id" % 5 =!= 0)
-      .select(explode_outer(Dedup.tokens($"text")).as("t"))
+    // pattern).
+    val vocab = toks.filter($"doc_id" % 5 =!= 0)
+      .select(explode_outer($"toks").as("t"))
       .agg((count_distinct($"t") + 1L).as("v"))
     LangModel.scoreSmoothed(bgTest,
       LangModel.trainCounts(bgTrain, minCount), vocab)
