@@ -246,7 +246,18 @@ object PipelineQueries {
     * are localCheckpoint'd, each reachable from the returned plan, so
     * the caller's Checkpoints.consume frees all of them. */
   def curationSweep(spark: SparkSession, dir: String,
-      nllThreshold: Double = 3.43, k: Int = 13): DataFrame = {
+      nllThreshold: Double = 3.43, k: Int = 13): DataFrame =
+    curationSweepFrames(spark, dir, nllThreshold, k)._1
+
+  /** The sweep's two artifacts: (stats, corpus) — the per-stage
+    * accounting rows AND the final curated corpus
+    * (doc_id, rtext, rn_tokens, split), which is what a deployment
+    * actually writes out (tools/RunCuration persists it partitioned
+    * by split). Both share one stage chain; consuming either (or
+    * both) through Checkpoints.consume frees the checkpointed stage
+    * frames, every one of which is reachable from the STATS plan. */
+  def curationSweepFrames(spark: SparkSession, dir: String,
+      nllThreshold: Double = 3.43, k: Int = 13): (DataFrame, DataFrame) = {
     import spark.implicits._
     val enStops = TextAnalysis.stopwords.toMap.apply("en")
     val rep = graft.expressions.TextHashes.gramRepetitionStats _
@@ -322,7 +333,7 @@ object PipelineQueries {
       df.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col(tok)), lit(0L)).as("total_tokens"))
         .select(lit(name).as("stage"), $"n_docs", $"total_tokens")
-    base.agg(
+    val stats = base.agg(
         count(lit(1)).as("n0"),
         coalesce(sum(when($"q_ok", 1L).otherwise(0L)), lit(0L)).as("n1"),
         coalesce(sum(when($"rep_ok", 1L).otherwise(0L)), lit(0L)).as("n2"),
@@ -345,6 +356,7 @@ object PipelineQueries {
         .select(concat(lit("9_split_"), $"split").as("stage"),
           $"n_docs", $"total_tokens"))
       .orderBy($"stage")
+    (stats, s9.select($"doc_id", $"rtext", $"rn_tokens", $"split"))
   }
 
   /** §LLM dataset split (q54): stable md5-bucket train/val/test

@@ -178,6 +178,55 @@ object Streams {
           typedLit(benchGrams)),
         lit(false)))
 
+  /** Streaming admission filter — the STATELESS prefix of the q63
+    * curation sweep applied to arriving documents: the quality rule
+    * (token count 20–1000, English-stopword ratio ≥ 0.05, lang),
+    * the Gopher repetition rule (q58's compiled kernel), PII counts +
+    * redacted text (q59 — admission REDACTS rather than drops, the
+    * sweep's stage-3 semantics), and the benchmark-contamination flag
+    * (q57's driver-side gram list, the decontaminateStream mechanism).
+    * All per-row map work — no state, no watermark — so it composes
+    * with any sink; the sweep's stateful suffix (exact/near/semantic
+    * dedup, the LM filter) stays batch, with near-dup flagging
+    * covered by its own stateful twin ([[simhashNearDupStream]]).
+    * Every boolean is coalesced non-null (null text ⇒ not admitted
+    * but never NULL — the tri-state-filter lesson of
+    * [[decontaminateStream]]). */
+  def admissionStream(docs: DataFrame, textCol: String, langCol: String,
+      benchGrams: Seq[String], k: Int = 13): DataFrame = {
+    val enStops = graft.ops.TextAnalysis.stopwords.toMap.apply("en")
+    val rep = graft.expressions.TextHashes.gramRepetitionStats _
+    docs
+      .withColumn("toks", graft.ops.TextAnalysis.tokensOf(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("q_ok", coalesce(
+        col("n_tokens").between(20, 1000) &&
+          round(graft.ops.TextAnalysis.stopwordHits(col("toks"), enStops)
+            .cast("double") / col("n_tokens").cast("double"), 4) >= 0.05 &&
+          col(langCol) === "en", lit(false)))
+      .withColumn("__bi", rep(col("toks"), 2))
+      .withColumn("__tri", rep(col("toks"), 3))
+      .withColumn("rep_ok", coalesce(
+        !(when(col("__bi").getItem(0) === 0L, lit(0d))
+          .otherwise(round(col("__bi").getItem(1).cast("double") /
+            col("__bi").getItem(0), 4)) > 0.1) &&
+          !(when(col("__tri").getItem(0) === 0L, lit(0d))
+            .otherwise(round(col("__tri").getItem(2).cast("double") /
+              col("__tri").getItem(0), 4)) > 0.1), lit(false)))
+      .withColumn("n_pii", coalesce(
+        graft.ops.Pii.emailCount(col(textCol)) +
+          graft.ops.Pii.ipv4Count(col(textCol)) +
+          graft.ops.Pii.phoneCount(col(textCol)), lit(0L)))
+      .withColumn("redacted", graft.ops.Pii.redact(col(textCol)))
+      .withColumn("is_contaminated", coalesce(
+        arrays_overlap(
+          graft.ops.Decontaminate.gramHashes(col("toks"), k),
+          typedLit(benchGrams)), lit(false)))
+      .withColumn("admitted",
+        col("q_ok") && col("rep_ok") && !col("is_contaminated"))
+      .drop("toks", "__bi", "__tri")
+  }
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: java.sql.Timestamp, value: Double)
 

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.Checkpoints
+import graft.queries.PipelineQueries
+
+/** CLI for the end-to-end curation sweep (q63) as a deployment would
+  * run it: read the raw documents lake, run every hygiene pass, and
+  * PERSIST the two artifacts a training-data run ships —
+  *
+  *   <outDir>/stages/   per-stage (stage, n_docs, total_tokens) rows
+  *                      (the dataset card)
+  *   <outDir>/corpus/   the final curated corpus
+  *                      (doc_id, text, n_tokens), written
+  *                      PARTITIONED BY split — train/val/test land in
+  *                      their own directories, so a training job's
+  *                      reader prunes to its split at the file level
+  *                      (the same partition-pruning contract as
+  *                      io/Layout's bucketed layouts).
+  *
+  * Usage: `runMain graft.tools.RunCuration <sfDir> <outDir>
+  *         [nllThreshold]`. Prints one JSON summary line (driver
+  * convention). Both frames come from ONE stage chain; the single
+  * consume frees every checkpointed stage frame after both writes
+  * complete.
+  */
+object RunCuration {
+
+  /** Testable body (RunCurationSpec drives it on the shared test
+    * session — the RunIndexing main/run split). Returns the collected
+    * stage rows. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      nllThreshold: Double = 3.43)
+      : Array[org.apache.spark.sql.Row] = {
+    val (stats, corpus) =
+      PipelineQueries.curationSweepFrames(spark, sfDir, nllThreshold)
+    // One consume over the STATS frame (whose plan reaches every
+    // checkpointed stage) wrapped around BOTH materializations: the
+    // corpus write happens while the stage blocks are alive, then
+    // everything is freed together.
+    Checkpoints.consume(stats) { st =>
+      corpus.selectExpr("doc_id", "rtext AS text",
+          "rn_tokens AS n_tokens", "split")
+        .write.mode("overwrite").partitionBy("split")
+        .parquet(s"$outDir/corpus")
+      val rows = st.collect()
+      // the stats frame is 12 tiny rows — persist the COLLECTED copy
+      // so the write doesn't re-evaluate the whole stage chain
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), st.schema)
+        .write.mode("overwrite").parquet(s"$outDir/stages")
+      rows
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: RunCuration <sfDir> <outDir> [nllThreshold]")
+    val Array(sfDir, outDir) = args.take(2)
+    val nll = args.lift(2).flatMap(_.toDoubleOption).getOrElse(3.43)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val rows = run(spark, sfDir, outDir, nll)
+      val byStage = rows.map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val kept = rows.filter(_.getString(0).startsWith("9_split_"))
+        .map(_.getLong(1)).sum
+      println(s"""{"raw_docs":${byStage("0_raw")._1},""" +
+        s""""kept_docs":$kept,""" +
+        s""""kept_tokens":${byStage("8_lm_filter")._2},""" +
+        s""""stages":${rows.length},"out":"$outDir"}""")
+    } finally spark.stop()
+  }
+}

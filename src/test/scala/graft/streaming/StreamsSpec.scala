@@ -203,6 +203,47 @@ class StreamsSpec extends SparkSpecBase {
     assert(flags == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("admissionStream: each gate flags independently, booleans never NULL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog sleeps in the sun while the fox runs away tonight"
+    // benchmark = the 5-grams of a known eval prompt
+    val bench = Seq((9L, "what is the capital of france"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.Decontaminate.gramHashes(
+        graft.ops.Dedup.tokens($"text"), 5).as("grams"))
+    val set = graft.ops.Decontaminate.benchGramList(bench, "grams")
+    val src = MemoryStream[(Long, String, String)]
+    val out = Streams.admissionStream(
+      src.toDF().toDF("doc_id", "text", "lang"), "text", "lang", set, k = 5)
+      .select($"doc_id", $"q_ok", $"rep_ok", $"is_contaminated",
+        $"n_pii", $"admitted", $"redacted")
+    runBatches(out, "admission") {
+      src.addData(
+        (1L, good, "en"), // passes every gate
+        (2L, "too short", "en"), // fails quality (length)
+        (3L, ("spam ham " * 20).trim + " " + good, "en"), // repetitive
+        (4L, s"$good what is the capital of france", "en"), // contaminated
+        (5L, s"$good mail me a.b@example.org", "en"), // PII: redact, admit
+        (6L, null.asInstanceOf[String], "en")) // null text: all false
+    }
+    val rows = spark.table("admission").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(5), "clean doc admitted")
+    assert(!rows(2L).getBoolean(1) && !rows(2L).getBoolean(5))
+    assert(!rows(3L).getBoolean(2), "repetition gate fires")
+    assert(rows(4L).getBoolean(3) && !rows(4L).getBoolean(5))
+    assert(rows(5L).getLong(4) == 1L && rows(5L).getBoolean(5),
+      "PII redacts, does not drop")
+    assert(rows(5L).getString(6).contains("<EMAIL>"))
+    val nullRow = rows(6L)
+    // booleans are FALSE, not NULL (the tri-state-filter contract)
+    assert(!nullRow.isNullAt(1) && !nullRow.isNullAt(2) &&
+      !nullRow.isNullAt(3) && !nullRow.isNullAt(5))
+    assert(!nullRow.getBoolean(5))
+  }
+
   test("latestPerKey keeps newest value per key across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,42 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** The curation CLI's artifact contract: a split-partitioned corpus
+  * whose per-split counts MATCH the dataset-card stats, stats
+  * readable back, and clean executor storage afterwards. */
+class RunCurationSpec extends SparkSpecBase {
+
+  test("writes split-partitioned corpus + stats that agree with each other") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("curation-out").toFile.getAbsolutePath
+    val before = graft.ops.Checkpoints.retainedRddIds(spark)
+    val rows = RunCuration.run(spark, "/root/testdata/sf0.001", out)
+    // consume freed the whole stage chain
+    assert(graft.ops.Checkpoints.retainedRddIds(spark) == before,
+      "stage frames leaked")
+    val byStage = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // corpus is physically partitioned by split — the reader sees the
+    // split column from directory names and prunes at file level
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.columns.toSet ==
+      Set("doc_id", "text", "n_tokens", "split"))
+    val perSplit = corpus.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((split, n) <- perSplit)
+      assert(byStage(s"9_split_$split")._1 == n,
+        s"stats/corpus disagree for $split")
+    assert(perSplit.values.sum == byStage("8_lm_filter")._1)
+    // partition directories exist on disk (physical pruning surface)
+    for (s <- perSplit.keys)
+      assert(new java.io.File(s"$out/corpus/split=$s").isDirectory)
+    // the dataset card round-trips
+    val stats = spark.read.parquet(s"$out/stages")
+    assert(stats.count() == rows.length)
+    assert(stats.columns.toSeq.sorted ==
+      Seq("n_docs", "stage", "total_tokens"))
+  }
+}
