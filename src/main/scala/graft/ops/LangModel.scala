@@ -142,4 +142,15 @@ object LangModel {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     counts(bg).filter(col("c2") >= minCount)
   }
+
+  /** A trained model as a driver-side map (g → lnp_fp) — the
+    * deploy-time artifact the STREAMING scorer consumes
+    * ([[graft.streaming.Streams.lmScoreStream]]). Only sane for a
+    * PRUNED model: minCount is what makes this bounded (the
+    * benchGramList convention — a literal-sized artifact by
+    * construction, not by luck); an unpruned corpus-trained model
+    * must stay a DataFrame and score via [[score]]'s join. */
+  def modelMap(lm: DataFrame): Map[String, Long] =
+    lm.select(col("g"), col("lnp_fp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 }

@@ -478,7 +478,17 @@ object SimilarityQueries {
       k: Int = 10, m: Int = 8, subdim: Int = 8, c: Int = 16,
       iters: Int = 1, shortlist: Int = 50): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    pqAnnKnnFrame(
+      Tables.embeddings(spark, dir).select($"vec_id", $"embedding"),
+      queryId, k, m, subdim, c, iters, shortlist)
+  }
+
+  /** Frame-level PQ ANN over any `e(vec_id, embedding)` — the piece
+    * [[pqOpqKnn]] composes after rotating the space. */
+  def pqAnnKnnFrame(e: DataFrame, queryId: Long = 0L,
+      k: Int = 10, m: Int = 8, subdim: Int = 8, c: Int = 16,
+      iters: Int = 1, shortlist: Int = 50): DataFrame = {
+    import e.sparkSession.implicits._
     val subs = ProductQuant.subVectors(e, m, subdim)
     val cb = ProductQuant.trainCodebooks(subs, c, iters)
     val codes = ProductQuant.encode(subs, cb)
@@ -536,6 +546,31 @@ object SimilarityQueries {
     val cand = adcShortlist(codes, adc, norms, qn, queryId, shortlist,
       restrictTo = Some(probedIds))
     exactRerank(e, cand, qemb, k)
+  }
+
+  /** OPQ-rotated PQ ANN: eigenvalue-allocation rotation
+    * ([[graft.ops.OpqRotation]], the parametric OPQ of Ge et al.
+    * 2013) applied at index time to corpus and query, then the plain
+    * q52 PQ pipeline over the rotated space. The rotation is
+    * orthonormal — dots and norms (hence cosine) are preserved — so
+    * only the QUANTIZER's error changes: each subspace now carries a
+    * balanced share of the spectrum instead of whatever the natural
+    * dimension order happened to put there. Spec-gated
+    * (OpqRotationSpec pins the recall win on a correlated-variance
+    * corpus); not oracle-gated because the eigendecomposition is not
+    * DuckDB-expressible — the in-plan part (covariance pass, literal
+    * rotation rows, the whole PQ chain) reuses oracle-proven pieces. */
+  def pqOpqKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, m: Int = 8, subdim: Int = 8, c: Int = 16,
+      iters: Int = 1, shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val r = graft.ops.OpqRotation.allocationRotation(
+      graft.ops.OpqRotation.covariance(e, "embedding"), m, subdim)
+    pqAnnKnnFrame(
+      e.select($"vec_id",
+        graft.ops.OpqRotation.rotate($"embedding", r).as("embedding")),
+      queryId, k, m, subdim, c, iters, shortlist)
   }
 
   /** Residual-encoded IVF+PQ ANN kNN (q64) — the FAISS IndexIVFPQ

@@ -227,6 +227,43 @@ object Streams {
       .drop("toks", "__bi", "__tri")
   }
 
+  /** Streaming bigram-LM scoring — the deployment shape of the
+    * q61/q62 filter: the model is TRAINED in batch (LangModel.train,
+    * pruned by minCount so it is literal-sized — LangModel.modelMap),
+    * shipped driver-side, and every arriving document scores as a
+    * pure per-row map: look each bigram up in the literal map, unseen
+    * bigrams take the `oovLnpFp` floor (the smoothing constant a
+    * deployment derives from its training vocabulary, e.g.
+    * round(ln(1/(c1_max+V))·2^24)), fixed-point sum, 4dp average.
+    * No state, no join, no shuffle; re-plan the query to pick up a
+    * retrained model (the decontaminateStream convention). Documents
+    * with no bigram (null/short text) score the OOV floor — a
+    * deterministic non-null worst score, never a NULL that a
+    * threshold filter would silently drop. HOF lookup/sum is
+    * CodegenFallback — acceptable on the stream side where per-batch
+    * row counts are small; the batch twin keeps the codegen'd join. */
+  def lmScoreStream(docs: DataFrame, textCol: String,
+      model: Map[String, Long], oovLnpFp: Long): DataFrame = {
+    val fp = graft.ops.ProductQuant.fixedPointScale
+    val m = typedLit(model)
+    val grams = graft.expressions.TextHashes
+      .tokenGrams(graft.ops.Dedup.tokens(col(textCol)), 2)
+    docs
+      .withColumn("__lnps", transform(grams,
+        g => coalesce(element_at(m, g), lit(oovLnpFp))))
+      .withColumn("n_bigrams",
+        coalesce(size(col("__lnps")), lit(0)).cast("long"))
+      .withColumn("n_oov", coalesce(
+        size(filter(grams, g => element_at(m, g).isNull)), lit(0))
+        .cast("long"))
+      .withColumn("avg_nll",
+        when(col("n_bigrams") > 0L,
+          round(-(aggregate(col("__lnps"), lit(0L), (acc, x) => acc + x)
+            .cast("double") / fp) / col("n_bigrams"), 4))
+          .otherwise(round(lit(-(oovLnpFp / fp)), 4)))
+      .drop("__lnps")
+  }
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: java.sql.Timestamp, value: Double)
 

@@ -244,6 +244,39 @@ class StreamsSpec extends SparkSpecBase {
     assert(!nullRow.getBoolean(5))
   }
 
+  test("lmScoreStream matches the batch scorer in-vocab, floors OOV and null") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LangModel
+    val trainDocs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val bg = LangModel.bigrams(trainDocs, "doc_id", "text")
+    val model = LangModel.modelMap(LangModel.train(bg))
+    val batchNll = LangModel.score(bg, LangModel.train(bg))
+      .collect().head.getDouble(2)
+    val oov = math.round(math.log(1.0 / 16) * 16777216.0)
+    val src = MemoryStream[(Long, String)]
+    val out = Streams.lmScoreStream(
+      src.toDF().toDF("doc_id", "text"), "text", model, oov)
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"avg_nll")
+    runBatches(out, "lmscore") {
+      src.addData(
+        (1L, "a b a c"), // fully in-vocab: must equal the batch score
+        (2L, "z q"), // one bigram, OOV
+        (3L, null.asInstanceOf[String])) // no bigrams: the floor
+    }
+    val rows = spark.table("lmscore").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 3L && rows(1L).getLong(2) == 0L)
+    assert(rows(1L).getDouble(3) == batchNll,
+      "stream and batch scorer disagree in-vocab")
+    val floor = BigDecimal(-(oov / 16777216.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(2L).getLong(2) == 1L && rows(2L).getDouble(3) == floor)
+    assert(rows(3L).getLong(1) == 0L && !rows(3L).isNullAt(3),
+      "no-bigram doc must score non-null")
+    assert(rows(3L).getDouble(3) == floor)
+  }
+
   test("latestPerKey keeps newest value per key across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
