@@ -99,6 +99,7 @@ object SparkEntry {
       PipelineQueries.curationSweep(s, d)),
     "q64_ivfpq_residual_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.ivfPqResidualKnn(s, d)),
+    "q65_line_filter" -> (CurationQueries.lineFilter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

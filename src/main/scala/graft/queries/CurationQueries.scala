@@ -160,6 +160,37 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q65 — C4-style line-level boilerplate filter
+    * ([[graft.ops.LineFilter]]): the corpus being single-line word
+    * soup, the query first builds a DETERMINISTIC line-structured
+    * document per row (the q59 synthetic-PII construction): the
+    * original text terminated as a prose line, plus a navigation bar
+    * (doc_id ≡ 0 mod 2 — no terminal punctuation), a javascript
+    * shell (mod 5 — marker word), and a too-short line (mod 4) —
+    * then runs the real operator and reports per-document line
+    * accounting plus the cleaned-text digest. Pure per-row map, no
+    * shuffle. */
+  def lineFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dirty = concat(
+      $"text", lit("."),
+      when($"doc_id" % 2 === 0, lit("\nhome | about | contact"))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        lit("\nplease enable javascript to view this page."))
+        .otherwise(lit("")),
+      when($"doc_id" % 4 === 0, lit("\nok.")).otherwise(lit("")))
+    Tables.documentsDistributed(spark, dir)
+      .withColumn("t", dirty)
+      .select(
+        $"doc_id",
+        size(graft.ops.LineFilter.lines($"t")).cast("long").as("n_lines"),
+        size(graft.ops.LineFilter.keptLines($"t")).cast("long")
+          .as("n_kept"),
+        md5(graft.ops.LineFilter.clean($"t")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Shared 13-token-gram oracle fragment (the GPT-3/PaLM
     * decontamination convention, mirroring Decontaminate.gramHashes):
     * distinct md5 grams of `src(doc_id, $tokCol)`, short documents
@@ -248,6 +279,31 @@ object CurationQueries {
          |    / count(*), 4) AS avg_nll
          |FROM bg b JOIN lm l USING (g)
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    // Regex literals interpolate from LineFilter's constants (the
+    // q59 convention) — engines cannot drift.
+    "q65_line_filter" ->
+      s"""WITH d AS (SELECT doc_id, text || '.' ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN chr(10) || 'home | about | contact' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN chr(10) || 'please enable javascript to view this page.'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN chr(10) || 'ok.' ELSE '' END AS t
+        | FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+        |k AS (SELECT doc_id, len(ls) AS n_lines,
+        |  list_filter(ls, x ->
+        |    regexp_matches(x, '${graft.ops.LineFilter.terminalPattern}')
+        |    AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+        |          w -> length(w) > 0)) >= 3
+        |    AND NOT regexp_matches(lower(x),
+        |          '${graft.ops.LineFilter.boilerplatePattern}')) AS kept
+        | FROM l)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q62_lm_score_split" ->
       s"""WITH ${DedupQueries.toksCte},
          |bg AS (SELECT doc_id, unnest(
