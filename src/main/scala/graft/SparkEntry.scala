@@ -100,6 +100,8 @@ object SparkEntry {
     "q64_ivfpq_residual_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.ivfPqResidualKnn(s, d)),
     "q65_line_filter" -> (CurationQueries.lineFilter _),
+    "q66_sequence_pack" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.sequencePack(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -359,6 +359,53 @@ object PipelineQueries {
     (stats, s9.select($"doc_id", $"rtext", $"rn_tokens", $"split"))
   }
 
+  /** q66 — training-sequence packing (the GPT-style concat-and-chunk
+    * that turns a curated corpus into fixed-length training
+    * sequences): documents are concatenated in doc_id order and cut
+    * into `seqLen`-token sequences; each document reports its global
+    * token offset, its first sequence id, and how many sequences it
+    * spans (the packing metadata a dataloader needs to slice
+    * sequences without re-tokenizing).
+    *
+    * The interesting part at 100 TB is the GLOBAL PREFIX SUM: the
+    * naive `Window.orderBy(doc_id)` with no partition key collapses
+    * the corpus into ONE task — the classic ordered-window
+    * anti-pattern. Instead the cumsum decomposes over fixed id
+    * blocks: (1) per-block token totals — one small aggregate, N/B
+    * rows; (2) running block offsets — a window over that TINY frame
+    * (bounded by N/blockSize, driver-scale by construction); (3) a
+    * broadcast join back and a window PARTITIONED by block for the
+    * within-block running sum. Every corpus-sized operation is
+    * either a hash aggregate or a partitioned window; nothing global
+    * ever sorts in one task. The oracle computes the same values
+    * with the plain global cumsum (DuckDB sorts locally — fine at
+    * oracle scale), which checks the decomposition is EXACT. */
+  def sequencePack(spark: SparkSession, dir: String,
+      seqLen: Long = 512L, blockSize: Long = 64L): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id",
+        size(TextAnalysis.tokensOf($"text")).cast("long").as("n_tokens"))
+      .withColumn("blk", floor($"doc_id" / blockSize).cast("long"))
+    val offsets = d.groupBy($"blk").agg(sum($"n_tokens").as("bt"))
+      .withColumn("boff", coalesce(
+        sum($"bt").over(Window.orderBy($"blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"blk", $"boff")
+    val firstSeq = floor($"start_tok" / seqLen).cast("long")
+    d.join(broadcast(offsets), Seq("blk"))
+      .withColumn("start_tok", $"boff" + coalesce(
+        sum($"n_tokens").over(Window.partitionBy($"blk")
+          .orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"n_tokens", $"start_tok",
+        firstSeq.as("first_seq"),
+        when($"n_tokens" === 0L, 0L)
+          .otherwise(floor(($"start_tok" + $"n_tokens" - 1) / seqLen)
+            .cast("long") - firstSeq + 1L).as("n_seqs"))
+      .orderBy($"doc_id")
+  }
+
   /** §LLM dataset split (q54): stable md5-bucket train/val/test
     * assignment (90/5/5) — reproducible across runs, engines, and
     * corpus growth (an id's split never changes when other documents
@@ -374,6 +421,21 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q66_sequence_pack" ->
+      s"""WITH ${DedupQueries.toksCte},
+        |n AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens
+        |      FROM toks),
+        |c AS (SELECT doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS start_tok
+        | FROM n)
+        |SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(floor(start_tok / 512.0) AS BIGINT) AS first_seq,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |    ELSE floor((start_tok + n_tokens - 1) / 512.0)
+        |         - floor(start_tok / 512.0) + 1 END AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q63_curation_sweep" ->
       s"""WITH base AS (
         |  SELECT doc_id, lang, text,
