@@ -102,6 +102,7 @@ object SparkEntry {
     "q65_line_filter" -> (CurationQueries.lineFilter _),
     "q66_sequence_pack" -> ((s: SparkSession, d: String) =>
       PipelineQueries.sequencePack(s, d)),
+    "q67_mixture_sample" -> (PipelineQueries.mixtureSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -406,6 +406,52 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q67 — mixture sampling (the data-mixing stage of a pretraining
+    * recipe): given per-source target WEIGHTS, downsample each source
+    * with a deterministic hash so the kept corpus realizes the target
+    * proportions at the largest size no source can exceed (the
+    * binding-source cap): T = min_s ⌊count_s·W/w_s⌋ docs total,
+    * k_s = ⌊w_s·T/W⌋ per source, applied as a basis-point keep rate
+    * through the q54 stable md5 bucket — reproducible across runs,
+    * engines, and corpus growth, unlike `sample()`. Weights here
+    * derive deterministically from the source id (suffix mod 4 + 1 —
+    * four mixture tiers over the synthetic sources); a deployment
+    * passes its recipe as a literal map the same way.
+    *
+    * Scale shape: the rate derivation runs entirely on the per-source
+    * count frame (|sources| rows — broadcast-scale by definition);
+    * the corpus pays one broadcast join + a per-row md5 — a
+    * scan-rider. All rate math is integer-derived (floors of exact
+    * double divisions below 2^53), so both engines derive identical
+    * basis-point rates. Output: per-source accounting
+    * (n_docs, n_kept, kept_tokens, rate_bp). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokensOf($"text")).cast("long").as("n_tokens"))
+      .withColumn("w",
+        (regexp_extract($"source", "(\\d+)$", 1).cast("long") % 4L) + 1L)
+    val counts = d.groupBy($"source", $"w").agg(count(lit(1)).as("cnt"))
+    val wsum = counts.agg(sum($"w").as("wsum"))
+    val capped = counts.crossJoin(broadcast(wsum))
+      .withColumn("cap", floor($"cnt" * $"wsum" / $"w").cast("long"))
+    val t = capped.agg(min($"cap").as("t"))
+    val rates = capped.crossJoin(broadcast(t))
+      .withColumn("k", floor($"w" * $"t" / $"wsum").cast("long"))
+      .withColumn("rate_bp", floor($"k" * 10000L / $"cnt").cast("long"))
+      .select($"source", $"rate_bp")
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("keep",
+        Sampling.stableBucket($"doc_id", "mix", 10000) < $"rate_bp")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"keep", $"n_tokens").otherwise(0L)).as("kept_tokens"),
+        first($"rate_bp").as("rate_bp"))
+      .orderBy($"source")
+  }
+
   /** §LLM dataset split (q54): stable md5-bucket train/val/test
     * assignment (90/5/5) — reproducible across runs, engines, and
     * corpus growth (an id's split never changes when other documents
@@ -421,6 +467,34 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q67_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+        |  (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4) + 1
+        |    AS w
+        | FROM documents),
+        |c AS (SELECT source, ANY_VALUE(w) AS w, COUNT(*) AS cnt
+        |      FROM d GROUP BY source),
+        |ws AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM c),
+        |t AS (SELECT MIN(CAST(floor(cnt * wsum / w) AS BIGINT)) AS t
+        |      FROM c, ws),
+        |r AS (SELECT source,
+        |  CAST(floor(CAST(floor(w * t / wsum) AS BIGINT) * 10000.0 / cnt)
+        |    AS BIGINT) AS rate_bp
+        | FROM c, ws, t)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN
+        |    CAST(('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 8))
+        |      AS BIGINT) % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN
+        |    CAST(('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 8))
+        |      AS BIGINT) % 10000 < r.rate_bp THEN d.n_tokens ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens,
+        |  ANY_VALUE(r.rate_bp) AS rate_bp
+        |FROM d JOIN r USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q66_sequence_pack" ->
       s"""WITH ${DedupQueries.toksCte},
         |n AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens
