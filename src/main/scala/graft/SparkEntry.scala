@@ -103,6 +103,8 @@ object SparkEntry {
     "q66_sequence_pack" -> ((s: SparkSession, d: String) =>
       PipelineQueries.sequencePack(s, d)),
     "q67_mixture_sample" -> (PipelineQueries.mixtureSample _),
+    "q68_incremental_near_dup" -> ((s: SparkSession, d: String) =>
+      DedupQueries.incrementalNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -162,6 +162,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
 
+  /** INCREMENTAL near-dup: a NEW batch's documents collide against
+    * the existing corpus's band index plus the batch itself — the
+    * dedup face of the engine's incremental-merge contract (J5/J6's
+    * "0.1% delta pays 0.1%"): per batch, only new documents are
+    * hashed and exploded; the old side is the (band, band_hash, id)
+    * index a deployment PERSISTS at index time (derived here from
+    * `oldDocs` so the operator is self-contained — the q32
+    * prior-output-as-cache convention) and is touched only by the
+    * collision join. Running batches through this operator reproduces
+    * EXACTLY the full-batch pair set restricted to doc_b in the new
+    * batch (old↔old pairs were prior batches' outputs), which
+    * DedupSpec pins. Ids should be append-ordered (new ids > old ids,
+    * the A5 watermark convention): with interleaved ids a new↔old
+    * pair whose LARGER id is old belongs to no batch's doc_b side and
+    * is reported by no batch — append-only ids make that case
+    * impossible.
+    *
+    * Output matches [[minhashLshPairs]]: (doc_a, doc_b, jaccard) with
+    * doc_b always a new-batch document. */
+  def minhashLshPairsIncremental(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, shingleCol: String,
+      numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    def prep(d: DataFrame) =
+      d.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+    val oldBase = prep(oldDocs)
+    val newBase = prep(newDocs)
+    def banded(base: DataFrame) = base
+      .withColumn("bandh", bandHashesDirect(col("sh"), numHashes, bands))
+      .select(col("id"),
+        posexplode_outer(col("bandh")).as(Seq("band", "band_hash")))
+    // the stored-index stand-in ∪ the new batch's bands
+    val index = banded(oldBase).unionByName(banded(newBase))
+    val pairs = index
+      .select(col("band"), col("band_hash"), col("id").as("doc_a"))
+      .join(banded(newBase).select(col("band"), col("band_hash"),
+        col("id").as("doc_b")), Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val shA = oldBase.unionByName(newBase)
+      .select(col("id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = newBase.select(col("id").as("doc_b"), col("sh").as("sh_b"))
+    pairs
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b"))
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
   /** Exact all-pairs n-gram Jaccard via an inverted shingle index:
     * |A∩B| from the per-shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
     * Exact but fan-out is quadratic in shingle document frequency —

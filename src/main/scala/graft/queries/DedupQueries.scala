@@ -52,6 +52,22 @@ object DedupQueries {
     Dedup.minhashLshPairs(withShingles(spark, dir), "doc_id", "shingles")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** q68 — incremental near-dup: the doc_id ≥ 250 slice arrives as a
+    * new batch and collides against the existing corpus's band index
+    * ([[graft.ops.Dedup.minhashLshPairsIncremental]]); only the new
+    * batch is hashed and exploded, the old side is the persisted-index
+    * stand-in. Output = the q21 pair set restricted to new-batch
+    * doc_b — the per-batch delta a running dedup pipeline emits. */
+  def incrementalNearDup(spark: SparkSession, dir: String,
+      watermark: Long = 250L): DataFrame = {
+    val d = withShingles(spark, dir)
+    Dedup.minhashLshPairsIncremental(
+      d.filter(col("doc_id") < watermark),
+      d.filter(col("doc_id") >= watermark),
+      "doc_id", "shingles")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact n-gram Jaccard pairs ≥ 0.5, via prefix filtering (PPJoin):
     * identical output to the naive inverted-index join, but only each
     * document's rarest-shingle prefix is indexed (DedupSpec proves the
@@ -196,6 +212,14 @@ object DedupQueries {
       s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte, $candPairsCte
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand
          |WHERE j >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental delta IS the batch pair set restricted to
+    // new-batch doc_b (the operator's pinned equivalence), so the
+    // oracle is q21's with the watermark filter
+    "q68_incremental_near_dup" ->
+      s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte, $candPairsCte
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand
+         |WHERE j >= 0.7 AND doc_b >= 250
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q22_ngram_jaccard" ->
       s"""WITH $toksCte, ${shCte()},
          |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle

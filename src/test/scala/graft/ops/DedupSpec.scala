@@ -51,6 +51,34 @@ class DedupSpec extends SparkSpecBase {
     assert(j > 0.8 && j < 1.0)
   }
 
+  test("minhashLshPairsIncremental = batch pairs restricted to new-batch doc_b") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val all = docs(
+      (1L, base), (2L, base + " phi"), // old near-dup pair (prior delta)
+      (3L, other),
+      (10L, base + " chi"), // new: dups old 1, 2
+      (11L, other + " twelve"), // new: dups old 3
+      (12L, base + " chi psi")) // new: dups new 10 (and old 1, 2)
+    val watermark = 10L
+    val old = all.filter(col("doc_id") < watermark)
+    val fresh = all.filter(col("doc_id") >= watermark)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inc = keyed(Dedup.minhashLshPairsIncremental(
+      old, fresh, "doc_id", "shingles", threshold = 0.5))
+    val full = keyed(Dedup.minhashLshPairs(
+      all, "doc_id", "shingles", threshold = 0.5))
+    assert(inc == full.filter { case ((_, b), _) => b >= watermark },
+      s"inc=$inc full=$full")
+    // the delta flags both old→new and new→new duplication
+    assert(inc.contains((1L, 10L)) && inc.contains((10L, 12L)) &&
+      inc.contains((3L, 11L)))
+    // and never re-reports the prior batches' old↔old pair
+    assert(!inc.contains((1L, 2L)))
+  }
+
   test("invertedIndexJaccard matches direct array jaccard") {
     val d = docs((1L, "a b c d e f"), (2L, "a b c d e g"),
       (3L, "z z z z z z"))
