@@ -105,6 +105,8 @@ object SparkEntry {
     "q67_mixture_sample" -> (PipelineQueries.mixtureSample _),
     "q68_incremental_near_dup" -> ((s: SparkSession, d: String) =>
       DedupQueries.incrementalNearDup(s, d)),
+    "q69_contamination_coverage" -> ((s: SparkSession, d: String) =>
+      CurationQueries.contaminationCoverage(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

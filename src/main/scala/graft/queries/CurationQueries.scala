@@ -32,6 +32,52 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q69 — token-coverage contamination (the Llama-2-style refinement
+    * of q57's binary overlap): per contaminated document, the
+    * FRACTION of its tokens lying inside benchmark-matching k-grams —
+    * the statistic behind "mark a sample dirty above X% token
+    * overlap" thresholds, needing positional grams where q57 needs
+    * only the distinct set. Coverage is the union length of the
+    * matched grams' [pos, pos+k) intervals, computed per document as
+    * Σ min(k, nextMatchedPos − pos) via a window lead (last match
+    * contributes k), capped at n_tokens for the short-document
+    * collapse.
+    *
+    * Scale shape: q57's exactly — benchmark grams BROADCAST, the
+    * corpus-side positional explode is filtered by that broadcast
+    * join in the scan stage, so only MATCHED positions reach the
+    * window/aggregation (contaminated-docs-only output keeps the
+    * exchange tiny). */
+  def contaminationCoverage(spark: SparkSession, dir: String,
+      k: Int = 13): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val docs = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", Dedup.tokens($"text").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("kg", graft.expressions.TextHashes.kgramMd5($"toks", k))
+    val bench = docs.filter($"doc_id" % 7 === 0)
+      .select(explode_outer(array_distinct($"kg")).as("g")).distinct()
+    val hits = docs.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", $"n_tokens",
+        posexplode_outer($"kg").as(Seq("pos", "g")))
+      .join(broadcast(bench), Seq("g"))
+    hits
+      .withColumn("cov", least(lit(k.toLong),
+        coalesce((lead($"pos", 1).over(w) - $"pos").cast("long"),
+          lit(k.toLong))))
+      .groupBy($"doc_id")
+      .agg(first($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_hit_positions"),
+        sum($"cov").as("s"))
+      .select($"doc_id", $"n_tokens", $"n_hit_positions",
+        least($"s", $"n_tokens").as("covered_tokens"),
+        round(least($"s", $"n_tokens").cast("double") / $"n_tokens", 4)
+          .as("coverage"))
+      .orderBy($"doc_id")
+  }
+
   /** q58 — repetition quality filter (the Gopher-rule family): per
     * document, the most frequent bigram's share of all bigram slots
     * and the share of trigram slots occupied by repeated trigrams;
@@ -281,6 +327,32 @@ object CurationQueries {
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // Regex literals interpolate from LineFilter's constants (the
     // q59 convention) — engines cannot drift.
+    "q69_contamination_coverage" ->
+      s"""WITH ${DedupQueries.toksCte},
+         |kgp AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(tokens) >= 13
+         |    THEN list_transform(generate_series(1, len(tokens) - 12),
+         |           i -> md5(array_to_string(tokens[i:i+12], ' ')))
+         |    ELSE [md5(array_to_string(tokens[1:13], ' '))] END AS kg
+         | FROM toks),
+         |bench AS (SELECT DISTINCT unnest(kg) AS g FROM kgp
+         |          WHERE doc_id % 7 = 0),
+         |hits AS (SELECT doc_id, n_tokens, i AS pos, g
+         |  FROM (SELECT doc_id, n_tokens, t.i, kg[t.i] AS g
+         |        FROM kgp, unnest(generate_series(1, len(kg))) t(i)
+         |        WHERE doc_id % 7 <> 0)
+         |  JOIN bench USING (g)),
+         |c AS (SELECT doc_id, n_tokens, pos,
+         |  LEAST(13, COALESCE(LEAD(pos) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) - pos, 13)) AS cov
+         | FROM hits)
+         |SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+         |  COUNT(*) AS n_hit_positions,
+         |  CAST(LEAST(SUM(cov), ANY_VALUE(n_tokens)) AS BIGINT)
+         |    AS covered_tokens,
+         |  round(LEAST(SUM(cov), ANY_VALUE(n_tokens))::DOUBLE
+         |    / ANY_VALUE(n_tokens), 4) AS coverage
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q65_line_filter" ->
       s"""WITH d AS (SELECT doc_id, text || '.' ||
         |  CASE WHEN doc_id % 2 = 0

@@ -39,6 +39,30 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(hit3.getAs[Long]("n_hit") > hit1.getAs[Long]("n_hit"))
   }
 
+  test("token-coverage: overlapping matches union, disjoint ones add, cap holds") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("cov")
+      .toFile.getAbsolutePath
+    Seq(
+      (0L, "q r s t u"), // %7==0: the benchmark (3-grams qrs, rst, stu)
+      (1L, "x q r s t y z"), // matches at pos 2,3 (overlap): 1+3 = 4 of 7
+      (2L, "a b c d e f"), // clean: absent from the report
+      (3L, "q r s a a a a r s t"), // disjoint matches: 3+3 = 6 of 10
+      (5L, "r s t")) // whole doc is one benchmark gram: coverage 1.0
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.queries.CurationQueries
+      .contaminationCoverage(spark, d, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set(1L, 3L, 5L))
+    assert(rows(1L) == ((7L, 2L, 4L,
+      BigDecimal(4.0 / 7).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(rows(3L) == ((10L, 2L, 6L, 0.6)))
+    assert(rows(5L) == ((3L, 1L, 3L, 1.0)))
+  }
+
   test("repeated grams in a document count once (distinct semantics)") {
     import spark.implicits._
     val run = "a b c d e"
