@@ -318,6 +318,14 @@ object PipelineQueries {
       .filter($"kept" === 0L).select($"vec_id".as("doc_id"))
     val s7 = s6.join(semDrops, Seq("doc_id"), "left_anti")
       .localCheckpoint() // feeds stat 7 + LM build/probe + s8
+    // s7's checkpoint truncated semDrops — and with it SemDeDup's
+    // internal checkpointed assignment frame — out of every surviving
+    // plan, so the caller's consume can never reach those blocks: free
+    // them NOW, deterministically, instead of leaving them to the
+    // ContextCleaner's GC timing (the semanticDedup-frees-cents
+    // ownership rule at a second truncation boundary;
+    // RunCurationSpec's leak check pins it).
+    graft.ops.Checkpoints.unpersist(semDrops)
     // Stage 8: self-trained bigram LM (q61's shape over survivors).
     val bg = s7.select($"doc_id", explode_outer(
       graft.expressions.TextHashes.tokenGrams($"rtoks", 2)).as("g"))
