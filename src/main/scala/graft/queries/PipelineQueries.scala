@@ -391,10 +391,24 @@ object PipelineQueries {
   def sequencePack(spark: SparkSession, dir: String,
       seqLen: Long = 512L, blockSize: Long = 64L): DataFrame = {
     import spark.implicits._
-    val d = Tables.documentsDistributed(spark, dir)
-      .select($"doc_id",
-        size(TextAnalysis.tokensOf($"text")).cast("long").as("n_tokens"))
-      .withColumn("blk", floor($"doc_id" / blockSize).cast("long"))
+    sequencePackFrame(
+      Tables.documentsDistributed(spark, dir)
+        .select($"doc_id",
+          size(TextAnalysis.tokensOf($"text")).cast("long")
+            .as("n_tokens")),
+      seqLen, blockSize)
+      .orderBy($"doc_id")
+  }
+
+  /** Frame-level packing over any `d(doc_id, n_tokens)` — what
+    * tools/RunCuration applies to the curated train split (the packing
+    * index is the third artifact of a training-data run, beside the
+    * dataset card and the corpus itself). Unordered; see
+    * [[sequencePack]] for the block-decomposition scale argument. */
+  def sequencePackFrame(d0: DataFrame,
+      seqLen: Long = 512L, blockSize: Long = 64L): DataFrame = {
+    import d0.sparkSession.implicits._
+    val d = d0.withColumn("blk", floor($"doc_id" / blockSize).cast("long"))
     val offsets = d.groupBy($"blk").agg(sum($"n_tokens").as("bt"))
       .withColumn("boff", coalesce(
         sum($"bt").over(Window.orderBy($"blk")
@@ -411,7 +425,6 @@ object PipelineQueries {
         when($"n_tokens" === 0L, 0L)
           .otherwise(floor(($"start_tok" + $"n_tokens" - 1) / seqLen)
             .cast("long") - firstSeq + 1L).as("n_seqs"))
-      .orderBy($"doc_id")
   }
 
   /** q67 — mixture sampling (the data-mixing stage of a pretraining

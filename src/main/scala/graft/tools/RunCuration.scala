@@ -18,6 +18,10 @@ import graft.queries.PipelineQueries
   *                      reader prunes to its split at the file level
   *                      (the same partition-pruning contract as
   *                      io/Layout's bucketed layouts).
+  *   <outDir>/packing/  the q66 sequence-packing index over the
+  *                      train split (doc_id, n_tokens, start_tok,
+  *                      first_seq, n_seqs) — what a dataloader
+  *                      slices fixed-length sequences by.
   *
   * Usage: `runMain graft.tools.RunCuration <sfDir> <outDir>
   *         [nllThreshold]`. Prints one JSON summary line (driver
@@ -44,6 +48,14 @@ object RunCuration {
           "rn_tokens AS n_tokens", "split")
         .write.mode("overwrite").partitionBy("split")
         .parquet(s"$outDir/corpus")
+      // third artifact: the q66 packing index over the TRAIN split —
+      // global token offsets / sequence spans a dataloader slices by,
+      // derived from the corpus just written (file-level split prune)
+      PipelineQueries.sequencePackFrame(
+          spark.read.parquet(s"$outDir/corpus")
+            .where("split = 'train'")
+            .selectExpr("doc_id", "n_tokens"))
+        .write.mode("overwrite").parquet(s"$outDir/packing")
       val rows = st.collect()
       // the stats frame is 12 tiny rows — persist the COLLECTED copy
       // so the write doesn't re-evaluate the whole stage chain

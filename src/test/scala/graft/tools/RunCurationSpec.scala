@@ -41,5 +41,14 @@ class RunCurationSpec extends SparkSpecBase {
     assert(stats.count() == rows.length)
     assert(stats.columns.toSeq.sorted ==
       Seq("n_docs", "stage", "total_tokens"))
+    // the packing index covers exactly the train split, with
+    // contiguous global offsets summing to the split's token total
+    val pack = spark.read.parquet(s"$out/packing")
+    assert(pack.count() == byStage("9_split_train")._1)
+    val packed = pack.orderBy($"doc_id").collect()
+      .map(r => (r.getLong(2), r.getLong(1))) // (start_tok, n_tokens)
+    var cum = 0L
+    for ((start, n) <- packed) { assert(start == cum); cum += n }
+    assert(cum == byStage("9_split_train")._2)
   }
 }
