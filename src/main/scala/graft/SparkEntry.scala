@@ -107,6 +107,8 @@ object SparkEntry {
       DedupQueries.incrementalNearDup(s, d)),
     "q69_contamination_coverage" -> ((s: SparkSession, d: String) =>
       CurationQueries.contaminationCoverage(s, d)),
+    "q70_paragraph_dedup" -> ((s: SparkSession, d: String) =>
+      CurationQueries.paragraphDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

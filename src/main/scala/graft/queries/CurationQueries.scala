@@ -140,6 +140,52 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q70 — corpus-wide paragraph dedup (CCNet's first pass, Wenzek et
+    * al. 2020: hash every PARAGRAPH, keep only the first occurrence
+    * corpus-wide — the pass that strips boilerplate repeated across
+    * pages before any document-level dedup runs). The word-soup
+    * corpus has no paragraph structure or repetition, so the query
+    * synthesizes both deterministically (the q59/q65 construction): a
+    * shared boilerplate paragraph prefixed to doc_id ≡ 0 mod 3, and
+    * paragraphs = fixed 10-token chunks. First occurrence = smallest
+    * (doc_id, pos) per paragraph hash; output is per-document
+    * paragraph accounting plus the digest of the SURVIVING text
+    * (order-preserving), so the oracle checks the rebuild too.
+    *
+    * Scale shape: ONE shuffle keyed by the paragraph hash (the q16
+    * exact-dedup window at paragraph granularity — row_number, no
+    * self-join), then a per-document aggregation. Chunking and
+    * rebuilding are per-row map work. */
+  def paragraphDedup(spark: SparkSession, dir: String,
+      paraTokens: Int = 10): DataFrame = {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for all the latest updates today"
+    val dirty = when($"doc_id" % 3 === 0,
+      concat(lit(boiler + " "), $"text")).otherwise($"text")
+    val paras = Tables.documentsDistributed(spark, dir)
+      .withColumn("toks", Dedup.tokens(dirty))
+      .select($"doc_id",
+        posexplode_outer(transform(
+          sequence(lit(0),
+            ceil(size($"toks").cast("double") / paraTokens).cast("int")
+              - 1),
+          i => array_join(
+            slice($"toks", i * paraTokens + 1, lit(paraTokens)), " ")))
+          .as(Seq("pos", "para")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"para")).orderBy($"doc_id", $"pos")
+    paras
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when($"keep",
+            struct($"pos", $"para")))),
+          x => x.getField("para")), " ")).as("kept_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** q61 — bigram-LM scoring (the CCNet/KenLM-style perplexity
     * filter): train a maximum-likelihood bigram model ON the corpus,
     * then score each document by its average negative log-probability
@@ -327,6 +373,31 @@ object CurationQueries {
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // Regex literals interpolate from LineFilter's constants (the
     // q59 convention) — engines cannot drift.
+    "q70_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'subscribe to our newsletter for all the latest updates today ' || text
+        |    ELSE text END AS t
+        | FROM documents),
+        |tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(t), '\s+'),
+        |              x -> length(x) > 0) AS tokens
+        | FROM d),
+        |p AS (SELECT doc_id, i AS pos,
+        |    array_to_string(tokens[i*10+1:i*10+10], ' ') AS para
+        |  FROM tk, unnest(generate_series(0,
+        |    CAST(ceil(len(tokens) / 10.0) AS BIGINT) - 1)) t(i)),
+        |k AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para)
+        |      ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM p)
+        |SELECT doc_id, COUNT(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(COALESCE(array_to_string(
+        |    list(para ORDER BY pos) FILTER (WHERE keep), ' '), ''))
+        |    AS kept_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q69_contamination_coverage" ->
       s"""WITH ${DedupQueries.toksCte},
          |kgp AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
