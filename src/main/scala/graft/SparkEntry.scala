@@ -109,6 +109,8 @@ object SparkEntry {
       CurationQueries.contaminationCoverage(s, d)),
     "q70_paragraph_dedup" -> ((s: SparkSession, d: String) =>
       CurationQueries.paragraphDedup(s, d)),
+    "q71_substring_dedup" -> ((s: SparkSession, d: String) =>
+      DedupQueries.substringDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -66,6 +67,52 @@ object DedupQueries {
       d.filter(col("doc_id") >= watermark),
       "doc_id", "shingles")
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q71 — exact repeated-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": the
+    * suffix-array pass that removes VERBATIM repeated spans, which
+    * document-level dedup misses when only a quote or boilerplate
+    * block repeats). Distributed approximation at k-token resolution:
+    * every k-gram occurrence beyond the corpus-wide FIRST (global
+    * (doc_id, pos) order — the all-but-first convention) marks a
+    * removable span; per document the report is the interval UNION of
+    * its removable spans (the q69 window-lead machinery), i.e. how
+    * many tokens a span-removal pass would delete. k=13 matches the
+    * decontamination gram convention; the paper's 50-token threshold
+    * is the production k.
+    *
+    * Scale shape: ONE corpus-token-sized shuffle keyed by the gram
+    * hash for the first-occurrence rank — inherent to exact substring
+    * dedup (the suffix array it approximates is also corpus-scale) —
+    * then only the repeated positions (df-heavy tail, a small
+    * fraction) flow to the per-document window/aggregation, which
+    * reuse the scan's doc_id distribution. */
+  def substringDedup(spark: SparkSession, dir: String,
+      k: Int = 13): DataFrame = {
+    import spark.implicits._
+    val wG = Window.partitionBy($"g").orderBy($"doc_id", $"pos")
+    val wD = Window.partitionBy($"doc_id").orderBy($"pos")
+    Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", Dedup.tokens($"text").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .select($"doc_id", $"n_tokens", posexplode_outer(
+        graft.expressions.TextHashes.kgramMd5($"toks", k))
+        .as(Seq("pos", "g")))
+      .withColumn("rn", row_number().over(wG))
+      .filter($"rn" > 1)
+      .withColumn("cov", least(lit(k.toLong),
+        coalesce((lead($"pos", 1).over(wD) - $"pos").cast("long"),
+          lit(k.toLong))))
+      .groupBy($"doc_id")
+      .agg(first($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_repeated_positions"),
+        sum($"cov").as("s"))
+      .select($"doc_id", $"n_tokens", $"n_repeated_positions",
+        least($"s", $"n_tokens").as("removed_tokens"),
+        round(least($"s", $"n_tokens").cast("double") / $"n_tokens", 4)
+          .as("removed_frac"))
+      .orderBy($"doc_id")
   }
 
   /** Exact n-gram Jaccard pairs ≥ 0.5, via prefix filtering (PPJoin):
@@ -220,6 +267,31 @@ object DedupQueries {
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand
          |WHERE j >= 0.7 AND doc_b >= 250
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q71_substring_dedup" ->
+      s"""WITH $toksCte,
+         |kgp AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(tokens) >= 13
+         |    THEN list_transform(generate_series(1, len(tokens) - 12),
+         |           i -> md5(array_to_string(tokens[i:i+12], ' ')))
+         |    ELSE [md5(array_to_string(tokens[1:13], ' '))] END AS kg
+         | FROM toks),
+         |p AS (SELECT doc_id, n_tokens, i AS pos, kg[i] AS g
+         |  FROM kgp, unnest(generate_series(1, len(kg))) t(i)),
+         |r AS (SELECT doc_id, n_tokens, pos FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY g
+         |       ORDER BY doc_id, pos) AS rn FROM p)
+         |  WHERE rn > 1),
+         |c AS (SELECT doc_id, n_tokens, pos,
+         |  LEAST(13, COALESCE(LEAD(pos) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) - pos, 13)) AS cov
+         | FROM r)
+         |SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+         |  COUNT(*) AS n_repeated_positions,
+         |  CAST(LEAST(SUM(cov), ANY_VALUE(n_tokens)) AS BIGINT)
+         |    AS removed_tokens,
+         |  round(LEAST(SUM(cov), ANY_VALUE(n_tokens))::DOUBLE
+         |    / ANY_VALUE(n_tokens), 4) AS removed_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q22_ngram_jaccard" ->
       s"""WITH $toksCte, ${shCte()},
          |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle

@@ -79,6 +79,32 @@ class DedupSpec extends SparkSpecBase {
     assert(!inc.contains((1L, 2L)))
   }
 
+  test("substring dedup: all-but-first spans union per doc, internal repeats count") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("substr")
+      .toFile.getAbsolutePath
+    Seq(
+      (1L, "a b c d e f g h"), // first occurrence of "c d e" etc: clean
+      (2L, "x x c d e f g y"), // repeats doc 1's runs c-d-e, d-e-f, e-f-g
+      (3L, "p q r p q r p q r")) // internal repetition only
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.queries.DedupQueries.substringDedup(spark, d, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1 holds every first occurrence → absent from the report
+    assert(rows.keySet == Set(2L, 3L))
+    // doc 2: repeated 3-gram positions 2,3,4 (cde, def, efg) →
+    // union = 1 + 1 + 3 = 5 of 8 tokens
+    assert(rows(2L) == ((8L, 3L, 5L, round4(5.0 / 8))))
+    // doc 3: grams pqr,qrp,rpq,pqr,qrp,rpq,pqr at 0..6; repeats at
+    // 3,4,5,6 → union = 1 + 1 + 1 + 3 = 6 of 9 tokens
+    assert(rows(3L) == ((9L, 4L, 6L, round4(6.0 / 9))))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("invertedIndexJaccard matches direct array jaccard") {
     val d = docs((1L, "a b c d e f"), (2L, "a b c d e g"),
       (3L, "z z z z z z"))
