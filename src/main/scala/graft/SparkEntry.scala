@@ -109,6 +109,14 @@ object SparkEntry {
       CurationQueries.contaminationCoverage(s, d)),
     "q70_paragraph_dedup" -> ((s: SparkSession, d: String) =>
       CurationQueries.paragraphDedup(s, d)),
+    "q72_nb_quality" -> (CurationQueries.nbQuality _),
+    "q74_source_drift" -> (TextQueries.sourceDrift _),
+    "q75_bpe_pair_merge" -> (TextQueries.bpePairMerge _),
+    "q76_normalized_dedup" -> (DedupQueries.normalizedDedup _),
+    "q77_tfidf_topk" -> ((s: SparkSession, d: String) =>
+      TextQueries.tfidfTopTerms(s, d)),
+    "q73_dsir_weights" -> ((s: SparkSession, d: String) =>
+      CurationQueries.dsirWeights(s, d)),
     "q71_substring_dedup" -> ((s: SparkSession, d: String) =>
       DedupQueries.substringDedup(s, d)),
   )

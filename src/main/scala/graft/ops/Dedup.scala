@@ -37,6 +37,24 @@ object Dedup {
   def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** Aggressive exact-match normalization (the Lee et al. 2022 /
+    * Gopher convention for "near-exact" duplicate detection):
+    * lowercase, strip everything but letters and whitespace (digits
+    * AND punctuation go — a timestamped or re-punctuated reprint of a
+    * page should collide), collapse whitespace runs, trim. Both
+    * regexes are in the Java∩RE2 class form, so the q76 oracle
+    * interpolates [[normStripPattern]]/[[normSpacePattern]] verbatim
+    * (the Pii convention — engines cannot drift). Pure per-row map:
+    * the dedup over md5(normalizeText) keeps q16's one-shuffle
+    * shape. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), normStripPattern, ""),
+      normSpacePattern, " "))
+
+  val normStripPattern = "[^\\p{L}\\s]+"
+  val normSpacePattern = "\\s+"
+
   /** Distinct k-token shingles joined by single spaces. Documents
     * shorter than k tokens collapse to one shingle of all tokens, so
     * every document has a non-empty shingle set. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.{Decontaminate, Dedup, LangModel, Pii, TextAnalysis}
+import graft.ops.{Classifier, Decontaminate, Dedup, LangModel, Pii, TextAnalysis}
 
 /** Corpus-curation queries beyond dedup: benchmark decontamination
   * (q57), gram-repetition quality filtering (q58), and PII
@@ -283,6 +283,60 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** The q72/q73 "reference slice" convention: sources src0–src4 play
+    * Wikipedia (the high-quality/target class of CCNet and DSIR), the
+    * other fifteen sources play the raw crawl. Deterministic in both
+    * engines — the class is a pure function of the source suffix. */
+  private def targetCls = (regexp_extract(col("source"), "(\\d+)$", 1)
+    .cast("int") < 5).cast("int")
+
+  /** q72 — Naive-Bayes quality classifier (the counting analog of
+    * CCNet's fastText Wikipedia-vs-crawl filter; machinery and the
+    * 100 TB argument in [[graft.ops.Classifier]]): train class-
+    * conditional token models on the src0–src4-vs-rest labels, then
+    * score every document's class log-likelihoods and arg-max. The
+    * exploded token frame feeds build and probe, so it is
+    * localCheckpoint'd — ONE corpus scan+tokenize (the q61
+    * convention); the prior pass re-reads only the `source` column
+    * (column-pruned scan, no tokenization). */
+  def nbQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = Classifier.tokenFrame(
+      Tables.documentsDistributed(spark, dir), "doc_id", "text", targetCls)
+      .localCheckpoint()
+    val priors = Tables.documents(spark, dir)
+      .agg(sum(when(targetCls === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(targetCls === 0, 1L).otherwise(0L)).as("n0"))
+    Classifier.scoreNaiveBayes(tk, Classifier.trainNaiveBayes(tk), priors)
+      .orderBy($"doc_id")
+  }
+
+  /** q73 — DSIR importance weights (Xie et al. 2023): hashed-bigram
+    * bucket models of the target (src0–src4) and raw slices, then
+    * each RAW document's log importance weight Σ ln(p_t(b)/p_r(b))
+    * and the deterministic keep rule logw > 0. The bucketed feature
+    * frame is localCheckpoint'd — it feeds the model build and the
+    * raw-side probe from one corpus scan; the model is ≤ `buckets`
+    * rows BY CONSTRUCTION (the fixed-B hashing is DSIR's point — the
+    * model side never grows with the corpus, unlike q61's pruned LM
+    * which merely saturates). */
+  def dsirWeights(spark: SparkSession, dir: String,
+      buckets: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", targetCls.as("cls"), explode_outer(
+        graft.expressions.TextHashes.tokenGrams(Dedup.tokens($"text"), 2))
+        .as("g"))
+      .filter($"g".isNotNull)
+      .select($"doc_id", $"cls",
+        Classifier.featureBucket($"g", buckets).as("b"))
+      .localCheckpoint()
+    Classifier.dsirWeights(
+      feats.filter($"cls" === 0).select($"doc_id", $"b"),
+      Classifier.dsirLogRatios(feats, buckets))
+      .orderBy($"doc_id")
+  }
+
   /** Shared 13-token-gram oracle fragment (the GPT-3/PaLM
     * decontamination convention, mirroring Decontaminate.gramHashes):
     * distinct md5 grams of `src(doc_id, $tokCol)`, short documents
@@ -329,7 +383,78 @@ object CurationQueries {
        |       ELSE round(dup_tri::DOUBLE / n_tri, 4) END AS dup_trigram_frac
        | FROM rep_m)""".stripMargin
 
+  /** Shared (doc_id, cls, tokens) oracle CTE — toksCte plus the
+    * q72/q73 src0–src4 target label. */
+  private[queries] val clsToksCte =
+    """ctoks AS (SELECT doc_id,
+      |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT) < 5
+      |       THEN 1 ELSE 0 END AS cls,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |              t -> length(t) > 0) AS tokens
+      | FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q72_nb_quality" ->
+      s"""WITH $clsToksCte,
+         |tk AS (SELECT doc_id, cls, unnest(tokens) AS t FROM ctoks),
+         |m AS (SELECT t,
+         |    SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS c1,
+         |    SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS c0
+         |  FROM tk GROUP BY t),
+         |g AS (SELECT SUM(c1) AS tot1, SUM(c0) AS tot0, COUNT(*) AS v
+         |      FROM m),
+         |lm AS (SELECT t,
+         |    CAST(round(ln((c1 + 1.0) / (tot1 + v)) * 16777216.0)
+         |      AS BIGINT) AS lnp1,
+         |    CAST(round(ln((c0 + 1.0) / (tot0 + v)) * 16777216.0)
+         |      AS BIGINT) AS lnp0
+         |  FROM m, g),
+         |pr0 AS (SELECT SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS n1,
+         |        SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS n0
+         |        FROM ctoks),
+         |pr AS (SELECT
+         |    CAST(round(ln(n1::DOUBLE / (n1 + n0)) * 16777216.0)
+         |      AS BIGINT) AS p1,
+         |    CAST(round(ln(n0::DOUBLE / (n1 + n0)) * 16777216.0)
+         |      AS BIGINT) AS p0
+         |  FROM pr0),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |    SUM(lnp1) AS s1, SUM(lnp0) AS s0
+         |  FROM tk JOIN lm USING (t) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round((s1 + p1)::DOUBLE / 16777216.0, 4) AS ll_target,
+         |  round((s0 + p0)::DOUBLE / 16777216.0, 4) AS ll_other,
+         |  CAST(CASE WHEN s1 + p1 > s0 + p0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pred
+         |FROM sc, pr ORDER BY doc_id""".stripMargin,
+    "q73_dsir_weights" ->
+      s"""WITH $clsToksCte,
+         |bg AS (SELECT doc_id, cls, unnest(
+         |    CASE WHEN len(tokens) >= 2
+         |      THEN list_transform(generate_series(1, len(tokens) - 1),
+         |             i -> array_to_string(tokens[i:i+1], ' '))
+         |      ELSE [] END) AS g
+         |  FROM ctoks),
+         |f AS (SELECT doc_id, cls,
+         |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS b
+         |  FROM bg),
+         |c AS (SELECT b,
+         |    SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS ct,
+         |    SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS cr
+         |  FROM f GROUP BY b),
+         |g2 AS (SELECT SUM(ct) AS tott, SUM(cr) AS totr FROM c),
+         |r AS (SELECT b,
+         |    CAST(round(ln((ct + 1.0) / (tott + 1024)) * 16777216.0)
+         |      AS BIGINT)
+         |    - CAST(round(ln((cr + 1.0) / (totr + 1024)) * 16777216.0)
+         |        AS BIGINT) AS lr
+         |  FROM c, g2),
+         |s AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(lr) AS sw
+         |  FROM f JOIN r USING (b) WHERE cls = 0 GROUP BY doc_id)
+         |SELECT doc_id, n_feats,
+         |  round(sw::DOUBLE / 16777216.0, 4) AS logw,
+         |  CAST(CASE WHEN sw > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q57_decontaminate" ->
       s"""WITH ${DedupQueries.toksCte},
          |${gramCte("kg", "toks")},

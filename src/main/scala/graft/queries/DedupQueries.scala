@@ -136,6 +136,37 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q76 — normalization-aware exact dedup: the q16 hash-groupBy run
+    * over [[Dedup.normalizeText]] instead of raw text, catching the
+    * reprints exact dedup misses (case changes, re-punctuation,
+    * injected digits/whitespace — the "near-exact" tier of Lee et al.
+    * 2022 between q16 and MinHash). The word-soup corpus has no such
+    * reprints, so the query first synthesizes them deterministically
+    * (the q59 construction): doc_id ≡ 0 mod 10 gains a clone at
+    * doc_id + 1e6 that is uppercased, indented, and suffixed with
+    * punctuation and digits — all of which normalization erases.
+    * Output is per-document: the canonical (min) doc_id of its
+    * normalized-hash group, a kept flag, and the clone marker; every
+    * clone must resolve to its original, never the reverse.
+    *
+    * Scale shape: identical to q16 — normalization is a per-row map,
+    * then ONE shuffle keyed by the normalized hash (a window min, no
+    * self-join). */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val clones = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  !!! 1999 ??")).as("text"))
+    base.unionByName(clones)
+      .withColumn("h", md5(Dedup.normalizeText(col("text"))))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("kept"),
+        (col("doc_id") >= 1000000L).cast("long").as("is_clone"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document 32-bit SimHash (near-dup docs differ in few bits). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsDistributed(spark, dir)
@@ -247,6 +278,29 @@ object DedupQueries {
       | FROM h64)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The normalization regexes interpolate from Dedup's constants
+    // (the Pii convention) — engines cannot drift.
+    "q76_normalized_dedup" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    '  ' || upper(text) || '  !!! 1999 ??' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |h AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '${Dedup.normStripPattern}', '', 'g'),
+         |      '${Dedup.normSpacePattern}', ' ', 'g'))) AS h
+         |  FROM all_docs),
+         |c AS (SELECT doc_id,
+         |    MIN(doc_id) OVER (PARTITION BY h) AS canonical_id
+         |  FROM h)
+         |SELECT doc_id, canonical_id,
+         |  CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT)
+         |    AS kept,
+         |  CAST(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_clone
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q20_minhash_signature" ->
       s"""WITH $toksCte, ${shCte()}, $sigCte
          |SELECT doc_id, md5(array_to_string(sig, ',')) AS sig_digest,

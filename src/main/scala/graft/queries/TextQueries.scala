@@ -179,7 +179,149 @@ object TextQueries {
 
   private val bm25QueryTerms = Seq("fast", "vector", "query")
 
+  private val fp = graft.ops.ProductQuant.fixedPointScale
+
+  /** q74 — per-source distribution drift: KL(p_source ‖ p_corpus)
+    * over unigram distributions, the dataset-card statistic that
+    * flags a source whose token mix diverges from the corpus (mixture
+    * monitoring for q67's sampler; nats, 4dp). ONE corpus shuffle to
+    * (source, token) counts; the corpus marginal, per-source totals
+    * and the grand total are all derived from that aggregated frame
+    * (two windows + a one-row broadcast — model-sized work, the
+    * frame is checkpointed so the corpus scan is not repeated).
+    * Per-term contributions go through the 2^24 fixed-point
+    * quantization so sums are order-independent (the q61
+    * convention). */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val perSrc = Tables.documentsDistributed(spark, dir)
+      .select($"source", explode_outer(TextAnalysis.tokensOf($"text")).as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"source", $"t").agg(count(lit(1)).as("cs"))
+      .localCheckpoint()
+    val tot = perSrc.agg(sum($"cs").as("tot"))
+    perSrc
+      .withColumn("c", sum($"cs").over(win.partitionBy($"t")))
+      .withColumn("tots", sum($"cs").over(win.partitionBy($"source")))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_fp", round(
+        ($"cs".cast("double") / $"tots") *
+          log(($"cs".cast("double") / $"tots") /
+            ($"c".cast("double") / $"tot")) * fp).cast("long"))
+      .groupBy($"source")
+      .agg(first($"tots").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum($"term_fp").as("s"))
+      .select($"source", $"n_tokens", $"n_types",
+        round($"s".cast("double") / fp, 4).as("kl"))
+      .orderBy($"source")
+  }
+
+  /** q75 — BPE pair-merge statistics (the first iteration of
+    * byte-pair-encoding tokenizer training, Sennrich et al. 2016):
+    * corpus-wide adjacent character-pair frequencies, counted over the
+    * WORD-FREQUENCY table rather than the corpus — the classic BPE
+    * trick that makes the explode vocabulary-sized (Heaps-sublinear)
+    * instead of corpus-sized. Top-20 pairs with deterministic
+    * tiebreak = the first merge the trainer would pick. */
+  def bpePairMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsDistributed(spark, dir)
+      .select(explode_outer(TextAnalysis.tokensOf($"text")).as("w"))
+      .filter($"w".isNotNull)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .filter(length($"w") >= 2)
+      .select($"freq", explode(transform(sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("n"))
+      .orderBy($"n".desc, $"pair".asc)
+      .limit(20)
+  }
+
+  /** q77 — TF-IDF top terms: per document, the k most
+    * characteristic terms by tf·ln(N/df) with deterministic tiebreak
+    * — the keyword-extraction face of the corpus statistics (and the
+    * scoring core of sparse retrieval, q51's BM25 without the length
+    * normalization). ONE corpus shuffle to (doc_id, term) counts
+    * (checkpointed — it feeds the document-frequency build AND the
+    * probe side); df is a vocabulary-sized aggregate of that frame;
+    * the scoring join is hint-free (AQE broadcasts a small df table,
+    * shuffles a huge one); N rides a one-row broadcast. Scores are
+    * fixed-point-quantized before ranking so the rank boundary is
+    * exact in both engines. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score_fp".desc, $"t".asc)
+    val tf = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", explode_outer(TextAnalysis.tokensOf($"text")).as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    tf.join(df, Seq("t"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_fp",
+        round($"tf" * log($"n".cast("double") / $"df") * fp).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"t".as("term"), $"rank",
+        round($"score_fp".cast("double") / fp, 4).as("score"))
+      .orderBy($"doc_id", $"rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q74_source_drift" ->
+      """WITH tk AS (SELECT source, unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> length(t) > 0)) AS t
+        |  FROM documents),
+        |ps AS (SELECT source, t, COUNT(*) AS cs FROM tk GROUP BY source, t),
+        |x AS (SELECT source, cs,
+        |    CAST(SUM(cs) OVER (PARTITION BY t) AS BIGINT) AS c,
+        |    CAST(SUM(cs) OVER (PARTITION BY source) AS BIGINT) AS tots,
+        |    CAST(SUM(cs) OVER () AS BIGINT) AS tot
+        |  FROM ps),
+        |k AS (SELECT source, tots,
+        |    CAST(round((cs::DOUBLE / tots) *
+        |      ln((cs::DOUBLE / tots) / (c::DOUBLE / tot)) * 16777216.0)
+        |      AS BIGINT) AS term_fp
+        |  FROM x)
+        |SELECT source, ANY_VALUE(tots) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  round(SUM(term_fp)::DOUBLE / 16777216.0, 4) AS kl
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "q75_bpe_pair_merge" ->
+      """WITH tk AS (SELECT unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> length(t) > 0)) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, COUNT(*) AS freq FROM tk GROUP BY w),
+        |p AS (SELECT freq, unnest(list_transform(
+        |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+        |  FROM wf WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    "q77_tfidf_topk" ->
+      """WITH tk AS (SELECT doc_id, unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> length(t) > 0)) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tk GROUP BY doc_id, t),
+        |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT doc_id, t,
+        |    CAST(round(tf * ln(n::DOUBLE / df) * 16777216.0) AS BIGINT)
+        |      AS score_fp
+        |  FROM tf JOIN df USING (t) CROSS JOIN n),
+        |r AS (SELECT doc_id, t, score_fp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_fp DESC, t ASC) AS rank
+        |  FROM s)
+        |SELECT doc_id, t AS term, CAST(rank AS BIGINT) AS rank,
+        |  round(score_fp::DOUBLE / 16777216.0, 4) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q51_bm25_search" ->
       """WITH lens AS (
         |  SELECT doc_id,

@@ -264,6 +264,43 @@ object Streams {
       .drop("__lnps")
   }
 
+  /** Streaming Naive-Bayes quality classification — the deployment
+    * shape of the q72 filter (the lmScoreStream convention): the
+    * class-conditional token model is TRAINED in batch
+    * (Classifier.trainNaiveBayes over the reference corpus, collected
+    * via [[graft.ops.Classifier.modelMaps]] — vocabulary-sized, which
+    * Heaps' law keeps sublinear; prune by min count before collecting
+    * if the deployment vocabulary is still too fat), shipped
+    * driver-side, and every arriving document scores as a pure
+    * per-row map: per-token fixed-point log-prob lookups with the
+    * Laplace OOV floors (ln(1/(tot_c+V)) — the smoothing constant the
+    * batch model implies for an unseen token), plus the class priors,
+    * arg-max on the fixed-point sums. No state, no join, no shuffle;
+    * empty/null documents fall back to the priors alone (pred is then
+    * simply the majority class — deterministic and non-null, the
+    * admissionStream discipline). */
+  def nbScoreStream(docs: DataFrame, textCol: String,
+      lnp1: Map[String, Long], lnp0: Map[String, Long],
+      oov1Fp: Long, oov0Fp: Long, p1Fp: Long, p0Fp: Long): DataFrame = {
+    val fp = graft.ops.ProductQuant.fixedPointScale
+    val m1 = typedLit(lnp1)
+    val m0 = typedLit(lnp0)
+    val toks = graft.ops.Dedup.tokens(col(textCol))
+    def cls(m: Column, oov: Long, prior: Long) =
+      coalesce(aggregate(toks, lit(prior),
+        (acc, t) => acc + coalesce(element_at(m, t), lit(oov))), lit(prior))
+    docs
+      .withColumn("n_tokens", coalesce(size(toks), lit(0)).cast("long"))
+      .withColumn("__s1", cls(m1, oov1Fp, p1Fp))
+      .withColumn("__s0", cls(m0, oov0Fp, p0Fp))
+      .withColumn("ll_target",
+        round(col("__s1").cast("double") / fp, 4))
+      .withColumn("ll_other",
+        round(col("__s0").cast("double") / fp, 4))
+      .withColumn("pred", (col("__s1") > col("__s0")).cast("long"))
+      .drop("__s1", "__s0")
+  }
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: java.sql.Timestamp, value: Double)
 

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.ops.{Classifier, Dedup}
+
+/** Round-9 corpus-statistics surface: Naive-Bayes quality
+  * classification (q72), DSIR importance weights (q73), per-source KL
+  * drift (q74), BPE pair-merge counts (q75), normalization-aware
+  * exact dedup (q76), and TF-IDF top terms (q77). Fixture tests pin
+  * the operator math on constructed inputs; sf0.001 tests pin the
+  * query-level invariants the oracles rely on.
+  */
+class CorpusStatsSpec extends SparkSpecBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("NB classifier: class-distinctive tokens drive the arg-max") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "wiki wiki encyclopedia", 1),
+      (2L, "wiki encyclopedia facts", 1),
+      (3L, "spam click buy", 0),
+      (4L, "buy spam now", 0),
+      (5L, "encyclopedia facts wiki", 1),
+      (6L, "click now buy", 0)).toDF("doc_id", "text", "cls")
+    val tk = Classifier.tokenFrame(docs, "doc_id", "text", col("cls"))
+    val priors = Seq((3L, 3L)).toDF("n1", "n0")
+    val out = Classifier
+      .scoreNaiveBayes(tk, Classifier.trainNaiveBayes(tk), priors)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    Seq(1L, 2L, 5L).foreach(id =>
+      assert(out(id).getLong(4) == 1L, s"doc $id should classify target"))
+    Seq(3L, 4L, 6L).foreach(id =>
+      assert(out(id).getLong(4) == 0L, s"doc $id should classify other"))
+    // log-likelihoods of a product of probabilities are negative
+    out.values.foreach { r =>
+      assert(r.getDouble(2) < 0d && r.getDouble(3) < 0d)
+    }
+  }
+
+  test("NB classifier: empty documents drop out instead of scoring") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b", 1), (2L, "", 0), (3L, "a c", 0))
+      .toDF("doc_id", "text", "cls")
+    val tk = Classifier.tokenFrame(docs, "doc_id", "text", col("cls"))
+    val out = Classifier.scoreNaiveBayes(tk,
+      Classifier.trainNaiveBayes(tk), Seq((1L, 2L)).toDF("n1", "n0"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+  }
+
+  test("DSIR: target-heavy buckets score positive, raw-heavy negative") {
+    import spark.implicits._
+    val feats = Seq(
+      (1L, 1, 5L), (1L, 1, 5L), // target doc, bucket 5
+      (2L, 0, 7L), (2L, 0, 7L), // raw doc, bucket 7
+      (10L, 0, 5L),             // raw doc whose features look target-like
+      (11L, 0, 7L)).toDF("doc_id", "cls", "b")
+    val ratios = Classifier.dsirLogRatios(feats, 1024)
+    val out = Classifier.dsirWeights(
+      feats.filter($"cls" === 0).select($"doc_id", $"b"), ratios)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 10L, 11L))
+    assert(out(10L).getDouble(2) > 0d && out(10L).getLong(3) == 1L)
+    assert(out(2L).getDouble(2) < 0d && out(2L).getLong(3) == 0L)
+    assert(out(11L).getDouble(2) < 0d && out(11L).getLong(3) == 0L)
+  }
+
+  test("featureBucket stays in range and is deterministic") {
+    import spark.implicits._
+    val b = Seq("alpha bravo", "charlie delta", "alpha bravo").toDF("g")
+      .select(Classifier.featureBucket(col("g"), 64).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.forall(x => x >= 0 && x < 64))
+    assert(b(0) == b(2))
+  }
+
+  test("q74 source drift: KL is non-negative per source") {
+    val rows = TextQueries.sourceDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // fixed-point rounding of per-term contributions can dip a
+      // hair below zero on a near-identical distribution
+      assert(r.getDouble(3) >= -0.001, s"KL < 0 for ${r.getString(0)}")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
+  test("q75 BPE pairs: two-char pairs, descending counts") {
+    val rows = TextQueries.bpePairMerge(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getString(0).length == 2))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1))
+    case _ => ()
+    }
+  }
+
+  test("normalizeText erases case, punctuation, digits, whitespace runs") {
+    import spark.implicits._
+    val out = Seq("  Hello,  WORLD!! 42\tfoo\n", "hello world foo")
+      .toDF("t").select(Dedup.normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "hello world foo")
+    assert(out(0) == out(1))
+  }
+
+  test("q76: every synthetic clone resolves to its original") {
+    val rows = DedupQueries.normalizedDedup(spark, dir).collect()
+    val clones = rows.filter(_.getLong(3) == 1L)
+    assert(clones.nonEmpty)
+    clones.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 1000000L,
+        s"clone ${r.getLong(0)} canonical ${r.getLong(1)}")
+      assert(r.getLong(2) == 0L, "clones are never kept")
+    }
+    // originals of clones survive as their group's canonical
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    clones.foreach(r => assert(byId(r.getLong(0) - 1000000L).getLong(2) == 1L))
+  }
+
+  test("q77 TF-IDF: ranks are 1..k with non-increasing scores per doc") {
+    val rows = TextQueries.tfidfTopTerms(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(3) >= b.getDouble(3),
+          s"doc $id scores increase with rank")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q77 TF-IDF: a corpus-rare term outranks corpus-common ones") {
+    import spark.implicits._
+    // doc 1 holds the only occurrence of 'zebra'; 'the' is everywhere
+    val docs = Seq((1L, "the the zebra the"), (2L, "the a b"),
+      (3L, "the a c")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = TextQueries.tfidfTopTerms(spark, tmp, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "zebra")
+  }
+}

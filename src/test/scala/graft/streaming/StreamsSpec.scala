@@ -277,6 +277,49 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows(3L).getDouble(3) == floor)
   }
 
+  test("nbScoreStream matches the batch scorer in-vocab, floors OOV and null") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Classifier
+    val docs = Seq((1L, "wiki wiki facts", 1), (2L, "spam buy now", 0))
+      .toDF("doc_id", "text", "cls")
+    val tk = Classifier.tokenFrame(docs, "doc_id", "text", $"cls")
+    val modelDf = Classifier.trainNaiveBayes(tk)
+    val (m1, m0) = Classifier.modelMaps(modelDf)
+    val batch = Classifier
+      .scoreNaiveBayes(tk, modelDf, Seq((1L, 1L)).toDF("n1", "n0"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val fp = 16777216.0
+    val pFp = math.round(math.log(0.5) * fp)
+    // Laplace OOV floor ln(1/(tot_c + V)): 3 tokens per class, V=5
+    val oov = math.round(math.log(1.0 / 8) * fp)
+    val src = MemoryStream[(Long, String)]
+    val out = Streams.nbScoreStream(
+      src.toDF().toDF("doc_id", "text"), "text", m1, m0, oov, oov, pFp, pFp)
+      .select($"doc_id", $"n_tokens", $"ll_target", $"ll_other", $"pred")
+    runBatches(out, "nbscore") {
+      src.addData(
+        (1L, "wiki wiki facts"), // fully in-vocab: must equal batch
+        (3L, "zzz"), // OOV token: both classes take the floor
+        (4L, null.asInstanceOf[String])) // null: priors alone
+    }
+    val rows = spark.table("nbscore").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 3L)
+    assert(rows(1L).getDouble(2) == batch(1L).getDouble(2) &&
+      rows(1L).getDouble(3) == batch(1L).getDouble(3) &&
+      rows(1L).getLong(4) == batch(1L).getLong(4),
+      "stream and batch NB scorer disagree in-vocab")
+    // symmetric OOV floors: class scores tie, pred falls to 0 (strict >)
+    assert(rows(3L).getDouble(2) == rows(3L).getDouble(3) &&
+      rows(3L).getLong(4) == 0L)
+    assert(rows(4L).getLong(1) == 0L && !rows(4L).isNullAt(2) &&
+      !rows(4L).isNullAt(4), "null doc must score non-null from priors")
+    val prior4dp = BigDecimal(pFp / fp)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(4L).getDouble(2) == prior4dp)
+  }
+
   test("latestPerKey keeps newest value per key across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
