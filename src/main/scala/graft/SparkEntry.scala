@@ -115,6 +115,12 @@ object SparkEntry {
     "q76_normalized_dedup" -> (DedupQueries.normalizedDedup _),
     "q77_tfidf_topk" -> ((s: SparkSession, d: String) =>
       TextQueries.tfidfTopTerms(s, d)),
+    "q78_embedding_outliers" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.embeddingOutliers(s, d)),
+    "q79_zipf_slope" -> ((s: SparkSession, d: String) =>
+      TextQueries.zipfSlope(s, d)),
+    "q80_near_dup_by_source" -> (DedupQueries.nearDupBySource _),
+    "q81_tokenizer_fertility" -> (TextQueries.tokenizerFertility _),
     "q73_dsir_weights" -> ((s: SparkSession, d: String) =>
       CurationQueries.dsirWeights(s, d)),
     "q71_substring_dedup" -> ((s: SparkSession, d: String) =>

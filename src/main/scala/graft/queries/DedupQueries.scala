@@ -167,6 +167,29 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q80 — near-dup accounting by source pair: q21's verified LSH
+    * pairs joined back to document metadata and rolled up per
+    * unordered source pair — the dataset-card view that shows WHERE
+    * duplication lives (intra-source boilerplate vs cross-source
+    * syndication), which decides whether dedup should run per-source
+    * or corpus-wide. The pair frame is the small side by construction
+    * (verified near-dups); both metadata joins are hint-free, so AQE
+    * broadcasts the pair side against the corpus-sized id→source map
+    * at scale. max_jaccard aggregates the 4dp-rounded verify score —
+    * order-independent. */
+  def nearDupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(withShingles(spark, dir),
+      "doc_id", "shingles")
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   /** Per-document 32-bit SimHash (near-dup docs differ in few bits). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsDistributed(spark, dir)
@@ -309,6 +332,17 @@ object DedupQueries {
          | md5(array_to_string(sig[9:12], ',')) AS band2,
          | md5(array_to_string(sig[13:16], ',')) AS band3
          |FROM sig ORDER BY doc_id""".stripMargin,
+    "q80_near_dup_by_source" ->
+      s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte, $candPairsCte,
+         |v AS (SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand
+         |      WHERE j >= 0.7),
+         |ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_lo,
+         |  greatest(a.source, b.source) AS source_hi,
+         |  COUNT(*) AS n_pairs, MAX(v.jaccard) AS max_jaccard
+         |FROM v JOIN ds a ON v.doc_a = a.doc_id
+         |  JOIN ds b ON v.doc_b = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q21_minhash_lsh_dedup" ->
       s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte, $candPairsCte
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand

@@ -445,6 +445,44 @@ object SimilarityQueries {
        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
        |    b.embedding::DOUBLE[]) >= 0.35)""".stripMargin
 
+  /** q78 — per-label embedding outlier filter: each vector's cosine
+    * to its OWN label's centroid, flagging vectors anti-correlated
+    * with their class (cos < `threshold`) — the embedding-space
+    * quality pass of a curation pipeline (mislabeled / misembedded
+    * samples; the centroid-distance analog of CLIP-score filtering
+    * for image-text data, and SemDeDup's outlier complement: q60
+    * drops the too-similar, this flags the too-different).
+    *
+    * Scale shape: centroids use the SHARED fixed-point mean
+    * convention (round(x·2²⁴) per dimension, exact long sums —
+    * order-independent across partitionings and engines): one
+    * (label, dim) aggregation over the posexploded corpus, then a
+    * labels-count-sized centroid table that AQE broadcasts back for
+    * the scoring join (hint-free). Scoring is a per-row codegen'd
+    * dot kernel; the outlier boundary compares the 4dp-ROUNDED
+    * cosine in both engines, so the flag is exact. */
+  def embeddingOutliers(spark: SparkSession, dir: String,
+      threshold: Double = 0.0): DataFrame = {
+    import spark.implicits._
+    val fp = ProductQuant.fixedPointScale
+    val e = Tables.embeddingsDistributed(spark, dir)
+      .select($"vec_id", $"label", $"embedding")
+    val cents = e
+      .select($"label", posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy($"label", $"i")
+      .agg(sum(round($"v".cast("double") * fp).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", ($"s".cast("double") / fp / $"n").cast("float"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"i", $"m"))).as("sm"))
+      .select($"label", transform($"sm", x => x.getField("m")).as("cemb"))
+    e.join(cents, Seq("label"))
+      .withColumn("cos_centroid", round(cosine($"embedding", $"cemb"), 4))
+      .select($"vec_id", $"label", $"cos_centroid",
+        ($"cos_centroid" < threshold).cast("long").as("is_outlier"))
+      .orderBy($"vec_id")
+  }
+
   /** IVF with k-means-refined cells: the q34 pipeline with
     * `kmeansCentroids` slotted in (2 Lloyd rounds), then the same
     * 2-probe search. */
@@ -648,6 +686,23 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q78_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |m AS (SELECT label, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(e.embedding[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM e, unnest(generate_series(1, 64)) t(i)
+        |  GROUP BY label, t.i),
+        |c AS (SELECT label, list(m ORDER BY i) AS cemb FROM m
+        |      GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cemb::DOUBLE[]), 4) AS cos_centroid
+        |  FROM e JOIN c USING (label))
+        |SELECT vec_id, label, cos_centroid,
+        |  CAST(CASE WHEN cos_centroid < 0.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_outlier
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q55_ivfpq_ann_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |cells AS (

@@ -238,6 +238,74 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q79 — Zipf fit: least-squares slope/intercept of ln(freq) on
+    * ln(rank) over the top-N token frequencies — the dataset-card
+    * statistic that flags a corpus whose token distribution deviates
+    * from natural language (healthy text sits near slope −1;
+    * boilerplate-heavy or synthetic corpora flatten or steepen it).
+    * ONE corpus shuffle to token counts, a TakeOrdered to the top-N
+    * (no global sort), then a rank window over the N-row frame
+    * (bounded by construction — the single-task Window here is over
+    * ≤ topN rows, never the corpus). The regression reduces to four
+    * sums; per-term ln products are fixed-point-quantized so the
+    * sums are order-independent, and slope/intercept derive from
+    * those exact sums in both engines. */
+  def zipfSlope(spark: SparkSession, dir: String, topN: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"freq".desc, $"t".asc)
+    val f = Tables.documentsDistributed(spark, dir)
+      .select(explode_outer(TextAnalysis.tokensOf($"text")).as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"t").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"t".asc).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("x", log($"rank".cast("double")))
+      .withColumn("y", log($"freq".cast("double")))
+      .select(
+        round($"x" * fp).cast("long").as("x_fp"),
+        round($"y" * fp).cast("long").as("y_fp"),
+        round($"x" * $"y" * fp).cast("long").as("xy_fp"),
+        round($"x" * $"x" * fp).cast("long").as("xx_fp"))
+    f.agg(count(lit(1)).as("n"), sum($"x_fp").as("sxf"),
+        sum($"y_fp").as("syf"), sum($"xy_fp").as("sxyf"),
+        sum($"xx_fp").as("sxxf"))
+      .select($"n",
+        ($"sxf".cast("double") / fp).as("dsx"),
+        ($"syf".cast("double") / fp).as("dsy"),
+        ($"sxyf".cast("double") / fp).as("dsxy"),
+        ($"sxxf".cast("double") / fp).as("dsxx"))
+      .withColumn("slope_raw",
+        ($"n" * $"dsxy" - $"dsx" * $"dsy") /
+          ($"n" * $"dsxx" - $"dsx" * $"dsx"))
+      .select($"n".as("n_terms"),
+        round($"slope_raw", 4).as("slope"),
+        round(($"dsy" - $"slope_raw" * $"dsx") / $"n", 4).as("intercept"))
+  }
+
+  /** q81 — tokenizer fertility by source: BPE-pretokens per
+    * whitespace word, the dataset-card statistic that flags sources a
+    * tokenizer segments inefficiently (code, non-Latin scripts,
+    * boilerplate — high fertility means more compute per word at
+    * training time). Pure scan-rider: both token counts are per-row
+    * kernels (q28's pretokenizer + the shared whitespace tokens),
+    * then one 20-row aggregation by source; the ratio derives from
+    * exact long sums. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsDistributed(spark, dir)
+      .withColumn("pre", TextAnalysis.bpeTokens($"text"))
+      .withColumn("n_bpe",
+        size(filter($"pre", m => m.rlike("\\S"))).cast("long"))
+      .withColumn("n_words", size(TextAnalysis.tokensOf($"text")).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bpe").as("bpe_tokens"),
+        sum($"n_words").as("words"))
+      .select($"source", $"n_docs", $"bpe_tokens", $"words",
+        round($"bpe_tokens".cast("double") / $"words", 4).as("fertility"))
+      .orderBy($"source")
+  }
+
   /** q77 — TF-IDF top terms: per document, the k most
     * characteristic terms by tf·ln(N/df) with deterministic tiebreak
     * — the keyword-extraction face of the corpus statistics (and the
@@ -272,6 +340,52 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q79_zipf_slope" ->
+      """WITH tk AS (SELECT unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> length(t) > 0)) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, COUNT(*) AS freq FROM tk GROUP BY t),
+        |top AS (SELECT t, freq FROM cnt
+        |        ORDER BY freq DESC, t ASC LIMIT 1000),
+        |r AS (SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, t ASC) AS rank
+        |  FROM top),
+        |f AS (SELECT
+        |    CAST(round(ln(rank::DOUBLE) * 16777216.0) AS BIGINT) AS x_fp,
+        |    CAST(round(ln(freq::DOUBLE) * 16777216.0) AS BIGINT) AS y_fp,
+        |    CAST(round(ln(rank::DOUBLE) * ln(freq::DOUBLE) * 16777216.0)
+        |      AS BIGINT) AS xy_fp,
+        |    CAST(round(ln(rank::DOUBLE) * ln(rank::DOUBLE) * 16777216.0)
+        |      AS BIGINT) AS xx_fp
+        |  FROM r),
+        |a AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(x_fp) AS BIGINT) / 16777216.0 AS dsx,
+        |    CAST(SUM(y_fp) AS BIGINT) / 16777216.0 AS dsy,
+        |    CAST(SUM(xy_fp) AS BIGINT) / 16777216.0 AS dsxy,
+        |    CAST(SUM(xx_fp) AS BIGINT) / 16777216.0 AS dsxx
+        |  FROM f),
+        |sl AS (SELECT n, dsx, dsy,
+        |    (n * dsxy - dsx * dsy) / (n * dsxx - dsx * dsx) AS slope_raw
+        |  FROM a)
+        |SELECT n AS n_terms, round(slope_raw, 4) AS slope,
+        |  round((dsy - slope_raw * dsx) / n, 4) AS intercept
+        |FROM sl""".stripMargin,
+    // the pretokenizer regex interpolates from TextAnalysis's
+    // constant (single quotes SQL-doubled) — engines cannot drift
+    "q81_tokenizer_fertility" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(list_filter(regexp_extract_all(text,
+         |    '${TextAnalysis.bpePattern.replace("'", "''")}'),
+         |    m -> regexp_matches(m, '\\S')))) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    t -> length(t) > 0))) AS BIGINT) AS words,
+         |  round(SUM(len(list_filter(regexp_extract_all(text,
+         |      '${TextAnalysis.bpePattern.replace("'", "''")}'),
+         |      m -> regexp_matches(m, '\\S'))))::DOUBLE /
+         |    SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> length(t) > 0))), 4) AS fertility
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q74_source_drift" ->
       """WITH tk AS (SELECT source, unnest(
         |    list_filter(string_split_regex(lower(text), '\s+'),

@@ -135,6 +135,74 @@ class CorpusStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q78 embedding outliers: flag tracks the rounded-cosine boundary") {
+    val rows = SimilarityQueries.embeddingOutliers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001)
+      assert(r.getLong(3) == (if (r.getDouble(2) < 0.0) 1L else 0L))
+    }
+  }
+
+  test("q78 embedding outliers: identical vectors are never outliers") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f), 0), (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(-1f, 0f, 0f), 0), // anti-correlated with its label
+      (3L, Array(0f, 1f, 0f), 1), (4L, Array(0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("emb").toString
+    e.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SimilarityQueries.embeddingOutliers(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(3) == 0L && out(1L).getLong(3) == 0L)
+    assert(out(2L).getLong(3) == 1L, "anti-correlated vector must flag")
+    assert(out(3L).getLong(3) == 0L && out(4L).getLong(3) == 0L)
+  }
+
+  test("q79 Zipf slope: single row, negative slope on natural ranking") {
+    val rows = TextQueries.zipfSlope(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) < 0d, "frequency must fall with rank")
+  }
+
+  test("q79 Zipf slope: exact power law recovers its exponent") {
+    import spark.implicits._
+    // freq = 1000 / rank  =>  ln f = ln 1000 - 1 * ln r: slope -1
+    val docs = (1 to 5).flatMap(r =>
+      Seq.fill(1000 / r)((s"w$r"))).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextQueries.zipfSlope(spark, tmp).collect().head
+    assert(math.abs(r.getDouble(1) + 1.0) < 0.02,
+      s"slope ${r.getDouble(1)} should be ~-1")
+  }
+
+  test("q80 near-dup accounting: sources are ordered, counts positive") {
+    val rows = DedupQueries.nearDupBySource(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "source pair must be ordered")
+      assert(r.getLong(2) > 0)
+      assert(r.getDouble(3) >= 0.7, "verified pairs sit above threshold")
+    }
+  }
+
+  test("q81 fertility: ratio consistent with its own sums") {
+    val rows = TextQueries.tokenizerFertility(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = BigDecimal(
+        r.getLong(2).toDouble / r.getLong(3))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == expected)
+      assert(r.getDouble(4) >= 1.0,
+        "BPE pretokens can never undercut whitespace words on word soup")
+    }
+  }
+
   test("q77 TF-IDF: a corpus-rare term outranks corpus-common ones") {
     import spark.implicits._
     // doc 1 holds the only occurrence of 'zebra'; 'the' is everywhere
