@@ -121,6 +121,11 @@ object SparkEntry {
       TextQueries.zipfSlope(s, d)),
     "q80_near_dup_by_source" -> (DedupQueries.nearDupBySource _),
     "q81_tokenizer_fertility" -> (TextQueries.tokenizerFertility _),
+    "q82_minhash_calibration" -> (DedupQueries.minhashCalibrationReport _),
+    "q83_markup_filter" -> (CurationQueries.markupFilter _),
+    "q84_conversion_funnel" -> (Relational.conversionFunnel _),
+    "q85_retention_cohorts" -> ((s: SparkSession, d: String) =>
+      Relational.retentionCohorts(s, d)),
     "q73_dsir_weights" -> ((s: SparkSession, d: String) =>
       CurationQueries.dsirWeights(s, d)),
     "q71_substring_dedup" -> ((s: SparkSession, d: String) =>

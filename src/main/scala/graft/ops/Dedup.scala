@@ -180,6 +180,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
 
+  /** q82 — MinHash sketch calibration: over the banded candidate
+    * pairs, compare the SKETCH's similarity estimate (fraction of
+    * agreeing signature elements — the unbiased MinHash estimator of
+    * Jaccard) against the exact shingle Jaccard, bucketed by exact-J
+    * decile — the "measure your sketch" card that tells an operator
+    * whether 16 hashes are enough for their corpus before they trust
+    * q21's threshold at scale (estimator stdev is √(J(1−J)/k), so
+    * thin sketches blur exactly the J≈threshold buckets that decide
+    * keeps). Same candidate generation as [[minhashLshPairs]] (band
+    * collision join, pair-dedup before the expensive verify);
+    * per-pair est/J are exact doubles (k/16 and an integer ratio),
+    * their means aggregate via fixed-point sums. */
+  def minhashCalibration(docs: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val fp = ProductQuant.fixedPointScale
+    val base = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = base.select(col("id"),
+      posexplode_outer(bandHashesDirect(col("sh"), numHashes, bands))
+        .as(Seq("band", "band_hash")))
+    val pairs = banded
+      .select(col("band"), col("band_hash"), col("id").as("doc_a"))
+      .join(banded.select(col("band"), col("band_hash"),
+        col("id").as("doc_b")), Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pairs
+      .join(base.select(col("id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), z => z)).cast("double") / numHashes)
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("bucket", least(floor(col("j") * 10), lit(9L)))
+      .withColumn("est_fp", round(col("est") * fp).cast("long"))
+      .withColumn("err_fp", round(abs(col("est") - col("j")) * fp)
+        .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round((sum(col("est_fp")).cast("double") / fp) / count(lit(1)), 4)
+          .as("mean_est"),
+        round((sum(col("err_fp")).cast("double") / fp) / count(lit(1)), 4)
+          .as("mean_abs_err"))
+      .orderBy(col("bucket"))
+  }
+
   /** INCREMENTAL near-dup: a NEW batch's documents collide against
     * the existing corpus's band index plus the batch itself — the
     * dedup face of the engine's incremental-merge contract (J5/J6's

@@ -283,6 +283,43 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q83 — markup/format-density filter ([[graft.ops.Markup]]): the
+    * "HTML leftovers" pass of a web pipeline (RefinedWeb/FineWeb) —
+    * tag count, code-fence count, Markdown-link count, tag density
+    * per token, and a keep flag (density ≤ 0.02 and no code fences).
+    * The corpus being clean word soup, the query first injects
+    * DETERMINISTIC markup per row (the q59/q65 construction): an
+    * HTML wrapper + anchor for doc_id ≡ 0 mod 3, a Markdown link for
+    * mod 5, a fenced code block for mod 7 — then runs the real
+    * counters. Pure per-row scan work; the keep boundary compares the
+    * 4dp-ROUNDED density in both engines. */
+  def markupFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dirty = concat(
+      when($"doc_id" % 3 === 0, lit("<div class=\"content\">"))
+        .otherwise(lit("")),
+      $"text",
+      when($"doc_id" % 3 === 0,
+        lit(" <a href=\"http://x.example\">link</a></div>"))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 0, lit(" [see](http://e.example)"))
+        .otherwise(lit("")),
+      when($"doc_id" % 7 === 0, lit("\n```\nvar x = 1;\n```"))
+        .otherwise(lit("")))
+    Tables.documentsDistributed(spark, dir)
+      .withColumn("t", dirty)
+      .withColumn("n_tokens", size(Dedup.tokens($"t")).cast("long"))
+      .select($"doc_id", $"n_tokens",
+        graft.ops.Markup.tagCount($"t").as("n_tags"),
+        graft.ops.Markup.fenceCount($"t").as("n_fences"),
+        graft.ops.Markup.mdLinkCount($"t").as("n_mdlinks"),
+        round(graft.ops.Markup.tagCount($"t").cast("double") / $"n_tokens", 4)
+          .as("tag_density"))
+      .withColumn("keep",
+        ($"tag_density" <= 0.02 && $"n_fences" === 0L).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   /** The q72/q73 "reference slice" convention: sources src0–src4 play
     * Wikipedia (the high-quality/target class of CCNet and DSIR), the
     * other fifteen sources play the raw crawl. Deterministic in both
@@ -394,6 +431,39 @@ object CurationQueries {
       | FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Markup regexes interpolate from Markup's constants (the Pii
+    // convention) — engines cannot drift.
+    "q83_markup_filter" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN '<div class="content">'
+         |       ELSE '' END ||
+         |  text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN ' <a href="http://x.example">link</a></div>'
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' [see](http://e.example)'
+         |       ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN chr(10) || '${"```"}' || chr(10) || 'var x = 1;' ||
+         |         chr(10) || '${"```"}'
+         |    ELSE '' END AS t
+         | FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(lower(t), '\\s+'),
+         |    x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(t, '${graft.ops.Markup.tagPattern}'))
+         |    AS BIGINT) AS n_tags,
+         |  CAST(len(regexp_extract_all(t, '${graft.ops.Markup.fencePattern}'))
+         |    AS BIGINT) AS n_fences,
+         |  CAST(len(regexp_extract_all(t,
+         |    '${graft.ops.Markup.mdLinkPattern}')) AS BIGINT) AS n_mdlinks
+         | FROM d),
+         |r AS (SELECT doc_id, n_tokens, n_tags, n_fences, n_mdlinks,
+         |  round(n_tags::DOUBLE / n_tokens, 4) AS tag_density FROM m)
+         |SELECT doc_id, n_tokens, n_tags, n_fences, n_mdlinks, tag_density,
+         |  CAST(CASE WHEN tag_density <= 0.02 AND n_fences = 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q72_nb_quality" ->
       s"""WITH $clsToksCte,
          |tk AS (SELECT doc_id, cls, unnest(tokens) AS t FROM ctoks),

@@ -190,6 +190,14 @@ object DedupQueries {
       .orderBy(col("source_lo"), col("source_hi"))
   }
 
+  /** q82 — MinHash sketch calibration over the banded candidates:
+    * estimated-vs-exact Jaccard per exact-J decile (see
+    * [[Dedup.minhashCalibration]]). The dataset-card view that
+    * validates the sketch parameters (16 hashes, 4 bands) BEFORE a
+    * 100 TB run trusts q21's threshold. */
+  def minhashCalibrationReport(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCalibration(withShingles(spark, dir), "doc_id", "shingles")
+
   /** Per-document 32-bit SimHash (near-dup docs differ in few bits). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsDistributed(spark, dir)
@@ -332,6 +340,29 @@ object DedupQueries {
          | md5(array_to_string(sig[9:12], ',')) AS band2,
          | md5(array_to_string(sig[13:16], ',')) AS band3
          |FROM sig ORDER BY doc_id""".stripMargin,
+    "q82_minhash_calibration" ->
+      s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte,
+         |cp AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands a JOIN bands b2 USING (b, band_hash)
+         |  WHERE a.doc_id < b2.doc_id),
+         |x AS (SELECT cp.doc_a, cp.doc_b,
+         |    len(list_filter(generate_series(1, 16),
+         |      i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16 AS est,
+         |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+         |      AS j
+         |  FROM cp JOIN sig sa ON cp.doc_a = sa.doc_id
+         |    JOIN sig sb ON cp.doc_b = sb.doc_id),
+         |f AS (SELECT LEAST(CAST(floor(j * 10) AS BIGINT), 9) AS bucket,
+         |    CAST(round(est * 16777216.0) AS BIGINT) AS est_fp,
+         |    CAST(round(abs(est - j) * 16777216.0) AS BIGINT) AS err_fp
+         |  FROM x)
+         |SELECT bucket, COUNT(*) AS n_pairs,
+         |  round((CAST(SUM(est_fp) AS BIGINT)::DOUBLE / 16777216.0)
+         |    / COUNT(*), 4) AS mean_est,
+         |  round((CAST(SUM(err_fp) AS BIGINT)::DOUBLE / 16777216.0)
+         |    / COUNT(*), 4) AS mean_abs_err
+         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q80_near_dup_by_source" ->
       s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte, $candPairsCte,
          |v AS (SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand

@@ -335,9 +335,104 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** q84 — strict sequential conversion funnel over the events
+    * stream: view → click-after-view → purchase-after-click, per-user
+    * first-occurrence times, reported as per-stage user counts and
+    * mean seconds from the previous stage. Each stage is one
+    * FILTERED aggregation on user_id (the funnel predicate prunes at
+    * the scan; the stage frames are user-count-sized, so the chained
+    * joins are broadcast-or-small shuffles — never events-sized
+    * twice). Latency math is exact: epoch-microsecond longs, summed
+    * exactly, divided once at the end (4dp). */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val tv = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val tc = ev.filter($"event_type" === "click")
+      .join(tv, Seq("user_id"))
+      .filter($"us" > $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"), first($"t1").as("t1"))
+    val tp = ev.filter($"event_type" === "purchase")
+      .join(tc, Seq("user_id"))
+      .filter($"us" > $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"), first($"t2").as("t2"))
+    val s1 = tv.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), $"n_users",
+        lit(0.0).as("mean_secs_from_prev"))
+    val s2 = tc.agg(count(lit(1)).as("n_users"),
+        sum($"t2" - $"t1").as("d"))
+      .select(lit("2_click").as("stage"), $"n_users",
+        round($"d".cast("double") / $"n_users" / 1000000d, 4)
+          .as("mean_secs_from_prev"))
+    val s3 = tp.agg(count(lit(1)).as("n_users"),
+        sum($"t3" - $"t2").as("d"))
+      .select(lit("3_purchase").as("stage"), $"n_users",
+        round($"d".cast("double") / $"n_users" / 1000000d, 4)
+          .as("mean_secs_from_prev"))
+    s1.unionByName(s2).unionByName(s3).orderBy($"stage")
+  }
+
+  /** q85 — retention cohorts: users grouped by first-seen day, then
+    * distinct active users per (cohort, day-offset) for the first
+    * week — the standard engagement triangle. First-seen is one
+    * user-keyed aggregation; the offset join probes it user-by-user
+    * (user-count-sized build side → broadcast at any realistic
+    * events:users ratio); the final rollup is one (cohort, offset)
+    * aggregation. Dates compare as DATE-truncated epochs — no
+    * timezone arithmetic beyond the session's pinned UTC. */
+  def retentionCohorts(spark: SparkSession, dir: String,
+      maxOffset: Int = 7): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+    val first = ev.groupBy($"user_id").agg(min($"d").as("cohort"))
+    ev.join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff($"d", $"cohort").cast("long"))
+      .filter($"day_offset" <= maxOffset)
+      .groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+        $"day_offset")
+      .agg(count_distinct($"user_id").as("n_users"))
+      .orderBy($"cohort", $"day_offset")
+  }
+
   /** SQL strings the DuckDB oracle runs on the same tables. Column names
     * and ordering must match the DataFrame outputs above exactly. */
   val oracles: Map[String, String] = Map(
+    "q84_conversion_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |            FROM events),
+        |tv AS (SELECT user_id, MIN(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (SELECT e.user_id, MIN(e.us) AS t2, ANY_VALUE(tv.t1) AS t1
+        |       FROM ev e JOIN tv USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > tv.t1
+        |       GROUP BY e.user_id),
+        |tp AS (SELECT e.user_id, MIN(e.us) AS t3, ANY_VALUE(tc.t2) AS t2
+        |       FROM ev e JOIN tc USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > tc.t2
+        |       GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+        |  0.0 AS mean_secs_from_prev FROM tv
+        |UNION ALL
+        |SELECT '2_click', COUNT(*),
+        |  round(CAST(SUM(t2 - t1) AS BIGINT)::DOUBLE / COUNT(*)
+        |    / 1000000, 4) FROM tc
+        |UNION ALL
+        |SELECT '3_purchase', COUNT(*),
+        |  round(CAST(SUM(t3 - t2) AS BIGINT)::DOUBLE / COUNT(*)
+        |    / 1000000, 4) FROM tp
+        |ORDER BY stage""".stripMargin,
+    "q85_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |WHERE date_diff('day', cohort, d) <= 7
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     "q47_revenue_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region,
         | coalesce(n_name, 'ALL') AS nation,

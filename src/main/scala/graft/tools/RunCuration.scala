@@ -22,6 +22,13 @@ import graft.queries.PipelineQueries
   *                      train split (doc_id, n_tokens, start_tok,
   *                      first_seq, n_seqs) — what a dataloader
   *                      slices fixed-length sequences by.
+  *   <outDir>/quality/  q72's Naive-Bayes quality scores over the
+  *                      CURATED corpus (doc_id, n_tokens, ll_target,
+  *                      ll_other, pred) — model trained ONCE on the
+  *                      raw lake's reference labels (src0–src4 play
+  *                      Wikipedia), then applied to the survivors:
+  *                      the train-once/score-curated deployment
+  *                      shape of the classifier.
   *
   * Usage: `runMain graft.tools.RunCuration <sfDir> <outDir>
   *         [nllThreshold]`. Prints one JSON summary line (driver
@@ -56,6 +63,27 @@ object RunCuration {
             .where("split = 'train'")
             .selectExpr("doc_id", "n_tokens"))
         .write.mode("overwrite").parquet(s"$outDir/packing")
+      // fourth artifact: NB quality scores over the curated corpus.
+      // The model trains on the RAW lake (where the source labels
+      // live — the curated corpus no longer carries them); the
+      // checkpointed training token frame is reachable from the
+      // scored plan's model side, so the consume below frees it.
+      locally {
+        import org.apache.spark.sql.functions._
+        val docs = graft.io.Tables.documents(spark, sfDir)
+        val cls = (regexp_extract(col("source"), "(\\d+)$", 1)
+          .cast("int") < 5).cast("int")
+        val tkTrain = graft.ops.Classifier
+          .tokenFrame(docs, "doc_id", "text", cls).localCheckpoint()
+        val priors = docs.agg(
+          sum(when(cls === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(cls === 0, 1L).otherwise(0L)).as("n0"))
+        val probe = graft.ops.Classifier.tokenFrame(
+          spark.read.parquet(s"$outDir/corpus"), "doc_id", "text", lit(0))
+        Checkpoints.consume(graft.ops.Classifier.scoreNaiveBayes(
+            probe, graft.ops.Classifier.trainNaiveBayes(tkTrain), priors))(
+          _.write.mode("overwrite").parquet(s"$outDir/quality"))
+      }
       val rows = st.collect()
       // the stats frame is 12 tiny rows — persist the COLLECTED copy
       // so the write doesn't re-evaluate the whole stage chain

@@ -203,6 +203,102 @@ class CorpusStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q82 calibration: identical docs land in the top bucket with zero error") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot"),
+      (2L, "alpha bravo charlie delta echo foxtrot"), // exact dup
+      (3L, "alpha bravo charlie delta echo golf"))    // near dup
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles(Dedup.tokens($"text")).as("sh"))
+    val rows = Dedup.minhashCalibration(docs, "doc_id", "sh").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+      assert(r.getDouble(2) >= 0d && r.getDouble(2) <= 1d)
+      assert(r.getDouble(3) >= 0d)
+    }
+    val top = rows.find(_.getLong(0) == 9L)
+    assert(top.isDefined, "the exact-dup pair must land in bucket 9")
+    assert(top.get.getDouble(3) <= 0.5,
+      "identical docs cannot have large estimator error")
+  }
+
+  test("q82 calibration runs at sf0.001 with sane buckets") {
+    val rows = DedupQueries.minhashCalibrationReport(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("q83 markup filter: injected markup drives the flags") {
+    import graft.queries.CurationQueries
+    val rows = CurationQueries.markupFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows.foreach { case (id, r) =>
+      val (tags, fences, links) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // <div ...>, <a ...>, </a>, </div>
+      if (id % 3 == 0) assert(tags == 4L, s"doc $id tags=$tags")
+      else assert(tags == 0L)
+      assert(fences == (if (id % 7 == 0) 2L else 0L))
+      assert(links == (if (id % 5 == 0) 1L else 0L))
+      val keep = r.getLong(6)
+      if (id % 3 == 0 || id % 7 == 0) assert(keep == 0L,
+        s"marked-up doc $id must drop")
+      else assert(keep == 1L, s"clean doc $id must keep")
+    }
+  }
+
+  test("q84 funnel: stages only shrink and latencies are non-negative") {
+    val rows = Relational.conversionFunnel(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_.getLong(1))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      "a strict funnel can never grow")
+    assert(rows(0).getDouble(2) == 0.0)
+    rows.drop(1).foreach(r => assert(r.getDouble(2) >= 0d))
+  }
+
+  test("q84 funnel: ordering is strict (click before view doesn't count)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      // user 1: proper view -> click -> purchase
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "view"),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "click"),
+      (1L, Timestamp.valueOf("2024-01-01 00:20:00"), "purchase"),
+      // user 2: click BEFORE view — converts at view only
+      (2L, Timestamp.valueOf("2024-01-01 00:10:00"), "click"),
+      (2L, Timestamp.valueOf("2024-01-01 00:20:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+      .select($"user_id", $"event_type",
+        unix_micros($"ts").as("us"))
+    // replicate the stage chain on the fixture
+    val tv = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val tc = ev.filter($"event_type" === "click").join(tv, Seq("user_id"))
+      .filter($"us" > $"t1").groupBy($"user_id")
+      .agg(min($"us").as("t2"))
+    assert(tv.count() == 2L)
+    assert(tc.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "user 2's pre-view click must not convert")
+  }
+
+  test("q85 retention: offset 0 exists per cohort and bounds hold") {
+    val rows = Relational.retentionCohorts(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (c, rs) =>
+      val offsets = rs.map(_.getLong(1)).toSet
+      assert(offsets.contains(0L), s"cohort $c missing day-0 row")
+      assert(offsets.forall(o => o >= 0L && o <= 7L))
+      val day0 = rs.find(_.getLong(1) == 0L).get.getLong(2)
+      rs.foreach(r => assert(r.getLong(2) <= day0,
+        s"cohort $c retains more users than it started with"))
+    }
+  }
+
   test("q77 TF-IDF: a corpus-rare term outranks corpus-common ones") {
     import spark.implicits._
     // doc 1 holds the only occurrence of 'zebra'; 'the' is everywhere

@@ -50,5 +50,20 @@ class RunCurationSpec extends SparkSpecBase {
     var cum = 0L
     for ((start, n) <- packed) { assert(start == cum); cum += n }
     assert(cum == byStage("9_split_train")._2)
+    // the quality artifact scores EXACTLY the curated survivors, with
+    // non-null class log-likelihoods and a 0/1 pred
+    val quality = spark.read.parquet(s"$out/quality")
+    assert(quality.columns.toSeq.sorted ==
+      Seq("doc_id", "ll_other", "ll_target", "n_tokens", "pred"))
+    assert(quality.count() == byStage("8_lm_filter")._1)
+    assert(quality.select($"doc_id").distinct().count() ==
+      corpus.select($"doc_id").distinct().count())
+    val qRows = quality.collect()
+    qRows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("ll_target")) &&
+        !r.isNullAt(r.fieldIndex("ll_other")))
+      val p = r.getLong(r.fieldIndex("pred"))
+      assert(p == 0L || p == 1L)
+    }
   }
 }
