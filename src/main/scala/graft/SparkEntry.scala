@@ -126,6 +126,9 @@ object SparkEntry {
     "q84_conversion_funnel" -> (Relational.conversionFunnel _),
     "q85_retention_cohorts" -> ((s: SparkSession, d: String) =>
       Relational.retentionCohorts(s, d)),
+    "q86_lexical_diversity" -> (TextQueries.lexicalDiversity _),
+    "q87_pmi_collocations" -> ((s: SparkSession, d: String) =>
+      TextQueries.pmiCollocations(s, d)),
     "q73_dsir_weights" -> ((s: SparkSession, d: String) =>
       CurationQueries.dsirWeights(s, d)),
     "q71_substring_dedup" -> ((s: SparkSession, d: String) =>

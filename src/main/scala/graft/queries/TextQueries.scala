@@ -339,7 +339,121 @@ object TextQueries {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** q86 — lexical-diversity card: per-document unigram entropy
+    * (nats) and type-token ratio — the repetition/diversity signals a
+    * dataset card reports next to q29's surface quality score (low
+    * entropy or TTR flags template spam and degenerate generations
+    * that Gopher-style repetition rules — q58 — can miss when the
+    * repeats are scattered rather than contiguous). ONE corpus
+    * shuffle to (doc_id, token) counts, then a per-doc rollup of that
+    * types-sized frame. Entropy uses the Σ c·ln c identity
+    * (H = ln n − (Σ c·ln c)/n), so the per-doc pass needs NO
+    * pre-computed total — one aggregation, not a window; per-term
+    * products are fixed-point-quantized so the sums are
+    * order-independent across partitionings and engines. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", explode_outer(TextAnalysis.tokensOf($"text")).as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(round($"c" * log($"c".cast("double")) * fp).cast("long")).as("s_fp"))
+      .select($"doc_id", $"n_tokens", $"n_types",
+        round($"n_types".cast("double") / $"n_tokens", 4).as("ttr"),
+        round(log($"n_tokens".cast("double")) -
+          ($"s_fp".cast("double") / fp) / $"n_tokens", 4).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  /** q87 — PMI collocations: the corpus's top adjacent-bigram
+    * collocations by pointwise mutual information with a min-count
+    * prune — the phrase-mining statistic (Church & Hanks 1990) a
+    * tokenizer or phrase-vocab builder runs before merging multiword
+    * units. Bigrams extract PER ROW (adjacent-pair transform — no
+    * positional window, no corpus-sized (doc,pos) shuffle); unigram
+    * and bigram counts are two aggregation shuffles off two scans of
+    * the columnar text (re-scan beats checkpointing a corpus-sized
+    * token frame — the q78 trade). The min-count prune lands BEFORE
+    * the unigram joins (the q61 lesson: never join an unpruned
+    * vocabulary² frame), so the join probes are collocation-count-
+    * sized and hint-free — AQE broadcasts the small side either way.
+    * PMI ln-ratios are computed identically from exact counts in both
+    * engines; ranking uses the 4dp-ROUNDED score with a pair-name
+    * tiebreak so the top-k boundary is deterministic. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Int = 5, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokensOf($"text")
+    val uni = Tables.documentsDistributed(spark, dir)
+      .select(explode_outer(toks).as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"t").agg(count(lit(1)).as("cu"))
+    val nUni = uni.agg(sum($"cu").as("n_uni"))
+    val bi = Tables.documentsDistributed(spark, dir)
+      .select(toks.as("tk"))
+      .filter(size($"tk") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"tk") - 1),
+        i => concat(element_at($"tk", i), lit(" "),
+          element_at($"tk", i + 1)))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n_pair"))
+    val nBi = bi.agg(sum($"n_pair").as("n_bi"))
+    bi.filter($"n_pair" >= minCount)
+      .withColumn("w1", split($"pair", " ").getItem(0))
+      .withColumn("w2", split($"pair", " ").getItem(1))
+      .join(uni.select($"t".as("w1"), $"cu".as("n_w1")), Seq("w1"))
+      .join(uni.select($"t".as("w2"), $"cu".as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(nUni))
+      .select($"pair", $"n_pair", $"n_w1", $"n_w2",
+        round(log(($"n_pair".cast("double") / $"n_bi") /
+          (($"n_w1".cast("double") / $"n_uni") *
+            ($"n_w2".cast("double") / $"n_uni"))), 4).as("pmi"))
+      .orderBy($"pmi".desc, $"pair".asc)
+      .limit(k)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q86_lexical_diversity" ->
+      """WITH tk AS (SELECT doc_id, unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> length(t) > 0)) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY doc_id, t),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(CAST(round(c * ln(c::DOUBLE) * 16777216.0) AS BIGINT))
+        |      AS BIGINT) AS s_fp
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  round(n_types::DOUBLE / n_tokens, 4) AS ttr,
+        |  round(ln(n_tokens::DOUBLE) - (s_fp / 16777216.0) / n_tokens, 4)
+        |    AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q87_pmi_collocations" ->
+      """WITH tk AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS cu
+        |  FROM (SELECT unnest(tokens) AS t FROM tk) GROUP BY t),
+        |nu AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_uni FROM uni),
+        |bg AS (SELECT unnest(list_transform(
+        |    generate_series(1, len(tokens) - 1),
+        |    i -> tokens[i] || ' ' || tokens[i+1])) AS pair
+        |  FROM tk WHERE len(tokens) >= 2),
+        |cb AS (SELECT pair, COUNT(*) AS n_pair FROM bg GROUP BY pair),
+        |nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bi FROM cb),
+        |j AS (SELECT f.pair, f.n_pair, u1.cu AS n_w1, u2.cu AS n_w2
+        |  FROM (SELECT pair, n_pair FROM cb WHERE n_pair >= 5) f
+        |  JOIN uni u1 ON string_split(f.pair, ' ')[1] = u1.t
+        |  JOIN uni u2 ON string_split(f.pair, ' ')[2] = u2.t)
+        |SELECT pair, n_pair, n_w1, n_w2,
+        |  round(ln((n_pair::DOUBLE / n_bi) /
+        |    ((n_w1::DOUBLE / n_uni) * (n_w2::DOUBLE / n_uni))), 4) AS pmi
+        |FROM j, nu, nb
+        |ORDER BY pmi DESC, pair ASC LIMIT 20""".stripMargin,
     "q79_zipf_slope" ->
       """WITH tk AS (SELECT unnest(
         |    list_filter(string_split_regex(lower(text), '\s+'),

@@ -299,6 +299,70 @@ class CorpusStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q86 lexical diversity: degenerate repetition scores zero entropy") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("lexdiv").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextQueries.lexicalDiversity(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // all-same tokens: one type, TTR 1/4, entropy exactly 0
+    assert(out(1L).getLong(2) == 1L && out(1L).getDouble(3) == 0.25)
+    assert(out(1L).getDouble(4) == 0.0)
+    // all-distinct: TTR 1, entropy ln 4
+    assert(out(2L).getDouble(3) == 1.0)
+    assert(math.abs(out(2L).getDouble(4) - math.log(4d)) < 1e-3)
+    // two balanced types: entropy ln 2
+    assert(math.abs(out(3L).getDouble(4) - math.log(2d)) < 1e-3)
+  }
+
+  test("q86 lexical diversity runs at sf0.001 with sane bounds") {
+    val rows = TextQueries.lexicalDiversity(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "types cannot exceed tokens")
+      val ttr = r.getDouble(3)
+      assert(ttr > 0d && ttr <= 1.0)
+      // entropy is bounded by ln(n_types)
+      assert(r.getDouble(4) >= -1e-4 &&
+        r.getDouble(4) <= math.log(r.getLong(2).toDouble) + 1e-4)
+    }
+  }
+
+  test("q87 PMI: an exclusive adjacent pair outranks an independent one") {
+    import spark.implicits._
+    // 'new york' always adjacent and exclusive; 'the cat' co-occurs but
+    // both words also appear everywhere else, diluting the ratio
+    val phrase = Array.fill(6)("new york").mkString(" ")
+    val noise = Array.fill(6)("the cat the dog the fish").mkString(" ")
+    val docs = Seq((1L, phrase), (2L, noise), (3L, noise))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pmi").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextQueries.pmiCollocations(spark, tmp, minCount = 5)
+      .collect()
+    val byPair = out.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(byPair.contains("new york"))
+    assert(out.head.getString(0) == "new york",
+      "the exclusive collocation must rank first")
+    byPair.get("the cat").foreach(p =>
+      assert(p < byPair("new york")))
+  }
+
+  test("q87 PMI runs at sf0.001 honoring the min-count prune") {
+    val rows = TextQueries.pmiCollocations(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5L, "min-count prune violated")
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(3) >= r.getLong(1),
+        "a bigram cannot outnumber its unigrams")
+    }
+    // descending by rounded PMI with pair-name tiebreak
+    val keys = rows.map(r => (-r.getDouble(4), r.getString(0))).toSeq
+    assert(keys == keys.sorted)
+  }
+
   test("q77 TF-IDF: a corpus-rare term outranks corpus-common ones") {
     import spark.implicits._
     // doc 1 holds the only occurrence of 'zebra'; 'the' is everywhere
