@@ -127,6 +127,8 @@ object SparkEntry {
     "q85_retention_cohorts" -> ((s: SparkSession, d: String) =>
       Relational.retentionCohorts(s, d)),
     "q86_lexical_diversity" -> (TextQueries.lexicalDiversity _),
+    "q88_url_domains" -> (CurationQueries.urlDomainReport _),
+    "q89_containment_dedup" -> (DedupQueries.containmentDedup _),
     "q87_pmi_collocations" -> ((s: SparkSession, d: String) =>
       TextQueries.pmiCollocations(s, d)),
     "q73_dsir_weights" -> ((s: SparkSession, d: String) =>

@@ -228,6 +228,66 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
+  /** q89 — containment near-dup: ONE-SIDED overlap |A∩B|/|A|
+    * alongside Jaccard — the asymmetric statistic that catches a
+    * short document embedded in a longer one (quote farms,
+    * boilerplate-wrapped reposts), where Jaccard is diluted by the
+    * big document's extra shingles and q21's threshold never fires.
+    * Full-document MinHash bands under-recall exactly these
+    * extreme-skew pairs (band collision probability decays with the
+    * DILUTED Jaccard — the known weakness that motivates containment
+    * sketches), so candidates come from the prefix-filter chain
+    * instead, adapted to the asymmetric predicate:
+    * max-containment ≥ t ⇔ |A∩B| ≥ t·min(|A|,|B|), so under the
+    * global (df, value) shingle order the SMALLER side must hit the
+    * other set within its first n − ⌈t·n⌉ + 1 shingles — each doc's
+    * prefix joins the FULL inverted index, restricted to partners no
+    * smaller than itself. Exact (no LSH recall loss); the prefix side
+    * carries mostly rare shingles, bounding the join fan-out the way
+    * PPJoin's does. There is deliberately NO length filter — skewed
+    * sizes are the point. The verify join computes exact
+    * small-integer ratios; output rounds at 4dp. */
+  def containmentPairs(docs: DataFrame, idCol: String, shingleCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+    val ex = base.select(col("id"), size(col("sh")).as("n"),
+      explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_df").asc, col("shingle").asc)
+    val ranked = ex.withColumn("_df", count(lit(1)).over(wDf))
+      .withColumn("_rank", row_number().over(w))
+    val prefix = ranked
+      .filter(col("_rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("shingle"), col("id").as("small_id"),
+        col("n").as("small_n"))
+    val full = ranked.select(col("shingle"), col("id").as("big_id"),
+      col("n").as("big_n"))
+    val candidates = prefix.join(full, Seq("shingle"))
+      .filter(col("small_n") < col("big_n") ||
+        (col("small_n") === col("big_n") &&
+          col("small_id") < col("big_id")))
+      .select(least(col("small_id"), col("big_id")).as("doc_a"),
+        greatest(col("small_id"), col("big_id")).as("doc_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast("double"))
+      .withColumn("ca", col("inter") / size(col("sh_a")))
+      .withColumn("cb", col("inter") / size(col("sh_b")))
+      .filter(greatest(col("ca"), col("cb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"),
+        round(col("ca"), 4).as("containment_a"),
+        round(col("cb"), 4).as("containment_b"))
+  }
+
   /** INCREMENTAL near-dup: a NEW batch's documents collide against
     * the existing corpus's band index plus the batch itself — the
     * dedup face of the engine's incremental-merge contract (J5/J6's

@@ -320,6 +320,40 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q88 — URL/domain accounting ([[graft.ops.Urls]]): per-domain URL
+    * and document counts plus the blocklist flag — the link-hygiene
+    * card a web pipeline builds before applying URL blocklists and
+    * per-domain volume caps (the filters that run BEFORE any text
+    * rule in C4/RefinedWeb). The corpus being clean word soup, the
+    * query injects DETERMINISTIC URLs per row (the q59/q65
+    * construction): a site{doc_id mod 5}.example content link for
+    * even doc_ids, an ads.example tracker link for doc_id ≡ 0 mod 11
+    * — then runs the real extractor. Extraction rides the scan; the
+    * rollup is one domains-sized aggregation (Heaps-sublinear in
+    * corpus size). */
+  def urlDomainReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withUrls = concat(
+      $"text",
+      when($"doc_id" % 2 === 0,
+        concat(lit(" http://site"), ($"doc_id" % 5).cast("string"),
+          lit(".example/p/"), $"doc_id".cast("string")))
+        .otherwise(lit("")),
+      when($"doc_id" % 11 === 0,
+        concat(lit(" https://ads.example/track?id="),
+          $"doc_id".cast("string")))
+        .otherwise(lit("")))
+    Tables.documentsDistributed(spark, dir)
+      .withColumn("t", withUrls)
+      .select($"doc_id", explode(graft.ops.Urls.extractUrls($"t")).as("url"))
+      .withColumn("domain", graft.ops.Urls.domainOf($"url"))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct($"doc_id").as("n_docs"))
+      .withColumn("blocked", graft.ops.Urls.blocked($"domain"))
+      .orderBy($"domain")
+  }
+
   /** The q72/q73 "reference slice" convention: sources src0–src4 play
     * Wikipedia (the high-quality/target class of CCNet and DSIR), the
     * other fifteen sources play the raw crawl. Deterministic in both
@@ -431,6 +465,34 @@ object CurationQueries {
       | FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // URL regexes and the blocklist interpolate from Urls' constants
+    // (the Pii convention) — engines cannot drift.
+    "q88_url_domains" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  text ||
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN ' http://site' || CAST(doc_id % 5 AS VARCHAR) ||
+         |         '.example/p/' || CAST(doc_id AS VARCHAR)
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 11 = 0
+         |    THEN ' https://ads.example/track?id=' ||
+         |         CAST(doc_id AS VARCHAR)
+         |    ELSE '' END AS t
+         | FROM documents),
+         |u AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(t, '${graft.ops.Urls.urlPattern}'))
+         |      AS url
+         |  FROM d),
+         |x AS (SELECT doc_id,
+         |    regexp_extract(url, '${graft.ops.Urls.domainPattern}', 1)
+         |      AS domain
+         |  FROM u)
+         |SELECT domain, COUNT(*) AS n_urls,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(CASE WHEN domain IN (${graft.ops.Urls.blocklist
+              .map(d => s"'$d'").mkString(", ")})
+         |       THEN 1 ELSE 0 END AS BIGINT) AS blocked
+         |FROM x GROUP BY domain ORDER BY domain""".stripMargin,
     // Markup regexes interpolate from Markup's constants (the Pii
     // convention) — engines cannot drift.
     "q83_markup_filter" ->

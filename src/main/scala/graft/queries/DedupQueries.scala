@@ -198,6 +198,14 @@ object DedupQueries {
   def minhashCalibrationReport(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCalibration(withShingles(spark, dir), "doc_id", "shingles")
 
+  /** q89 — containment near-dup over the banded candidates (see
+    * [[Dedup.containmentPairs]]): the asymmetric dedup report that
+    * catches short-in-long duplication q21's symmetric Jaccard
+    * threshold dilutes away. */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(withShingles(spark, dir), "doc_id", "shingles")
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Per-document 32-bit SimHash (near-dup docs differ in few bits). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsDistributed(spark, dir)
@@ -340,6 +348,24 @@ object DedupQueries {
          | md5(array_to_string(sig[9:12], ',')) AS band2,
          | md5(array_to_string(sig[13:16], ',')) AS band3
          |FROM sig ORDER BY doc_id""".stripMargin,
+    // exact inverted-index form — the oracle needs no prefix filter,
+    // the Spark side's filtering is lossless so results must agree
+    "q89_containment_dedup" ->
+      s"""WITH $toksCte, ${shCte()},
+         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |p AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    COUNT(*)::DOUBLE AS i
+         |  FROM ex a JOIN ex b2 USING (shingle)
+         |  WHERE a.doc_id < b2.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(shingles)::DOUBLE AS n FROM sh),
+         |x AS (SELECT p.doc_a, p.doc_b, p.i, sa.n AS la, sb.n AS lb
+         |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+         |    JOIN sz sb ON p.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(i / (la + lb - i), 4) AS jaccard,
+         |  round(i / la, 4) AS containment_a,
+         |  round(i / lb, 4) AS containment_b
+         |FROM x WHERE greatest(i / la, i / lb) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q82_minhash_calibration" ->
       s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte,
          |cp AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b

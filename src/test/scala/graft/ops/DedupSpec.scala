@@ -51,6 +51,27 @@ class DedupSpec extends SparkSpecBase {
     assert(j > 0.8 && j < 1.0)
   }
 
+  test("containmentPairs: a short doc inside a long one maxes containment") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " iota kappa lambda mu nu xi omicron pi rho sigma " +
+      "tau upsilon phi chi psi omega aleph bet gimel dalet he"
+    val d = docs((1L, short), (2L, long),
+      (3L, "one two three four five six seven eight nine ten"))
+    val out = Dedup.containmentPairs(d, "doc_id", "shingles")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // the (short, long) pair must be reported, with A fully contained
+    assert(out.keySet == Set((1L, 2L)))
+    val r = out((1L, 2L))
+    assert(r.getAs[Double]("containment_a") == 1.0,
+      "every shingle of the short doc appears in the long one")
+    assert(r.getAs[Double]("containment_b") < 1.0)
+    val j = r.getAs[Double]("jaccard")
+    assert(j < 0.5, "diluted Jaccard is exactly what q21 would miss")
+    // containment always dominates jaccard
+    assert(r.getAs[Double]("containment_a") >= j &&
+      r.getAs[Double]("containment_b") >= j)
+  }
+
   test("minhashLshPairsIncremental = batch pairs restricted to new-batch doc_b") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

@@ -363,6 +363,37 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(keys == keys.sorted)
   }
 
+  test("q88 URL domains: injected construction drives counts and blocklist") {
+    val rows = CurationQueries.urlDomainReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // five content domains + the tracker
+    assert(rows.keySet == Set("site0.example", "site1.example",
+      "site2.example", "site3.example", "site4.example", "ads.example"))
+    // even doc_ids 0..498: site{id mod 5}.example, one URL per doc
+    rows.foreach { case (d, r) =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"$d: one injected URL per document")
+    }
+    assert(rows("ads.example").getLong(3) == 1L, "tracker must be flagged")
+    rows.filterKeys(_ != "ads.example").values.foreach(r =>
+      assert(r.getLong(3) == 0L))
+    // doc_id ≡ 0 mod 11 in 0..499 → 46 tracker docs
+    assert(rows("ads.example").getLong(1) == 46L)
+    // even ids with id%5==0 are ids ≡ 0 mod 10 → 50 docs
+    assert(rows("site0.example").getLong(1) == 50L)
+  }
+
+  test("q89 containment runs at sf0.001: containment dominates jaccard") {
+    val rows = DedupQueries.containmentDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(2)
+      val ca = r.getDouble(3); val cb = r.getDouble(4)
+      assert(math.max(ca, cb) >= 0.5)
+      assert(ca >= j - 1e-9 && cb >= j - 1e-9)
+    }
+  }
+
   test("q77 TF-IDF: a corpus-rare term outranks corpus-common ones") {
     import spark.implicits._
     // doc 1 holds the only occurrence of 'zebra'; 'the' is everywhere
