@@ -128,6 +128,8 @@ object SparkEntry {
       Relational.retentionCohorts(s, d)),
     "q86_lexical_diversity" -> (TextQueries.lexicalDiversity _),
     "q88_url_domains" -> (CurationQueries.urlDomainReport _),
+    "q90_sq_ann_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.sqAnnKnn(s, d)),
     "q89_containment_dedup" -> (DedupQueries.containmentDedup _),
     "q87_pmi_collocations" -> ((s: SparkSession, d: String) =>
       TextQueries.pmiCollocations(s, d)),

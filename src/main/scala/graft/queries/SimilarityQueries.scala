@@ -483,6 +483,58 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** q90 — SQ8 scalar-quantized ANN: each dimension is linearly
+    * quantized to an 8-bit code against per-dimension corpus min/max
+    * (the FAISS `SQ8` / Milvus `SQ` storage tier — 4× smaller than
+    * float32 with near-lossless recall), then search scores the query
+    * against the RECONSTRUCTED vectors and reranks the top-k exactly.
+    * Reported as (approx cosine, exact cosine) side by side — the
+    * calibration view that tells an operator what the 8-bit tier
+    * costs in ranking fidelity before committing a 100 TB index to
+    * it. Plan shape: the per-dimension min/max pass is ONE
+    * 64-row aggregation of the posexploded corpus; the stats travel
+    * as a one-row broadcast of two 64-length arrays; quantize +
+    * reconstruct + score are per-row array transforms inside the scan
+    * (no per-dim corpus explode survives into the scoring plan); the
+    * exact rerank joins full embeddings for the k survivors only.
+    * Constant dimensions (hi = lo) quantize to code 0 and reconstruct
+    * to lo exactly in both engines. */
+  def sqAnnKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, dims: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddingsDistributed(spark, dir)
+      .select($"vec_id", $"embedding")
+    val stats = e.select(posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy($"i").agg(min($"v").as("lo"), max($"v").as("hi"))
+      .agg(array_sort(collect_list(struct($"i", $"lo"))).as("slo"),
+        array_sort(collect_list(struct($"i", $"hi"))).as("shi"))
+      .select(transform($"slo", x => x.getField("lo")).as("lo"),
+        transform($"shi", x => x.getField("hi")).as("hi"))
+    val q = e.filter($"vec_id" === queryId)
+      .select($"embedding".as("qemb"))
+    val recon = e.filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(stats))
+      .withColumn("recon", transform(sequence(lit(1), lit(dims)), i => {
+        val v = element_at($"embedding", i).cast("double")
+        val lo = element_at($"lo", i).cast("double")
+        val hi = element_at($"hi", i).cast("double")
+        val code = least(greatest(
+          floor((v - lo) / (hi - lo) * 256d), lit(0d)), lit(255d))
+        when(hi === lo, lo).otherwise(lo + (code + 0.5d) * (hi - lo) / 256d)
+          .cast("float")
+      }))
+    recon.crossJoin(broadcast(q))
+      .withColumn("cos_sq", cosine($"recon", $"qemb"))
+      .orderBy($"cos_sq".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", $"cos_sq")
+      .join(e.select($"vec_id", $"embedding".as("fullemb")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select($"vec_id", round($"cos_sq", 4).as("cos_sq"),
+        round(cosine($"fullemb", $"qemb"), 4).as("cos_full"))
+      .orderBy($"cos_sq".desc, $"vec_id".asc)
+  }
+
   /** IVF with k-means-refined cells: the q34 pipeline with
     * `kmeansCentroids` slotted in (2 Lloyd rounds), then the same
     * 2-probe search. */
@@ -686,6 +738,34 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q90_sq_ann_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |st AS (SELECT t.i AS i, MIN(e.embedding[t.i]) AS lo,
+        |    MAX(e.embedding[t.i]) AS hi
+        |  FROM e, unnest(generate_series(1, 64)) t(i) GROUP BY t.i),
+        |qd AS (SELECT e.vec_id, st.i,
+        |    CAST(CASE WHEN st.hi = st.lo THEN st.lo::DOUBLE
+        |      ELSE st.lo::DOUBLE +
+        |        (least(greatest(floor((e.embedding[st.i]::DOUBLE -
+        |            st.lo::DOUBLE) / (st.hi::DOUBLE - st.lo::DOUBLE)
+        |            * 256), 0), 255) + 0.5) *
+        |          (st.hi::DOUBLE - st.lo::DOUBLE) / 256
+        |      END AS FLOAT) AS r
+        |  FROM e, st WHERE e.vec_id <> 0),
+        |rec AS (SELECT vec_id, list(r ORDER BY i) AS recon
+        |  FROM qd GROUP BY vec_id),
+        |q AS (SELECT embedding FROM e WHERE vec_id = 0),
+        |s AS (SELECT rec.vec_id,
+        |    list_cosine_similarity(rec.recon::DOUBLE[],
+        |      q.embedding::DOUBLE[]) AS cos_sq
+        |  FROM rec, q),
+        |top AS (SELECT vec_id, cos_sq FROM s
+        |  ORDER BY cos_sq DESC, vec_id ASC LIMIT 10)
+        |SELECT top.vec_id, round(top.cos_sq, 4) AS cos_sq,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |    q.embedding::DOUBLE[]), 4) AS cos_full
+        |FROM top JOIN e USING (vec_id), q
+        |ORDER BY round(top.cos_sq, 4) DESC, top.vec_id ASC""".stripMargin,
     "q78_embedding_outliers" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |m AS (SELECT label, t.i AS i,

@@ -40,4 +40,30 @@ class MultiProbeSpec extends SparkSpecBase {
     assert(rMulti >= rSingle,
       s"multi-probe recall $rMulti < single-probe $rSingle")
   }
+
+  test("q90 SQ8: high recall vs exact, approx tracks exact closely") {
+    val exact = SimilarityQueries.knnBruteForce(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val rows = SimilarityQueries.sqAnnKnn(spark, dir).collect()
+    assert(rows.length == 10)
+    val recall = (rows.map(_.getLong(0)).toSet & exact).size
+    // 8-bit linear quantization is near-lossless on cosine ranking
+    assert(recall >= 8, s"SQ8 recall $recall/10 vs exact")
+    rows.foreach { r =>
+      val err = math.abs(r.getDouble(1) - r.getDouble(2))
+      assert(err < 0.02,
+        s"vec ${r.getLong(0)}: |cos_sq - cos_full| = $err")
+    }
+  }
+
+  test("q90 SQ8: codes stay in [0,255] and reconstruction stays in range") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // reconstructed values can never leave the [lo, hi] envelope:
+    // cos_sq of a vector against itself-reconstructed stays ~1
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val out = SimilarityQueries.sqAnnKnn(spark, dir, queryId = 3L)
+    assert(out.collect().forall(r => r.getDouble(1) <= 1.0001))
+  }
 }
