@@ -30,6 +30,34 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Gap-based sessionization — the streaming twin of the batch
+    * sessionize (q33): events of one user group into a session as
+    * long as consecutive events are within `gap`; a session closes
+    * (and emits, in append mode) once the watermark passes its end.
+    * Built on the NATIVE session window (`session_window`), so the
+    * state store handles session merging — two micro-batches landing
+    * inside one gap merge into one session without custom
+    * flatMapGroupsWithState bookkeeping, and state for closed
+    * sessions is reclaimed by the watermark. Emits the q33 report
+    * columns (n_events, start/end, sum_value); session identity is
+    * the (user_id, session_start) pair rather than q33's per-user
+    * ordinal — an unbounded stream has no stable ordinal. */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"),
+        sum(col("value")).as("sum_value"))
+      // q33 reports the LAST EVENT as end_ts; the native window's
+      // `end` is last-event + gap (the close boundary), so end_ts
+      // comes from the aggregated max instead
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("start_ts"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        col("n_events"), col("sum_value"))
+
   /** Keyed dedup within the watermark horizon — the streaming form of
     * the reference's "refetched records upsert over cache" (J5): the
     * first record per key wins, replays inside the lookback are

@@ -44,6 +44,83 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows.contains(("2020-01-01 00:10:00", "view", 1L, 5.0)))
   }
 
+  test("sessionizeStream: gap splits sessions, cross-batch events merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, Double)]
+    val out = Streams.sessionizeStream(
+      src.toDF().toDF("user_id", "ts", "value"),
+      gap = "10 minutes", lateness = "1 minute")
+    runBatches(out, "sessions") {
+      // burst 1 for user 1, split across two micro-batches INSIDE the
+      // gap — the native session window must merge them
+      src.addData((1L, t("2020-01-01 00:00:00"), 1.0),
+        (1L, t("2020-01-01 00:05:00"), 2.0))
+      src.addData((1L, t("2020-01-01 00:12:00"), 3.0))
+      // burst 2 for user 1 after the gap; user 2 independent
+      src.addData((1L, t("2020-01-01 01:00:00"), 4.0),
+        (2L, t("2020-01-01 01:01:00"), 5.0))
+      // advance the watermark far enough to close everything
+      src.addData((9L, t("2020-01-01 09:00:00"), 0.0))
+    }
+    val rows = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // user 1, session 1: three events merged across micro-batches
+    assert(rows.contains(
+      (1L, "2020-01-01 00:00:00", "2020-01-01 00:12:00", 3L, 6.0)))
+    // user 1, session 2 after the gap
+    assert(rows.contains(
+      (1L, "2020-01-01 01:00:00", "2020-01-01 01:00:00", 1L, 4.0)))
+    // user 2 never merges with user 1 despite overlapping times
+    assert(rows.contains(
+      (2L, "2020-01-01 01:01:00", "2020-01-01 01:01:00", 1L, 5.0)))
+  }
+
+  test("sessionizeStream agrees with batch q33 on a replayed slice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay a small deterministic event log through both paths
+    val evs = Seq(
+      (7L, t("2020-06-01 10:00:00"), 1.0),
+      (7L, t("2020-06-01 10:20:00"), 2.0),
+      (7L, t("2020-06-01 12:00:00"), 4.0),
+      (8L, t("2020-06-01 10:01:00"), 8.0))
+    val src = MemoryStream[(Long, Timestamp, Double)]
+    val out = Streams.sessionizeStream(
+      src.toDF().toDF("user_id", "ts", "value"),
+      gap = "30 minutes", lateness = "1 minute")
+    runBatches(out, "sessbatch") {
+      src.addData(evs: _*)
+      src.addData((99L, t("2020-06-02 00:00:00"), 0.0))
+    }
+    val streamed = spark.table("sessbatch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // batch twin: q33's window chain on the same in-memory frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val batch = evs.toDF("user_id", "ts", "value")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .select($"user_id", $"start_ts", $"end_ts", $"n_events",
+        $"sum_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed.filterNot(_._1 == 99L) == batch,
+      s"stream $streamed vs batch $batch")
+  }
+
   test("dedupStream drops key replays within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
