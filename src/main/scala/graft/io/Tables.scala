@@ -24,15 +24,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. Read it as epoch-nanos LongType and convert
-    * to a microsecond timestamp with exact integer arithmetic (a double
-    * division would lose precision above 2^53 ns). */
+  /** events.parquet has shipped `ts` in two physical layouts across
+    * driver generations: parquet TIMESTAMP(NANOS) (no native Spark
+    * type — read as epoch-nanos LongType via the legacy conf and
+    * converted with exact integer arithmetic; a double division would
+    * lose precision above 2^53 ns) and plain TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (reads as TIMESTAMP_NTZ). Both normalize
+    * to a session-zone TimestampType column; the session zone is
+    * pinned UTC everywhere (Verify/Bench/specs), so the NTZ cast is
+    * wall-clock exact and downstream queries/oracles see identical
+    * instants regardless of which layout the data arrived in. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val df = read(s, d, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
 
