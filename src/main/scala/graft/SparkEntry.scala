@@ -137,6 +137,12 @@ object SparkEntry {
       CurationQueries.dsirWeights(s, d)),
     "q71_substring_dedup" -> ((s: SparkSession, d: String) =>
       DedupQueries.substringDedup(s, d)),
+    "q91_perplexity_buckets" -> (CurationQueries.perplexityBuckets _),
+    "q92_edit_distance_dedup" -> ((s: SparkSession, d: String) =>
+      DedupQueries.editDistanceDedup(s, d)),
+    "q93_weighted_sample" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.weightedSample(s, d)),
+    "q94_cross_source_overlap" -> (TextQueries.crossSourceOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

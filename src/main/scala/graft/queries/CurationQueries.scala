@@ -252,6 +252,64 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q91 — perplexity buckets (the CCNet head/middle/tail split,
+    * Wenzek et al. 2020): score every document with the corpus bigram
+    * LM (q61's machinery), then split EACH SOURCE into three
+    * perplexity terciles — the partition CCNet feeds downstream
+    * (train on head, mine middle, drop tail). Output is the
+    * per-(source, bucket) dataset-card row: doc count, fixed-point
+    * mean NLL, min/max NLL.
+    *
+    * Tercile boundaries come from a 2dp-NLL HISTOGRAM, not a
+    * per-document rank: the corpus pays the scoring join plus one
+    * (source, bin) aggregation; the cumulative sweep and threshold
+    * pick run on the histogram frame (|sources|×|bins| rows —
+    * aggregate-scale), and the assignment is a broadcast join back.
+    * A per-source ntile/row_number would globally sort each source in
+    * a single task — the q66 anti-pattern — while the histogram
+    * tercile is exact at bin granularity by construction: every doc
+    * in the boundary bin lands in the same bucket, deterministically
+    * in both engines (integer ceil-division thresholds; no
+    * interpolated-percentile float edge). Mean NLL aggregates the 2^24
+    * fixed-point value (the Lloyd/ADC convention) so the partition
+    * sum is order-independent. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = LangModel.bigrams(
+      Tables.documentsDistributed(spark, dir), "doc_id", "text")
+      .localCheckpoint()
+    val scored = LangModel.score(bg, LangModel.train(bg, 1L))
+    val s = scored
+      .join(Tables.documents(spark, dir).select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .withColumn("bin", round($"avg_nll" * 100).cast("long"))
+      .withColumn("nll_fp", round($"avg_nll" * 16777216.0).cast("long"))
+    val hist = s.groupBy($"source", $"bin").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"bin")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+    val th = hist
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(wAll))
+      .groupBy($"source")
+      .agg(
+        min(when(expr("cum >= (n + 2) DIV 3"), $"bin")).as("t1"),
+        min(when(expr("cum >= (2 * n + 2) DIV 3"), $"bin")).as("t2"))
+    s.join(broadcast(th), Seq("source"))
+      .withColumn("bucket",
+        when($"bin" <= $"t1", "head")
+          .when($"bin" <= $"t2", "middle")
+          .otherwise("tail"))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round((sum($"nll_fp").cast("double") / 16777216.0) /
+          count(lit(1)), 4).as("mean_nll"),
+        min($"avg_nll").as("min_nll"),
+        max($"avg_nll").as("max_nll"))
+      .orderBy($"source", $"bucket")
+  }
+
   /** q65 — C4-style line-level boilerplate filter
     * ([[graft.ops.LineFilter]]): the corpus being single-line word
     * soup, the query first builds a DETERMINISTIC line-structured
@@ -465,6 +523,52 @@ object CurationQueries {
       | FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q91 rebuilds q61's LM-scoring CTEs, then derives per-source
+    // tercile thresholds from the 2dp histogram exactly as the Spark
+    // side does (integer ceil-division over the cumulative bin sweep).
+    "q91_perplexity_buckets" ->
+      s"""WITH ${DedupQueries.toksCte},
+         |bg AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(tokens) >= 2
+         |      THEN list_transform(generate_series(1, len(tokens) - 1),
+         |             i -> array_to_string(tokens[i:i+1], ' '))
+         |      ELSE [] END) AS g
+         |  FROM toks),
+         |lm0 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |lm AS (SELECT g,
+         |    CAST(round(ln(c2::DOUBLE /
+         |      SUM(c2) OVER (PARTITION BY split_part(g, ' ', 1)))
+         |      * 16777216.0) AS BIGINT) AS lnp_fp
+         |  FROM lm0),
+         |sc AS (SELECT b.doc_id,
+         |    round(-(CAST(SUM(l.lnp_fp) AS BIGINT)::DOUBLE / 16777216.0)
+         |      / count(*), 4) AS avg_nll
+         |  FROM bg b JOIN lm l USING (g) GROUP BY b.doc_id),
+         |s AS (SELECT sc.doc_id, d.source, avg_nll,
+         |    CAST(round(avg_nll * 100) AS BIGINT) AS bin,
+         |    CAST(round(avg_nll * 16777216.0) AS BIGINT) AS nll_fp
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |hist AS (SELECT source, bin, count(*) AS c FROM s
+         |         GROUP BY source, bin),
+         |cum AS (SELECT source, bin,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM hist),
+         |th AS (SELECT source,
+         |    min(CASE WHEN cum >= (n + 2) // 3 THEN bin END) AS t1,
+         |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN bin END) AS t2
+         |  FROM cum GROUP BY source),
+         |a AS (SELECT s.source, avg_nll, nll_fp,
+         |    CASE WHEN bin <= t1 THEN 'head'
+         |         WHEN bin <= t2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM s JOIN th USING (source))
+         |SELECT source, bucket, count(*) AS n_docs,
+         |  round((CAST(SUM(nll_fp) AS BIGINT)::DOUBLE / 16777216.0)
+         |    / count(*), 4) AS mean_nll,
+         |  min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+         |FROM a GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin,
     // URL regexes and the blocklist interpolate from Urls' constants
     // (the Pii convention) — engines cannot drift.
     "q88_url_domains" ->

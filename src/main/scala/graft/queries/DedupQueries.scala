@@ -206,6 +206,50 @@ object DedupQueries {
     Dedup.containmentPairs(withShingles(spark, dir), "doc_id", "shingles")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** q92 — edit-distance verified near-dup: the character-level
+    * ground-truth verify over q21's banded-LSH candidates. Shingle
+    * Jaccard is insensitive to WITHIN-token edits (typo clones share
+    * few shingles but most characters) and blind to token order
+    * swaps' true cost; normalized Levenshtein similarity
+    * 1 − lev/max(|a|,|b|) is the standard fuzzy-dedup verdict when
+    * the corpus is OCR/typo-noisy. Emitting both scores per pair is
+    * the calibration view (the q82 pattern): where jaccard and
+    * lev_ratio disagree is exactly where a Jaccard-threshold dedup
+    * mislabels.
+    *
+    * Scale shape: candidate generation is q21's (band collisions,
+    * pair-dedup before any verify — threshold 0.0 keeps every
+    * candidate); the texts join onto the SMALL pair frame (hint-free;
+    * AQE broadcasts the pair side against the corpus id→text map).
+    * Levenshtein is O(|a|·|b|) per pair — affordable precisely
+    * because it runs on banded candidates, never all pairs (the
+    * PPJoin verifier-role argument, SURVEY §8b). */
+  /** q92's near-dup verdict threshold — interpolated into the oracle
+    * SQL (the Pii convention) so the engines cannot drift. 0.98 sits
+    * inside the observed candidate-ratio spread at both test SFs
+    * (0.93–0.99), so the verdict actually separates candidates
+    * instead of rubber-stamping them. */
+  val editDistanceThreshold: Double = 0.98
+
+  def editDistanceDedup(spark: SparkSession, dir: String,
+      threshold: Double = editDistanceThreshold): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(withShingles(spark, dir),
+      "doc_id", "shingles", threshold = 0.0)
+    val txt = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    pairs
+      .join(txt.toDF("doc_a", "text_a"), Seq("doc_a"))
+      .join(txt.toDF("doc_b", "text_b"), Seq("doc_b"))
+      .withColumn("lev",
+        levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("lev_ratio",
+        round(lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))), 4))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lev"),
+        col("lev_ratio"),
+        (col("lev_ratio") >= threshold).cast("long").as("near_dup"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-document 32-bit SimHash (near-dup docs differ in few bits). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsDistributed(spark, dir)
@@ -404,6 +448,23 @@ object DedupQueries {
       s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte, $candPairsCte
          |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand
          |WHERE j >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    // q92 keeps EVERY banded candidate (threshold 0.0) and verifies
+    // with DuckDB's native levenshtein — same unit (codepoints) as
+    // Spark's builtin.
+    "q92_edit_distance_dedup" ->
+      s"""WITH $toksCte, ${shCte()}, $sigCte, $bandsCte, $candPairsCte,
+         |v AS (SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM cand),
+         |t AS (SELECT doc_id, text FROM documents),
+         |x AS (SELECT v.doc_a, v.doc_b, v.jaccard,
+         |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |    round(1.0 - levenshtein(a.text, b.text)::DOUBLE /
+         |      greatest(length(a.text), length(b.text)), 4) AS lev_ratio
+         |  FROM v JOIN t a ON v.doc_a = a.doc_id
+         |    JOIN t b ON v.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, jaccard, lev, lev_ratio,
+         |  CAST(CASE WHEN lev_ratio >= $editDistanceThreshold
+         |       THEN 1 ELSE 0 END AS BIGINT) AS near_dup
+         |FROM x ORDER BY doc_a, doc_b""".stripMargin,
     // the incremental delta IS the batch pair set restricted to
     // new-batch doc_b (the operator's pinned equivalence), so the
     // oracle is q21's with the watermark filter

@@ -473,6 +473,40 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q93 — weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006), the deterministic form: each document draws a
+    * stable uniform u ∈ (0,1) from its md5 (the q54 bucket construction
+    * widened to a 24-bit fraction) and competes with key u^(1/w) —
+    * taking the top-k realizes EXACT weighted sampling without
+    * replacement, the primitive behind "sample a 1M-doc eval slice
+    * where wiki counts 3× web". Weights reuse q67's source-tier
+    * convention (suffix mod 4 + 1). Deterministic end to end:
+    * re-running — or re-deriving in the warehouse — selects the same
+    * documents, and a grown corpus only displaces keys it beats (no
+    * rand(), no seed plumbing).
+    *
+    * Scale shape: the draw and key are per-row map work riding the
+    * scan; selection is a top-k (TakeOrderedAndProject — per-partition
+    * heaps into one k-row merge, the q06 argument), never a global
+    * sort. The only cross-engine float is pow(u, 1/w) — one
+    * correctly-rounded-input IEEE op whose 6dp-rounded output would
+    * need a ~5e-13 near-tie to diverge. */
+  def weightedSample(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("w",
+        (regexp_extract($"source", "(\\d+)$", 1).cast("long") % 4L) + 1L)
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("ws|"), $"doc_id".cast("string"))),
+          1, 6), 16, 10).cast("double") + 1.0) / 16777217.0)
+      .withColumn("skey", pow($"u", lit(1.0) / $"w".cast("double")))
+    d.orderBy($"skey".desc, $"doc_id").limit(k)
+      .select($"doc_id", $"source", $"w", round($"skey", 6).as("skey_r"))
+      .orderBy($"doc_id")
+  }
+
   /** §LLM dataset split (q54): stable md5-bucket train/val/test
     * assignment (90/5/5) — reproducible across runs, engines, and
     * corpus growth (an id's split never changes when other documents
@@ -488,6 +522,17 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q93_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4) + 1
+        |    AS w,
+        |  (CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)),
+        |    1, 6)) AS BIGINT) + 1.0) / 16777217.0 AS u
+        | FROM documents),
+        |s AS (SELECT doc_id, source, w, power(u, 1.0 / w) AS skey
+        |  FROM d ORDER BY skey DESC, doc_id LIMIT 100)
+        |SELECT doc_id, source, w, round(skey, 6) AS skey_r
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q67_mixture_sample" ->
       """WITH d AS (SELECT doc_id, source,
         |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

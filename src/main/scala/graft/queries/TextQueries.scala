@@ -414,7 +414,66 @@ object TextQueries {
       .limit(k)
   }
 
+  /** q94 — cross-source n-gram containment matrix: for every ordered
+    * source pair (a, b), the fraction of a's distinct bigrams that
+    * also occur in b — the corpus-overlap card that shows WHERE
+    * shared phrasing lives (syndication, mirrored boilerplate, a
+    * source quietly scraping another) and directs whether
+    * decontamination/dedup must run cross-source. The asymmetric
+    * containment (q89's measure lifted from document pairs to source
+    * pairs) distinguishes "a is a subset of b" from "b quotes a".
+    *
+    * Scale shape: grams travel as md5 hashes, never raw text (the
+    * Decontaminate convention); the distinct (source, gram) frame is
+    * ONE shuffle; the pair count is a self-join keyed on the gram
+    * with per-gram fan-out bounded by |sources| (≤ |sources|² rows
+    * out per gram, |sources| being dataset-card-small); per-source
+    * totals ride the same frame. No corpus-sized join side exists. */
+  def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documentsDistributed(spark, dir)
+      .select($"source", explode(array_distinct(
+        graft.expressions.TextHashes.kgramMd5(
+          graft.ops.Dedup.tokens($"text"), 2))).as("g"))
+      .distinct()
+    val tot = g.groupBy($"source").agg(count(lit(1)).as("n_grams_a"))
+    g.toDF("src_a", "g")
+      .join(g.toDF("src_b", "g"), Seq("g"))
+      .filter($"src_a" =!= $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(tot.withColumnRenamed("source", "src_a")),
+        Seq("src_a"))
+      .withColumn("containment",
+        round($"n_common".cast("double") / $"n_grams_a", 4))
+      .select($"src_a", $"src_b", $"n_common", $"n_grams_a",
+        $"containment")
+      .orderBy($"src_a", $"src_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q94_cross_source_overlap" ->
+      """WITH tk AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents),
+        |g0 AS (SELECT source, unnest(
+        |    CASE WHEN len(tokens) >= 2
+        |      THEN list_transform(generate_series(1, len(tokens) - 1),
+        |             i -> md5(array_to_string(tokens[i:i+1], ' ')))
+        |      ELSE [md5(array_to_string(tokens[1:2], ' '))] END) AS g
+        |  FROM tk),
+        |gr AS (SELECT DISTINCT source, g FROM g0),
+        |tot AS (SELECT source, count(*) AS n FROM gr GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS n_common,
+        |  any_value(t.n) AS n_grams_a,
+        |  round(count(*)::DOUBLE / any_value(t.n), 4) AS containment
+        |FROM gr a JOIN gr b USING (g)
+        |  JOIN tot t ON t.source = a.source
+        |WHERE a.source <> b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q86_lexical_diversity" ->
       """WITH tk AS (SELECT doc_id, unnest(
         |    list_filter(string_split_regex(lower(text), '\s+'),
