@@ -143,6 +143,8 @@ object SparkEntry {
     "q93_weighted_sample" -> ((s: SparkSession, d: String) =>
       PipelineQueries.weightedSample(s, d)),
     "q94_cross_source_overlap" -> (TextQueries.crossSourceOverlap _),
+    "q95_bloom_decontaminate" -> ((s: SparkSession, d: String) =>
+      CurationQueries.bloomDecontaminate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -459,4 +459,58 @@ object HashKernels {
       new GenericArrayData(Array[Any](minRange(0, n)))
     }
   }
+
+  /** UTF-8 bytes of the Bloom probe suffix "#i", precomputed for the
+    * probe range any realistic filter uses. */
+  private val probeSuffixes: Array[Array[Byte]] =
+    Array.tabulate(16)(i => ("#" + i).getBytes(UTF_8))
+  private def probeSuffix(i: Int): Array[Byte] =
+    if (i < 16) probeSuffixes(i) else ("#" + i).getBytes(UTF_8)
+
+  /** Probe position i of gram `g` in an m-bit Bloom filter: the
+    * uint32 of the first 8 md5 hex chars (≡ first 4 digest bytes,
+    * big-endian) of "g#i", mod m — the house md5-prefix construction
+    * (Sampling.stableBucket, SimHash token hashes), so any engine
+    * with md5 derives the identical position
+    * (`('0x' || substr(md5(g || '#' || i), 1, 8))::BIGINT % m` in
+    * DuckDB). Mirrored driver-side by graft.ops.BloomFilter.position
+    * (BloomSpec pins the agreement). */
+  def bloomPosition(md: MessageDigest, g: UTF8String, i: Int,
+      mBits: Int): Int = {
+    md.reset()
+    md.update(g.getBytes)
+    md.update(probeSuffix(i))
+    val d = md.digest()
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % mBits).toInt
+  }
+
+  /** Number of grams whose `kProbes` Bloom positions are ALL set in
+    * `bits` — the scan-side probe of the Bloom-filter decontamination
+    * pass (one compiled loop per row, no explode, no join). Null
+    * grams never hit. */
+  def bloomHitCount(grams: ArrayData, bits: Array[Long],
+      kProbes: Int): Long = {
+    val md = md5Local.get()
+    val mBits = bits.length * 64
+    var hits = 0L
+    var gi = 0
+    val n = grams.numElements()
+    while (gi < n) {
+      if (!grams.isNullAt(gi)) {
+        val g = grams.getUTF8String(gi)
+        var ok = true
+        var i = 0
+        while (ok && i < kProbes) {
+          val p = bloomPosition(md, g, i, mBits)
+          ok = (bits(p >> 6) & (1L << (p & 63))) != 0
+          i += 1
+        }
+        if (ok) hits += 1L
+      }
+      gi += 1
+    }
+    hits
+  }
 }

@@ -253,6 +253,31 @@ case class StopwordHits(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Count of grams whose Bloom positions are all set — the probe side
+  * of Bloom-filter decontamination. `bits` is the driver-built filter
+  * (graft.ops.BloomFilter.build over the benchmark's gram set),
+  * embedded as a codegen reference object: FIXED size (m bits)
+  * regardless of how large the benchmark grows — the artifact that
+  * replaces q57's exact gram-set broadcast at scale. */
+case class BloomHitCount(child: Expression, bits: Array[Long],
+    kProbes: Int) extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
+  override protected def inputDescription: String = "array<string> grams"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_hit_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.bloomHitCount(input.asInstanceOf[ArrayData], bits, kProbes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c => s"$kernels.bloomHitCount($c, $bitsRef, $kProbes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomHitCount =
+    copy(child = newChild)
+}
+
 /** Σ character length over a token array (mean-token-length numerator). */
 case class TokenLengthSum(child: Expression) extends HashKernelExpression {
   override protected def inputOk(dt: DataType): Boolean = isStringArray(dt)
@@ -339,5 +364,7 @@ object TextHashes {
     c(ArrayJaccard(e(a), e(b)))
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     c(StopwordHits(e(toks), words))
+  def bloomHitCount(grams: Column, bits: Array[Long], kProbes: Int): Column =
+    c(BloomHitCount(e(grams), bits, kProbes))
   def tokenLengthSum(toks: Column): Column = c(TokenLengthSum(e(toks)))
 }

@@ -252,6 +252,51 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q95 — Bloom-filter decontamination (the bounded-broadcast form
+    * of q57): build an m-bit Bloom filter over the benchmark's
+    * 13-gram hashes ([[graft.ops.BloomFilter]] — see its scaladoc for
+    * why the FIXED-size artifact is the 100 TB shape), probe every
+    * corpus document with ONE compiled per-row kernel
+    * (HashKernels.bloomHitCount — no explode, no join, rides the
+    * scan), and report flagged documents with their exact-hit count
+    * beside the Bloom count — the FP-calibration view: n_false_pos
+    * is what the m-bits choice costs, and a false NEGATIVE is
+    * impossible (Bloom filters never miss an inserted gram), so q57's
+    * contaminated set is always a subset of q95's flagged set
+    * (BloomSpec pins both). The deploy shape is probe-then-verify:
+    * the exact gram join runs only for the flagged slice (here the
+    * full report, for the oracle's benefit).
+    *
+    * The gram frame is computed ONCE (localCheckpoint — three
+    * consumers: the driver-side benchmark gram list, the Bloom probe
+    * scan, and the exact verify); callers free it via
+    * Checkpoints.consume like the other checkpointed results. */
+  def bloomDecontaminate(spark: SparkSession, dir: String, k: Int = 13,
+      mBits: Int = graft.ops.BloomFilter.defaultBits,
+      kProbes: Int = graft.ops.BloomFilter.defaultProbes): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id",
+        Decontaminate.gramHashes(Dedup.tokens($"text"), k).as("grams"))
+      .localCheckpoint()
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val bits = graft.ops.BloomFilter.build(
+      Decontaminate.benchGramList(bench, "grams"), mBits, kProbes)
+    val bloomed = corpus.select($"doc_id",
+        size($"grams").cast("long").as("n_grams"),
+        graft.expressions.TextHashes
+          .bloomHitCount($"grams", bits, kProbes).as("n_bloom_hits"))
+      .filter($"n_bloom_hits" > 0)
+    val exact = Decontaminate.overlapReport(corpus, bench, "doc_id", "grams")
+      .select($"doc_id", $"n_hit".as("n_exact_hits"))
+    bloomed.join(exact, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams", $"n_bloom_hits",
+        coalesce($"n_exact_hits", lit(0L)).as("n_exact_hits"))
+      .withColumn("n_false_pos", $"n_bloom_hits" - $"n_exact_hits")
+      .orderBy($"doc_id")
+  }
+
   /** q91 — perplexity buckets (the CCNet head/middle/tail split,
     * Wenzek et al. 2020): score every document with the corpus bigram
     * LM (q61's machinery), then split EACH SOURCE into three
@@ -523,6 +568,45 @@ object CurationQueries {
       | FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q95's oracle re-derives Bloom semantics without a bitset: a bit
+    // is set iff SOME benchmark gram set it, so "all kProbes positions
+    // set" ≡ "all kProbes positions ∈ the benchmark position set" —
+    // pure md5/int math both engines share. m and kProbes interpolate
+    // from BloomFilter's constants (the Pii convention).
+    "q95_bloom_decontaminate" ->
+      s"""WITH ${DedupQueries.toksCte},
+         |${gramCte("kg", "toks")},
+         |bench AS (SELECT DISTINCT unnest(grams) AS g FROM kg
+         |          WHERE doc_id % 7 = 0),
+         |bpos AS (SELECT DISTINCT
+         |    CAST(('0x' || substr(md5(g || '#' || i), 1, 8)) AS BIGINT)
+         |      % ${graft.ops.BloomFilter.defaultBits} AS p
+         |  FROM bench CROSS JOIN
+         |    unnest(generate_series(0,
+         |      ${graft.ops.BloomFilter.defaultProbes - 1})) t(i)),
+         |cg AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+         |       FROM kg WHERE doc_id % 7 <> 0),
+         |probe AS (SELECT doc_id, n_grams, g, i,
+         |    CAST(('0x' || substr(md5(g || '#' || i), 1, 8)) AS BIGINT)
+         |      % ${graft.ops.BloomFilter.defaultBits} AS p
+         |  FROM cg CROSS JOIN
+         |    unnest(generate_series(0,
+         |      ${graft.ops.BloomFilter.defaultProbes - 1})) t(i)),
+         |gh AS (SELECT doc_id, any_value(n_grams) AS n_grams, g
+         |  FROM probe JOIN bpos USING (p)
+         |  GROUP BY doc_id, g
+         |  HAVING count(*) = ${graft.ops.BloomFilter.defaultProbes}),
+         |bl AS (SELECT doc_id, any_value(n_grams) AS n_grams,
+         |         count(*) AS n_bloom_hits
+         |       FROM gh GROUP BY doc_id),
+         |ex AS (SELECT doc_id, count(*) AS n_exact_hits
+         |       FROM cg JOIN bench USING (g) GROUP BY doc_id)
+         |SELECT bl.doc_id, CAST(bl.n_grams AS BIGINT) AS n_grams,
+         |  bl.n_bloom_hits,
+         |  COALESCE(ex.n_exact_hits, 0) AS n_exact_hits,
+         |  bl.n_bloom_hits - COALESCE(ex.n_exact_hits, 0) AS n_false_pos
+         |FROM bl LEFT JOIN ex USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // q91 rebuilds q61's LM-scoring CTEs, then derives per-source
     // tercile thresholds from the 2dp histogram exactly as the Spark
     // side does (integer ceil-division over the cumulative bin sweep).
