@@ -68,6 +68,47 @@ object Streams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Watermarked stream-stream interval join (click attribution —
+    * §2.10's remaining join shape): every click joins the impression
+    * with the same key that preceded it by at most `horizon`. Both
+    * sides carry watermarks and the join predicate is an equi-key
+    * plus a BOUNDED time range, which is what lets the state store
+    * evict: an impression's state is reclaimable once the click-side
+    * watermark passes `imp_ts + horizon`, and unmatched clicks expire
+    * with their own watermark — bounded state on two unbounded
+    * streams. Without the range bound Spark would (correctly) refuse
+    * to clean either side's state.
+    *
+    * Contract: `impressions(imp_id, key, ts)`, `clicks(click_id, key,
+    * ts)`. Inner join — unattributed clicks are dropped (the
+    * left-outer variant emits them nulled after the horizon expires;
+    * same plan shape, heavier state timers — deployments choose).
+    *
+    * At scale this is the streaming twin of the batch as-of join
+    * (q45): state is hash-partitioned by key across executors, and
+    * per-key state is horizon-bounded, so a hot key costs its event
+    * rate × horizon, not history. */
+  def attributionStream(impressions: DataFrame, clicks: DataFrame,
+      horizon: String = "30 minutes",
+      lateness: String = "5 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("imp_id"), col("key").as("imp_key"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", lateness)
+    val clk = clicks
+      .select(col("click_id"), col("key").as("clk_key"),
+        col("ts").as("clk_ts"))
+      .withWatermark("clk_ts", lateness)
+    imp.join(clk,
+        expr(s"""imp_key = clk_key AND
+                |clk_ts >= imp_ts AND
+                |clk_ts <= imp_ts + interval '$horizon'""".stripMargin))
+      .select(col("imp_key").as("key"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("clk_ts"),
+        (unix_timestamp(col("clk_ts")) -
+          unix_timestamp(col("imp_ts"))).as("latency_s"))
+  }
+
   /** Streaming near-duplicate suppression: each document keyed by its
     * FIRST MinHash-LSH band key (the same compiled kernels as the
     * batch dedup path), deduped within the watermark horizon — a

@@ -121,6 +121,38 @@ class StreamsSpec extends SparkSpecBase {
       s"stream $streamed vs batch $batch")
   }
 
+  test("attributionStream joins clicks to impressions within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, String, Timestamp)]
+    val clks = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.attributionStream(
+      imps.toDF().toDF("imp_id", "key", "ts"),
+      clks.toDF().toDF("click_id", "key", "ts"),
+      horizon = "10 minutes", lateness = "1 minute")
+    runBatches(out, "attrib") {
+      imps.addData((100L, "adA", t("2020-01-01 00:00:00")),
+        (101L, "adB", t("2020-01-01 00:00:00")))
+      // inside horizon, matching key → attributed; wrong key → not
+      clks.addData((1L, "adA", t("2020-01-01 00:05:00")),
+        (2L, "adC", t("2020-01-01 00:05:00")))
+      // beyond the 10-minute horizon for imp 101 → not attributed
+      clks.addData((3L, "adB", t("2020-01-01 00:20:00")))
+      // advance both watermarks
+      imps.addData((199L, "zz", t("2020-01-01 02:00:00")))
+      clks.addData((99L, "zz", t("2020-01-01 02:00:01")))
+    }
+    val rows = spark.table("attrib")
+      .select($"key", $"imp_id", $"click_id", $"latency_s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows.contains(("adA", 100L, 1L, 300L)))
+    assert(!rows.exists(_._3 == 2L), "unmatched key must not attribute")
+    assert(!rows.exists(_._3 == 3L), "beyond-horizon click must not attribute")
+    // the zz pair lands inside the horizon and attributes too
+    assert(rows.contains(("zz", 199L, 99L, 1L)))
+  }
+
   test("dedupStream drops key replays within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
