@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpecBase
 import graft.ops.{Classifier, Dedup}
 
-/** Round-9 corpus-statistics surface: Naive-Bayes quality
+/** Round-8 late corpus-statistics surface: Naive-Bayes quality
   * classification (q72), DSIR importance weights (q73), per-source KL
   * drift (q74), BPE pair-merge counts (q75), normalization-aware
   * exact dedup (q76), and TF-IDF top terms (q77). Fixture tests pin
