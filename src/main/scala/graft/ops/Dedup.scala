@@ -236,54 +236,58 @@ object Dedup {
     * Full-document MinHash bands under-recall exactly these
     * extreme-skew pairs (band collision probability decays with the
     * DILUTED Jaccard — the known weakness that motivates containment
-    * sketches), so candidates come from the prefix-filter chain
-    * instead, adapted to the asymmetric predicate:
-    * max-containment ≥ t ⇔ |A∩B| ≥ t·min(|A|,|B|), so under the
-    * global (df, value) shingle order the SMALLER side must hit the
-    * other set within its first n − ⌈t·n⌉ + 1 shingles — each doc's
-    * prefix joins the FULL inverted index, restricted to partners no
-    * smaller than itself. Exact (no LSH recall loss); the prefix side
-    * carries mostly rare shingles, bounding the join fan-out the way
-    * PPJoin's does. There is deliberately NO length filter — skewed
-    * sizes are the point. The verify join computes exact
-    * small-integer ratios; output rounds at 4dp. */
+    * sketches), so the operator is EXACT: an inverted-index
+    * co-occurrence count (the all-pairs-similarity-search shape,
+    * Bayardo et al. WWW'07 §2's baseline). The exploded (shingle, id,
+    * n) index self-joins on the shingle and the per-pair match count
+    * IS |A∩B| (shingle arrays are distinct by construction) — from
+    * which every output statistic derives arithmetically:
+    * ca = inter/n_a, cb = inter/n_b, jaccard = inter/(n_a+n_b−inter).
+    * No verify join, no shingle arrays riding any shuffle: the widest
+    * thing in flight is a (shingle, id, n) row, and the only shuffles
+    * are the index self-join and the (doc_a, doc_b) count. (An earlier
+    * prefix-filtered variant carried both documents' FULL shingle
+    * arrays through two joins per surviving candidate and re-computed
+    * array_intersect per pair — measured 8× slower at sf0.1 despite
+    * touching fewer pairs, because the candidate set was barely
+    * smaller than the co-occurrence set while each row was ~30×
+    * wider.)
+    *
+    * Scale shape: join volume is Σ_shingle df² — bounded for real
+    * corpora by dedup upstream, and by `dfCap` where boilerplate
+    * shingles would otherwise explode it (drop shingles with df >
+    * cap from BOTH sides: the q21/q50 hot-bucket guard; a true pair
+    * is lost only if ≥ t·min(n_a,n_b) of its overlap is hot, so the
+    * cap trades bounded recall for a hard df² ceiling). There is
+    * deliberately NO length filter — skewed sizes are the point. All
+    * ratios are exact small-integer divisions; output rounds at 4dp. */
   def containmentPairs(docs: DataFrame, idCol: String, shingleCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, dfCap: Option[Int] = None): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
-    val ex = base.select(col("id"), size(col("sh")).as("n"),
+    val ex0 = base.select(col("id"), size(col("sh")).as("n"),
       explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
-    val wDf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shingle"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("_df").asc, col("shingle").asc)
-    val ranked = ex.withColumn("_df", count(lit(1)).over(wDf))
-      .withColumn("_rank", row_number().over(w))
-    val prefix = ranked
-      .filter(col("_rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("shingle"), col("id").as("small_id"),
-        col("n").as("small_n"))
-    val full = ranked.select(col("shingle"), col("id").as("big_id"),
-      col("n").as("big_n"))
-    val candidates = prefix.join(full, Seq("shingle"))
-      .filter(col("small_n") < col("big_n") ||
-        (col("small_n") === col("big_n") &&
-          col("small_id") < col("big_id")))
-      .select(least(col("small_id"), col("big_id")).as("doc_a"),
-        greatest(col("small_id"), col("big_id")).as("doc_b"))
-      .distinct()
-    candidates
-      .join(base.select(col("id").as("doc_a"), col("sh").as("sh_a")),
-        Seq("doc_a"))
-      .join(base.select(col("id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b")))
-        .cast("double"))
-      .withColumn("ca", col("inter") / size(col("sh_a")))
-      .withColumn("cb", col("inter") / size(col("sh_b")))
+    val ex = dfCap match {
+      case None => ex0
+      case Some(cap) =>
+        val cold = ex0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap)
+          .select(col("shingle"))
+        ex0.join(cold, Seq("shingle"), "left_semi")
+    }
+    ex.select(col("shingle"), col("id").as("doc_a"), col("n").as("n_a"))
+      .join(ex.select(col("shingle"), col("id").as("doc_b"),
+        col("n").as("n_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("ca", col("inter").cast("double") / col("n_a"))
+      .withColumn("cb", col("inter").cast("double") / col("n_b"))
       .filter(greatest(col("ca"), col("cb")) >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"),
         round(col("ca"), 4).as("containment_a"),
         round(col("cb"), 4).as("containment_b"))
   }

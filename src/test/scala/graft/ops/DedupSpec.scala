@@ -72,6 +72,31 @@ class DedupSpec extends SparkSpecBase {
       r.getAs[Double]("containment_b") >= j)
   }
 
+  test("containmentPairs dfCap drops hot shingles from both sides") {
+    // doc 3 shares ONLY the ubiquitous shingle run with docs 1 and 2;
+    // capping df at 2 removes shingles present in all three docs, so
+    // pairs surviving purely on hot overlap disappear while the
+    // rare-shingle pair (1,2) keeps its private overlap
+    val common = "the quick brown fox jumps over lazy dogs"
+    val d = docs(
+      (1L, common + " alpha beta gamma delta"),
+      (2L, common + " alpha beta gamma epsilon"),
+      (3L, common + " zeta eta theta iota"))
+    val uncapped = Dedup.containmentPairs(d, "doc_id", "shingles")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.size == 3,
+      s"all three pairs overlap on the common run: $uncapped")
+    // capping undercounts inter by the hot overlap (the documented
+    // recall trade), so the capped pass runs at a threshold the
+    // remaining COLD overlap of (1,2) still clears — (1,3)/(2,3)
+    // share nothing cold and vanish entirely
+    val capped = Dedup.containmentPairs(d, "doc_id", "shingles",
+      threshold = 0.3, dfCap = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      s"hot-shingle-only pairs must drop under the cap: $capped")
+  }
+
   test("minhashLshPairsIncremental = batch pairs restricted to new-batch doc_b") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
