@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * The patterns are deliberately restricted to constructs Java regex
   * and RE2 (the DuckDB oracle engine) interpret identically — ASCII
   * classes, `\b`, bounded repetition — so the oracle can replicate the
-  * exact match set. Redaction applies the three patterns in a FIXED
-  * order (email → IPv4 → phone): email bodies may contain dots and
-  * digits that the later patterns would otherwise carve up, so the
-  * order is part of the operator's contract (PiiSpec pins it).
+  * exact match set. Redaction applies the patterns in a FIXED order
+  * (email → IPv4 → IBAN → SSN → card → phone): email bodies may
+  * contain dots and digits that the later patterns would otherwise
+  * carve up, and each digit-bearing shape goes before any shorter
+  * shape that could bite a piece out of it, so the order is part of
+  * the operator's contract (PiiSpec pins it).
   */
 object Pii {
 
@@ -46,6 +48,27 @@ object Pii {
       "|(?:\\+1[-. ])?\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" +
       "|\\b\\d{3}-\\d{4}\\b)"
 
+  /** US SSN, dashed form NNN-NN-NNNN. Redacted BEFORE phones: the
+    * 7-digit phone alternative would otherwise carve the `NN-NNNN`
+    * tail out of an SSN (`\b` holds inside `123-45-6789` after the
+    * first dash), producing the partial-redaction artifact the phone
+    * pattern itself was widened to avoid. */
+  val ssnPattern: String = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Payment-card shapes: 4×4 digit groups with `-`/space separators,
+    * or a bare 16-digit run. No Luhn check — a regex scrubber
+    * over-matches rather than leaks (the IPv4 contract); validation
+    * belongs to a detector, not a redactor. Grouped form first so a
+    * separated card never half-matches the bare alternative. */
+  val creditCardPattern: String =
+    "(?:\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b|\\b\\d{16}\\b)"
+
+  /** IBAN shape: country code + 2 check digits + 11–30 alphanumerics,
+    * uppercase only (real IBANs are; lowercase word soup cannot
+    * collide). Shape-only, same over-match contract as the card
+    * pattern. */
+  val ibanPattern: String = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
   /** Number of matches of `pattern` in `text`. */
   def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
@@ -53,12 +76,27 @@ object Pii {
   def emailCount(text: Column): Column = countMatches(text, emailPattern)
   def ipv4Count(text: Column): Column = countMatches(text, ipv4Pattern)
   def phoneCount(text: Column): Column = countMatches(text, phonePattern)
+  def ssnCount(text: Column): Column = countMatches(text, ssnPattern)
+  def creditCardCount(text: Column): Column =
+    countMatches(text, creditCardPattern)
+  def ibanCount(text: Column): Column = countMatches(text, ibanPattern)
 
-  /** All three redactions in contract order (email → IPv4 → phone). */
+  /** All redactions in contract order (email → IPv4 → IBAN → SSN →
+    * card → phone): email bodies may contain dots and digits the
+    * later patterns would carve up; the IBAN's digit tail could
+    * otherwise lose its leading digits to the bare-16 card
+    * alternative; SSNs and cards must both go before the phone
+    * pattern's 7-digit alternative (see [[ssnPattern]]). */
   def redact(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, emailPattern, "<EMAIL>"),
-        ipv4Pattern, "<IP>"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, emailPattern, "<EMAIL>"),
+              ipv4Pattern, "<IP>"),
+            ibanPattern, "<IBAN>"),
+          ssnPattern, "<SSN>"),
+        creditCardPattern, "<CARD>"),
       phonePattern, "<PHONE>")
 }

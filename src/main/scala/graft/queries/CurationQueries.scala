@@ -128,6 +128,19 @@ object CurationQueries {
         concat(lit(" from 10."), ($"doc_id" % 256).cast("string"),
           lit("."), (($"doc_id" * 3) % 256).cast("string"),
           lit("."), (($"doc_id" * 7) % 256).cast("string")))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" ssn "), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+          lit("-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when($"doc_id" % 6 === 0,
+        concat(lit(" card 4111-2222-3333-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when($"doc_id" % 9 === 0,
+        concat(lit(" iban DE"), lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+          lit("BANK"), lpad(($"doc_id" % 100000000).cast("string"), 8, "0")))
         .otherwise(lit("")))
     Tables.documentsDistributed(spark, dir)
       .withColumn("dirty", dirty)
@@ -136,6 +149,9 @@ object CurationQueries {
         Pii.emailCount($"dirty").as("n_emails"),
         Pii.ipv4Count($"dirty").as("n_ips"),
         Pii.phoneCount($"dirty").as("n_phones"),
+        Pii.ssnCount($"dirty").as("n_ssns"),
+        Pii.creditCardCount($"dirty").as("n_cards"),
+        Pii.ibanCount($"dirty").as("n_ibans"),
         md5(Pii.redact($"dirty")).as("redacted_md5"))
       .orderBy($"doc_id")
   }
@@ -936,6 +952,19 @@ object CurationQueries {
         |  CASE WHEN doc_id % 4 = 0
         |    THEN ' from 10.' || (doc_id % 256) || '.' ||
         |         ((doc_id * 3) % 256) || '.' || ((doc_id * 7) % 256)
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |         '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |         '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0
+        |    THEN ' card 4111-2222-3333-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 9 = 0
+        |    THEN ' iban DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |         'BANK' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
         |    ELSE '' END AS t
         | FROM documents)
         |SELECT doc_id,
@@ -946,9 +975,19 @@ object CurationQueries {
         |    '${Pii.ipv4Pattern}')) AS BIGINT) AS n_ips,
         |  CAST(len(regexp_extract_all(t, '${Pii.phonePattern}')) AS BIGINT)
         |    AS n_phones,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |  CAST(len(regexp_extract_all(t, '${Pii.ssnPattern}')) AS BIGINT)
+        |    AS n_ssns,
+        |  CAST(len(regexp_extract_all(t,
+        |    '${Pii.creditCardPattern}')) AS BIGINT) AS n_cards,
+        |  CAST(len(regexp_extract_all(t, '${Pii.ibanPattern}')) AS BIGINT)
+        |    AS n_ibans,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(t,
         |    '${Pii.emailPattern}', '<EMAIL>', 'g'),
         |    '${Pii.ipv4Pattern}', '<IP>', 'g'),
+        |    '${Pii.ibanPattern}', '<IBAN>', 'g'),
+        |    '${Pii.ssnPattern}', '<SSN>', 'g'),
+        |    '${Pii.creditCardPattern}', '<CARD>', 'g'),
         |    '${Pii.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
         |FROM dirty ORDER BY doc_id""".stripMargin,
   )

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpecBase
 
 /** PII detection/redaction contract: match sets per pattern, the
-  * pinned redaction order (email → IPv4 → phone), and idempotence. */
+  * pinned redaction order (email → IPv4 → IBAN → SSN → card → phone), and idempotence. */
 class PiiSpec extends SparkSpecBase {
 
   private def one(text: String): (Long, Long, Long, String) = {
@@ -73,6 +73,49 @@ class PiiSpec extends SparkSpecBase {
     val twice = Seq(Tuple1(once)).toDF("t").select(Pii.redact($"t"))
       .head().getString(0)
     assert(once == twice)
+  }
+
+  private def more(text: String): (Long, Long, Long, String) = {
+    import spark.implicits._
+    val r = Seq(Tuple1(text)).toDF("t")
+      .select(
+        Pii.ssnCount($"t"), Pii.creditCardCount($"t"), Pii.ibanCount($"t"),
+        Pii.redact($"t"))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+  }
+
+  test("SSN redacts whole, before the 7-digit phone alternative") {
+    val (ssn, _, _, red) = more("ssn 123-45-6789 on file")
+    assert(ssn == 1L)
+    // phone's \b\d{3}-\d{4}\b must never carve the SSN's tail
+    assert(red == "ssn <SSN> on file")
+  }
+
+  test("cards: grouped and bare-16 both redact whole") {
+    val (_, cc, _, red) =
+      more("pay 4111-2222-3333-4444 or 4111222233334444 now")
+    assert(cc == 2L)
+    assert(red == "pay <CARD> or <CARD> now")
+  }
+
+  test("IBAN redacts before the bare-16 card alternative can bite its tail") {
+    val (_, cc, ib, red) = more("wire DE44500105175407324931 today")
+    assert(ib == 1L)
+    assert(red == "wire <IBAN> today")
+    // the raw-text card count sees no 16-digit run (letters break \b\d{16}\b)
+    assert(cc == 0L)
+  }
+
+  test("full-chain redaction is idempotent") {
+    import spark.implicits._
+    val dirty = "a@b.co 10.0.0.1 ssn 123-45-6789 card 4111-2222-3333-4444 " +
+      "iban DE44500105175407324931 tel 555-1234"
+    val once = more(dirty)._4
+    val twice = Seq(Tuple1(once)).toDF("t").select(Pii.redact($"t"))
+      .head().getString(0)
+    assert(once == twice)
+    assert(once == "<EMAIL> <IP> ssn <SSN> card <CARD> iban <IBAN> tel <PHONE>")
   }
 
   test("null and empty text pass through") {
