@@ -145,6 +145,8 @@ object SparkEntry {
     "q94_cross_source_overlap" -> (TextQueries.crossSourceOverlap _),
     "q95_bloom_decontaminate" -> ((s: SparkSession, d: String) =>
       CurationQueries.bloomDecontaminate(s, d)),
+    "q96_event_anomalies" -> ((s: SparkSession, d: String) =>
+      Relational.eventAnomalies(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -397,6 +397,64 @@ object Relational {
       .orderBy($"cohort", $"day_offset")
   }
 
+  /** q96 — event-rate anomaly flags: per (event_type, hour), the
+    * z-score of the hourly event count against its trailing
+    * `lookback`-hour window — the operational monitor a streaming
+    * ingest runs beside the pipeline (traffic spike, dead source,
+    * replay storm). Only fully-windowed hours are scored (count = 24
+    * baseline hours), so every z has the same support.
+    *
+    * Determinism across engines: mean and variance come from EXACT
+    * integer window sums (Σx, Σx² over integer counts) rather than
+    * the engines' native stddev aggregates — Spark's stddev is a
+    * Welford-style online update and DuckDB's a different pass
+    * structure, so their last-ulp floats can disagree; (Σx² −
+    * (Σx)²/n)/(n−1) from exact integers is one bit-identical double
+    * chain, and IEEE sqrt is correctly rounded, so z matches to the
+    * bit. Zero-variance windows score z = 0 (flagging "any change
+    * after 24 identical hours" is a policy, not a statistic).
+    *
+    * Scale shape: the corpus pays ONE aggregation (hour × type); the
+    * window runs over that AGGREGATE frame (|types| × |hours| rows —
+    * monitoring-scale), partitioned by event_type: a type's full
+    * history in one task is fine because the frame is already
+    * thousands of rows per year, not events. */
+  def eventAnomalies(spark: SparkSession, dir: String,
+      lookback: Int = 24, zThreshold: Double = 3.0): DataFrame =
+    eventAnomaliesFrame(Tables.events(spark, dir), lookback, zThreshold)
+      .orderBy(col("event_type"), col("hour"))
+
+  /** Frame-level q96 over any `events(event_type, ts)` — what the
+    * fixture specs drive directly. Unordered. */
+  def eventAnomaliesFrame(events: DataFrame,
+      lookback: Int = 24, zThreshold: Double = 3.0): DataFrame = {
+    import events.sparkSession.implicits._
+    val hourly = events
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(-lookback, -1)
+    hourly
+      .withColumn("base_n", count($"n_events").over(w))
+      .withColumn("s1", sum($"n_events").over(w))
+      .withColumn("s2", sum($"n_events" * $"n_events").over(w))
+      .filter($"base_n" === lookback)
+      .withColumn("base_avg", $"s1".cast("double") / lookback)
+      .withColumn("variance",
+        ($"s2".cast("double") - $"s1".cast("double") * $"s1" / lookback) /
+          (lookback - 1))
+      .withColumn("z",
+        when($"variance" > 0d,
+          ($"n_events" - $"base_avg") / sqrt($"variance"))
+          .otherwise(lit(0d)))
+      .select($"event_type",
+        date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"n_events", round($"base_avg", 4).as("base_avg"),
+        round($"z", 4).as("z"),
+        ($"z" > zThreshold || $"z" < -zThreshold).cast("long")
+          .as("anomaly"))
+  }
+
   /** SQL strings the DuckDB oracle runs on the same tables. Column names
     * and ordering must match the DataFrame outputs above exactly. */
   val oracles: Map[String, String] = Map(
@@ -556,6 +614,34 @@ object Relational {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // q96 mirrors the exact-integer-sums variance (Σx, Σx² windows);
+    // the anomaly flag tests the UNROUNDED z, the output rounds at 4dp
+    "q96_event_anomalies" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |win AS (SELECT event_type, h, n_events,
+        |    count(n_events) OVER w AS base_n,
+        |    SUM(n_events) OVER w AS s1,
+        |    SUM(n_events * n_events) OVER w AS s2
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT event_type, h, n_events,
+        |    CAST(s1 AS DOUBLE) / 24 AS base_avg,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |       / 24) / 23 AS variance
+        |  FROM win WHERE base_n = 24),
+        |z AS (SELECT event_type, h, n_events, base_avg,
+        |    CASE WHEN variance > 0
+        |         THEN (n_events - base_avg) / sqrt(variance)
+        |         ELSE 0 END AS zv
+        |  FROM sc)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  n_events, round(base_avg, 4) AS base_avg, round(zv, 4) AS z,
+        |  CAST(CASE WHEN zv > 3.0 OR zv < -3.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS anomaly
+        |FROM z ORDER BY event_type, hour""".stripMargin,
     "q36_blame_rollup" ->
       """WITH ranges AS (
         |  SELECT 'f' || CAST(l_partkey % 100 AS VARCHAR) AS path,

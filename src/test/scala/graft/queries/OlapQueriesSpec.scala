@@ -54,4 +54,52 @@ class OlapQueriesSpec extends SparkSpecBase {
         s"${r.getString(0)}: $lo $p25 $p50 $p75 $hi")
     }
   }
+
+  test("q96 anomalies: spike flags, normal hour doesn't, zero variance scores 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def hourEvents(day: Int, hour: Int, n: Int): Seq[(String, Timestamp)] =
+      (0 until n).map(i => ("t",
+        Timestamp.valueOf(f"2020-01-0$day $hour%02d:${i / 60}%02d:${i % 60}%02d")))
+    // 24 baseline hours alternating 9/11 events (mean 10, sample var
+    // 24/23), then one normal hour (10) and one spike hour (99)
+    val baseline = (0 until 24).flatMap(h =>
+      hourEvents(1, h, if (h % 2 == 0) 9 else 11))
+    val normal = hourEvents(2, 0, 10)
+    val spike = hourEvents(2, 1, 99)
+    val out = Relational.eventAnomaliesFrame(
+      (baseline ++ normal ++ spike).toDF("event_type", "ts"),
+      lookback = 24, zThreshold = 3.0)
+      .orderBy($"hour").collect()
+    assert(out.length == 2, "only fully-windowed hours are scored")
+    val n0 = out(0) // the normal hour
+    assert(n0.getLong(2) == 10L && n0.getDouble(3) == 10.0)
+    assert(math.abs(n0.getDouble(4)) < 0.01 && n0.getLong(5) == 0L)
+    val sp = out(1) // the spike
+    assert(sp.getLong(2) == 99L)
+    // spike window = day1 hours 1..23 (12×11 + 11×9) + the normal 10:
+    // s1 = 241, s2 = 2443 — recompute z from first principles
+    val s1 = 241.0; val s2 = 2443.0
+    val expVar = (s2 - s1 * s1 / 24) / 23
+    val expZ = (99.0 - s1 / 24) / math.sqrt(expVar)
+    assert(math.abs(sp.getDouble(4) - expZ) < 0.01,
+      s"z ${sp.getDouble(4)} vs expected $expZ")
+    assert(sp.getLong(5) == 1L, "the spike must flag")
+  }
+
+  test("q96 zero-variance baseline scores z = 0, never NaN/inf") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 24 identical day-1 hours + one day-2 hour: the day-2 hour scores
+    // over a zero-variance window
+    val flat = ((0 until 24).flatMap(h => (0 until 5).map(i =>
+      ("t", Timestamp.valueOf(f"2020-01-01 $h%02d:00:$i%02d")))) ++
+      (0 until 7).map(i =>
+        ("t", Timestamp.valueOf(f"2020-01-02 00:00:$i%02d"))))
+    val out = Relational.eventAnomaliesFrame(
+      flat.toDF("event_type", "ts"), lookback = 24).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 7L)
+    assert(out.head.getDouble(4) == 0.0 && out.head.getLong(5) == 0L)
+  }
 }
