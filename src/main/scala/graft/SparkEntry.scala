@@ -147,6 +147,9 @@ object SparkEntry {
       CurationQueries.bloomDecontaminate(s, d)),
     "q96_event_anomalies" -> ((s: SparkSession, d: String) =>
       Relational.eventAnomalies(s, d)),
+    "q97_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
+    "q98_phrase_search" -> ((s: SparkSession, d: String) =>
+      TextQueries.phraseSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

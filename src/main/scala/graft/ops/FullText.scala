@@ -113,4 +113,64 @@ object FullText {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Occurrences of `phrase` as CONSECUTIVE analyzed tokens in `toks`
+    * — Lucene PhraseQuery position semantics over the analyzed stream
+    * (stopwords removed before positions are assigned, as the
+    * analyzer indexes them). Matches ES with
+    * `enable_position_increments: false`: "cat the sat" analyzes to
+    * [cat, sat] with CONSECUTIVE positions here, so the phrase
+    * "cat sat" matches across a removed stopword — position-increment
+    * gaps are the documented divergence (FullTextSpec pins the
+    * behavior). Occurrences may overlap ("a b a" counts "a b" and
+    * "b a" independently). Per-row higher-order-function work
+    * (~|D|·|phrase| equality checks) — cheap enough that a compiled
+    * kernel isn't warranted, in contrast to the hashing kernels. */
+  def phraseCount(toks: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val m = phrase.length
+    when(size(toks) < m, lit(0L)).otherwise(
+      size(filter(sequence(lit(1), size(toks) - (m - 1)),
+        i => phrase.zipWithIndex.map { case (w, j) =>
+          element_at(toks, i + lit(j)) === lit(w)
+        }.reduce(_ && _))).cast("long"))
+  }
+
+  /** BM25-scored phrase search — the `match_phrase` face of the
+    * `text_en` surface (ES match_phrase ≡ Lucene PhraseQuery): a
+    * document matches iff the phrase occurs with CONSECUTIVE analyzed
+    * positions, tf is the PHRASE occurrence count, df the number of
+    * phrase-matching documents, and the score is the same Lucene BM25
+    * formula as [[bm25TopK]] applied to that phrase "term".
+    *
+    * Scale shape: the phrase count is a per-row scan-rider (no
+    * position explode, no position join — positions never leave their
+    * row); only matching documents (rare for a selective phrase)
+    * survive to the scoring stage, whose df/stats sides are one-row
+    * broadcasts. Top-k is a TakeOrdered. */
+  def bm25PhraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val analyzed = docs
+      .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
+      .withColumn("doclen", size(col("toks")))
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+    val hits = analyzed
+      .withColumn("tf", phraseCount(col("toks"), phrase).cast("double"))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("doclen"), col("tf"))
+    val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+    val normLen = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    hits.crossJoin(broadcast(stats)).crossJoin(broadcast(dfc))
+      .withColumn("score",
+        round(idf * col("tf") * lit(k1 + 1.0) / normLen, 4))
+      .select(col("doc_id"), col("tf").cast("long").as("phrase_hits"),
+        col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

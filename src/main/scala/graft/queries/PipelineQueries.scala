@@ -507,6 +507,53 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q97 — corpus snapshot diff (the refresh-accounting card): given
+    * OLD and NEW corpus snapshots, classify every document id as
+    * added / removed / changed / unchanged (content identity = md5 of
+    * text, the q16 convention) and report per-status doc counts and
+    * token totals on both sides — the report that tells an operator
+    * what a refresh actually costs BEFORE the incremental passes
+    * (J5/J6 merge, q68 incremental near-dup) run on the delta. The
+    * snapshots here are derived deterministically from `documents`
+    * (the q59 synthetic convention): OLD lacks doc_id ≡ 7 mod 10
+    * (those are "added"), carries extra ids ≡ 3 mod 13 shifted by
+    * +2000000 ("removed"), and upper-cases text for doc_id ≡ 0 mod 6
+    * ("changed" — the hash differs, the token count doesn't).
+    *
+    * Scale shape: ONE full-outer join co-partitioned on the id — at
+    * deployment both sides are bucketed snapshots (io/Layout), so
+    * even that shuffle disappears — then an aggregation to four
+    * rows. Hashing and token counting are scan-riders. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", $"text")
+    val newSnap = docs
+    val oldSnap = docs.filter($"doc_id" % 10 =!= 7)
+      .withColumn("text",
+        when($"doc_id" % 6 === 0, upper($"text")).otherwise($"text"))
+      .unionByName(docs.filter($"doc_id" % 13 === 3)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+    def side(df: DataFrame, pfx: String): DataFrame =
+      df.select($"doc_id",
+        md5($"text").as(s"${pfx}_hash"),
+        size(TextAnalysis.tokensOf($"text")).cast("long")
+          .as(s"${pfx}_tokens"))
+    side(oldSnap, "old")
+      .join(side(newSnap, "new"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"new_hash".isNull, "removed")
+          .when($"old_hash".isNull, "added")
+          .when($"old_hash" =!= $"new_hash", "changed")
+          .otherwise("unchanged"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"old_tokens", lit(0L))).as("old_tokens"),
+        sum(coalesce($"new_tokens", lit(0L))).as("new_tokens"))
+      .withColumn("token_delta", $"new_tokens" - $"old_tokens")
+      .orderBy($"status")
+  }
+
   /** §LLM dataset split (q54): stable md5-bucket train/val/test
     * assignment (90/5/5) — reproducible across runs, engines, and
     * corpus growth (an id's split never changes when other documents
@@ -522,6 +569,33 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q97_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 3),
+        |os AS (SELECT doc_id, md5(text) AS old_hash,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> length(t) > 0)) AS old_tokens
+        |  FROM o),
+        |ns AS (SELECT doc_id, md5(text) AS new_hash,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> length(t) > 0)) AS new_tokens
+        |  FROM documents),
+        |j AS (SELECT old_hash, new_hash,
+        |    COALESCE(old_tokens, 0) AS ot, COALESCE(new_tokens, 0) AS nt
+        |  FROM os FULL OUTER JOIN ns ON os.doc_id = ns.doc_id),
+        |c AS (SELECT CASE WHEN new_hash IS NULL THEN 'removed'
+        |    WHEN old_hash IS NULL THEN 'added'
+        |    WHEN old_hash <> new_hash THEN 'changed'
+        |    ELSE 'unchanged' END AS status, ot, nt FROM j)
+        |SELECT status, count(*) AS n_docs,
+        |  CAST(SUM(ot) AS BIGINT) AS old_tokens,
+        |  CAST(SUM(nt) AS BIGINT) AS new_tokens,
+        |  CAST(SUM(nt) - SUM(ot) AS BIGINT) AS token_delta
+        |FROM c GROUP BY status ORDER BY status""".stripMargin,
     "q93_weighted_sample" ->
       """WITH d AS (SELECT doc_id, source,
         |  (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4) + 1

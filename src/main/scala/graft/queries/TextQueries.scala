@@ -414,6 +414,29 @@ object TextQueries {
       .limit(k)
   }
 
+  /** q98 — phrase search (`match_phrase` over the `text_en` surface,
+    * [[graft.ops.FullText.bm25PhraseTopK]]): the query phrase is the
+    * corpus's most frequent analyzed bigram (count desc, bigram asc —
+    * deterministic, and guaranteed to engage at any SF; a deployment
+    * passes its phrase as a literal and skips that derivation pass).
+    * The 1-row top-bigram collect is a bounded driver artifact (the
+    * benchGramList convention). */
+  def phraseSearch(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val top = Tables.documents(spark, dir)
+      .select(FullText.analyze($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(1)
+      .head().getString(0)
+    FullText.bm25PhraseTopK(Tables.documents(spark, dir), "doc_id",
+      "text", top.split(" ").toSeq, k)
+  }
+
   /** q94 — cross-source n-gram containment matrix: for every ordered
     * source pair (a, b), the fraction of a's distinct bigrams that
     * also occur in b — the corpus-overlap card that shows WHERE
@@ -452,6 +475,41 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q98 re-derives the top analyzed bigram, counts consecutive
+    // occurrences per doc with a position lambda (no unnest of
+    // positions), and applies q51's BM25 constants to the phrase term
+    "q98_phrase_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |bgc AS (SELECT bg, COUNT(*) AS c FROM (
+        |    SELECT unnest(list_transform(
+        |      generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM sized WHERE doclen >= 2)
+        |  GROUP BY bg),
+        |top AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |    split_part(bg, ' ', 2) AS w2
+        |  FROM bgc ORDER BY c DESC, bg ASC LIMIT 1),
+        |h AS (SELECT doc_id, doclen,
+        |    len(list_filter(generate_series(1, doclen - 1),
+        |      i -> toks[i] = w1 AND toks[i + 1] = w2))::DOUBLE AS tf
+        |  FROM sized CROSS JOIN top WHERE doclen >= 2),
+        |hits AS (SELECT * FROM h WHERE tf > 0),
+        |dfc AS (SELECT COUNT(*)::DOUBLE AS df FROM hits)
+        |SELECT doc_id, CAST(tf AS BIGINT) AS phrase_hits,
+        |  round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl)), 4) AS score
+        |FROM hits CROSS JOIN stats CROSS JOIN dfc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q94_cross_source_overlap" ->
       """WITH tk AS (SELECT source,
         |    list_filter(string_split_regex(lower(text), '\s+'),

@@ -80,9 +80,12 @@ object Streams {
     * to clean either side's state.
     *
     * Contract: `impressions(imp_id, key, ts)`, `clicks(click_id, key,
-    * ts)`. Inner join — unattributed clicks are dropped (the
-    * left-outer variant emits them nulled after the horizon expires;
-    * same plan shape, heavier state timers — deployments choose).
+    * ts)`. `joinType` "inner" drops unattributed impressions;
+    * "left_outer" emits each unmatched impression ONCE, click columns
+    * nulled, after the watermark proves no click can still arrive
+    * (the conversion-accounting shape: every impression appears,
+    * attributed or not) — same plan and state bound, plus expiry
+    * timers on the left side.
     *
     * At scale this is the streaming twin of the batch as-of join
     * (q45): state is hash-partitioned by key across executors, and
@@ -90,7 +93,8 @@ object Streams {
     * rate × horizon, not history. */
   def attributionStream(impressions: DataFrame, clicks: DataFrame,
       horizon: String = "30 minutes",
-      lateness: String = "5 minutes"): DataFrame = {
+      lateness: String = "5 minutes",
+      joinType: String = "inner"): DataFrame = {
     val imp = impressions
       .select(col("imp_id"), col("key").as("imp_key"),
         col("ts").as("imp_ts"))
@@ -102,7 +106,8 @@ object Streams {
     imp.join(clk,
         expr(s"""imp_key = clk_key AND
                 |clk_ts >= imp_ts AND
-                |clk_ts <= imp_ts + interval '$horizon'""".stripMargin))
+                |clk_ts <= imp_ts + interval '$horizon'""".stripMargin),
+        joinType)
       .select(col("imp_key").as("key"), col("imp_id"), col("click_id"),
         col("imp_ts"), col("clk_ts"),
         (unix_timestamp(col("clk_ts")) -

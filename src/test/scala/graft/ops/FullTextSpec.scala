@@ -86,6 +86,40 @@ class FullTextSpec extends SparkSpecBase {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("phraseCount: consecutive-only, overlapping, across removed stopwords") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "red fox red fox red"),        // "red fox" twice
+      (2L, "red cat fox"),                // terms present, not adjacent
+      (3L, "red the fox runs"),           // stopword gap closes (documented)
+      (4L, "fox red"),                    // reversed — no match
+      (5L, "")).toDF("doc_id", "text")
+    val out = rows
+      .select($"doc_id", FullText.phraseCount(
+        FullText.analyze($"text"), Seq("red", "fox")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L)
+    assert(out(2L) == 0L)
+    assert(out(3L) == 1L,
+      "analyzed positions are consecutive after stopword removal")
+    assert(out(4L) == 0L)
+    assert(out(5L) == 0L)
+  }
+
+  test("bm25PhraseTopK: more phrase hits outrank fewer at equal length") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red fox runs red fox jumps over hills"),
+      (2L, "red fox naps then quietly sits all day"),
+      (3L, "green cat naps then quietly sits all day")).toDF("doc_id", "text")
+    val out = FullText.bm25PhraseTopK(docs, "doc_id", "text",
+      Seq("red", "fox")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "only phrase-matching docs appear, double-hit first")
+    assert(out(0).getLong(1) == 2L && out(1).getLong(1) == 1L)
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
+
   test("query-term filter sits below the first exchange (postings-only shuffle)") {
     val d = docs((1L, "a b"), (2L, "c d"))
     val plan = FullText.bm25TopK(d, "doc_id", "text", Seq("b"), k = 5)

@@ -119,6 +119,29 @@ class CurationSamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("q97 snapshot diff: statuses complete, deltas match construction") {
+    val out = PipelineQueries.snapshotDiff(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("added", "removed", "changed", "unchanged"))
+    val docs = graft.io.Tables.documents(spark, dir)
+    val n = docs.count()
+    val added = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 10 === 7).count()
+    val removed = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 13 === 3).count()
+    assert(out("added").getLong(1) == added)
+    assert(out("removed").getLong(1) == removed)
+    // every new-side doc is added/changed/unchanged; old extras are removed
+    assert(out("added").getLong(1) + out("changed").getLong(1) +
+      out("unchanged").getLong(1) == n)
+    // added docs have no old side; removed no new side
+    assert(out("added").getLong(2) == 0L)
+    assert(out("removed").getLong(3) == 0L)
+    // upper-casing changes the hash but never the token count
+    assert(out("changed").getLong(4) == 0L, "changed token_delta is 0")
+    assert(out("unchanged").getLong(4) == 0L)
+  }
+
   test("q94 containment is asymmetric on a subset fixture") {
     import spark.implicits._
     // source B's grams are a strict subset of A's

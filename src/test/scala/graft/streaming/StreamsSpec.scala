@@ -153,6 +153,34 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows.contains(("zz", 199L, 99L, 1L)))
   }
 
+  test("attributionStream left_outer emits unmatched impressions nulled after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, String, Timestamp)]
+    val clks = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.attributionStream(
+      imps.toDF().toDF("imp_id", "key", "ts"),
+      clks.toDF().toDF("click_id", "key", "ts"),
+      horizon = "10 minutes", lateness = "1 minute",
+      joinType = "left_outer")
+    runBatches(out, "attrib_lo") {
+      imps.addData((100L, "adA", t("2020-01-01 00:00:00")),
+        (101L, "adB", t("2020-01-01 00:00:00")))
+      clks.addData((1L, "adA", t("2020-01-01 00:05:00")))
+      // push both watermarks far past imp 101's horizon so its
+      // unmatched state expires and emits nulled
+      imps.addData((199L, "zz", t("2020-01-01 03:00:00")))
+      clks.addData((99L, "zz", t("2020-01-01 03:00:01")))
+    }
+    val rows = spark.table("attrib_lo")
+      .select($"imp_id", $"click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(100L) == Some(1L), "matched impression attributes")
+    assert(rows.contains(101L) && rows(101L).isEmpty,
+      "expired unmatched impression must emit with null click")
+  }
+
   test("dedupStream drops key replays within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
