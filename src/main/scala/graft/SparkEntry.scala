@@ -150,6 +150,8 @@ object SparkEntry {
     "q97_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
     "q98_phrase_search" -> ((s: SparkSession, d: String) =>
       TextQueries.phraseSearch(s, d)),
+    "q99_fuzzy_search" -> ((s: SparkSession, d: String) =>
+      TextQueries.fuzzySearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -114,6 +114,73 @@ object FullText {
       .limit(k)
   }
 
+  /** BM25 fuzzy search — the `fuzziness` face of the `text_en`
+    * surface (ES fuzzy match ≡ Lucene FuzzyQuery): each query term
+    * expands to every VOCABULARY term within `maxEdits` Levenshtein
+    * edits, matching documents score BM25 per expanded term with the
+    * expanded term's own tf/df, degraded by a FuzzyQuery-style
+    * similarity boost 1 − ed/|term| (ed = the term's distance to its
+    * CLOSEST query term; exact matches boost 1), and a document sums
+    * the contributions of every expanded term it contains (the
+    * BooleanQuery-of-expansions shape ES rewrites fuzzy queries to).
+    *
+    * Scale shape: the expansion runs against the VOCABULARY frame
+    * (distinct analyzed terms — Heaps-law-sized, orders of magnitude
+    * below the corpus), |queryTerms| × |vocab| cheap edit-distance
+    * checks in one scan of that frame; the expanded term list is
+    * query-sized and BROADCASTS into the postings filter, so the
+    * corpus side pays exactly what [[bm25TopK]] pays: postings-only
+    * shuffle, no corpus join. At deployment the vocabulary is the
+    * index's term dictionary — precomputed, not re-derived. */
+  def bm25FuzzyTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20, maxEdits: Int = 1,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val analyzed = docs
+      .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
+      .withColumn("doclen", size(col("toks")))
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+    // query-term frame: tiny literal side of the vocab expansion
+    val q = docs.sparkSession.createDataFrame(
+      queryTerms.map(Tuple1(_))).toDF("qterm")
+    val vocab = analyzed
+      .select(explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .distinct()
+    // expansion: every vocab term within maxEdits of a query term;
+    // only the distance to the closest query term matters (the boost)
+    val expanded = vocab.crossJoin(broadcast(q))
+      .withColumn("ed", levenshtein(col("term"), col("qterm")))
+      .filter(col("ed") <= maxEdits)
+      .groupBy(col("term"))
+      .agg(min(col("ed")).as("ed"))
+      .withColumn("boost",
+        lit(1.0) - col("ed").cast("double") / length(col("term")))
+    val tf = analyzed
+      .select(col("doc_id"), col("doclen"),
+        explode_outer(col("toks")).as("term"))
+      .join(broadcast(expanded), Seq("term"))
+      .groupBy(col("doc_id"), col("doclen"), col("term"),
+        col("boost"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+    val normLen = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    withDf
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        col("boost") * idf * col("tf") * lit(k1 + 1.0) / normLen)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Occurrences of `phrase` as CONSECUTIVE analyzed tokens in `toks`
     * — Lucene PhraseQuery position semantics over the analyzed stream
     * (stopwords removed before positions are assigned, as the

@@ -437,6 +437,28 @@ object TextQueries {
       "text", top.split(" ").toSeq, k)
   }
 
+  /** q99 — fuzzy search (`fuzziness: 1` over the `text_en` surface,
+    * [[graft.ops.FullText.bm25FuzzyTopK]]): the query is a MISSPELLED
+    * form of the corpus's most frequent analyzed term (last character
+    * dropped — guaranteed within one edit of a high-df term, so the
+    * expansion engages at any SF) plus the second-most-frequent term
+    * intact (the exact-match path, boost 1). Both derive
+    * deterministically (count desc, term asc) via a bounded 2-row
+    * driver collect (the q98 convention); deployments pass literal
+    * user input. */
+  def fuzzySearch(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val top2 = Tables.documents(spark, dir)
+      .select(explode_outer(FullText.analyze($"text")).as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t".asc).limit(2)
+      .collect().map(_.getString(0))
+    FullText.bm25FuzzyTopK(Tables.documents(spark, dir), "doc_id",
+      "text", Seq(top2(0).dropRight(1), top2(1)), k)
+  }
+
   /** q94 — cross-source n-gram containment matrix: for every ordered
     * source pair (a, b), the fraction of a's distinct bigrams that
     * also occur in b — the corpus-overlap card that shows WHERE
@@ -475,6 +497,50 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q99 re-derives the two query terms (top-term misspelling +
+    // runner-up), expands them against the vocabulary with DuckDB's
+    // levenshtein, and applies q51's BM25 with the 1 − ed/len boost
+    "q99_fuzzy_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |tc AS (SELECT t, COUNT(*) AS c FROM
+        |    (SELECT unnest(toks) AS t FROM sized) GROUP BY t),
+        |top2 AS (SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS r
+        |  FROM tc QUALIFY r <= 2),
+        |qt AS (SELECT substr(t, 1, length(t) - 1) AS qterm FROM top2 WHERE r = 1
+        |  UNION ALL SELECT t FROM top2 WHERE r = 2),
+        |vocab AS (SELECT DISTINCT t AS term FROM
+        |    (SELECT unnest(toks) AS t FROM sized)),
+        |expd AS (SELECT term, MIN(levenshtein(term, qterm)) AS ed
+        |  FROM vocab CROSS JOIN qt
+        |  WHERE levenshtein(term, qterm) <= 1
+        |  GROUP BY term),
+        |expb AS (SELECT term, 1.0 - ed::DOUBLE / length(term) AS boost
+        |  FROM expd),
+        |tf AS (SELECT doc_id, doclen, term, boost, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  JOIN expb USING (term)
+        |  GROUP BY doc_id, doclen, term, boost),
+        |withdf AS (SELECT *,
+        |    (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf)
+        |SELECT doc_id, round(SUM(
+        |    boost * ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf *
+        |    (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score,
+        |  COUNT(*) AS n_terms
+        |FROM withdf CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // q98 re-derives the top analyzed bigram, counts consecutive
     // occurrences per doc with a position lambda (no unnest of
     // positions), and applies q51's BM25 constants to the phrase term

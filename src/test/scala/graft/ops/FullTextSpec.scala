@@ -120,6 +120,24 @@ class FullTextSpec extends SparkSpecBase {
     assert(out(0).getDouble(2) > out(1).getDouble(2))
   }
 
+  test("fuzzy: exact match outranks an ed-1 expansion; far terms never match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark engine runs jobs well today"),
+      (2L, "sparc engine runs jobs well today"),
+      (3L, "postgres engine runs jobs well today")).toDF("doc_id", "text")
+    val out = FullText.bm25FuzzyTopK(docs, "doc_id", "text",
+      Seq("sparc"), maxEdits = 1).collect()
+    // "sparc" matches itself (ed 0, boost 1) and "spark" (ed 1,
+    // boost 1 - 1/5); both terms have df 1, identical tf/doclen, so
+    // the exact doc must outrank the fuzzy one; "postgres" never
+    // appears
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+    assert(math.abs(out(1).getDouble(1) / out(0).getDouble(1) - 0.8) < 0.01,
+      "ed-1 score is the exact score degraded by 1 - ed/len")
+  }
+
   test("query-term filter sits below the first exchange (postings-only shuffle)") {
     val d = docs((1L, "a b"), (2L, "c d"))
     val plan = FullText.bm25TopK(d, "doc_id", "text", Seq("b"), k = 5)
