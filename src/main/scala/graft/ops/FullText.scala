@@ -214,18 +214,28 @@ object FullText {
     * position explode, no position join — positions never leave their
     * row); only matching documents (rare for a selective phrase)
     * survive to the scoring stage, whose df/stats sides are one-row
-    * broadcasts. Top-k is a TakeOrdered. */
+    * broadcasts. Top-k is a TakeOrdered.
+    *
+    * The per-document (doclen, tf) frame is computed in ONE corpus
+    * pass and localCheckpoint'd — THREE consumers read it (corpus
+    * stats, phrase df, scoring), and without the barrier Catalyst
+    * pushes the tf>0 predicate back into each scan as a re-embedded
+    * analyzer+phrase expression: measured 9.6 s vs 1.2 s at sf0.1
+    * (interpreted HOFs evaluated ~9× per row across three scans).
+    * The checkpointed frame is three numeric columns — 24 B/row,
+    * lighter than q61's checkpointed bigram strings; callers free it
+    * via Checkpoints.consume like the other checkpointed results. */
   def bm25PhraseTopK(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val analyzed = docs
+    val perDoc = docs
       .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
-      .withColumn("doclen", size(col("toks")))
-    val stats = analyzed.agg(
+      .select(col("doc_id"), size(col("toks")).as("doclen"),
+        phraseCount(col("toks"), phrase).cast("double").as("tf"))
+      .localCheckpoint()
+    val stats = perDoc.agg(
       count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
-    val hits = analyzed
-      .withColumn("tf", phraseCount(col("toks"), phrase).cast("double"))
-      .filter(col("tf") > 0)
+    val hits = perDoc.filter(col("tf") > 0)
       .select(col("doc_id"), col("doclen"), col("tf"))
     val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
     val normLen = col("tf") +
