@@ -152,6 +152,8 @@ object SparkEntry {
       TextQueries.phraseSearch(s, d)),
     "q99_fuzzy_search" -> ((s: SparkSession, d: String) =>
       TextQueries.fuzzySearch(s, d)),
+    "q100_more_like_this" -> ((s: SparkSession, d: String) =>
+      TextQueries.moreLikeThis(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -459,6 +459,42 @@ object TextQueries {
       "text", Seq(top2(0).dropRight(1), top2(1)), k)
   }
 
+  /** q100 — more-like-this (the ES `more_like_this` query shape):
+    * pick the seed document's most characteristic terms — tf in the
+    * seed × the corpus BM25 idf, top `nTerms` (weight desc, term asc)
+    * — then run the standard BM25 term search with them over the
+    * corpus MINUS the seed (a document is not similar to itself).
+    * The seed is min(doc_id) (deterministic at any SF); the selected
+    * terms are a bounded driver artifact (the q98 convention — a
+    * deployment passes its seed id).
+    *
+    * Scale shape: term selection costs one (doc, term) distinct
+    * aggregation for df (at deployment: the index's term dictionary,
+    * precomputed) and a seed-sized tf aggregation; the search is
+    * q51's postings-only shape with N−1 stats. */
+  def moreLikeThis(spark: SparkSession, dir: String,
+      k: Int = 20, nTerms: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val seedId = docs.agg(min($"doc_id")).head().getLong(0)
+    val terms = docs
+      .select($"doc_id", explode_outer(FullText.analyze($"text")).as("term"))
+      .filter($"term".isNotNull)
+    val nDocs = docs.agg(count(lit(1)).as("n")).select($"n")
+    val dfx = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val topTerms = terms.filter($"doc_id" === seedId)
+      .groupBy($"term").agg(count(lit(1)).as("tf"))
+      .join(dfx, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", $"tf" * log(lit(1.0) +
+        ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .orderBy($"w".desc, $"term".asc).limit(nTerms)
+      .collect().map(_.getString(0)).toSeq
+    FullText.bm25TopK(docs.filter($"doc_id" =!= seedId), "doc_id",
+      "text", topTerms, k)
+  }
+
   /** q94 — cross-source n-gram containment matrix: for every ordered
     * source pair (a, b), the fraction of a's distinct bigrams that
     * also occur in b — the corpus-overlap card that shows WHERE
@@ -497,6 +533,47 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q100 re-derives the seed's top tf·idf terms, then applies q51's
+    // BM25 over the corpus minus the seed (N−1 stats)
+    "q100_more_like_this" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |seed AS (SELECT min(doc_id) AS sid FROM documents),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |tpos AS (SELECT doc_id, unnest(toks) AS term FROM lens),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM
+        |    (SELECT DISTINCT doc_id, term FROM tpos) GROUP BY term),
+        |tw AS (SELECT term FROM (
+        |    SELECT s.term,
+        |      s.tf * ln(1 + (n - df + 0.5) / (df + 0.5)) AS w
+        |    FROM (SELECT term, COUNT(*) AS tf FROM tpos CROSS JOIN seed
+        |          WHERE doc_id = sid GROUP BY term) s
+        |    JOIN dfx USING (term) CROSS JOIN nd)
+        |  ORDER BY w DESC, term ASC LIMIT 3),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks
+        |  FROM lens CROSS JOIN seed WHERE doc_id <> sid),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  JOIN tw USING (term)
+        |  GROUP BY doc_id, doclen, term),
+        |withdf AS (
+        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf)
+        |SELECT doc_id, round(SUM(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+        |FROM withdf CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // q99 re-derives the two query terms (top-term misspelling +
     // runner-up), expands them against the vocabulary with DuckDB's
     // levenshtein, and applies q51's BM25 with the 1 − ed/len boost

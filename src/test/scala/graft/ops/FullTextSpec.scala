@@ -138,6 +138,20 @@ class FullTextSpec extends SparkSpecBase {
       "ed-1 score is the exact score degraded by 1 - ed/len")
   }
 
+  test("more-like-this: seed never appears, scores rank descending") {
+    val dir = "/root/testdata/sf0.001"
+    val seedId = graft.io.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("doc_id"))).head().getLong(0)
+    val out = graft.queries.TextQueries.moreLikeThis(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(!out.map(_.getLong(0)).contains(seedId),
+      "a document is not similar to itself")
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse, "descending score order")
+    assert(scores.forall(_ > 0.0))
+  }
+
   test("query-term filter sits below the first exchange (postings-only shuffle)") {
     val d = docs((1L, "a b"), (2L, "c d"))
     val plan = FullText.bm25TopK(d, "doc_id", "text", Seq("b"), k = 5)
