@@ -154,6 +154,8 @@ object SparkEntry {
       TextQueries.fuzzySearch(s, d)),
     "q100_more_like_this" -> ((s: SparkSession, d: String) =>
       TextQueries.moreLikeThis(s, d)),
+    "q101_significant_terms" -> ((s: SparkSession, d: String) =>
+      TextQueries.significantTerms(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

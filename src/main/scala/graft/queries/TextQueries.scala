@@ -495,6 +495,48 @@ object TextQueries {
       "text", topTerms, k)
   }
 
+  /** q101 — significant terms per source (the ES `significant_terms`
+    * aggregation, JLH heuristic): for each source as the FOREGROUND
+    * set against the whole corpus as background, terms whose
+    * foreground share is disproportionate — scored
+    * (fgPct − bgPct) · (fgPct / bgPct), ES's JLH — top `k` per source
+    * (score desc, term asc). The dataset-card view that names WHAT a
+    * source is about (and what a contamination/spam source smells
+    * like) rather than how much it drifts (q74's KL is the scalar
+    * twin).
+    *
+    * Scale shape: ONE corpus shuffle to (source, term) counts; the
+    * background, per-source totals, and grand total all derive from
+    * that aggregated frame (no second scan — the q74 mechanism); the
+    * per-source top-k window runs over the VOCABULARY-sized frame.
+    * All percentages are exact integer ratios in doubles — one
+    * deterministic chain, 6dp-rounded for the gate. */
+  def significantTerms(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val fg = Tables.documentsDistributed(spark, dir)
+      .select($"source", explode_outer(TextAnalysis.tokensOf($"text")).as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"source", $"t").agg(count(lit(1)).as("fgc"))
+      .localCheckpoint()
+    val bg = fg.groupBy($"t").agg(sum($"fgc").as("bgc"))
+    val fgTot = fg.groupBy($"source").agg(sum($"fgc").as("fgt"))
+    val bgTot = fg.agg(sum($"fgc").as("bgt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"jlh".desc, $"t".asc)
+    fg.join(bg, Seq("t"))
+      .join(broadcast(fgTot), Seq("source"))
+      .crossJoin(broadcast(bgTot))
+      .withColumn("fgp", $"fgc".cast("double") / $"fgt")
+      .withColumn("bgp", $"bgc".cast("double") / $"bgt")
+      .withColumn("jlh", ($"fgp" - $"bgp") * ($"fgp" / $"bgp"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"source", $"t".as("term"), $"fgc".as("fg_count"),
+        $"bgc".as("bg_count"), round($"jlh", 6).as("jlh"))
+      .orderBy($"source", $"jlh".desc, $"term")
+  }
+
   /** q94 — cross-source n-gram containment matrix: for every ordered
     * source pair (a, b), the fraction of a's distinct bigrams that
     * also occur in b — the corpus-overlap card that shows WHERE
@@ -533,6 +575,27 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q101_significant_terms" ->
+      """WITH tok AS (SELECT source, unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> length(t) > 0)) AS t
+        |  FROM documents),
+        |fg AS (SELECT source, t, COUNT(*) AS fgc FROM tok GROUP BY 1, 2),
+        |bg AS (SELECT t, CAST(SUM(fgc) AS BIGINT) AS bgc FROM fg GROUP BY t),
+        |fgt AS (SELECT source, CAST(SUM(fgc) AS BIGINT) AS fgt
+        |        FROM fg GROUP BY source),
+        |bgt AS (SELECT CAST(SUM(fgc) AS BIGINT) AS bgt FROM fg),
+        |j AS (SELECT fg.source, fg.t AS term, fgc, bgc,
+        |    ((fgc::DOUBLE / fgt) - (bgc::DOUBLE / bgt)) *
+        |    ((fgc::DOUBLE / fgt) / (bgc::DOUBLE / bgt)) AS jlh
+        |  FROM fg JOIN bg ON fg.t = bg.t
+        |  JOIN fgt ON fg.source = fgt.source CROSS JOIN bgt),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY jlh DESC, term ASC) AS rn FROM j)
+        |SELECT source, term, CAST(fgc AS BIGINT) AS fg_count,
+        |  bgc AS bg_count, round(jlh, 6) AS jlh
+        |FROM r WHERE rn <= 5
+        |ORDER BY source, jlh DESC, term""".stripMargin,
     // q100 re-derives the seed's top tf·idf terms, then applies q51's
     // BM25 over the corpus minus the seed (N−1 stats)
     "q100_more_like_this" ->

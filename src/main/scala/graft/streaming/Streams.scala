@@ -252,6 +252,27 @@ object Streams {
           typedLit(benchGrams)),
         lit(false)))
 
+  /** Bloom-filter form of [[decontaminateStream]] (q95's deploy
+    * shape): the benchmark artifact shipped to the stream is the
+    * FIXED-size m-bit filter instead of the gram list — the literal
+    * in the plan stops growing with the benchmark suite, and the
+    * per-row probe is the compiled kernel
+    * (HashKernels.bloomHitCount). False negatives are impossible, so
+    * a `false` flag is trustworthy; flagged documents (rare + a few
+    * FPs) go to the exact batch verify, the q95 probe-then-verify
+    * split. Null text flags `false` — no text, no gram (the
+    * tri-state lesson). */
+  def bloomDecontaminateStream(docs: DataFrame, textCol: String,
+      bits: Array[Long], kProbes: Int = graft.ops.BloomFilter.defaultProbes,
+      k: Int = 13): DataFrame =
+    docs.withColumn("is_flagged",
+      coalesce(
+        graft.expressions.TextHashes.bloomHitCount(
+          graft.ops.Decontaminate.gramHashes(
+            graft.ops.Dedup.tokens(col(textCol)), k),
+          bits, kProbes) > 0,
+        lit(false)))
+
   /** Streaming admission filter — the STATELESS prefix of the q63
     * curation sweep applied to arriving documents: the quality rule
     * (token count 20–1000, English-stopword ratio ≥ 0.05, lang),

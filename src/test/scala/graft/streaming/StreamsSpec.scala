@@ -340,6 +340,35 @@ class StreamsSpec extends SparkSpecBase {
     assert(flags == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("bloomDecontaminateStream: exact flags subset of bloom flags, null false") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "what is the capital of france"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.ops.Decontaminate.gramHashes(
+          graft.ops.Dedup.tokens($"text"), 5).as("grams"))
+    val set = graft.ops.Decontaminate.benchGramList(bench, "grams")
+    val bits = graft.ops.BloomFilter.build(set)
+    val src = MemoryStream[(Long, String)]
+    val out = Streams.bloomDecontaminateStream(
+      src.toDF().toDF("doc_id", "text"), "text", bits, k = 5)
+      .select($"doc_id", $"is_flagged")
+    runBatches(out, "bloomdecon") {
+      src.addData(
+        (1L, "quiz what is the capital of france here"),
+        (2L, "completely unrelated text about shuffle plans today"),
+        (3L, null.asInstanceOf[String]))
+    }
+    val flags = spark.table("bloomdecon").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // a contaminated doc MUST flag (no false negatives); the clean doc
+    // should not at this fill; null text flags false, never NULL
+    assert(flags(1L), "bloom cannot miss an inserted gram")
+    assert(!flags(2L))
+    assert(!flags(3L))
+  }
+
   test("admissionStream: each gate flags independently, booleans never NULL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
