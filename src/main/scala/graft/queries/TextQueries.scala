@@ -554,11 +554,16 @@ object TextQueries {
     * totals ride the same frame. No corpus-sized join side exists. */
   def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // THREE consumers (both join sides + totals): checkpoint the
+    // vocabulary-sized distinct frame or each re-scans and re-distincts
+    // the corpus (verified in the plan — no self-join exchange reuse
+    // below distinct aggregates; the q101 fg mechanism)
     val g = Tables.documentsDistributed(spark, dir)
       .select($"source", explode(array_distinct(
         graft.expressions.TextHashes.kgramMd5(
           graft.ops.Dedup.tokens($"text"), 2))).as("g"))
       .distinct()
+      .localCheckpoint()
     val tot = g.groupBy($"source").agg(count(lit(1)).as("n_grams_a"))
     g.toDF("src_a", "g")
       .join(g.toDF("src_b", "g"), Seq("g"))
