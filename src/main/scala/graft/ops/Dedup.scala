@@ -258,11 +258,19 @@ object Dedup {
     * shingles would otherwise explode it (drop shingles with df >
     * cap from BOTH sides: the q21/q50 hot-bucket guard; a true pair
     * is lost only if ≥ t·min(n_a,n_b) of its overlap is hot, so the
-    * cap trades bounded recall for a hard df² ceiling). There is
-    * deliberately NO length filter — skewed sizes are the point. All
-    * ratios are exact small-integer divisions; output rounds at 4dp. */
+    * cap trades bounded recall for a hard df² ceiling). The guard is
+    * ON BY DEFAULT (df ≤ 1000 → ≤10⁶ join rows per shingle): an
+    * UNguarded inverted-index self-join is the one shape in this file
+    * a boilerplate-heavy corpus can blow up quadratically, so
+    * disabling the ceiling is the explicit opt-in (`dfCap = None`),
+    * not the default a 100 TB run silently inherits. The gated q89
+    * oracle applies the SAME df filter, so the guard can never drift
+    * out of the parity check. There is deliberately NO length filter
+    * — skewed sizes are the point. All ratios are exact small-integer
+    * divisions; output rounds at 4dp. */
   def containmentPairs(docs: DataFrame, idCol: String, shingleCol: String,
-      threshold: Double = 0.5, dfCap: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.5,
+      dfCap: Option[Int] = Some(1000)): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
     val ex0 = base.select(col("id"), size(col("sh")).as("n"),
       explode_outer(col("sh")).as("shingle"))

@@ -118,11 +118,15 @@ object FullText {
     * surface (ES fuzzy match ≡ Lucene FuzzyQuery): each query term
     * expands to every VOCABULARY term within `maxEdits` Levenshtein
     * edits, matching documents score BM25 per expanded term with the
-    * expanded term's own tf/df, degraded by a FuzzyQuery-style
-    * similarity boost 1 − ed/|term| (ed = the term's distance to its
-    * CLOSEST query term; exact matches boost 1), and a document sums
-    * the contributions of every expanded term it contains (the
-    * BooleanQuery-of-expansions shape ES rewrites fuzzy queries to).
+    * expanded term's own tf/df, degraded by Lucene FuzzyQuery's
+    * similarity boost 1 − ed/min(|term|, |qterm|) — the SHORTER of
+    * the expanded and query term is the denominator, as in
+    * `FuzzyTermsEnum` (a one-edit match against a 3-char query term
+    * is a much weaker signal than against a 12-char one); a term
+    * reachable from several query terms keeps its BEST boost (exact
+    * matches boost 1), and a document sums the contributions of every
+    * expanded term it contains (the BooleanQuery-of-expansions shape
+    * ES rewrites fuzzy queries to).
     *
     * Scale shape: the expansion runs against the VOCABULARY frame
     * (distinct analyzed terms — Heaps-law-sized, orders of magnitude
@@ -148,15 +152,17 @@ object FullText {
       .select(explode_outer(col("toks")).as("term"))
       .filter(col("term").isNotNull)
       .distinct()
-    // expansion: every vocab term within maxEdits of a query term;
-    // only the distance to the closest query term matters (the boost)
+    // expansion: every vocab term within maxEdits of a query term; the
+    // per-pair boost uses the Lucene min-length denominator, and a term
+    // reachable from several query terms keeps its best boost
     val expanded = vocab.crossJoin(broadcast(q))
       .withColumn("ed", levenshtein(col("term"), col("qterm")))
       .filter(col("ed") <= maxEdits)
+      .withColumn("pair_boost",
+        lit(1.0) - col("ed").cast("double") /
+          least(length(col("term")), length(col("qterm"))))
       .groupBy(col("term"))
-      .agg(min(col("ed")).as("ed"))
-      .withColumn("boost",
-        lit(1.0) - col("ed").cast("double") / length(col("term")))
+      .agg(max(col("pair_boost")).as("boost"))
     val tf = analyzed
       .select(col("doc_id"), col("doclen"),
         explode_outer(col("toks")).as("term"))

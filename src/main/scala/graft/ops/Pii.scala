@@ -55,13 +55,21 @@ object Pii {
     * pattern itself was widened to avoid. */
   val ssnPattern: String = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
-  /** Payment-card shapes: 4×4 digit groups with `-`/space separators,
-    * or a bare 16-digit run. No Luhn check — a regex scrubber
-    * over-matches rather than leaks (the IPv4 contract); validation
-    * belongs to a detector, not a redactor. Grouped form first so a
-    * separated card never half-matches the bare alternative. */
+  /** Payment-card shapes: 4-4-4-4 digit groups (Visa/MC/Discover),
+    * 4-6-5 groups (Amex 15-digit), each with `-`/space separators, or
+    * a bare 13–19 digit run (the ISO/IEC 7812 PAN length range:
+    * 13-digit legacy Visa through 19-digit Maestro/UnionPay). No Luhn
+    * check — a regex scrubber over-matches rather than leaks (the
+    * IPv4 contract); validation belongs to a detector, not a
+    * redactor. Grouped forms first so a separated card never
+    * half-matches the bare alternative; the bare alternative's `\b`
+    * tail keeps 20+-digit runs unmatched in BOTH engines (greedy
+    * retreat 19→13 finds a digit after every stop, so Java and RE2
+    * agree on no-match). */
   val creditCardPattern: String =
-    "(?:\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b|\\b\\d{16}\\b)"
+    "(?:\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b" +
+      "|\\b\\d{4}[- ]\\d{6}[- ]\\d{5}\\b" +
+      "|\\b\\d{13,19}\\b)"
 
   /** IBAN shape: country code + 2 check digits + 11–30 alphanumerics,
     * uppercase only (real IBANs are; lowercase word soup cannot

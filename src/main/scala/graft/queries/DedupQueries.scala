@@ -392,11 +392,16 @@ object DedupQueries {
          | md5(array_to_string(sig[9:12], ',')) AS band2,
          | md5(array_to_string(sig[13:16], ',')) AS band3
          |FROM sig ORDER BY doc_id""".stripMargin,
-    // exact inverted-index form — the oracle needs no prefix filter,
-    // the Spark side's filtering is lossless so results must agree
+    // exact inverted-index form; the df ≤ 1000 filter mirrors the
+    // operator's default hot-shingle guard (Dedup.containmentPairs
+    // dfCap) so the guard itself sits inside the parity check
     "q89_containment_dedup" ->
       s"""WITH $toksCte, ${shCte()},
-         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |cold AS (SELECT shingle FROM ex0
+         |  GROUP BY shingle HAVING COUNT(*) <= 1000),
+         |ex AS (SELECT ex0.doc_id, ex0.shingle
+         |  FROM ex0 JOIN cold USING (shingle)),
          |p AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
          |    COUNT(*)::DOUBLE AS i
          |  FROM ex a JOIN ex b2 USING (shingle)

@@ -516,8 +516,10 @@ object PipelineQueries {
     * (J5/J6 merge, q68 incremental near-dup) run on the delta. The
     * snapshots here are derived deterministically from `documents`
     * (the q59 synthetic convention): OLD lacks doc_id ≡ 7 mod 10
-    * (those are "added"), carries extra ids ≡ 3 mod 13 shifted by
-    * +2000000 ("removed"), and upper-cases text for doc_id ≡ 0 mod 6
+    * (those are "added"), carries extra ids ≡ 3 mod 13 shifted past
+    * max(doc_id) ("removed" — the shift is derived from the data, not
+    * a constant, so synthetic ids can never collide with real ones at
+    * any scale factor), and upper-cases text for doc_id ≡ 0 mod 6
     * ("changed" — the hash differs, the token count doesn't).
     *
     * Scale shape: ONE full-outer join co-partitioned on the id — at
@@ -533,7 +535,11 @@ object PipelineQueries {
       .withColumn("text",
         when($"doc_id" % 6 === 0, upper($"text")).otherwise($"text"))
       .unionByName(docs.filter($"doc_id" % 13 === 3)
-        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        // 1-row max-id aggregate broadcast-crossed in — a few bytes of
+        // driver-free plumbing that keeps the synthetic "removed" ids
+        // disjoint from real ids at every scale factor.
+        .crossJoin(broadcast(docs.agg(max($"doc_id").as("max_id"))))
+        .select(($"doc_id" + $"max_id" + 1L).as("doc_id"), $"text"))
     def side(df: DataFrame, pfx: String): DataFrame =
       df.select($"doc_id",
         md5($"text").as(s"${pfx}_hash"),
@@ -574,7 +580,8 @@ object PipelineQueries {
         |    CASE WHEN doc_id % 6 = 0 THEN upper(text) ELSE text END AS text
         |  FROM documents WHERE doc_id % 10 <> 7
         |  UNION ALL
-        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  SELECT doc_id + 1 + (SELECT max(doc_id) FROM documents)
+        |    AS doc_id, text FROM documents
         |  WHERE doc_id % 13 = 3),
         |os AS (SELECT doc_id, md5(text) AS old_hash,
         |    len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -644,7 +644,8 @@ object TextQueries {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // q99 re-derives the two query terms (top-term misspelling +
     // runner-up), expands them against the vocabulary with DuckDB's
-    // levenshtein, and applies q51's BM25 with the 1 − ed/len boost
+    // levenshtein, and applies q51's BM25 with Lucene FuzzyQuery's
+    // 1 − ed/min(len(term), len(qterm)) boost (best over query terms)
     "q99_fuzzy_search" ->
       """WITH lens AS (
         |  SELECT doc_id,
@@ -665,12 +666,12 @@ object TextQueries {
         |  UNION ALL SELECT t FROM top2 WHERE r = 2),
         |vocab AS (SELECT DISTINCT t AS term FROM
         |    (SELECT unnest(toks) AS t FROM sized)),
-        |expd AS (SELECT term, MIN(levenshtein(term, qterm)) AS ed
+        |expb AS (SELECT term,
+        |    MAX(1.0 - levenshtein(term, qterm)::DOUBLE /
+        |        least(length(term), length(qterm))) AS boost
         |  FROM vocab CROSS JOIN qt
         |  WHERE levenshtein(term, qterm) <= 1
         |  GROUP BY term),
-        |expb AS (SELECT term, 1.0 - ed::DOUBLE / length(term) AS boost
-        |  FROM expd),
         |tf AS (SELECT doc_id, doclen, term, boost, COUNT(*)::DOUBLE AS tf
         |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
         |  JOIN expb USING (term)

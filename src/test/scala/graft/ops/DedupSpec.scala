@@ -82,6 +82,8 @@ class DedupSpec extends SparkSpecBase {
       (1L, common + " alpha beta gamma delta"),
       (2L, common + " alpha beta gamma epsilon"),
       (3L, common + " zeta eta theta iota"))
+    // the default carries its own df ≤ 1000 guard (inert here: max df
+    // is 3), so "uncapped" means "cap not reached", not "no cap"
     val uncapped = Dedup.containmentPairs(d, "doc_id", "shingles")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((1L, 2L)) && uncapped.size == 3,

@@ -138,6 +138,23 @@ class FullTextSpec extends SparkSpecBase {
       "ed-1 score is the exact score degraded by 1 - ed/len")
   }
 
+  test("fuzzy: boost denominator is min(|term|, |qterm|) — the Lucene FuzzyQuery rule") {
+    import spark.implicits._
+    // query term "cat" (len 3) expands to vocab term "cart" (len 4,
+    // ed 1): Lucene divides by the SHORTER length → boost 1 − 1/3,
+    // not 1 − 1/4. Both docs pad to identical doclen/tf/df so the
+    // score ratio isolates the boost.
+    val docs = Seq(
+      (1L, "cat engine runs jobs well today"),
+      (2L, "cart engine runs jobs well today")).toDF("doc_id", "text")
+    val out = FullText.bm25FuzzyTopK(docs, "doc_id", "text",
+      Seq("cat"), maxEdits = 1).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(out(1).getDouble(1) / out(0).getDouble(1) -
+      (1.0 - 1.0 / 3.0)) < 0.01,
+      "ed-1 boost uses the query term's length 3, not the expansion's 4")
+  }
+
   test("more-like-this: seed never appears, scores rank descending") {
     val dir = "/root/testdata/sf0.001"
     val seedId = graft.io.Tables.documents(spark, dir)

@@ -99,6 +99,23 @@ class PiiSpec extends SparkSpecBase {
     assert(red == "pay <CARD> or <CARD> now")
   }
 
+  test("cards: Amex 4-6-5 grouping and 13/19-digit bare PANs redact whole") {
+    val (_, cc, _, red) = more(
+      "amex 3782-822463-10005 or 3782 822463 10005, visa13 4222222222222, " +
+        "maestro 6759649826438453128 end")
+    assert(cc == 4L)
+    assert(red ==
+      "amex <CARD> or <CARD>, visa13 <CARD>, maestro <CARD> end")
+  }
+
+  test("cards: runs outside the 13-19 PAN length range stay untouched") {
+    val (_, cc, _, red) = more("order 123456789012 ref 12345678901234567890")
+    // 12 digits is below the PAN floor; 20 is above the ceiling and the
+    // greedy retreat finds a digit after every stop in both engines
+    assert(cc == 0L)
+    assert(red == "order 123456789012 ref 12345678901234567890")
+  }
+
   test("IBAN redacts before the bare-16 card alternative can bite its tail") {
     val (_, cc, ib, red) = more("wire DE44500105175407324931 today")
     assert(ib == 1L)

@@ -6,7 +6,7 @@ same sf tables, loads the Spark parquet result, sorts columns by name
 and rows by all columns, and compares values exactly (with a tiny float
 tolerance report so we can see *how* far off a mismatch is).
 
-Usage: python3 tools/check_parity.py <sfdir> <verify_outdir>
+Usage: python3 tools/check_parity.py <sfdir> <verify_outdir> [q1,q2,...]
 """
 import json
 import math
@@ -39,7 +39,7 @@ def cmp_val(a, b):
     return str(a) == str(b), None
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -47,6 +47,8 @@ def main(sfdir, outdir):
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         try:
             want_rel = con.execute(sql)
             want_cols = [d[0] for d in want_rel.description]
@@ -99,4 +101,5 @@ def main(sfdir, outdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
