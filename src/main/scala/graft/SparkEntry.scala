@@ -156,6 +156,8 @@ object SparkEntry {
       TextQueries.moreLikeThis(s, d)),
     "q101_significant_terms" -> ((s: SparkSession, d: String) =>
       TextQueries.significantTerms(s, d)),
+    "q102_multi_match" -> ((s: SparkSession, d: String) =>
+      TextQueries.multiMatchSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

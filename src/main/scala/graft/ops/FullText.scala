@@ -187,6 +187,100 @@ object FullText {
       .limit(k)
   }
 
+  /** Multi-field BM25 — the ES `multi_match` query over several
+    * `text_en`-mapped fields with per-field boosts (the reference maps
+    * `text_en` on issue/PR `title` AND `body`, schema.py:46,77-78; the
+    * first real ES query a user writes is `multi_match` over
+    * title+body with `title^2`). Emits BOTH composition modes ES
+    * offers for term-centric scoring:
+    *
+    *  - `score_best` — `best_fields` (the default, a Lucene
+    *    DisjunctionMaxQuery): max over fields of the field's match
+    *    score, plus `tieBreaker` × the other fields' scores. The
+    *    right mode when one field should dominate ("best single
+    *    field wins, others break ties").
+    *  - `score_most` — `most_fields` (a BooleanQuery of per-field
+    *    matches): the SUM of per-field scores — the mode for fields
+    *    that are alternate renderings of the same text.
+    *
+    * Each field scores as an independent BM25 index: its OWN doclen,
+    * avgdl, and per-(field, term) df — exactly Lucene's per-field
+    * inverted-index statistics — then the field's score is multiplied
+    * by its boost.
+    *
+    * Scale shape: ONE corpus pass. The fields stack via a per-row
+    * 2-element struct explode (field, toks, boost) — |fields|·N rows,
+    * the same rows a per-field index stores — then the [[bm25TopK]]
+    * discipline applies unchanged: postings are filtered to query
+    * terms BEFORE the tf shuffle (|matching postings| in flight, not
+    * the corpus), df is a window over that tiny frame keyed
+    * (field, term), per-field stats are a |fields|-row broadcast, and
+    * the mode combine is a second aggregation of the per-(doc, field)
+    * score frame. Top-k is TakeOrdered. */
+  def bm25MultiFieldTopK(docs: DataFrame, idCol: String,
+      fields: Seq[(String, Double)], queryTerms: Seq[String],
+      k: Int = 20, tieBreaker: Double = 0.0,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(fields.nonEmpty, "fields must be non-empty")
+    val stacked = docs.select(col(idCol).as("doc_id"),
+      explode(array(fields.map { case (c, boost) =>
+        struct(lit(c).as("field"), analyze(col(c)).as("toks"),
+          lit(boost).as("boost"))
+      }: _*)).as("f"))
+      .select(col("doc_id"), col("f.field").as("field"),
+        col("f.toks").as("toks"), col("f.boost").as("boost"))
+      .withColumn("doclen", size(col("toks")))
+    // |fields| rows of per-field index stats, broadcast.
+    val stats = stacked.groupBy(col("field")).agg(
+      count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+    // Postings filtered to query terms below the shuffle (explode_outer
+    // for the same InferFiltersFromGenerate reason as bm25TopK).
+    val tf = stacked
+      .select(col("doc_id"), col("field"), col("boost"), col("doclen"),
+        explode_outer(col("toks")).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("field"), col("boost"), col("doclen"),
+        col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("field"), col("term")))
+        .cast("double"))
+    val normLen = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val perFieldScore = withDf
+      .join(broadcast(stats), Seq("field"))
+      .withColumn("term_score", idf * col("tf") * lit(k1 + 1.0) / normLen)
+      .groupBy(col("doc_id"), col("field"), col("boost"))
+      .agg(sum(col("term_score")).as("raw"))
+      .withColumn("fscore", col("boost") * col("raw"))
+    perFieldScore
+      .groupBy(col("doc_id"))
+      .agg(max(col("fscore")).as("best"), sum(col("fscore")).as("total"))
+      .select(col("doc_id"),
+        round(col("best") + lit(tieBreaker) * (col("total") - col("best")),
+          4).as("score_best"),
+        round(col("total"), 4).as("score_most"))
+      .orderBy(col("score_best").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Highlighting — matched query terms of the ANALYZED token stream
+    * wrapped in `<em>` markers (the ES highlighter's default tags;
+    * the plain highlighter re-analyzes the stored field exactly like
+    * this). The snippet is the analyzed rendering, not the raw text —
+    * lowercased, stopwords dropped — which keeps the operator a
+    * per-row builtin (transform + array_join, whole-stage codegen)
+    * and the oracle a list_transform; raw-text offset mapping would
+    * need per-token character offsets the analyzer doesn't retain.
+    * Null text stays null (the Pii convention). */
+  def highlightTerms(text: Column, queryTerms: Seq[String]): Column =
+    array_join(transform(analyze(text),
+      t => when(t.isInCollection(queryTerms),
+        concat(lit("<em>"), t, lit("</em>"))).otherwise(t)), " ")
+
   /** Occurrences of `phrase` as CONSECUTIVE analyzed tokens in `toks`
     * — Lucene PhraseQuery position semantics over the analyzed stream
     * (stopwords removed before positions are assigned, as the

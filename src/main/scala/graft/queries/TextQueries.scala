@@ -495,6 +495,41 @@ object TextQueries {
       "text", topTerms, k)
   }
 
+  /** q102 — multi-field search (the ES `multi_match` query with
+    * per-field boosts, [[graft.ops.FullText.bm25MultiFieldTopK]]): the
+    * first real query an ES user writes over the reference's
+    * multi-field `text_en` mappings (issue/PR title AND body,
+    * schema.py:46,77-78) — `title^2, body` — emitting BOTH
+    * composition modes (`best_fields` with tie_breaker 0.3,
+    * `most_fields`) plus the highlighted title
+    * ([[graft.ops.FullText.highlightTerms]], `<em>` tags over the
+    * analyzed stream). The corpus has one text column, so the
+    * two-field frame is synthesized deterministically: title = the
+    * first 6 whitespace tokens of text (a headline IS a prefix
+    * summary), body = the full text — both engines build it
+    * identically.
+    *
+    * Scale shape: one corpus pass through the stacked-fields
+    * postings-only pipeline (see bm25MultiFieldTopK); the highlight
+    * join touches the corpus only to fetch k titles (AQE broadcasts
+    * the k-row ranked side). */
+  def multiMatchSearch(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        array_join(slice(split($"text", "\\s+"), 1, 6), " ").as("title"),
+        $"text".as("body"))
+    val ranked = FullText.bm25MultiFieldTopK(docs, "doc_id",
+      Seq("title" -> 2.0, "body" -> 1.0), bm25QueryTerms,
+      k, tieBreaker = 0.3)
+    ranked
+      .join(docs.select($"doc_id",
+        FullText.highlightTerms($"title", bm25QueryTerms).as("title_hl")),
+        Seq("doc_id"))
+      .orderBy($"score_best".desc, $"doc_id")
+  }
+
   /** q101 — significant terms per source (the ES `significant_terms`
     * aggregation, JLH heuristic): for each source as the FOREGROUND
     * set against the whole corpus as background, terms whose
@@ -579,7 +614,68 @@ object TextQueries {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** The `text_en` stopword list as a SQL IN-list — shared by the
+    * full-text oracles that need the analyzer more than once. */
+  private val stopSql: String =
+    FullText.englishStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
   val oracles: Map[String, String] = Map(
+    // q102 re-derives the synthetic title/body split, stacks the two
+    // fields with per-field stats (the Lucene per-field index shape),
+    // scores each field's BM25, combines best_fields (tie 0.3) and
+    // most_fields, and re-renders the analyzed-title highlight
+    "q102_multi_match" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    array_to_string(string_split_regex(text, '\\s+')[1:6], ' ')
+         |      AS title,
+         |    text AS body
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, 'title' AS field, 2.0 AS boost,
+         |    list_filter(string_split_regex(lower(title),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM f
+         |  UNION ALL
+         |  SELECT doc_id, 'body' AS field, 1.0 AS boost,
+         |    list_filter(string_split_regex(lower(body),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM f),
+         |sized AS (SELECT doc_id, field, boost, len(toks) AS doclen, toks
+         |  FROM st),
+         |stats AS (SELECT field, COUNT(*) AS n_docs, AVG(doclen) AS avgdl
+         |  FROM sized GROUP BY field),
+         |tf AS (SELECT doc_id, field, boost, doclen, term,
+         |    COUNT(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, field, boost, doclen, unnest(toks) AS term
+         |        FROM sized)
+         |  WHERE term IN ('fast','vector','query')
+         |  GROUP BY doc_id, field, boost, doclen, term),
+         |withdf AS (SELECT *,
+         |    (COUNT(*) OVER (PARTITION BY field, term))::DOUBLE AS df
+         |  FROM tf),
+         |fs AS (SELECT doc_id, field, boost, boost * SUM(
+         |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))) AS fscore
+         |  FROM withdf JOIN stats USING (field)
+         |  GROUP BY doc_id, field, boost),
+         |comb AS (SELECT doc_id,
+         |    round(MAX(fscore) + 0.3 * (SUM(fscore) - MAX(fscore)), 4)
+         |      AS score_best,
+         |    round(SUM(fscore), 4) AS score_most
+         |  FROM fs GROUP BY doc_id),
+         |top AS (SELECT * FROM comb
+         |  ORDER BY score_best DESC, doc_id LIMIT 20)
+         |SELECT t.doc_id, t.score_best, t.score_most,
+         |  array_to_string(list_transform(
+         |    list_filter(string_split_regex(lower(f.title),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      x -> length(x) > 0 AND x NOT IN $stopSql),
+         |    x -> CASE WHEN x IN ('fast','vector','query')
+         |         THEN '<em>' || x || '</em>' ELSE x END), ' ') AS title_hl
+         |FROM top t JOIN f ON t.doc_id = f.doc_id
+         |ORDER BY score_best DESC, t.doc_id""".stripMargin,
     "q101_significant_terms" ->
       """WITH tok AS (SELECT source, unnest(
         |    list_filter(string_split_regex(lower(text), '\s+'),

@@ -120,6 +120,63 @@ class FullTextSpec extends SparkSpecBase {
     assert(out(0).getDouble(2) > out(1).getDouble(2))
   }
 
+  private def fieldedDocs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "title", "body")
+
+  test("multi_match: a boosted title hit outranks an unboosted body hit") {
+    val d = fieldedDocs(
+      (1L, "cat runs", "dog bird fish"),
+      (2L, "dog sleeps", "cat cat dog bird"),
+      (3L, "fish swim", "dog bird swims"))
+    val out = FullText.bm25MultiFieldTopK(d, "doc_id",
+      Seq("title" -> 2.0, "body" -> 1.0), Seq("cat")).collect()
+    // d1's single title hit (boost 2) beats d2's double body hit
+    // (boost 1); d3 matches nothing and is absent
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+  }
+
+  test("multi_match composes per-field BM25: best = max + tie·rest, most = sum") {
+    val d = fieldedDocs(
+      (1L, "cat runs", "cat dog bird"),
+      (2L, "dog sleeps", "cat cat dog bird"),
+      (3L, "fish swim", "dog bird swims"))
+    val tie = 0.3
+    val out = FullText.bm25MultiFieldTopK(d, "doc_id",
+      Seq("title" -> 2.0, "body" -> 1.0), Seq("cat"), tieBreaker = tie)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // per-field reference scores from the single-field operator (its
+    // own spec pins the formula), boosts applied outside
+    def field(c: String, boost: Double): Map[Long, Double] =
+      FullText.bm25TopK(d, "doc_id", c, Seq("cat"), k = 10)
+        .collect().map(r => r.getLong(0) -> boost * r.getDouble(1)).toMap
+    val t = field("title", 2.0); val b = field("body", 1.0)
+    for (id <- out.keys) {
+      val scores = Seq(t.get(id), b.get(id)).flatten
+      val best = scores.max; val total = scores.sum
+      val (gotBest, gotMost) = out(id)
+      assert(math.abs(gotBest - (best + tie * (total - best))) < 1e-3,
+        s"doc $id best_fields")
+      assert(math.abs(gotMost - total) < 1e-3, s"doc $id most_fields")
+    }
+    // d1 matches BOTH fields, so its most_fields exceeds its
+    // dis_max-with-tiebreak score; single-field docs collapse to equal
+    assert(out(1L)._2 > out(1L)._1)
+    assert(math.abs(out(2L)._2 - out(2L)._1) < 1e-3)
+  }
+
+  test("highlightTerms wraps matched analyzed tokens in <em> tags") {
+    val out = docs((1L, "The Fast CAT runs a fast race!"), (2L, null))
+      .orderBy($"doc_id")
+      .select(FullText.highlightTerms($"text", Seq("fast", "race")))
+      .collect()
+    // analyzed rendering: lowercased, stopwords gone, matches wrapped
+    assert(out(0).getString(0) ==
+      "<em>fast</em> cat runs <em>fast</em> <em>race</em>")
+    assert(out(1).isNullAt(0), "null text stays null")
+  }
+
   test("fuzzy: exact match outranks an ed-1 expansion; far terms never match") {
     import spark.implicits._
     val docs = Seq(
