@@ -79,8 +79,6 @@ object FullText {
     // One broadcast row; at index scale this comes from segment stats.
     val stats = analyzed.agg(
       count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
-    // Postings for the query's terms only — the filter sits under the
-    // shuffle, so the exchange carries matching postings, not the corpus.
     // explode_outer, not explode: plain explode makes
     // InferFiltersFromGenerate inject `size(toks)>0 AND isnotnull(toks)`
     // below the Generate, and constraint substitution expands each
@@ -88,9 +86,26 @@ object FullText {
     // evaluate the tokenizer three times per row. The outer variant adds
     // no inferred filter; its null/empty rows yield a null term the
     // isin() filter drops anyway.
-    val tf = analyzed
+    val postings = analyzed
       .select(col("doc_id"), col("doclen"),
         explode_outer(col("toks")).as("term"))
+    bm25TopKFromPostings(postings, stats, queryTerms, k, k1, b)
+  }
+
+  /** The scoring core of [[bm25TopK]] over a PREPARED postings frame
+    * `(doc_id, doclen, term)` plus a 1-row `(n_docs, avgdl)` stats
+    * frame — for callers that already hold the postings (q100's
+    * checkpointed corpus frame, a deployment's stored index) and must
+    * not pay another analyzer pass. Identical semantics and plan
+    * shape: the query-term filter sits under the tf shuffle, df is a
+    * window over the tiny tf frame, stats broadcast. */
+  def bm25TopKFromPostings(postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // Postings for the query's terms only — the filter sits under the
+    // shuffle, so the exchange carries matching postings, not the corpus.
+    val tf = postings
       .where(col("term").isInCollection(queryTerms))
       .groupBy(col("doc_id"), col("doclen"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))

@@ -468,22 +468,33 @@ object TextQueries {
     * terms are a bounded driver artifact (the q98 convention — a
     * deployment passes its seed id).
     *
-    * Scale shape: term selection costs one (doc, term) distinct
-    * aggregation for df (at deployment: the index's term dictionary,
-    * precomputed) and a seed-sized tf aggregation; the search is
-    * q51's postings-only shape with N−1 stats. */
+    * Scale shape: ONE analyzer pass. The per-doc (doc_id, doclen,
+    * toks) frame is localCheckpoint'd and feeds all four consumers —
+    * the df dictionary, the seed tf, the N−1 corpus stats, and the
+    * scoring postings ([[graft.ops.FullText.bm25TopKFromPostings]]) —
+    * where the previous shape re-ran the tokenizer in three separate
+    * driver-materialized passes (the q94/q98 checkpoint pattern;
+    * measured 4.2 s → 1.6 s solo at sf0.1). At deployment df/stats
+    * come precomputed from the index's term dictionary and this
+    * whole prologue disappears. The ranked result's plan keeps the
+    * checkpoint leaf, so the caller's Checkpoints.consume frees the
+    * blocks. */
   def moreLikeThis(spark: SparkSession, dir: String,
       k: Int = 20, nTerms: Int = 3): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val seedId = docs.agg(min($"doc_id")).head().getLong(0)
-    val terms = docs
-      .select($"doc_id", explode_outer(FullText.analyze($"text")).as("term"))
+    val perDoc = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .select($"doc_id", size($"toks").as("doclen"), $"toks")
+      .localCheckpoint()
+    def postings(d: org.apache.spark.sql.DataFrame) = d
+      .select($"doc_id", $"doclen", explode_outer($"toks").as("term"))
       .filter($"term".isNotNull)
-    val nDocs = docs.agg(count(lit(1)).as("n")).select($"n")
-    val dfx = terms.select($"doc_id", $"term").distinct()
+    val nDocs = perDoc.agg(count(lit(1)).as("n")).select($"n")
+    val dfx = postings(perDoc).select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
-    val topTerms = terms.filter($"doc_id" === seedId)
+    val topTerms = postings(perDoc.filter($"doc_id" === seedId))
       .groupBy($"term").agg(count(lit(1)).as("tf"))
       .join(dfx, Seq("term"))
       .crossJoin(broadcast(nDocs))
@@ -491,8 +502,10 @@ object TextQueries {
         ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
       .orderBy($"w".desc, $"term".asc).limit(nTerms)
       .collect().map(_.getString(0)).toSeq
-    FullText.bm25TopK(docs.filter($"doc_id" =!= seedId), "doc_id",
-      "text", topTerms, k)
+    val rest = perDoc.filter($"doc_id" =!= seedId)
+    val stats = rest.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    FullText.bm25TopKFromPostings(postings(rest), stats, topTerms, k)
   }
 
   /** q102 — multi-field search (the ES `multi_match` query with
