@@ -158,6 +158,8 @@ object SparkEntry {
       TextQueries.significantTerms(s, d)),
     "q102_multi_match" -> ((s: SparkSession, d: String) =>
       TextQueries.multiMatchSearch(s, d)),
+    "q103_ann_calibration" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.annCalibrationCard(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
