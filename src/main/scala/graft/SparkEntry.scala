@@ -160,6 +160,8 @@ object SparkEntry {
       TextQueries.multiMatchSearch(s, d)),
     "q103_ann_calibration" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.annCalibrationCard(s, d)),
+    "q104_imi_ivf_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.imiIvfKnn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -737,6 +737,68 @@ object SimilarityQueries {
     exactRerank(e, cand, qemb, k)
   }
 
+  /** q104 — IMI-style two-level coarse quantizer for IVF (the
+    * inverted multi-index of Babenko & Lempitsky, CVPR 2012): the
+    * coarse quantizer is itself a PRODUCT codebook — the vector
+    * splits into two halves, each half gets its own `c`-centroid
+    * codebook (the shared grouped Lloyd,
+    * [[graft.ops.ProductQuant.trainCodebooks]] with m=2), and the
+    * cell id is the COMPOSITION `c·code₀ + code₁` — c² cells (256
+    * here) from 2·c centroids (32). That composition is the whole
+    * point at billion-vector scale: a flat 256-cell IVF pays 256
+    * full-vector comparisons per assignment, the IMI layout pays
+    * 2×16 HALF-vector comparisons — 16 full-vector equivalents, a
+    * 16× assignment-cost cut that grows quadratically with the cell
+    * count (65536 cells: 256× cheaper). The recall trade: IMI cells
+    * are a grid, not a Voronoi partition — a query probes the
+    * `probesPerHalf²` cells crossing its top half-matches, which
+    * under-recalls neighbors whose halves rank unevenly
+    * (ImiIvfSpec quantifies parity against flat IVF at equal cell
+    * count on a clustered fixture).
+    *
+    * Scale shape: training/encoding are ProductQuant's audited shapes
+    * (one grouped Lloyd job per round, broadcast codebook join); the
+    * cell table is one aggregation of the 2-row-per-vector codes; the
+    * probe list is `probesPerHalf²` broadcast rows; the search scans
+    * only probed cells then TakeOrdered — q34's tail. At deployment
+    * cells are index-time artifacts and the per-query cost is the
+    * 2·c half-vector rankings plus the probed-cell scan. */
+  def imiIvfKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, subdim: Int = 32, c: Int = 16, iters: Int = 1,
+      probesPerHalf: Int = 2): DataFrame = {
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val subs = ProductQuant.subVectors(e, 2, subdim)
+    val cb = ProductQuant.trainCodebooks(subs, c, iters)
+    val codes = ProductQuant.encode(subs, cb)
+    val cellOf = codes.groupBy($"vec_id")
+      .agg((max(when($"sub_id" === 0, $"cent_id")) * c +
+        max(when($"sub_id" === 1, $"cent_id"))).as("cell_id"))
+    val q = e.filter($"vec_id" === queryId)
+    val qemb = q.select($"embedding".as("qemb"))
+    val qsubs = ProductQuant.subVectors(q, 2, subdim)
+      .select($"sub_id", $"subvec".as("qsub"))
+    val ranked = cb.join(broadcast(qsubs), Seq("sub_id"))
+      .withColumn("qcos", cosine($"cvec", $"qsub"))
+      .withColumn("rn", row_number().over(
+        win.partitionBy($"sub_id").orderBy($"qcos".desc, $"cent_id".asc)))
+      .filter($"rn" <= probesPerHalf)
+      .select($"sub_id", $"cent_id")
+    val probeCells = ranked.filter($"sub_id" === 0)
+      .select($"cent_id".as("c0"))
+      .crossJoin(ranked.filter($"sub_id" === 1).select($"cent_id".as("c1")))
+      .select(($"c0" * c + $"c1").as("cell_id"))
+    val cand = cellOf.join(broadcast(probeCells), Seq("cell_id"))
+      .filter($"vec_id" =!= queryId).select($"vec_id")
+    e.join(cand, Seq("vec_id"))
+      .crossJoin(broadcast(qemb))
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
   /** q103 — the ANN calibration card: every oracle-gated ANN tier of
     * the engine measured against the SAME corpus, query, and exact
     * top-k, in one artifact — the card a deployment reads before
@@ -757,10 +819,11 @@ object SimilarityQueries {
     * Tiers and parameters are EXACTLY the gated queries' defaults
     * (q25 LSH 4 planes / q42 multi-probe 5 buckets / q34 IVF 16 cells
     * 2 probes / q39 k-means-IVF / q52 PQ 8×8×16 shortlist 50 /
-    * q55 IVF+PQ / q64 residual IVF+PQ / q90 SQ8), plus the
-    * brute-force anchor row (recall 1 by construction). OPQ (q-opq)
-    * is spec-gated only — its eigensolve is not DuckDB-expressible —
-    * so it appears in OpqRotationSpec, not here.
+    * q55 IVF+PQ / q64 residual IVF+PQ / q90 SQ8 / q104 IMI 2×16-grid
+    * probe 2-per-half), plus the brute-force anchor row (recall 1 by
+    * construction). OPQ (q-opq) is spec-gated only — its eigensolve
+    * is not DuckDB-expressible — so it appears in OpqRotationSpec,
+    * not here.
     *
     * Scale shape: each tier contributes its own audited plan, but the
     * card SHARES every artifact two tiers would otherwise re-derive —
@@ -772,7 +835,7 @@ object SimilarityQueries {
     * sf0.1 vs calling the standalone queries. Recall is a per-tier
     * 1-row aggregate against the 10-id exact list (a bounded driver
     * artifact, the q98 convention), candidate counts are 1-row
-    * aggregates, the card is a 9-row union. At deployment every
+    * aggregates, the card is a 10-row union. At deployment every
     * artifact here comes precomputed from the index and the card
     * reduces to candidate-count aggregates over stored layouts. */
   def annCalibrationCard(spark: SparkSession, dir: String,
@@ -845,6 +908,31 @@ object SimilarityQueries {
     val ipqTop = exactRerank(e,
       adcShortlist(codes, adc, norms, qn, queryId, 50,
         restrictTo = Some(ivfCand)), qemb, k)
+    // IMI grid tier (q104's composition, one training shared between
+    // its candidate count and its top-k)
+    val imiSubs = ProductQuant.subVectors(e, 2, 32)
+    val imiCb = ProductQuant.trainCodebooks(imiSubs, 16, 1)
+    val imiCells = ProductQuant.encode(imiSubs, imiCb)
+      .groupBy($"vec_id")
+      .agg((max(when($"sub_id" === 0, $"cent_id")) * 16 +
+        max(when($"sub_id" === 1, $"cent_id"))).as("cell_id"))
+    val imiQsubs = ProductQuant.subVectors(q, 2, 32)
+      .select($"sub_id", $"subvec".as("qsub"))
+    val imiRanked = imiCb.join(broadcast(imiQsubs), Seq("sub_id"))
+      .withColumn("qcos", cosine($"cvec", $"qsub"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"sub_id").orderBy($"qcos".desc, $"cent_id".asc)))
+      .filter($"rn" <= 2).select($"sub_id", $"cent_id")
+    val imiProbe = imiRanked.filter($"sub_id" === 0)
+      .select($"cent_id".as("c0"))
+      .crossJoin(imiRanked.filter($"sub_id" === 1)
+        .select($"cent_id".as("c1")))
+      .select(($"c0" * 16 + $"c1").as("cell_id"))
+    val imiCandFull = e
+      .join(imiCells.join(broadcast(imiProbe), Seq("cell_id"))
+        .select($"vec_id"), Seq("vec_id"))
+      .filter($"vec_id" =!= queryId)
 
     row("a_brute_force", e.filter($"vec_id".isInCollection(exactIds)),
         nMinus1, 256L)
@@ -861,10 +949,65 @@ object SimilarityQueries {
         ivfPqResidualKnn(spark, dir, queryId, k), ivfCand, 8L))
       .unionByName(row("i_sq8",
         sqAnnKnn(spark, dir, queryId, k), nMinus1, 64L))
+      .unionByName(row("j_imi", cosTop(imiCandFull), imiCandFull, 256L))
       .orderBy($"tier")
   }
 
   val oracles: Map[String, String] = Map(
+    // q104 re-derives both half-codebooks with the q52 Lloyd CTEs at
+    // m=2/subdim=32, composes cell ids 16·c0 + c1, cross-products the
+    // per-half top-2 probes, and reranks the probed cells exactly
+    "q104_imi_ivf_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |subs AS (SELECT e.vec_id, s.s AS sub_id,
+        |    list_slice(e.embedding, s.s*32 + 1, s.s*32 + 32) AS subvec
+        |  FROM e, unnest(generate_series(0, 1)) s(s)),
+        |cb0 AS (SELECT sub_id, vec_id AS cent_id, subvec AS cvec
+        |  FROM subs WHERE vec_id < 16),
+        |a1 AS (SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM subs s JOIN cb0 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |m1 AS (SELECT a.sub_id, a.cent_id, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(s.subvec[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM a1 a JOIN subs s USING (vec_id, sub_id),
+        |    unnest(generate_series(1, 32)) t(i)
+        |  GROUP BY a.sub_id, a.cent_id, t.i),
+        |cb1 AS (SELECT sub_id, cent_id, list(m ORDER BY i) AS cvec
+        |  FROM m1 GROUP BY sub_id, cent_id),
+        |codes AS (SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM subs s JOIN cb1 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |cells AS (SELECT vec_id,
+        |    16 * MAX(CASE WHEN sub_id = 0 THEN cent_id END) +
+        |    MAX(CASE WHEN sub_id = 1 THEN cent_id END) AS cell_id
+        |  FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0),
+        |qsubs AS (SELECT s.s AS sub_id,
+        |    list_slice(q.embedding, s.s*32 + 1, s.s*32 + 32) AS qsub
+        |  FROM q, unnest(generate_series(0, 1)) s(s)),
+        |ranked AS (SELECT c.sub_id, c.cent_id, row_number() OVER (
+        |    PARTITION BY c.sub_id
+        |    ORDER BY list_cosine_similarity(c.cvec::DOUBLE[],
+        |      qs.qsub::DOUBLE[]) DESC, c.cent_id ASC) AS rn
+        |  FROM cb1 c JOIN qsubs qs USING (sub_id)),
+        |probe AS (SELECT 16 * a.cent_id + b.cent_id AS cell_id
+        |  FROM ranked a, ranked b
+        |  WHERE a.sub_id = 0 AND b.sub_id = 1
+        |    AND a.rn <= 2 AND b.rn <= 2),
+        |cand AS (SELECT cl.vec_id FROM cells cl JOIN probe USING (cell_id)
+        |  WHERE cl.vec_id <> 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |    q.embedding::DOUBLE[]), 4) AS cosine
+        |FROM e JOIN cand USING (vec_id), q
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |  q.embedding::DOUBLE[]) DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
     // q103 composes the eight gated tiers' PROVEN oracle pipelines
     // (q19/q25/q42/q34/q39/q52/q55/q64/q90, CTEs prefixed per tier)
     // into one card: per tier, top-10 ∩ exact top-10 over 10, the
@@ -1109,6 +1252,50 @@ object SimilarityQueries {
         |sq_top AS (SELECT rec.vec_id FROM sq_rec rec, q
         |  ORDER BY list_cosine_similarity(rec.recon::DOUBLE[],
         |    q.embedding::DOUBLE[]) DESC, rec.vec_id ASC LIMIT 10),
+        |imi_subs AS (SELECT e.vec_id, s.s AS sub_id,
+        |    list_slice(e.embedding, s.s*32 + 1, s.s*32 + 32) AS subvec
+        |  FROM e, unnest(generate_series(0, 1)) s(s)),
+        |imi_cb0 AS (SELECT sub_id, vec_id AS cent_id, subvec AS cvec
+        |  FROM imi_subs WHERE vec_id < 16),
+        |imi_a1 AS (SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM imi_subs s JOIN imi_cb0 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |imi_m1 AS (SELECT a.sub_id, a.cent_id, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(s.subvec[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM imi_a1 a JOIN imi_subs s USING (vec_id, sub_id),
+        |    unnest(generate_series(1, 32)) t(i)
+        |  GROUP BY a.sub_id, a.cent_id, t.i),
+        |imi_cb1 AS (SELECT sub_id, cent_id, list(m ORDER BY i) AS cvec
+        |  FROM imi_m1 GROUP BY sub_id, cent_id),
+        |imi_codes AS (SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM imi_subs s JOIN imi_cb1 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |imi_cells AS (SELECT vec_id,
+        |    16 * MAX(CASE WHEN sub_id = 0 THEN cent_id END) +
+        |    MAX(CASE WHEN sub_id = 1 THEN cent_id END) AS cell_id
+        |  FROM imi_codes GROUP BY vec_id),
+        |imi_qsubs AS (SELECT s.s AS sub_id,
+        |    list_slice(q.embedding, s.s*32 + 1, s.s*32 + 32) AS qsub
+        |  FROM q, unnest(generate_series(0, 1)) s(s)),
+        |imi_ranked AS (SELECT c.sub_id, c.cent_id, row_number() OVER (
+        |    PARTITION BY c.sub_id
+        |    ORDER BY list_cosine_similarity(c.cvec::DOUBLE[],
+        |      qs.qsub::DOUBLE[]) DESC, c.cent_id ASC) AS rn
+        |  FROM imi_cb1 c JOIN imi_qsubs qs USING (sub_id)),
+        |imi_probe AS (SELECT 16 * a.cent_id + b.cent_id AS cell_id
+        |  FROM imi_ranked a, imi_ranked b
+        |  WHERE a.sub_id = 0 AND b.sub_id = 1
+        |    AND a.rn <= 2 AND b.rn <= 2),
+        |imi_cand AS (SELECT cl.vec_id FROM imi_cells cl
+        |  JOIN imi_probe USING (cell_id) WHERE cl.vec_id <> 0),
+        |imi_top AS (SELECT e.vec_id FROM e JOIN imi_cand USING (vec_id), q
+        |  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |    q.embedding::DOUBLE[]) DESC, e.vec_id ASC LIMIT 10),
         |card AS (
         |  SELECT 'a_brute_force' AS tier,
         |    round((SELECT COUNT(*) FROM exact) / 10.0, 4) AS recall_at_10,
@@ -1146,7 +1333,11 @@ object SimilarityQueries {
         |  UNION ALL SELECT 'i_sq8',
         |    round((SELECT COUNT(*) FROM sq_top JOIN exact USING (vec_id))
         |      / 10.0, 4),
-        |    (SELECT COUNT(*) FROM e WHERE vec_id <> 0), 64)
+        |    (SELECT COUNT(*) FROM e WHERE vec_id <> 0), 64
+        |  UNION ALL SELECT 'j_imi',
+        |    round((SELECT COUNT(*) FROM imi_top JOIN exact USING (vec_id))
+        |      / 10.0, 4),
+        |    (SELECT COUNT(*) FROM imi_cand), 256)
         |SELECT tier, recall_at_10,
         |  CAST(candidates_scanned AS BIGINT) AS candidates_scanned,
         |  CAST(bytes_per_candidate AS BIGINT) AS bytes_per_candidate

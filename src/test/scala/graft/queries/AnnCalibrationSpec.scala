@@ -13,10 +13,10 @@ class AnnCalibrationSpec extends SparkSpecBase {
       _.collect()).map(r => r.getString(0) ->
         ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
 
-  test("all nine tiers report, brute force anchors at recall 1") {
+  test("all ten tiers report, brute force anchors at recall 1") {
     assert(card.keySet == Set("a_brute_force", "b_lsh", "c_lsh_multiprobe",
       "d_ivf", "e_ivf_kmeans", "f_pq", "g_ivfpq", "h_ivfpq_residual",
-      "i_sq8"))
+      "i_sq8", "j_imi"))
     assert(card("a_brute_force")._1 == 1.0)
     assert(card.values.forall { case (r, n, _) => r >= 0.0 && r <= 1.0 && n > 0 })
   }
