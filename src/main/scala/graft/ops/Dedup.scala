@@ -327,21 +327,52 @@ object Dedup {
     def prep(d: DataFrame) =
       d.select(col(idCol).as("id"), col(shingleCol).as("sh"))
     val oldBase = prep(oldDocs)
-    val newBase = prep(newDocs)
+    // the stored-index stand-in: derived here from oldDocs so the
+    // operator is self-contained; the against-index form below takes
+    // the PERSISTED artifacts and never re-hashes the old side
+    val oldBands = oldBase
+      .withColumn("bandh", bandHashesDirect(col("sh"), numHashes, bands))
+      .select(col("id"),
+        posexplode_outer(col("bandh")).as(Seq("band", "band_hash")))
+    minhashLshPairsAgainstIndex(oldBands, oldBase, prep(newDocs),
+      "id", "sh", numHashes, bands, threshold)
+  }
+
+  /** The deploy/streaming face of [[minhashLshPairsIncremental]]: the
+    * old side arrives as its PERSISTED artifacts — the (id, band,
+    * band_hash) band index plus the (id, sh) shingle store — so a
+    * batch pays hashing/exploding ONLY for its own rows; the stored
+    * corpus is touched by the collision join (on its index) and the
+    * verify join (fetching shingles for colliding pairs), never by
+    * the hash kernels. Semantics are identical to the self-contained
+    * form (DedupSpec pins frame equality), and the new batch's
+    * admitted rows' bands/shingles are exactly what a caller appends
+    * back to the two artifacts (streaming.Streams.nearDupAdmission
+    * does). `bandIndex` columns: (id, band, band_hash); `oldShingles`
+    * columns: (id, sh). */
+  def minhashLshPairsAgainstIndex(
+      bandIndex: DataFrame, oldShingles: DataFrame, newDocs: DataFrame,
+      idCol: String, shingleCol: String,
+      numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val newBase = newDocs.select(col(idCol).as("id"),
+      col(shingleCol).as("sh"))
     def banded(base: DataFrame) = base
       .withColumn("bandh", bandHashesDirect(col("sh"), numHashes, bands))
       .select(col("id"),
         posexplode_outer(col("bandh")).as(Seq("band", "band_hash")))
-    // the stored-index stand-in ∪ the new batch's bands
-    val index = banded(oldBase).unionByName(banded(newBase))
+    val newBanded = banded(newBase)
+    // stored index ∪ the new batch's bands
+    val index = bandIndex.select(col("id"), col("band"), col("band_hash"))
+      .unionByName(newBanded)
     val pairs = index
       .select(col("band"), col("band_hash"), col("id").as("doc_a"))
-      .join(banded(newBase).select(col("band"), col("band_hash"),
+      .join(newBanded.select(col("band"), col("band_hash"),
         col("id").as("doc_b")), Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val shA = oldBase.unionByName(newBase)
+    val shA = oldShingles.select(col("id"), col("sh")).unionByName(newBase)
       .select(col("id").as("doc_a"), col("sh").as("sh_a"))
     val shB = newBase.select(col("id").as("doc_b"), col("sh").as("sh_b"))
     pairs

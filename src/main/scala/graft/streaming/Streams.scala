@@ -322,6 +322,102 @@ object Streams {
       .drop("toks", "__bi", "__tri")
   }
 
+  /** Streaming near-dup ADMISSION against the persisted band index —
+    * the missing streaming face of q68 (the round-8 admission filter
+    * flags quality/PII/contamination per row but could not consult
+    * the index, so a streaming ingest admitted near-duplicates).
+    * Per micro-batch, foreachBatch:
+    *
+    *  1. shingles the batch ONCE and probes it through
+    *     [[graft.ops.Dedup.minhashLshPairsAgainstIndex]] — the stored
+    *     corpus contributes its persisted (id, band, band_hash) index
+    *     and (id, sh) shingle store, so a batch pays hashing only for
+    *     its own rows ("0.1% delta pays 0.1%", the J5/J6 contract) —
+    *     which also catches WITHIN-batch collisions (the new side is
+    *     unioned into the probed index, exactly q68's semantics);
+    *  2. hands the batch, annotated with `admitted` and the colliding
+    *     partner `dup_of` (the smallest near-dup the verify
+    *     confirmed), to the caller's sink;
+    *  3. APPENDS the admitted rows' bands and shingles to the two
+    *     index artifacts — the next batch probes them.
+    *
+    * Ids must be append-ordered across the stream (new ids > stored
+    * ids, the A5 watermark convention q68 documents): doc_b of every
+    * verified pair is then always the NEWER document, so "drop doc_b,
+    * keep doc_a" never evicts an already-admitted row. Dropped rows
+    * are NOT appended; a later true near-dup of a dropped row still
+    * collides with the dropped row's admitted partner (band keys are
+    * near-transitive at the threshold — the q68/batch convention,
+    * where the pair set is reported against admitted survivors).
+    *
+    * At-least-once replay: a replayed batch re-probes and re-appends
+    * the same (id, band, band_hash)/(id, sh) rows — duplicate index
+    * rows change no collision verdict (pairs are `distinct`ed before
+    * the verify), so the admission verdicts are replay-stable; compact
+    * the index artifacts on a maintenance schedule like any
+    * append-only log. State lives in the PERSISTED artifacts, not the
+    * state store — executors hold nothing between batches, and the
+    * collision join scales with the index exactly as the batch path
+    * does. */
+  def nearDupAdmissionStream(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String, checkpointDir: String,
+      sink: DataFrame => Unit,
+      numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.7): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val bandsPath = s"$indexDir/bands"
+        val shPath = s"$indexDir/shingles"
+        val prepped = batch
+          .select(col(idCol).cast("long").as("id"),
+            graft.ops.Dedup.shingles(graft.ops.Dedup.tokens(col(textCol)))
+              .as("sh"))
+          .filter(col("id").isNotNull)
+          // one tokenize/shingle pass per batch: three consumers
+          // (probe, admitted filter, index append) read the
+          // materialized rows; only the cheap 16-hash band kernel
+          // re-runs (over batch rows alone) on the append side
+          .localCheckpoint()
+        val haveIndex = new java.io.File(bandsPath).exists()
+        val (bandIdx, oldSh) =
+          if (haveIndex)
+            (spark.read.parquet(bandsPath), spark.read.parquet(shPath))
+          else
+            (Seq.empty[(Long, Int, String)].toDF("id", "band", "band_hash"),
+              Seq.empty[(Long, Array[String])].toDF("id", "sh"))
+        val pairs = graft.ops.Dedup.minhashLshPairsAgainstIndex(
+          bandIdx, oldSh, prepped, "id", "sh", numHashes, bands, threshold)
+        // the smallest verified partner per flagged doc (deterministic)
+        val dups = pairs.groupBy(col("doc_b").as("__dup_id"))
+          .agg(min(col("doc_a")).as("dup_of"))
+        val annotated = batch
+          .join(dups, col(idCol).cast("long") === col("__dup_id"), "left")
+          .withColumn("admitted", col("__dup_id").isNull)
+          .drop("__dup_id")
+          .localCheckpoint()
+        val admitted = prepped
+          .join(annotated.filter(col("admitted"))
+            .select(col(idCol).cast("long").as("id")), Seq("id"),
+            "left_semi")
+        admitted
+          .withColumn("bandh", graft.ops.Dedup.bandHashesDirect(
+            col("sh"), numHashes, bands))
+          .select(col("id"),
+            posexplode_outer(col("bandh")).as(Seq("band", "band_hash")))
+          .write.mode("append").parquet(bandsPath)
+        admitted.select(col("id"), col("sh"))
+          .write.mode("append").parquet(shPath)
+        try sink(annotated) finally {
+          graft.ops.Checkpoints.unpersist(annotated)
+          graft.ops.Checkpoints.unpersist(prepped)
+        }
+      }
+      .start()
+
   /** Streaming bigram-LM scoring — the deployment shape of the
     * q61/q62 filter: the model is TRAINED in batch (LangModel.train,
     * pruned by minCount so it is literal-sized — LangModel.modelMap),

@@ -127,6 +127,34 @@ class DedupSpec extends SparkSpecBase {
     assert(!inc.contains((1L, 2L)))
   }
 
+  test("minhashLshPairsAgainstIndex(persisted artifacts) = self-contained incremental") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val all = docs(
+      (1L, base), (2L, base + " phi"), (3L, other),
+      (10L, base + " chi"), (11L, other + " twelve"),
+      (12L, base + " chi psi"))
+    val old = all.filter(col("doc_id") < 10L)
+    val fresh = all.filter(col("doc_id") >= 10L)
+    // the artifacts a deployment persists at index time
+    val bandIdx = old
+      .withColumn("bandh", Dedup.bandHashesDirect(col("shingles")))
+      .select(col("doc_id").as("id"),
+        posexplode(col("bandh")).as(Seq("band", "band_hash")))
+    val shStore = old.select(col("doc_id").as("id"),
+      col("shingles").as("sh"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaIndex = keyed(Dedup.minhashLshPairsAgainstIndex(
+      bandIdx, shStore, fresh, "doc_id", "shingles", threshold = 0.5))
+    val selfContained = keyed(Dedup.minhashLshPairsIncremental(
+      old, fresh, "doc_id", "shingles", threshold = 0.5))
+    assert(viaIndex == selfContained,
+      s"index=$viaIndex selfContained=$selfContained")
+    assert(viaIndex.nonEmpty)
+  }
+
   test("substring dedup: all-but-first spans union per doc, internal repeats count") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("substr")

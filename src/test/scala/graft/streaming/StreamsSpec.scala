@@ -310,6 +310,76 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupAdmissionStream: probes + appends the persisted band index batch-wise") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-ndidx").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ndckpt").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val colors = "red green blue cyan magenta yellow black white silver gold"
+    val verdicts = scala.collection.mutable.Map[Long, (Boolean, Option[Long])]()
+    val src = MemoryStream[(Long, String)]
+    val q = Streams.nearDupAdmissionStream(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexDir, ckpt,
+      sink = b => b.collect().foreach { r =>
+        verdicts.synchronized {
+          verdicts(r.getAs[Long]("doc_id")) =
+            (r.getAs[Boolean]("admitted"),
+              Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue))
+        }
+      })
+    try {
+      // batch 1: within-batch collision (2 dups 1); 3 is unique
+      src.addData((1L, base), (2L, base + " phi"), (3L, other))
+      q.processAllAvailable()
+      // batch 2: 10 dups admitted 1 via the index; 11 dups 3; 12 dups
+      // both 1 (index) and 10 (within batch) — smallest partner wins;
+      // 13 is genuinely new and must be APPENDED
+      src.addData((10L, base + " chi"), (11L, other + " twelve"),
+        (12L, base + " chi psi"), (13L, colors))
+      q.processAllAvailable()
+      // batch 3: 20 collides with batch-2-admitted 13 — proves batch
+      // 2's append is probed; 21 is unique
+      src.addData((20L, colors + " bronze"),
+        (21L, "uno dos tres quatro cinco seis siete ocho nueve diez"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = verdicts.synchronized(verdicts.toMap)
+    assert(got == Map(
+      1L -> ((true, None)), 2L -> ((false, Some(1L))),
+      3L -> ((true, None)),
+      10L -> ((false, Some(1L))), 11L -> ((false, Some(3L))),
+      12L -> ((false, Some(1L))), 13L -> ((true, None)),
+      20L -> ((false, Some(13L))), 21L -> ((true, None))),
+      s"verdicts: $got")
+    // the persisted artifacts hold exactly the admitted survivors
+    val indexedIds = spark.read.parquet(s"$indexDir/shingles")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(indexedIds == Set(1L, 3L, 13L, 21L))
+    // equivalence with the batch-wise incremental operator under the
+    // same admission policy (old side = admitted survivors so far)
+    def shingled(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").select($"doc_id",
+        graft.ops.Dedup.shingles(graft.ops.Dedup.tokens($"text"))
+          .as("shingles"))
+    val admitted1 = shingled(1L -> base, 3L -> other)
+    val batch2 = shingled(10L -> (base + " chi"),
+      11L -> (other + " twelve"), 12L -> (base + " chi psi"),
+      13L -> colors)
+    val batchWise = graft.ops.Dedup.minhashLshPairsIncremental(
+      admitted1, batch2, "doc_id", "shingles")
+      .groupBy($"doc_b").agg(org.apache.spark.sql.functions.min($"doc_a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchWise ==
+      Map(10L -> 1L, 11L -> 3L, 12L -> 1L),
+      s"batch-wise twin disagrees: $batchWise")
+  }
+
   test("decontaminateStream flags gram overlap against batch-derived set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
