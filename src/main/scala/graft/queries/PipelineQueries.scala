@@ -367,6 +367,144 @@ object PipelineQueries {
     (stats, s9.select($"doc_id", $"rtext", $"rn_tokens", $"split"))
   }
 
+  /** Resumable twin of [[curationSweepFrames]] — the CLI face
+    * (tools/RunCuration): every stage boundary PERSISTS its survivor
+    * frame to `<stageDir>/<stage>/` (the reference's per-stage
+    * artifact discipline, runner.py:27-77: each pass writes its
+    * output before the next starts), and a re-run SKIPS any stage
+    * whose artifact carries a `_SUCCESS` marker — a sweep killed
+    * after stage k resumes from k+1 against the persisted frames
+    * instead of recomputing the whole chain. A partial artifact (dir
+    * present, no marker — the mid-write crash) is rebuilt.
+    *
+    * Returns (stats, corpus, builtStages): `builtStages` lists the
+    * stages COMPUTED this run, in order — the recompute-accounting
+    * observable RunCurationSpec pins (a resumed run must list only
+    * the stages after the kill point). Stats/corpus values are
+    * identical to the one-shot sweep (spec-pinned): the stage bodies
+    * are the same operator compositions; only the materialization
+    * strategy differs (parquet round-trip instead of
+    * localCheckpoint, which also replaces the in-memory
+    * multi-consumer reuse — each stage is read back from its
+    * artifact). Per-stage internal checkpoints (SemDeDup's
+    * assignment, the LM model) are freed as soon as the stage's
+    * artifact is written. */
+  def curationSweepResumable(spark: SparkSession, dir: String,
+      stageDir: String, nllThreshold: Double = 3.43, k: Int = 13)
+      : (DataFrame, DataFrame, Seq[String]) = {
+    import spark.implicits._
+    val builtStages = scala.collection.mutable.ArrayBuffer[String]()
+    def stage(name: String)(build: => DataFrame): DataFrame = {
+      val path = s"$stageDir/$name"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val df = build
+        df.write.mode("overwrite").parquet(path)
+        // free any checkpoint the stage body created (SemDeDup
+        // assignment, LM model) — the artifact is on disk now
+        graft.ops.Checkpoints.unpersist(df)
+        builtStages += name
+      }
+      spark.read.parquet(path)
+    }
+    val enStops = TextAnalysis.stopwords.toMap.apply("en")
+    val rep = graft.expressions.TextHashes.gramRepetitionStats _
+    val base = stage("s012_flags") {
+      Tables.documentsDistributed(spark, dir)
+        .withColumn("toks", TextAnalysis.tokensOf($"text"))
+        .withColumn("n_tokens", size($"toks").cast("long"))
+        .withColumn("q_ok",
+          $"n_tokens".between(20, 1000) &&
+            round(TextAnalysis.stopwordHits($"toks", enStops).cast("double") /
+              $"n_tokens".cast("double"), 4) >= 0.05 && $"lang" === "en")
+        .withColumn("bi", rep($"toks", 2))
+        .withColumn("tri", rep($"toks", 3))
+        .withColumn("rep_ok", $"q_ok" &&
+          !(when($"bi".getItem(0) === 0L, lit(0d))
+            .otherwise(round($"bi".getItem(1).cast("double") /
+              $"bi".getItem(0), 4)) > 0.1) &&
+          !(when($"tri".getItem(0) === 0L, lit(0d))
+            .otherwise(round($"tri".getItem(2).cast("double") /
+              $"tri".getItem(0), 4)) > 0.1))
+        .select($"doc_id", $"text", $"toks", $"n_tokens", $"q_ok",
+          $"rep_ok")
+    }
+    val s3 = stage("s3_pii") {
+      base.filter($"rep_ok")
+        .select($"doc_id", Pii.redact($"text").as("rtext"))
+        .withColumn("rtoks", TextAnalysis.tokensOf($"rtext"))
+        .withColumn("rn_tokens", size($"rtoks").cast("long"))
+    }
+    val s4 = stage("s4_decontaminate") {
+      val bench = base.filter($"doc_id" % 7 === 0)
+        .select($"doc_id", Decontaminate.gramHashes($"toks", k).as("grams"))
+      val corpus4 = s3.filter($"doc_id" % 7 =!= 0)
+      val report = Decontaminate.overlapReport(
+        corpus4.select($"doc_id",
+          Decontaminate.gramHashes($"rtoks", k).as("grams")),
+        bench, "doc_id", "grams")
+      Decontaminate.removeContaminated(corpus4, report, "doc_id")
+    }
+    val s5 = stage("s5_exact_dedup") {
+      s4.withColumn("__rn", row_number().over(
+          Window.partitionBy(md5($"rtext")).orderBy($"doc_id")))
+        .filter($"__rn" === 1).drop("__rn")
+    }
+    val s6 = stage("s6_near_dedup") {
+      val pairs = Dedup.minhashLshPairs(
+        s5.select($"doc_id", Dedup.shingles($"rtoks").as("shingles")),
+        "doc_id", "shingles")
+      s5.join(pairs.select($"doc_b".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+    val s7 = stage("s7_semantic_dedup") {
+      val eSub = Tables.embeddingsDistributed(spark, dir)
+        .select($"vec_id", $"embedding")
+        .join(s6.select($"doc_id".as("vec_id")), Seq("vec_id"))
+      val semDrops = SimilarityQueries.semanticDedupFrame(eSub)
+        .filter($"kept" === 0L).select($"vec_id".as("doc_id"))
+      s6.join(semDrops, Seq("doc_id"), "left_anti")
+    }
+    val s8 = stage("s8_lm_filter") {
+      val bg = s7.select($"doc_id", explode_outer(
+        graft.expressions.TextHashes.tokenGrams($"rtoks", 2)).as("g"))
+      val scored = LangModel.score(bg, LangModel.train(bg))
+      s7.join(
+        scored.filter($"avg_nll" > nllThreshold).select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+    }
+    val s9 = s8.withColumn("split", Sampling.assignSplit($"doc_id",
+      "split", Seq("train" -> 90, "val" -> 95), "test"))
+    def stat(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum($"rn_tokens"), lit(0L)).as("total_tokens"))
+        .select(lit(name).as("stage"), $"n_docs", $"total_tokens")
+    val stats = base.agg(
+        count(lit(1)).as("n0"),
+        coalesce(sum(when($"q_ok", 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when($"rep_ok", 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum($"n_tokens"), lit(0L)).as("t0"),
+        coalesce(sum(when($"q_ok", $"n_tokens").otherwise(0L)), lit(0L))
+          .as("t1"),
+        coalesce(sum(when($"rep_ok", $"n_tokens").otherwise(0L)), lit(0L))
+          .as("t2"))
+      .selectExpr("stack(3, '0_raw', n0, t0, '1_quality', n1, t1, " +
+        "'2_repetition', n2, t2) AS (stage, n_docs, total_tokens)")
+      .unionByName(stat("3_pii", s3))
+      .unionByName(stat("4_decontaminate", s4))
+      .unionByName(stat("5_exact_dedup", s5))
+      .unionByName(stat("6_near_dedup", s6))
+      .unionByName(stat("7_semantic_dedup", s7))
+      .unionByName(stat("8_lm_filter", s8))
+      .unionByName(s9.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"rn_tokens"), lit(0L)).as("total_tokens"))
+        .select(concat(lit("9_split_"), $"split").as("stage"),
+          $"n_docs", $"total_tokens"))
+      .orderBy($"stage")
+    (stats, s9.select($"doc_id", $"rtext", $"rn_tokens", $"split"),
+      builtStages.toList)
+  }
+
   /** q66 — training-sequence packing (the GPT-style concat-and-chunk
     * that turns a curated corpus into fixed-length training
     * sequences): documents are concatenated in doc_id order and cut

@@ -40,16 +40,26 @@ object RunCuration {
 
   /** Testable body (RunCurationSpec drives it on the shared test
     * session — the RunIndexing main/run split). Returns the collected
-    * stage rows. */
+    * stage rows.
+    *
+    * RESUMABLE: stage survivor frames persist under
+    * `<outDir>/stage_frames/<stage>/` (the reference's per-stage
+    * artifact discipline, runner.py:27-77) — a run killed after
+    * stage k resumes from k+1 on the next invocation instead of
+    * recomputing the completed stages
+    * ([[PipelineQueries.curationSweepResumable]]; RunCurationSpec
+    * pins the no-recompute accounting and stats identity). Delete
+    * `stage_frames/` to force a from-scratch sweep over refreshed
+    * input. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       nllThreshold: Double = 3.43)
       : Array[org.apache.spark.sql.Row] = {
-    val (stats, corpus) =
-      PipelineQueries.curationSweepFrames(spark, sfDir, nllThreshold)
-    // One consume over the STATS frame (whose plan reaches every
-    // checkpointed stage) wrapped around BOTH materializations: the
-    // corpus write happens while the stage blocks are alive, then
-    // everything is freed together.
+    val (stats, corpus, _) = PipelineQueries.curationSweepResumable(
+      spark, sfDir, s"$outDir/stage_frames", nllThreshold)
+    // Stage frames live on disk now (resumable artifacts), so the
+    // stats/corpus plans carry no checkpointed blocks of their own;
+    // the consume keeps the hygiene contract for anything a stage
+    // body may still leave behind.
     Checkpoints.consume(stats) { st =>
       corpus.selectExpr("doc_id", "rtext AS text",
           "rn_tokens AS n_tokens", "split")

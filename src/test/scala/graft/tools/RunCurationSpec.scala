@@ -66,4 +66,64 @@ class RunCurationSpec extends SparkSpecBase {
       assert(p == 0L || p == 1L)
     }
   }
+
+  private val allStages = Seq("s012_flags", "s3_pii", "s4_decontaminate",
+    "s5_exact_dedup", "s6_near_dedup", "s7_semantic_dedup", "s8_lm_filter")
+
+  test("resume: a sweep killed after stage k recomputes only stages > k, stats identical") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val stageDir = Files.createTempDirectory("curation-stages")
+      .toFile.getAbsolutePath
+    def collectStats(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // run 1: from scratch — every stage is BUILT and persisted
+    val (stats1, _, built1) =
+      graft.queries.PipelineQueries.curationSweepResumable(
+        spark, sf, stageDir)
+    val full = collectStats(stats1)
+    assert(built1 == allStages, s"first run builds everything: $built1")
+    for (s <- allStages)
+      assert(new java.io.File(s"$stageDir/$s/_SUCCESS").exists())
+    // simulate a kill right after s5 completed: later artifacts are
+    // gone, and s6 died MID-WRITE (dir present, no _SUCCESS marker)
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
+    }
+    Seq("s6_near_dedup", "s7_semantic_dedup", "s8_lm_filter")
+      .foreach(s => rmr(new java.io.File(s"$stageDir/$s")))
+    val partial = new java.io.File(s"$stageDir/s6_near_dedup")
+    partial.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(
+      s"$stageDir/s6_near_dedup/part-orphan.parquet"), "torn write")
+    // completed artifacts must not be rewritten — snapshot mtimes
+    val mtimes = allStages.take(4).map(s =>
+      s -> new java.io.File(s"$stageDir/$s").listFiles()
+        .map(_.lastModified).max).toMap
+    // run 2: resumes — builds ONLY the missing/partial tail
+    val (stats2, corpus2, built2) =
+      graft.queries.PipelineQueries.curationSweepResumable(
+        spark, sf, stageDir)
+    assert(built2 ==
+      Seq("s6_near_dedup", "s7_semantic_dedup", "s8_lm_filter"),
+      s"resume recomputed the wrong stages: $built2")
+    for ((s, m) <- mtimes)
+      assert(new java.io.File(s"$stageDir/$s").listFiles()
+        .map(_.lastModified).max == m,
+        s"completed stage $s was rewritten on resume")
+    // identical final accounting, and the corpus agrees with it
+    assert(collectStats(stats2) == full)
+    assert(corpus2.count() == full("8_lm_filter")._1)
+    // run 3: everything present — nothing recomputes at all
+    val (stats3, _, built3) =
+      graft.queries.PipelineQueries.curationSweepResumable(
+        spark, sf, stageDir)
+    assert(built3.isEmpty, s"no-op resume rebuilt: $built3")
+    assert(collectStats(stats3) == full)
+    // and the resumable stats match the one-shot gated sweep (q63)
+    val oneShot = graft.ops.Checkpoints.consume(
+        graft.queries.PipelineQueries.curationSweep(spark, sf))(_.collect())
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(full == oneShot, "resumable vs one-shot sweep stats differ")
+  }
 }
