@@ -162,6 +162,8 @@ object SparkEntry {
       SimilarityQueries.annCalibrationCard(s, d)),
     "q104_imi_ivf_knn" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.imiIvfKnn(s, d)),
+    "q105_hybrid_rrf" -> ((s: SparkSession, d: String) =>
+      TextQueries.hybridRrfSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -543,6 +543,49 @@ object TextQueries {
       .orderBy($"score_best".desc, $"doc_id")
   }
 
+  /** q105 — hybrid search via reciprocal rank fusion (the ES 8.x
+    * `rrf` retriever, Cormack et al. 2009): the lexical leg (q51's
+    * BM25 over `documents`) and the semantic leg (q19's exact cosine
+    * kNN over `embeddings`, vec_id ≡ doc_id) each produce a top-`legK`
+    * RANKING, and a document's fused score is Σ_legs 1/(rrfK + rank) —
+    * rank-based fusion needs no score normalization across
+    * incomparable scales (BM25 vs cosine), which is exactly why ES
+    * adopted RRF as the default hybrid combiner. Emits both leg ranks
+    * (null when a document appears in only one leg, as in ES's
+    * per-retriever rank fields).
+    *
+    * Determinism: each leg ranks by its ROUNDED score with an id
+    * tie-break (both engines compute identical rounded values), and
+    * the fused score is a two-term double sum in fixed order, rounded
+    * 6dp.
+    *
+    * Scale shape: each leg is its own audited plan (postings-only
+    * shuffle / broadcast-query scan + TakeOrdered); the fusion is a
+    * full-outer join of two legK-row frames and a TakeOrdered — cost
+    * lives entirely in the legs. */
+  def hybridRrfSearch(spark: SparkSession, dir: String,
+      queryId: Long = 0L, legK: Int = 20, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val bm = FullText.bm25TopK(Tables.documents(spark, dir), "doc_id",
+        "text", bm25QueryTerms, legK)
+      .withColumn("bm25_rank", row_number().over(
+        win.orderBy($"score".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"bm25_rank")
+    val kn = SimilarityQueries.knnBruteForce(spark, dir, queryId, legK)
+      .withColumn("knn_rank", row_number().over(
+        win.orderBy($"cosine".desc, $"vec_id".asc)).cast("long"))
+      .select($"vec_id".as("doc_id"), $"knn_rank")
+    bm.join(kn, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + $"bm25_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + $"knn_rank"), lit(0.0)), 6))
+      .orderBy($"rrf_score".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", $"rrf_score", $"bm25_rank", $"knn_rank")
+  }
+
   /** q101 — significant terms per source (the ES `significant_terms`
     * aggregation, JLH heuristic): for each source as the FOREGROUND
     * set against the whole corpus as background, terms whose
@@ -633,6 +676,56 @@ object TextQueries {
     FullText.englishStopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    // q105 re-derives both legs (q51's BM25 CTEs, q19's exact kNN),
+    // ranks each by rounded score + id, and fuses 1/(60+rank)
+    "q105_hybrid_rrf" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl
+         |  FROM sized),
+         |tf AS (
+         |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+         |  WHERE term IN ('fast','vector','query')
+         |  GROUP BY doc_id, doclen, term),
+         |withdf AS (
+         |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+         |  FROM tf),
+         |bmtop AS (SELECT doc_id, round(SUM(
+         |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+         |  FROM withdf CROSS JOIN stats
+         |  GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |bm AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
+         |  FROM bmtop),
+         |kq AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |kn0 AS (SELECT e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |      kq.embedding::DOUBLE[]), 4) AS cos
+         |  FROM embeddings e, kq WHERE e.vec_id <> 0
+         |  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |    kq.embedding::DOUBLE[]) DESC, e.vec_id ASC LIMIT 20),
+         |kn AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY cos DESC, doc_id) AS BIGINT) AS knn_rank
+         |  FROM kn0),
+         |f AS (SELECT COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
+         |    bm25_rank, knn_rank
+         |  FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id)
+         |SELECT doc_id,
+         |  round(COALESCE(1.0 / (60 + bm25_rank), 0) +
+         |    COALESCE(1.0 / (60 + knn_rank), 0), 6) AS rrf_score,
+         |  bm25_rank, knn_rank
+         |FROM f
+         |ORDER BY round(COALESCE(1.0 / (60 + bm25_rank), 0) +
+         |  COALESCE(1.0 / (60 + knn_rank), 0), 6) DESC, doc_id
+         |LIMIT 10""".stripMargin,
     // q102 re-derives the synthetic title/body split, stacks the two
     // fields with per-field stats (the Lucene per-field index shape),
     // scores each field's BM25, combines best_fields (tie 0.3) and

@@ -226,6 +226,35 @@ class FullTextSpec extends SparkSpecBase {
     assert(scores.forall(_ > 0.0))
   }
 
+  test("hybrid RRF: fused score recomputes from the emitted leg ranks") {
+    val out = graft.queries.TextQueries
+      .hybridRrfSearch(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse, "descending fusion order")
+    out.foreach { r =>
+      val bm = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val kn = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(bm.nonEmpty || kn.nonEmpty, "a fused doc has at least one leg")
+      (bm.toSeq ++ kn.toSeq).foreach(rk => assert(rk >= 1 && rk <= 20))
+      val expect = BigDecimal(
+        bm.map(rk => 1.0 / (60 + rk)).getOrElse(0.0) +
+          kn.map(rk => 1.0 / (60 + rk)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(1) - expect) < 1e-9,
+        s"doc ${r.getLong(0)}: fusion math")
+    }
+    // RRF's defining property: a doc in BOTH legs beats a doc whose
+    // single-leg rank equals its worse leg rank
+    val both = out.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    val single = out.filter(r => r.isNullAt(2) ^ r.isNullAt(3))
+    for (b <- both; s <- single) {
+      val bWorse = math.max(b.getLong(2), b.getLong(3))
+      val sRank = if (s.isNullAt(2)) s.getLong(3) else s.getLong(2)
+      if (sRank >= bWorse) assert(b.getDouble(1) > s.getDouble(1))
+    }
+  }
+
   test("query-term filter sits below the first exchange (postings-only shuffle)") {
     val d = docs((1L, "a b"), (2L, "c d"))
     val plan = FullText.bm25TopK(d, "doc_id", "text", Seq("b"), k = 5)
