@@ -296,6 +296,41 @@ object FullText {
       t => when(t.isInCollection(queryTerms),
         concat(lit("<em>"), t, lit("</em>"))).otherwise(t)), " ")
 
+  /** Best-fragment selection — the Lucene highlighter's OTHER half
+    * (fragment scoring): the `window`-token span of the ANALYZED
+    * stream containing the most query-term hits, earliest span on
+    * ties (Lucene's SimpleFragmenter + score-ordered fragment pick,
+    * fragment count 1), rendered with the same `<em>` convention as
+    * [[highlightTerms]]. A field with NO hit yields null — ES returns
+    * no highlight entry for an unmatched field, and null keeps that
+    * tri-state honest (the Pii null-passthrough convention).
+    *
+    * Per-row builtin composition: hit flags via transform, window
+    * scores via an O(|D|·window) transform-of-aggregates (window is a
+    * small constant — this is the per-row cost Lucene pays scanning
+    * term positions), argmax via array_position on the scores array
+    * (first index = earliest tie). Callers should project it AFTER
+    * top-k (q102 does): the expression then runs on k rows, not the
+    * corpus. */
+  def bestFragment(text: Column, queryTerms: Seq[String],
+      window: Int = 8): Column = {
+    val toks = analyze(text)
+    val flags = transform(toks,
+      t => when(t.isInCollection(queryTerms), lit(1)).otherwise(lit(0)))
+    val n = size(toks)
+    val w = least(lit(window), n)
+    val starts = sequence(lit(1), greatest(n - w + lit(1), lit(1)))
+    val scores = transform(starts,
+      i => aggregate(slice(flags, i, w), lit(0), (a, x) => a + x))
+    val best = array_max(scores)
+    val pos = array_position(scores, best).cast("int")
+    when(best > 0,
+      array_join(transform(slice(toks, pos, w),
+        t => when(t.isInCollection(queryTerms),
+          concat(lit("<em>"), t, lit("</em>"))).otherwise(t)), " "))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** Occurrences of `phrase` as CONSECUTIVE analyzed tokens in `toks`
     * — Lucene PhraseQuery position semantics over the analyzed stream
     * (stopwords removed before positions are assigned, as the

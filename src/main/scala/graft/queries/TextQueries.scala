@@ -514,18 +514,20 @@ object TextQueries {
     * multi-field `text_en` mappings (issue/PR title AND body,
     * schema.py:46,77-78) — `title^2, body` — emitting BOTH
     * composition modes (`best_fields` with tie_breaker 0.3,
-    * `most_fields`) plus the highlighted title
-    * ([[graft.ops.FullText.highlightTerms]], `<em>` tags over the
-    * analyzed stream). The corpus has one text column, so the
-    * two-field frame is synthesized deterministically: title = the
-    * first 6 whitespace tokens of text (a headline IS a prefix
-    * summary), body = the full text — both engines build it
-    * identically.
+    * `most_fields`) plus the two highlighter faces: the fully
+    * highlighted title ([[graft.ops.FullText.highlightTerms]]) and
+    * the BODY's best fragment ([[graft.ops.FullText.bestFragment]],
+    * the 8-token span with the most hits — Lucene's fragment
+    * selection). The corpus has one text column, so the two-field
+    * frame is synthesized deterministically: title = the first 6
+    * whitespace tokens of text (a headline IS a prefix summary),
+    * body = the full text — both engines build it identically.
     *
     * Scale shape: one corpus pass through the stacked-fields
     * postings-only pipeline (see bm25MultiFieldTopK); the highlight
-    * join touches the corpus only to fetch k titles (AQE broadcasts
-    * the k-row ranked side). */
+    * join fetches k raw titles/bodies (AQE broadcasts the k-row
+    * ranked side), and both highlight expressions project ABOVE the
+    * join — they evaluate on k rows, never the corpus. */
   def multiMatchSearch(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
     import spark.implicits._
@@ -537,9 +539,10 @@ object TextQueries {
       Seq("title" -> 2.0, "body" -> 1.0), bm25QueryTerms,
       k, tieBreaker = 0.3)
     ranked
-      .join(docs.select($"doc_id",
-        FullText.highlightTerms($"title", bm25QueryTerms).as("title_hl")),
-        Seq("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .select($"doc_id", $"score_best", $"score_most",
+        FullText.highlightTerms($"title", bm25QueryTerms).as("title_hl"),
+        FullText.bestFragment($"body", bm25QueryTerms).as("body_frag"))
       .orderBy($"score_best".desc, $"doc_id")
   }
 
@@ -772,16 +775,38 @@ object TextQueries {
          |    round(SUM(fscore), 4) AS score_most
          |  FROM fs GROUP BY doc_id),
          |top AS (SELECT * FROM comb
-         |  ORDER BY score_best DESC, doc_id LIMIT 20)
-         |SELECT t.doc_id, t.score_best, t.score_most,
-         |  array_to_string(list_transform(
+         |  ORDER BY score_best DESC, doc_id LIMIT 20),
+         |hj AS (SELECT t.doc_id, t.score_best, t.score_most,
          |    list_filter(string_split_regex(lower(f.title),
          |        '[^\\p{L}\\p{Nd}]+'),
-         |      x -> length(x) > 0 AND x NOT IN $stopSql),
+         |      x -> length(x) > 0 AND x NOT IN $stopSql) AS ttoks,
+         |    list_filter(string_split_regex(lower(f.body),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      x -> length(x) > 0 AND x NOT IN $stopSql) AS btoks
+         |  FROM top t JOIN f ON t.doc_id = f.doc_id),
+         |hw AS (SELECT *, least(8, len(btoks)) AS w,
+         |    list_transform(btoks,
+         |      x -> CASE WHEN x IN ('fast','vector','query')
+         |           THEN 1 ELSE 0 END) AS bflags
+         |  FROM hj),
+         |hs AS (SELECT *, list_transform(
+         |    generate_series(1, greatest(len(btoks) - w + 1, 1)),
+         |    i -> COALESCE(list_sum(list_slice(bflags, i, i + w - 1)), 0))
+         |    AS scores
+         |  FROM hw)
+         |SELECT doc_id, score_best, score_most,
+         |  array_to_string(list_transform(ttoks,
          |    x -> CASE WHEN x IN ('fast','vector','query')
-         |         THEN '<em>' || x || '</em>' ELSE x END), ' ') AS title_hl
-         |FROM top t JOIN f ON t.doc_id = f.doc_id
-         |ORDER BY score_best DESC, t.doc_id""".stripMargin,
+         |         THEN '<em>' || x || '</em>' ELSE x END), ' ') AS title_hl,
+         |  CASE WHEN list_max(scores) > 0 THEN
+         |    array_to_string(list_transform(
+         |      list_slice(btoks, list_position(scores, list_max(scores)),
+         |        list_position(scores, list_max(scores)) + w - 1),
+         |      x -> CASE WHEN x IN ('fast','vector','query')
+         |           THEN '<em>' || x || '</em>' ELSE x END), ' ')
+         |  ELSE NULL END AS body_frag
+         |FROM hs
+         |ORDER BY score_best DESC, doc_id""".stripMargin,
     "q101_significant_terms" ->
       """WITH tok AS (SELECT source, unnest(
         |    list_filter(string_split_regex(lower(text), '\s+'),

@@ -226,6 +226,34 @@ class FullTextSpec extends SparkSpecBase {
     assert(scores.forall(_ > 0.0))
   }
 
+  test("bestFragment picks the densest window, earliest on ties, null when unmatched") {
+    import spark.implicits._
+    val rows = Seq(
+      // hits cluster at the tail: the best 3-token window is the last
+      (1L, "one two three cat dog cat"),
+      // two windows tie at 1 hit — the EARLIEST wins
+      (2L, "cat one two three four cat five"),
+      (3L, "no matching words here"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .orderBy($"doc_id")
+      .select(FullText.bestFragment($"text", Seq("cat", "dog"), window = 3))
+      .collect()
+    assert(rows(0).getString(0) == "<em>cat</em> <em>dog</em> <em>cat</em>")
+    assert(rows(1).getString(0) == "<em>cat</em> one two")
+    assert(rows(2).isNullAt(0), "unmatched field has no highlight")
+    assert(rows(3).isNullAt(0), "null text stays null")
+  }
+
+  test("bestFragment: docs shorter than the window render whole") {
+    import spark.implicits._
+    val out = Seq((1L, "tiny cat"))
+      .toDF("doc_id", "text")
+      .select(FullText.bestFragment($"text", Seq("cat"), window = 8))
+      .head().getString(0)
+    assert(out == "tiny <em>cat</em>")
+  }
+
   test("hybrid RRF: fused score recomputes from the emitted leg ranks") {
     val out = graft.queries.TextQueries
       .hybridRrfSearch(spark, "/root/testdata/sf0.001").collect()
