@@ -164,6 +164,8 @@ object SparkEntry {
       SimilarityQueries.imiIvfKnn(s, d)),
     "q105_hybrid_rrf" -> ((s: SparkSession, d: String) =>
       TextQueries.hybridRrfSearch(s, d)),
+    "q106_incremental_ann" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.incrementalAnnIndex(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -799,6 +799,68 @@ object SimilarityQueries {
       .select($"vec_id", round($"cos_full", 4).as("cosine"))
   }
 
+  /** q106 — incremental ANN index refresh (the q68 "0.1% delta pays
+    * 0.1%" contract for the vector index): IVF cells and PQ codebooks
+    * are INDEX-TIME artifacts trained once over the existing corpus;
+    * when a batch of new vectors arrives, the refresh pays exactly
+    * one coarse assignment + one PQ encode over ITS OWN rows — two
+    * broadcast passes against the stored artifacts (cells: 16 rows;
+    * codebooks: m·c rows), no retraining, no old-row touch. Because
+    * the artifacts stay FIXED, previously-indexed vectors' codes
+    * never change — the stability invariant that makes PQ code
+    * storage append-only and lets q55's cell-partitioned layout
+    * append delta files per cell instead of rewriting (the
+    * io/Layout partition-pruned-MERGE discipline). Quantization
+    * drift from a shifting distribution is handled by a periodic
+    * full retrain + re-encode, the same cadence FAISS deployments
+    * use — never by the per-batch path.
+    *
+    * Self-contained form (the q68 convention): the "existing corpus"
+    * is vec_id ≤ ⌊4·max_id/5⌋ (watermark derived from the data in
+    * both engines — no constant to collide with any SF), the batch
+    * is everything above. Emits the delta's index rows:
+    * (vec_id, cell_id, comma-joined PQ codes). IncrementalAnnSpec
+    * pins batch-independence (delta rows ≡ full-corpus encode
+    * restricted to the delta) and artifact stability (old codes
+    * unchanged by the batch's arrival). */
+  def incrementalAnnIndex(spark: SparkSession, dir: String,
+      numCells: Int = 16, m: Int = 8, subdim: Int = 8, c: Int = 16,
+      iters: Int = 1): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val wm = e.agg(floor(max($"vec_id") * 4 / lit(5.0)).cast("long")
+      .as("w"))
+    val old = e.crossJoin(broadcast(wm)).filter($"vec_id" <= $"w")
+      .select($"vec_id", $"embedding")
+    val fresh = e.crossJoin(broadcast(wm)).filter($"vec_id" > $"w")
+      .select($"vec_id", $"embedding")
+    incrementalAnnIndexFrames(old, fresh, numCells, m, subdim, c, iters)
+      .orderBy($"vec_id")
+  }
+
+  /** The frame-level core of [[incrementalAnnIndex]]: artifacts from
+    * `old`, one assignment + one encode over `fresh` alone —
+    * IncrementalAnnSpec drives it batch-wise to pin that splitting
+    * the delta changes nothing (per-row independence = append-only
+    * refresh). */
+  def incrementalAnnIndexFrames(old: DataFrame, fresh: DataFrame,
+      numCells: Int = 16, m: Int = 8, subdim: Int = 8, c: Int = 16,
+      iters: Int = 1): DataFrame = {
+    import old.sparkSession.implicits._
+    // index-time artifacts — trained over the EXISTING corpus only
+    val cells = seedCells(old, numCells)
+    val cb = ProductQuant.trainCodebooks(
+      ProductQuant.subVectors(old, m, subdim), c, iters)
+    // the delta pays: one broadcast assignment + one broadcast encode
+    val assignNew = assignToCells(fresh, cells)
+    val packed = ProductQuant.packCodes(
+      ProductQuant.encode(ProductQuant.subVectors(fresh, m, subdim), cb))
+    assignNew.join(packed, Seq("vec_id"))
+      .select($"vec_id", $"cent_id".as("cell_id"),
+        array_join(transform($"codes", _.cast("string")), ",")
+          .as("codes"))
+  }
+
   /** q103 — the ANN calibration card: every oracle-gated ANN tier of
     * the engine measured against the SAME corpus, query, and exact
     * top-k, in one artifact — the card a deployment reads before
@@ -954,6 +1016,56 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q106 re-derives the watermark split, trains cells/codebooks on
+    // the OLD slice with the q52 Lloyd CTEs, and assigns+encodes the
+    // delta against them
+    "q106_incremental_ann" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |wv AS (SELECT CAST(floor(max(vec_id) * 4 / 5.0) AS BIGINT) AS w
+        |  FROM e),
+        |old AS (SELECT e.vec_id, e.embedding FROM e, wv
+        |  WHERE e.vec_id <= wv.w),
+        |fresh AS (SELECT e.vec_id, e.embedding FROM e, wv
+        |  WHERE e.vec_id > wv.w),
+        |cells AS (SELECT vec_id AS cell_id, embedding AS cellemb
+        |  FROM old WHERE vec_id < 16),
+        |subs AS (SELECT old.vec_id, s.s AS sub_id,
+        |    list_slice(old.embedding, s.s*8 + 1, s.s*8 + 8) AS subvec
+        |  FROM old, unnest(generate_series(0, 7)) s(s)),
+        |cb0 AS (SELECT sub_id, vec_id AS cent_id, subvec AS cvec
+        |  FROM subs WHERE vec_id < 16),
+        |a1 AS (SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM subs s JOIN cb0 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |m1 AS (SELECT a.sub_id, a.cent_id, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(s.subvec[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM a1 a JOIN subs s USING (vec_id, sub_id),
+        |    unnest(generate_series(1, 8)) t(i)
+        |  GROUP BY a.sub_id, a.cent_id, t.i),
+        |cb1 AS (SELECT sub_id, cent_id, list(m ORDER BY i) AS cvec
+        |  FROM m1 GROUP BY sub_id, cent_id),
+        |assign_new AS (SELECT f.vec_id, arg_max(cl.cell_id,
+        |    list_cosine_similarity(f.embedding::DOUBLE[],
+        |      cl.cellemb::DOUBLE[])) AS cell_id
+        |  FROM fresh f, cells cl GROUP BY f.vec_id),
+        |fsubs AS (SELECT fresh.vec_id, s.s AS sub_id,
+        |    list_slice(fresh.embedding, s.s*8 + 1, s.s*8 + 8) AS subvec
+        |  FROM fresh, unnest(generate_series(0, 7)) s(s)),
+        |codes AS (SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM fsubs s JOIN cb1 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |packed AS (SELECT vec_id,
+        |    array_to_string(list(CAST(cent_id AS VARCHAR) ORDER BY sub_id),
+        |      ',') AS codes
+        |  FROM codes GROUP BY vec_id)
+        |SELECT a.vec_id, a.cell_id, p.codes
+        |FROM assign_new a JOIN packed p USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
     // q104 re-derives both half-codebooks with the q52 Lloyd CTEs at
     // m=2/subdim=32, composes cell ids 16·c0 + c1, cross-products the
     // per-half top-2 probes, and reranks the probed cells exactly
