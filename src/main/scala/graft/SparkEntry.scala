@@ -166,6 +166,10 @@ object SparkEntry {
       TextQueries.hybridRrfSearch(s, d)),
     "q106_incremental_ann" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.incrementalAnnIndex(s, d)),
+    "q107_function_score" -> ((s: SparkSession, d: String) =>
+      TextQueries.functionScoreSearch(s, d)),
+    "q108_term_suggest" -> ((s: SparkSession, d: String) =>
+      TextQueries.termSuggest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -101,6 +101,19 @@ object FullText {
     * window over the tiny tf frame, stats broadcast. */
   def bm25TopKFromPostings(postings: DataFrame, stats: DataFrame,
       queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresFromPostings(postings, stats, queryTerms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** [[bm25TopKFromPostings]] WITHOUT the top-k tail: every matching
+    * document's rounded score — for callers that re-rank before
+    * truncating (q107's function_score multiplies a field factor in
+    * BEFORE the TakeOrdered; truncating first would rank the wrong
+    * set). The matching-docs frame is postings-filter-sized, so
+    * deferring the limit costs nothing. */
+  def bm25ScoresFromPostings(postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     // Postings for the query's terms only — the filter sits under the
@@ -125,8 +138,6 @@ object FullText {
       .withColumn("term_score", idf * col("tf") * lit(k1 + 1.0) / normLen)
       .groupBy(col("doc_id"))
       .agg(round(sum(col("term_score")), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** BM25 fuzzy search — the `fuzziness` face of the `text_en`

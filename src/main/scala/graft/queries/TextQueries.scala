@@ -589,6 +589,85 @@ object TextQueries {
       .select($"doc_id", $"rrf_score", $"bm25_rank", $"knn_rank")
   }
 
+  /** q107 — function_score search (the ES `function_score` /
+    * `rank_feature` shape, `field_value_factor` with modifier
+    * `ln1p`, boost_mode `multiply` — the "relevance × document
+    * signal" composition behind every popularity/recency-boosted
+    * search): final = bm25 × ln(1 + n_chars). The factor multiplies
+    * in BEFORE the top-k ([[graft.ops.FullText
+    * .bm25ScoresFromPostings]] defers the TakeOrdered), because
+    * truncating on pure BM25 first would rank the wrong candidate
+    * set — exactly the mistake `rescore` windows exist to paper
+    * over.
+    *
+    * Scale shape: q51's postings-only pipeline without the limit;
+    * the factor join fetches n_chars for MATCHING docs only
+    * (hint-free — AQE broadcasts the postings-sized score frame);
+    * TakeOrdered tail. Determinism: rounded bm25 × rounded ln1p,
+    * re-rounded — a fixed double chain in both engines. */
+  def functionScoreSearch(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val analyzed = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .withColumn("doclen", size($"toks"))
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val postings = analyzed.select($"doc_id", $"doclen",
+      explode_outer($"toks").as("term"))
+    FullText.bm25ScoresFromPostings(postings, stats, bm25QueryTerms)
+      .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .withColumn("boost", round(log(lit(1.0) + $"n_chars"), 4))
+      .withColumn("final_score", round($"score" * $"boost", 4))
+      .orderBy($"final_score".desc, $"doc_id")
+      .limit(k)
+      .select($"doc_id", $"score", $"boost", $"final_score")
+  }
+
+  /** q108 — term suggester (the ES `suggest`/`term` suggester,
+    * suggest_mode `always`: "did you mean"): for each input term,
+    * the vocabulary terms within `maxEdits` Levenshtein edits ranked
+    * by (distance asc, frequency desc, term asc) — Lucene
+    * DirectSpellChecker's score-then-frequency order — top `n` per
+    * input. Inputs derive deterministically as in q99 (the two most
+    * frequent analyzed terms, last character dropped — guaranteed
+    * within one edit of a high-frequency term at any SF); a
+    * deployment passes literal user input.
+    *
+    * Scale shape: ONE corpus shuffle builds the (term, freq)
+    * vocabulary — Heaps-law-sized, at deployment the index's term
+    * dictionary — checkpointed for its two consumers (input
+    * derivation, candidate scan); the edit-distance scan is
+    * |inputs| × |vocab| cheap checks on that frame (q99's
+    * vocabulary-side expansion argument); ranking windows partition
+    * by input over candidate rows. */
+  def termSuggest(spark: SparkSession, dir: String,
+      maxEdits: Int = 2, n: Int = 5): DataFrame = {
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(explode_outer(FullText.analyze($"text")).as("term"))
+      .filter($"term".isNotNull)
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val top2 = freq.orderBy($"freq".desc, $"term".asc).limit(2)
+      .collect().map(_.getString(0))
+    val inputs = spark.createDataFrame(
+      top2.map(t => Tuple1(t.dropRight(1))).toSeq.distinct)
+      .toDF("input")
+    freq.crossJoin(broadcast(inputs))
+      .withColumn("ed", levenshtein($"term", $"input"))
+      .filter($"ed" <= maxEdits)
+      .withColumn("rank", row_number().over(
+        win.partitionBy($"input")
+          .orderBy($"ed".asc, $"freq".desc, $"term".asc)).cast("long"))
+      .filter($"rank" <= n)
+      .select($"input", $"rank", $"term".as("suggestion"),
+        $"ed".cast("long").as("ed"), $"freq")
+      .orderBy($"input", $"rank")
+  }
+
   /** q101 — significant terms per source (the ES `significant_terms`
     * aggregation, JLH heuristic): for each source as the FOREGROUND
     * set against the whole corpus as background, terms whose
@@ -679,6 +758,67 @@ object TextQueries {
     FullText.englishStopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    // q107 = q51's CTEs without the limit, ln1p(n_chars) multiplied
+    // in before the top-k
+    "q107_function_score" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl
+         |  FROM sized),
+         |tf AS (
+         |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+         |  WHERE term IN ('fast','vector','query')
+         |  GROUP BY doc_id, doclen, term),
+         |withdf AS (
+         |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+         |  FROM tf),
+         |sc AS (SELECT doc_id, round(SUM(
+         |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+         |  FROM withdf CROSS JOIN stats
+         |  GROUP BY doc_id),
+         |fx AS (SELECT sc.doc_id, sc.score,
+         |    round(ln(1.0 + d.n_chars), 4) AS boost
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+         |SELECT doc_id, score, boost,
+         |  round(score * boost, 4) AS final_score
+         |FROM fx
+         |ORDER BY round(score * boost, 4) DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    // q108 re-derives the vocabulary, the q99-style inputs, and the
+    // DirectSpellChecker (ed, freq, term) ranking
+    "q108_term_suggest" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents),
+         |tok AS (SELECT unnest(toks) AS term FROM lens),
+         |freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM tok GROUP BY term),
+         |top2 AS (SELECT term, row_number() OVER (
+         |    ORDER BY freq DESC, term ASC) AS r
+         |  FROM freq QUALIFY r <= 2),
+         |inputs AS (SELECT DISTINCT substr(term, 1, length(term) - 1)
+         |    AS input FROM top2),
+         |cand AS (SELECT i.input, f.term, f.freq,
+         |    levenshtein(f.term, i.input) AS ed
+         |  FROM freq f CROSS JOIN inputs i
+         |  WHERE levenshtein(f.term, i.input) <= 2),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY input
+         |    ORDER BY ed ASC, freq DESC, term ASC) AS BIGINT) AS rank
+         |  FROM cand)
+         |SELECT input, rank, term AS suggestion,
+         |  CAST(ed AS BIGINT) AS ed, freq
+         |FROM rk WHERE rank <= 5
+         |ORDER BY input, rank""".stripMargin,
     // q105 re-derives both legs (q51's BM25 CTEs, q19's exact kNN),
     // ranks each by rounded score + id, and fuses 1/(60+rank)
     "q105_hybrid_rrf" ->

@@ -283,6 +283,48 @@ class FullTextSpec extends SparkSpecBase {
     }
   }
 
+  test("function_score: final = bm25 × ln1p factor, ranked after multiplication") {
+    val out = graft.queries.TextQueries
+      .functionScoreSearch(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val finals = out.map(_.getDouble(3)).toSeq
+    assert(finals == finals.sorted.reverse, "ranked by the BOOSTED score")
+    out.foreach { r =>
+      val expect = BigDecimal(r.getDouble(1) * r.getDouble(2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9, "boost math")
+      assert(r.getDouble(2) > 0.0, "ln1p of a positive length")
+    }
+  }
+
+  test("term suggester: dropped-char input recovers its source term, DirectSpellChecker order") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.TextQueries.termSuggest(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byInput = out.groupBy(_.getString(0))
+    val freq = graft.io.Tables.documents(spark, dir)
+      .select(explode(FullText.analyze($"text")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t".asc).limit(2)
+      .collect().map(_.getString(0))
+    byInput.foreach { case (input, rows) =>
+      // ranks contiguous from 1; ordered by (ed asc, freq desc, term)
+      assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
+      val keys = rows.map(r =>
+        (r.getLong(3), -r.getLong(4), r.getString(2))).toSeq
+      assert(keys == keys.sorted, s"suggester order for '$input'")
+      rows.foreach(r => assert(r.getLong(3) <= 2))
+    }
+    // each input is a high-frequency term minus its last char — the
+    // source term is one edit away and must be suggested
+    freq.foreach { t =>
+      val rows = byInput(t.dropRight(1))
+      assert(rows.exists(_.getString(2) == t),
+        s"'${t.dropRight(1)}' must suggest '$t'")
+    }
+  }
+
   test("query-term filter sits below the first exchange (postings-only shuffle)") {
     val d = docs((1L, "a b"), (2L, "c d"))
     val plan = FullText.bm25TopK(d, "doc_id", "text", Seq("b"), k = 5)
