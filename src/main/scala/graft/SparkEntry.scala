@@ -170,6 +170,9 @@ object SparkEntry {
       TextQueries.functionScoreSearch(s, d)),
     "q108_term_suggest" -> ((s: SparkSession, d: String) =>
       TextQueries.termSuggest(s, d)),
+    "q109_dense_histogram" -> (Relational.hourlyRollupDense _),
+    "q110_percentile_ranks" -> ((s: SparkSession, d: String) =>
+      Relational.percentileRanks(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -223,6 +223,63 @@ object Relational {
       .orderBy($"hour", $"event_type")
   }
 
+  /** q109 — ZERO-FILLED date histogram (the ES `date_histogram` with
+    * `min_doc_count: 0` + `extended_bounds`): q14's hourly rollup
+    * over a DENSE bucket grid — every hour of [min, max] × every
+    * event type reports, empty buckets as explicit zeros. The face
+    * every dashboard needs (a gap in a sparse rollup reads as
+    * "no data point", not "zero events") and the reason ES grew the
+    * option.
+    *
+    * Scale shape: the corpus pays exactly q14's one aggregation
+    * shuffle; the GRID is hours × types — bounded by the time range
+    * and type cardinality, never the corpus — built from a 1-row
+    * min/max broadcast and a distinct-types frame, then left-joined
+    * with the bucket counts (bucket-frame-sized join). Zero-fill is
+    * a coalesce. */
+  def hourlyRollupDense(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type", $"value")
+    val counts = ev.groupBy($"h", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(dec4)).cast("double").as("sum_value"))
+    val hours = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select(explode(sequence($"h0", $"h1",
+        expr("interval 1 hour"))).as("h"))
+    val types = ev.select($"event_type").distinct()
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** q110 — percentile ranks (the ES `percentile_ranks` aggregation,
+    * the inverse of q49's `percentiles`): per language, the percent
+    * of documents at or below each fixed length threshold — "where
+    * does 500 chars sit in this language's distribution". EXACT from
+    * integer conditional sums (no sketch, no sort): one aggregation
+    * shuffle, the same single-pass conditional-agg mechanism as q03;
+    * at corpus scale the same values come from
+    * `Scale.approxQuantiles`' inverse lookup if a sketch is
+    * preferred, but exact ranks need no per-group sort — counting
+    * beats ordering. */
+  def percentileRanks(spark: SparkSession, dir: String,
+      values: Seq[Int] = Seq(200, 500, 1000)): DataFrame = {
+    import spark.implicits._
+    val prs = values.map(v =>
+      round(sum(when($"n_chars" <= v, 1L).otherwise(0L)) * 100.0 /
+        count(lit(1)), 4).as(s"pr_$v"))
+    val aggs = count(lit(1)).as("n_docs") +: prs
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy($"lang")
+  }
+
   /** A1–A4 blame-rollup shape under the oracle gate: synthetic blame
     * ranges derived from lineitem (path/author/lines columns), rolled
     * up per file with the dominant author — the same
@@ -458,6 +515,32 @@ object Relational {
   /** SQL strings the DuckDB oracle runs on the same tables. Column names
     * and ordering must match the DataFrame outputs above exactly. */
   val oracles: Map[String, String] = Map(
+    "q109_dense_histogram" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type, value
+        |  FROM events),
+        |cnt AS (SELECT h, event_type, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        |hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        |    AS h FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT h, event_type FROM hrs CROSS JOIN ty)
+        |SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour, g.event_type,
+        |  COALESCE(c.n_events, 0) AS n_events,
+        |  COALESCE(c.sum_value, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN cnt c
+        |  ON g.h = c.h AND g.event_type = c.event_type
+        |ORDER BY hour, g.event_type""".stripMargin,
+    "q110_percentile_ranks" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | round(SUM(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) * 100.0
+        |   / COUNT(*), 4) AS pr_200,
+        | round(SUM(CASE WHEN n_chars <= 500 THEN 1 ELSE 0 END) * 100.0
+        |   / COUNT(*), 4) AS pr_500,
+        | round(SUM(CASE WHEN n_chars <= 1000 THEN 1 ELSE 0 END) * 100.0
+        |   / COUNT(*), 4) AS pr_1000
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q84_conversion_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
         |            FROM events),

@@ -102,4 +102,46 @@ class OlapQueriesSpec extends SparkSpecBase {
     assert(out.head.getLong(2) == 7L)
     assert(out.head.getDouble(4) == 0.0 && out.head.getLong(5) == 0L)
   }
+
+  test("q109 dense histogram: complete hour×type grid, zeros explicit, counts match q14") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val dense = Relational.hourlyRollupDense(spark, dir).collect()
+    val hours = dense.map(_.getString(0)).distinct.sorted
+    val types = dense.map(_.getString(1)).distinct.sorted
+    // the grid is COMPLETE: every hour of the span × every type
+    assert(dense.length == hours.length * types.length)
+    assert(hours.zip(hours.tail).forall { case (a, b) =>
+      java.sql.Timestamp.valueOf(b).getTime -
+        java.sql.Timestamp.valueOf(a).getTime == 3600000L
+    }, "no hour gaps in the dense axis")
+    // the nonzero buckets ARE q14's sparse rollup
+    val sparse = Relational.hourlyEventRollup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nonzero = dense.filter(_.getLong(2) > 0L)
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(nonzero == sparse)
+    dense.filter(_.getLong(2) == 0L)
+      .foreach(r => assert(r.getDouble(3) == 0.0, "empty bucket sums 0"))
+  }
+
+  test("q110 percentile ranks: bounded, monotone, hand-recomputed for one language") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.percentileRanks(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val prs = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      prs.foreach(p => assert(p >= 0.0 && p <= 100.0))
+      assert(prs == prs.sorted, "ranks are monotone in the threshold")
+    }
+    val lang = out.head.getString(0)
+    val chars = graft.io.Tables.documents(spark, dir)
+      .filter($"lang" === lang).select($"n_chars")
+      .collect().map(_.getLong(0))
+    val expect = BigDecimal(
+      chars.count(_ <= 500) * 100.0 / chars.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.head.getDouble(3) - expect) < 1e-9)
+  }
 }
