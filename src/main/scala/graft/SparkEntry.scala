@@ -173,6 +173,8 @@ object SparkEntry {
     "q109_dense_histogram" -> (Relational.hourlyRollupDense _),
     "q110_percentile_ranks" -> ((s: SparkSession, d: String) =>
       Relational.percentileRanks(s, d)),
+    "q111_chunk_documents" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.chunkDocuments(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -367,6 +367,41 @@ object PipelineQueries {
     (stats, s9.select($"doc_id", $"rtext", $"rn_tokens", $"split"))
   }
 
+  /** q111 — sliding-window document chunking (the RAG/embedding
+    * ingestion staple: split every document into overlapping
+    * fixed-size token windows before embedding — window 50, stride
+    * 40 → 10-token overlap, the shape LangChain/LlamaIndex call
+    * "chunk_size/chunk_overlap"). Emits per chunk: ordinal, global
+    * token start, length (the tail chunk may be shorter), and the
+    * md5 of the chunk text (the row stays fixed-width; a deployment
+    * materializes the text or feeds it straight to the embedder).
+    * Documents shorter than one window yield exactly one chunk;
+    * empty documents one empty chunk (never zero rows — a chunker
+    * that silently drops documents breaks id joins downstream).
+    *
+    * Scale shape: pure scan-rider — per-row tokenize, a per-row
+    * start-offset sequence (|starts| = ⌈n/stride⌉, data-bounded),
+    * one explode; no shuffle at all above the scan. The md5 keeps
+    * the exploded rows ~50 B wide regardless of window size. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      window: Int = 50, stride: Int = 40): DataFrame = {
+    import spark.implicits._
+    Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", TextAnalysis.tokensOf($"text").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .select($"doc_id", $"toks", $"n_tokens",
+        posexplode_outer(sequence(lit(0L),
+          greatest($"n_tokens" - 1L, lit(0L)), lit(stride.toLong)))
+          .as(Seq("chunk_id", "start_tok")))
+      .withColumn("chunk_len", least(lit(window.toLong),
+        $"n_tokens" - $"start_tok"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        $"start_tok", $"chunk_len",
+        md5(array_join(slice($"toks", $"start_tok" + 1,
+          $"chunk_len"), " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** Resumable twin of [[curationSweepFrames]] — the CLI face
     * (tools/RunCuration): every stage boundary PERSISTS its survivor
     * frame to `<stageDir>/<stage>/` (the reference's per-stage
@@ -713,6 +748,21 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q111_chunk_documents" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |    unnest(generate_series(0,
+        |      greatest(CAST(len(toks) AS BIGINT) - 1, 0), 40))
+        |      AS start_tok
+        |  FROM tk)
+        |SELECT doc_id, start_tok // 40 AS chunk_id, start_tok,
+        |  least(50, n - start_tok) AS chunk_len,
+        |  md5(array_to_string(list_slice(toks, start_tok + 1,
+        |    start_tok + least(50, n - start_tok)), ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q97_snapshot_diff" ->
       """WITH o AS (SELECT doc_id,
         |    CASE WHEN doc_id % 6 = 0 THEN upper(text) ELSE text END AS text

@@ -163,4 +163,41 @@ class CurationSamplingSpec extends SparkSpecBase {
     assert(m(("srcB", "srcA")) == 1.0, "B fully contained in A")
     assert(m(("srcA", "srcB")) < 1.0, "A not contained in B")
   }
+
+  test("q111 chunking: stride offsets, tail clamp, full coverage, no dropped docs") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("chunks")
+      .toFile.getAbsolutePath
+    val words100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val words30 = (1 to 30).map(i => s"v$i").mkString(" ")
+    Seq((1L, words100), (2L, words30), (3L, ""))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = graft.queries.PipelineQueries
+      .chunkDocuments(spark, d, window = 50, stride = 40).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // 100 tokens → starts 0,40,80 with lens 50,50,20
+    assert(byDoc(1L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((0L, 0L, 50L), (1L, 40L, 50L), (2L, 80L, 20L)))
+    // 30 tokens → one whole-doc chunk
+    assert(byDoc(2L).map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 30L)))
+    // empty doc → ONE empty chunk, never zero rows
+    assert(byDoc(3L).map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L)))
+    // overlap arithmetic: consecutive windows cover [0, n) with
+    // window−stride overlap — the union of spans is gapless
+    val spans = byDoc(1L).map(r => (r.getLong(2), r.getLong(2) + r.getLong(3)))
+    spans.sliding(2).foreach { case Array((_, e1), (s2, _)) =>
+      assert(s2 < e1, "consecutive chunks overlap")
+    }
+    assert(spans.last._2 == 100L, "coverage reaches the last token")
+    // digest is the md5 of the exact token slice
+    val r1 = byDoc(1L).find(_.getLong(1) == 2L).get
+    val expectTxt = (81 to 100).map(i => s"w$i").mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectTxt.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r1.getString(4) == md)
+  }
 }
