@@ -175,6 +175,8 @@ object SparkEntry {
       Relational.percentileRanks(s, d)),
     "q111_chunk_documents" -> ((s: SparkSession, d: String) =>
       PipelineQueries.chunkDocuments(s, d)),
+    "q112_collapsed_search" -> ((s: SparkSession, d: String) =>
+      TextQueries.collapsedSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

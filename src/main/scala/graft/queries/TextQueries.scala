@@ -668,6 +668,43 @@ object TextQueries {
       .orderBy($"input", $"rank")
   }
 
+  /** q112 — collapsed search (the ES `collapse` parameter: one hit
+    * per value of a field, ranked by each group's BEST hit — the
+    * one-result-per-domain search-UI face), with the group's match
+    * count as the `inner_hits` cardinality. Collapse happens on the
+    * MATCHING set before the top-k (collapsing after a plain top-k
+    * would under-fill the page when one group dominates — exactly
+    * the bug ES's collapse exists to avoid).
+    *
+    * Scale shape: q51's postings-only pipeline without the limit;
+    * the source lookup joins the matching-docs frame (hint-free,
+    * AQE broadcasts it); best-per-group is ONE window pass
+    * partitioned by the collapse field over that same small frame;
+    * TakeOrdered tail. */
+  def collapsedSearch(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val analyzed = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .withColumn("doclen", size($"toks"))
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val postings = analyzed.select($"doc_id", $"doclen",
+      explode_outer($"toks").as("term"))
+    FullText.bm25ScoresFromPostings(postings, stats, bm25QueryTerms)
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        win.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)))
+      .withColumn("n_hits", count(lit(1)).over(
+        win.partitionBy($"source")))
+      .filter($"rn" === 1)
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"source", $"doc_id", $"score", $"n_hits")
+  }
+
   /** q101 — significant terms per source (the ES `significant_terms`
     * aggregation, JLH heuristic): for each source as the FOREGROUND
     * set against the whole corpus as background, terms whose
@@ -758,6 +795,40 @@ object TextQueries {
     FullText.englishStopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    // q112 = q51's CTEs without the limit, best-per-source window,
+    // group cardinality, top-k of the collapsed set
+    "q112_collapsed_search" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl
+         |  FROM sized),
+         |tf AS (
+         |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+         |  WHERE term IN ('fast','vector','query')
+         |  GROUP BY doc_id, doclen, term),
+         |withdf AS (
+         |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+         |  FROM tf),
+         |sc AS (SELECT doc_id, round(SUM(
+         |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+         |  FROM withdf CROSS JOIN stats
+         |  GROUP BY doc_id),
+         |j AS (SELECT sc.doc_id, sc.score, d.source
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, doc_id ASC) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_hits
+         |  FROM j)
+         |SELECT source, doc_id, score, n_hits
+         |FROM w WHERE rn = 1
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // q107 = q51's CTEs without the limit, ln1p(n_chars) multiplied
     // in before the top-k
     "q107_function_score" ->

@@ -325,6 +325,35 @@ class FullTextSpec extends SparkSpecBase {
     }
   }
 
+  test("collapsed search: one best hit per source, counted inner hits") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.TextQueries.collapsedSearch(spark, dir)
+      .collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val sources = out.map(_.getString(0))
+    assert(sources.distinct.length == sources.length,
+      "collapse = at most one hit per source")
+    val scores = out.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(out.forall(_.getLong(3) >= 1L))
+    // the emitted doc really is its source's best: no other matching
+    // doc of that source scores higher (checked via the un-collapsed
+    // function-score-free scores of q51's pipeline at large k)
+    val all = FullText.bm25TopK(graft.io.Tables.documents(spark, dir),
+      "doc_id", "text", Seq("fast", "vector", "query"), k = 100000)
+      .join(graft.io.Tables.documents(spark, dir)
+        .select($"doc_id", $"source"), Seq("doc_id"))
+      .collect().groupBy(_.getString(2))
+    out.foreach { r =>
+      val grp = all(r.getString(0))
+      val best = grp.maxBy(g => (g.getDouble(1), -g.getLong(0)))
+      assert(best.getLong(0) == r.getLong(1),
+        s"source ${r.getString(0)} best-hit mismatch")
+      assert(grp.length == r.getLong(3), "inner-hit count")
+    }
+  }
+
   test("query-term filter sits below the first exchange (postings-only shuffle)") {
     val d = docs((1L, "a b"), (2L, "c d"))
     val plan = FullText.bm25TopK(d, "doc_id", "text", Seq("b"), k = 5)
