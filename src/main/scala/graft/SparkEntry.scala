@@ -177,6 +177,10 @@ object SparkEntry {
       PipelineQueries.chunkDocuments(s, d)),
     "q112_collapsed_search" -> ((s: SparkSession, d: String) =>
       TextQueries.collapsedSearch(s, d)),
+    "q113_filtered_knn" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.filteredKnn(s, d)),
+    "q114_knn_batch" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.knnBatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -861,6 +861,84 @@ object SimilarityQueries {
           .as("codes"))
   }
 
+  /** q113 — FILTERED kNN (the ES 8.x `knn` clause's `filter`
+    * parameter, PRE-filter semantics): the metadata predicate
+    * restricts the candidate set BEFORE scoring, so the search
+    * always returns k results that satisfy the filter — the property
+    * post-filtering (top-k first, filter after) cannot give: a
+    * selective filter empties a post-filtered page. Candidates =
+    * embeddings whose document (vec_id ≡ doc_id) has `lang = 'en'` —
+    * the cross-table filter shape of real vector search (metadata
+    * lives beside the text, vectors in their own index).
+    *
+    * Scale shape: the filter is a LEFT SEMI join against the
+    * filtered doc-id set pushed below the scoring crossJoin — at
+    * deployment this is a partition-pruned or bitmap-filtered scan
+    * of the vector index; the scoring scan + TakeOrdered is q19's
+    * audited shape over the reduced set. */
+  def filteredKnn(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, lang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val allowed = Tables.documents(spark, dir)
+      .filter($"lang" === lang)
+      .select($"doc_id".as("vec_id"))
+    val q = e.filter($"vec_id" === queryId)
+      .select($"embedding".as("qemb"))
+    e.join(allowed, Seq("vec_id"), "left_semi")
+      .filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
+  /** q114 — BATCHED kNN: top-k neighbors for a whole QUERY SET in
+    * one corpus pass (the deployment shape the q19 scaladoc
+    * promises: broadcast the small query side, scan the corpus
+    * once — reranking pipelines, dedup-by-query jobs, and eval
+    * harnesses all issue queries in batches, never one at a time).
+    * Queries here are every vec_id ≡ 0 mod 100 (deterministic at any
+    * SF); a deployment broadcasts its literal query frame.
+    *
+    * Scale shape: ONE corpus scan against the broadcast query set
+    * (|Q| dot products per row — the batch's whole point: amortize
+    * the scan). The top-k is TWO-LEVEL: a first window partitioned
+    * by (query, salt = vec_id mod 32) takes per-salt top-k — N·|Q|
+    * rows shuffle over |Q|·32 evenly-sized keys, never |Q| hot
+    * keys — and a second window over the |Q|·32·k survivors takes
+    * the global per-query top-k. Exact by construction (any global
+    * top-k member is in its salt's top-k — the salted-join
+    * decomposition applied to order statistics). */
+  def knnBatch(spark: SparkSession, dir: String, k: Int = 5,
+      queryStride: Int = 100, salts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddingsDistributed(spark, dir)
+      .select($"vec_id", $"embedding")
+    val queries = e.filter($"vec_id" % queryStride === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qemb"))
+    val scored = e.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .select($"q_id", $"vec_id", $"cos_full",
+        pmod($"vec_id", lit(salts)).as("salt"))
+    val local = scored
+      .withColumn("rn", row_number().over(
+        win.partitionBy($"q_id", $"salt")
+          .orderBy($"cos_full".desc, $"vec_id".asc)))
+      .filter($"rn" <= k)
+    local
+      .withColumn("rank", row_number().over(
+        win.partitionBy($"q_id")
+          .orderBy($"cos_full".desc, $"vec_id".asc)).cast("long"))
+      .filter($"rank" <= k)
+      .select($"q_id", $"rank", $"vec_id",
+        round($"cos_full", 4).as("cosine"))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** q103 — the ANN calibration card: every oracle-gated ANN tier of
     * the engine measured against the SAME corpus, query, and exact
     * top-k, in one artifact — the card a deployment reads before
@@ -1016,6 +1094,36 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q113: q19's kNN over the lang-filtered candidate set
+    "q113_filtered_knn" ->
+      """WITH allowed AS (SELECT doc_id AS vec_id FROM documents
+        |  WHERE lang = 'en'),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |    q.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings e JOIN allowed USING (vec_id), q
+        |WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |  q.embedding::DOUBLE[]) DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    // q114: the plain per-query window — the salted two-level
+    // decomposition is exact, so one window IS the oracle
+    "q114_knn_batch" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, embedding AS qemb FROM e
+        |  WHERE vec_id % 100 = 0),
+        |s AS (SELECT qs.q_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      qs.qemb::DOUBLE[]) AS c
+        |  FROM e, qs WHERE e.vec_id <> qs.q_id),
+        |r AS (SELECT q_id, vec_id, c,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT q_id, rank, vec_id, round(c, 4) AS cosine
+        |FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // q106 re-derives the watermark split, trains cells/codebooks on
     // the OLD slice with the q52 Lloyd CTEs, and assigns+encodes the
     // delta against them

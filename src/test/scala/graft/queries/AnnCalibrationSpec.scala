@@ -40,6 +40,45 @@ class AnnCalibrationSpec extends SparkSpecBase {
       "same cells, same probes, same candidate set")
   }
 
+  test("filtered kNN: every hit satisfies the pre-filter; filter genuinely engages") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val hits = SimilarityQueries.filteredKnn(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits.nonEmpty && hits.length <= 10)
+    val langs = graft.io.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach(id => assert(langs(id) == "en",
+      s"pre-filter violated by $id (${langs(id)})"))
+    // the unfiltered q19 top-10 contains non-en docs at this SF, so
+    // pre-filtering actually changes the answer (not a vacuous pin)
+    val unfiltered = SimilarityQueries.knnBruteForce(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(unfiltered.exists(id => langs(id) != "en"),
+      "fixture check: the filter must bite")
+    assert(hits != unfiltered)
+  }
+
+  test("batched kNN: salted two-level top-k equals the plain per-query window") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityQueries.knnBatch(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet.forall(_ % 100 == 0) && byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq,
+        s"contiguous ranks for query $qid")
+      assert(!rows.exists(_.getLong(2) == qid), "self excluded")
+      // the plain single-query brute force is the per-query oracle
+      val solo = SimilarityQueries.knnBruteForce(spark, dir, qid, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq == solo,
+        s"batch result for query $qid diverges from single-query kNN")
+    }
+  }
+
   test("the IVF family shares one candidate set; PQ coding only changes bytes") {
     assert(card("g_ivfpq")._2 == card("d_ivf")._2)
     assert(card("d_ivf")._3 == 256L && card("g_ivfpq")._3 == 8L)
