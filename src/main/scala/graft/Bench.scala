@@ -92,7 +92,13 @@ object Bench {
           }
         }
         val first = onePass()
-        val best = if (first < 0) -first else math.min(first, onePass().abs)
+        val best =
+          if (first < 0) -first // failed: report elapsed, skip retry
+          else {
+            val second = onePass()
+            // a failed-fast SECOND pass must not understate the query
+            if (second < 0) first else math.min(first, second)
+          }
         name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
