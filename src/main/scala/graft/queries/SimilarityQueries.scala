@@ -861,6 +861,88 @@ object SimilarityQueries {
           .as("codes"))
   }
 
+  /** Index-time writer for the IVF+PQ DEPLOYMENT layout — the
+    * artifact set q55/q106's scaladocs promise ("codes live
+    * cell-partitioned on disk so probing prunes files, not rows"),
+    * now as tested code:
+    *
+    *   <indexDir>/cells/      (cent_id, cemb) — numCells rows
+    *   <indexDir>/codebooks/  (sub_id, cent_id, cvec) — m·c rows
+    *   <indexDir>/codes/      cell_id=<n>/ (vec_id, sub_id, cent_id,
+    *                          nrm) — PARTITIONED BY the coarse cell,
+    *                          so a probed search reads only its
+    *                          cells' files (VectorIndexLayoutSpec
+    *                          pins the inputFiles pruning)
+    *
+    * Training/encoding are the audited ProductQuant shapes; the
+    * writer is write-once at index time, refreshed per batch via
+    * q106's delta path appending into the same cell partitions. */
+  def writeIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
+      numCells: Int = 16, m: Int = 8, subdim: Int = 8, c: Int = 16,
+      iters: Int = 1): Unit = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cells = seedCells(e, numCells)
+    val assign = assignToCells(e, cells)
+    val subs = ProductQuant.subVectors(e, m, subdim)
+    val cb = ProductQuant.trainCodebooks(subs, c, iters)
+    val codes = ProductQuant.encode(subs, cb)
+    val norms = e.select($"vec_id", norm($"embedding").as("nrm"))
+    cells.write.mode("overwrite").parquet(s"$indexDir/cells")
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    codes
+      .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
+        Seq("vec_id"))
+      .join(norms, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$indexDir/codes")
+    graft.ops.Checkpoints.unpersist(cb)
+  }
+
+  /** Query-time IVF+PQ search over a STORED index — the plan a
+    * deployment actually runs, with no training anywhere: cells and
+    * codebooks load as tiny artifacts, the probe list is a bounded
+    * driver artifact (`probes` cell ids) interpolated as a LITERAL
+    * partition filter — which is what lets the codes scan prune to
+    * the probed cells' FILES (PartitionFilters, spec-pinned) — ADC
+    * scores ride the pruned scan, and only the `shortlist` survivors
+    * fetch their raw vectors for the exact rerank. Semantics equal
+    * [[ivfPqAnnKnn]] by construction (same artifacts, same ADC, same
+    * rerank; VectorIndexLayoutSpec pins frame equality). */
+  def ivfPqSearchStored(spark: SparkSession, indexDir: String,
+      dir: String, queryId: Long = 0L, k: Int = 10, probes: Int = 2,
+      shortlist: Int = 50, m: Int = 8, subdim: Int = 8): DataFrame = {
+    import spark.implicits._
+    val fp = ProductQuant.fixedPointScale
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" === queryId)
+    val qemb = q.select($"embedding".as("qemb"))
+    val probedCells = probeTop(cells, qemb, probes)
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter($"cell_id".isInCollection(probedCells))
+    val qsubs = ProductQuant.subVectors(q, m, subdim)
+      .select($"sub_id", $"subvec".as("qsub"))
+    val adc = ProductQuant.adcTable(cb, qsubs)
+    val qn = q.select(norm($"embedding").as("qnrm"))
+    val cand = codes
+      .join(broadcast(adc), Seq("sub_id", "cent_id"))
+      .groupBy($"vec_id", $"nrm")
+      .agg((sum(round($"pdot" * fp).cast("long")).cast("double") / fp)
+        .as("adot"))
+      .crossJoin(broadcast(qn))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id",
+        when($"nrm" === 0d || $"qnrm" === 0d, lit(0d))
+          .otherwise(round($"adot" / ($"nrm" * $"qnrm"), 4))
+          .as("approx_cosine"))
+      .orderBy($"approx_cosine".desc, $"vec_id".asc)
+      .limit(shortlist)
+    exactRerank(e, cand, qemb, k)
+  }
+
   /** q113 — FILTERED kNN (the ES 8.x `knn` clause's `filter`
     * parameter, PRE-filter semantics): the metadata predicate
     * restricts the candidate set BEFORE scoring, so the search

@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** The stored IVF+PQ index contract: the deployment layout's probed
+  * search must (a) physically prune to the probed cells' files and
+  * (b) return exactly what the self-contained q55 query returns —
+  * the artifacts ARE the query, just persisted. */
+class VectorIndexLayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("probed search file-prunes to its cells and equals the self-contained q55") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-idx")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idx)
+    // partition directories exist per cell
+    val cellDirs = new java.io.File(s"$idx/codes").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty && cellDirs.size <= 16)
+    // (a) physical pruning: the probed read TOUCHES strictly fewer
+    // files than the full codes table (input_file_name reflects what
+    // the executed scan actually read; DataFrame.inputFiles does not
+    // apply partition filters)
+    val all = spark.read.parquet(s"$idx/codes")
+    val probedTwo = all.filter($"cell_id".isin(0L, 1L))
+    val filesProbed = probedTwo
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    val filesAll = all
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(filesProbed < filesAll,
+      s"literal cell filter must prune files ($filesProbed vs $filesAll)")
+    val plan = probedTwo.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell_id"),
+      s"the pruning must be a PartitionFilter, not a row filter:\n$plan")
+    // (b) the stored-index search reproduces the self-contained query
+    val stored = SimilarityQueries
+      .ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val self = graft.ops.Checkpoints.consume(
+      SimilarityQueries.ivfPqAnnKnn(spark, dir))(
+      _.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(stored == self,
+      s"stored-index search diverged:\n  stored=$stored\n  self=$self")
+  }
+}
