@@ -213,6 +213,83 @@ object FullText {
       .limit(k)
   }
 
+  /** Index-time writer for the BM25 DEPLOYMENT layout — the "at
+    * deployment these are precomputed at index-build time" the
+    * scaladocs above promise, as tested code (the vector twin is
+    * SimilarityQueries.writeIvfPqIndex):
+    *
+    *   <indexDir>/stats/     (n_docs, avgdl) — 1 row of segment stats
+    *   <indexDir>/df/        (term, df) — the term dictionary
+    *   <indexDir>/postings/  bucket=<n>/ (term, doc_id, doclen, tf) —
+    *                         PARTITIONED BY a term-hash bucket, so a
+    *                         query reads only its terms' buckets'
+    *                         FILES (TextIndexLayoutSpec pins the
+    *                         pruning)
+    *
+    * One analyzer pass builds all three artifacts; refresh is
+    * append-per-batch into the same bucket partitions (df/stats
+    * re-aggregate — they are dictionary/1-row sized). */
+  def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, buckets: Int = 16): Unit = {
+    val analyzed = docs
+      .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
+      .withColumn("doclen", size(col("toks")))
+    analyzed
+      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+    val tf = analyzed
+      .select(col("doc_id"), col("doclen"),
+        explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"), col("doc_id"), col("doclen"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$indexDir/df")
+    tf.withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Query-time BM25 over a STORED index — no analyzer, no corpus
+    * scan: the query terms' bucket ids derive from the SAME hash
+    * expression the writer used (evaluated on a driver-side
+    * query-term frame — a bounded literal, like the probe list of the
+    * vector twin) and prune the postings scan to those buckets'
+    * files; df joins from the dictionary artifact (identical values
+    * to [[bm25TopK]]'s window — one row per matching (doc, term)
+    * means the window count IS the term's df); stats broadcast from
+    * the 1-row artifact. Frame equality with the self-contained
+    * [[bm25TopK]] is TextIndexLayoutSpec's pin. */
+  def bm25SearchStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryTerms: Seq[String], k: Int = 20,
+      buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val qFrame = spark.createDataFrame(queryTerms.map(Tuple1(_)))
+      .toDF("term")
+    val qBuckets = qFrame
+      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val dfDict = spark.read.parquet(s"$indexDir/df")
+      .filter(col("term").isInCollection(queryTerms))
+    val tf = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isInCollection(qBuckets))
+      .filter(col("term").isInCollection(queryTerms))
+    val normLen = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(broadcast(dfDict.select(col("term"),
+        col("df").cast("double").as("df"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        idf * col("tf").cast("double") * lit(k1 + 1.0) / normLen)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Multi-field BM25 — the ES `multi_match` query over several
     * `text_en`-mapped fields with per-field boosts (the reference maps
     * `text_en` on issue/PR `title` AND `body`, schema.py:46,77-78; the

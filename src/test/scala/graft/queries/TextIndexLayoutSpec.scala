@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.ops.FullText
+
+/** The stored BM25 index contract: bucket-pruned postings reads and
+  * frame equality with the self-contained search — the text twin of
+  * VectorIndexLayoutSpec. */
+class TextIndexLayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val terms = Seq("fast", "vector", "query")
+
+  test("stored search bucket-prunes the postings and equals bm25TopK") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-idx")
+      .toFile.getAbsolutePath
+    val docs = graft.io.Tables.documents(spark, dir)
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    // bucket partitions exist
+    val bucketDirs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(bucketDirs.size > 1, s"term buckets expected: $bucketDirs")
+    // the query-term read touches strictly fewer files than the full
+    // postings table (executed-scan evidence, not inputFiles)
+    val qb = Seq(Tuple1("fast"), Tuple1("vector"), Tuple1("query"))
+      .toDF("term")
+      .select(pmod(hash($"term"), lit(16)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val all = spark.read.parquet(s"$idx/postings")
+    val pruned = all.filter($"bucket".isInCollection(qb))
+    val filesPruned = pruned.select(input_file_name()).distinct().count()
+    val filesAll = all.select(input_file_name()).distinct().count()
+    assert(filesPruned < filesAll,
+      s"bucket filter must prune files ($filesPruned vs $filesAll)")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [bucket"),
+      "pruning must be a PartitionFilter")
+    // the stored-index search reproduces the self-contained query
+    val stored = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val self = FullText.bm25TopK(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == self,
+      s"stored-index search diverged:\n  stored=$stored\n  self=$self")
+  }
+}
