@@ -181,6 +181,8 @@ object SparkEntry {
       SimilarityQueries.filteredKnn(s, d)),
     "q114_knn_batch" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.knnBatch(s, d)),
+    "q115_excise_contaminated" -> ((s: SparkSession, d: String) =>
+      CurationQueries.exciseContaminated(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

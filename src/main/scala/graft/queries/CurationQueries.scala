@@ -78,6 +78,55 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q115 — SPAN-EXCISION decontamination (the surgical variant of
+    * q57: instead of DROPPING a contaminated document, remove the
+    * matching k-token spans and KEEP the rest — the approach used
+    * when documents are long and contamination is a quoted snippet;
+    * Llama-class decontamination excises rather than drops for
+    * exactly this reason). Every position whose k-gram is in the
+    * benchmark marks tokens [pos, pos+k) removable; the per-document
+    * interval union of marked spans comes out, and the report emits
+    * the excised text's digest plus removal accounting. Documents
+    * shorter than k collapse to one whole-document gram (the
+    * gramHashes convention), so a short contaminated document
+    * excises entirely — the drop semantics as the limit case.
+    *
+    * Scale shape: the ONLY shuffle carries matched positions (the
+    * q57/q69 broadcast-benchmark argument — the corpus never
+    * shuffles); the span union, kept-token filter, and text rebuild
+    * are per-row HOFs over each doc's own (small) matched-start
+    * list, O(n·|starts|) per row. Clean documents left-join a null
+    * start list and pass through untouched. */
+  def exciseContaminated(spark: SparkSession, dir: String,
+      k: Int = 13): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", Dedup.tokens($"text").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("kg", graft.expressions.TextHashes.kgramMd5($"toks", k))
+    val bench = docs.filter($"doc_id" % 7 === 0)
+      .select(explode_outer(array_distinct($"kg")).as("g")).distinct()
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val matched = corpus
+      .select($"doc_id", posexplode_outer($"kg").as(Seq("pos", "g")))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy($"doc_id")
+      // 1-based token index of each matched gram start
+      .agg(sort_array(collect_list($"pos" + 1)).as("starts"))
+    corpus.join(matched, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce($"starts", array().cast("array<int>")))
+      .withColumn("kept",
+        when($"n_tokens" === 0L, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(1), $"n_tokens".cast("int")),
+            j => !exists($"starts", s => j >= s && j < s + k))))
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - size($"kept")).cast("long").as("n_removed"),
+        md5(array_join(transform($"kept", j => element_at($"toks", j)),
+          " ")).as("excised_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** q58 — repetition quality filter (the Gopher-rule family): per
     * document, the most frequent bigram's share of all bigram slots
     * and the share of trigram slots occupied by repeated trigrams;
@@ -791,6 +840,36 @@ object CurationQueries {
          |  round(sw::DOUBLE / 16777216.0, 4) AS logw,
          |  CAST(CASE WHEN sw > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q115_excise_contaminated" ->
+      s"""WITH ${DedupQueries.toksCte},
+         |pg AS (SELECT doc_id, CASE WHEN len(tokens) >= 13
+         |  THEN list_transform(generate_series(1, len(tokens) - 12),
+         |         i -> md5(array_to_string(tokens[i:i+12], ' ')))
+         |  ELSE [md5(array_to_string(tokens[1:13], ' '))] END AS grams
+         | FROM toks),
+         |bench AS (SELECT DISTINCT unnest(list_distinct(grams)) AS g
+         |  FROM pg WHERE doc_id % 7 = 0),
+         |pos AS (SELECT pg.doc_id, t.i AS start, pg.grams[t.i] AS g
+         |  FROM pg, unnest(generate_series(1, len(pg.grams))) t(i)
+         |  WHERE pg.doc_id % 7 <> 0),
+         |m AS (SELECT doc_id, list(start ORDER BY start) AS starts
+         |  FROM pos JOIN bench USING (g) GROUP BY doc_id),
+         |x AS (SELECT tk.doc_id, tk.tokens,
+         |    CAST(len(tk.tokens) AS BIGINT) AS n,
+         |    COALESCE(m.starts, []::BIGINT[]) AS starts
+         |  FROM toks tk LEFT JOIN m USING (doc_id)
+         |  WHERE tk.doc_id % 7 <> 0),
+         |kc AS (SELECT doc_id, tokens, n,
+         |    list_filter(generate_series(1, n),
+         |      j -> len(list_filter(starts,
+         |             s -> j >= s AND j < s + 13)) = 0) AS kept
+         |  FROM x)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(n - len(kept) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(array_to_string(
+         |    list_transform(kept, j -> tokens[j]), ' '), ''))
+         |    AS excised_md5
+         |FROM kc ORDER BY doc_id""".stripMargin,
     "q57_decontaminate" ->
       s"""WITH ${DedupQueries.toksCte},
          |${gramCte("kg", "toks")},

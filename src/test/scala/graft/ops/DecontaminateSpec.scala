@@ -104,4 +104,32 @@ class DecontaminateSpec extends SparkSpecBase {
       .select($"doc_id").collect().map(_.getLong(0)).toSeq
     assert(left == Seq(2L))
   }
+
+  test("q115 excision: span union removed, ends kept, whole-doc limit case, clean untouched") {
+    import spark.implicits._
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val d = java.nio.file.Files.createTempDirectory("excise")
+      .toFile.getAbsolutePath
+    Seq(
+      (7L, "a b c"), // eval doc: benchmark gram "a b c"
+      (14L, "b c d"), // eval doc: benchmark gram "b c d"
+      (1L, "x y a b c z w"), // middle span excised, ends kept
+      (2L, "p q r s"), // clean
+      (3L, "a b c"), // short contaminated doc: whole-doc excision
+      (5L, "a b c d e")) // OVERLAPPING matches at 1 and 2 → union [1,4]
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = graft.queries.CurationQueries
+      .exciseContaminated(spark, d, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L), "eval slice never reports")
+    assert(out(1L) == ((7L, 3L, md5("x y z w"))))
+    assert(out(2L) == ((4L, 0L, md5("p q r s"))), "clean doc untouched")
+    assert(out(3L) == ((3L, 3L, md5(""))), "drop semantics as limit case")
+    assert(out(5L) == ((5L, 4L, md5("e"))),
+      "overlapping spans union before removal")
+  }
 }
