@@ -399,7 +399,12 @@ object Streams {
           .withColumn("admitted", col("__dup_id").isNull)
           .drop("__dup_id")
           .localCheckpoint()
+        // null-text docs admit trivially (no shingles, no near-dup)
+        // but must not pollute the index with null-shingle rows —
+        // null band keys can never match a probe (plain equality),
+        // so the rows would be dead weight in every future scan
         val admitted = prepped
+          .filter(col("sh").isNotNull)
           .join(annotated.filter(col("admitted"))
             .select(col(idCol).cast("long").as("id")), Seq("id"),
             "left_semi")

@@ -361,6 +361,28 @@ class StreamsSpec extends SparkSpecBase {
     val indexedIds = spark.read.parquet(s"$indexDir/shingles")
       .select($"id").collect().map(_.getLong(0)).toSet
     assert(indexedIds == Set(1L, 3L, 13L, 21L))
+    // a null-text doc admits trivially (no shingles = cannot be a
+    // near-dup) but must NOT land in the index artifacts
+    val src2 = MemoryStream[(Long, String)]
+    val verdicts2 = scala.collection.mutable.Map[Long, Boolean]()
+    val q2 = Streams.nearDupAdmissionStream(
+      src2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexDir, java.nio.file.Files
+        .createTempDirectory("graft-ndckpt2").toString,
+      sink = b => b.collect().foreach { r =>
+        verdicts2.synchronized {
+          verdicts2(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("admitted")
+        }
+      })
+    try {
+      src2.addData((30L, null.asInstanceOf[String]))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(verdicts2.synchronized(verdicts2.toMap) == Map(30L -> true))
+    val indexedAfter = spark.read.parquet(s"$indexDir/shingles")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(indexedAfter == Set(1L, 3L, 13L, 21L),
+      "null-text rows never pollute the index")
     // equivalence with the batch-wise incremental operator under the
     // same admission policy (old side = admitted survivors so far)
     def shingled(rows: (Long, String)*) =
