@@ -87,4 +87,58 @@ class FullTextPropertySpec extends SparkSpecBase {
       id -> t.split(" ").map(_.toUpperCase).mkString(", ") }
     assertSameScores(run(base), run(noisy))
   }
+
+  test("bestFragment is the true window argmax on any corpus") {
+    val docs = corpus(71, n = 80)
+    val window = 5
+    val frags = docs.toDF("doc_id", "text")
+      .select($"doc_id",
+        FullText.bestFragment($"text", terms, window).as("frag"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getString(1))).toMap
+    docs.foreach { case (id, text) =>
+      // the fixture vocabulary contains no stopwords/punctuation, so
+      // the analyzed stream IS the whitespace split
+      val toks = text.split(" ").toVector
+      val w = math.min(window, toks.length)
+      val hits = (0 to toks.length - w).map(i =>
+        toks.slice(i, i + w).count(terms.contains))
+      val best = if (hits.isEmpty) 0 else hits.max
+      frags(id) match {
+        case None => assert(best == 0, s"doc $id: unmatched ⇔ null")
+        case Some(f) =>
+          // the emitted fragment wraps exactly `best` terms — the
+          // argmax property — and is `w` tokens long
+          assert(f.split(" ").length == w, s"doc $id fragment width")
+          assert("<em>".r.findAllIn(f).size == best,
+            s"doc $id: fragment hit count ${f} vs $best")
+      }
+    }
+  }
+
+  test("multi_match invariants on any two-field corpus: most = Σ legs, best ∈ [max leg, most]") {
+    val docs = corpus(79, n = 80)
+    val fielded = docs.map { case (id, t) =>
+      val words = t.split(" ")
+      (id, words.take(4).mkString(" "), t)
+    }.toDF("doc_id", "title", "body")
+    val out = FullText.bm25MultiFieldTopK(fielded, "doc_id",
+      Seq("title" -> 2.0, "body" -> 1.0), terms, k = 500,
+      tieBreaker = 0.3)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    def leg(c: String, boost: Double): Map[Long, Double] =
+      FullText.bm25TopK(fielded, "doc_id", c, terms, k = 500)
+        .collect().map(r => r.getLong(0) -> boost * r.getDouble(1)).toMap
+    val t = leg("title", 2.0); val b = leg("body", 1.0)
+    assert(out.nonEmpty)
+    out.foreach { case (id, (best, most)) =>
+      val legs = Seq(t.get(id), b.get(id)).flatten
+      assert(legs.nonEmpty, s"doc $id fused without any matching leg")
+      assert(math.abs(most - legs.sum) <= 4e-4, s"doc $id most_fields")
+      val mx = legs.max
+      assert(best >= mx - 2e-4 && best <= most + 2e-4,
+        s"doc $id best_fields $best outside [max=$mx, most=$most]")
+    }
+  }
 }
