@@ -294,8 +294,8 @@ object FullText {
     * `text_en`-mapped fields with per-field boosts (the reference maps
     * `text_en` on issue/PR `title` AND `body`, schema.py:46,77-78; the
     * first real ES query a user writes is `multi_match` over
-    * title+body with `title^2`). Emits BOTH composition modes ES
-    * offers for term-centric scoring:
+    * title+body with `title^2`). Emits ALL THREE composition modes ES
+    * offers:
     *
     *  - `score_best` — `best_fields` (the default, a Lucene
     *    DisjunctionMaxQuery): max over fields of the field's match
@@ -305,11 +305,21 @@ object FullText {
     *  - `score_most` — `most_fields` (a BooleanQuery of per-field
     *    matches): the SUM of per-field scores — the mode for fields
     *    that are alternate renderings of the same text.
+    *  - `score_cross` — `cross_fields` (Lucene BlendedTermQuery):
+    *    TERM-centric instead of field-centric — each term scores in
+    *    every field with a BLENDED document frequency (max over the
+    *    fields' dfs, so a term common in any one field is "common"
+    *    everywhere — the fix for first/last-name-across-fields
+    *    inflation), the term keeps its best boosted field score, and
+    *    a document sums over terms. The mode for ONE logical text
+    *    split across fields.
     *
-    * Each field scores as an independent BM25 index: its OWN doclen,
-    * avgdl, and per-(field, term) df — exactly Lucene's per-field
-    * inverted-index statistics — then the field's score is multiplied
-    * by its boost.
+    * For best/most each field scores as an independent BM25 index:
+    * its OWN doclen, avgdl, and per-(field, term) df — exactly
+    * Lucene's per-field inverted-index statistics — then the field's
+    * score is multiplied by its boost. cross_fields swaps only the
+    * df: per-field norms stay (as in Lucene's blending, which leaves
+    * length normalization per field).
     *
     * Scale shape: ONE corpus pass. The fields stack via a per-row
     * 2-element struct explode (field, toks, boost) — |fields|·N rows,
@@ -346,26 +356,43 @@ object FullText {
       .groupBy(col("doc_id"), col("field"), col("boost"), col("doclen"),
         col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("field"), col("term")))
-        .cast("double"))
+    val withDf = tf
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("field"), col("term")))
+          .cast("double"))
+      // blended df: the term's max df across fields (BlendedTermQuery)
+      .withColumn("df_blend",
+        max(col("df")).over(Window.partitionBy(col("term"))))
     val normLen = col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val perFieldScore = withDf
+    def idfOf(dfCol: Column) = log(lit(1.0) +
+      (col("n_docs") - dfCol + lit(0.5)) / (dfCol + lit(0.5)))
+    val scored = withDf
       .join(broadcast(stats), Seq("field"))
-      .withColumn("term_score", idf * col("tf") * lit(k1 + 1.0) / normLen)
+      .withColumn("term_score",
+        idfOf(col("df")) * col("tf") * lit(k1 + 1.0) / normLen)
+      .withColumn("blend_score", col("boost") *
+        idfOf(col("df_blend")) * col("tf") * lit(k1 + 1.0) / normLen)
+    val perFieldScore = scored
       .groupBy(col("doc_id"), col("field"), col("boost"))
       .agg(sum(col("term_score")).as("raw"))
       .withColumn("fscore", col("boost") * col("raw"))
-    perFieldScore
       .groupBy(col("doc_id"))
       .agg(max(col("fscore")).as("best"), sum(col("fscore")).as("total"))
+    // cross_fields: per (doc, term) the best boosted blended-df field
+    // score, summed over terms
+    val crossScore = scored
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("blend_score")).as("t_best"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("t_best")).as("cross"))
+    perFieldScore
+      .join(crossScore, Seq("doc_id"))
       .select(col("doc_id"),
         round(col("best") + lit(tieBreaker) * (col("total") - col("best")),
           4).as("score_best"),
-        round(col("total"), 4).as("score_most"))
+        round(col("total"), 4).as("score_most"),
+        round(col("cross"), 4).as("score_cross"))
       .orderBy(col("score_best").desc, col("doc_id"))
       .limit(k)
   }

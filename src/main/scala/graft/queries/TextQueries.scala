@@ -540,7 +540,7 @@ object TextQueries {
       k, tieBreaker = 0.3)
     ranked
       .join(docs, Seq("doc_id"))
-      .select($"doc_id", $"score_best", $"score_most",
+      .select($"doc_id", $"score_best", $"score_most", $"score_cross",
         FullText.highlightTerms($"title", bm25QueryTerms).as("title_hl"),
         FullText.bestFragment($"body", bm25QueryTerms).as("body_frag"))
       .orderBy($"score_best".desc, $"doc_id")
@@ -972,22 +972,36 @@ object TextQueries {
          |        FROM sized)
          |  WHERE term IN ('fast','vector','query')
          |  GROUP BY doc_id, field, boost, doclen, term),
-         |withdf AS (SELECT *,
+         |wd0 AS (SELECT *,
          |    (COUNT(*) OVER (PARTITION BY field, term))::DOUBLE AS df
          |  FROM tf),
+         |withdf AS (SELECT *,
+         |    MAX(df) OVER (PARTITION BY term) AS df_blend
+         |  FROM wd0),
          |fs AS (SELECT doc_id, field, boost, boost * SUM(
          |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
          |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))) AS fscore
          |  FROM withdf JOIN stats USING (field)
          |  GROUP BY doc_id, field, boost),
-         |comb AS (SELECT doc_id,
+         |xt AS (SELECT doc_id, term, MAX(boost *
+         |    ln(1 + (n_docs - df_blend + 0.5) / (df_blend + 0.5)) * tf *
+         |    (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))) AS tb
+         |  FROM withdf JOIN stats USING (field)
+         |  GROUP BY doc_id, term),
+         |xs AS (SELECT doc_id, SUM(tb) AS cross_raw FROM xt
+         |  GROUP BY doc_id),
+         |comb AS (SELECT fs.doc_id,
          |    round(MAX(fscore) + 0.3 * (SUM(fscore) - MAX(fscore)), 4)
          |      AS score_best,
-         |    round(SUM(fscore), 4) AS score_most
-         |  FROM fs GROUP BY doc_id),
+         |    round(SUM(fscore), 4) AS score_most,
+         |    round(ANY_VALUE(xs.cross_raw), 4) AS score_cross
+         |  FROM fs JOIN xs ON fs.doc_id = xs.doc_id
+         |  GROUP BY fs.doc_id),
          |top AS (SELECT * FROM comb
          |  ORDER BY score_best DESC, doc_id LIMIT 20),
          |hj AS (SELECT t.doc_id, t.score_best, t.score_most,
+         |    t.score_cross,
          |    list_filter(string_split_regex(lower(f.title),
          |        '[^\\p{L}\\p{Nd}]+'),
          |      x -> length(x) > 0 AND x NOT IN $stopSql) AS ttoks,
@@ -1005,7 +1019,7 @@ object TextQueries {
          |    i -> COALESCE(list_sum(list_slice(bflags, i, i + w - 1)), 0))
          |    AS scores
          |  FROM hw)
-         |SELECT doc_id, score_best, score_most,
+         |SELECT doc_id, score_best, score_most, score_cross,
          |  array_to_string(list_transform(ttoks,
          |    x -> CASE WHEN x IN ('fast','vector','query')
          |         THEN '<em>' || x || '</em>' ELSE x END), ' ') AS title_hl,

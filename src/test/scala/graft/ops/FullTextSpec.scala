@@ -166,6 +166,29 @@ class FullTextSpec extends SparkSpecBase {
     assert(math.abs(out(2L)._2 - out(2L)._1) < 1e-3)
   }
 
+  test("cross_fields blends df: a rare-in-title term takes the common-in-body idf") {
+    import spark.implicits._
+    // 'cat' has df 1 in titles but df 3 in bodies → blended df = 3.
+    // cross_fields must deflate d1's title hit to the common-term idf
+    // (the first/last-name-across-fields fix), while field-centric
+    // best_fields keeps the inflated rare-term idf.
+    val d = fieldedDocs(
+      (1L, "cat runs", "dog bird fish"),
+      (2L, "dog naps", "cat swims deep"),
+      (3L, "dog sits", "cat dives low"),
+      (4L, "dog howls", "cat floats high"))
+    val out = FullText.bm25MultiFieldTopK(d, "doc_id",
+      Seq("title" -> 2.0, "body" -> 1.0), Seq("cat"),
+      tieBreaker = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(3)))).toMap
+    assert(out(1L)._2 < out(1L)._1,
+      "blended df must deflate the rare-in-title match")
+    // body-only matches: the field's own df IS the blended df, so
+    // cross collapses to the (boost-1) field score = best at tie 0
+    assert(math.abs(out(2L)._2 - out(2L)._1) < 1e-3)
+  }
+
   test("highlightTerms wraps matched analyzed tokens in <em> tags") {
     val out = docs((1L, "The Fast CAT runs a fast race!"), (2L, null))
       .orderBy($"doc_id")
