@@ -882,14 +882,27 @@ object SimilarityQueries {
       iters: Int = 1): Unit = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val cells = seedCells(e, numCells)
-    val assign = assignToCells(e, cells)
-    val subs = ProductQuant.subVectors(e, m, subdim)
-    val cb = ProductQuant.trainCodebooks(subs, c, iters)
-    val codes = ProductQuant.encode(subs, cb)
-    val norms = e.select($"vec_id", norm($"embedding").as("nrm"))
+    writeIvfPqIndexFrames(e, e, indexDir, numCells, m, subdim, c, iters)
+  }
+
+  /** Frame-level [[writeIvfPqIndex]] with the artifact/corpus split
+    * made explicit: cells and codebooks TRAIN on `artifactsFrom`,
+    * every `corpus` row is assigned+encoded against them — which is
+    * how IncrementalAnnSpec/VectorIndexLayoutSpec prove the append
+    * path equals a batch rebuild at fixed artifacts. */
+  def writeIvfPqIndexFrames(artifactsFrom: DataFrame, corpus: DataFrame,
+      indexDir: String, numCells: Int = 16, m: Int = 8, subdim: Int = 8,
+      c: Int = 16, iters: Int = 1): Unit = {
+    import artifactsFrom.sparkSession.implicits._
+    val cells = seedCells(artifactsFrom, numCells)
+    val cb = ProductQuant.trainCodebooks(
+      ProductQuant.subVectors(artifactsFrom, m, subdim), c, iters)
     cells.write.mode("overwrite").parquet(s"$indexDir/cells")
     cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val assign = assignToCells(corpus, cells)
+    val codes = ProductQuant.encode(
+      ProductQuant.subVectors(corpus, m, subdim), cb)
+    val norms = corpus.select($"vec_id", norm($"embedding").as("nrm"))
     codes
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
         Seq("vec_id"))
@@ -897,6 +910,29 @@ object SimilarityQueries {
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$indexDir/codes")
     graft.ops.Checkpoints.unpersist(cb)
+  }
+
+  /** The q106 delta path landing in the STORED layout: a fresh batch
+    * assigns+encodes against the index's PERSISTED artifacts (read,
+    * never retrained — the q106 stability contract) and APPENDS into
+    * the same cell partitions. Equal to a batch rebuild at fixed
+    * artifacts (VectorIndexLayoutSpec pins stored-search frame
+    * equality between append and rebuild). */
+  def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
+      fresh: DataFrame, m: Int = 8, subdim: Int = 8): Unit = {
+    import spark.implicits._
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val assign = assignToCells(fresh, cells)
+    val codes = ProductQuant.encode(
+      ProductQuant.subVectors(fresh, m, subdim), cb)
+    val norms = fresh.select($"vec_id", norm($"embedding").as("nrm"))
+    codes
+      .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
+        Seq("vec_id"))
+      .join(norms, Seq("vec_id"))
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$indexDir/codes")
   }
 
   /** Query-time IVF+PQ search over a STORED index — the plan a

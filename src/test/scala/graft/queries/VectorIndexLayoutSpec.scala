@@ -46,4 +46,34 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     assert(stored == self,
       s"stored-index search diverged:\n  stored=$stored\n  self=$self")
   }
+
+  test("delta append to the stored index equals a batch rebuild at fixed artifacts") {
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val maxId = e.agg(org.apache.spark.sql.functions.max($"vec_id"))
+      .head().getLong(0)
+    val w = maxId * 4 / 5
+    val old = e.filter($"vec_id" <= w)
+    val fresh = e.filter($"vec_id" > w)
+    // path A: index the old corpus, then APPEND the delta (q106's
+    // path landing in the stored layout)
+    val idxA = java.nio.file.Files.createTempDirectory("ivfpq-a")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(old, old, idxA)
+    SimilarityQueries.appendToIvfPqIndex(spark, idxA, fresh)
+    // path B: one-shot rebuild over the full corpus with the SAME
+    // old-trained artifacts
+    val idxB = java.nio.file.Files.createTempDirectory("ivfpq-b")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(old, e, idxB)
+    def search(idx: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idxA) == search(idxB),
+      "append-refresh must equal batch rebuild at fixed artifacts")
+    // the appended codes table holds every vector exactly once
+    val ids = spark.read.parquet(s"$idxA/codes")
+      .select($"vec_id").distinct().count()
+    assert(ids == maxId + 1)
+  }
 }
