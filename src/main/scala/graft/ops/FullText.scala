@@ -250,6 +250,52 @@ object FullText {
       .parquet(s"$indexDir/postings")
   }
 
+  /** Batch refresh of the stored text index: the fresh documents'
+    * postings append into their term buckets (delta-only analyzer
+    * work, the q106 contract), but UNLIKE the vector index's fixed
+    * artifacts, df and stats are corpus-wide statistics that every
+    * new document SHIFTS — so they re-aggregate from the appended
+    * postings table (dictionary-sized and 1-row work; the corpus
+    * itself is never re-analyzed). TextIndexLayoutSpec pins
+    * append == rebuild. The asymmetry with
+    * [[graft.queries.SimilarityQueries.appendToIvfPqIndex]] is the
+    * point: PQ codes are per-row facts (append-only), BM25
+    * statistics are corpus aggregates (recompute-on-append) — a
+    * refresh design has to know which kind each artifact is.
+    *
+    * Caveat: a document with ZERO analyzer-surviving tokens leaves no
+    * posting rows, so it drops out of the re-derived n_docs/avgdl
+    * (the writer counted it). Such documents score nothing and can
+    * only nudge the stats by a hair; any curated corpus has already
+    * filtered them (q53's length floor) — run the quality pass
+    * first. */
+  def appendToTextIndex(spark: org.apache.spark.sql.SparkSession,
+      fresh: DataFrame, idCol: String, textCol: String,
+      indexDir: String, buckets: Int = 16): Unit = {
+    val analyzed = fresh
+      .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
+      .withColumn("doclen", size(col("toks")))
+    analyzed
+      .select(col("doc_id"), col("doclen"),
+        explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"), col("doc_id"), col("doclen"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+    // corpus-wide statistics re-derive from the appended postings —
+    // df is one dictionary-sized aggregate, stats one row (doclen
+    // rides every posting row, so a distinct per-doc frame recovers
+    // the corpus length profile without re-reading any document)
+    val post = spark.read.parquet(s"$indexDir/postings")
+    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$indexDir/df")
+    post.select(col("doc_id"), col("doclen")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
   /** Query-time BM25 over a STORED index — no analyzer, no corpus
     * scan: the query terms' bucket ids derive from the SAME hash
     * expression the writer used (evaluated on a driver-side

@@ -46,4 +46,26 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(stored == self,
       s"stored-index search diverged:\n  stored=$stored\n  self=$self")
   }
+
+  test("batch append re-derives corpus statistics: append equals rebuild") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val w = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    val old = docs.filter($"doc_id" <= w)
+    val fresh = docs.filter($"doc_id" > w)
+    val idxA = java.nio.file.Files.createTempDirectory("bm25-a")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(old, "doc_id", "text", idxA)
+    FullText.appendToTextIndex(spark, fresh, "doc_id", "text", idxA)
+    val idxB = java.nio.file.Files.createTempDirectory("bm25-b")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idxB)
+    def search(idx: String) = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idxA) == search(idxB),
+      "append must shift df/stats exactly like a rebuild")
+    // and the appended index still matches the self-contained search
+    assert(search(idxA) ==
+      FullText.bm25TopK(docs, "doc_id", "text", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
 }
