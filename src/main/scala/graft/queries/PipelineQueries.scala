@@ -386,8 +386,21 @@ object PipelineQueries {
   def chunkDocuments(spark: SparkSession, dir: String,
       window: Int = 50, stride: Int = 40): DataFrame = {
     import spark.implicits._
-    Tables.documentsDistributed(spark, dir)
-      .select($"doc_id", TextAnalysis.tokensOf($"text").as("toks"))
+    chunkFrame(Tables.documentsDistributed(spark, dir),
+      "doc_id", "text", window, stride)
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** The chunker as a frame transform — stateless per-row work, so
+    * it composes onto a STREAMING frame unchanged
+    * ([[graft.streaming.Streams.chunkStream]] is exactly this on a
+    * readStream source; StreamsSpec pins batch/stream equality). */
+  def chunkFrame(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 50, stride: Int = 40): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokensOf(col(textCol)).as("toks"))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .select($"doc_id", $"toks", $"n_tokens",
         posexplode_outer(sequence(lit(0L),
@@ -399,7 +412,6 @@ object PipelineQueries {
         $"start_tok", $"chunk_len",
         md5(array_join(slice($"toks", $"start_tok" + 1,
           $"chunk_len"), " ")).as("chunk_md5"))
-      .orderBy($"doc_id", $"chunk_id")
   }
 
   /** Resumable twin of [[curationSweepFrames]] — the CLI face

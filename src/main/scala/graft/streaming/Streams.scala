@@ -423,6 +423,18 @@ object Streams {
       }
       .start()
 
+  /** Streaming RAG chunking — q111's sliding-window chunker on the
+    * ingest stream (the shape an embedding pipeline actually runs:
+    * documents arrive, chunks flow to the embedder). Pure stateless
+    * per-row work (per-row offset sequence + one generator — no
+    * state, no watermark), so it composes with any downstream sink
+    * or the admission/decontamination transforms above; StreamsSpec
+    * pins exact batch/stream row equality. */
+  def chunkStream(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 50, stride: Int = 40): DataFrame =
+    graft.queries.PipelineQueries.chunkFrame(
+      docs, idCol, textCol, window, stride)
+
   /** Streaming bigram-LM scoring — the deployment shape of the
     * q61/q62 filter: the model is TRAINED in batch (LangModel.train,
     * pruned by minCount so it is literal-sized — LangModel.modelMap),

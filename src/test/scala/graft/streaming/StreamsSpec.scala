@@ -402,6 +402,31 @@ class StreamsSpec extends SparkSpecBase {
       s"batch-wise twin disagrees: $batchWise")
   }
 
+  test("chunkStream: streaming chunks equal the batch chunker row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, (1 to 90).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc here"),
+      (3L, (1 to 45).map(i => s"v$i").mkString(" ")))
+    val src = MemoryStream[(Long, String)]
+    val out = Streams.chunkStream(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    runBatches(out, "chunkstream") {
+      src.addData(rows.take(2): _*)
+      src.addData(rows.drop(2): _*)
+    }
+    def keyed(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val streamed = keyed(spark.table("chunkstream").collect())
+    val batch = keyed(graft.queries.PipelineQueries
+      .chunkFrame(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect())
+    assert(streamed == batch, "batch/stream chunk parity")
+    assert(streamed.keys.count(_._1 == 1L) == 3, "90 tokens → 3 chunks")
+  }
+
   test("decontaminateStream flags gram overlap against batch-derived set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
