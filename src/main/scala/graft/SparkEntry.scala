@@ -183,6 +183,8 @@ object SparkEntry {
       SimilarityQueries.knnBatch(s, d)),
     "q115_excise_contaminated" -> ((s: SparkSession, d: String) =>
       CurationQueries.exciseContaminated(s, d)),
+    "q116_imi_multiseq" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.imiIvfKnnMultiSeq(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

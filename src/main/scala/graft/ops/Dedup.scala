@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication primitives for large-corpus pipelines: exact
@@ -381,6 +381,54 @@ object Dedup {
       .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** Maintenance compactor for the persisted near-dup index artifacts
+    * ([[minhashLshPairsAgainstIndex]]'s `bands`/`shingles` dirs, the
+    * ones streaming.Streams.nearDupAdmissionStream appends to): an
+    * at-least-once replayed batch re-appends byte-identical (id, band,
+    * band_hash) and (id, sh) rows — verdict-neutral (pairs are
+    * distinct-ed before the verify) but dead weight in every future
+    * collision scan, so like any append-only log the artifacts want a
+    * scheduled rewrite. Dedups bands on the full (id, band, band_hash)
+    * key and shingles to one row per id (replays are identical by
+    * construction — there is nothing to merge, only to drop), writes
+    * each to a fresh directory, then swaps directories with
+    * keep-the-old-until-the-new-is-live ordering: crash before the
+    * swap leaves the live index untouched; crash between the two
+    * renames leaves a `.old` backup to restore from. Run it in the
+    * stream's maintenance window (between batches) — the foreachBatch
+    * reader takes no lock; a deployment wanting online compaction uses
+    * a transactional table format instead.
+    *
+    * Returns ((bandsBefore, bandsAfter), (shinglesBefore,
+    * shinglesAfter)) row counts — the reclaimed-volume observable
+    * DedupSpec pins. */
+  def compactBandIndex(spark: SparkSession,
+      indexDir: String): ((Long, Long), (Long, Long)) = {
+    def compactOne(path: String, dedup: DataFrame => DataFrame)
+        : (Long, Long) = {
+      val dir = new java.io.File(path)
+      if (!dir.exists()) return (0L, 0L)
+      val before = spark.read.parquet(path)
+      val nBefore = before.count()
+      val compacted = dedup(before)
+      val tmp = new java.io.File(path + ".compact")
+      val old = new java.io.File(path + ".old")
+      compacted.write.mode("overwrite").parquet(tmp.getPath)
+      val nAfter = spark.read.parquet(tmp.getPath).count()
+      require(dir.renameTo(old), s"swap: $path -> .old failed")
+      require(tmp.renameTo(dir), s"swap: .compact -> $path failed")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(old)
+      (nBefore, nAfter)
+    }
+    val b = compactOne(s"$indexDir/bands", _.distinct())
+    val s = compactOne(s"$indexDir/shingles", _.dropDuplicates("id"))
+    (b, s)
   }
 
   /** Exact all-pairs n-gram Jaccard via an inverted shingle index:

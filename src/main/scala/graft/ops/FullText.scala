@@ -356,9 +356,11 @@ object FullText {
     *    every field with a BLENDED document frequency (max over the
     *    fields' dfs, so a term common in any one field is "common"
     *    everywhere — the fix for first/last-name-across-fields
-    *    inflation), the term keeps its best boosted field score, and
-    *    a document sums over terms. The mode for ONE logical text
-    *    split across fields.
+    *    inflation), the term keeps its best boosted field score plus
+    *    `tieBreaker` × the other fields' blended scores (ES applies
+    *    the one multi_match tie_breaker within the per-term field
+    *    scores here), and a document sums over terms. The mode for
+    *    ONE logical text split across fields.
     *
     * For best/most each field scores as an independent BM25 index:
     * its OWN doclen, avgdl, and per-(field, term) df — exactly
@@ -426,12 +428,16 @@ object FullText {
       .groupBy(col("doc_id"))
       .agg(max(col("fscore")).as("best"), sum(col("fscore")).as("total"))
     // cross_fields: per (doc, term) the best boosted blended-df field
-    // score, summed over terms
+    // score plus tieBreaker × the other fields' blended scores (ES
+    // applies the one multi_match tie_breaker WITHIN the per-term
+    // field scores in cross_fields mode), summed over terms
     val crossScore = scored
       .groupBy(col("doc_id"), col("term"))
-      .agg(max(col("blend_score")).as("t_best"))
+      .agg(max(col("blend_score")).as("t_best"),
+        sum(col("blend_score")).as("t_total"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("t_best")).as("cross"))
+      .agg(sum(col("t_best") +
+        lit(tieBreaker) * (col("t_total") - col("t_best"))).as("cross"))
     perFieldScore
       .join(crossScore, Seq("doc_id"))
       .select(col("doc_id"),

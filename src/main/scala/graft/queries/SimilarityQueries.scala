@@ -767,8 +767,19 @@ object SimilarityQueries {
       k: Int = 10, subdim: Int = 32, c: Int = 16, iters: Int = 1,
       probesPerHalf: Int = 2): DataFrame = {
     import spark.implicits._
+    imiIvfKnnFrames(
+      Tables.embeddings(spark, dir).select($"vec_id", $"embedding"),
+      queryId, k, subdim, c, iters, probesPerHalf)
+  }
+
+  /** The frame-level core of [[imiIvfKnn]] — ImiIvfSpec drives it
+    * directly on constructed fixtures (iters=0 keeps the seed rows AS
+    * the half-codebooks, giving the spec exact centroid control). */
+  def imiIvfKnnFrames(e: DataFrame, queryId: Long = 0L,
+      k: Int = 10, subdim: Int = 32, c: Int = 16, iters: Int = 1,
+      probesPerHalf: Int = 2): DataFrame = {
+    import e.sparkSession.implicits._
     val win = org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val subs = ProductQuant.subVectors(e, 2, subdim)
     val cb = ProductQuant.trainCodebooks(subs, c, iters)
     val codes = ProductQuant.encode(subs, cb)
@@ -788,6 +799,78 @@ object SimilarityQueries {
     val probeCells = ranked.filter($"sub_id" === 0)
       .select($"cent_id".as("c0"))
       .crossJoin(ranked.filter($"sub_id" === 1).select($"cent_id".as("c1")))
+      .select(($"c0" * c + $"c1").as("cell_id"))
+    val cand = cellOf.join(broadcast(probeCells), Seq("cell_id"))
+      .filter($"vec_id" =!= queryId).select($"vec_id")
+    e.join(cand, Seq("vec_id"))
+      .crossJoin(broadcast(qemb))
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .orderBy($"cos_full".desc, $"vec_id".asc)
+      .limit(k)
+      .select($"vec_id", round($"cos_full", 4).as("cosine"))
+  }
+
+  /** q116 — IMI with MULTI-SEQUENCE probe ordering (the original
+    * paper's cell-visit order, Babenko & Lempitsky 2012 §3.2):
+    * [[imiIvfKnn]] probes the CROSS PRODUCT of its top-`p` matches
+    * per half — which under-recalls neighbors whose halves rank
+    * unevenly (a cell pairing the 1st-ranked half-0 centroid with the
+    * 3rd-ranked half-1 centroid is unreachable at p=2 even when its
+    * BLENDED affinity beats every probed cell). The paper instead
+    * visits cells in increasing blended distance. Inner products
+    * decompose additively over the halves — `dot(q, x) =
+    * dot(q₀, x₀) + dot(q₁, x₁)` (the dot-product analogue of the
+    * paper's `d² = d₀² + d₁²` for L2) — so the blended cell affinity
+    * is `dot(q₀, c₀) + dot(q₁, c₁)` and this operator probes the
+    * top-`probes` cells of THAT order, a budget of exactly `probes`
+    * cells (the cross form probes p² with no per-cell ordering).
+    *
+    * Scale shape: identical to q104 except probe selection — the
+    * blend frame is the c² (256-row) cross of two c-row broadcast
+    * rank frames, TakeOrdered to `probes` rows, then broadcast into
+    * the cell-pruned scan. At the paper's c = 2¹⁴ the c² frame is
+    * 2²⁸ rows and a deployment walks it lazily with the paper's
+    * two-pointer priority queue on the driver instead — the frame
+    * form here is the Spark-declarative equivalent for moderate c,
+    * and the PROBED-CELL contract (top-`probes` by blended affinity)
+    * is what ImiIvfSpec pins, not the enumeration strategy. */
+  def imiIvfKnnMultiSeq(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10, subdim: Int = 32, c: Int = 16,
+      iters: Int = 1, probes: Int = 4): DataFrame = {
+    import spark.implicits._
+    imiIvfKnnMultiSeqFrames(
+      Tables.embeddings(spark, dir).select($"vec_id", $"embedding"),
+      queryId, k, subdim, c, iters, probes)
+  }
+
+  /** The frame-level core of [[imiIvfKnnMultiSeq]] — ImiIvfSpec pins
+    * the uneven-half-rank recall win over the cross-product prober on
+    * a constructed fixture. */
+  def imiIvfKnnMultiSeqFrames(e: DataFrame, queryId: Long = 0L,
+      k: Int = 10, subdim: Int = 32, c: Int = 16,
+      iters: Int = 1, probes: Int = 4): DataFrame = {
+    import e.sparkSession.implicits._
+    val subs = ProductQuant.subVectors(e, 2, subdim)
+    val cb = ProductQuant.trainCodebooks(subs, c, iters)
+    val codes = ProductQuant.encode(subs, cb)
+    val cellOf = codes.groupBy($"vec_id")
+      .agg((max(when($"sub_id" === 0, $"cent_id")) * c +
+        max(when($"sub_id" === 1, $"cent_id"))).as("cell_id"))
+    val q = e.filter($"vec_id" === queryId)
+    val qemb = q.select($"embedding".as("qemb"))
+    val qsubs = ProductQuant.subVectors(q, 2, subdim)
+      .select($"sub_id", $"subvec".as("qsub"))
+    // per-half centroid affinities (2·c rows), then the c² blended
+    // cell order: dot decomposes additively over the halves
+    val half = cb.join(broadcast(qsubs), Seq("sub_id"))
+      .withColumn("qdot", dot($"cvec", $"qsub"))
+      .select($"sub_id", $"cent_id", $"qdot")
+    val probeCells = half.filter($"sub_id" === 0)
+      .select($"cent_id".as("c0"), $"qdot".as("d0"))
+      .crossJoin(half.filter($"sub_id" === 1)
+        .select($"cent_id".as("c1"), $"qdot".as("d1")))
+      .orderBy(($"d0" + $"d1").desc, $"c0".asc, $"c1".asc)
+      .limit(probes)
       .select(($"c0" * c + $"c1").as("cell_id"))
     val cand = cellOf.join(broadcast(probeCells), Seq("cell_id"))
       .filter($"vec_id" =!= queryId).select($"vec_id")
@@ -1337,6 +1420,59 @@ object SimilarityQueries {
         |  FROM ranked a, ranked b
         |  WHERE a.sub_id = 0 AND b.sub_id = 1
         |    AND a.rn <= 2 AND b.rn <= 2),
+        |cand AS (SELECT cl.vec_id FROM cells cl JOIN probe USING (cell_id)
+        |  WHERE cl.vec_id <> 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |    q.embedding::DOUBLE[]), 4) AS cosine
+        |FROM e JOIN cand USING (vec_id), q
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |  q.embedding::DOUBLE[]) DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    // q116 shares q104's codebook/cell CTEs; only probe selection
+    // differs — top-4 cells by BLENDED dot (dot decomposes additively
+    // over the halves), not the cross of per-half top-2
+    "q116_imi_multiseq" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |subs AS (SELECT e.vec_id, s.s AS sub_id,
+        |    list_slice(e.embedding, s.s*32 + 1, s.s*32 + 32) AS subvec
+        |  FROM e, unnest(generate_series(0, 1)) s(s)),
+        |cb0 AS (SELECT sub_id, vec_id AS cent_id, subvec AS cvec
+        |  FROM subs WHERE vec_id < 16),
+        |a1 AS (SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM subs s JOIN cb0 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |m1 AS (SELECT a.sub_id, a.cent_id, t.i AS i,
+        |    CAST(CAST(SUM(CAST(round(s.subvec[t.i]::DOUBLE * 16777216.0)
+        |      AS BIGINT)) AS DOUBLE) / 16777216.0 / COUNT(*) AS FLOAT) AS m
+        |  FROM a1 a JOIN subs s USING (vec_id, sub_id),
+        |    unnest(generate_series(1, 32)) t(i)
+        |  GROUP BY a.sub_id, a.cent_id, t.i),
+        |cb1 AS (SELECT sub_id, cent_id, list(m ORDER BY i) AS cvec
+        |  FROM m1 GROUP BY sub_id, cent_id),
+        |codes AS (SELECT s.vec_id, s.sub_id, arg_max(c.cent_id,
+        |    list_cosine_similarity(s.subvec::DOUBLE[], c.cvec::DOUBLE[]))
+        |    AS cent_id
+        |  FROM subs s JOIN cb1 c USING (sub_id)
+        |  GROUP BY s.vec_id, s.sub_id),
+        |cells AS (SELECT vec_id,
+        |    16 * MAX(CASE WHEN sub_id = 0 THEN cent_id END) +
+        |    MAX(CASE WHEN sub_id = 1 THEN cent_id END) AS cell_id
+        |  FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0),
+        |qsubs AS (SELECT s.s AS sub_id,
+        |    list_slice(q.embedding, s.s*32 + 1, s.s*32 + 32) AS qsub
+        |  FROM q, unnest(generate_series(0, 1)) s(s)),
+        |halfd AS (SELECT c.sub_id, c.cent_id,
+        |    list_inner_product(c.cvec::DOUBLE[], qs.qsub::DOUBLE[]) AS qdot
+        |  FROM cb1 c JOIN qsubs qs USING (sub_id)),
+        |probe AS (SELECT 16 * a.cent_id + b.cent_id AS cell_id
+        |  FROM halfd a, halfd b
+        |  WHERE a.sub_id = 0 AND b.sub_id = 1
+        |  ORDER BY a.qdot + b.qdot DESC, a.cent_id ASC, b.cent_id ASC
+        |  LIMIT 4),
         |cand AS (SELECT cl.vec_id FROM cells cl JOIN probe USING (cell_id)
         |  WHERE cl.vec_id <> 0)
         |SELECT e.vec_id,

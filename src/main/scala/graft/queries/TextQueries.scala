@@ -942,8 +942,9 @@ object TextQueries {
          |LIMIT 10""".stripMargin,
     // q102 re-derives the synthetic title/body split, stacks the two
     // fields with per-field stats (the Lucene per-field index shape),
-    // scores each field's BM25, combines best_fields (tie 0.3) and
-    // most_fields, and re-renders the analyzed-title highlight
+    // scores each field's BM25, combines best_fields (tie 0.3),
+    // most_fields, and cross_fields (blended df, the SAME tie 0.3
+    // within per-term field scores), and re-renders the highlight
     "q102_multi_match" ->
       s"""WITH f AS (SELECT doc_id,
          |    array_to_string(string_split_regex(text, '\\s+')[1:6], ' ')
@@ -983,14 +984,16 @@ object TextQueries {
          |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))) AS fscore
          |  FROM withdf JOIN stats USING (field)
          |  GROUP BY doc_id, field, boost),
-         |xt AS (SELECT doc_id, term, MAX(boost *
+         |xb AS (SELECT doc_id, term, boost *
          |    ln(1 + (n_docs - df_blend + 0.5) / (df_blend + 0.5)) * tf *
          |    (1.2 + 1.0) /
-         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))) AS tb
-         |  FROM withdf JOIN stats USING (field)
-         |  GROUP BY doc_id, term),
-         |xs AS (SELECT doc_id, SUM(tb) AS cross_raw FROM xt
-         |  GROUP BY doc_id),
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl)) AS bscore
+         |  FROM withdf JOIN stats USING (field)),
+         |xt AS (SELECT doc_id, term, MAX(bscore) AS tb,
+         |    SUM(bscore) AS tt
+         |  FROM xb GROUP BY doc_id, term),
+         |xs AS (SELECT doc_id, SUM(tb + 0.3 * (tt - tb)) AS cross_raw
+         |  FROM xt GROUP BY doc_id),
          |comb AS (SELECT fs.doc_id,
          |    round(MAX(fscore) + 0.3 * (SUM(fscore) - MAX(fscore)), 4)
          |      AS score_best,

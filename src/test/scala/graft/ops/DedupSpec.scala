@@ -408,6 +408,52 @@ class DedupSpec extends SparkSpecBase {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("compactBandIndex halves a double-appended index and changes no verdict") {
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val old = docs((1L, base), (2L, other))
+    val bands = old
+      .withColumn("bandh", Dedup.bandHashesDirect(col("shingles"), 16, 4))
+      .select(col("doc_id").as("id"),
+        posexplode(col("bandh")).as(Seq("band", "band_hash")))
+    val sh = old.select(col("doc_id").as("id"), col("shingles").as("sh"))
+    // an at-least-once replay re-appends byte-identical rows
+    for (_ <- 1 to 2) {
+      bands.write.mode("append").parquet(s"$indexDir/bands")
+      sh.write.mode("append").parquet(s"$indexDir/shingles")
+    }
+    val batch = docs((10L, base + " chi"),
+      (11L, "unrelated words entirely different from everything here"))
+      .select(col("doc_id").as("id"), col("shingles").as("sh"))
+    def probe() = Dedup.minhashLshPairsAgainstIndex(
+      spark.read.parquet(s"$indexDir/bands"),
+      spark.read.parquet(s"$indexDir/shingles"),
+      batch, "id", "sh")
+      .orderBy(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pre = probe()
+    assert(pre.distinct == Seq((1L, 10L, 0.9474)),
+      s"fixture must collide 10 with stored 1: $pre")
+    // replayed shingle-store rows DUPLICATE raw verify pairs (the
+    // admission stream's groupBy collapses them, so verdicts hold) —
+    // the very redundancy the compactor reclaims
+    assert(pre.length == 2, s"double-appended store doubles pairs: $pre")
+    val ((b0, b1), (s0, s1)) = Dedup.compactBandIndex(spark, indexDir)
+    assert(b0 == 2 * b1 && b1 == 8, s"bands $b0 -> $b1")
+    assert(s0 == 2 * s1 && s1 == 2, s"shingles $s0 -> $s1")
+    assert(probe() == pre.distinct,
+      "post-compaction: identical verdicts, replay duplicates gone")
+    assert(!new java.io.File(s"$indexDir/bands.old").exists() &&
+      !new java.io.File(s"$indexDir/bands.compact").exists(),
+      "swap leaves no residue")
+    // a second compaction is a no-op rewrite
+    val ((b2, b3), _) = Dedup.compactBandIndex(spark, indexDir)
+    assert(b2 == b1 && b3 == b1)
+  }
+
   test("dfCap drops degenerate buckets, keeps cold ones") {
     // 50 identical fingerprints (a boilerplate cluster: every band
     // bucket holds all 50) plus one true near-dup pair elsewhere.

@@ -189,6 +189,24 @@ class FullTextSpec extends SparkSpecBase {
     assert(math.abs(out(2L)._2 - out(2L)._1) < 1e-3)
   }
 
+  test("cross_fields tie_breaker adds the non-best fields' blended scores per term") {
+    val d = fieldedDocs(
+      (1L, "cat runs", "cat dog bird"), // 'cat' in BOTH fields
+      (2L, "dog naps", "cat swims deep"), // body only
+      (3L, "fish swim", "dog bird low"))
+    def cross(tie: Double): Map[Long, Double] =
+      FullText.bm25MultiFieldTopK(d, "doc_id",
+        Seq("title" -> 2.0, "body" -> 1.0), Seq("cat"), tieBreaker = tie)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val t0 = cross(0.0); val t5 = cross(0.5)
+    // both-fields match: tie > 0 must add the weaker field's blended
+    // score on top of the max-only composition (ES applies the one
+    // multi_match tie_breaker within per-term field scores)
+    assert(t5(1L) > t0(1L))
+    // single-field match: no other-field score to add — invariant
+    assert(math.abs(t5(2L) - t0(2L)) < 1e-3)
+  }
+
   test("highlightTerms wraps matched analyzed tokens in <em> tags") {
     val out = docs((1L, "The Fast CAT runs a fast race!"), (2L, null))
       .orderBy($"doc_id")

@@ -91,35 +91,55 @@ class ImiIvfSpec extends SparkSpecBase {
   }
 
   /** The q104 composition run against an arbitrary frame (the gated
-    * query binds it to the driver tables). */
-  private def imiOn(e: DataFrame): DataFrame = {
-    val subs = ProductQuant.subVectors(e, 2, 32)
-    val cb = ProductQuant.trainCodebooks(subs, 16, 1)
-    val codes = ProductQuant.encode(subs, cb)
-    val cellOf = codes.groupBy($"vec_id")
-      .agg((max(when($"sub_id" === 0, $"cent_id")) * 16 +
-        max(when($"sub_id" === 1, $"cent_id"))).as("cell_id"))
-    val q = e.filter($"vec_id" === 0L)
-    val qemb = q.select($"embedding".as("qemb"))
-    val qsubs = ProductQuant.subVectors(q, 2, 32)
-      .select($"sub_id", $"subvec".as("qsub"))
-    val ranked = cb.join(broadcast(qsubs), Seq("sub_id"))
-      .withColumn("qcos", cos($"cvec", $"qsub"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"sub_id").orderBy($"qcos".desc, $"cent_id".asc)))
-      .filter($"rn" <= 2).select($"sub_id", $"cent_id")
-    val probeCells = ranked.filter($"sub_id" === 0)
-      .select($"cent_id".as("c0"))
-      .crossJoin(ranked.filter($"sub_id" === 1).select($"cent_id".as("c1")))
-      .select(($"c0" * 16 + $"c1").as("cell_id"))
-    e.join(cellOf.join(broadcast(probeCells), Seq("cell_id"))
-        .select($"vec_id"), Seq("vec_id"))
-      .filter($"vec_id" =!= 0L)
-      .crossJoin(broadcast(qemb))
+    * query binds it to the driver tables) — the REAL frame-level
+    * core, not a copy. */
+  private def imiOn(e: DataFrame): DataFrame =
+    SimilarityQueries.imiIvfKnnFrames(e, queryId = 0L, k = 10,
+      subdim = 32, c = 16, iters = 1, probesPerHalf = 2)
+      .select($"vec_id")
+
+  test("multi-sequence probing reaches the unevenly-ranked cell the cross prober misses") {
+    // 8-dim vectors, c=4 half-centroids, iters=0 → the half-codebooks
+    // ARE vec 0..3's halves exactly (seed control). Query vec 4:
+    //   half0 dots vs u0..u3: 1.0, 0.25, 0, 0
+    //   half1 dots vs w0..w3: 0.75, 0.5, 0.375, 0
+    // Blended cell order: (0,0) 1.75, (0,1) 1.5, (0,2) 1.375,
+    // (0,3) 1.0 — so multi-seq probes=4 includes cell (0,2), which
+    // pairs half0-rank-1 with half1-rank-3. The cross prober at
+    // p=2 probes {0,1}x{0,1} and can NEVER reach (0,2).
+    def pair(a: Int, b: Int) =
+      Array.tabulate(8)(i => if (i == a || i == 4 + b) 1.0f else 0.0f)
+    val rows = Seq[(Long, Array[Float])](
+      // seeds 0..3: centroid i is one-hot dim i (half0) + dim 4+i (half1)
+      0L -> pair(0, 0), 1L -> pair(1, 1), 2L -> pair(2, 2), 3L -> pair(3, 3),
+      // query
+      4L -> Array(1.0f, 0.25f, 0f, 0f, 0.75f, 0.5f, 0.375f, 0f),
+      // cell (0,2) targets — the q-nearest cluster the cross misses
+      5L -> pair(0, 2), 6L -> pair(0, 2), 7L -> pair(0, 2), 8L -> pair(0, 2),
+      // cell (0,0) and (0,1) members (both probers see these)
+      9L -> pair(0, 0), 10L -> pair(0, 0),
+      11L -> pair(0, 1), 12L -> pair(0, 1))
+    val e = rows.toDF("vec_id", "embedding")
+    val exact = e.filter($"vec_id" =!= 4L)
+      .crossJoin(broadcast(e.filter($"vec_id" === 4L)
+        .select($"embedding".as("qemb"))))
       .withColumn("c", cos($"embedding", $"qemb"))
       .orderBy($"c".desc, $"vec_id".asc).limit(10)
-      .select($"vec_id")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val crossTop = SimilarityQueries.imiIvfKnnFrames(e, queryId = 4L,
+      k = 10, subdim = 4, c = 4, iters = 0, probesPerHalf = 2)
+      .collect().map(_.getLong(0)).toSet
+    val msTop = SimilarityQueries.imiIvfKnnMultiSeqFrames(e, queryId = 4L,
+      k = 10, subdim = 4, c = 4, iters = 0, probes = 4)
+      .collect().map(_.getLong(0)).toSet
+    val targets = Set(5L, 6L, 7L, 8L)
+    assert(targets.subsetOf(exact), "targets are true near neighbors")
+    assert(crossTop.intersect(targets).isEmpty,
+      s"cross p=2 cannot reach cell (0,2); got $crossTop")
+    assert(targets.subsetOf(msTop),
+      s"multi-seq probes=4 must cover the blended-rank-3 cell; got $msTop")
+    assert(msTop.intersect(exact).size > crossTop.intersect(exact).size,
+      "strict recall win at the SAME 4-cell probe budget")
   }
 
   /** Flat IVF with 256 static seed cells (q34's seeding convention
