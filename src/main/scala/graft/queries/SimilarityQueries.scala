@@ -1183,6 +1183,125 @@ object SimilarityQueries {
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    calibrationCardFrom(e, deriveCalibrationArtifacts(e), queryId, k)
+  }
+
+  /** The card's INDEX-TIME artifact bundle — everything a deployment
+    * trains once and stores, nothing that depends on the query. The
+    * self-contained card derives it per run
+    * ([[deriveCalibrationArtifacts]]); the cached mode reads it back
+    * from [[writeCalibrationArtifacts]]'s layout, turning the card
+    * into pure query-time scans (backlog: "price the tiers without
+    * retraining them"). */
+  final case class CalibrationArtifacts(
+      buckets: DataFrame, // (vec_id, bucket) — 4-plane LSH
+      cells: DataFrame, assigned: DataFrame, // seed IVF
+      kmCells: DataFrame, kmAssigned: DataFrame, // k-means IVF
+      pqCodebooks: DataFrame, pqCodes: DataFrame, // 8×8×16 PQ
+      norms: DataFrame, // (vec_id, nrm)
+      resCodebooks: DataFrame, resCodes: DataFrame, // residual PQ
+      sqStats: DataFrame, // 1 row (lo[], hi[]) — SQ8 per-dim range
+      imiCodebooks: DataFrame, imiCells: DataFrame) // 2×16 IMI grid
+
+  /** Trains/derives the bundle exactly as the gated tiers do (q25
+    * buckets, q34 seed cells, q39 Lloyd, q52 PQ, q64 residual PQ at
+    * the shared cells, q90 SQ8 stats, q104 IMI) — shared so the two
+    * card faces can never drift. */
+  def deriveCalibrationArtifacts(e: DataFrame): CalibrationArtifacts = {
+    import e.sparkSession.implicits._
+    val cells = seedCells(e, 16)
+    val assigned = assignToCells(e, cells)
+    val kmCells = kmeansCentroids(e, 16, 2)
+    val subs = ProductQuant.subVectors(e, 8, 8)
+    // residual = x − assigned cell centroid (q64's construction,
+    // trained at the SAME shared seed cells)
+    val resid = e.join(assigned, Seq("vec_id"))
+      .join(broadcast(cells), Seq("cent_id"))
+      .select($"vec_id",
+        zip_with($"embedding", $"cemb", (a, b) => a - b).as("embedding"))
+    val resCb = ProductQuant.trainCodebooks(
+      ProductQuant.subVectors(resid.filter(norm($"embedding") =!= 0d),
+        8, 8), 16, 1)
+    val sqStats = e.select(posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy($"i").agg(min($"v").as("lo"), max($"v").as("hi"))
+      .agg(array_sort(collect_list(struct($"i", $"lo"))).as("slo"),
+        array_sort(collect_list(struct($"i", $"hi"))).as("shi"))
+      .select(transform($"slo", x => x.getField("lo")).as("lo"),
+        transform($"shi", x => x.getField("hi")).as("hi"))
+    val cb = ProductQuant.trainCodebooks(subs, 16, 1)
+    val imiSubs = ProductQuant.subVectors(e, 2, 32)
+    val imiCb = ProductQuant.trainCodebooks(imiSubs, 16, 1)
+    CalibrationArtifacts(
+      buckets = e.withColumn("bucket", Ann.bucket($"embedding", 4))
+        .select($"vec_id", $"bucket"),
+      cells = cells, assigned = assigned,
+      kmCells = kmCells, kmAssigned = assignToCells(e, kmCells),
+      pqCodebooks = cb, pqCodes = ProductQuant.encode(subs, cb),
+      norms = e.select($"vec_id", norm($"embedding").as("nrm")),
+      resCodebooks = resCb,
+      resCodes = ProductQuant.encodeDet(
+        ProductQuant.subVectors(resid, 8, 8), resCb),
+      sqStats = sqStats,
+      imiCodebooks = imiCb,
+      imiCells = ProductQuant.encode(imiSubs, imiCb)
+        .groupBy($"vec_id")
+        .agg((max(when($"sub_id" === 0, $"cent_id")) * 16 +
+          max(when($"sub_id" === 1, $"cent_id"))).as("cell_id")))
+  }
+
+  /** Persists the calibration bundle (one subdirectory per member) —
+    * index-time, run once; [[annCalibrationCardStored]] then prices
+    * every tier with no training anywhere in its plan. */
+  def writeCalibrationArtifacts(spark: SparkSession, dir: String,
+      artDir: String): Unit = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val a = deriveCalibrationArtifacts(e)
+    Seq(
+      "buckets" -> a.buckets, "cells" -> a.cells,
+      "assigned" -> a.assigned, "km_cells" -> a.kmCells,
+      "km_assigned" -> a.kmAssigned, "pq_codebooks" -> a.pqCodebooks,
+      "pq_codes" -> a.pqCodes, "norms" -> a.norms,
+      "res_codebooks" -> a.resCodebooks, "res_codes" -> a.resCodes,
+      "sq_stats" -> a.sqStats, "imi_codebooks" -> a.imiCodebooks,
+      "imi_cells" -> a.imiCells)
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$artDir/$name") }
+    graft.ops.Checkpoints.unpersist(a.pqCodebooks)
+    graft.ops.Checkpoints.unpersist(a.resCodebooks)
+    graft.ops.Checkpoints.unpersist(a.imiCodebooks)
+  }
+
+  /** The CACHED calibration card: every tier priced from the stored
+    * bundle — the per-run cost collapses to query-time probes and
+    * candidate scans (the same near-free shape a deployment pays per
+    * query), no Lloyd / PQ / stats training in any plan.
+    * AnnCalibrationSpec pins frame equality with
+    * [[annCalibrationCard]] on the same corpus. */
+  def annCalibrationCardStored(spark: SparkSession, dir: String,
+      artDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    def rd(name: String) = spark.read.parquet(s"$artDir/$name")
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    calibrationCardFrom(e, CalibrationArtifacts(
+      buckets = rd("buckets"), cells = rd("cells"),
+      assigned = rd("assigned"), kmCells = rd("km_cells"),
+      kmAssigned = rd("km_assigned"), pqCodebooks = rd("pq_codebooks"),
+      pqCodes = rd("pq_codes"), norms = rd("norms"),
+      resCodebooks = rd("res_codebooks"), resCodes = rd("res_codes"),
+      sqStats = rd("sq_stats"), imiCodebooks = rd("imi_codebooks"),
+      imiCells = rd("imi_cells")), queryId, k)
+  }
+
+  /** The card's QUERY-TIME core — probes, candidate scans, reranks,
+    * recall aggregation — over a given artifact bundle. Both faces
+    * (self-contained gated q103, stored near-free mode) share it, so
+    * the in-query derivations and the persisted artifacts cannot
+    * drift. */
+  private def calibrationCardFrom(e: DataFrame, a: CalibrationArtifacts,
+      queryId: Long, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val fp = ProductQuant.fixedPointScale
     val q = e.filter($"vec_id" === queryId)
     val qemb = q.select($"embedding".as("qemb"))
     val exactIds = e.filter($"vec_id" =!= queryId)
@@ -1205,8 +1324,8 @@ object SimilarityQueries {
       .withColumn("cos", cosine($"embedding", $"qemb"))
       .orderBy($"cos".desc, $"vec_id".asc).limit(k)
 
-    // LSH family: one bucketing; candidates = probed bucket(s)
-    val eb = e.withColumn("bucket", Ann.bucket($"embedding", 4))
+    // LSH family: candidates = probed bucket(s) of the stored bucketing
+    val eb = e.join(a.buckets, Seq("vec_id"))
     val qb = eb.filter($"vec_id" === queryId)
       .select($"bucket".as("q_bucket"))
     val lshCand = eb.join(broadcast(qb), $"bucket" === $"q_bucket")
@@ -1217,49 +1336,74 @@ object SimilarityQueries {
       .select($"q_bucket".bitwiseXOR($"flip").as("q_probe"))
     val mpCand = eb.join(broadcast(mpProbes), $"bucket" === $"q_probe")
       .filter($"vec_id" =!= queryId)
-    // IVF family: one seed-cell assignment backs candidates AND tops
-    // of IVF / IVF+PQ / residual (identical frames by construction)
-    val cells = seedCells(e, 16)
-    val assigned = assignToCells(e, cells)
-    val probe = probeTop(cells, qemb, 2)
+    // IVF family: the stored assignment backs candidates AND tops of
+    // IVF / IVF+PQ / residual (identical frames by construction)
+    val probe = probeTop(a.cells, qemb, 2)
     val ivfCandFull = e
-      .join(assigned.join(broadcast(probe), Seq("cent_id")), Seq("vec_id"))
-      .filter($"vec_id" =!= queryId)
-    val ivfCand = ivfCandFull.select($"vec_id")
-    // k-means IVF: one Lloyd refinement
-    val kmCells = kmeansCentroids(e, 16, 2)
-    val kmAssigned = assignToCells(e, kmCells)
-    val kmProbe = probeTop(kmCells, qemb, 2)
-    val kmCandFull = e
-      .join(kmAssigned.join(broadcast(kmProbe), Seq("cent_id")),
+      .join(a.assigned.join(broadcast(probe), Seq("cent_id")),
         Seq("vec_id"))
       .filter($"vec_id" =!= queryId)
-    // PQ: one codebook training shared by the full-scan and the
-    // cell-restricted (IVF+PQ) tiers — q52/q55's exact parameters
-    val subs = ProductQuant.subVectors(e, 8, 8)
-    val cb = ProductQuant.trainCodebooks(subs, 16, 1)
-    val codes = ProductQuant.encode(subs, cb)
+    val ivfCand = ivfCandFull.select($"vec_id")
+    val kmProbe = probeTop(a.kmCells, qemb, 2)
+    val kmCandFull = e
+      .join(a.kmAssigned.join(broadcast(kmProbe), Seq("cent_id")),
+        Seq("vec_id"))
+      .filter($"vec_id" =!= queryId)
+    // PQ tiers: ADC tables from the stored codebooks
     val qsubs = ProductQuant.subVectors(q, 8, 8)
       .select($"sub_id", $"subvec".as("qsub"))
-    val adc = ProductQuant.adcTable(cb, qsubs)
-    val norms = e.select($"vec_id", norm($"embedding").as("nrm"))
+    val adc = ProductQuant.adcTable(a.pqCodebooks, qsubs)
     val qn = q.select(norm($"embedding").as("qnrm"))
     val pqTop = exactRerank(e,
-      adcShortlist(codes, adc, norms, qn, queryId, 50), qemb, k)
+      adcShortlist(a.pqCodes, adc, a.norms, qn, queryId, 50), qemb, k)
     val ipqTop = exactRerank(e,
-      adcShortlist(codes, adc, norms, qn, queryId, 50,
+      adcShortlist(a.pqCodes, adc, a.norms, qn, queryId, 50,
         restrictTo = Some(ivfCand)), qemb, k)
-    // IMI grid tier (q104's composition, one training shared between
-    // its candidate count and its top-k)
-    val imiSubs = ProductQuant.subVectors(e, 2, 32)
-    val imiCb = ProductQuant.trainCodebooks(imiSubs, 16, 1)
-    val imiCells = ProductQuant.encode(imiSubs, imiCb)
-      .groupBy($"vec_id")
-      .agg((max(when($"sub_id" === 0, $"cent_id")) * 16 +
-        max(when($"sub_id" === 1, $"cent_id"))).as("cell_id"))
+    // residual IVF+PQ: q64's query-time scoring at the stored
+    // residual codes (ADC on residual + exact query·centroid term)
+    val resAdc = ProductQuant.adcTable(a.resCodebooks, qsubs)
+    val qc = a.cells.join(broadcast(probe), Seq("cent_id"))
+      .crossJoin(broadcast(qemb))
+      .select($"cent_id".as("cell_id"), dot($"cemb", $"qemb").as("qcdot"))
+    val probedCells = a.assigned.join(broadcast(probe), Seq("cent_id"))
+      .select($"vec_id", $"cent_id".as("cell_id"))
+    val resCand = a.resCodes.join(probedCells, Seq("vec_id"))
+      .join(broadcast(resAdc), Seq("sub_id", "cent_id"))
+      .groupBy($"vec_id", $"cell_id")
+      .agg(sum(round($"pdot" * fp).cast("long")).as("rsum"))
+      .join(broadcast(qc), Seq("cell_id"))
+      .withColumn("adot",
+        ($"rsum" + round($"qcdot" * fp).cast("long")).cast("double") / fp)
+      .join(a.norms, Seq("vec_id"))
+      .crossJoin(broadcast(qn))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id",
+        when($"nrm" === 0d || $"qnrm" === 0d, lit(0d))
+          .otherwise(round($"adot" / ($"nrm" * $"qnrm"), 4))
+          .as("approx_cosine"))
+      .orderBy($"approx_cosine".desc, $"vec_id".asc)
+      .limit(50)
+    val resTop = exactRerank(e, resCand, qemb, k)
+    // SQ8: q90's reconstruct-and-scan at the stored per-dim ranges
+    val sqTop = e.filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(a.sqStats))
+      .withColumn("recon", transform(sequence(lit(1), lit(64)), i => {
+        val v = element_at($"embedding", i).cast("double")
+        val lo = element_at($"lo", i).cast("double")
+        val hi = element_at($"hi", i).cast("double")
+        val code = least(greatest(
+          floor((v - lo) / (hi - lo) * 256d), lit(0d)), lit(255d))
+        when(hi === lo, lo).otherwise(lo + (code + 0.5d) * (hi - lo) / 256d)
+          .cast("float")
+      }))
+      .crossJoin(broadcast(qemb))
+      .withColumn("cos_sq", cosine($"recon", $"qemb"))
+      .orderBy($"cos_sq".desc, $"vec_id".asc)
+      .limit(k)
+    // IMI grid tier: probe the stored half-codebooks' top-2 cross
     val imiQsubs = ProductQuant.subVectors(q, 2, 32)
       .select($"sub_id", $"subvec".as("qsub"))
-    val imiRanked = imiCb.join(broadcast(imiQsubs), Seq("sub_id"))
+    val imiRanked = a.imiCodebooks.join(broadcast(imiQsubs), Seq("sub_id"))
       .withColumn("qcos", cosine($"cvec", $"qsub"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1271,7 +1415,7 @@ object SimilarityQueries {
         .select($"cent_id".as("c1")))
       .select(($"c0" * 16 + $"c1").as("cell_id"))
     val imiCandFull = e
-      .join(imiCells.join(broadcast(imiProbe), Seq("cell_id"))
+      .join(a.imiCells.join(broadcast(imiProbe), Seq("cell_id"))
         .select($"vec_id"), Seq("vec_id"))
       .filter($"vec_id" =!= queryId)
 
@@ -1286,10 +1430,8 @@ object SimilarityQueries {
         kmCandFull, 256L))
       .unionByName(row("f_pq", pqTop, nMinus1, 8L))
       .unionByName(row("g_ivfpq", ipqTop, ivfCand, 8L))
-      .unionByName(row("h_ivfpq_residual",
-        ivfPqResidualKnn(spark, dir, queryId, k), ivfCand, 8L))
-      .unionByName(row("i_sq8",
-        sqAnnKnn(spark, dir, queryId, k), nMinus1, 64L))
+      .unionByName(row("h_ivfpq_residual", resTop, ivfCand, 8L))
+      .unionByName(row("i_sq8", sqTop, nMinus1, 64L))
       .unionByName(row("j_imi", cosTop(imiCandFull), imiCandFull, 256L))
       .orderBy($"tier")
   }

@@ -40,6 +40,26 @@ class AnnCalibrationSpec extends SparkSpecBase {
       "same cells, same probes, same candidate set")
   }
 
+  test("stored-artifact card equals the self-contained card, with no training in its plans") {
+    val dir = "/root/testdata/sf0.001"
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft-annart").toString
+    SimilarityQueries.writeCalibrationArtifacts(spark, dir, artDir)
+    // every bundle member landed as a complete parquet artifact
+    for (n <- Seq("buckets", "cells", "assigned", "km_cells",
+        "km_assigned", "pq_codebooks", "pq_codes", "norms",
+        "res_codebooks", "res_codes", "sq_stats", "imi_codebooks",
+        "imi_cells"))
+      assert(new java.io.File(s"$artDir/$n/_SUCCESS").exists(), n)
+    val stored = graft.ops.Checkpoints.consume(
+      SimilarityQueries.annCalibrationCardStored(spark, dir, artDir))(
+      _.collect()).map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stored == card,
+      "cached mode must price every tier identically to the " +
+        s"self-contained card: $stored vs $card")
+  }
+
   test("filtered kNN: every hit satisfies the pre-filter; filter genuinely engages") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

@@ -67,6 +67,38 @@ class RunCurationSpec extends SparkSpecBase {
     }
   }
 
+  test("no-op re-run reuses the post-sweep artifacts (corpus/packing/quality untouched)") {
+    val out = Files.createTempDirectory("curation-reuse")
+      .toFile.getAbsolutePath
+    val rows1 = RunCuration.run(spark, "/root/testdata/sf0.001", out)
+    def maxM(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified +: f.listFiles().toSeq.map(maxM)).max
+      else f.lastModified
+    val arts = Seq("corpus", "packing", "quality")
+    val m1 = arts.map(n => n -> maxM(new java.io.File(s"$out/$n"))).toMap
+    Thread.sleep(1100) // beat 1 s filesystem mtime granularity
+    val rows2 = RunCuration.run(spark, "/root/testdata/sf0.001", out)
+    for ((n, m) <- m1)
+      assert(maxM(new java.io.File(s"$out/$n")) == m,
+        s"$n was rewritten on a no-op re-run")
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(rows2) == key(rows1), "dataset card must be identical")
+    // a torn derivative (packing lost its _SUCCESS) rebuilds ALONE —
+    // corpus and quality stand
+    assert(new java.io.File(s"$out/packing/_SUCCESS").delete())
+    Thread.sleep(1100)
+    RunCuration.run(spark, "/root/testdata/sf0.001", out)
+    assert(maxM(new java.io.File(s"$out/corpus")) == m1("corpus"),
+      "corpus must survive a packing-only rebuild")
+    assert(maxM(new java.io.File(s"$out/quality")) == m1("quality"),
+      "quality must survive a packing-only rebuild")
+    assert(maxM(new java.io.File(s"$out/packing")) > m1("packing"),
+      "torn packing must rebuild")
+    assert(new java.io.File(s"$out/packing/_SUCCESS").exists())
+  }
+
   private val allStages = Seq("s012_flags", "s3_pii", "s4_decontaminate",
     "s5_exact_dedup", "s6_near_dedup", "s7_semantic_dedup", "s8_lm_filter")
 
