@@ -185,6 +185,10 @@ object SparkEntry {
       CurationQueries.exciseContaminated(s, d)),
     "q116_imi_multiseq" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.imiIvfKnnMultiSeq(s, d)),
+    "q117_cluster_retention" -> ((s: SparkSession, d: String) =>
+      DedupQueries.clusterRetention(s, d)),
+    "q118_rescore" -> ((s: SparkSession, d: String) =>
+      TextQueries.rescoreSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextAnalysis}
 
 /** Near-duplicate detection queries over the `documents` table — the
   * dedup half of the training-data-pipeline surface. Each query is the
@@ -134,6 +134,57 @@ object DedupQueries {
         when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)
           .as("is_canonical"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q117 — near-dup cluster RETENTION policy: q35 labels the
+    * clusters; this query makes the actual curation DECISION — which
+    * member survives. Real pipelines do not keep the min-id member
+    * (q35's canonical marker is a label, not a policy): RefinedWeb /
+    * Gopher-style dedup keeps the best-quality or longest member, so
+    * per cluster the survivor is argmax(keep flag, then n_tokens,
+    * then min doc_id) with q29's exact keep criterion — a quality
+    * clone of a boilerplate page must win over a longer junk member.
+    * Singleton documents (no near-dup pair) are their own cluster and
+    * always survive — the connectedComponents absence convention made
+    * explicit with a coalesce.
+    *
+    * Scale shape: quality columns are per-row scan-riders; clusters
+    * are q35's audited CC (label exchange only); the policy itself is
+    * ONE window shuffle keyed by cluster_id — cluster sizes are
+    * near-dup group sizes (small by construction at the 0.7
+    * threshold), so no hot key, and singletons partition evenly by
+    * their own id. */
+  def clusterRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enStops = TextAnalysis.stopwords.toMap.apply("en")
+    val docs = Tables.documentsDistributed(spark, dir)
+      .withColumn("toks", TextAnalysis.tokensOf($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("stop_ratio",
+        TextAnalysis.stopwordHits($"toks", enStops).cast("double") /
+          $"n_tokens".cast("double"))
+      .select($"doc_id", $"n_tokens",
+        when($"n_tokens".between(20, 1000) && $"stop_ratio" >= 0.05, 1L)
+          .otherwise(0L).as("keep"))
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(withShingles(spark, dir),
+        "doc_id", "shingles"))
+      .select(col("doc_id"), col("cluster_id"))
+    retentionPolicy(docs, clusters).orderBy($"doc_id")
+  }
+
+  /** The policy window of [[clusterRetention]] on given frames —
+    * `docs` (doc_id, n_tokens, keep), `clusters` (doc_id, cluster_id;
+    * absent = singleton). DedupSpec drives it on constructed clusters
+    * to pin that a keep=1 member beats a LONGER keep=0 member. */
+  def retentionPolicy(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"cluster_id")
+        .orderBy($"keep".desc, $"n_tokens".desc, $"doc_id".asc)))
+      .select($"doc_id", $"cluster_id", $"n_tokens", $"keep",
+        when($"rn" === 1, 1L).otherwise(0L).as("retained"))
   }
 
   /** q76 — normalization-aware exact dedup: the q16 hash-groupBy run
@@ -536,6 +587,40 @@ object DedupQueries {
          |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
          |    AS is_canonical
          |FROM labels ORDER BY doc_id""".stripMargin,
+    // q117 composes q35's recursive-CC cluster CTEs with q29's
+    // quality columns; the policy window mirrors the Spark orderBy
+    "q117_cluster_retention" ->
+      s"""WITH RECURSIVE $toksCte, ${shCte()}, $sigCte, $bandsCte,
+         |$candPairsCte,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE j >= 0.7),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |q AS (SELECT doc_id,
+         |  CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |  len(list_filter(tokens,
+         |    t -> t IN ('the','a','of','and','is','not','to','in')))::DOUBLE
+         |    / len(tokens) AS stop_ratio
+         |  FROM toks),
+         |lab AS (SELECT q.doc_id, q.n_tokens,
+         |  CAST(CASE WHEN q.n_tokens BETWEEN 20 AND 1000
+         |       AND q.stop_ratio >= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS keep,
+         |  COALESCE(l.cluster_id, q.doc_id) AS cluster_id
+         |  FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY keep DESC, n_tokens DESC, doc_id ASC) AS rn
+         |  FROM lab)
+         |SELECT doc_id, cluster_id, n_tokens, keep,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS retained
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q23_simhash" ->
       s"""WITH $toksCte, $simhashCte
          |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,

@@ -459,6 +459,54 @@ object TextQueries {
       "text", Seq(top2(0).dropRight(1), top2(1)), k)
   }
 
+  /** q118 — rescoring (the ES `rescore` clause): the first phase
+    * ranks the FULL matching set with cheap BM25; only the top
+    * `window` hits (ES `window_size`, default 10 per shard — 100
+    * here) pay the expensive second-phase scorer, and the final score
+    * is `query_weight` × first + `rescore_query_weight` × second (ES
+    * `score_mode: total`, the default). The second phase is a phrase
+    * proximity scorer — occurrences of the corpus's top
+    * 'fast'-leading bigram ([[graft.ops.FullText.phraseCount]], the
+    * q98 position lambda; the bigram derivation is a bounded driver
+    * artifact, q98's convention) — the classic rescore deployment:
+    * term recall first, phrase precision on the shortlist. A
+    * full match_phrase secondary with corpus-level phrase statistics
+    * would pay a corpus position pass, which is exactly the cost the
+    * rescore window exists to avoid; the occurrence count IS the
+    * second-phase score (documented divergence, spec-pinned).
+    *
+    * Scale shape: phase 1 is q51's postings-only plan; the window is
+    * a TakeOrdered; the position lambda evaluates on `window` rows
+    * ONLY (the window side broadcasts into the text join, positions
+    * never leave their row); the final sort is `window`-row. */
+  def rescoreSearch(spark: SparkSession, dir: String,
+      window: Int = 100, k: Int = 20, queryWeight: Double = 1.0,
+      rescoreWeight: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val phrase = docs
+      .select(FullText.analyze($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .filter($"bg".startsWith("fast "))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(1)
+      .head().getString(0).split(" ").toSeq
+    val first = FullText.bm25TopK(docs, "doc_id", "text",
+      bm25QueryTerms, k = window)
+    first
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .withColumn("phrase_hits",
+        FullText.phraseCount(FullText.analyze($"text"), phrase))
+      .select($"doc_id", $"score".as("score_first"), $"phrase_hits",
+        round(lit(queryWeight) * $"score" +
+          lit(rescoreWeight) * $"phrase_hits", 4).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** q100 — more-like-this (the ES `more_like_this` query shape):
     * pick the seed document's most characteristic terms — tf in the
     * seed × the corpus BM25 idf, top `nTerms` (weight desc, term asc)
@@ -861,6 +909,55 @@ object TextQueries {
          |  round(score * boost, 4) AS final_score
          |FROM fx
          |ORDER BY round(score * boost, 4) DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    // q118 = q51's CTEs -> top-window -> phrase occurrences on the
+    // window rows only -> weighted total, the ES rescore shape
+    "q118_rescore" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl
+         |  FROM sized),
+         |tf AS (
+         |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+         |  WHERE term IN ('fast','vector','query')
+         |  GROUP BY doc_id, doclen, term),
+         |withdf AS (
+         |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+         |  FROM tf),
+         |sc AS (SELECT doc_id, round(SUM(
+         |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+         |  FROM withdf CROSS JOIN stats
+         |  GROUP BY doc_id),
+         |win AS (SELECT doc_id, score FROM sc
+         |  ORDER BY score DESC, doc_id LIMIT 100),
+         |bgc AS (SELECT bg, COUNT(*) AS c FROM (
+         |    SELECT unnest(list_transform(
+         |      generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |    FROM sized WHERE doclen >= 2)
+         |  WHERE bg LIKE 'fast %'
+         |  GROUP BY bg),
+         |top AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2
+         |  FROM bgc ORDER BY c DESC, bg ASC LIMIT 1),
+         |ph AS (SELECT w.doc_id, w.score,
+         |    CAST(COALESCE(len(list_filter(
+         |      generate_series(1, s.doclen - 1),
+         |      i -> s.toks[i] = t.w1 AND s.toks[i + 1] = t.w2)), 0)
+         |      AS BIGINT) AS phrase_hits
+         |  FROM win w JOIN sized s ON w.doc_id = s.doc_id
+         |  CROSS JOIN top t)
+         |SELECT doc_id, score AS score_first, phrase_hits,
+         |  round(1.0 * score + 2.0 * phrase_hits, 4) AS score
+         |FROM ph
+         |ORDER BY round(1.0 * score + 2.0 * phrase_hits, 4) DESC, doc_id
          |LIMIT 20""".stripMargin,
     // q108 re-derives the vocabulary, the q99-style inputs, and the
     // DirectSpellChecker (ed, freq, term) ranking

@@ -32,6 +32,34 @@ class QueriesSpec extends SparkSpecBase {
       s"exact=$exact approx=$approx")
   }
 
+  test("rescore: final = qw*first + rw*hits; only window rows are rescored") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.TextQueries.rescoreSearch(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    // score_mode total: recomputable from the emitted components
+    out.foreach { r =>
+      val first = r.getDouble(r.fieldIndex("score_first"))
+      val hits = r.getLong(r.fieldIndex("phrase_hits"))
+      val fin = r.getDouble(r.fieldIndex("score"))
+      assert(math.abs(fin - (1.0 * first + 2.0 * hits)) < 1e-9,
+        s"doc ${r.getLong(0)}")
+    }
+    // the rescorer genuinely engages at this SF (not a vacuous pin)
+    assert(out.exists(r => r.getLong(r.fieldIndex("phrase_hits")) > 0),
+      "no phrase hits in window")
+    // window_size=1: ONLY the first-phase top hit can be rescored —
+    // a phrase-rich doc ranked 2nd by BM25 must NOT re-enter
+    val top1 = graft.queries.TextQueries
+      .rescoreSearch(spark, dir, window = 1, k = 5).collect()
+    val firstPhaseTop = graft.ops.FullText.bm25TopK(
+      graft.io.Tables.documents(spark, dir), "doc_id", "text",
+      Seq("fast", "vector", "query"), k = 1)
+      .collect().head.getLong(0)
+    assert(top1.map(_.getLong(0)).toSeq == Seq(firstPhaseTop),
+      "rescoring must never resurrect docs outside the window")
+  }
+
   test("curation sweep: stages only shrink, splits partition the final set") {
     import graft.queries.PipelineQueries
     val rows = graft.ops.Checkpoints.consume(

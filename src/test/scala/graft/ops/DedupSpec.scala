@@ -454,6 +454,33 @@ class DedupSpec extends SparkSpecBase {
     assert(b2 == b1 && b3 == b1)
   }
 
+  test("retentionPolicy: quality beats length; singletons always survive") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cluster 1: doc 2 is LONGER but junk (keep=0); doc 5 is a
+    // shorter quality member — the policy must retain 5, not 2 and
+    // not min-id 1. cluster 10: all-junk — longest junk (11) wins.
+    // doc 20: singleton (absent from clusters) — always retained.
+    val docs = Seq(
+      (1L, 30L, 0L), (2L, 900L, 0L), (5L, 40L, 1L),
+      (10L, 25L, 0L), (11L, 50L, 0L),
+      (20L, 5L, 0L)).toDF("doc_id", "n_tokens", "keep")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
+    val out = graft.queries.DedupQueries.retentionPolicy(docs, clusters)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4)))).toMap
+    assert(out(5L) == ((1L, 1L)), "quality member survives its cluster")
+    assert(out(1L)._2 == 0L && out(2L)._2 == 0L,
+      "longer junk and min-id lose to quality")
+    assert(out(11L) == ((10L, 1L)) && out(10L)._2 == 0L,
+      "all-junk cluster: longest member survives")
+    assert(out(20L) == ((20L, 1L)), "singletons are their own cluster")
+    assert(out.values.groupBy(_._1).forall(_._2.count(_._2 == 1L) == 1),
+      "exactly one survivor per cluster")
+  }
+
   test("dfCap drops degenerate buckets, keeps cold ones") {
     // 50 identical fingerprints (a boilerplate cluster: every band
     // bucket holds all 50) plus one true near-dup pair elsewhere.
