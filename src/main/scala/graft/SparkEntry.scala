@@ -189,6 +189,10 @@ object SparkEntry {
       DedupQueries.clusterRetention(s, d)),
     "q118_rescore" -> ((s: SparkSession, d: String) =>
       TextQueries.rescoreSearch(s, d)),
+    "q119_composite_agg" -> ((s: SparkSession, d: String) =>
+      Relational.compositeAggPage(s, d)),
+    "q120_multi_bench_contamination" -> ((s: SparkSession, d: String) =>
+      CurationQueries.multiBenchContamination(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -32,6 +32,47 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q120 — MULTI-benchmark contamination attribution: real
+    * decontamination runs against a SUITE of eval sets (MMLU, GSM8K,
+    * …) and ships the per-benchmark table the model-card appendices
+    * report (contaminated docs, matched grams, contamination rate per
+    * benchmark) — q57 generalized from one benchmark to B. Suites
+    * synthesize deterministically (the q57 convention): suite b =
+    * documents with doc_id ≡ b (mod 31), b < 3; corpus = the rest.
+    *
+    * Scale shape — the point of the operator: the corpus pays its
+    * gram explode ONCE for ALL benchmarks, not once per benchmark (B
+    * separate q57 runs = B corpus passes). Benchmark grams broadcast
+    * TAGGED with their suite; a corpus gram matching two suites
+    * attributes to both (row per suite from the broadcast join); the
+    * per-suite rollup is a |contaminated|-sized aggregation and the
+    * final matrix is B rows. The corpus never shuffles. */
+  def multiBenchContamination(spark: SparkSession, dir: String,
+      k: Int = 13, nBench: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id",
+        Decontaminate.gramHashes(Dedup.tokens($"text"), k).as("grams"))
+    val bench = docs.filter($"doc_id" % 31 < nBench)
+      .select(concat(lit("bench_"), ($"doc_id" % 31).cast("string"))
+        .as("benchmark"), explode_outer($"grams").as("g"))
+      .distinct()
+    val corpus = docs.filter($"doc_id" % 31 >= nBench)
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    corpus.select($"doc_id", explode_outer($"grams").as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy($"benchmark", $"doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .groupBy($"benchmark")
+      .agg(count(lit(1)).as("contaminated_docs"),
+        sum($"n_hit").as("matched_grams"))
+      .crossJoin(broadcast(nCorpus))
+      .select($"benchmark", $"contaminated_docs", $"matched_grams",
+        round($"contaminated_docs".cast("double") / $"n_corpus", 4)
+          .as("contamination_rate"))
+      .orderBy($"benchmark")
+  }
+
   /** q69 — token-coverage contamination (the Llama-2-style refinement
     * of q57's binary overlap): per contaminated document, the
     * FRACTION of its tokens lying inside benchmark-matching k-grams —
@@ -883,6 +924,27 @@ object CurationQueries {
          |  round(count(*)::DOUBLE / any_value(n_grams), 4) AS contamination
          |FROM corpus JOIN bench USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q120: q57's gram CTEs, benches tagged by suite, one corpus
+    // join attributing every match to its suite(s)
+    "q120_multi_bench_contamination" ->
+      s"""WITH ${DedupQueries.toksCte},
+         |${gramCte("kg", "toks")},
+         |bench AS (SELECT DISTINCT 'bench_' || (doc_id % 31) AS benchmark,
+         |    unnest(grams) AS g
+         |  FROM kg WHERE doc_id % 31 < 3),
+         |corpus AS (SELECT doc_id, unnest(grams) AS g
+         |  FROM kg WHERE doc_id % 31 >= 3),
+         |n AS (SELECT COUNT(*) AS n_corpus FROM kg WHERE doc_id % 31 >= 3),
+         |perdoc AS (SELECT b.benchmark, c.doc_id, COUNT(*) AS n_hit
+         |  FROM corpus c JOIN bench b USING (g)
+         |  GROUP BY b.benchmark, c.doc_id)
+         |SELECT benchmark,
+         |  CAST(COUNT(*) AS BIGINT) AS contaminated_docs,
+         |  CAST(SUM(n_hit) AS BIGINT) AS matched_grams,
+         |  round(COUNT(*)::DOUBLE / any_value(n.n_corpus), 4)
+         |    AS contamination_rate
+         |FROM perdoc CROSS JOIN n
+         |GROUP BY benchmark ORDER BY benchmark""".stripMargin,
     "q58_repetition_filter" ->
       s"""WITH ${DedupQueries.toksCte},
          |${repCtes("toks")}

@@ -280,6 +280,44 @@ object Relational {
       .orderBy($"lang")
   }
 
+  /** q119 — composite aggregation with after-key pagination (the ES
+    * `composite` agg, its ONLY agg designed for exhaustively paging
+    * high-cardinality bucket spaces): buckets over the source tuple
+    * (lang, source) stream in composite-key order, each page starting
+    * strictly AFTER the previous page's last key — keyset pagination,
+    * never offset. Emits page 2 of size 10: the after key is page 1's
+    * last bucket key, derived here as a bounded (1-row) driver
+    * artifact (the q98 convention; a deployment passes the `after`
+    * its client received).
+    *
+    * Scale shape — why ES built composite and why this translation
+    * keeps its property: a plain terms agg materializes ALL buckets
+    * to rank them (OOM at high cardinality); composite instead
+    * streams buckets in key order, and the after-key predicate means
+    * page N+1 never pays for pages 1..N (no deep offset). Here the
+    * bucket frame is ONE map-side-combined shuffle (|lang×source|
+    * rows, corpus-independent), the after predicate pushes into the
+    * bucket scan, and each page is a TakeOrdered — no global sort of
+    * the bucket space, same shape at any key cardinality. */
+  def compositeAggPage(spark: SparkSession, dir: String,
+      size: Int = 10): DataFrame = {
+    import spark.implicits._
+    val buckets = Tables.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("doc_count"))
+    // page 1's last key = the after cursor (1-row driver artifact)
+    val after = buckets.select($"lang", $"source")
+      .orderBy($"lang", $"source").limit(size)
+      .orderBy($"lang".desc, $"source".desc).limit(1)
+      .collect().head
+    val (aLang, aSrc) = (after.getString(0), after.getString(1))
+    buckets
+      .filter($"lang" > aLang ||
+        ($"lang" === aLang && $"source" > aSrc))
+      .orderBy($"lang", $"source")
+      .limit(size)
+  }
+
   /** A1–A4 blame-rollup shape under the oracle gate: synthetic blame
     * ranges derived from lineitem (path/author/lines columns), rolled
     * up per file with the dominant author — the same
@@ -515,6 +553,19 @@ object Relational {
   /** SQL strings the DuckDB oracle runs on the same tables. Column names
     * and ordering must match the DataFrame outputs above exactly. */
   val oracles: Map[String, String] = Map(
+    // q119: the after key is page 1's last composite key (row size);
+    // page 2 = keyset predicate + limit, never offset
+    "q119_composite_agg" ->
+      """WITH b AS (SELECT lang, source,
+        |    CAST(COUNT(*) AS BIGINT) AS doc_count
+        |  FROM documents GROUP BY lang, source),
+        |o AS (SELECT *, row_number() OVER (ORDER BY lang, source) AS rn
+        |  FROM b),
+        |a AS (SELECT lang AS a_lang, source AS a_src FROM o WHERE rn = 10)
+        |SELECT lang, source, doc_count
+        |FROM b CROSS JOIN a
+        |WHERE lang > a_lang OR (lang = a_lang AND source > a_src)
+        |ORDER BY lang, source LIMIT 10""".stripMargin,
     "q109_dense_histogram" ->
       """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type, value
         |  FROM events),

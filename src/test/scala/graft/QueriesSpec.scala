@@ -60,6 +60,30 @@ class QueriesSpec extends SparkSpecBase {
       "rescoring must never resurrect docs outside the window")
   }
 
+  test("multi-bench contamination: one pass equals B single-benchmark passes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val matrix = graft.queries.CurationQueries
+      .multiBenchContamination(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(matrix.keySet == Set("bench_0", "bench_1", "bench_2"))
+    // re-derive each suite with the single-benchmark operator (q57's
+    // overlapReport) over the same corpus split
+    val docs = graft.io.Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", graft.ops.Decontaminate
+        .gramHashes(graft.ops.Dedup.tokens($"text")).as("grams"))
+    val corpus = docs.filter($"doc_id" % 31 >= 3)
+    for (b <- 0 until 3) {
+      val rep = graft.ops.Decontaminate.overlapReport(
+        corpus, docs.filter($"doc_id" % 31 === b), "doc_id", "grams")
+        .agg(count(lit(1)), coalesce(sum($"n_hit"), lit(0L)))
+        .collect().head
+      assert(matrix(s"bench_$b") == ((rep.getLong(0), rep.getLong(1))),
+        s"suite $b diverges from its standalone q57 run")
+    }
+  }
+
   test("curation sweep: stages only shrink, splits partition the final set") {
     import graft.queries.PipelineQueries
     val rows = graft.ops.Checkpoints.consume(
