@@ -193,6 +193,10 @@ object SparkEntry {
       Relational.compositeAggPage(s, d)),
     "q120_multi_bench_contamination" -> ((s: SparkSession, d: String) =>
       CurationQueries.multiBenchContamination(s, d)),
+    "q121_mixture_plan" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.mixturePlan(s, d)),
+    "q122_padding_plan" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.paddingPlan(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

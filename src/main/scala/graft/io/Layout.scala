@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Physical-layout helpers for the warehouse side of the engine: at
   * 100 TB the cheapest shuffle is the one the table layout already
@@ -26,5 +27,49 @@ object Layout {
     if (partitionCols.nonEmpty)
       w = w.partitionBy(partitionCols: _*)
     w.saveAsTable(table)
+  }
+
+  /** In-place small-file compaction of a parquet directory — every
+    * `append` (a stored-index delta, a streaming micro-batch) lands
+    * new part-files, and a partitioned layout accumulates them PER
+    * PARTITION VALUE, degrading exactly the file-pruned scans the
+    * layout exists for. Rewrites the directory with rows clustered by
+    * `partitionCols` (one task per hash bucket → one file per
+    * partition value) and swaps directories keep-the-old-until-live
+    * (the compactBandIndex rotation: crash before the swap leaves the
+    * live dir untouched; crash between renames leaves a `.old` to
+    * restore). Content is untouched — appends are NEW rows here, not
+    * replays, so there is nothing to dedup, and callers' spec gates
+    * pin frame equality across the rewrite. Run in a maintenance
+    * window; online compaction wants a transactional table format.
+    *
+    * Returns (dataFilesBefore, dataFilesAfter, rows) — the
+    * reclaimed-file observable the layout specs pin. */
+  def compactParquetDir(spark: SparkSession, path: String,
+      partitionCols: Seq[String] = Nil): (Long, Long, Long) = {
+    def dataFiles(p: java.io.File): Long =
+      if (!p.exists()) 0L
+      else if (p.isDirectory) p.listFiles().map(dataFiles).sum
+      else if (p.getName.endsWith(".parquet")) 1L else 0L
+    val dir = new java.io.File(path)
+    if (!dir.exists()) return (0L, 0L, 0L)
+    val before = dataFiles(dir)
+    val df0 = spark.read.parquet(path)
+    val df = if (partitionCols.nonEmpty)
+      df0.repartition(partitionCols.map(col): _*) else df0.coalesce(1)
+    val tmp = new java.io.File(path + ".compact")
+    val old = new java.io.File(path + ".old")
+    var w = df.write.mode("overwrite")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.parquet(tmp.getPath)
+    val rows = spark.read.parquet(tmp.getPath).count()
+    require(dir.renameTo(old), s"swap: $path -> .old failed")
+    require(tmp.renameTo(dir), s"swap: .compact -> $path failed")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(old)
+    (before, dataFiles(dir), rows)
   }
 }

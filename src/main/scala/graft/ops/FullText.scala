@@ -296,6 +296,20 @@ object FullText {
       .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
+  /** Maintenance compactor for the stored text layout's
+    * bucket-partitioned postings: every [[appendToTextIndex]] lands a
+    * new part-file PER BUCKET, degrading exactly the bucket-pruned
+    * scan the partitioning exists for —
+    * [[graft.io.Layout.compactParquetDir]]'s swap-safe rewrite
+    * restores one file per bucket. The df/stats artifacts are
+    * overwrite-rewritten on every append and never accumulate.
+    * TextIndexLayoutSpec pins file reclamation + stored-search frame
+    * equality across the rewrite. */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Long, Long, Long) =
+    graft.io.Layout.compactParquetDir(spark, s"$indexDir/postings",
+      Seq("bucket"))
+
   /** Query-time BM25 over a STORED index — no analyzer, no corpus
     * scan: the query terms' bucket ids derive from the SAME hash
     * expression the writer used (evaluated on a driver-side

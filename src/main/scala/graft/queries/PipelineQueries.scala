@@ -658,6 +658,91 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q121 — temperature-scaled mixture PLAN (the data-mixture table
+    * of pretraining papers, UniMax/multilingual-sampling style): per
+    * source, weight ∝ n_tokens^τ (τ = 0.7, the standard
+    * low-resource-upsampling temperature — τ=1 is proportional, τ=0
+    * uniform), planned tokens = weight × a token budget (half the
+    * corpus here, self-contained), sampling rate = planned/actual,
+    * and epochs = ⌈rate⌉ — rate > 1 means the source repeats, the
+    * quantity model cards report as "epochs over the source". q67
+    * SELECTS documents at fixed weights; this PLANS the weights from
+    * the size profile — the step before it.
+    *
+    * Determinism: the only transcendental (n_tokens^0.7) is pinned
+    * through the LM fixed-point convention (round(x·2²⁴) as BIGINT)
+    * so an ulp of libm divergence cannot move a weight; everything
+    * downstream is integer/double arithmetic in identical operation
+    * order.
+    *
+    * Scale shape: one corpus aggregation to the |sources|-row size
+    * profile; the plan math lives on that tiny frame (1-row totals
+    * broadcast). */
+  def mixturePlan(spark: SparkSession, dir: String, tau: Double = 0.7,
+      budgetFrac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val fp = 16777216d
+    val src = Tables.documentsDistributed(spark, dir)
+      .select($"source",
+        size(TextAnalysis.tokensOf($"text")).cast("long").as("n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .withColumn("w_fp",
+        round(pow($"n_tokens".cast("double"), tau) * fp).cast("long"))
+    val tot = src.agg(sum($"w_fp").as("wsum"),
+      sum($"n_tokens").as("tok_total"))
+    val planned = floor($"tok_total".cast("double") * lit(budgetFrac) *
+      $"w_fp".cast("double") / $"wsum".cast("double")).cast("long")
+    src.crossJoin(broadcast(tot))
+      .withColumn("planned_tokens", planned)
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"w_fp".cast("double") / $"wsum".cast("double"), 6)
+          .as("weight"),
+        $"planned_tokens",
+        round($"planned_tokens".cast("double") /
+          $"n_tokens".cast("double"), 4).as("rate"),
+        ceil($"planned_tokens".cast("double") / $"n_tokens".cast("double"))
+          .cast("long").as("epochs"))
+      .orderBy($"source")
+  }
+
+  /** q122 — length-bucketed batching plan (the dataloader padding
+    * card): documents bucket by token length (width-64 integer
+    * buckets — no FP bucketing edge), sort by length within the
+    * bucket, group into batches of 32, and pad each batch to ITS OWN
+    * max — per bucket: batch count, padding tokens wasted, and the
+    * padded-slot waste fraction. The card quantifies what
+    * length-bucketed batching buys over pad-to-global-max — the
+    * standard efficiency table of sequence-training dataloaders.
+    *
+    * Scale shape: one corpus scan to (doc, len); ONE window shuffle
+    * keyed by bucket for in-bucket ranking (bucket key cardinality =
+    * length ranges — bounded; ties rank by doc_id); then
+    * aggregations on (bucket, batch) and bucket. Everything after
+    * the rank is integer arithmetic; the one ratio rounds 4dp. */
+  def paddingPlan(spark: SparkSession, dir: String,
+      batchSize: Int = 32): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id",
+        size(TextAnalysis.tokensOf($"text")).cast("long").as("n"))
+      .withColumn("bucket", (floor($"n" / 64L) * 64L).cast("long"))
+    val ranked = d.withColumn("rn", row_number().over(
+      Window.partitionBy($"bucket").orderBy($"n".desc, $"doc_id".asc)))
+      .withColumn("batch", floor(($"rn" - 1) / batchSize).cast("long"))
+    ranked
+      .groupBy($"bucket", $"batch")
+      .agg(max($"n").as("mx"), count(lit(1)).as("bn"), sum($"n").as("toks"))
+      .groupBy($"bucket")
+      .agg(sum($"bn").as("n_docs"), count(lit(1)).as("n_batches"),
+        sum($"mx" * $"bn" - $"toks").as("pad_tokens"),
+        sum($"mx" * $"bn").as("slots"))
+      .select($"bucket", $"n_docs", $"n_batches", $"pad_tokens",
+        round($"pad_tokens".cast("double") / $"slots".cast("double"), 4)
+          .as("pad_frac"))
+      .orderBy($"bucket")
+  }
+
   /** q93 — weighted sampling without replacement (Efraimidis &
     * Spirakis 2006), the deterministic form: each document draws a
     * stable uniform u ∈ (0,1) from its md5 (the q54 bucket construction
@@ -814,6 +899,51 @@ object PipelineQueries {
         |  FROM d ORDER BY skey DESC, doc_id LIMIT 100)
         |SELECT doc_id, source, w, round(skey, 6) AS skey_r
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q121: size profile -> fixed-point temperature weights -> plan
+    // math in identical operation order
+    "q121_mixture_plan" ->
+      """WITH tk AS (SELECT source,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS BIGINT) AS n
+        | FROM documents),
+        |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n) AS BIGINT) AS n_tokens
+        |  FROM tk GROUP BY source),
+        |w AS (SELECT *, CAST(round(pow(n_tokens::DOUBLE, 0.7)
+        |    * 16777216.0) AS BIGINT) AS w_fp FROM s),
+        |t AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS wsum,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM w),
+        |p AS (SELECT w.*, t.wsum, t.tok_total,
+        |    CAST(floor(t.tok_total::DOUBLE * 0.5 * w.w_fp::DOUBLE
+        |      / t.wsum::DOUBLE) AS BIGINT) AS planned_tokens
+        |  FROM w CROSS JOIN t)
+        |SELECT source, n_docs, n_tokens,
+        |  round(w_fp::DOUBLE / wsum::DOUBLE, 6) AS weight,
+        |  planned_tokens,
+        |  round(planned_tokens::DOUBLE / n_tokens::DOUBLE, 4) AS rate,
+        |  CAST(ceil(planned_tokens::DOUBLE / n_tokens::DOUBLE) AS BIGINT)
+        |    AS epochs
+        |FROM p ORDER BY source""".stripMargin,
+    // q122: width-64 integer buckets, in-bucket length-desc rank,
+    // batches of 32 padded to their own max
+    "q122_padding_plan" ->
+      """WITH tk AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS BIGINT) AS n
+        | FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    CAST(floor(n / 64) * 64 AS BIGINT) AS bucket FROM tk),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY n DESC, doc_id ASC) AS rn FROM b),
+        |bt AS (SELECT bucket, CAST(floor((rn - 1) / 32) AS BIGINT)
+        |    AS batch, MAX(n) AS mx, COUNT(*) AS bn, SUM(n) AS toks
+        |  FROM r GROUP BY bucket, batch)
+        |SELECT bucket, CAST(SUM(bn) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |  CAST(SUM(mx * bn - toks) AS BIGINT) AS pad_tokens,
+        |  round(SUM(mx * bn - toks)::DOUBLE / SUM(mx * bn)::DOUBLE, 4)
+        |    AS pad_frac
+        |FROM bt GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q67_mixture_sample" ->
       """WITH d AS (SELECT doc_id, source,
         |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -1018,6 +1018,19 @@ object SimilarityQueries {
       .parquet(s"$indexDir/codes")
   }
 
+  /** Maintenance compactor for the stored layout's cell-partitioned
+    * codes: every [[appendToIvfPqIndex]] lands a new part-file PER
+    * CELL, degrading exactly the probe-pruned scan the partitioning
+    * exists for — [[graft.io.Layout.compactParquetDir]]'s swap-safe
+    * rewrite restores one file per cell. Cells/codebooks are tiny
+    * single-write artifacts and never need it.
+    * VectorIndexLayoutSpec pins file reclamation + stored-search
+    * frame equality across the rewrite. */
+  def compactIvfPqIndex(spark: SparkSession,
+      indexDir: String): (Long, Long, Long) =
+    graft.io.Layout.compactParquetDir(spark, s"$indexDir/codes",
+      Seq("cell_id"))
+
   /** Query-time IVF+PQ search over a STORED index — the plan a
     * deployment actually runs, with no training anywhere: cells and
     * codebooks load as tiny artifacts, the probe list is a bounded

@@ -67,5 +67,15 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(search(idxA) ==
       FullText.bm25TopK(docs, "doc_id", "text", terms)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // compaction: the append left extra postings files per touched
+    // bucket; the rewrite reclaims them, search unchanged
+    val preSearch = search(idxA)
+    val (fBefore, fAfter, rows) = FullText.compactTextIndex(spark, idxA)
+    assert(fAfter < fBefore,
+      s"compaction must reclaim append files: $fBefore -> $fAfter")
+    assert(rows == spark.read.parquet(s"$idxA/postings").count(),
+      "content untouched")
+    assert(search(idxA) == preSearch,
+      "stored search must be compaction-invariant")
   }
 }

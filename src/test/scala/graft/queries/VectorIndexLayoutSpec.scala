@@ -75,5 +75,18 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     val ids = spark.read.parquet(s"$idxA/codes")
       .select($"vec_id").distinct().count()
     assert(ids == maxId + 1)
+    // compaction: the append left extra part-files per touched cell;
+    // the rewrite reclaims them and the stored search is unchanged
+    val preSearch = search(idxA)
+    val (fBefore, fAfter, rows) =
+      SimilarityQueries.compactIvfPqIndex(spark, idxA)
+    assert(fAfter < fBefore,
+      s"compaction must reclaim append files: $fBefore -> $fAfter")
+    assert(rows == spark.read.parquet(s"$idxA/codes").count(),
+      "content untouched")
+    assert(search(idxA) == preSearch,
+      "stored search must be compaction-invariant")
+    assert(!new java.io.File(s"$idxA/codes.old").exists() &&
+      !new java.io.File(s"$idxA/codes.compact").exists())
   }
 }
