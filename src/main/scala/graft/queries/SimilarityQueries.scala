@@ -1264,22 +1264,32 @@ object SimilarityQueries {
 
   /** Persists the calibration bundle (one subdirectory per member) —
     * index-time, run once; [[annCalibrationCardStored]] then prices
-    * every tier with no training anywhere in its plan. */
+    * every tier with no training anywhere in its plan. With
+    * `reuseIvfPqIndex` set, the five members the IVF+PQ deployment
+    * layout already stores (cells, PQ codebooks, codes, norms, and
+    * the coarse assignment — all derivable from
+    * [[writeIvfPqIndex]]'s artifacts at the shared default
+    * parameters) are NOT duplicated into the bundle; the stored card
+    * reads them from the layout, so a deployment running both
+    * persists its PQ artifacts exactly once. */
   def writeCalibrationArtifacts(spark: SparkSession, dir: String,
-      artDir: String): Unit = {
+      artDir: String, reuseIvfPqIndex: Option[String] = None): Unit = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val a = deriveCalibrationArtifacts(e)
-    Seq(
-      "buckets" -> a.buckets, "cells" -> a.cells,
-      "assigned" -> a.assigned, "km_cells" -> a.kmCells,
-      "km_assigned" -> a.kmAssigned, "pq_codebooks" -> a.pqCodebooks,
-      "pq_codes" -> a.pqCodes, "norms" -> a.norms,
+    val own = Seq(
+      "buckets" -> a.buckets, "km_cells" -> a.kmCells,
+      "km_assigned" -> a.kmAssigned,
       "res_codebooks" -> a.resCodebooks, "res_codes" -> a.resCodes,
       "sq_stats" -> a.sqStats, "imi_codebooks" -> a.imiCodebooks,
       "imi_cells" -> a.imiCells)
-      .foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$artDir/$name") }
+    val ivfFamily =
+      if (reuseIvfPqIndex.isDefined) Nil
+      else Seq("cells" -> a.cells, "assigned" -> a.assigned,
+        "pq_codebooks" -> a.pqCodebooks, "pq_codes" -> a.pqCodes,
+        "norms" -> a.norms)
+    (own ++ ivfFamily).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$artDir/$name") }
     graft.ops.Checkpoints.unpersist(a.pqCodebooks)
     graft.ops.Checkpoints.unpersist(a.resCodebooks)
     graft.ops.Checkpoints.unpersist(a.imiCodebooks)
@@ -1288,19 +1298,39 @@ object SimilarityQueries {
   /** The CACHED calibration card: every tier priced from the stored
     * bundle — the per-run cost collapses to query-time probes and
     * candidate scans (the same near-free shape a deployment pays per
-    * query), no Lloyd / PQ / stats training in any plan.
+    * query), no Lloyd / PQ / stats training in any plan. With
+    * `ivfPqIndexDir` set, the IVF+PQ-family members come from the
+    * DEPLOYMENT layout's artifacts instead of bundle copies (the
+    * writer's `reuseIvfPqIndex` counterpart): cells/codebooks load
+    * directly, codes/norms/assignment project from the
+    * cell-partitioned codes table — same values by construction
+    * (both derive from the shared default parameters), spec-pinned.
     * AnnCalibrationSpec pins frame equality with
-    * [[annCalibrationCard]] on the same corpus. */
+    * [[annCalibrationCard]] on the same corpus for both modes. */
   def annCalibrationCardStored(spark: SparkSession, dir: String,
-      artDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+      artDir: String, queryId: Long = 0L, k: Int = 10,
+      ivfPqIndexDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     def rd(name: String) = spark.read.parquet(s"$artDir/$name")
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val (cells, assigned, pqCb, pqCodes, norms) = ivfPqIndexDir match {
+      case Some(idx) =>
+        val codes = spark.read.parquet(s"$idx/codes")
+        (spark.read.parquet(s"$idx/cells"),
+          codes.filter($"sub_id" === 0)
+            .select($"vec_id", $"cell_id".as("cent_id")),
+          spark.read.parquet(s"$idx/codebooks"),
+          codes.select($"vec_id", $"sub_id", $"cent_id"),
+          codes.filter($"sub_id" === 0).select($"vec_id", $"nrm"))
+      case None =>
+        (rd("cells"), rd("assigned"), rd("pq_codebooks"),
+          rd("pq_codes"), rd("norms"))
+    }
     calibrationCardFrom(e, CalibrationArtifacts(
-      buckets = rd("buckets"), cells = rd("cells"),
-      assigned = rd("assigned"), kmCells = rd("km_cells"),
-      kmAssigned = rd("km_assigned"), pqCodebooks = rd("pq_codebooks"),
-      pqCodes = rd("pq_codes"), norms = rd("norms"),
+      buckets = rd("buckets"), cells = cells,
+      assigned = assigned, kmCells = rd("km_cells"),
+      kmAssigned = rd("km_assigned"), pqCodebooks = pqCb,
+      pqCodes = pqCodes, norms = norms,
       resCodebooks = rd("res_codebooks"), resCodes = rd("res_codes"),
       sqStats = rd("sq_stats"), imiCodebooks = rd("imi_codebooks"),
       imiCells = rd("imi_cells")), queryId, k)

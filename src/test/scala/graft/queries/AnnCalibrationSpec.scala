@@ -58,6 +58,26 @@ class AnnCalibrationSpec extends SparkSpecBase {
     assert(stored == card,
       "cached mode must price every tier identically to the " +
         s"self-contained card: $stored vs $card")
+    // layout-unified mode: the IVF+PQ family reads the DEPLOYMENT
+    // layout's artifacts — nothing persisted twice, same card
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-annidx").toString
+    val artDir2 = java.nio.file.Files
+      .createTempDirectory("graft-annart2").toString
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idxDir)
+    SimilarityQueries.writeCalibrationArtifacts(spark, dir, artDir2,
+      reuseIvfPqIndex = Some(idxDir))
+    for (n <- Seq("cells", "assigned", "pq_codebooks", "pq_codes",
+        "norms"))
+      assert(!new java.io.File(s"$artDir2/$n").exists(),
+        s"$n must not be duplicated when the layout is reused")
+    val unified = graft.ops.Checkpoints.consume(
+      SimilarityQueries.annCalibrationCardStored(spark, dir, artDir2,
+        ivfPqIndexDir = Some(idxDir)))(
+      _.collect()).map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(unified == card,
+      s"layout-unified card diverged: $unified vs $card")
   }
 
   test("filtered kNN: every hit satisfies the pre-filter; filter genuinely engages") {
