@@ -55,8 +55,12 @@ object Layout {
     if (!dir.exists()) return (0L, 0L, 0L)
     val before = dataFiles(dir)
     val df0 = spark.read.parquet(path)
+    // partitioned: cluster rows so each partition value writes one
+    // file. Unpartitioned: the SCAN already packs small files into
+    // few splits (openCostInBytes file packing), so the plain rewrite
+    // shrinks the file count without a coalesce(1) single-thread trap.
     val df = if (partitionCols.nonEmpty)
-      df0.repartition(partitionCols.map(col): _*) else df0.coalesce(1)
+      df0.repartition(partitionCols.map(col): _*) else df0
     val tmp = new java.io.File(path + ".compact")
     val old = new java.io.File(path + ".old")
     var w = df.write.mode("overwrite")

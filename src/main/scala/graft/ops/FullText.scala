@@ -220,11 +220,20 @@ object FullText {
     *
     *   <indexDir>/stats/     (n_docs, avgdl) — 1 row of segment stats
     *   <indexDir>/df/        (term, df) — the term dictionary
-    *   <indexDir>/postings/  bucket=<n>/ (term, doc_id, doclen, tf) —
-    *                         PARTITIONED BY a term-hash bucket, so a
-    *                         query reads only its terms' buckets'
-    *                         FILES (TextIndexLayoutSpec pins the
-    *                         pruning)
+    *   <indexDir>/postings/  bucket=<n>/ (term, doc_id, doclen, tf,
+    *                         positions) — PARTITIONED BY a term-hash
+    *                         bucket, so a query reads only its terms'
+    *                         buckets' FILES (TextIndexLayoutSpec pins
+    *                         the pruning). `positions` is the sorted
+    *                         analyzed-stream position list — the
+    *                         Lucene positions-in-postings layout that
+    *                         makes [[phraseSearchStored]] possible
+    *                         with NO corpus position pass; term-only
+    *                         queries never read the column (parquet
+    *                         column pruning), so they pay nothing for
+    *                         it. Roughly doubles postings bytes — the
+    *                         standard Lucene trade (positions are on
+    *                         by default there too).
     *
     * One analyzer pass builds all three artifacts; refresh is
     * append-per-batch into the same bucket partitions (df/stats
@@ -239,10 +248,11 @@ object FullText {
       .write.mode("overwrite").parquet(s"$indexDir/stats")
     val tf = analyzed
       .select(col("doc_id"), col("doclen"),
-        explode_outer(col("toks")).as("term"))
+        posexplode_outer(col("toks")).as(Seq("pos", "term")))
       .filter(col("term").isNotNull)
       .groupBy(col("term"), col("doc_id"), col("doclen"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$indexDir/df")
     tf.withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
@@ -277,10 +287,11 @@ object FullText {
       .withColumn("doclen", size(col("toks")))
     analyzed
       .select(col("doc_id"), col("doclen"),
-        explode_outer(col("toks")).as("term"))
+        posexplode_outer(col("toks")).as(Seq("pos", "term")))
       .filter(col("term").isNotNull)
       .groupBy(col("term"), col("doc_id"), col("doclen"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
@@ -294,6 +305,65 @@ object FullText {
     post.select(col("doc_id"), col("doclen")).distinct()
       .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Phrase search over a STORED index — the Lucene PhraseQuery
+    * architecture: positions live IN the postings, so a phrase query
+    * reads only its terms' posting rows (bucket-file-pruned like
+    * [[bm25SearchStored]]) and intersects position lists — the
+    * corpus-statistics match_phrase score q98/q118's self-contained
+    * forms cannot afford (they would pay a corpus position pass; the
+    * index paid it ONCE at build time). Phrase tf per doc is
+    * |∩ⱼ (positions(termⱼ) − j)| — slot-shifted list intersection,
+    * exactly [[phraseCount]]'s occurrence set; df = matching docs;
+    * the score is q98's phrase-as-term BM25.
+    *
+    * Scale shape: the postings scan prunes to the phrase terms'
+    * buckets' files; the m-way join keys on doc_id over those terms'
+    * posting rows only (a phrase term's df bounds every intermediate);
+    * position intersection is per-row array work; df/stats are 1-row
+    * broadcasts. Nothing anywhere touches the corpus. */
+  def phraseSearchStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, phrase: Seq[String], k: Int = 20,
+      buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    // bucket ids via the writer's own hash expression (the probe-list
+    // convention: a bounded literal driver frame, then a literal
+    // partition filter)
+    val qterms = phrase.distinct
+    val qBuckets = qterms.toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isInCollection(qBuckets))
+      .filter(col("term").isInCollection(qterms))
+    val slots = phrase.zipWithIndex.map { case (w, j) =>
+      val f = post.filter(col("term") === w)
+        .select(col("doc_id"), col("doclen"),
+          transform(col("positions"), p => p - j).as(s"p$j"))
+      if (j == 0) f else f.drop("doclen")
+    }
+    val joined = slots.reduce((a, c) => a.join(c, Seq("doc_id")))
+    val inter = (1 until phrase.length).foldLeft(col("p0"))(
+      (acc, j) => array_intersect(acc, col(s"p$j")))
+    val hits = joined
+      .withColumn("tf", size(inter).cast("double"))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("doclen"), col("tf"))
+    val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+    val normLen = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    hits.crossJoin(broadcast(stats)).crossJoin(broadcast(dfc))
+      .withColumn("score",
+        round(idf * col("tf") * lit(k1 + 1.0) / normLen, 4))
+      .select(col("doc_id"), col("tf").cast("long").as("phrase_hits"),
+        col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Maintenance compactor for the stored text layout's

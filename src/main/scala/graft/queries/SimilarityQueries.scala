@@ -843,9 +843,54 @@ object SimilarityQueries {
       queryId, k, subdim, c, iters, probes)
   }
 
+  /** The paper's LAZY multi-sequence walk (Babenko & Lempitsky 2012
+    * §3.2, the two-pointer priority-queue traversal): emits the
+    * top-`probes` cells of the blended order WITHOUT enumerating the
+    * c² grid — pops ~probes + frontier cells. `d0`/`d1` are per-
+    * centroid query affinities indexed by centroid id. The ranked
+    * grid is monotone (rank r+1 never beats rank r in its half), so
+    * seeding (0,0) and pushing (r0+1, r1) always / (r0, r1+1) only at
+    * r0 = 0 enumerates each cell once in non-increasing blend order;
+    * the final sort applies the frame form's exact tie-break
+    * (blend DESC, c0 ASC, c1 ASC) after draining every cell tied with
+    * the boundary, so the result is IDENTICAL to sorting all c² cells
+    * (ImiIvfSpec pins equality on random affinity sets). At c = 2¹⁴
+    * this is the difference between walking ~probes cells and
+    * materializing 2²⁸. */
+  def multiSequenceWalk(d0: Array[Double], d1: Array[Double],
+      probes: Int): Seq[(Int, Int)] = {
+    val o0 = d0.indices.sortBy(i => (-d0(i), i)).toArray
+    val o1 = d1.indices.sortBy(i => (-d1(i), i)).toArray
+    def blend(r0: Int, r1: Int): Double = d0(o0(r0)) + d1(o1(r1))
+    // max-heap: blend desc, then the frame's (c0 asc, c1 asc)
+    val pq = scala.collection.mutable.PriorityQueue.empty[
+      (Double, Int, Int)](
+      Ordering.by { case (bl, r0, r1) => (bl, -o0(r0), -o1(r1)) })
+    pq.enqueue((blend(0, 0), 0, 0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Double, Int, Int)]
+    // drain past the boundary so every cell TIED with the probes-th
+    // blend is collected before the global tie-break sort
+    while (pq.nonEmpty &&
+        (out.length < probes || pq.head._1 >= out(probes - 1)._1)) {
+      val (bl, r0, r1) = pq.dequeue()
+      out += ((bl, o0(r0), o1(r1)))
+      if (r0 + 1 < d0.length) pq.enqueue((blend(r0 + 1, r1), r0 + 1, r1))
+      if (r0 == 0 && r1 + 1 < d1.length)
+        pq.enqueue((blend(r0, r1 + 1), r0, r1 + 1))
+    }
+    out.sortBy { case (bl, c0, c1) => (-bl, c0, c1) }
+      .take(probes).map { case (_, c0, c1) => (c0, c1) }.toSeq
+  }
+
   /** The frame-level core of [[imiIvfKnnMultiSeq]] — ImiIvfSpec pins
     * the uneven-half-rank recall win over the cross-product prober on
-    * a constructed fixture. */
+    * a constructed fixture. Probe selection: the c²-row blended frame
+    * at moderate c (the gated default, oracle-matched); beyond c² >
+    * 1024 the per-half affinities (2·c rows — a bounded driver
+    * artifact, the probe-list convention) feed [[multiSequenceWalk]]
+    * instead, which emits the IDENTICAL cell set without the c²
+    * enumeration. */
   def imiIvfKnnMultiSeqFrames(e: DataFrame, queryId: Long = 0L,
       k: Int = 10, subdim: Int = 32, c: Int = 16,
       iters: Int = 1, probes: Int = 4): DataFrame = {
@@ -865,13 +910,30 @@ object SimilarityQueries {
     val half = cb.join(broadcast(qsubs), Seq("sub_id"))
       .withColumn("qdot", dot($"cvec", $"qsub"))
       .select($"sub_id", $"cent_id", $"qdot")
-    val probeCells = half.filter($"sub_id" === 0)
-      .select($"cent_id".as("c0"), $"qdot".as("d0"))
-      .crossJoin(half.filter($"sub_id" === 1)
-        .select($"cent_id".as("c1"), $"qdot".as("d1")))
-      .orderBy(($"d0" + $"d1").desc, $"c0".asc, $"c1".asc)
-      .limit(probes)
-      .select(($"c0" * c + $"c1").as("cell_id"))
+    val probeCells =
+      if (c.toLong * c <= 1024)
+        half.filter($"sub_id" === 0)
+          .select($"cent_id".as("c0"), $"qdot".as("d0"))
+          .crossJoin(half.filter($"sub_id" === 1)
+            .select($"cent_id".as("c1"), $"qdot".as("d1")))
+          .orderBy(($"d0" + $"d1").desc, $"c0".asc, $"c1".asc)
+          .limit(probes)
+          .select(($"c0" * c + $"c1").as("cell_id"))
+      else {
+        // large c: the 2·c affinities are a bounded driver artifact
+        // (probe-list convention); the lazy walk replaces the c² frame
+        val d0a = Array.fill(c)(Double.NegativeInfinity)
+        val d1a = Array.fill(c)(Double.NegativeInfinity)
+        half.collect().foreach { r =>
+          val s = r.getAs[Number]("sub_id").intValue
+          val ci = r.getAs[Number]("cent_id").intValue
+          val q = r.getAs[Number]("qdot").doubleValue
+          if (s == 0) d0a(ci) = q else d1a(ci) = q
+        }
+        multiSequenceWalk(d0a, d1a, probes)
+          .map { case (c0, c1) => c0.toLong * c + c1 }
+          .toDF("cell_id")
+      }
     val cand = cellOf.join(broadcast(probeCells), Seq("cell_id"))
       .filter($"vec_id" =!= queryId).select($"vec_id")
     e.join(cand, Seq("vec_id"))

@@ -98,6 +98,29 @@ class ImiIvfSpec extends SparkSpecBase {
       subdim = 32, c = 16, iters = 1, probesPerHalf = 2)
       .select($"vec_id")
 
+  test("lazy multi-sequence walk equals sorting all c² blended cells") {
+    // deterministic pseudo-random affinities (no Random: md5-free
+    // integer mixing is enough for a combinatorial identity check)
+    def mix(seed: Int, i: Int): Double =
+      (((seed * 2654435761L + i * 40503L) % 10007L).toDouble - 5003) / 997
+    for ((c, probes) <- Seq((8, 5), (40, 7), (40, 1600), (64, 33),
+        (100, 64))) {
+      val d0 = Array.tabulate(c)(i => mix(7, i))
+      val d1 = Array.tabulate(c)(i => mix(13, i))
+      val walked = SimilarityQueries.multiSequenceWalk(d0, d1, probes)
+      val brute = (for (a <- 0 until c; b <- 0 until c)
+        yield (d0(a) + d1(b), a, b))
+        .sortBy { case (bl, a, b) => (-bl, a, b) }
+        .take(probes).map { case (_, a, b) => (a, b) }
+      assert(walked == brute, s"c=$c probes=$probes")
+    }
+    // exact ties at the boundary resolve with the frame's tie-break
+    val d0t = Array(1.0, 1.0, 0.0)
+    val d1t = Array(2.0, 2.0, -1.0)
+    assert(SimilarityQueries.multiSequenceWalk(d0t, d1t, 3) ==
+      Seq((0, 0), (0, 1), (1, 0)))
+  }
+
   test("multi-sequence probing reaches the unevenly-ranked cell the cross prober misses") {
     // 8-dim vectors, c=4 half-centroids, iters=0 → the half-codebooks
     // ARE vec 0..3's halves exactly (seed control). Query vec 4:

@@ -45,6 +45,43 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(stored == self,
       s"stored-index search diverged:\n  stored=$stored\n  self=$self")
+    // positions-in-postings: the stored phrase search equals the
+    // self-contained q98 operator (which pays a corpus position
+    // pass the index paid once at build time)
+    val phrase = docs
+      .select(FullText.analyze($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(1)
+      .head().getString(0).split(" ").toSeq
+    val phStored = FullText.phraseSearchStored(spark, idx, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val phSelf = graft.ops.Checkpoints.consume(
+      FullText.bm25PhraseTopK(docs, "doc_id", "text", phrase))(
+      _.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq)
+    assert(phStored == phSelf,
+      s"stored phrase search diverged:\n  $phStored\n  $phSelf")
+    assert(phStored.nonEmpty, "top bigram must match somewhere")
+  }
+
+  test("stored phrase search: repeated-word phrases intersect their own slots") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-rep")
+      .toFile.getAbsolutePath
+    val docs = Seq(
+      (1L, "echo echo echo ends here today"),
+      (2L, "echo stops echo stops again now"),
+      (3L, "plain words only in this document")).toDF("doc_id", "text")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    val out = FullText.phraseSearchStored(spark, idx, Seq("echo", "echo"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // d1: "echo echo echo" = 2 overlapping occurrences; d2 has no
+    // consecutive pair; d3 no match
+    assert(out == Map(1L -> 2L), s"got $out")
   }
 
   test("batch append re-derives corpus statistics: append equals rebuild") {
