@@ -239,20 +239,25 @@ object FullText {
     * append-per-batch into the same bucket partitions (df/stats
     * re-aggregate — they are dictionary/1-row sized). */
   def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, buckets: Int = 16): Unit = {
+      indexDir: String, buckets: Int = 16,
+      storePositions: Boolean = true): Unit = {
     val analyzed = docs
       .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
       .withColumn("doclen", size(col("toks")))
     analyzed
       .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
-    val tf = analyzed
+    val tf0 = analyzed
       .select(col("doc_id"), col("doclen"),
         posexplode_outer(col("toks")).as(Seq("pos", "term")))
       .filter(col("term").isNotNull)
       .groupBy(col("term"), col("doc_id"), col("doclen"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
+    // storePositions=false is Lucene's IndexOptions DOCS_AND_FREQS:
+    // roughly halves postings bytes for term-only deployments;
+    // phraseSearchStored then (correctly) fails on the missing column
+    val tf = if (storePositions) tf0 else tf0.drop("positions")
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$indexDir/df")
     tf.withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
@@ -325,8 +330,12 @@ object FullText {
     * broadcasts. Nothing anywhere touches the corpus. */
   def phraseSearchStored(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, phrase: Seq[String], k: Int = 20,
-      buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75,
+      slop: Int = 0): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
+    require(slop == 0 || phrase.length == 2,
+      "slop is supported for two-term phrases (the dominant ES use); " +
+        "longer phrases match exactly (slop 0)")
     import spark.implicits._
     val stats = spark.read.parquet(s"$indexDir/stats")
     // bucket ids via the writer's own hash expression (the probe-list
@@ -346,8 +355,20 @@ object FullText {
       if (j == 0) f else f.drop("doclen")
     }
     val joined = slots.reduce((a, c) => a.join(c, Seq("doc_id")))
-    val inter = (1 until phrase.length).foldLeft(col("p0"))(
-      (acc, j) => array_intersect(acc, col(s"p$j")))
+    // slop 0: exact consecutive starts = slot-shifted intersection.
+    // slop > 0 (two terms): IN-ORDER proximity — starts p where some
+    // w2 position lands in (p, p + 1 + slop]; after the slot shift
+    // p1 ranges over (positions(w2) − 1), so the window test is
+    // q ∈ [p, p + slop]. In-order only: Lucene's sloppy reordering
+    // (and its 1/(distance+1) freq weighting) is a documented
+    // divergence — tf here counts matching START positions.
+    val inter =
+      if (slop == 0)
+        (1 until phrase.length).foldLeft(col("p0"))(
+          (acc, j) => array_intersect(acc, col(s"p$j")))
+      else
+        filter(col("p0"), p =>
+          exists(col("p1"), q => q >= p && q <= p + slop))
     val hits = joined
       .withColumn("tf", size(inter).cast("double"))
       .filter(col("tf") > 0)

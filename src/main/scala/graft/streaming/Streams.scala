@@ -355,7 +355,10 @@ object Streams {
     * rows change no collision verdict (pairs are `distinct`ed before
     * the verify), so the admission verdicts are replay-stable; compact
     * the index artifacts on a maintenance schedule like any
-    * append-only log. State lives in the PERSISTED artifacts, not the
+    * append-only log — `compactEvery = n` runs
+    * [[graft.ops.Dedup.compactBandIndex]] after every n-th batch,
+    * inside foreachBatch where the stream is by construction between
+    * batches (the compactor's required window). State lives in the PERSISTED artifacts, not the
     * state store — executors hold nothing between batches, and the
     * collision join scales with the index exactly as the batch path
     * does. */
@@ -363,11 +366,11 @@ object Streams {
       textCol: String, indexDir: String, checkpointDir: String,
       sink: DataFrame => Unit,
       numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.7): StreamingQuery =
+      threshold: Double = 0.7, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val bandsPath = s"$indexDir/bands"
@@ -419,6 +422,15 @@ object Streams {
         try sink(annotated) finally {
           graft.ops.Checkpoints.unpersist(annotated)
           graft.ops.Checkpoints.unpersist(prepped)
+        }
+        // maintenance cadence: foreachBatch runs BETWEEN batches, so
+        // this is exactly the compactor's required window — replayed
+        // batches re-append rows, and without a cadence the artifacts
+        // grow as an uncompacted log (compactEvery 0 = caller
+        // schedules compaction externally)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          graft.ops.Dedup.compactBandIndex(spark, indexDir)
+          ()
         }
       }
       .start()

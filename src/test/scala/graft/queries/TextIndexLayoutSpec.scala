@@ -82,6 +82,37 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     // d1: "echo echo echo" = 2 overlapping occurrences; d2 has no
     // consecutive pair; d3 no match
     assert(out == Map(1L -> 2L), s"got $out")
+    // slop: in-order proximity — d2's "echo stops echo" matches
+    // ("echo","echo") at slop 1 (one intervening token), not slop 0.
+    // tf counts matching START positions: d1 starts {0,1} (start 0
+    // matches both exactly and with a gap — one start), d2 start {0}.
+    val sloppy = FullText
+      .phraseSearchStored(spark, idx, Seq("echo", "echo"), slop = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sloppy == Map(1L -> 2L, 2L -> 1L), s"got $sloppy")
+    // in-order only: a reversed pair never matches at any slop here
+    val docs2 = Seq((9L, "beta alpha middle words here")).toDF("doc_id", "text")
+    val idx2 = java.nio.file.Files.createTempDirectory("bm25-rev")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs2, "doc_id", "text", idx2)
+    assert(FullText.phraseSearchStored(spark, idx2,
+      Seq("alpha", "beta"), slop = 3).count() == 0,
+      "sloppy matching is in-order (documented Lucene divergence)")
+  }
+
+  test("positions-free writer: term search works, postings shed the column") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-nopos")
+      .toFile.getAbsolutePath
+    val docs = graft.io.Tables.documents(spark, dir)
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storePositions = false)
+    assert(!spark.read.parquet(s"$idx/postings")
+      .columns.contains("positions"))
+    val stored = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val self = FullText.bm25TopK(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == self, "DOCS_AND_FREQS index must still score terms")
   }
 
   test("batch append re-derives corpus statistics: append equals rebuild") {

@@ -402,6 +402,45 @@ class StreamsSpec extends SparkSpecBase {
       s"batch-wise twin disagrees: $batchWise")
   }
 
+  test("nearDupAdmissionStream compactEvery: same verdicts, compacted artifacts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feeds = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota")),
+      Seq((2L, "one two three four five six seven eight nine")),
+      Seq((3L, "red green blue cyan magenta yellow black white")))
+    def run(compactEvery: Int): (Map[Long, Boolean], Long) = {
+      val indexDir = java.nio.file.Files
+        .createTempDirectory(s"graft-ce$compactEvery").toString
+      val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+      val src = MemoryStream[(Long, String)]
+      val q = Streams.nearDupAdmissionStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        indexDir, java.nio.file.Files
+          .createTempDirectory(s"graft-ceck$compactEvery").toString,
+        sink = b => b.collect().foreach { r =>
+          verdicts.synchronized {
+            verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("admitted")
+          }
+        },
+        compactEvery = compactEvery)
+      try feeds.foreach { f => src.addData(f: _*); q.processAllAvailable() }
+      finally q.stop()
+      def files(p: java.io.File): Long =
+        if (!p.exists()) 0L
+        else if (p.isDirectory) p.listFiles().map(files).sum
+        else if (p.getName.endsWith(".parquet")) 1L else 0L
+      (verdicts.synchronized(verdicts.toMap),
+        files(new java.io.File(s"$indexDir/bands")))
+    }
+    val (vPlain, fPlain) = run(0)
+    val (vCompact, fCompact) = run(1)
+    assert(vCompact == vPlain, "compaction must not change admissions")
+    assert(fCompact < fPlain,
+      s"per-batch compaction must shrink the append log: " +
+        s"$fPlain -> $fCompact files")
+  }
+
   test("chunkStream: streaming chunks equal the batch chunker row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
