@@ -197,6 +197,8 @@ object SparkEntry {
       PipelineQueries.mixturePlan(s, d)),
     "q122_padding_plan" -> ((s: SparkSession, d: String) =>
       PipelineQueries.paddingPlan(s, d)),
+    "q123_bool_query" -> ((s: SparkSession, d: String) =>
+      TextQueries.boolQuerySearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -507,6 +508,67 @@ object TextQueries {
       .limit(k)
   }
 
+  /** q123 — the ES `bool` query, the composition EVERY non-trivial ES
+    * request uses: `must` clauses all match and score (AND +
+    * additive), `should` adds score when it matches (with a `must`
+    * present, ES's default minimum_should_match = 0 — purely
+    * additive), `must_not` excludes without scoring, `filter`
+    * restricts without scoring (here `lang = 'en'`, the q113
+    * cross-table convention). Scores are per-term Lucene BM25 summed
+    * over the matched scoring clauses — exactly a BooleanQuery's
+    * SHOULD/MUST sum.
+    *
+    * Scale shape: ONE corpus pass builds the (doc, term, tf) frame
+    * for all four clauses' terms (the isInCollection filter under the
+    * shuffle); that postings-filter-sized frame localCheckpoints and
+    * feeds its three consumers (must coverage, exclusion set, score
+    * sum) — without the barrier each consumer re-embeds the analyzer
+    * scan (the q98 mechanism). Exclusion is an anti join against a
+    * term-df-bounded id set; the filter is a left-semi against the
+    * documents scan; both AQE-broadcast at real selectivities. */
+  def boolQuerySearch(spark: SparkSession, dir: String,
+      must: Seq[String] = Seq("scan", "column"),
+      should: Seq[String] = Seq("window"),
+      mustNot: Seq[String] = Seq("merge"), k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val analyzed = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .withColumn("doclen", size($"toks"))
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val scoring = must ++ should
+    val tf = analyzed
+      .select($"doc_id", $"doclen", explode_outer($"toks").as("term"))
+      .where($"term".isInCollection(scoring ++ mustNot))
+      .groupBy($"doc_id", $"doclen", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
+    val mustOk = tf.filter($"term".isInCollection(must))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .filter($"n" === must.size).select($"doc_id")
+    val excluded = tf.filter($"term".isInCollection(mustNot))
+      .select($"doc_id").distinct()
+    val allowed = docs.filter($"lang" === "en").select($"doc_id")
+    val withDf = tf.filter($"term".isInCollection(scoring))
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy($"term")).cast("double"))
+    val normLen = $"tf" +
+      lit(k1) * (lit(1.0 - b) + lit(b) * $"doclen" / $"avgdl")
+    val idf = log(lit(1.0) +
+      ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    withDf.crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * $"tf" * lit(k1 + 1.0) / normLen)
+      .groupBy($"doc_id")
+      .agg(round(sum($"term_score"), 4).as("score"))
+      .join(mustOk, Seq("doc_id"), "left_semi")
+      .join(excluded, Seq("doc_id"), "left_anti")
+      .join(allowed, Seq("doc_id"), "left_semi")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** q100 — more-like-this (the ES `more_like_this` query shape):
     * pick the seed document's most characteristic terms — tf in the
     * seed × the corpus BM25 idf, top `nTerms` (weight desc, term asc)
@@ -910,6 +972,42 @@ object TextQueries {
          |FROM fx
          |ORDER BY round(score * boost, 4) DESC, doc_id
          |LIMIT 20""".stripMargin,
+    // q123: one candidate-postings frame feeds must coverage,
+    // exclusion, and the scoring sum; semi/anti/filter joins compose
+    "q123_bool_query" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl
+         |  FROM sized),
+         |tf AS (
+         |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+         |  WHERE term IN ('scan','column','window','merge')
+         |  GROUP BY doc_id, doclen, term),
+         |mustok AS (SELECT doc_id FROM tf
+         |  WHERE term IN ('scan','column')
+         |  GROUP BY doc_id HAVING COUNT(*) = 2),
+         |excl AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+         |flt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |wd AS (SELECT *,
+         |    (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+         |  FROM tf WHERE term IN ('scan','column','window')),
+         |sc AS (SELECT doc_id, round(SUM(
+         |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4)
+         |      AS score
+         |  FROM wd CROSS JOIN stats GROUP BY doc_id)
+         |SELECT s.doc_id, s.score
+         |FROM sc s
+         |JOIN mustok USING (doc_id)
+         |JOIN flt USING (doc_id)
+         |WHERE s.doc_id NOT IN (SELECT doc_id FROM excl)
+         |ORDER BY s.score DESC, s.doc_id LIMIT 20""".stripMargin,
     // q118 = q51's CTEs -> top-window -> phrase occurrences on the
     // window rows only -> weighted total, the ES rescore shape
     "q118_rescore" ->

@@ -84,6 +84,41 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("bool query: must is AND, must_not excludes, filter restricts, should adds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hits = graft.queries.TextQueries.boolQuerySearch(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hits.nonEmpty)
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        graft.ops.FullText.analyze($"text").as("toks"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getSeq[String](2).toSet))).toMap
+    hits.keys.foreach { id =>
+      val (lang, toks) = docs(id)
+      assert(toks.contains("scan") && toks.contains("column"),
+        s"$id must contain every must term")
+      assert(!toks.contains("merge"), s"$id must_not violated")
+      assert(lang == "en", s"$id filter violated")
+    }
+    // the clauses genuinely engage on this corpus: some doc has both
+    // must terms but is excluded by must_not or filter
+    assert(docs.exists { case (id, (lang, toks)) =>
+      toks.contains("scan") && toks.contains("column") &&
+        (toks.contains("merge") || lang != "en") && !hits.contains(id)
+    }, "fixture check: exclusion clauses must bite")
+    // should is additive: dropping it never raises a score
+    val noShould = graft.queries.TextQueries.boolQuerySearch(
+      spark, dir, should = Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, s) <- noShould if hits.contains(id))
+      assert(hits(id) >= s - 1e-9, s"should must only add score ($id)")
+    assert(hits.exists { case (id, s) =>
+      noShould.get(id).exists(s0 => s > s0 + 1e-9)
+    }, "fixture check: should must bite for at least one hit")
+  }
+
   test("curation sweep: stages only shrink, splits partition the final set") {
     import graft.queries.PipelineQueries
     val rows = graft.ops.Checkpoints.consume(
