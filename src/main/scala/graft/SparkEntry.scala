@@ -199,6 +199,10 @@ object SparkEntry {
       PipelineQueries.paddingPlan(s, d)),
     "q123_bool_query" -> ((s: SparkSession, d: String) =>
       TextQueries.boolQuerySearch(s, d)),
+    "q124_prefix_query" -> ((s: SparkSession, d: String) =>
+      TextQueries.prefixSearch(s, d)),
+    "q125_pipeline_aggs" -> ((s: SparkSession, d: String) =>
+      Relational.pipelineAggs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

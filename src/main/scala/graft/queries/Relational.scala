@@ -318,6 +318,39 @@ object Relational {
       .limit(size)
   }
 
+  /** q125 — pipeline aggregations (ES `derivative`, `moving_fn`
+    * average, `cumulative_sum` — the bucket-script family that
+    * post-processes a date_histogram's buckets): per event type over
+    * the hourly rollup, bucket-to-bucket derivative (null first
+    * bucket, as ES emits no derivative for it), trailing-24-bucket
+    * moving average, and the running total. Windows run over EXISTING
+    * buckets (ES pipeline aggs see the histogram's buckets; compose
+    * with q109's dense grid when gap buckets must count as zeros).
+    *
+    * Scale shape: the corpus pays q14's one aggregation shuffle; all
+    * three pipeline columns are windows over the hour×type AGGREGATE
+    * (bounded by the time range, never the corpus), one window
+    * shuffle keyed by event_type. */
+  def pipelineAggs(spark: SparkSession, dir: String,
+      window: Int = 24): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    hourly
+      .withColumn("derivative",
+        $"n_events" - lag($"n_events", 1).over(w))
+      .withColumn("moving_avg", round(
+        avg($"n_events").over(w.rowsBetween(-(window - 1), 0)), 4))
+      .withColumn("cum_sum", sum($"n_events").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type", $"n_events", $"derivative", $"moving_avg",
+        $"cum_sum")
+      .orderBy($"hour", $"event_type")
+  }
+
   /** A1–A4 blame-rollup shape under the oracle gate: synthetic blame
     * ranges derived from lineitem (path/author/lines columns), rolled
     * up per file with the dominant author — the same
@@ -553,6 +586,21 @@ object Relational {
   /** SQL strings the DuckDB oracle runs on the same tables. Column names
     * and ordering must match the DataFrame outputs above exactly. */
   val oracles: Map[String, String] = Map(
+    // q125: windows over the hour×type aggregate, never the events
+    "q125_pipeline_aggs" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_events - lag(n_events) OVER w AS BIGINT) AS derivative,
+        |  round(AVG(n_events) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+        |  CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sum
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        |ORDER BY hour, event_type""".stripMargin,
     // q119: the after key is page 1's last composite key (row size);
     // page 2 = keyset predicate + limit, never offset
     "q119_composite_agg" ->

@@ -569,6 +569,45 @@ object TextQueries {
       .limit(k)
   }
 
+  /** q124 — prefix query (ES `prefix`, the simplest Lucene
+    * MultiTermQuery): documents containing any analyzed term with the
+    * given prefix, under ES's CONSTANT_SCORE rewrite — every hit
+    * scores the boost (1.0), no tf/idf (the documented ES default for
+    * prefix/wildcard; `rewrite: scoring_boolean` is the non-default
+    * opt-in). Emits the diagnostic columns a constant-score result
+    * still carries: distinct matched vocabulary terms and total
+    * occurrences per doc; hits page in doc order (ES `_doc` sort, the
+    * efficient page order for constant-score sets). The prefix is the
+    * first 4 chars of the corpus's most frequent analyzed term (the
+    * q99 derivation convention — deployments pass literal input).
+    *
+    * Scale shape: one postings pass with the prefix predicate under
+    * the shuffle; the self-contained form filters postings directly —
+    * against the STORED layout the expansion would run on the term
+    * DICTIONARY (Heaps-law-sized) exactly like q99's fuzzy expansion,
+    * then bucket-prune the postings scan. */
+  def prefixSearch(spark: SparkSession, dir: String,
+      prefixLen: Int = 4, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val analyzed = Tables.documents(spark, dir)
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+    val top = analyzed.select(explode_outer($"toks").as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t".asc).limit(1)
+      .head().getString(0)
+    val prefix = top.take(prefixLen)
+    analyzed
+      .select($"doc_id", explode_outer($"toks").as("term"))
+      .where($"term".startsWith(prefix))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"term").as("n_matched_terms"),
+        count(lit(1)).as("n_occurrences"))
+      .withColumn("score", lit(1.0))
+      .orderBy($"doc_id")
+      .limit(k)
+  }
+
   /** q100 — more-like-this (the ES `more_like_this` query shape):
     * pick the seed document's most characteristic terms — tf in the
     * seed × the corpus BM25 idf, top `nTerms` (weight desc, term asc)
@@ -972,6 +1011,26 @@ object TextQueries {
          |FROM fx
          |ORDER BY round(score * boost, 4) DESC, doc_id
          |LIMIT 20""".stripMargin,
+    // q124: derive the top term's 4-char prefix, filter postings,
+    // constant-score per-doc rollup in doc order
+    "q124_prefix_query" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM lens),
+         |top AS (SELECT substr(term, 1, 4) AS pfx FROM (
+         |    SELECT term, COUNT(*) AS c FROM tok GROUP BY term)
+         |  ORDER BY c DESC, term ASC LIMIT 1)
+         |SELECT doc_id,
+         |  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_matched_terms,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  1.0 AS score
+         |FROM tok CROSS JOIN top
+         |WHERE starts_with(term, pfx)
+         |GROUP BY doc_id ORDER BY doc_id LIMIT 50""".stripMargin,
     // q123: one candidate-postings frame feeds must coverage,
     // exclusion, and the scoring sum; semi/anti/filter joins compose
     "q123_bool_query" ->
