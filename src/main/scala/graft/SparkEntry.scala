@@ -203,6 +203,10 @@ object SparkEntry {
       TextQueries.prefixSearch(s, d)),
     "q125_pipeline_aggs" -> ((s: SparkSession, d: String) =>
       Relational.pipelineAggs(s, d)),
+    "q126_match_phrase_prefix" -> ((s: SparkSession, d: String) =>
+      TextQueries.matchPhrasePrefix(s, d)),
+    "q127_mixture_realize" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.mixtureRealize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -706,6 +706,66 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q127 — mixture REALIZATION (upsampling): q121 plans per-source
+    * rates; this materializes them — a rate of 2.3 means every
+    * document repeats twice and a stable 30% of documents get a third
+    * copy (integer epochs + a deterministic fractional epoch via the
+    * q54/q67 md5 bucket — no rand(), rerun-identical, the way small
+    * high-quality sources actually upsample into a training mix).
+    * Rates quantize to basis points (q67's convention) so both
+    * engines realize the identical copy set. Emits the per-source
+    * accounting card: realized docs/tokens vs the plan's
+    * rate-implied target, and the realized/plan ratio (1 ± the
+    * basis-point floor).
+    *
+    * Scale shape: the plan math rides q121's |sources|-row profile;
+    * materialization is one broadcast rate join + a per-row
+    * `explode(sequence(1, copies))` — output volume is exactly the
+    * realized mixture (the unavoidable cost of upsampling), nothing
+    * shuffles but the final per-source rollup. */
+  def mixtureRealize(spark: SparkSession, dir: String, tau: Double = 0.7,
+      budgetFrac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val fp = 16777216d
+    val d = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokensOf($"text")).cast("long").as("n"))
+    val src = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .withColumn("w_fp",
+        round(pow($"n_tokens".cast("double"), tau) * fp).cast("long"))
+    val tot = src.agg(sum($"w_fp").as("wsum"),
+      sum($"n_tokens").as("tok_total"))
+    val rates = src.crossJoin(broadcast(tot))
+      .withColumn("planned", floor($"tok_total".cast("double") *
+        lit(budgetFrac) * $"w_fp".cast("double") /
+        $"wsum".cast("double")).cast("long"))
+      .withColumn("rate_bp", floor($"planned" * lit(10000L) /
+        $"n_tokens").cast("long"))
+      .select($"source", $"rate_bp")
+    // whole epochs: rate_bp is quantized, so the subtraction makes
+    // the division exact in doubles (multiple of 10000 / 10000)
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("copies",
+        (($"rate_bp" - $"rate_bp" % 10000L) / 10000L).cast("long") +
+        when(Sampling.stableBucket($"doc_id", "up", 10000) <
+          $"rate_bp" % 10000L, 1L).otherwise(0L))
+      .filter($"copies" > 0)
+      .select($"source", $"n",
+        explode(sequence(lit(1L), $"copies")).as("copy"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("realized_docs"),
+        sum($"n").as("realized_tokens"))
+      .join(broadcast(rates), Seq("source"))
+      .join(src.select($"source", $"n_tokens"), Seq("source"))
+      .select($"source", $"realized_docs", $"realized_tokens",
+        $"rate_bp",
+        round($"realized_tokens".cast("double") * 10000d /
+          ($"n_tokens".cast("double") * $"rate_bp".cast("double")), 4)
+          .as("realized_over_plan"))
+      .orderBy($"source")
+  }
+
   /** q122 — length-bucketed batching plan (the dataloader padding
     * card): documents bucket by token length (width-64 integer
     * buckets — no FP bucketing edge), sort by length within the
@@ -899,6 +959,40 @@ object PipelineQueries {
         |  FROM d ORDER BY skey DESC, doc_id LIMIT 100)
         |SELECT doc_id, source, w, round(skey, 6) AS skey_r
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q127: q121's plan CTEs quantized to basis points, md5
+    // fractional-epoch copies, per-source realized accounting
+    "q127_mixture_realize" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS BIGINT) AS n
+        | FROM documents),
+        |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |  FROM tk GROUP BY source),
+        |w AS (SELECT *, CAST(round(pow(n_tokens::DOUBLE, 0.7)
+        |    * 16777216.0) AS BIGINT) AS w_fp FROM s),
+        |t AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS wsum,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM w),
+        |r AS (SELECT source, n_tokens,
+        |    CAST(floor(CAST(floor(t.tok_total::DOUBLE * 0.5
+        |        * w.w_fp::DOUBLE / t.wsum::DOUBLE) AS BIGINT)
+        |      * 10000 / n_tokens) AS BIGINT) AS rate_bp
+        |  FROM w CROSS JOIN t),
+        |c AS (SELECT tk.source, tk.n,
+        |    (r.rate_bp // 10000) + CASE WHEN
+        |      CAST(('0x' || substr(md5('up|' || tk.doc_id::VARCHAR),
+        |        1, 8)) AS BIGINT) % 10000 < r.rate_bp % 10000
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM tk JOIN r USING (source)),
+        |re AS (SELECT source, CAST(SUM(copies) AS BIGINT)
+        |    AS realized_docs,
+        |    CAST(SUM(n * copies) AS BIGINT) AS realized_tokens
+        |  FROM c WHERE copies > 0 GROUP BY source)
+        |SELECT source, realized_docs, realized_tokens, r.rate_bp,
+        |  round(realized_tokens::DOUBLE * 10000 /
+        |    (r.n_tokens::DOUBLE * r.rate_bp::DOUBLE), 4)
+        |    AS realized_over_plan
+        |FROM re JOIN r USING (source)
+        |ORDER BY source""".stripMargin,
     // q121: size profile -> fixed-point temperature weights -> plan
     // math in identical operation order
     "q121_mixture_plan" ->

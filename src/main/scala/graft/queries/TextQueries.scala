@@ -569,6 +569,60 @@ object TextQueries {
       .limit(k)
   }
 
+  /** q126 — match_phrase_prefix (the ES search-as-you-type staple:
+    * the user has typed "new yo|" and the last term is incomplete) —
+    * a phrase whose final slot matches by PREFIX: starts where the
+    * leading terms match exactly and the next analyzed token starts
+    * with the typed prefix. tf = matching starts, df = matching docs,
+    * scored with q98's phrase-as-term BM25 (the same documented
+    * position-increment mode). The query derives from the corpus's
+    * top bigram — full first word + 3-char prefix of the second (the
+    * q98/q99 convention; deployments pass the user's literal input).
+    *
+    * Scale shape: q98's exactly — the start-position test is a
+    * per-row lambda (positions never leave their row), the per-doc
+    * (doclen, tf) frame localCheckpoints for its three consumers,
+    * matching docs (rare) reach the 1-row df/stats broadcasts, top-k
+    * is a TakeOrdered. */
+  def matchPhrasePrefix(spark: SparkSession, dir: String,
+      prefixLen: Int = 3, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val top = docs
+      .select(FullText.analyze($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(1)
+      .head().getString(0).split(" ")
+    val w1 = top(0); val pfx = top(1).take(prefixLen)
+    val perDoc = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .select($"doc_id", size($"toks").as("doclen"),
+        when(size($"toks") < 2, lit(0L)).otherwise(
+          size(filter(sequence(lit(1), size($"toks") - 1),
+            i => element_at($"toks", i) === w1 &&
+              element_at($"toks", i + 1).startsWith(pfx))).cast("long"))
+          .cast("double").as("tf"))
+      .localCheckpoint()
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val hits = perDoc.filter($"tf" > 0)
+    val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+    val normLen = $"tf" +
+      lit(k1) * (lit(1.0 - b) + lit(b) * $"doclen" / $"avgdl")
+    val idf = log(lit(1.0) +
+      ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    hits.crossJoin(broadcast(stats)).crossJoin(broadcast(dfc))
+      .withColumn("score", round(idf * $"tf" * lit(k1 + 1.0) / normLen, 4))
+      .select($"doc_id", $"tf".cast("long").as("prefix_hits"), $"score")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** q124 — prefix query (ES `prefix`, the simplest Lucene
     * MultiTermQuery): documents containing any analyzed term with the
     * given prefix, under ES's CONSTANT_SCORE rewrite — every hit
@@ -1011,6 +1065,39 @@ object TextQueries {
          |FROM fx
          |ORDER BY round(score * boost, 4) DESC, doc_id
          |LIMIT 20""".stripMargin,
+    // q126: q98's phrase CTEs with a starts_with final slot
+    "q126_match_phrase_prefix" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl
+         |  FROM sized),
+         |bgc AS (SELECT bg, COUNT(*) AS c FROM (
+         |    SELECT unnest(list_transform(
+         |      generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |    FROM sized WHERE doclen >= 2)
+         |  GROUP BY bg),
+         |top AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |    substr(split_part(bg, ' ', 2), 1, 3) AS pfx
+         |  FROM bgc ORDER BY c DESC, bg ASC LIMIT 1),
+         |h AS (SELECT doc_id, doclen,
+         |    CASE WHEN doclen < 2 THEN 0 ELSE
+         |      len(list_filter(generate_series(1, doclen - 1),
+         |        i -> toks[i] = w1 AND starts_with(toks[i + 1], pfx)))
+         |    END::DOUBLE AS tf
+         |  FROM sized CROSS JOIN top),
+         |hits AS (SELECT * FROM h WHERE tf > 0),
+         |dfc AS (SELECT COUNT(*)::DOUBLE AS df FROM hits)
+         |SELECT doc_id, CAST(tf AS BIGINT) AS prefix_hits,
+         |  round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl)), 4) AS score
+         |FROM hits CROSS JOIN stats CROSS JOIN dfc
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // q124: derive the top term's 4-char prefix, filter postings,
     // constant-score per-doc rollup in doc order
     "q124_prefix_query" ->
