@@ -207,6 +207,8 @@ object SparkEntry {
       TextQueries.matchPhrasePrefix(s, d)),
     "q127_mixture_realize" -> ((s: SparkSession, d: String) =>
       PipelineQueries.mixtureRealize(s, d)),
+    "q128_simple_query_string" -> ((s: SparkSession, d: String) =>
+      TextQueries.simpleQueryString(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -859,6 +859,7 @@ object SimilarityQueries {
     * materializing 2²⁸. */
   def multiSequenceWalk(d0: Array[Double], d1: Array[Double],
       probes: Int): Seq[(Int, Int)] = {
+    if (probes <= 0 || d0.isEmpty || d1.isEmpty) return Seq.empty
     val o0 = d0.indices.sortBy(i => (-d0(i), i)).toArray
     val o1 = d1.indices.sortBy(i => (-d1(i), i)).toArray
     def blend(r0: Int, r1: Int): Double = d0(o0(r0)) + d1(o1(r1))

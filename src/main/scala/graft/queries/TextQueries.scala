@@ -569,6 +569,181 @@ object TextQueries {
       .limit(k)
   }
 
+  /** The q128 default input — a search-box query exercising every
+    * simple_query_string clause kind at corpus-frequent terms. */
+  private[queries] val simpleQueryDefault =
+    """+scan +column window -merge "order sort""""
+
+  /** Builds q128's DuckDB oracle from the parse of the SAME query
+    * string the Spark side executes — term lists and phrase lambdas
+    * interpolate as literals. */
+  private def simpleQueryStringOracle(q: String): String = {
+    val p = graft.ops.QueryString.parse(q)
+    def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString("(", ",", ")")
+    val scoring = p.scoringTerms
+    val bm25 = "ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * " +
+      "(1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))"
+    val tfCte =
+      if (scoring.isEmpty && p.mustNot.isEmpty) Nil
+      else Seq(
+        s"""tf AS (
+           |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+           |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+           |  WHERE term IN ${inList(scoring ++ p.mustNot)}
+           |  GROUP BY doc_id, doclen, term)""".stripMargin)
+    val tsCte =
+      if (scoring.isEmpty) Nil
+      else Seq(
+        s"""wd AS (SELECT *,
+           |    (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+           |  FROM tf WHERE term IN ${inList(scoring)}),
+           |ts AS (SELECT doc_id, SUM($bm25) AS tscore
+           |  FROM wd CROSS JOIN stats GROUP BY doc_id)""".stripMargin)
+    val mustCte =
+      if (p.must.isEmpty) Nil
+      else Seq(
+        s"""mustok AS (SELECT doc_id FROM tf
+           |  WHERE term IN ${inList(p.must)}
+           |  GROUP BY doc_id HAVING COUNT(*) = ${p.must.size})""".stripMargin)
+    val exclCte =
+      if (p.mustNot.isEmpty) Nil
+      else Seq(s"excl AS (SELECT DISTINCT doc_id FROM tf " +
+        s"WHERE term IN ${inList(p.mustNot)})")
+    val phraseCtes = p.phrases.zipWithIndex.map { case (ph, i) =>
+      val cond = ph.zipWithIndex.map { case (w, j) =>
+        if (j == 0) s"toks[i] = '$w'" else s"toks[i + $j] = '$w'"
+      }.mkString(" AND ")
+      s"""ph$i AS (SELECT doc_id, doclen,
+         |    (CASE WHEN doclen < ${ph.length} THEN 0 ELSE
+         |      len(list_filter(generate_series(1, doclen - ${ph.length - 1}),
+         |        i -> $cond)) END)::DOUBLE AS tf
+         |  FROM sized),
+         |ph${i}h AS (SELECT * FROM ph$i WHERE tf > 0),
+         |ph${i}d AS (SELECT COUNT(*)::DOUBLE AS df FROM ph${i}h),
+         |ph${i}s AS (SELECT doc_id, $bm25 AS pscore$i
+         |  FROM ph${i}h CROSS JOIN stats CROSS JOIN ph${i}d)""".stripMargin
+    }
+    val parts =
+      (if (scoring.nonEmpty) Seq("ts" -> "tscore") else Nil) ++
+        p.phrases.indices.map(i => s"ph${i}s" -> s"pscore$i")
+    val fromChain = parts.map(_._1) match {
+      case Seq(one) => one
+      case many => many.head +
+        many.tail.map(n => s" FULL OUTER JOIN $n USING (doc_id)").mkString
+    }
+    val scoreExpr = parts.map { case (_, c) => s"COALESCE($c, 0)" }
+      .mkString(" + ")
+    val gates =
+      (if (p.must.nonEmpty) "\nJOIN mustok USING (doc_id)" else "") +
+        (if (p.mustNot.isEmpty) ""
+         else "\nWHERE doc_id NOT IN (SELECT doc_id FROM excl)")
+    val ctes = Seq(
+      s"""lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents)""".stripMargin,
+      "sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens)",
+      "stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized)"
+    ) ++ tfCte ++ tsCte ++ mustCte ++ exclCte ++ phraseCtes
+    s"""WITH ${ctes.mkString(",\n")},
+       |allsc AS (SELECT doc_id, round($scoreExpr, 4) AS score
+       |  FROM $fromChain)
+       |SELECT doc_id, score FROM allsc$gates
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** q128 — `simple_query_string` (the ES search-box language): parse
+    * `+must -must_not "a phrase" should` with
+    * [[graft.ops.QueryString]] (the never-throws reduced Lucene
+    * grammar; parser spec-gated, tokenization the exact driver-side
+    * twin of the `text_en` analyzer), then execute as the bool
+    * composition it reduces to — must terms required, must_not
+    * excluded, should and phrase clauses additive, score = Σ term
+    * BM25 + Σ phrase-as-term BM25 (q98's phrase scoring). With no
+    * must clause, matching ≥ 1 scoring clause is required — ES's
+    * minimum_should_match behavior for this query.
+    *
+    * Scale shape: ONE analyzer pass — the per-doc (doc_id, toks,
+    * doclen, per-phrase tf) frame localCheckpoints (q100's pattern)
+    * and feeds stats, postings, and every phrase clause; the
+    * candidate-postings frame checkpoints for its three consumers
+    * (q123's discipline); phrase positions never leave their row;
+    * clause combination is a full-outer join of matching-docs-sized
+    * frames. The oracle interpolates the PARSED clause lists from the
+    * same parse call — parser and oracle cannot drift. */
+  def simpleQueryString(spark: SparkSession, dir: String,
+      q: String = simpleQueryDefault, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val p = graft.ops.QueryString.parse(q)
+    require(p.scoringTerms.nonEmpty || p.phrases.nonEmpty,
+      "query must have at least one scoring clause")
+    val docs = Tables.documents(spark, dir)
+    val perDoc0 = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .withColumn("doclen", size($"toks"))
+    val perDoc = p.phrases.zipWithIndex.foldLeft(perDoc0) {
+      case (d, (ph, i)) => d.withColumn(s"ptf$i",
+        FullText.phraseCount($"toks", ph).cast("double"))
+    }.localCheckpoint()
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val normLen = $"tf" +
+      lit(k1) * (lit(1.0 - b) + lit(b) * $"doclen" / $"avgdl")
+    def idfOf(dfCol: org.apache.spark.sql.Column) = log(lit(1.0) +
+      ($"n_docs" - dfCol + lit(0.5)) / (dfCol + lit(0.5)))
+    // term clauses: the q123 candidate-postings discipline — ONE
+    // checkpointed tf frame serves scoring, must coverage, exclusion
+    val tfOpt: Option[DataFrame] =
+      if (p.scoringTerms.isEmpty && p.mustNot.isEmpty) None
+      else Some(perDoc
+        .select($"doc_id", $"doclen", explode_outer($"toks").as("term"))
+        .where($"term".isInCollection(p.scoringTerms ++ p.mustNot))
+        .groupBy($"doc_id", $"doclen", $"term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .localCheckpoint())
+    val termScore: Option[DataFrame] =
+      tfOpt.filter(_ => p.scoringTerms.nonEmpty).map(tf =>
+        tf.filter($"term".isInCollection(p.scoringTerms))
+          .withColumn("df", count(lit(1)).over(
+            Window.partitionBy($"term")).cast("double"))
+          .crossJoin(broadcast(stats))
+          .withColumn("ts", idfOf($"df") * $"tf" * lit(k1 + 1.0) / normLen)
+          .groupBy($"doc_id").agg(sum($"ts").as("tscore")))
+    val mustOk: Option[DataFrame] =
+      tfOpt.filter(_ => p.must.nonEmpty).map(tf =>
+        tf.filter($"term".isInCollection(p.must))
+          .groupBy($"doc_id").agg(count(lit(1)).as("nm"))
+          .filter($"nm" === p.must.size).select($"doc_id"))
+    val excl: Option[DataFrame] =
+      tfOpt.filter(_ => p.mustNot.nonEmpty).map(tf =>
+        tf.filter($"term".isInCollection(p.mustNot))
+          .select($"doc_id").distinct())
+    // phrase clauses: q98's phrase-as-term scoring per clause
+    val phraseScores = p.phrases.indices.map { i =>
+      val hits = perDoc.filter(col(s"ptf$i") > 0)
+        .select($"doc_id", $"doclen", col(s"ptf$i").as("tf"))
+      val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+      hits.crossJoin(broadcast(stats)).crossJoin(broadcast(dfc))
+        .withColumn(s"pscore$i",
+          idfOf($"df") * $"tf" * lit(k1 + 1.0) / normLen)
+        .select($"doc_id", col(s"pscore$i"))
+    }
+    val parts = termScore.toSeq ++ phraseScores
+    val combined = parts.reduce((a, c) => a.join(c, Seq("doc_id"), "full"))
+    val total = combined.select($"doc_id",
+      round(parts.map {
+        df => coalesce(col(df.columns.filter(_ != "doc_id").head), lit(0d))
+      }.reduce(_ + _), 4).as("score"))
+    val gated = mustOk.fold(total)(m =>
+      total.join(m, Seq("doc_id"), "left_semi"))
+    excl.fold(gated)(x => gated.join(x, Seq("doc_id"), "left_anti"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** q126 — match_phrase_prefix (the ES search-as-you-type staple:
     * the user has typed "new yo|" and the last term is incomplete) —
     * a phrase whose final slot matches by PREFIX: starts where the
@@ -1065,6 +1240,12 @@ object TextQueries {
          |FROM fx
          |ORDER BY round(score * boost, 4) DESC, doc_id
          |LIMIT 20""".stripMargin,
+    // q128: the oracle SQL is GENERATED from the same
+    // QueryString.parse call the query executes — clause lists
+    // interpolate as literals (the q59 constants convention), so the
+    // parser and the oracle cannot drift
+    "q128_simple_query_string" ->
+      simpleQueryStringOracle(simpleQueryDefault),
     // q126: q98's phrase CTEs with a starts_with final slot
     "q126_match_phrase_prefix" ->
       s"""WITH lens AS (
