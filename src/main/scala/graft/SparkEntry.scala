@@ -209,6 +209,14 @@ object SparkEntry {
       PipelineQueries.mixtureRealize(s, d)),
     "q128_simple_query_string" -> ((s: SparkSession, d: String) =>
       TextQueries.simpleQueryString(s, d)),
+    "q129_span_near" -> ((s: SparkSession, d: String) =>
+      TextQueries.spanNearSearch(s, d)),
+    "q130_highlight_search" -> ((s: SparkSession, d: String) =>
+      TextQueries.highlightSearch(s, d)),
+    "q131_wildcard_query" -> ((s: SparkSession, d: String) =>
+      TextQueries.wildcardSearch(s, d)),
+    "q132_phrase_suggest" -> ((s: SparkSession, d: String) =>
+      TextQueries.phraseSuggest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

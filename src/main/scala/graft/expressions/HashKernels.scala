@@ -486,6 +486,167 @@ object HashKernels {
     (u % mBits).toInt
   }
 
+  /** Sloppy-phrase frequency and match count — the Lucene
+    * SloppyPhraseMatcher greedy traversal (the `slop` semantics of ES
+    * `match_phrase`, reordering ALLOWED, each match weighted
+    * 1/(matchLength+1) — Lucene's `sloppyFreq`).
+    *
+    * `posLists` is array<array<int>>: per phrase slot j the SORTED
+    * slot-SHIFTED positions (document position − j), so an exact
+    * occurrence puts every slot at the same shifted value and
+    * matchLength = max(shifted) − min(shifted) over an alignment is
+    * the phrase's slop distance (a reversed adjacent pair costs 2).
+    *
+    * The traversal keeps one pointer per slot, repeatedly advances
+    * the minimum-shifted-position slot to shrink the current
+    * alignment's matchLength, and emits a match (freq +=
+    * 1/(matchLength+1)) whenever the advancing pointer overtakes the
+    * next-smallest slot — the published greedy algorithm of Lucene's
+    * SloppyPhraseScorer. Repeated phrase terms are handled by the
+    * distinct-document-position rule: a pointer never rests on a
+    * document position another slot currently occupies (two DIFFERENT
+    * terms can never collide — a token stream has one term per
+    * position — so the rule only ever engages between same-term
+    * slots, Lucene's repeats constraint; its full repeat-group
+    * machinery is approximated by this skip, documented in
+    * FullTextSpec). Ties pop by slot index for determinism.
+    *
+    * Returns [freq: double, matches: double]; [0, 0] when any slot
+    * has no position. One compiled pass over position lists that
+    * never leave their row. */
+  def sloppyPhraseStats(posLists: ArrayData, slop: Int): ArrayData = {
+    val m = posLists.numElements()
+    val zero = ArrayData.toArrayData(Array(0.0, 0.0))
+    if (m < 2) return zero
+    val lists = new Array[Array[Int]](m)
+    var j = 0
+    while (j < m) {
+      if (posLists.isNullAt(j)) return zero
+      lists(j) = posLists.getArray(j).toIntArray()
+      if (lists(j).length == 0) return zero
+      j += 1
+    }
+    val idx = new Array[Int](m)
+    // value(j) = shifted position; document position = value + slot.
+    def value(k: Int): Int = lists(k)(idx(k))
+    def docPos(k: Int): Int = value(k) + k
+    def collidesBelow(k: Int, upTo: Int): Boolean = {
+      var o = 0
+      var hit = false
+      while (!hit && o < upTo) {
+        if (o != k && idx(o) < lists(o).length && docPos(o) == docPos(k))
+          hit = true
+        o += 1
+      }
+      hit
+    }
+    def collides(k: Int): Boolean = collidesBelow(k, m)
+    // collision-free initial placement: earlier slots keep their
+    // spot, each later slot advances off any ALREADY-PLACED position
+    // (Lucene's placement order for repeat groups)
+    j = 0
+    while (j < m) {
+      while (idx(j) < lists(j).length && collidesBelow(j, j)) idx(j) += 1
+      if (idx(j) >= lists(j).length) return zero
+      j += 1
+    }
+    var end = Int.MinValue
+    j = 0
+    while (j < m) { if (value(j) > end) end = value(j); j += 1 }
+    def argMin(): Int = {
+      var best = 0
+      var k = 1
+      while (k < m) { if (value(k) < value(best)) best = k; k += 1 }
+      best
+    }
+    def minExcept(k: Int): Int = {
+      var best = Int.MaxValue
+      var o = 0
+      while (o < m) {
+        if (o != k && value(o) < best) best = value(o)
+        o += 1
+      }
+      best
+    }
+    var ppJ = argMin()
+    var matchLength = end - value(ppJ)
+    var next = minExcept(ppJ)
+    var freq = 0.0
+    var matches = 0.0
+    var exhausted = false
+    while (!exhausted) {
+      // advance the minimum slot, skipping repeat-collision positions
+      do idx(ppJ) += 1
+      while (idx(ppJ) < lists(ppJ).length && collides(ppJ))
+      if (idx(ppJ) >= lists(ppJ).length) exhausted = true
+      else {
+        if (value(ppJ) > end) end = value(ppJ)
+        if (value(ppJ) > next) {
+          if (matchLength <= slop) {
+            freq += 1.0 / (matchLength + 1)
+            matches += 1.0
+          }
+          ppJ = argMin()
+          next = minExcept(ppJ)
+          matchLength = end - value(ppJ)
+        } else {
+          val ml2 = end - value(ppJ)
+          if (ml2 < matchLength) matchLength = ml2
+        }
+      }
+    }
+    if (matchLength <= slop) {
+      freq += 1.0 / (matchLength + 1)
+      matches += 1.0
+    }
+    ArrayData.toArrayData(Array(freq, matches))
+  }
+
+  /** Raw-text highlighting with CHARACTER offsets — the ES plain
+    * highlighter over the ORIGINAL field value: tokens are maximal
+    * runs of Unicode letters/digits (exactly the spans
+    * FullText.analyze's `[^\p{L}\p{Nd}]+` split produces —
+    * Character.isLetter is category L*, Character.isDigit is Nd, the
+    * same classes), a token whose ROOT-lowercased form is in `terms`
+    * is wrapped `<em>…</em>` IN PLACE, and every non-token character
+    * (punctuation, whitespace, markup) passes through untouched — so
+    * stripping the tags returns the raw text byte-for-byte
+    * (FullTextSpec's round-trip pin). Original casing is preserved
+    * inside the tags ("Cat" highlights as "<em>Cat</em>").
+    * Code-point iteration keeps supplementary-plane characters
+    * intact. One compiled pass per row, no shuffle. */
+  def highlightRaw(text: UTF8String,
+      terms: java.util.HashSet[UTF8String]): UTF8String = {
+    val s = text.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n + 16)
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp) || Character.isDigit(cp)) {
+        val start = i
+        var k = i
+        var cont = true
+        while (cont && k < n) {
+          val c = s.codePointAt(k)
+          if (Character.isLetter(c) || Character.isDigit(c))
+            k += Character.charCount(c)
+          else cont = false
+        }
+        val tok = s.substring(start, k)
+        if (terms.contains(UTF8String.fromString(
+            tok.toLowerCase(java.util.Locale.ROOT))))
+          sb.append("<em>").append(tok).append("</em>")
+        else sb.append(tok)
+        i = k
+      } else {
+        sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Number of grams whose `kProbes` Bloom positions are ALL set in
     * `bits` — the scan-side probe of the Bloom-filter decontamination
     * pass (one compiled loop per row, no explode, no join). Null

@@ -253,6 +253,67 @@ case class StopwordHits(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Sloppy-phrase [freq, matches] over slot-shifted position lists —
+  * the Lucene SloppyPhraseMatcher greedy traversal as a compiled
+  * per-row pass (reordering allowed, 1/(matchLength+1) freq
+  * weighting; see HashKernels.sloppyPhraseStats for the exact
+  * contract). Input: array<array<int>>, one sorted shifted list per
+  * phrase slot. */
+case class SloppyPhraseStats(child: Expression, slop: Int)
+    extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean = dt match {
+    case ArrayType(ArrayType(org.apache.spark.sql.types.IntegerType, _), _) =>
+      true
+    case _ => false
+  }
+  override protected def inputDescription: String =
+    "array<array<int>> shifted position lists"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "sloppy_phrase_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.sloppyPhraseStats(input.asInstanceOf[ArrayData], slop)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.sloppyPhraseStats($c, $slop)")
+
+  override protected def withNewChildInternal(newChild: Expression): SloppyPhraseStats =
+    copy(child = newChild)
+}
+
+/** Raw-text `<em>` highlighting with character offsets — wraps each
+  * letter/digit token whose lowercase form is a query term, in place
+  * in the ORIGINAL text (tag-strip round-trips to the raw value; see
+  * HashKernels.highlightRaw). */
+case class HighlightRawTerms(child: Expression, terms: Seq[String])
+    extends HashKernelExpression {
+  override protected def inputOk(dt: DataType): Boolean =
+    dt == StringType
+  override protected def inputDescription: String = "string text"
+  override def dataType: DataType = StringType
+  override def prettyName: String = "highlight_raw"
+
+  @transient private lazy val termSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    terms.foreach(t =>
+      s.add(UTF8String.fromString(t.toLowerCase(java.util.Locale.ROOT))))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.highlightRaw(input.asInstanceOf[UTF8String], termSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("highlightTerms", termSet,
+      classOf[java.util.HashSet[_]].getName)
+    defineCodeGen(ctx, ev, c => s"$kernels.highlightRaw($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HighlightRawTerms =
+    copy(child = newChild)
+}
+
 /** Count of grams whose Bloom positions are all set — the probe side
   * of Bloom-filter decontamination. `bits` is the driver-built filter
   * (graft.ops.BloomFilter.build over the benchmark's gram set),
@@ -367,4 +428,8 @@ object TextHashes {
   def bloomHitCount(grams: Column, bits: Array[Long], kProbes: Int): Column =
     c(BloomHitCount(e(grams), bits, kProbes))
   def tokenLengthSum(toks: Column): Column = c(TokenLengthSum(e(toks)))
+  def sloppyPhraseStats(posLists: Column, slop: Int): Column =
+    c(SloppyPhraseStats(e(posLists), slop))
+  def highlightRaw(text: Column, terms: Seq[String]): Column =
+    c(HighlightRawTerms(e(text), terms))
 }

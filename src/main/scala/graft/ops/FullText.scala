@@ -331,11 +331,10 @@ object FullText {
   def phraseSearchStored(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, phrase: Seq[String], k: Int = 20,
       buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75,
-      slop: Int = 0): DataFrame = {
+      slop: Int = 0, inOrder: Boolean = false): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
-    require(slop == 0 || phrase.length == 2,
-      "slop is supported for two-term phrases (the dominant ES use); " +
-        "longer phrases match exactly (slop 0)")
+    require(slop == 0 || phrase.length >= 2,
+      "sloppy matching needs at least two phrase terms")
     import spark.implicits._
     val stats = spark.read.parquet(s"$indexDir/stats")
     // bucket ids via the writer's own hash expression (the probe-list
@@ -355,24 +354,41 @@ object FullText {
       if (j == 0) f else f.drop("doclen")
     }
     val joined = slots.reduce((a, c) => a.join(c, Seq("doc_id")))
-    // slop 0: exact consecutive starts = slot-shifted intersection.
-    // slop > 0 (two terms): IN-ORDER proximity — starts p where some
-    // w2 position lands in (p, p + 1 + slop]; after the slot shift
-    // p1 ranges over (positions(w2) − 1), so the window test is
-    // q ∈ [p, p + slop]. In-order only: Lucene's sloppy reordering
-    // (and its 1/(distance+1) freq weighting) is a documented
-    // divergence — tf here counts matching START positions.
-    val inter =
-      if (slop == 0)
-        (1 until phrase.length).foldLeft(col("p0"))(
+    val shifted = phrase.indices.map(j => col(s"p$j"))
+    // slop 0: exact consecutive starts = slot-shifted intersection
+    // (tf = starts, handles repeated terms exactly).
+    // slop > 0, inOrder: ES span_near(in_order=true) — tf counts
+    // starts whose greedy minimal chain (each slot the smallest
+    // shifted position ≥ its predecessor — Lucene NearSpansOrdered's
+    // lazy minimal-end iteration) finishes within `slop`.
+    // slop > 0, default: Lucene SloppyPhraseMatcher semantics —
+    // reordering allowed, tf is the SLOPPY FREQ Σ 1/(matchLength+1)
+    // (fractional, exactly what Lucene feeds the similarity) and
+    // phrase_hits the emitted match count; repeated terms take the
+    // kernel's distinct-position rule (HashKernels.sloppyPhraseStats).
+    val withTf =
+      if (slop == 0) {
+        val inter = (1 until phrase.length).foldLeft(col("p0"))(
           (acc, j) => array_intersect(acc, col(s"p$j")))
-      else
-        filter(col("p0"), p =>
-          exists(col("p1"), q => q >= p && q <= p + slop))
-    val hits = joined
-      .withColumn("tf", size(inter).cast("double"))
+        joined.withColumn("tf", size(inter).cast("double"))
+          .withColumn("hits", col("tf"))
+      } else if (inOrder) {
+        val chain = (p: Column) => shifted.tail.foldLeft(p)(
+          (c, lst) => array_min(filter(lst, x => x >= c)))
+        joined.withColumn("tf",
+            size(filter(shifted.head, p => chain(p) <= p + lit(slop)))
+              .cast("double"))
+          .withColumn("hits", col("tf"))
+      } else {
+        val sf = graft.expressions.TextHashes.sloppyPhraseStats(
+          array(shifted: _*), slop)
+        joined.withColumn("sf", sf)
+          .withColumn("tf", element_at(col("sf"), 1))
+          .withColumn("hits", element_at(col("sf"), 2))
+      }
+    val hits = withTf
       .filter(col("tf") > 0)
-      .select(col("doc_id"), col("doclen"), col("tf"))
+      .select(col("doc_id"), col("doclen"), col("tf"), col("hits"))
     val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
     val normLen = col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
@@ -381,7 +397,7 @@ object FullText {
     hits.crossJoin(broadcast(stats)).crossJoin(broadcast(dfc))
       .withColumn("score",
         round(idf * col("tf") * lit(k1 + 1.0) / normLen, 4))
-      .select(col("doc_id"), col("tf").cast("long").as("phrase_hits"),
+      .select(col("doc_id"), col("hits").cast("long").as("phrase_hits"),
         col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
@@ -655,6 +671,71 @@ object FullText {
       .select(col("doc_id"), size(col("toks")).as("doclen"),
         phraseCount(col("toks"), phrase).cast("double").as("tf"))
       .localCheckpoint()
+    phraseScoredTopK(perDoc, k, k1, b, "phrase_hits")
+  }
+
+  /** Matching-span count for ES `span_near(in_order: true, slop)` —
+    * the ordered-proximity query (Lucene SpanNearQuery): a span is a
+    * start position of `phrase.head` whose GREEDY MINIMAL chain —
+    * each subsequent term's smallest position after its predecessor,
+    * exactly Lucene NearSpansOrdered's lazy minimal-end iteration —
+    * completes with total slack ≤ `slop` (span width − m ≤ slop).
+    * Works for any m ≥ 2 and any analyzed token stream; positions are
+    * slot-shifted so the width test is `chainEnd ≤ start + slop`.
+    *
+    * Per-row higher-order-function composition (positions never leave
+    * their row — the phraseCount discipline): the chain is a fold of
+    * array_min∘filter over the shifted position lists; empty
+    * intermediate lists null-propagate to a failed chain. */
+  def spanNearCount(toks: Column, phrase: Seq[String], slop: Int): Column = {
+    require(phrase.length >= 2, "span_near needs at least two terms")
+    val shifted = phrase.zipWithIndex.map { case (w, j) =>
+      transform(
+        filter(sequence(lit(1), size(toks)),
+          i => element_at(toks, i) === lit(w)),
+        i => i - lit(1 + j))
+    }
+    val chain = (p: Column) => shifted.tail.foldLeft(p)(
+      (c, lst) => array_min(filter(lst, x => x >= c)))
+    when(size(toks) >= phrase.length,
+      size(filter(shifted.head, p => chain(p) <= p + lit(slop)))
+        .cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** BM25-scored ordered-proximity search — [[spanNearCount]] spans
+    * scored with the phrase-as-term formula of [[bm25PhraseTopK]]
+    * (tf = span count, df = matching docs). Same single-corpus-pass /
+    * localCheckpoint shape as the phrase operator — the per-doc span
+    * count is a scan-rider, only matching docs reach scoring. */
+  def spanNearTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], slop: Int, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("doclen"),
+        spanNearCount(col("toks"), phrase, slop).cast("double").as("tf"))
+      .localCheckpoint()
+    phraseScoredTopK(perDoc, k, k1, b, "span_hits")
+  }
+
+  /** Raw-text highlighting — [[highlightTerms]]' character-offset
+    * sibling over the ORIGINAL field value (the ES plain highlighter
+    * on the stored field): matched tokens wrap in `<em>` IN PLACE,
+    * casing/punctuation/whitespace byte-identical outside the tags,
+    * so stripping the tags round-trips to the raw text (FullTextSpec
+    * pins it). Compiled per-row kernel
+    * (graft.expressions.HashKernels.highlightRaw) with the analyzer's
+    * exact token classes; project it after top-k like bestFragment. */
+  def highlightRawText(text: Column, queryTerms: Seq[String]): Column =
+    graft.expressions.TextHashes.highlightRaw(text, queryTerms)
+
+  /** Shared phrase-as-term BM25 scoring tail over a checkpointed
+    * per-doc `(doc_id, doclen, tf)` frame (three consumers: stats,
+    * df, scoring — the checkpoint stops Catalyst re-embedding the
+    * per-row counter into each scan; see [[bm25PhraseTopK]]). */
+  private def phraseScoredTopK(perDoc: DataFrame, k: Int,
+      k1: Double, b: Double, hitsName: String): DataFrame = {
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
     val hits = perDoc.filter(col("tf") > 0)
@@ -667,7 +748,7 @@ object FullText {
     hits.crossJoin(broadcast(stats)).crossJoin(broadcast(dfc))
       .withColumn("score",
         round(idf * col("tf") * lit(k1 + 1.0) / normLen, 4))
-      .select(col("doc_id"), col("tf").cast("long").as("phrase_hits"),
+      .select(col("doc_id"), col("tf").cast("long").as(hitsName),
         col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

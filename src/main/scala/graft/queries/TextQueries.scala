@@ -837,6 +837,179 @@ object TextQueries {
       .limit(k)
   }
 
+  /** q129 — ordered-proximity search (ES `span_near` with
+    * `in_order: true`, Lucene SpanNearQuery —
+    * [[graft.ops.FullText.spanNearTopK]]): the three words of the
+    * corpus's most frequent analyzed TRIGRAM, matched IN ORDER with
+    * total slack ≤ `slop` intervening positions (the exact trigram
+    * matches at width 0, gapped variants engage the slack). tf is the
+    * matching-span count under Lucene NearSpansOrdered's greedy
+    * minimal-end chain; the score is q98's phrase-as-term BM25. The
+    * trigram derivation is a bounded 1-row driver collect (the q98
+    * convention; deployments pass literal spans).
+    *
+    * Scale shape: q98's exactly — the span count is a per-row
+    * higher-order-function chain over position lists that never leave
+    * their row (no position explode, no position join); the per-doc
+    * frame localCheckpoints once for its three consumers; df/stats
+    * are 1-row broadcasts; top-k is a TakeOrdered. The oracle
+    * re-derives the same greedy chain relationally (positions as
+    * rows, two min-joins). */
+  def spanNearSearch(spark: SparkSession, dir: String, slop: Int = 2,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val top = docs
+      .select(FullText.analyze($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 2),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1), lit(" "),
+          element_at($"toks", i + 2)))).as("tg"))
+      .groupBy($"tg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tg".asc).limit(1)
+      .head().getString(0).split(" ").toSeq
+    FullText.spanNearTopK(docs, "doc_id", "text", top, slop, k)
+  }
+
+  /** q130 — search with RAW-TEXT highlighting (the ES plain
+    * highlighter over the stored field,
+    * [[graft.ops.FullText.highlightRawText]]): q51's BM25 top-k, each
+    * hit carrying the ORIGINAL text with every matched token wrapped
+    * `<em>…</em>` at its raw CHARACTER offsets — casing, punctuation
+    * and whitespace preserved (tag-strip round-trips to the stored
+    * value, spec-pinned), unlike q102's analyzed-stream rendering.
+    *
+    * Scale shape: the highlight kernel is projected AFTER the top-k
+    * join (k rows, never the corpus — the q102 bestFragment
+    * discipline); the search itself is q51's audited postings-only
+    * plan. The oracle rebuilds the highlight losslessly from the
+    * token/separator interleave (string_split_regex keeps the
+    * separators the token regexp consumed). */
+  def highlightSearch(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    FullText.bm25TopK(docs, "doc_id", "text", bm25QueryTerms, k)
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .select($"doc_id", $"score",
+        FullText.highlightRawText($"text", bm25QueryTerms)
+          .as("highlighted"))
+      .orderBy($"score".desc, $"doc_id")
+  }
+
+  /** q131 — wildcard query (ES `wildcard`, Lucene WildcardQuery):
+    * documents containing any analyzed term matching a
+    * `prefix*suffix` pattern, under the same CONSTANT_SCORE rewrite
+    * and diagnostic columns as q124's prefix query (ES scores
+    * wildcard hits a flat boost by default; `_doc`-ordered page).
+    * The pattern derives from the corpus's most frequent analyzed
+    * term of length ≥ 5: first two characters + `*` + last character
+    * (the q99/q124 derivation convention — deployments pass the
+    * user's literal pattern).
+    *
+    * Scale shape: q124's exactly — one postings pass with the LIKE
+    * predicate under the shuffle; against the STORED layout the
+    * pattern would expand on the term dictionary (Heaps-law-sized)
+    * and bucket-prune the postings scan, the q99 expansion
+    * discipline. A leading-wildcard pattern (`*suffix`) cannot
+    * prefix-prune a sorted term dictionary — the
+    * documented-expensive case ES warns about; the dictionary scan
+    * here is the same either way. */
+  def wildcardSearch(spark: SparkSession, dir: String,
+      k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val analyzed = Tables.documents(spark, dir)
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+    val top = analyzed.select(explode_outer($"toks").as("t"))
+      .filter($"t".isNotNull && length($"t") >= 5)
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t".asc).limit(1)
+      .head().getString(0)
+    val pattern = top.take(2) + "%" + top.takeRight(1)
+    analyzed
+      .select($"doc_id", explode_outer($"toks").as("term"))
+      .where($"term".like(pattern))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"term").as("n_matched_terms"),
+        count(lit(1)).as("n_occurrences"))
+      .withColumn("score", lit(1.0))
+      .orderBy($"doc_id")
+      .limit(k)
+  }
+
+  /** q132 — phrase suggester (the ES `suggest`/`phrase` suggester:
+    * whole-phrase "did you mean" — q108's term-level candidates
+    * re-ranked by a BIGRAM LANGUAGE MODEL, the real ES architecture:
+    * DirectCandidateGenerator per term × a Laplace-smoothed word
+    * n-gram model over the index, `LaplaceScorer` α=1). The input is
+    * the corpus's top analyzed bigram with its second word misspelled
+    * (last character dropped — the q99 convention). Each input term
+    * generates the `maxCand` vocabulary terms within `maxEdits` edits
+    * (frequency desc, term asc — the generator's popularity order);
+    * every candidate pair scores
+    *
+    *   ln((uc(c1)+1)/(N+V)) + ln((bc(c1,c2)+1)/(uc(c1)+V))
+    *
+    * — add-one-smoothed unigram × conditional bigram (the q62
+    * smoothing shape on q61's bigram-count model), and the top `n`
+    * pairs (score desc, c1, c2) are the suggestions; the true
+    * original bigram wins when it is frequent, which is the point.
+    *
+    * Scale shape: ONE analyzer pass feeds token/bigram counts (the
+    * (term, freq) vocabulary and the (w1, w2, c) bigram frame are
+    * Heaps-law- and pair-vocabulary-sized — q61's model-size
+    * argument); the candidate scan is |inputs| × |vocab| cheap edit
+    * checks on the vocabulary frame (q99's discipline); the pair
+    * cross product is maxCand² ≤ 100 rows; count joins are
+    * vocabulary-side, AQE-broadcast. The corpus never shuffles. */
+  def phraseSuggest(spark: SparkSession, dir: String,
+      maxEdits: Int = 2, maxCand: Int = 10, n: Int = 10): DataFrame = {
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(FullText.analyze($"text").as("toks"))
+    val uni = toks.select(explode_outer($"toks").as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bi = toks.filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => struct(element_at($"toks", i).as("w1"),
+          element_at($"toks", i + 1).as("w2")))).as("bg"))
+      .groupBy($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val totals = uni.agg(sum($"c").cast("double").as("n_tokens"),
+      count(lit(1)).cast("double").as("v"))
+    val topBg = toks.filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(1)
+      .head().getString(0).split(" ")
+    def candidates(slot: String, term: String) = uni
+      .withColumn("ed", levenshtein($"t", lit(term)))
+      .filter($"ed" <= maxEdits)
+      .withColumn("rank", row_number().over(
+        win.orderBy($"c".desc, $"t".asc)))
+      .filter($"rank" <= maxCand)
+      .select($"t".as(s"c$slot"), $"c".as(s"uc$slot"))
+    val pairs = candidates("s0", topBg(0))
+      .crossJoin(candidates("s1", topBg(1).dropRight(1)))
+    pairs
+      .join(bi, $"cs0" === $"w1" && $"cs1" === $"w2", "left")
+      .na.fill(0L, Seq("cb"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score", round(
+        log(($"ucs0" + lit(1.0)) / ($"n_tokens" + $"v")) +
+          log(($"cb" + lit(1.0)) / ($"ucs0" + $"v")), 4))
+      .select($"cs0".as("w1"), $"cs1".as("w2"),
+        $"cb".as("bigram_count"), $"score")
+      .orderBy($"score".desc, $"w1".asc, $"w2".asc)
+      .limit(n)
+  }
+
   /** q100 — more-like-this (the ES `more_like_this` query shape):
     * pick the seed document's most characteristic terms — tf in the
     * seed × the corpus BM25 idf, top `nTerms` (weight desc, term asc)
@@ -1856,6 +2029,150 @@ object TextQueries {
         |SELECT doc_id, t AS term, CAST(rank AS BIGINT) AS rank,
         |  round(score_fp::DOUBLE / 16777216.0, 4) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q129_span_near" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |tgc AS (SELECT tg, COUNT(*) AS c FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+        |    FROM sized WHERE doclen >= 3)
+        |  GROUP BY tg),
+        |top AS (SELECT string_split(tg, ' ')[1] AS w1,
+        |    string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3
+        |  FROM tgc ORDER BY c DESC, tg ASC LIMIT 1),
+        |p0 AS (SELECT doc_id, unnest(list_filter(generate_series(1, doclen),
+        |    i -> toks[i] = w1)) - 1 AS s FROM sized CROSS JOIN top),
+        |p1 AS (SELECT doc_id, unnest(list_filter(generate_series(1, doclen),
+        |    i -> toks[i] = w2)) - 2 AS s FROM sized CROSS JOIN top),
+        |p2 AS (SELECT doc_id, unnest(list_filter(generate_series(1, doclen),
+        |    i -> toks[i] = w3)) - 3 AS s FROM sized CROSS JOIN top),
+        |c1 AS (SELECT a.doc_id, a.s AS p, MIN(b.s) AS e1
+        |  FROM p0 a JOIN p1 b ON b.doc_id = a.doc_id AND b.s >= a.s
+        |  GROUP BY a.doc_id, a.s),
+        |c2 AS (SELECT c.doc_id, c.p, MIN(d.s) AS e2
+        |  FROM c1 c JOIN p2 d ON d.doc_id = c.doc_id AND d.s >= c.e1
+        |  GROUP BY c.doc_id, c.p),
+        |h AS (SELECT doc_id, COUNT(*)::DOUBLE AS tf FROM c2
+        |  WHERE e2 <= p + 2 GROUP BY doc_id),
+        |hits AS (SELECT h.doc_id, s.doclen, h.tf
+        |  FROM h JOIN sized s USING (doc_id)),
+        |dfc AS (SELECT COUNT(*)::DOUBLE AS df FROM hits)
+        |SELECT doc_id, CAST(tf AS BIGINT) AS span_hits,
+        |  round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl)), 4) AS score
+        |FROM hits CROSS JOIN stats CROSS JOIN dfc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q130_highlight_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  WHERE term IN ('fast','vector','query')
+        |  GROUP BY doc_id, doclen, term),
+        |withdf AS (
+        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf),
+        |topk AS (SELECT doc_id, round(SUM(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+        |  FROM withdf CROSS JOIN stats
+        |  GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |parts AS (SELECT d.doc_id, t.score,
+        |    regexp_extract_all(d.text, '[\p{L}\p{Nd}]+') AS rtoks,
+        |    string_split_regex(d.text, '[\p{L}\p{Nd}]+') AS seps
+        |  FROM topk t JOIN documents d USING (doc_id))
+        |SELECT doc_id, score,
+        |  array_to_string(list_transform(generate_series(1, len(rtoks)),
+        |    i -> seps[i] ||
+        |      CASE WHEN lower(rtoks[i]) IN ('fast','vector','query')
+        |        THEN '<em>' || rtoks[i] || '</em>' ELSE rtoks[i] END), '')
+        |    || seps[len(rtoks) + 1] AS highlighted
+        |FROM parts ORDER BY score DESC, doc_id""".stripMargin,
+    "q131_wildcard_query" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |tc AS (SELECT t, COUNT(*) AS c
+        |  FROM (SELECT unnest(toks) AS t FROM lens)
+        |  WHERE length(t) >= 5 GROUP BY t),
+        |top AS (SELECT t FROM tc ORDER BY c DESC, t ASC LIMIT 1),
+        |pat AS (SELECT substr(t, 1, 2) || '%' || substr(t, length(t), 1)
+        |    AS p FROM top),
+        |m AS (SELECT doc_id, term
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM lens)
+        |  CROSS JOIN pat WHERE term LIKE p)
+        |SELECT doc_id, COUNT(DISTINCT term) AS n_matched_terms,
+        |  COUNT(*) AS n_occurrences, 1.0 AS score
+        |FROM m GROUP BY doc_id ORDER BY doc_id LIMIT 50""".stripMargin,
+    "q132_phrase_suggest" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c
+        |  FROM (SELECT unnest(toks) AS t FROM lens) GROUP BY t),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_tokens,
+        |    CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+        |bgc AS (SELECT bg, COUNT(*) AS cb FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM lens WHERE len(toks) >= 2) GROUP BY bg),
+        |bi AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |    split_part(bg, ' ', 2) AS w2, cb FROM bgc),
+        |topbg AS (SELECT split_part(bg, ' ', 1) AS t1,
+        |    split_part(bg, ' ', 2) AS t2
+        |  FROM bgc ORDER BY cb DESC, bg ASC LIMIT 1),
+        |inp AS (SELECT t1 AS i0, substr(t2, 1, length(t2) - 1) AS i1
+        |  FROM topbg),
+        |c0 AS (SELECT t AS cs0, c AS ucs0 FROM (
+        |    SELECT u.t, u.c,
+        |      row_number() OVER (ORDER BY u.c DESC, u.t ASC) AS r
+        |    FROM uni u CROSS JOIN inp WHERE levenshtein(u.t, i0) <= 2)
+        |  WHERE r <= 10),
+        |c1 AS (SELECT t AS cs1, c AS ucs1 FROM (
+        |    SELECT u.t, u.c,
+        |      row_number() OVER (ORDER BY u.c DESC, u.t ASC) AS r
+        |    FROM uni u CROSS JOIN inp WHERE levenshtein(u.t, i1) <= 2)
+        |  WHERE r <= 10)
+        |SELECT p.cs0 AS w1, p.cs1 AS w2,
+        |  COALESCE(b.cb, 0) AS bigram_count,
+        |  round(ln((p.ucs0 + 1.0) / (t.n_tokens + t.v)) +
+        |    ln((COALESCE(b.cb, 0) + 1.0) / (p.ucs0 + t.v)), 4) AS score
+        |FROM (SELECT * FROM c0 CROSS JOIN c1) p
+        |LEFT JOIN bi b ON b.w1 = p.cs0 AND b.w2 = p.cs1
+        |CROSS JOIN tot t
+        |ORDER BY score DESC, w1, w2 LIMIT 10""".stripMargin,
     "q51_bm25_search" ->
       """WITH lens AS (
         |  SELECT doc_id,

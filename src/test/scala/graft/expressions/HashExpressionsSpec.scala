@@ -281,6 +281,70 @@ class HashExpressionsSpec extends SparkSpecBase {
       plan)
   }
 
+  test("sloppyPhraseStats: hand-traced Lucene greedy fixtures") {
+    import spark.implicits._
+    // rows: per-slot SHIFTED position lists + slop, expected
+    // [freq, matches] hand-traced from the published
+    // SloppyPhraseMatcher algorithm (pop min / shrink matchLength /
+    // emit 1/(matchLength+1) when the advancing slot overtakes next)
+    def stats(lists: Seq[Seq[Int]], slop: Int): (Double, Double) = {
+      val r = Seq(Tuple1(lists)).toDF("p")
+        .select(graft.expressions.TextHashes
+          .sloppyPhraseStats(col("p"), slop).as("s"))
+        .head.getSeq[Double](0)
+      (r(0), r(1))
+    }
+    // exact adjacent pair: one match at matchLength 0
+    assert(stats(Seq(Seq(5), Seq(5)), 0) == (1.0, 1.0))
+    // two exact occurrences: greedy finds both
+    assert(stats(Seq(Seq(0, 5), Seq(0, 5)), 0) == (2.0, 2.0))
+    // reversed adjacent pair costs matchLength 2
+    assert(stats(Seq(Seq(1), Seq(-1)), 1) == (0.0, 0.0))
+    assert(stats(Seq(Seq(1), Seq(-1)), 2) == (1.0 / 3, 1.0))
+    // the A=[0,10], B=[2,3] trace: first match length 2, the second
+    // alignment shrinks to 7 and only emits when slop allows it
+    assert(stats(Seq(Seq(0, 10), Seq(2, 3)), 2) == (1.0 / 3, 1.0))
+    assert(stats(Seq(Seq(0, 10), Seq(2, 3)), 7) ==
+      (1.0 / 3 + 1.0 / 8, 2.0))
+    // three slots, fully reversed: span 4
+    assert(stats(Seq(Seq(2), Seq(0), Seq(-2)), 3) == (0.0, 0.0))
+    assert(stats(Seq(Seq(2), Seq(0), Seq(-2)), 4) == (0.2, 1.0))
+    // any empty slot or a single slot yields nothing
+    assert(stats(Seq(Seq(1, 2), Seq()), 9) == (0.0, 0.0))
+    assert(stats(Seq(Seq(1, 2)), 9) == (0.0, 0.0))
+    // repeats rule: same-term slots never share a document position —
+    // "echo echo echo" (slots shifted {0,1,2} / {-1,0,1}) emits the
+    // exact pair once, the tail alignment exhausts in collision skips
+    assert(stats(Seq(Seq(0, 1, 2), Seq(-1, 0, 1)), 1) == (1.0, 1.0))
+  }
+
+  test("highlightRaw: offsets in the raw text, tag-strip round-trip") {
+    import spark.implicits._
+    val terms = Seq("cat", "naïve", "東京", "r2")
+    def hl(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(graft.expressions.TextHashes
+          .highlightRaw(col("t"), terms).as("h"))
+        .head.getString(0)
+    // casing preserved inside tags; punctuation/whitespace untouched
+    assert(hl("The Cat, sat; CAT!") == "The <em>Cat</em>, sat; <em>CAT</em>!")
+    // unicode tokens and digit-letter tokens match whole-token only
+    assert(hl("naïve café 東京, r2 r2d2") ==
+      "<em>naïve</em> café <em>東京</em>, <em>r2</em> r2d2")
+    // substrings inside larger tokens never match (concatenate ≠ cat)
+    assert(hl("concatenate scatter") == "concatenate scatter")
+    // property: stripping the tags round-trips to the raw text
+    val texts = corpus ++ Seq("Cat cat CAT ,,, 東京東京 naïve-cat")
+    texts.foreach { t =>
+      val h = Seq(Tuple1(t)).toDF("t")
+        .select(graft.expressions.TextHashes
+          .highlightRaw(col("t"), terms).as("h"))
+        .head.getString(0)
+      assert(h.replace("<em>", "").replace("</em>", "") == t,
+        s"round-trip failed for: $t")
+    }
+  }
+
   test("SQL registration surface evaluates") {
     graft.Functions.register(spark)
     import spark.implicits._

@@ -395,6 +395,47 @@ class FullTextSpec extends SparkSpecBase {
     }
   }
 
+  test("spanNearCount: greedy minimal chains, m terms, in order only") {
+    val d = docs(
+      (1L, "alpha beta gamma end words"), // width 0
+      (2L, "alpha beta pad gamma end"), // width 1
+      (3L, "alpha pad pad beta gamma"), // width 2
+      (4L, "gamma beta alpha end words"), // reversed — never
+      (5L, "alpha beta words only here")) // no gamma
+    def at(slop: Int) = d.select($"doc_id",
+      FullText.spanNearCount(FullText.analyze($"text"),
+        Seq("alpha", "beta", "gamma"), slop).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at(0) == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    assert(at(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+    // every qualifying start counts a span (greedy minimal end per start)
+    val multi = docs((9L, "alpha beta gamma pad alpha pad beta gamma"))
+      .select(FullText.spanNearCount(FullText.analyze($"text"),
+        Seq("alpha", "beta", "gamma"), 1).as("n"))
+      .head.getLong(0)
+    assert(multi == 2L, s"expected spans at starts 0 and 4, got $multi")
+  }
+
+  test("spanNearTopK keeps only span-matching docs with phrase-as-term scores") {
+    val d = docs(
+      (1L, "alpha beta gamma end words"),
+      (2L, "alpha beta pad gamma end"),
+      (3L, "gamma beta alpha end words"))
+    val out = FullText.spanNearTopK(d, "doc_id", "text",
+      Seq("alpha", "beta", "gamma"), slop = 1)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.columns.toSeq == Seq("doc_id", "span_hits", "score"))
+    assert(rows.toSet == Set((1L, 1L), (2L, 1L)), rows.mkString(","))
+  }
+
+  test("highlightRawText wraps raw-offset tokens, preserving the original text") {
+    val out = docs((1L, "Fast, FASTER; fast-vector!"))
+      .select(FullText.highlightRawText($"text",
+        Seq("fast", "vector")).as("h"))
+      .head.getString(0)
+    assert(out == "<em>Fast</em>, FASTER; <em>fast</em>-<em>vector</em>!")
+  }
+
   test("query-term filter sits below the first exchange (postings-only shuffle)") {
     val d = docs((1L, "a b"), (2L, "c d"))
     val plan = FullText.bm25TopK(d, "doc_id", "text", Seq("b"), k = 5)

@@ -82,22 +82,74 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     // d1: "echo echo echo" = 2 overlapping occurrences; d2 has no
     // consecutive pair; d3 no match
     assert(out == Map(1L -> 2L), s"got $out")
-    // slop: in-order proximity — d2's "echo stops echo" matches
-    // ("echo","echo") at slop 1 (one intervening token), not slop 0.
-    // tf counts matching START positions: d1 starts {0,1} (start 0
-    // matches both exactly and with a gap — one start), d2 start {0}.
+    // slop, inOrder mode (span_near(in_order=true)): d2's
+    // "echo stops echo" matches ("echo","echo") at slop 1 (one
+    // intervening token), not slop 0. tf counts matching START
+    // positions: d1 starts {0,1}, d2 start {0}.
     val sloppy = FullText
-      .phraseSearchStored(spark, idx, Seq("echo", "echo"), slop = 1)
+      .phraseSearchStored(spark, idx, Seq("echo", "echo"), slop = 1,
+        inOrder = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sloppy == Map(1L -> 2L, 2L -> 1L), s"got $sloppy")
-    // in-order only: a reversed pair never matches at any slop here
+    // default sloppy mode (Lucene SloppyPhraseMatcher): repeated
+    // terms take the kernel's distinct-position rule — the greedy
+    // traversal emits ONE match per doc here (d1's exact pair at
+    // matchLength 0, d2's gapped pair at matchLength 1; the
+    // hand-traced fixtures live in HashExpressionsSpec)
+    val lucene = FullText
+      .phraseSearchStored(spark, idx, Seq("echo", "echo"), slop = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lucene == Map(1L -> 1L, 2L -> 1L), s"got $lucene")
+    // reordering: in-order mode never matches a reversed pair; the
+    // Lucene default matches it at slop >= 2 (matchLength 2)
     val docs2 = Seq((9L, "beta alpha middle words here")).toDF("doc_id", "text")
     val idx2 = java.nio.file.Files.createTempDirectory("bm25-rev")
       .toFile.getAbsolutePath
     FullText.writeTextIndex(docs2, "doc_id", "text", idx2)
     assert(FullText.phraseSearchStored(spark, idx2,
-      Seq("alpha", "beta"), slop = 3).count() == 0,
-      "sloppy matching is in-order (documented Lucene divergence)")
+      Seq("alpha", "beta"), slop = 3, inOrder = true).count() == 0,
+      "in-order mode must not match a reversed pair")
+    assert(FullText.phraseSearchStored(spark, idx2,
+      Seq("alpha", "beta"), slop = 1).count() == 0,
+      "reversed pair costs matchLength 2 — slop 1 must not match")
+    val rev = FullText.phraseSearchStored(spark, idx2,
+      Seq("alpha", "beta"), slop = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rev == Seq((9L, 1L)),
+      s"Lucene sloppy mode must match the reversed pair at slop 2: $rev")
+  }
+
+  test("stored sloppy search: m-term chains, in-order and Lucene modes") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-mterm")
+      .toFile.getAbsolutePath
+    val docs = Seq(
+      (1L, "alpha beta gamma tail words"), // exact, width 0
+      (2L, "alpha beta filler gamma tail"), // one gap before gamma
+      (3L, "alpha filler filler beta gamma"), // two gaps before beta
+      (4L, "gamma beta alpha tail words"), // fully reversed
+      (5L, "plain words only right here")).toDF("doc_id", "text")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    val phrase = Seq("alpha", "beta", "gamma")
+    def hitsAt(slop: Int, ord: Boolean) = FullText
+      .phraseSearchStored(spark, idx, phrase, slop = slop, inOrder = ord)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // in-order: d1 width 0, d2 width 1, d3 width 2; d4 never
+    assert(hitsAt(0, ord = true) == Map(1L -> 1L))
+    assert(hitsAt(1, ord = true) == Map(1L -> 1L, 2L -> 1L))
+    assert(hitsAt(2, ord = true) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // Lucene mode agrees on the ordered docs and also matches the
+    // fully reversed d4: shifted positions (2, 0, -2) span 4
+    assert(hitsAt(2, ord = false) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val withRev = hitsAt(4, ord = false)
+    assert(withRev.get(4L).contains(1L),
+      s"reversed 3-term phrase must match at slop 4: $withRev")
+    // fractional sloppy freq ranks the exact doc above the gapped one
+    val scored = FullText
+      .phraseSearchStored(spark, idx, phrase, slop = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(scored(1L) > scored(2L) && scored(2L) > scored(3L) &&
+      scored(3L) > scored(4L),
+      s"sloppy freq 1/(matchLength+1) must order by width: $scored")
   }
 
   test("positions-free writer: term search works, postings shed the column") {
