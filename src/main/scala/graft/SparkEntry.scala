@@ -217,6 +217,18 @@ object SparkEntry {
       TextQueries.wildcardSearch(s, d)),
     "q132_phrase_suggest" -> ((s: SparkSession, d: String) =>
       TextQueries.phraseSuggest(s, d)),
+    "q133_shard_plan" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.shardPlan(s, d)),
+    "q134_budget_select" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.budgetSelect(s, d)),
+    "q135_fim_transform" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.fimTransform(s, d)),
+    "q136_adjacency_matrix" -> ((s: SparkSession, d: String) =>
+      TextQueries.adjacencyMatrix(s, d)),
+    "q137_classifier_calibration" -> ((s: SparkSession, d: String) =>
+      CurationQueries.classifierCalibration(s, d)),
+    "q138_index_stats" -> ((s: SparkSession, d: String) =>
+      TextQueries.indexStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -591,6 +591,66 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** q137 — classifier calibration card (the threshold sweep every
+    * deployed quality filter ships with): q72's Naive-Bayes
+    * log-odds margin (ll_target − ll_other, prior included) swept
+    * over a fixed threshold grid, reporting tp/fp/fn and
+    * precision/recall/F1 against the true src0–src4 label at each
+    * cut — the card that picks the filter's operating point (CCNet
+    * keeps the "head" by exactly such a margin threshold). Margins
+    * stay in the q72 fixed-point domain (×2²⁴ BIGINT sums), so the
+    * threshold compare is integer-exact in both engines.
+    *
+    * Scale shape: q72's exactly (one checkpointed token frame feeds
+    * model build and probe; the model is vocabulary-sized) — plus a
+    * 9-row threshold broadcast whose per-doc expansion collapses in
+    * the map-side partial aggregation (9 counter rows per
+    * partition, not 9× the corpus in the exchange). */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fpc = 16777216d
+    val tk = Classifier.tokenFrame(
+      Tables.documentsDistributed(spark, dir), "doc_id", "text", targetCls)
+      .localCheckpoint()
+    val model = Classifier.trainNaiveBayes(tk)
+    val priors = Tables.documents(spark, dir)
+      .agg(sum(when(targetCls === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(targetCls === 0, 1L).otherwise(0L)).as("n0"))
+    val pr = priors.select(
+      round(log($"n1".cast("double") / ($"n1" + $"n0")) * fpc)
+        .cast("long").as("p1_fp"),
+      round(log($"n0".cast("double") / ($"n1" + $"n0")) * fpc)
+        .cast("long").as("p0_fp"))
+    val scored = tk.join(model, Seq("t"))
+      .groupBy($"doc_id", $"cls")
+      .agg(sum($"lnp1_fp").as("s1"), sum($"lnp0_fp").as("s0"))
+      .crossJoin(broadcast(pr))
+      .select($"cls",
+        ($"s1" + $"p1_fp" - $"s0" - $"p0_fp").as("margin_fp"))
+    val ths = Seq(-20L, -10L, -5L, -2L, 0L, 2L, 5L, 10L, 20L)
+      .toDF("thr")
+    scored.crossJoin(broadcast(ths))
+      .withColumn("pred",
+        ($"margin_fp" > $"thr" * 16777216L).cast("int"))
+      .groupBy($"thr")
+      .agg(
+        sum(when($"pred" === 1 && $"cls" === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when($"pred" === 1 && $"cls" === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when($"pred" === 0 && $"cls" === 1, 1L).otherwise(0L)).as("fn"))
+      .select($"thr", $"tp", $"fp", $"fn",
+        when($"tp" + $"fp" === 0, lit(null).cast("double"))
+          .otherwise(round($"tp".cast("double") / ($"tp" + $"fp"), 4))
+          .as("precision"),
+        when($"tp" + $"fn" === 0, lit(null).cast("double"))
+          .otherwise(round($"tp".cast("double") / ($"tp" + $"fn"), 4))
+          .as("recall"),
+        when(lit(2L) * $"tp" + $"fp" + $"fn" === 0,
+          lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * $"tp" /
+            (lit(2L) * $"tp" + $"fp" + $"fn"), 4)).as("f1"))
+      .orderBy($"thr")
+  }
+
   /** q73 — DSIR importance weights (Xie et al. 2023): hashed-bigram
     * bucket models of the target (src0–src4) and raw slices, then
     * each RAW document's log importance weight Σ ln(p_t(b)/p_r(b))
@@ -853,6 +913,53 @@ object CurationQueries {
          |  CAST(CASE WHEN s1 + p1 > s0 + p0 THEN 1 ELSE 0 END AS BIGINT)
          |    AS pred
          |FROM sc, pr ORDER BY doc_id""".stripMargin,
+    "q137_classifier_calibration" ->
+      s"""WITH $clsToksCte,
+         |tk AS (SELECT doc_id, cls, unnest(tokens) AS t FROM ctoks),
+         |m AS (SELECT t,
+         |    SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS c1,
+         |    SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS c0
+         |  FROM tk GROUP BY t),
+         |g AS (SELECT SUM(c1) AS tot1, SUM(c0) AS tot0, COUNT(*) AS v
+         |      FROM m),
+         |lm AS (SELECT t,
+         |    CAST(round(ln((c1 + 1.0) / (tot1 + v)) * 16777216.0)
+         |      AS BIGINT) AS lnp1,
+         |    CAST(round(ln((c0 + 1.0) / (tot0 + v)) * 16777216.0)
+         |      AS BIGINT) AS lnp0
+         |  FROM m, g),
+         |pr0 AS (SELECT SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS n1,
+         |        SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS n0
+         |        FROM ctoks),
+         |pr AS (SELECT
+         |    CAST(round(ln(n1::DOUBLE / (n1 + n0)) * 16777216.0)
+         |      AS BIGINT) AS p1,
+         |    CAST(round(ln(n0::DOUBLE / (n1 + n0)) * 16777216.0)
+         |      AS BIGINT) AS p0
+         |  FROM pr0),
+         |sc AS (SELECT doc_id, ANY_VALUE(cls) AS cls,
+         |    SUM(lnp1) AS s1, SUM(lnp0) AS s0
+         |  FROM tk JOIN lm USING (t) GROUP BY doc_id),
+         |mg AS (SELECT cls, s1 + p1 - s0 - p0 AS margin_fp
+         |  FROM sc, pr),
+         |th AS (SELECT unnest([-20, -10, -5, -2, 0, 2, 5, 10, 20])
+         |    AS thr),
+         |ct AS (SELECT thr,
+         |    CAST(SUM(CASE WHEN margin_fp > thr * 16777216 AND cls = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN margin_fp > thr * 16777216 AND cls = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN margin_fp <= thr * 16777216 AND cls = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM mg CROSS JOIN th GROUP BY thr)
+         |SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE round(tp::DOUBLE / (tp + fp), 4) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE round(tp::DOUBLE / (tp + fn), 4) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |    ELSE round(2.0 * tp / (2 * tp + fp + fn), 4) END AS f1
+         |FROM ct ORDER BY thr""".stripMargin,
     "q73_dsir_weights" ->
       s"""WITH $clsToksCte,
          |bg AS (SELECT doc_id, cls, unnest(

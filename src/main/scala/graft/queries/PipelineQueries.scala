@@ -803,6 +803,152 @@ object PipelineQueries {
       .orderBy($"bucket")
   }
 
+  /** q133 — training-shard plan (the write-the-training-data step
+    * every pretraining pipeline ends with): documents take a
+    * DETERMINISTIC GLOBAL SHUFFLE order (md5 of a salted id — the
+    * q54 stable-hash convention, so the order is reproducible across
+    * runs and engines, unlike `repartition`'s round-robin) and
+    * round-robin into `shards` output shards by shuffled rank —
+    * which balances BOTH doc counts (exactly) and token counts (in
+    * expectation, no source/length clustering survives the hash
+    * order). Emits the per-shard card: docs, tokens, and each
+    * shard's token balance vs the ideal 1/shards share.
+    *
+    * The scale argument is the GLOBAL RANK: a bare
+    * `row_number() OVER (ORDER BY key)` collapses the corpus into
+    * one task (the q66 anti-pattern). The rank decomposes over the
+    * md5 key's 2-hex-char PREFIX — 256 blocks whose ordering agrees
+    * with the full-key ordering (equal-length strings compare
+    * lexicographically): per-block counts (one aggregate), running
+    * block offsets (a window over 256 rows), then a window
+    * PARTITIONED by block. The oracle computes the same ranks with
+    * the plain global window — pinning the decomposition exact. */
+  def shardPlan(spark: SparkSession, dir: String,
+      shards: Int = 16): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documentsDistributed(spark, dir)
+      .select($"doc_id",
+        size(TextAnalysis.tokensOf($"text")).cast("long").as("n"))
+      .withColumn("key",
+        md5(concat(lit("shard|"), $"doc_id".cast("string"))))
+      .withColumn("blk", substring($"key", 1, 2))
+    val offsets = d.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .withColumn("boff", coalesce(
+        sum($"bc").over(Window.orderBy($"blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"blk", $"boff")
+    val tot = d.agg(sum($"n").as("t"))
+    d.join(broadcast(offsets), Seq("blk"))
+      .withColumn("rank", $"boff" + row_number().over(
+        Window.partitionBy($"blk").orderBy($"key", $"doc_id")))
+      .withColumn("shard", (($"rank" - 1L) % shards).cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select($"shard", $"n_docs", $"n_tokens",
+        round($"n_tokens".cast("double") * shards /
+          $"t".cast("double"), 4).as("tok_balance"))
+      .orderBy($"shard")
+  }
+
+  /** q134 — token-budget data selection (the "best data under a
+    * compute budget" step — DoReMi/DsDm-style quality ranking meets
+    * a fixed token budget): documents rank by a quality score
+    * (stopword ratio, the q29 surface-quality proxy — higher reads
+    * as more natural text; 4dp-rounded so both engines order
+    * identically) and are kept greedily until the budget
+    * (`budgetFrac` of corpus tokens) fills; the cut is exact — a
+    * document is kept iff the tokens BEFORE it in (quality desc,
+    * doc_id) order are under budget. Emits the per-source
+    * accounting: what the selection did to the mixture.
+    *
+    * Scale shape: the greedy cut is a GLOBAL cumulative sum in
+    * quality order — decomposed like q66/q133, with the 4dp
+    * fixed-point quality VALUE as the block key: per-value totals
+    * (≤ 10⁴ rows), running offsets over that tiny frame, within-value
+    * window partitioned by value. No global single-task sort; the
+    * corpus pays one scan + one value-keyed window. */
+  def budgetSelect(spark: SparkSession, dir: String,
+      budgetFrac: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val enStops = TextAnalysis.stopwords.toMap.apply("en")
+    val d = Tables.documentsDistributed(spark, dir)
+      .withColumn("toks", TextAnalysis.tokensOf($"text"))
+      .select($"doc_id", $"source",
+        size($"toks").cast("long").as("n"),
+        round(TextAnalysis.stopwordHits($"toks", enStops).cast("double") /
+          size($"toks").cast("double"), 4).as("q"))
+      .filter($"n" > 0)
+      .withColumn("qfp", round($"q" * 10000).cast("long"))
+    val offsets = d.groupBy($"qfp").agg(sum($"n").as("bt"))
+      .withColumn("boff", coalesce(
+        sum($"bt").over(Window.orderBy($"qfp".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"qfp", $"boff")
+    val tot = d.agg(sum($"n").as("t"))
+    d.join(broadcast(offsets), Seq("qfp"))
+      .withColumn("cum_before", $"boff" + coalesce(
+        sum($"n").over(Window.partitionBy($"qfp").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("keep", $"cum_before" <
+        floor($"t".cast("double") * budgetFrac).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").as("n_tokens"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"keep", $"n").otherwise(0L)).as("kept_tokens"))
+      .orderBy($"source")
+  }
+
+  /** q135 — fill-in-the-middle transform (Bavarian et al. 2022, the
+    * FIM objective of code models): a stable 50% of documents (md5
+    * coin, the q54 convention) split their token stream at two
+    * hash-derived points a ≤ b and re-serialize as PSM
+    * (`<PRE> P <SUF> S <MID> M` — suffix moved before middle so the
+    * model learns to infill) or SPM (`<SUF> S <PRE> P <MID> M`),
+    * mode chosen by a third hash bit — all three draws deterministic
+    * per document, rerun- and engine-identical (no rand()).
+    * Untransformed docs serialize unchanged. Emits per-doc
+    * accounting (mode, split points, segment sizes) and the md5
+    * digest of the serialized stream — the content pin.
+    *
+    * Scale shape: pure scan-rider — per-row hashes, slices and one
+    * digest; no shuffle anywhere (the final orderBy is the oracle
+    * gate's determinism, not the deployment shape — a deployment
+    * writes the transformed stream straight to its shards). */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documentsDistributed(spark, dir)
+      .withColumn("toks", TextAnalysis.tokensOf($"text"))
+      .withColumn("n", size($"toks").cast("long"))
+      .withColumn("fim",
+        Sampling.stableBucket($"doc_id", "fim", 2) === 0L)
+      .withColumn("a",
+        Sampling.stableBucket($"doc_id", "fimA", ($"n" + 1L).cast("int")))
+      .withColumn("b", $"a" +
+        Sampling.stableBucket($"doc_id", "fimB",
+          ($"n" - $"a" + 1L).cast("int")))
+      .withColumn("spm",
+        Sampling.stableBucket($"doc_id", "fimM", 2) === 0L)
+    val pre = slice($"toks", lit(1), $"a".cast("int"))
+    val mid = slice($"toks", ($"a" + 1L).cast("int"), ($"b" - $"a").cast("int"))
+    val suf = slice($"toks", ($"b" + 1L).cast("int"), ($"n" - $"b").cast("int"))
+    val psmStream = concat(array(lit("<PRE>")), pre,
+      array(lit("<SUF>")), suf, array(lit("<MID>")), mid)
+    val spmStream = concat(array(lit("<SUF>")), suf,
+      array(lit("<PRE>")), pre, array(lit("<MID>")), mid)
+    d.select($"doc_id", $"n".as("n_tokens"),
+      when($"fim", when($"spm", "spm").otherwise("psm"))
+        .otherwise("none").as("mode"),
+      when($"fim", $"a").as("a"),
+      when($"fim", $"b").as("b"),
+      md5(array_join(
+        when($"fim", when($"spm", spmStream).otherwise(psmStream))
+          .otherwise($"toks"), " ")).as("digest"))
+      .orderBy($"doc_id")
+  }
+
   /** q93 — weighted sampling without replacement (Efraimidis &
     * Spirakis 2006), the deterministic form: each document draws a
     * stable uniform u ∈ (0,1) from its md5 (the q54 bucket construction
@@ -948,6 +1094,83 @@ object PipelineQueries {
         |  CAST(SUM(nt) AS BIGINT) AS new_tokens,
         |  CAST(SUM(nt) - SUM(ot) AS BIGINT) AS token_delta
         |FROM c GROUP BY status ORDER BY status""".stripMargin,
+    // q133: plain global row_number in the oracle pins the
+    // prefix-block rank decomposition exact
+    "q133_shard_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> length(t) > 0)) AS BIGINT) AS n,
+        |  md5('shard|' || doc_id::VARCHAR) AS key
+        | FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rk
+        |  FROM d),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM d)
+        |SELECT (rk - 1) % 16 AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  round(SUM(n)::DOUBLE * 16 / t.t, 4) AS tok_balance
+        |FROM r CROSS JOIN t GROUP BY 1, t.t ORDER BY shard""".stripMargin,
+    // q134: plain global cumulative window in the oracle pins the
+    // quality-value block decomposition exact
+    "q134_budget_select" ->
+      """WITH d0 AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(text, '\s+'),
+        |    t -> length(t) > 0) AS tokens
+        | FROM documents),
+        |d AS (SELECT doc_id, source,
+        |  CAST(len(tokens) AS BIGINT) AS n,
+        |  CAST(round(round(len(list_filter(tokens,
+        |      t -> t IN ('the','a','of','and','is','not','to','in')))::DOUBLE
+        |    / len(tokens), 4) * 10000) AS BIGINT) AS qfp
+        | FROM d0 WHERE len(tokens) > 0),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM d),
+        |c AS (SELECT *, COALESCE(SUM(n) OVER (
+        |    ORDER BY qfp DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS cum_before FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cum_before <
+        |      CAST(floor(t.t::DOUBLE * 0.25) AS BIGINT)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN cum_before <
+        |      CAST(floor(t.t::DOUBLE * 0.25) AS BIGINT)
+        |    THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM c CROSS JOIN t GROUP BY source, t.t
+        |ORDER BY source""".stripMargin,
+    "q135_fim_transform" ->
+      """WITH d0 AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'),
+        |    t -> length(t) > 0) AS toks
+        | FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |  (CAST(('0x' || substr(md5('fim|' || doc_id::VARCHAR), 1, 8))
+        |    AS BIGINT) % 2) = 0 AS fim,
+        |  CAST(('0x' || substr(md5('fimA|' || doc_id::VARCHAR), 1, 8))
+        |    AS BIGINT) % (len(toks) + 1) AS a0,
+        |  (CAST(('0x' || substr(md5('fimM|' || doc_id::VARCHAR), 1, 8))
+        |    AS BIGINT) % 2) = 0 AS spm
+        | FROM d0),
+        |e AS (SELECT *, a0 +
+        |    CAST(('0x' || substr(md5('fimB|' || doc_id::VARCHAR), 1, 8))
+        |      AS BIGINT) % (n - a0 + 1) AS b0
+        |  FROM d),
+        |s AS (SELECT doc_id, n, fim, spm, a0 AS a, b0 AS b,
+        |    toks[1:a0] AS pre, toks[a0+1:b0] AS mid,
+        |    toks[b0+1:n] AS suf, toks
+        |  FROM e)
+        |SELECT doc_id, n AS n_tokens,
+        |  CASE WHEN fim THEN (CASE WHEN spm THEN 'spm' ELSE 'psm' END)
+        |    ELSE 'none' END AS mode,
+        |  CASE WHEN fim THEN a END AS a,
+        |  CASE WHEN fim THEN b END AS b,
+        |  md5(array_to_string(CASE WHEN fim THEN
+        |      (CASE WHEN spm THEN
+        |        ['<SUF>'] || suf || ['<PRE>'] || pre || ['<MID>'] || mid
+        |       ELSE
+        |        ['<PRE>'] || pre || ['<SUF>'] || suf || ['<MID>'] || mid
+        |       END)
+        |    ELSE toks END, ' ')) AS digest
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q93_weighted_sample" ->
       """WITH d AS (SELECT doc_id, source,
         |  (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4) + 1

@@ -1010,6 +1010,75 @@ object TextQueries {
       .limit(n)
   }
 
+  /** q136 — adjacency matrix (the ES `adjacency_matrix` aggregation:
+    * doc counts for each filter and each pairwise intersection — the
+    * co-occurrence card behind entity-relationship graphs): three
+    * term filters (the q51 query terms) produce keys `a`, `b`, `c`
+    * and `a&b`-style intersections; empty buckets are omitted, as ES
+    * does.
+    *
+    * Scale shape: ONE corpus scan computes the three membership
+    * flags per row (array_contains scan-riders); each doc emits only
+    * its satisfied keys (≤ 6) through one explode; the aggregation
+    * shuffle carries ≤ 6 rows per matching doc, keyed by a 6-value
+    * domain. No joins, no second pass. */
+  def adjacencyMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = bm25QueryTerms
+    Tables.documents(spark, dir)
+      .select(FullText.analyze($"text").as("toks"))
+      .select(
+        array_contains($"toks", t(0)).as("fa"),
+        array_contains($"toks", t(1)).as("fb"),
+        array_contains($"toks", t(2)).as("fc"))
+      .select(explode(filter(array(
+        when($"fa", t(0)), when($"fb", t(1)), when($"fc", t(2)),
+        when($"fa" && $"fb", t(0) + "&" + t(1)),
+        when($"fa" && $"fc", t(0) + "&" + t(2)),
+        when($"fb" && $"fc", t(1) + "&" + t(2))),
+        x => x.isNotNull)).as("key"))
+      .groupBy($"key").agg(count(lit(1)).as("doc_count"))
+      .orderBy($"key")
+  }
+
+  /** q138 — index statistics card (the `_cat/indices` + `_stats`
+    * observability face, per source: what an operator reads before
+    * touching an index): per-source document count, analyzed token
+    * volume, vocabulary size (distinct terms — the term dictionary's
+    * cardinality), postings rows (distinct (doc, term) — the stored
+    * index's dominant artifact, what [[graft.ops.FullText.writeTextIndex]]
+    * materializes), average analyzed doclen, and the tokens-per-
+    * posting ratio (average tf — how compressible the postings are).
+    *
+    * Scale shape: one analyzer pass → one (source, doc, term)
+    * aggregation (the postings shuffle a real index build pays
+    * anyway), then a |sources|-row rollup; vocabulary cardinality
+    * via count_distinct inside the same rollup. */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        explode_outer(FullText.analyze($"text")).as("term"))
+      .filter($"term".isNotNull)
+      .groupBy($"source", $"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val perDoc = tf.groupBy($"source", $"doc_id")
+      .agg(sum($"tf").as("doclen"), count(lit(1)).as("n_postings"))
+    val vocab = tf.groupBy($"source")
+      .agg(count_distinct($"term").as("vocab_terms"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doclen").as("n_tokens"),
+        sum($"n_postings").as("n_postings"))
+      .join(vocab, Seq("source"))
+      .select($"source", $"n_docs", $"n_tokens", $"vocab_terms",
+        $"n_postings",
+        round($"n_tokens".cast("double") / $"n_docs", 4).as("avgdl"),
+        round($"n_tokens".cast("double") / $"n_postings", 4)
+          .as("avg_tf"))
+      .orderBy($"source")
+  }
+
   /** q100 — more-like-this (the ES `more_like_this` query shape):
     * pick the seed document's most characteristic terms — tf in the
     * seed × the corpus BM25 idf, top `nTerms` (weight desc, term asc)
@@ -2108,6 +2177,55 @@ object TextQueries {
         |        THEN '<em>' || rtoks[i] || '</em>' ELSE rtoks[i] END), '')
         |    || seps[len(rtoks) + 1] AS highlighted
         |FROM parts ORDER BY score DESC, doc_id""".stripMargin,
+    "q138_index_stats" ->
+      """WITH lens AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |tf AS (SELECT source, doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT source, doc_id, unnest(toks) AS term FROM lens)
+        |  GROUP BY source, doc_id, term),
+        |pd AS (SELECT source, doc_id, CAST(SUM(tf) AS BIGINT) AS doclen,
+        |    COUNT(*) AS n_postings
+        |  FROM tf GROUP BY source, doc_id),
+        |vc AS (SELECT source, COUNT(DISTINCT term) AS vocab_terms
+        |  FROM tf GROUP BY source)
+        |SELECT pd.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(doclen) AS BIGINT) AS n_tokens,
+        |  ANY_VALUE(vc.vocab_terms) AS vocab_terms,
+        |  CAST(SUM(n_postings) AS BIGINT) AS n_postings,
+        |  round(SUM(doclen)::DOUBLE / COUNT(*), 4) AS avgdl,
+        |  round(SUM(doclen)::DOUBLE / SUM(n_postings), 4) AS avg_tf
+        |FROM pd JOIN vc ON vc.source = pd.source
+        |GROUP BY pd.source ORDER BY pd.source""".stripMargin,
+    "q136_adjacency_matrix" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |f AS (SELECT list_contains(toks, 'fast') AS fa,
+        |    list_contains(toks, 'vector') AS fb,
+        |    list_contains(toks, 'query') AS fc
+        |  FROM lens),
+        |k AS (
+        |  SELECT 'fast' AS key FROM f WHERE fa
+        |  UNION ALL SELECT 'vector' FROM f WHERE fb
+        |  UNION ALL SELECT 'query' FROM f WHERE fc
+        |  UNION ALL SELECT 'fast&vector' FROM f WHERE fa AND fb
+        |  UNION ALL SELECT 'fast&query' FROM f WHERE fa AND fc
+        |  UNION ALL SELECT 'vector&query' FROM f WHERE fb AND fc)
+        |SELECT key, COUNT(*) AS doc_count FROM k
+        |GROUP BY key ORDER BY key""".stripMargin,
     "q131_wildcard_query" ->
       """WITH lens AS (
         |  SELECT doc_id,
