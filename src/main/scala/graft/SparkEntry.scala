@@ -229,6 +229,8 @@ object SparkEntry {
       CurationQueries.classifierCalibration(s, d)),
     "q138_index_stats" -> ((s: SparkSession, d: String) =>
       TextQueries.indexStats(s, d)),
+    "q139_score_explain" -> ((s: SparkSession, d: String) =>
+      TextQueries.scoreExplain(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

