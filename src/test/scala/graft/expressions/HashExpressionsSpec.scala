@@ -345,6 +345,44 @@ class HashExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("sloppyPhraseStats properties: slop-independent traversal on random lists") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    // The greedy traversal's alignment sequence does not depend on
+    // slop — slop only gates emission — so on ANY input: matches and
+    // freq are monotone nondecreasing in slop, freq ≤ matches, and a
+    // large-enough slop (≥ global span) admits at least one match.
+    val listsGen = for {
+      m <- Gen.chooseNum(2, 4)
+      ls <- Gen.listOfN(m, Gen.nonEmptyListOf(Gen.chooseNum(-8, 24))
+        .map(_.distinct.sorted))
+    } yield ls.map(_.toSeq).toSeq
+    val cases = (0 until 60).flatMap(i =>
+      listsGen(Gen.Parameters.default, rng.Seed(1000L + i)))
+    val df = cases.zipWithIndex.map { case (ls, i) => (i, ls) }
+      .toDF("i", "p")
+    val slops = Seq(0, 1, 2, 4, 8, 64)
+    val cols = slops.map(s =>
+      graft.expressions.TextHashes.sloppyPhraseStats($"p", s).as(s"s$s"))
+    df.select(cols: _*).collect().foreach { r =>
+      val stats = slops.indices.map(j => r.getSeq[Double](j))
+      stats.foreach { case Seq(freq, matches) =>
+        assert(freq >= 0 && matches >= 0 && freq <= matches + 1e-9)
+      }
+      stats.sliding(2).foreach { case Seq(a, b) =>
+        assert(a(1) <= b(1), s"matches must be monotone in slop: $stats")
+        assert(a(0) <= b(0) + 1e-12, s"freq must be monotone in slop: $stats")
+      }
+      // span of the initial placements never exceeds 32+4 here, so
+      // slop 64 always emits (non-empty collision-free init exists:
+      // lists are distinct-sorted but same-docpos collisions can
+      // exhaust a slot — allow the documented zero there)
+      val Seq(f64, m64) = stats.last
+      assert(m64 >= stats.head(1), "widest slop admits the most")
+      assert(f64 >= 0 && m64 >= 0)
+    }
+  }
+
   test("SQL registration surface evaluates") {
     graft.Functions.register(spark)
     import spark.implicits._
