@@ -447,6 +447,24 @@ object Streams {
     graft.queries.PipelineQueries.chunkFrame(
       docs, idCol, textCol, window, stride)
 
+  /** Streaming shard assignment — the ingest face of q133's
+    * training-shard writer: every arriving document takes its shard
+    * from the STABLE md5 bucket (Sampling.stableBucket, the q54
+    * convention), so assignment is a pure stateless per-row map —
+    * replay-identical under at-least-once delivery, independent of
+    * batch boundaries, and append-only into `partitionBy("shard")`
+    * sinks. The deliberate divergence from the BATCH plan
+    * (q133 round-robins by global shuffled RANK for exact doc
+    * balance): a rank shifts with every arrival and cannot be
+    * assigned statelessly on a stream; the hash bucket is the
+    * replay-stable deployment answer, balanced in expectation
+    * (StreamsSpec pins stream ≡ batch-hash assignment and replay
+    * stability). */
+  def shardStream(docs: DataFrame, idCol: String,
+      shards: Int = 16): DataFrame =
+    docs.withColumn("shard",
+      graft.ops.Sampling.stableBucket(col(idCol), "shard", shards))
+
   /** Streaming bigram-LM scoring — the deployment shape of the
     * q61/q62 filter: the model is TRAINED in batch (LangModel.train,
     * pruned by minCount so it is literal-sized — LangModel.modelMap),

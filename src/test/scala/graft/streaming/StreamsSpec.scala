@@ -466,6 +466,34 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.keys.count(_._1 == 1L) == 3, "90 tokens → 3 chunks")
   }
 
+  test("shardStream: stateless stable assignment, replay- and batch-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(i => (i, s"doc $i body"))
+    val src = MemoryStream[(Long, String)]
+    val out = Streams.shardStream(
+      src.toDF().toDF("doc_id", "text"), "doc_id")
+    runBatches(out, "shardstream") {
+      src.addData(rows.take(25): _*)
+      // at-least-once replay: rows 20-25 arrive again with the tail
+      src.addData(rows.drop(19): _*)
+    }
+    val streamed = spark.table("shardstream")
+      .select($"doc_id", $"shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // replayed ids get the SAME shard every time (groupBy → one value)
+    val perDoc = streamed.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(perDoc.values.forall(_.size == 1),
+      "replayed rows must assign identically")
+    // and the assignment is exactly the batch-side stable bucket
+    val batch = rows.toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.Sampling
+        .stableBucket($"doc_id", "shard", 16).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.toMap.map { case (k, v) => k -> v.head } == batch,
+      "stream ≡ batch hash assignment")
+  }
+
   test("decontaminateStream flags gram overlap against batch-derived set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
