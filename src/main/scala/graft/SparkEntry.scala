@@ -231,6 +231,10 @@ object SparkEntry {
       TextQueries.indexStats(s, d)),
     "q139_score_explain" -> ((s: SparkSession, d: String) =>
       TextQueries.scoreExplain(s, d)),
+    "q140_min_should_match" -> ((s: SparkSession, d: String) =>
+      TextQueries.minShouldMatch(s, d)),
+    "q141_boosting_query" -> ((s: SparkSession, d: String) =>
+      TextQueries.boostingSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -21,8 +21,27 @@ object KernelRegistry {
       None)
   }
 
+  /** String parameters (the highlight term list) follow the same
+    * literal discipline as [[intArg]]. */
+  private def strArg(e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      "INVALID_PARAMETER_VALUE.INTEGER",
+      Map("parameter" -> "s", "functionName" -> "graft kernel function",
+        "invalidValue" -> other.sql),
+      None)
+  }
+
   /** (name, usage, builder) for every kernel expression. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("sloppy_phrase_stats",
+      "_FUNC_(posLists, slop) - [sloppy freq, matches] over shifted position lists",
+      exprs => SloppyPhraseStats(exprs(0), intArg(exprs(1)))),
+    ("highlight_raw",
+      "_FUNC_(text, csvTerms) - <em> wrapping at raw character offsets",
+      exprs => HighlightRawTerms(exprs(0),
+        strArg(exprs(1)).split(",").toSeq)),
     ("float_vector_dot", "_FUNC_(a, b) - dot product of float vectors",
       exprs => FloatVectorDot(exprs(0), exprs(1))),
     ("whitespace_tokens", "_FUNC_(text) - lowercased tokens",

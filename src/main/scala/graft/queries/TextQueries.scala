@@ -1128,6 +1128,103 @@ object TextQueries {
       .orderBy($"term")
   }
 
+  /** The fourth query term for q140/q141: the corpus's most frequent
+    * analyzed term OUTSIDE the q51 set — derived identically in the
+    * oracles (count desc, term asc), a bounded 1-row driver artifact
+    * (the q98 convention). */
+  private def fourthTerm(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode_outer(FullText.analyze($"text")).as("t"))
+      .filter($"t".isNotNull && !$"t".isInCollection(bm25QueryTerms))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t".asc).limit(1)
+      .head().getString(0)
+  }
+
+  /** q140 — `minimum_should_match` (the ES `match` parameter every
+    * relevance tuning guide reaches for first: OR recall with an AND
+    * floor): four query terms (q51's three + the top outside term),
+    * `"75%"` → a document must match ≥ ⌈0.75·4⌉ = 3 DISTINCT terms
+    * to qualify; qualifying docs score standard BM25 over their
+    * matched terms. Emits the matched-term count beside the score.
+    *
+    * Scale shape: q51's postings-only plan; the distinct-term count
+    * is a second aggregate of the SAME tf frame (one row per
+    * (doc, term) — counting rows IS counting distinct terms), the
+    * coverage gate a HAVING on it; no extra corpus pass. */
+  def minShouldMatch(spark: SparkSession, dir: String,
+      msmFrac: Double = 0.75, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val terms = bm25QueryTerms :+ fourthTerm(spark, dir)
+    val need = math.ceil(msmFrac * terms.size).toInt
+    val analyzed = Tables.documents(spark, dir)
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .withColumn("doclen", size($"toks"))
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val tf = analyzed
+      .select($"doc_id", $"doclen", explode_outer($"toks").as("term"))
+      .where($"term".isInCollection(terms))
+      .groupBy($"doc_id", $"doclen", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      Window.partitionBy($"term")).cast("double"))
+    val normLen = $"tf" +
+      lit(k1) * (lit(1.0 - b) + lit(b) * $"doclen" / $"avgdl")
+    val idf = log(lit(1.0) +
+      ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    withDf.crossJoin(broadcast(stats))
+      .withColumn("ts", idf * $"tf" * lit(k1 + 1.0) / normLen)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matched"), round(sum($"ts"), 4).as("score"))
+      .filter($"n_matched" >= need)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
+  /** q141 — `boosting` query (the ES demotion-without-exclusion
+    * compound: results matching the negative clause stay in the set
+    * but their score multiplies by `negative_boost` — the "prefer
+    * docs NOT about X" shape `must_not` is too blunt for): positive
+    * = q51's term match over the FULL matching set (truncating first
+    * would rank the wrong docs — the q107 re-rank discipline),
+    * negative = containing "vector" — one of the positive terms,
+    * the canonical ES example shape ("apple fruit, not apple
+    * computer": demote a sense, keep the recall) — so demoted and
+    * undemoted docs verifiably interleave in the page; final =
+    * round(score × (negative? 0.5 : 1)).
+    *
+    * Scale shape: q51's postings-only scoring without the limit; the
+    * negative set is one array_contains scan projected to ids
+    * (term-df-bounded), left-joined (AQE-broadcast at real
+    * selectivities); TakeOrdered tail. */
+  def boostingSearch(spark: SparkSession, dir: String,
+      negBoost: Double = 0.5, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val neg = bm25QueryTerms(1)
+    val docs = Tables.documents(spark, dir)
+    val analyzed = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .withColumn("doclen", size($"toks"))
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val postings = analyzed.select($"doc_id", $"doclen",
+      explode_outer($"toks").as("term"))
+    val negDocs = analyzed
+      .filter(array_contains($"toks", neg))
+      .select($"doc_id", lit(1).as("is_neg"))
+    FullText.bm25ScoresFromPostings(postings, stats, bm25QueryTerms)
+      .join(negDocs, Seq("doc_id"), "left")
+      .select($"doc_id", $"score".as("score_positive"),
+        coalesce($"is_neg", lit(0)).cast("long").as("negative_match"),
+        round($"score" * when($"is_neg".isNotNull, negBoost)
+          .otherwise(1.0), 4).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** q100 — more-like-this (the ES `more_like_this` query shape):
     * pick the seed document's most characteristic terms — tf in the
     * seed × the corpus BM25 idf, top `nTerms` (weight desc, term asc)
@@ -2226,6 +2323,69 @@ object TextQueries {
         |        THEN '<em>' || rtoks[i] || '</em>' ELSE rtoks[i] END), '')
         |    || seps[len(rtoks) + 1] AS highlighted
         |FROM parts ORDER BY score DESC, doc_id""".stripMargin,
+    "q140_min_should_match" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |fourth AS (SELECT t FROM (
+        |    SELECT unnest(toks) AS t FROM sized)
+        |  WHERE t NOT IN ('fast','vector','query')
+        |  GROUP BY t ORDER BY COUNT(*) DESC, t ASC LIMIT 1),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  CROSS JOIN fourth
+        |  WHERE term IN ('fast','vector','query') OR term = t
+        |  GROUP BY doc_id, doclen, term),
+        |withdf AS (
+        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf)
+        |SELECT doc_id, COUNT(*) AS n_matched, round(SUM(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+        |FROM withdf CROSS JOIN stats
+        |GROUP BY doc_id HAVING COUNT(*) >= 3
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q141_boosting_query" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  WHERE term IN ('fast','vector','query')
+        |  GROUP BY doc_id, doclen, term),
+        |withdf AS (
+        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf),
+        |pos AS (SELECT doc_id, round(SUM(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+        |  FROM withdf CROSS JOIN stats GROUP BY doc_id),
+        |neg AS (SELECT doc_id, 1 AS is_neg FROM sized
+        |  WHERE list_contains(toks, 'vector'))
+        |SELECT p.doc_id, p.score AS score_positive,
+        |  CAST(COALESCE(n.is_neg, 0) AS BIGINT) AS negative_match,
+        |  round(p.score * CASE WHEN n.is_neg IS NOT NULL
+        |    THEN 0.5 ELSE 1.0 END, 4) AS score
+        |FROM pos p LEFT JOIN neg n ON n.doc_id = p.doc_id
+        |ORDER BY score DESC, p.doc_id LIMIT 50""".stripMargin,
     "q139_score_explain" ->
       """WITH lens AS (
         |  SELECT doc_id,

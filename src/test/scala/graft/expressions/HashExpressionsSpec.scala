@@ -392,11 +392,15 @@ class HashExpressionsSpec extends SparkSpecBase {
       """SELECT minhash_signature(token_shingles(whitespace_tokens(text), 3), 16) AS sig,
         |  minhash_bands(token_shingles(whitespace_tokens(text), 3), 16, 4) AS bands,
         |  simhash32(whitespace_tokens(text)) AS sh,
-        |  winnow_min(kgram_md5(whitespace_tokens(text), 4), 5) AS wm
+        |  winnow_min(kgram_md5(whitespace_tokens(text), 4), 5) AS wm,
+        |  highlight_raw(text, 'b,d') AS hl,
+        |  sloppy_phrase_stats(array(array(0, 5), array(0, 5)), 0) AS sp
         |FROM hk_docs""".stripMargin).head
     assert(r.getSeq[String](0).size == 16)
     assert(r.getSeq[String](1).size == 4)
     assert(!r.isNullAt(2))
     assert(r.getSeq[String](3).nonEmpty)
+    assert(r.getString(4) == "a <em>b</em> c <em>d</em> e f")
+    assert(r.getSeq[Double](5) == Seq(2.0, 2.0))
   }
 }
