@@ -235,6 +235,10 @@ object SparkEntry {
       TextQueries.minShouldMatch(s, d)),
     "q141_boosting_query" -> ((s: SparkSession, d: String) =>
       TextQueries.boostingSearch(s, d)),
+    "q142_msearch" -> ((s: SparkSession, d: String) =>
+      TextQueries.msearch(s, d)),
+    "q143_percolate" -> ((s: SparkSession, d: String) =>
+      TextQueries.percolate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1225,6 +1225,119 @@ object TextQueries {
       .limit(k)
   }
 
+  /** q142 — msearch (the ES `_msearch` bulk-search endpoint: N
+    * queries answered in ONE request — and here in ONE corpus pass,
+    * the q114 batched-kNN discipline for the lexical side): eight
+    * two-term queries (the top eight analyzed bigrams' word pairs,
+    * derived count desc / bigram asc — bounded driver artifact),
+    * scored per query with shared corpus statistics (df/stats are
+    * per-TERM facts, computed once for the union of all queries'
+    * terms), top `k` hits per query.
+    *
+    * Scale shape: the postings filter carries the UNION of all
+    * queries' terms — one corpus pass regardless of N; the (qid,
+    * term) table is a broadcast; df is the one term-window over the
+    * shared tf frame; per-query ranking is a window PARTITIONED by
+    * qid over per-query candidate rows (no hot global sort). N
+    * separate q51 runs would pay N corpus passes. */
+  def msearch(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val analyzed = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .withColumn("doclen", size($"toks"))
+    val bigrams = analyzed
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(nQueries)
+      .collect().map(_.getString(0))
+    val qframe = bigrams.zipWithIndex.flatMap { case (bg, i) =>
+      bg.split(" ").distinct.map(t => (i.toLong, t))
+    }.toSeq.toDF("qid", "term")
+    val allTerms = bigrams.flatMap(_.split(" ")).distinct.toSeq
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val tf = analyzed
+      .select($"doc_id", $"doclen", explode_outer($"toks").as("term"))
+      .where($"term".isInCollection(allTerms))
+      .groupBy($"doc_id", $"doclen", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      win.partitionBy($"term")).cast("double"))
+    val normLen = $"tf" +
+      lit(k1) * (lit(1.0 - b) + lit(b) * $"doclen" / $"avgdl")
+    val idf = log(lit(1.0) +
+      ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    withDf.crossJoin(broadcast(stats))
+      .withColumn("ts", idf * $"tf" * lit(k1 + 1.0) / normLen)
+      .join(broadcast(qframe), Seq("term"))
+      .groupBy($"qid", $"doc_id")
+      .agg(round(sum($"ts"), 4).as("score"))
+      .withColumn("rank", row_number().over(
+        win.partitionBy($"qid").orderBy($"score".desc, $"doc_id"))
+        .cast("long"))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"doc_id", $"score")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** q143 — percolation (the ES `percolate` query, reversed search:
+    * STORED queries match arriving documents — the alerting/saved-
+    * search architecture): six stored queries (the top six bigrams'
+    * word pairs, AND semantics — a doc matches iff it contains
+    * EVERY term of the query), each reporting how many corpus
+    * documents it matches and its first three matches (the alert
+    * payload).
+    *
+    * Scale shape: the stored-query table is a broadcast (deployments
+    * hold thousands of saved searches — still broadcast-scale);
+    * documents pay ONE distinct-(doc, term) pass filtered to the
+    * union of stored-query terms; AND coverage is a count-distinct
+    * against each query's term count (the q123 must-coverage
+    * discipline, N queries at once). Per-query outputs aggregate to
+    * |queries| rows. */
+  def percolate(spark: SparkSession, dir: String,
+      nQueries: Int = 6): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val analyzed = docs
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+    val bigrams = analyzed
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(nQueries)
+      .collect().map(_.getString(0))
+    val qrows = bigrams.zipWithIndex.flatMap { case (bg, i) =>
+      bg.split(" ").distinct.map(t => (i.toLong, bg, t))
+    }.toSeq
+    val qframe = qrows.toDF("qid", "query", "term")
+    val qsize = qrows.groupBy(_._1).view.mapValues(_.size).toMap
+    val need = typedLit(qsize.map { case (k, v) => k -> v.toLong })
+    val allTerms = qrows.map(_._3).distinct
+    val matches = analyzed
+      .select($"doc_id", explode_outer($"toks").as("term"))
+      .where($"term".isInCollection(allTerms))
+      .distinct()
+      .join(broadcast(qframe), Seq("term"))
+      .groupBy($"qid", $"query", $"doc_id")
+      .agg(count(lit(1)).as("hit"))
+      .filter($"hit" === element_at(need, $"qid"))
+    matches
+      .groupBy($"qid", $"query")
+      .agg(count(lit(1)).as("n_matched_docs"),
+        slice(sort_array(collect_list($"doc_id")), 1, 3)
+          .as("first_matches"))
+      .orderBy($"qid")
+  }
+
   /** q100 — more-like-this (the ES `more_like_this` query shape):
     * pick the seed document's most characteristic terms — tf in the
     * seed × the corpus BM25 idf, top `nTerms` (weight desc, term asc)
@@ -2323,6 +2436,77 @@ object TextQueries {
         |        THEN '<em>' || rtoks[i] || '</em>' ELSE rtoks[i] END), '')
         |    || seps[len(rtoks) + 1] AS highlighted
         |FROM parts ORDER BY score DESC, doc_id""".stripMargin,
+    "q142_msearch" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |bgc AS (SELECT bg, COUNT(*) AS c FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM sized WHERE doclen >= 2) GROUP BY bg),
+        |topq AS (SELECT bg,
+        |    row_number() OVER (ORDER BY c DESC, bg ASC) - 1 AS qid
+        |  FROM bgc ORDER BY c DESC, bg ASC LIMIT 8),
+        |qf AS (SELECT DISTINCT qid, term FROM (
+        |    SELECT qid, unnest([split_part(bg, ' ', 1),
+        |      split_part(bg, ' ', 2)]) AS term FROM topq)),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  WHERE term IN (SELECT term FROM qf)
+        |  GROUP BY doc_id, doclen, term),
+        |withdf AS (
+        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf),
+        |sc AS (SELECT q.qid, w.doc_id, round(SUM(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+        |  FROM withdf w JOIN qf q USING (term) CROSS JOIN stats
+        |  GROUP BY q.qid, w.doc_id),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q143_percolate" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |bgc AS (SELECT bg, COUNT(*) AS c FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM lens WHERE len(toks) >= 2) GROUP BY bg),
+        |topq AS (SELECT bg,
+        |    row_number() OVER (ORDER BY c DESC, bg ASC) - 1 AS qid
+        |  FROM bgc ORDER BY c DESC, bg ASC LIMIT 6),
+        |qf AS (SELECT DISTINCT qid, query, term FROM (
+        |    SELECT qid, bg AS query, unnest([split_part(bg, ' ', 1),
+        |      split_part(bg, ' ', 2)]) AS term FROM topq)),
+        |need AS (SELECT qid, COUNT(*) AS need FROM qf GROUP BY qid),
+        |dt AS (SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM lens)
+        |  WHERE term IN (SELECT term FROM qf)),
+        |m AS (SELECT f.qid, f.query, d.doc_id, COUNT(*) AS hit
+        |  FROM dt d JOIN qf f USING (term) GROUP BY 1, 2, 3),
+        |mm AS (SELECT m.qid, m.query, m.doc_id FROM m
+        |  JOIN need n ON n.qid = m.qid AND m.hit = n.need)
+        |SELECT qid, query, COUNT(*) AS n_matched_docs,
+        |  (list_sort(list(doc_id)))[1:3] AS first_matches
+        |FROM mm GROUP BY qid, query ORDER BY qid""".stripMargin,
     "q140_min_should_match" ->
       """WITH lens AS (
         |  SELECT doc_id,
