@@ -457,6 +457,125 @@ object FullText {
       .limit(k)
   }
 
+  /** Fuzzy search over a STORED index — q99's promised deployment
+    * face: the expansion runs against the index's TERM DICTIONARY
+    * artifact (no corpus vocabulary pass — the dictionary IS the
+    * vocabulary, with df attached), then the postings scan
+    * bucket-prunes to the expanded terms' files. Scoring is
+    * [[bm25FuzzyTopK]]'s exactly: Lucene FuzzyQuery boost
+    * 1 − ed/min(|term|, |qterm|), best boost per expanded term,
+    * boosted BM25 summed per doc (TextIndexLayoutSpec pins frame
+    * equality with the self-contained operator).
+    *
+    * Scale shape: |queryTerms| × |dictionary| cheap edit checks on a
+    * Heaps-law-sized artifact; the expanded (term, boost, df) frame
+    * is query-sized and BROADCASTS into the bucket-pruned postings
+    * join; stats 1-row. The corpus is never scanned. */
+  def fuzzySearchStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryTerms: Seq[String], k: Int = 20,
+      maxEdits: Int = 1, buckets: Int = 16,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val dict = spark.read.parquet(s"$indexDir/df")
+    val q = spark.createDataFrame(queryTerms.map(Tuple1(_))).toDF("qterm")
+    val expanded = dict.crossJoin(broadcast(q))
+      .withColumn("ed", levenshtein(col("term"), col("qterm")))
+      .filter(col("ed") <= maxEdits)
+      .withColumn("pair_boost",
+        lit(1.0) - col("ed").cast("double") /
+          least(length(col("term")), length(col("qterm"))))
+      .groupBy(col("term"), col("df"))
+      .agg(max(col("pair_boost")).as("boost"))
+    storedExpansionScore(spark, indexDir, expanded, buckets, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Prefix search over a STORED index — q124's deployment face:
+    * the prefix expands on the term dictionary (a sorted dictionary
+    * seeks the prefix range; a LIKE scan here — the same artifact),
+    * postings bucket-prune to the expansion, constant-score rollup
+    * identical to the self-contained operator. */
+  def prefixSearchStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, prefix: String, k: Int = 50,
+      buckets: Int = 16): DataFrame =
+    dictionarySetSearch(spark, indexDir,
+      col("term").startsWith(prefix), k, buckets)
+
+  /** Wildcard search over a STORED index — q131's deployment face
+    * (`prefix*suffix` LIKE over the dictionary; a LEADING-wildcard
+    * pattern costs the same dictionary scan — the documented ES
+    * expensive case, no prefix seek exists for it). */
+  def wildcardSearchStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, pattern: String, k: Int = 50,
+      buckets: Int = 16): DataFrame =
+    dictionarySetSearch(spark, indexDir, col("term").like(pattern),
+      k, buckets)
+
+  /** Shared constant-score dictionary-expansion search (ES
+    * CONSTANT_SCORE rewrite for prefix/wildcard): dictionary terms
+    * matching `pred` → bucket-pruned postings join → per-doc
+    * matched-vocab/occurrence diagnostics, `_doc` page order — the
+    * exact output shape of the self-contained q124/q131. */
+  private def dictionarySetSearch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, pred: Column, k: Int, buckets: Int): DataFrame = {
+    val expanded = spark.read.parquet(s"$indexDir/df")
+      .filter(pred).select(col("term"))
+    val post = bucketPrunedPostings(spark, indexDir, expanded, buckets)
+    post
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched_terms"),
+        sum(col("tf")).as("n_occurrences"))
+      .withColumn("score", lit(1.0))
+      .orderBy(col("doc_id"))
+      .limit(k)
+  }
+
+  /** Postings rows for an EXPANDED term frame: the partition filter
+    * derives from the writer's own hash expression over the expanded
+    * terms (a bounded driver collect of bucket ids — ≤ `buckets`
+    * values by construction), then the term restriction is a
+    * broadcast join (the expansion may be too wide for a literal
+    * isin). */
+  private def bucketPrunedPostings(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, expanded: DataFrame, buckets: Int): DataFrame = {
+    val exp = expanded.localCheckpoint()
+    val qBuckets = exp
+      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isInCollection(
+        if (qBuckets.isEmpty) Seq(-1) else qBuckets))
+      .join(broadcast(exp), Seq("term"))
+  }
+
+  /** Boosted-BM25 scoring of an expanded `(term, df, boost)` frame
+    * against the stored postings — the shared tail of
+    * [[fuzzySearchStored]] (and any future dictionary-expansion
+    * scorer): df comes from the DICTIONARY artifact (identical to
+    * the self-contained window count — one row per matching (doc,
+    * term) means the window count IS the term's df), stats from the
+    * 1-row artifact. */
+  private def storedExpansionScore(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, expanded: DataFrame, buckets: Int,
+      k1: Double, b: Double): DataFrame = {
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val post = bucketPrunedPostings(spark, indexDir, expanded, buckets)
+    val normLen = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    post.crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        col("boost") * idf * col("tf").cast("double") * lit(k1 + 1.0) /
+          normLen)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("score"), col("n_terms"))
+  }
+
   /** Multi-field BM25 — the ES `multi_match` query over several
     * `text_en`-mapped fields with per-field boosts (the reference maps
     * `text_en` on issue/PR `title` AND `body`, schema.py:46,77-78; the
@@ -532,6 +651,19 @@ object FullText {
       // blended df: the term's max df across fields (BlendedTermQuery)
       .withColumn("df_blend",
         max(col("df")).over(Window.partitionBy(col("term"))))
+    multiFieldCompose(withDf, stats, k, tieBreaker, k1, b)
+  }
+
+  /** The mode-composition core of [[bm25MultiFieldTopK]] over a
+    * prepared `(doc_id, field, boost, doclen, term, tf, df,
+    * df_blend)` frame plus per-field stats — shared with
+    * [[multiMatchSearchStored]] so the stored and self-contained
+    * faces cannot drift (the bm25SearchStored/bm25TopK discipline).
+    * All three ES composition modes: best_fields (dis_max +
+    * tie_breaker), most_fields (sum), cross_fields (BlendedTermQuery
+    * with the tie_breaker WITHIN per-term field scores). */
+  private def multiFieldCompose(withDf: DataFrame, stats: DataFrame,
+      k: Int, tieBreaker: Double, k1: Double, b: Double): DataFrame = {
     val normLen = col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
     def idfOf(dfCol: Column) = log(lit(1.0) +
@@ -568,6 +700,86 @@ object FullText {
         round(col("cross"), 4).as("score_cross"))
       .orderBy(col("score_best").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Index-time writer for the MULTI-FIELD stored layout — the
+    * deployment face of [[bm25MultiFieldTopK]] (the reference maps
+    * `text_en` on several fields per entity, schema.py:46,77-78 —
+    * a real index is multi-field from day one):
+    *
+    *   <indexDir>/stats/     (field, n_docs, avgdl) — per-field
+    *                         segment stats (Lucene keeps per-field
+    *                         norms/statistics exactly so)
+    *   <indexDir>/df/        (field, term, df) — per-field dictionary
+    *   <indexDir>/postings/  bucket=<n>/ (field, term, doc_id,
+    *                         doclen, tf) — term-hash-bucketed like
+    *                         the single-field layout; one bucket scan
+    *                         serves every field of a term (Lucene
+    *                         prefixes terms with their field in one
+    *                         dictionary — same idea)
+    *
+    * One stacked analyzer pass builds all three artifacts. */
+  def writeMultiFieldTextIndex(docs: DataFrame, idCol: String,
+      fields: Seq[String], indexDir: String, buckets: Int = 16): Unit = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    val stacked = docs.select(col(idCol).as("doc_id"),
+      explode(array(fields.map { f =>
+        struct(lit(f).as("field"), analyze(col(f)).as("toks"))
+      }: _*)).as("f"))
+      .select(col("doc_id"), col("f.field").as("field"),
+        col("f.toks").as("toks"))
+      .withColumn("doclen", size(col("toks")))
+    stacked.groupBy(col("field"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+    val tf = stacked
+      .select(col("doc_id"), col("field"), col("doclen"),
+        explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("field"), col("term"), col("doc_id"), col("doclen"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("field"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$indexDir/df")
+    tf.withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** multi_match over the STORED multi-field index: per-field
+    * df/stats come from the artifacts (df_blend = max over the
+    * fields' dictionary dfs — a window over the query-terms-sized
+    * dictionary slice), postings bucket-prune to the query terms,
+    * and the mode composition is the SHARED [[multiFieldCompose]] —
+    * frame equality with the self-contained operator is
+    * TextIndexLayoutSpec's pin. No analyzer, no corpus scan. */
+  def multiMatchSearchStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryTerms: Seq[String],
+      fieldBoosts: Seq[(String, Double)], k: Int = 20,
+      tieBreaker: Double = 0.0, buckets: Int = 16,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(fieldBoosts.nonEmpty, "fieldBoosts must be non-empty")
+    val qFrame = spark.createDataFrame(queryTerms.map(Tuple1(_)))
+      .toDF("term")
+    val qBuckets = qFrame
+      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val boosts = spark.createDataFrame(fieldBoosts).toDF("field", "boost")
+    val dfDict = spark.read.parquet(s"$indexDir/df")
+      .filter(col("term").isInCollection(queryTerms))
+      .select(col("field"), col("term"), col("df").cast("double").as("df"))
+      .withColumn("df_blend",
+        max(col("df")).over(Window.partitionBy(col("term"))))
+    val withDf = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isInCollection(qBuckets))
+      .filter(col("term").isInCollection(queryTerms))
+      .select(col("doc_id"), col("field"), col("doclen"),
+        col("term"), col("tf").cast("double").as("tf"))
+      .join(broadcast(dfDict), Seq("field", "term"))
+      .join(broadcast(boosts), Seq("field"))
+    multiFieldCompose(withDf, stats, k, tieBreaker, k1, b)
   }
 
   /** Highlighting — matched query terms of the ANALYZED token stream

@@ -465,6 +465,36 @@ object Streams {
     docs.withColumn("shard",
       graft.ops.Sampling.stableBucket(col(idCol), "shard", shards))
 
+  /** Streaming percolation — q143's alerting face in its natural
+    * habitat (saved searches match ARRIVING documents — the reason
+    * ES percolation exists): the stored queries ship as a literal
+    * (broadcast-scale by construction — thousands of alerts ≪
+    * corpus; re-plan to pick up new saved searches, the
+    * decontaminateStream convention), and every arriving document
+    * emits the qids whose term sets it FULLY covers (AND semantics,
+    * the q123 must-coverage rule) — a pure stateless per-row
+    * filter/forall over the analyzed tokens. No state store, no
+    * shuffle, composes with any sink; a deployment routes each
+    * matched qid's alert from the emitted array. Queries must have
+    * non-empty term sets (an empty set would match everything).
+    * StreamsSpec pins stream ≡ batch coverage on a constructed
+    * feed. */
+  def percolateStream(docs: DataFrame, textCol: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "stored queries must have non-empty term sets")
+    val qlit = typedLit(queries.map { case (qid, ts) => (qid, ts) })
+    docs
+      .withColumn("__toks",
+        graft.ops.FullText.analyze(col(textCol)))
+      .withColumn("matched_qids",
+        transform(
+          filter(qlit, q => forall(q.getField("_2"),
+            t => array_contains(col("__toks"), t))),
+          q => q.getField("_1")))
+      .drop("__toks")
+  }
+
   /** Streaming bigram-LM scoring — the deployment shape of the
     * q61/q62 filter: the model is TRAINED in batch (LangModel.train,
     * pruned by minCount so it is literal-sized — LangModel.modelMap),

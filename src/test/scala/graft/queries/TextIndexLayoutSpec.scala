@@ -152,6 +152,92 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       s"sloppy freq 1/(matchLength+1) must order by width: $scored")
   }
 
+  test("stored dictionary expansions: fuzzy/prefix/wildcard equal self-contained") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-dict")
+      .toFile.getAbsolutePath
+    val docs = graft.io.Tables.documents(spark, dir)
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    // fuzzy: q99's derivation (two most frequent terms, first
+    // misspelled by dropping the last char)
+    val top2 = docs.select(explode_outer(FullText.analyze($"text")).as("t"))
+      .filter($"t".isNotNull)
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t".asc).limit(2)
+      .collect().map(_.getString(0))
+    val qTerms = Seq(top2(0).dropRight(1), top2(1))
+    val fStored = FullText.fuzzySearchStored(spark, idx, qTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq
+    val fSelf = FullText.bm25FuzzyTopK(docs, "doc_id", "text", qTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq
+    assert(fStored == fSelf,
+      s"stored fuzzy diverged:\n  $fStored\n  $fSelf")
+    assert(fStored.nonEmpty)
+    // prefix/wildcard: q124/q131's derivations over the same corpus
+    val prefix = top2(0).take(4)
+    val pStored = FullText.prefixSearchStored(spark, idx, prefix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val pSelf = graft.queries.TextQueries.prefixSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(pStored == pSelf,
+      s"stored prefix diverged:\n  $pStored\n  $pSelf")
+    val wTop = docs.select(explode_outer(FullText.analyze($"text")).as("t"))
+      .filter($"t".isNotNull && length($"t") >= 5)
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t".asc).limit(1)
+      .head().getString(0)
+    val pattern = wTop.take(2) + "%" + wTop.takeRight(1)
+    val wStored = FullText.wildcardSearchStored(spark, idx, pattern)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val wSelf = graft.queries.TextQueries.wildcardSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(wStored == wSelf,
+      s"stored wildcard diverged:\n  $wStored\n  $wSelf")
+    // an expansion matching nothing returns an empty frame, not an error
+    assert(FullText.prefixSearchStored(spark, idx, "zzzzqqq").count() == 0)
+  }
+
+  test("multi-field stored index: stored multi_match equals the self-contained trio") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-mf")
+      .toFile.getAbsolutePath
+    // q102's synthetic split: title = first 6 whitespace tokens
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select($"doc_id",
+        array_join(slice(split($"text", "\\s+"), 1, 6), " ").as("title"),
+        $"text".as("body"))
+    FullText.writeMultiFieldTextIndex(docs, "doc_id",
+      Seq("title", "body"), idx)
+    // per-field artifacts exist with per-field statistics
+    val stats = spark.read.parquet(s"$idx/stats")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == Set("title", "body"))
+    val fields = Seq("title" -> 2.0, "body" -> 1.0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    val stored = rows(FullText.multiMatchSearchStored(spark, idx,
+      terms, fields, tieBreaker = 0.3))
+    val self = rows(FullText.bm25MultiFieldTopK(docs, "doc_id",
+      fields, terms, tieBreaker = 0.3))
+    assert(stored == self,
+      s"stored multi_match diverged:\n  $stored\n  $self")
+    assert(stored.nonEmpty)
+    // the postings scan bucket-prunes like the single-field layout
+    val qb = terms.map(t => Tuple1(t)).toDF("term")
+      .select(pmod(hash($"term"), lit(16)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val all = spark.read.parquet(s"$idx/postings")
+    val pruned = all.filter($"bucket".isInCollection(qb))
+    assert(pruned.select(input_file_name()).distinct().count() <
+      all.select(input_file_name()).distinct().count(),
+      "multi-field postings must bucket-prune")
+  }
+
   test("positions-free writer: term search works, postings shed the column") {
     val idx = java.nio.file.Files.createTempDirectory("bm25-nopos")
       .toFile.getAbsolutePath

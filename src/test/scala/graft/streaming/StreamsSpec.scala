@@ -494,6 +494,38 @@ class StreamsSpec extends SparkSpecBase {
       "stream ≡ batch hash assignment")
   }
 
+  test("percolateStream: AND coverage per arriving doc, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val queries = Seq(
+      (0L, Seq("fast", "vector")),
+      (1L, Seq("slow")),
+      (2L, Seq("fast", "missing")))
+    val rows = Seq(
+      (1L, "a fast vector engine"), // q0 (both), not q1/q2
+      (2L, "slow and fast"), // q1 only (q0 needs vector too)
+      (3L, "nothing relevant here"), // none
+      (4L, "Fast, vector; slow!")) // q0 and q1 (analyzer lowercases)
+    val src = MemoryStream[(Long, String)]
+    val out = Streams.percolateStream(
+      src.toDF().toDF("doc_id", "text"), "text", queries)
+      .select($"doc_id", $"matched_qids")
+    runBatches(out, "percstream") {
+      src.addData(rows.take(2): _*)
+      src.addData(rows.drop(2): _*)
+    }
+    val got = spark.table("percstream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(got == Map(
+      1L -> Seq(0L), 2L -> Seq(1L), 3L -> Seq(), 4L -> Seq(0L, 1L)),
+      s"got $got")
+    // an empty-term-set query is rejected (it would match everything)
+    intercept[IllegalArgumentException] {
+      Streams.percolateStream(rows.toDF("doc_id", "text"), "text",
+        Seq((9L, Seq())))
+    }
+  }
+
   test("decontaminateStream flags gram overlap against batch-derived set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
