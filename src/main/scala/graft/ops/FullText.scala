@@ -746,6 +746,52 @@ object FullText {
       .parquet(s"$indexDir/postings")
   }
 
+  /** Batch refresh of the multi-field index — the
+    * [[appendToTextIndex]] contract per field: the fresh documents'
+    * stacked postings append into their term buckets (delta-only
+    * analyzer work), then the PER-FIELD df/stats re-aggregate from
+    * the appended postings (corpus-wide statistics shift with every
+    * batch — the recompute-on-append artifact kind; dictionary- and
+    * |fields|-row work, the corpus is never re-analyzed).
+    * TextIndexLayoutSpec pins append ≡ rebuild. */
+  def appendToMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
+      fresh: DataFrame, idCol: String, fields: Seq[String],
+      indexDir: String, buckets: Int = 16): Unit = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    val stacked = fresh.select(col(idCol).as("doc_id"),
+      explode(array(fields.map { f =>
+        struct(lit(f).as("field"), analyze(col(f)).as("toks"))
+      }: _*)).as("f"))
+      .select(col("doc_id"), col("f.field").as("field"),
+        col("f.toks").as("toks"))
+      .withColumn("doclen", size(col("toks")))
+    stacked
+      .select(col("doc_id"), col("field"), col("doclen"),
+        explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("field"), col("term"), col("doc_id"), col("doclen"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+    val post = spark.read.parquet(s"$indexDir/postings")
+    post.groupBy(col("field"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$indexDir/df")
+    post.select(col("field"), col("doc_id"), col("doclen")).distinct()
+      .groupBy(col("field"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Bucket-partition compactor for the multi-field postings — the
+    * [[compactTextIndex]] maintenance face on the same swap-safe
+    * rewrite. */
+  def compactMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Long, Long, Long) =
+    graft.io.Layout.compactParquetDir(spark, s"$indexDir/postings",
+      Seq("bucket"))
+
   /** multi_match over the STORED multi-field index: per-field
     * df/stats come from the artifacts (df_blend = max over the
     * fields' dictionary dfs — a window over the query-terms-sized

@@ -238,6 +238,36 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       "multi-field postings must bucket-prune")
   }
 
+  test("multi-field append re-derives per-field statistics: append equals rebuild") {
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select($"doc_id",
+        array_join(slice(split($"text", "\\s+"), 1, 6), " ").as("title"),
+        $"text".as("body"))
+    val w = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    val fields = Seq("title" -> 2.0, "body" -> 1.0)
+    val idxA = java.nio.file.Files.createTempDirectory("mf-a")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(docs.filter($"doc_id" <= w),
+      "doc_id", Seq("title", "body"), idxA)
+    FullText.appendToMultiFieldTextIndex(spark,
+      docs.filter($"doc_id" > w), "doc_id", Seq("title", "body"), idxA)
+    val idxB = java.nio.file.Files.createTempDirectory("mf-b")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(docs, "doc_id",
+      Seq("title", "body"), idxB)
+    def search(idx: String) = FullText.multiMatchSearchStored(
+      spark, idx, terms, fields, tieBreaker = 0.3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    val pre = search(idxA)
+    assert(pre == search(idxB),
+      "append must shift per-field df/stats exactly like a rebuild")
+    val (fb, fa, rows) = FullText.compactMultiFieldTextIndex(spark, idxA)
+    assert(fa < fb, s"compaction must reclaim append files: $fb -> $fa")
+    assert(rows == spark.read.parquet(s"$idxA/postings").count())
+    assert(search(idxA) == pre, "search must be compaction-invariant")
+  }
+
   test("positions-free writer: term search works, postings shed the column") {
     val idx = java.nio.file.Files.createTempDirectory("bm25-nopos")
       .toFile.getAbsolutePath
