@@ -332,11 +332,33 @@ object FullText {
       indexDir: String, phrase: Seq[String], k: Int = 20,
       buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75,
       slop: Int = 0, inOrder: Boolean = false): DataFrame = {
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val hits = storedPhraseHits(spark, indexDir, phrase, buckets,
+      slop, inOrder)
+    val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+    val normLen = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    hits.crossJoin(broadcast(stats)).crossJoin(broadcast(dfc))
+      .withColumn("score",
+        round(idf * col("tf") * lit(k1 + 1.0) / normLen, 4))
+      .select(col("doc_id"), col("hits").cast("long").as("phrase_hits"),
+        col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The matching-docs core of [[phraseSearchStored]]: per matching
+    * doc its (doclen, tf, hits) under the chosen slop semantics —
+    * shared with [[simpleQueryStringStored]]'s phrase clauses. */
+  private def storedPhraseHits(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, phrase: Seq[String], buckets: Int,
+      slop: Int, inOrder: Boolean): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
     require(slop == 0 || phrase.length >= 2,
       "sloppy matching needs at least two phrase terms")
     import spark.implicits._
-    val stats = spark.read.parquet(s"$indexDir/stats")
     // bucket ids via the writer's own hash expression (the probe-list
     // convention: a bounded literal driver frame, then a literal
     // partition filter)
@@ -386,19 +408,93 @@ object FullText {
           .withColumn("tf", element_at(col("sf"), 1))
           .withColumn("hits", element_at(col("sf"), 2))
       }
-    val hits = withTf
+    withTf
       .filter(col("tf") > 0)
       .select(col("doc_id"), col("doclen"), col("tf"), col("hits"))
-    val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+  }
+
+  /** simple_query_string over the STORED index — the search box's
+    * deployment face ([[graft.queries.TextQueries.simpleQueryString]]
+    * with ZERO corpus scans, making tools/RunSearch servable from
+    * the persisted artifacts): the parsed query's term clauses score
+    * from bucket-pruned postings with dictionary df and artifact
+    * stats; must coverage and must_not exclusion derive from the
+    * SAME postings read; each phrase clause runs
+    * [[storedPhraseHits]]' position intersection and scores
+    * phrase-as-term with its matching-docs df. Clause combination,
+    * gating and rounding mirror the self-contained operator exactly
+    * (TextIndexLayoutSpec pins frame equality).
+    *
+    * Scale shape: one bucket-pruned postings read for all term
+    * clauses (scoring + must + must_not share it); each phrase reads
+    * its own terms' buckets; every frame in flight is
+    * matching-postings-sized; df/stats broadcast. */
+  def simpleQueryStringStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, q: String, k: Int = 20, buckets: Int = 16,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val p = QueryString.parse(q)
+    require(p.scoringTerms.nonEmpty || p.phrases.nonEmpty,
+      "query must have at least one scoring clause")
+    val stats = spark.read.parquet(s"$indexDir/stats")
     val normLen = col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    hits.crossJoin(broadcast(stats)).crossJoin(broadcast(dfc))
-      .withColumn("score",
-        round(idf * col("tf") * lit(k1 + 1.0) / normLen, 4))
-      .select(col("doc_id"), col("hits").cast("long").as("phrase_hits"),
-        col("score"))
+    def idfOf(dfCol: Column) = log(lit(1.0) +
+      (col("n_docs") - dfCol + lit(0.5)) / (dfCol + lit(0.5)))
+    val allTerms = (p.scoringTerms ++ p.mustNot).distinct
+    val rowsOpt: Option[DataFrame] =
+      if (allTerms.isEmpty) None
+      else {
+        val qFrame = spark.createDataFrame(allTerms.map(Tuple1(_)))
+          .toDF("term")
+        val qBuckets = qFrame
+          .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        Some(spark.read.parquet(s"$indexDir/postings")
+          .filter(col("bucket").isInCollection(qBuckets))
+          .filter(col("term").isInCollection(allTerms))
+          .select(col("doc_id"), col("doclen"), col("term"),
+            col("tf").cast("double").as("tf"))
+          .localCheckpoint())
+      }
+    val termScore: Option[DataFrame] =
+      rowsOpt.filter(_ => p.scoringTerms.nonEmpty).map { rows =>
+        val dfDict = spark.read.parquet(s"$indexDir/df")
+          .filter(col("term").isInCollection(p.scoringTerms))
+          .select(col("term"), col("df").cast("double").as("df"))
+        rows.filter(col("term").isInCollection(p.scoringTerms))
+          .join(broadcast(dfDict), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("ts",
+            idfOf(col("df")) * col("tf") * lit(k1 + 1.0) / normLen)
+          .groupBy(col("doc_id")).agg(sum(col("ts")).as("tscore"))
+      }
+    val mustOk: Option[DataFrame] =
+      rowsOpt.filter(_ => p.must.nonEmpty).map(rows =>
+        rows.filter(col("term").isInCollection(p.must))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("nm"))
+          .filter(col("nm") === p.must.size).select(col("doc_id")))
+    val excl: Option[DataFrame] =
+      rowsOpt.filter(_ => p.mustNot.nonEmpty).map(rows =>
+        rows.filter(col("term").isInCollection(p.mustNot))
+          .select(col("doc_id")).distinct())
+    val phraseScores = p.phrases.zipWithIndex.map { case (ph, i) =>
+      val hits = storedPhraseHits(spark, indexDir, ph, buckets,
+        slop = 0, inOrder = false)
+      val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+      hits.crossJoin(broadcast(stats)).crossJoin(broadcast(dfc))
+        .withColumn(s"pscore$i",
+          idfOf(col("df")) * col("tf") * lit(k1 + 1.0) / normLen)
+        .select(col("doc_id"), col(s"pscore$i"))
+    }
+    val parts = termScore.toSeq ++ phraseScores
+    val combined = parts.reduce((a, c) => a.join(c, Seq("doc_id"), "full"))
+    val total = combined.select(col("doc_id"),
+      round(parts.map { df =>
+        coalesce(col(df.columns.filter(_ != "doc_id").head), lit(0d))
+      }.reduce(_ + _), 4).as("score"))
+    val gated = mustOk.fold(total)(m =>
+      total.join(m, Seq("doc_id"), "left_semi"))
+    excl.fold(gated)(x => gated.join(x, Seq("doc_id"), "left_anti"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

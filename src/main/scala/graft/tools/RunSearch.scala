@@ -25,13 +25,21 @@ import graft.queries.TextQueries
 object RunSearch {
 
   /** The hits frame: (doc_id, score, highlighted). Separated from
-    * main for RunSearchSpec. */
+    * main for RunSearchSpec. `indexDir` switches ranking to the
+    * STORED index ([[FullText.simpleQueryStringStored]] — zero
+    * corpus scans for the search; the text join below reads only the
+    * k hit rows for highlighting, as a deployment's stored-fields
+    * lookup would). */
   def run(spark: SparkSession, sfDir: String, query: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, indexDir: Option[String] = None): DataFrame = {
     val p = QueryString.parse(query)
     val hlTerms =
       (p.scoringTerms ++ p.phrases.flatten).distinct
-    val hits = TextQueries.simpleQueryString(spark, sfDir, query, k)
+    val hits = indexDir match {
+      case Some(idx) =>
+        FullText.simpleQueryStringStored(spark, idx, query, k)
+      case None => TextQueries.simpleQueryString(spark, sfDir, query, k)
+    }
     hits
       .join(Tables.documents(spark, sfDir).select(col("doc_id"),
         col("text")), Seq("doc_id"))
@@ -42,8 +50,10 @@ object RunSearch {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunSearch <sfDir> <query> [k]")
+    require(args.length >= 2,
+      "usage: RunSearch <sfDir> <query> [k] [storedIndexDir]")
     val k = if (args.length >= 3) args(2).toInt else 10
+    val idxDir = if (args.length >= 4) Some(args(3)) else None
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -54,7 +64,7 @@ object RunSearch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val rows = run(spark, args(0), args(1), k).collect()
+      val rows = run(spark, args(0), args(1), k, idxDir).collect()
       println(s"${rows.length} hits for: ${args(1)}")
       rows.foreach { r =>
         val snippet = r.getString(2)

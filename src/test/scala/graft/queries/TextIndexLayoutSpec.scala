@@ -268,6 +268,47 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(search(idxA) == pre, "search must be compaction-invariant")
   }
 
+  test("stored simple_query_string equals the self-contained q128 operator") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-sqs")
+      .toFile.getAbsolutePath
+    val docs = graft.io.Tables.documents(spark, dir)
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    // a query exercising every clause kind: must, should, must_not,
+    // and a phrase (derived top bigram so it matches at any SF)
+    val bg = docs.select(FullText.analyze($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(1)
+      .head().getString(0)
+    for (q <- Seq(
+      "+fast vector -slow \"" + bg + "\"",
+      "fast vector query",
+      "\"" + bg + "\"",
+      "+fast +vector")) {
+      val stored = FullText.simpleQueryStringStored(spark, idx, q)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val self = graft.queries.TextQueries
+        .simpleQueryString(spark, dir, q)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(stored == self,
+        s"stored simple_query_string diverged for <$q>:\n" +
+          s"  stored=$stored\n  self=$self")
+    }
+    // and the CLI's stored path serves the same hits, highlighted
+    val cli = graft.tools.RunSearch.run(spark, dir, "fast vector",
+      k = 10, indexDir = Some(idx)).collect()
+    val cliSelf = graft.tools.RunSearch.run(spark, dir, "fast vector",
+      k = 10).collect()
+    assert(cli.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq ==
+      cliSelf.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .toSeq,
+      "RunSearch stored path must serve identical highlighted hits")
+  }
+
   test("positions-free writer: term search works, postings shed the column") {
     val idx = java.nio.file.Files.createTempDirectory("bm25-nopos")
       .toFile.getAbsolutePath
