@@ -240,12 +240,18 @@ object FullText {
     * re-aggregate — they are dictionary/1-row sized). */
   def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, buckets: Int = 16,
-      storePositions: Boolean = true): Unit = {
+      storePositions: Boolean = true,
+      storeTermVectors: Boolean = false): Unit = {
     val analyzed = docs
       .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
       .withColumn("doclen", size(col("toks")))
+    // sum_doclen (a long) makes minus-one-document statistics EXACT:
+    // avg over long input is sum.toDouble/count in Spark, so
+    // (sum_doclen − seedLen)/(n_docs − 1) reproduces a re-aggregation
+    // bit-for-bit (the moreLikeThisStored contract)
     analyzed
-      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"),
+        sum(col("doclen")).as("sum_doclen"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
     val tf0 = analyzed
       .select(col("doc_id"), col("doclen"),
@@ -263,6 +269,15 @@ object FullText {
     tf.withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
+    // term vectors = Lucene's optional FORWARD index (doc → terms),
+    // DOC-bucketed so a single document's vector is a file-pruned
+    // point read — what more_like_this and highlighting-by-stored-
+    // vector need at query time (off by default, as in Lucene)
+    if (storeTermVectors)
+      tf.select(col("doc_id"), col("term"), col("tf"))
+        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
+        .write.mode("overwrite").partitionBy("dbucket")
+        .parquet(s"$indexDir/termvectors")
   }
 
   /** Batch refresh of the stored text index: the fresh documents'
@@ -290,16 +305,23 @@ object FullText {
     val analyzed = fresh
       .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
       .withColumn("doclen", size(col("toks")))
-    analyzed
+    val freshTf = analyzed
       .select(col("doc_id"), col("doclen"),
         posexplode_outer(col("toks")).as(Seq("pos", "term")))
       .filter(col("term").isNotNull)
       .groupBy(col("term"), col("doc_id"), col("doclen"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
+    freshTf
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
+    // term vectors follow the delta when the writer materialized them
+    if (new java.io.File(s"$indexDir/termvectors").exists())
+      freshTf.select(col("doc_id"), col("term"), col("tf"))
+        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
+        .write.mode("append").partitionBy("dbucket")
+        .parquet(s"$indexDir/termvectors")
     // corpus-wide statistics re-derive from the appended postings —
     // df is one dictionary-sized aggregate, stats one row (doclen
     // rides every posting row, so a distinct per-doc frame recovers
@@ -308,8 +330,78 @@ object FullText {
     post.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$indexDir/df")
     post.select(col("doc_id"), col("doclen")).distinct()
-      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"),
+        sum(col("doclen")).as("sum_doclen"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** more_like_this over the STORED index — the last query face the
+    * layout was missing, and the one that needs the FORWARD artifact:
+    * the seed's term vector is a doc-bucket-pruned point read (no
+    * corpus scan to learn what the seed contains), its terms weight
+    * tf × idf from the dictionary (q100's selection rule, weight
+    * desc / term asc, top `nTerms`), and the search runs over the
+    * corpus MINUS the seed with EXACT minus-one statistics — df′ =
+    * dictionary df − [seed contains term], n′ = n_docs − 1, avgdl′ =
+    * (sum_doclen − seed doclen)/(n_docs − 1) — integer-derived, so
+    * frame equality with the self-contained q100 operator holds
+    * bit-for-bit (TextIndexLayoutSpec's pin).
+    *
+    * Scale shape: seed vector = one file-pruned read (seed-sized);
+    * selection math on ≤ |seed vocabulary| rows; the search is the
+    * bucket-pruned postings read of [[bm25SearchStored]] minus one
+    * doc id. Zero corpus scans end to end. */
+  def moreLikeThisStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, seedId: Long, nTerms: Int = 3, k: Int = 20,
+      buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val sumLen = st.getAs[Long]("sum_doclen")
+    val dBucket = Seq(seedId).toDF("doc_id")
+      .select(pmod(hash(col("doc_id")), lit(buckets)))
+      .head().getInt(0)
+    val seedVec = spark.read.parquet(s"$indexDir/termvectors")
+      .filter(col("dbucket") === dBucket && col("doc_id") === seedId)
+      .select(col("term"), col("tf"))
+      .localCheckpoint()
+    val dict = spark.read.parquet(s"$indexDir/df")
+    val topTerms = seedVec.join(dict, Seq("term"))
+      .withColumn("w", col("tf") * log(lit(1.0) +
+        (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .orderBy(col("w").desc, col("term").asc).limit(nTerms)
+      .collect().map(_.getAs[String]("term")).toSeq
+    val seedLen = seedVec.agg(coalesce(sum(col("tf")), lit(0L)))
+      .head().getLong(0)
+    val seedTerms = seedVec.collect().map(_.getAs[String]("term")).toSet
+    val qBuckets = topTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val inSeed =
+      if (seedTerms.isEmpty) lit(false)
+      else col("term").isInCollection(seedTerms.toSeq)
+    val dfAdj = dict.filter(col("term").isInCollection(topTerms))
+      .select(col("term"),
+        (col("df") - when(inSeed, 1L).otherwise(0L))
+          .cast("double").as("df"))
+    val nRest = (nDocs - 1).toDouble
+    val avgdlRest = (sumLen - seedLen).toDouble / (nDocs - 1)
+    val normLen = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / lit(avgdlRest))
+    val idf = log(lit(1.0) +
+      (lit(nRest) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isInCollection(qBuckets))
+      .filter(col("term").isInCollection(topTerms))
+      .filter(col("doc_id") =!= seedId)
+      .select(col("doc_id"), col("doclen"), col("term"),
+        col("tf").cast("double").as("tf"))
+      .join(broadcast(dfAdj), Seq("term"))
+      .withColumn("term_score", idf * col("tf") * lit(k1 + 1.0) / normLen)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Phrase search over a STORED index — the Lucene PhraseQuery

@@ -309,6 +309,44 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       "RunSearch stored path must serve identical highlighted hits")
   }
 
+  test("term vectors: stored more_like_this equals q100, point-read pruned") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-mlt")
+      .toFile.getAbsolutePath
+    val docs = graft.io.Tables.documents(spark, dir)
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    val seedId = docs.agg(min($"doc_id")).head().getLong(0)
+    val stored = FullText.moreLikeThisStored(spark, idx, seedId)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val self = graft.ops.Checkpoints.consume(
+      graft.queries.TextQueries.moreLikeThis(spark, dir))(
+      _.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(stored == self,
+      s"stored more_like_this diverged:\n  $stored\n  $self")
+    assert(stored.nonEmpty && !stored.exists(_._1 == seedId),
+      "the seed never appears in its own similar-docs page")
+    // the seed's vector read is a file-pruned point read
+    val all = spark.read.parquet(s"$idx/termvectors")
+    val dB = Seq(Tuple1(seedId)).toDF("doc_id")
+      .select(pmod(hash($"doc_id"), lit(16))).head().getInt(0)
+    val pruned = all.filter($"dbucket" === dB)
+    assert(pruned.select(input_file_name()).distinct().count() <
+      all.select(input_file_name()).distinct().count(),
+      "term-vector read must doc-bucket-prune")
+    // append keeps the forward artifact in lockstep with the postings
+    val w = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    val idx2 = java.nio.file.Files.createTempDirectory("bm25-mlt2")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs.filter($"doc_id" <= w), "doc_id",
+      "text", idx2, storeTermVectors = true)
+    FullText.appendToTextIndex(spark, docs.filter($"doc_id" > w),
+      "doc_id", "text", idx2)
+    val appended = FullText.moreLikeThisStored(spark, idx2, seedId)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(appended == self,
+      "append-refreshed term vectors must serve the same MLT page")
+  }
+
   test("positions-free writer: term search works, postings shed the column") {
     val idx = java.nio.file.Files.createTempDirectory("bm25-nopos")
       .toFile.getAbsolutePath
