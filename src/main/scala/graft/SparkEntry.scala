@@ -239,6 +239,10 @@ object SparkEntry {
       TextQueries.msearch(s, d)),
     "q143_percolate" -> ((s: SparkSession, d: String) =>
       TextQueries.percolate(s, d)),
+    "q144_search_after" -> ((s: SparkSession, d: String) =>
+      TextQueries.searchAfterPages(s, d)),
+    "q145_stored_lifecycle" -> ((s: SparkSession, d: String) =>
+      TextQueries.storedTextLifecycle(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

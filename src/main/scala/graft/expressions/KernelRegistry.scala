@@ -27,11 +27,18 @@ object KernelRegistry {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
       v.toString
     case other => throw new org.apache.spark.sql.AnalysisException(
-      "INVALID_PARAMETER_VALUE.INTEGER",
+      "INVALID_PARAMETER_VALUE.STRING",
       Map("parameter" -> "s", "functionName" -> "graft kernel function",
         "invalidValue" -> other.sql),
       None)
   }
+
+  /** A natural CSV argument ("fast, vector") trims to its terms —
+    * an untrimmed split would hunt for the term " vector", which no
+    * tokenizer ever emits. Empty segments (trailing commas, ",,")
+    * drop. */
+  private def csvTerms(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
 
   /** (name, usage, builder) for every kernel expression. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
@@ -41,7 +48,7 @@ object KernelRegistry {
     ("highlight_raw",
       "_FUNC_(text, csvTerms) - <em> wrapping at raw character offsets",
       exprs => HighlightRawTerms(exprs(0),
-        strArg(exprs(1)).split(",").toSeq)),
+        csvTerms(strArg(exprs(1))))),
     ("float_vector_dot", "_FUNC_(a, b) - dot product of float vectors",
       exprs => FloatVectorDot(exprs(0), exprs(1))),
     ("whitespace_tokens", "_FUNC_(text) - lowercased tokens",

@@ -1,7 +1,8 @@
 package graft.io
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Physical-layout helpers for the warehouse side of the engine: at
   * 100 TB the cheapest shuffle is the one the table layout already
@@ -13,6 +14,13 @@ import org.apache.spark.sql.functions.col
   * ingest date) prune whole directories at scan time; bucket columns
   * (fine, high-cardinality join keys — custkey, doc_id) kill the
   * shuffle. The two compose.
+  *
+  * All filesystem operations here resolve through Hadoop's
+  * `FileSystem` from the session's configuration — the same
+  * resolution the parquet reads/writes use — so URI-schemed paths
+  * (hdfs://, s3a://) behave exactly like local ones. `java.io.File`
+  * probes silently report "absent" for such paths, which is how a
+  * stored-index maintenance path stops firing with no error.
   */
 object Layout {
 
@@ -29,6 +37,39 @@ object Layout {
     w.saveAsTable(table)
   }
 
+  /** Existence probe through the session's Hadoop FileSystem — the
+    * only correct way to ask "does this artifact exist" for a path
+    * the engine also reads/writes as parquet. */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Swap-safe overwrite of a parquet artifact whose REPLACEMENT is
+    * computed FROM its current content (a dictionary merge, a
+    * statistics decrement): `mode("overwrite")` on the path a plan is
+    * lazily reading deletes the input mid-scan, so the new frame
+    * lands in `<path>.new` first and directory renames make it live.
+    * Crash before the first rename leaves the live artifact
+    * untouched; crash between renames leaves a `<path>.old` to
+    * restore (the compactBandIndex rotation). */
+  def rewriteParquet(spark: SparkSession, frame: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".new")
+    val old = new Path(path + ".old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    var w = frame.write.mode("overwrite")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.parquet(tmp.toString)
+    if (fs.exists(p))
+      require(fs.rename(p, old), s"swap: $path -> .old failed")
+    require(fs.rename(tmp, p), s"swap: .new -> $path failed")
+    fs.delete(old, true)
+  }
+
   /** In-place small-file compaction of a parquet directory — every
     * `append` (a stored-index delta, a streaming micro-batch) lands
     * new part-files, and a partitioned layout accumulates them PER
@@ -38,42 +79,60 @@ object Layout {
     * partition value) and swaps directories keep-the-old-until-live
     * (the compactBandIndex rotation: crash before the swap leaves the
     * live dir untouched; crash between renames leaves a `.old` to
-    * restore). Content is untouched — appends are NEW rows here, not
-    * replays, so there is nothing to dedup, and callers' spec gates
-    * pin frame equality across the rewrite. Run in a maintenance
-    * window; online compaction wants a transactional table format.
+    * restore). Run in a maintenance window; online compaction wants a
+    * transactional table format.
+    *
+    * `minus` applies a TOMBSTONE set during the rewrite: rows whose
+    * `minus` key columns match a tombstone row are dropped — the
+    * physical half of the stored layouts' delete contract (search
+    * faces anti-join the live tombstones; compaction reclaims them).
+    * The tombstone frame broadcasts: it is delete-batch-sized by
+    * contract, and compaction is exactly the mechanism that keeps it
+    * so. Without `minus`, content is untouched — appends are NEW rows
+    * here, not replays, so there is nothing to dedup, and callers'
+    * spec gates pin frame equality across the rewrite.
     *
     * Returns (dataFilesBefore, dataFilesAfter, rows) — the
     * reclaimed-file observable the layout specs pin. */
   def compactParquetDir(spark: SparkSession, path: String,
-      partitionCols: Seq[String] = Nil): (Long, Long, Long) = {
-    def dataFiles(p: java.io.File): Long =
-      if (!p.exists()) 0L
-      else if (p.isDirectory) p.listFiles().map(dataFiles).sum
-      else if (p.getName.endsWith(".parquet")) 1L else 0L
-    val dir = new java.io.File(path)
-    if (!dir.exists()) return (0L, 0L, 0L)
-    val before = dataFiles(dir)
+      partitionCols: Seq[String] = Nil,
+      minus: Option[(DataFrame, Seq[String])] = None): (Long, Long, Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(d: Path): Long = {
+      if (!fs.exists(d)) return 0L
+      var n = 0L
+      val it = fs.listFiles(d, true)
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    if (!fs.exists(p)) return (0L, 0L, 0L)
+    val before = dataFiles(p)
     val df0 = spark.read.parquet(path)
+    val df1 = minus match {
+      case Some((tomb, keys)) =>
+        df0.join(broadcast(tomb.select(keys.map(col): _*).distinct()),
+          keys, "left_anti")
+      case None => df0
+    }
     // partitioned: cluster rows so each partition value writes one
     // file. Unpartitioned: the SCAN already packs small files into
     // few splits (openCostInBytes file packing), so the plain rewrite
     // shrinks the file count without a coalesce(1) single-thread trap.
     val df = if (partitionCols.nonEmpty)
-      df0.repartition(partitionCols.map(col): _*) else df0
-    val tmp = new java.io.File(path + ".compact")
-    val old = new java.io.File(path + ".old")
+      df1.repartition(partitionCols.map(col): _*) else df1
+    val tmp = new Path(path + ".compact")
+    val old = new Path(path + ".old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
     var w = df.write.mode("overwrite")
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
-    w.parquet(tmp.getPath)
-    val rows = spark.read.parquet(tmp.getPath).count()
-    require(dir.renameTo(old), s"swap: $path -> .old failed")
-    require(tmp.renameTo(dir), s"swap: .compact -> $path failed")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(old)
-    (before, dataFiles(dir), rows)
+    w.parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    require(fs.rename(p, old), s"swap: $path -> .old failed")
+    require(fs.rename(tmp, p), s"swap: .compact -> $path failed")
+    fs.delete(old, true)
+    (before, dataFiles(p), rows)
   }
 }

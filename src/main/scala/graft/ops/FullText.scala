@@ -249,9 +249,16 @@ object FullText {
     // avg over long input is sum.toDouble/count in Spark, so
     // (sum_doclen − seedLen)/(n_docs − 1) reproduces a re-aggregation
     // bit-for-bit (the moreLikeThisStored contract)
+    // has_positions/has_termvectors record the writer's layout
+    // options IN the 1-row artifact — the append path reads them
+    // there instead of probing the filesystem (a java.io.File probe
+    // resolves only locally; on hdfs://-s3a:// index dirs it reports
+    // "absent" and the forward artifact silently stops refreshing)
     analyzed
       .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"),
         sum(col("doclen")).as("sum_doclen"))
+      .withColumn("has_positions", lit(storePositions))
+      .withColumn("has_termvectors", lit(storeTermVectors))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
     val tf0 = analyzed
       .select(col("doc_id"), col("doclen"),
@@ -280,59 +287,94 @@ object FullText {
         .parquet(s"$indexDir/termvectors")
   }
 
-  /** Batch refresh of the stored text index: the fresh documents'
-    * postings append into their term buckets (delta-only analyzer
-    * work, the q106 contract), but UNLIKE the vector index's fixed
-    * artifacts, df and stats are corpus-wide statistics that every
-    * new document SHIFTS — so they re-aggregate from the appended
-    * postings table (dictionary-sized and 1-row work; the corpus
-    * itself is never re-analyzed). TextIndexLayoutSpec pins
-    * append == rebuild. The asymmetry with
-    * [[graft.queries.SimilarityQueries.appendToIvfPqIndex]] is the
-    * point: PQ codes are per-row facts (append-only), BM25
-    * statistics are corpus aggregates (recompute-on-append) — a
-    * refresh design has to know which kind each artifact is.
+  /** Batch refresh of the stored text index, DELTA-SIZED end to end
+    * (the q106 "0.1% delta pays 0.1%" contract, which the vector
+    * layout's appendToIvfPqIndex keeps and this path must too): the
+    * fresh documents analyze ONCE, their postings append into their
+    * term buckets, and — because the append contract makes every
+    * fresh doc_id NEW — the corpus-wide statistics update
+    * ADDITIVELY instead of re-aggregating the whole postings table:
     *
-    * Caveat: a document with ZERO analyzer-surviving tokens leaves no
-    * posting rows, so it drops out of the re-derived n_docs/avgdl
-    * (the writer counted it). Such documents score nothing and can
-    * only nudge the stats by a hair; any curated corpus has already
-    * filtered them (q53's length floor) — run the quality pass
-    * first. */
+    *   df′         = old dictionary ⟗ delta df, counts summed
+    *                 (dictionary + delta I/O, swap-rewritten — the
+    *                 replacement reads the artifact it replaces)
+    *   n_docs′     = n_docs + |delta| (counted from the ANALYZED
+    *                 delta, so zero-token documents count exactly as
+    *                 the writer counted them — a re-derivation from
+    *                 postings would silently drop them)
+    *   sum_doclen′ = sum_doclen + Σ delta doclen; avgdl′ =
+    *                 sum′/n′ — exact-integer arithmetic, so the
+    *                 result is bit-identical to a rebuild's avg()
+    *                 (integer-valued double sums are exact < 2^53)
+    *
+    * The pre-existing POSTINGS files are never opened
+    * (TextIndexLayoutSpec proves it by clobbering them before an
+    * append). The asymmetry with appendToIvfPqIndex survives in a
+    * weaker form: PQ codes are per-row facts (append-only files, no
+    * merge), BM25 statistics are corpus aggregates — but ADDITIVE
+    * ones under append-only ids, so the merge is delta+dictionary
+    * work, never index work. Layout options (positions, term
+    * vectors) come from the stats artifact's recorded flags, not a
+    * filesystem probe — see [[writeTextIndex]]. */
   def appendToTextIndex(spark: org.apache.spark.sql.SparkSession,
       fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String, buckets: Int = 16): Unit = {
+    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val hasPos = statsFlag(st, "has_positions", default = true)
+    val hasTv =
+      if (st.schema.fieldNames.contains("has_termvectors"))
+        st.getAs[Boolean]("has_termvectors")
+      else graft.io.Layout.pathExists(spark, s"$indexDir/termvectors")
+    // ONE analyzer pass over the delta serves postings, term
+    // vectors, the df merge and the stats increment
     val analyzed = fresh
       .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
       .withColumn("doclen", size(col("toks")))
-    val freshTf = analyzed
+      .localCheckpoint()
+    val freshTf0 = analyzed
       .select(col("doc_id"), col("doclen"),
         posexplode_outer(col("toks")).as(Seq("pos", "term")))
       .filter(col("term").isNotNull)
       .groupBy(col("term"), col("doc_id"), col("doclen"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
+    val freshTf =
+      (if (hasPos) freshTf0 else freshTf0.drop("positions"))
+        .localCheckpoint()
     freshTf
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
-    // term vectors follow the delta when the writer materialized them
-    if (new java.io.File(s"$indexDir/termvectors").exists())
+    if (hasTv)
       freshTf.select(col("doc_id"), col("term"), col("tf"))
         .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
         .write.mode("append").partitionBy("dbucket")
         .parquet(s"$indexDir/termvectors")
-    // corpus-wide statistics re-derive from the appended postings —
-    // df is one dictionary-sized aggregate, stats one row (doclen
-    // rides every posting row, so a distinct per-doc frame recovers
-    // the corpus length profile without re-reading any document)
-    val post = spark.read.parquet(s"$indexDir/postings")
-    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$indexDir/df")
-    post.select(col("doc_id"), col("doclen")).distinct()
-      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"),
-        sum(col("doclen")).as("sum_doclen"))
+    // dictionary merge: old df ⟗ delta df — the ONLY non-delta input
+    // is the dictionary artifact itself (Heaps-law-sized, never the
+    // postings); swap-rewritten because the merge reads the artifact
+    // it replaces
+    val deltaDf = freshTf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_delta"))
+    val merged = spark.read.parquet(s"$indexDir/df")
+      .join(deltaDf, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) +
+          coalesce(col("df_delta"), lit(0L))).as("df"))
+    graft.io.Layout.rewriteParquet(spark, merged, s"$indexDir/df")
+    // stats increment: counters + delta aggregates (1-row artifact,
+    // already collected above, so the overwrite never races the read)
+    val d = analyzed
+      .agg(count(lit(1)), coalesce(sum(col("doclen")), lit(0L))).head()
+    val nDocs = st.getAs[Long]("n_docs") + d.getLong(0)
+    val sumLen = st.getAs[Long]("sum_doclen") + d.getLong(1)
+    import spark.implicits._
+    Seq((nDocs, sumLen.toDouble / nDocs, sumLen, hasPos, hasTv))
+      .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
+        "has_termvectors")
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+    Checkpoints.unpersist(freshTf)
+    Checkpoints.unpersist(analyzed)
   }
 
   /** more_like_this over the STORED index — the last query face the
@@ -390,7 +432,7 @@ object FullText {
       lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / lit(avgdlRest))
     val idf = log(lit(1.0) +
       (lit(nRest) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    spark.read.parquet(s"$indexDir/postings")
+    livePostings(spark, indexDir)
       .filter(col("bucket").isInCollection(qBuckets))
       .filter(col("term").isInCollection(topTerms))
       .filter(col("doc_id") =!= seedId)
@@ -458,7 +500,7 @@ object FullText {
     val qBuckets = qterms.toDF("term")
       .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val post = spark.read.parquet(s"$indexDir/postings")
+    val post = livePostings(spark, indexDir)
       .filter(col("bucket").isInCollection(qBuckets))
       .filter(col("term").isInCollection(qterms))
     val slots = phrase.zipWithIndex.map { case (w, j) =>
@@ -541,7 +583,7 @@ object FullText {
         val qBuckets = qFrame
           .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        Some(spark.read.parquet(s"$indexDir/postings")
+        Some(livePostings(spark, indexDir)
           .filter(col("bucket").isInCollection(qBuckets))
           .filter(col("term").isInCollection(allTerms))
           .select(col("doc_id"), col("doclen"), col("term"),
@@ -591,19 +633,148 @@ object FullText {
       .limit(k)
   }
 
+  /** The live view of a stored index's postings: the raw
+    * bucket-partitioned table minus any TOMBSTONED documents. Every
+    * stored search face reads through this, so a delete is visible
+    * the moment [[deleteFromTextIndex]] lands — the Lucene liveDocs
+    * bitset as an anti-join. The tombstone frame broadcasts: it is
+    * bounded by the deletes since the last compaction, and
+    * [[compactTextIndex]] is exactly what keeps that bound small. */
+  /** A recorded layout flag from the 1-row stats artifact, with the
+    * pre-flag-layout default for indexes written before the flags
+    * existed. */
+  private def statsFlag(st: org.apache.spark.sql.Row, name: String,
+      default: Boolean): Boolean =
+    if (st.schema.fieldNames.contains(name)) st.getAs[Boolean](name)
+    else default
+
+  private def livePostings(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val post = spark.read.parquet(s"$indexDir/postings")
+    if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+      post.join(
+        broadcast(spark.read.parquet(s"$indexDir/tombstones")
+          .select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+    else post
+  }
+
+  /** Tombstone DELETE from the stored text index — the takedown path
+    * (a PII ruling, a dedup cluster's losers, a license revocation)
+    * that previously had no answer short of a full rebuild: the ids
+    * land in `<indexDir>/tombstones/` (delete-batch-sized I/O), every
+    * search face anti-joins them immediately via [[livePostings]],
+    * and [[compactTextIndex]] physically reclaims the rows.
+    *
+    * Statistics: when the index stores TERM VECTORS, the deleted
+    * docs' vectors are doc-bucket-pruned point reads, and df/stats
+    * decrement EXACTLY (df′ = df − docs-containing-term among the
+    * deleted; n′ = n − |ids|; sum_doclen′ −= Σ tf, since a doc's
+    * doclen is the sum of its term frequencies) — search-after-delete
+    * is then bit-identical to a rebuild without the deleted docs
+    * (TextIndexLayoutSpec's pin). Without term vectors the statistics
+    * keep counting the deleted docs until compaction — exactly
+    * Lucene/ES behavior, where docFreq includes deleted docs until
+    * segments merge.
+    *
+    * Contract: `ids` are documents the index actually contains
+    * (deleting an absent id over-decrements n_docs), each id deleted
+    * at most once between compactions. */
+  def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: Seq[Long], buckets: Int = 16): Unit = {
+    if (ids.isEmpty) return
+    import spark.implicits._
+    val distinctIds = ids.distinct
+    distinctIds.toDF("doc_id").write.mode("append")
+      .parquet(s"$indexDir/tombstones")
+    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val hasTv = statsFlag(st, "has_termvectors", default = false)
+    if (!hasTv) return // Lucene mode: stats true up at compaction
+    val dBuckets = distinctIds.toDF("doc_id")
+      .select(pmod(hash(col("doc_id")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val deadVecs = spark.read.parquet(s"$indexDir/termvectors")
+      .filter(col("dbucket").isInCollection(dBuckets))
+      .filter(col("doc_id").isInCollection(distinctIds))
+      .localCheckpoint()
+    val merged = spark.read.parquet(s"$indexDir/df")
+      .join(deadVecs.groupBy(col("term"))
+          .agg(count(lit(1)).as("df_dead")),
+        Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("df") - coalesce(col("df_dead"), lit(0L))).as("df"))
+      .filter(col("df") > 0) // a rebuild has no zero-df dictionary row
+    graft.io.Layout.rewriteParquet(spark, merged, s"$indexDir/df")
+    val deadLen = deadVecs.agg(coalesce(sum(col("tf")), lit(0L)))
+      .head().getLong(0)
+    val nDocs = st.getAs[Long]("n_docs") - distinctIds.size
+    val sumLen = st.getAs[Long]("sum_doclen") - deadLen
+    require(nDocs > 0, "deleting every document: rebuild instead")
+    Seq((nDocs, sumLen.toDouble / nDocs, sumLen,
+      statsFlag(st, "has_positions", default = true), true))
+      .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
+        "has_termvectors")
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+    Checkpoints.unpersist(deadVecs)
+  }
+
   /** Maintenance compactor for the stored text layout's
     * bucket-partitioned postings: every [[appendToTextIndex]] lands a
     * new part-file PER BUCKET, degrading exactly the bucket-pruned
     * scan the partitioning exists for —
     * [[graft.io.Layout.compactParquetDir]]'s swap-safe rewrite
     * restores one file per bucket. The df/stats artifacts are
-    * overwrite-rewritten on every append and never accumulate.
-    * TextIndexLayoutSpec pins file reclamation + stored-search frame
-    * equality across the rewrite. */
+    * swap-rewritten on every append and never accumulate.
+    *
+    * Tombstones apply PHYSICALLY here (the Lucene merge): postings
+    * (and term vectors, when stored) drop the tombstoned docs' rows
+    * during the rewrite, then the tombstone set itself is reclaimed.
+    * If the index has no term vectors the statistics were left
+    * Lucene-stale at delete time, so they re-derive from the
+    * SURVIVING postings — a full postings read, but compaction is
+    * the maintenance-window full rewrite by definition (the
+    * delete-time exact path never pays it). TextIndexLayoutSpec pins
+    * file reclamation, tombstone reclamation, and stored-search
+    * frame equality across the rewrite. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): (Long, Long, Long) =
-    graft.io.Layout.compactParquetDir(spark, s"$indexDir/postings",
-      Seq("bucket"))
+      indexDir: String): (Long, Long, Long) = {
+    val tombPath = s"$indexDir/tombstones"
+    val hasTomb = graft.io.Layout.pathExists(spark, tombPath)
+    val minus =
+      if (hasTomb)
+        Some((spark.read.parquet(tombPath), Seq("doc_id")))
+      else None
+    val res = graft.io.Layout.compactParquetDir(spark,
+      s"$indexDir/postings", Seq("bucket"), minus)
+    if (hasTomb) {
+      val st = spark.read.parquet(s"$indexDir/stats").head()
+      val hasTv = statsFlag(st, "has_termvectors", default = false)
+      if (hasTv)
+        graft.io.Layout.compactParquetDir(spark,
+          s"$indexDir/termvectors", Seq("dbucket"), minus)
+      else {
+        // Lucene mode: true the statistics up from the survivors
+        val post = spark.read.parquet(s"$indexDir/postings")
+        graft.io.Layout.rewriteParquet(spark,
+          post.groupBy(col("term")).agg(count(lit(1)).as("df")),
+          s"$indexDir/df")
+        import spark.implicits._
+        val r = post.select(col("doc_id"), col("doclen")).distinct()
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("doclen")), lit(0L)).as("s")).head()
+        val hasPos = statsFlag(st, "has_positions", default = true)
+        Seq((r.getLong(0), r.getLong(1).toDouble / r.getLong(0),
+          r.getLong(1), hasPos, false))
+          .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
+            "has_termvectors")
+          .write.mode("overwrite").parquet(s"$indexDir/stats")
+      }
+      val p = new org.apache.hadoop.fs.Path(tombPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    res
+  }
 
   /** Query-time BM25 over a STORED index — no analyzer, no corpus
     * scan: the query terms' bucket ids derive from the SAME hash
@@ -614,10 +785,25 @@ object FullText {
     * to [[bm25TopK]]'s window — one row per matching (doc, term)
     * means the window count IS the term's df); stats broadcast from
     * the 1-row artifact. Frame equality with the self-contained
-    * [[bm25TopK]] is TextIndexLayoutSpec's pin. */
+    * [[bm25TopK]] is TextIndexLayoutSpec's pin.
+    *
+    * `after` is ES `search_after` DEEP PAGINATION: a (score, doc_id)
+    * cursor — the LAST hit of the previous page under this ranking's
+    * total order (score desc, doc_id asc; scores are rounded to 4
+    * decimals, so the cursor survives a round trip through any
+    * client) — becomes a KEYSET predicate `score < s ∨ (score = s ∧
+    * doc_id > d)` applied BELOW the TakeOrdered. Page N+1 therefore
+    * sorts only rows past the cursor: no page-1 row re-enters the
+    * top-k, and the cost of page 50 equals the cost of page 1 —
+    * unlike from/size pagination, which re-ranks (and re-heaps)
+    * 50·k rows. The predicate sits on the POST-AGGREGATION score, so
+    * the postings read is unchanged (scoring must see every matching
+    * posting to compute the score it pages on — same as ES, where
+    * search_after filters hits, not postings). */
   def bm25SearchStored(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queryTerms: Seq[String], k: Int = 20,
-      buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75,
+      after: Option[(Double, Long)] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val qFrame = spark.createDataFrame(queryTerms.map(Tuple1(_)))
       .toDF("term")
@@ -627,7 +813,7 @@ object FullText {
     val stats = spark.read.parquet(s"$indexDir/stats")
     val dfDict = spark.read.parquet(s"$indexDir/df")
       .filter(col("term").isInCollection(queryTerms))
-    val tf = spark.read.parquet(s"$indexDir/postings")
+    val tf = livePostings(spark, indexDir)
       .filter(col("bucket").isInCollection(qBuckets))
       .filter(col("term").isInCollection(queryTerms))
     val normLen = col("tf").cast("double") +
@@ -641,6 +827,10 @@ object FullText {
         idf * col("tf").cast("double") * lit(k1 + 1.0) / normLen)
       .groupBy(col("doc_id"))
       .agg(round(sum(col("term_score")), 4).as("score"))
+      .transform(scores => after.fold(scores) { case (s, d) =>
+        scores.filter(col("score") < s ||
+          (col("score") === s && col("doc_id") > d))
+      })
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -731,7 +921,7 @@ object FullText {
     val qBuckets = exp
       .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(s"$indexDir/postings")
+    livePostings(spark, indexDir)
       .filter(col("bucket").isInCollection(
         if (qBuckets.isEmpty) Seq(-1) else qBuckets))
       .join(broadcast(exp), Seq("term"))
@@ -917,8 +1107,13 @@ object FullText {
       .select(col("doc_id"), col("f.field").as("field"),
         col("f.toks").as("toks"))
       .withColumn("doclen", size(col("toks")))
+    // sum_doclen makes the per-field statistics ADDITIVE under
+    // append (exact-integer discipline, as in the single-field
+    // layout) — the append path increments counters instead of
+    // re-reading the postings table
     stacked.groupBy(col("field"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"),
+        sum(col("doclen")).as("sum_doclen"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
     val tf = stacked
       .select(col("doc_id"), col("field"), col("doclen"),
@@ -935,13 +1130,17 @@ object FullText {
   }
 
   /** Batch refresh of the multi-field index — the
-    * [[appendToTextIndex]] contract per field: the fresh documents'
-    * stacked postings append into their term buckets (delta-only
-    * analyzer work), then the PER-FIELD df/stats re-aggregate from
-    * the appended postings (corpus-wide statistics shift with every
-    * batch — the recompute-on-append artifact kind; dictionary- and
-    * |fields|-row work, the corpus is never re-analyzed).
-    * TextIndexLayoutSpec pins append ≡ rebuild. */
+    * [[appendToTextIndex]] contract per field, equally DELTA-SIZED:
+    * the fresh documents' stacked postings append into their term
+    * buckets (delta-only analyzer work), the per-field dictionary
+    * merges old ⟗ delta (dictionary + delta I/O), and the per-field
+    * stats increment from the delta's STACKED frame — which counts a
+    * field row for EVERY document, including one whose field
+    * analyzes to zero tokens, exactly as the writer did (the
+    * re-derive-from-postings shape both dropped such docs AND read
+    * the whole index per batch). TextIndexLayoutSpec pins
+    * append ≡ rebuild, zero-token docs included, and that the
+    * pre-existing postings files are never opened. */
   def appendToMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
       fresh: DataFrame, idCol: String, fields: Seq[String],
       indexDir: String, buckets: Int = 16): Unit = {
@@ -953,32 +1152,91 @@ object FullText {
       .select(col("doc_id"), col("f.field").as("field"),
         col("f.toks").as("toks"))
       .withColumn("doclen", size(col("toks")))
-    stacked
+      .localCheckpoint()
+    val freshTf = stacked
       .select(col("doc_id"), col("field"), col("doclen"),
         explode_outer(col("toks")).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("field"), col("term"), col("doc_id"), col("doclen"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    freshTf
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
-    val post = spark.read.parquet(s"$indexDir/postings")
-    post.groupBy(col("field"), col("term"))
-      .agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$indexDir/df")
-    post.select(col("field"), col("doc_id"), col("doclen")).distinct()
-      .groupBy(col("field"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+    val merged = spark.read.parquet(s"$indexDir/df")
+      .join(freshTf.groupBy(col("field"), col("term"))
+          .agg(count(lit(1)).as("df_delta")),
+        Seq("field", "term"), "full_outer")
+      .select(col("field"), col("term"),
+        (coalesce(col("df"), lit(0L)) +
+          coalesce(col("df_delta"), lit(0L))).as("df"))
+    graft.io.Layout.rewriteParquet(spark, merged, s"$indexDir/df")
+    // |fields|-row statistics: collected, incremented, rewritten —
+    // avgdl = sum/n in exact-integer arithmetic (bit-equal to a
+    // rebuild's avg; see appendToTextIndex)
+    val deltas = stacked.groupBy(col("field"))
+      .agg(count(lit(1)).as("d_n"),
+        coalesce(sum(col("doclen")), lit(0L)).as("d_sum"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val updated = spark.read.parquet(s"$indexDir/stats").collect()
+      .map { r =>
+        val (dn, ds) = deltas.getOrElse(r.getString(
+          r.fieldIndex("field")), (0L, 0L))
+        val n = r.getAs[Long]("n_docs") + dn
+        val s = r.getAs[Long]("sum_doclen") + ds
+        (r.getString(r.fieldIndex("field")), n, s.toDouble / n, s)
+      }
+    import spark.implicits._
+    updated.toSeq
+      .toDF("field", "n_docs", "avgdl", "sum_doclen")
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+    Checkpoints.unpersist(freshTf)
+    Checkpoints.unpersist(stacked)
   }
 
   /** Bucket-partition compactor for the multi-field postings — the
     * [[compactTextIndex]] maintenance face on the same swap-safe
-    * rewrite. */
+    * rewrite. Tombstones ([[deleteFromTextIndex]] works unchanged on
+    * a multi-field index — the tombstone artifact is doc_id-keyed
+    * and every face reads through [[livePostings]]) apply physically
+    * here; the multi-field layout has no forward artifact, so its
+    * statistics are always Lucene-stale between delete and
+    * compaction and re-derive from the survivors. */
   def compactMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): (Long, Long, Long) =
-    graft.io.Layout.compactParquetDir(spark, s"$indexDir/postings",
-      Seq("bucket"))
+      indexDir: String): (Long, Long, Long) = {
+    val tombPath = s"$indexDir/tombstones"
+    val hasTomb = graft.io.Layout.pathExists(spark, tombPath)
+    val minus =
+      if (hasTomb)
+        Some((spark.read.parquet(tombPath), Seq("doc_id")))
+      else None
+    val res = graft.io.Layout.compactParquetDir(spark,
+      s"$indexDir/postings", Seq("bucket"), minus)
+    if (hasTomb) {
+      val post = spark.read.parquet(s"$indexDir/postings")
+      graft.io.Layout.rewriteParquet(spark,
+        post.groupBy(col("field"), col("term"))
+          .agg(count(lit(1)).as("df")),
+        s"$indexDir/df")
+      import spark.implicits._
+      val rows = post
+        .select(col("field"), col("doc_id"), col("doclen")).distinct()
+        .groupBy(col("field"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("doclen")), lit(0L)).as("s"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2).toDouble / r.getLong(1), r.getLong(2)))
+      rows.toSeq.toDF("field", "n_docs", "avgdl", "sum_doclen")
+        .write.mode("overwrite").parquet(s"$indexDir/stats")
+      val p = new org.apache.hadoop.fs.Path(tombPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    res
+  }
 
   /** multi_match over the STORED multi-field index: per-field
     * df/stats come from the artifacts (df_blend = max over the
@@ -1006,7 +1264,7 @@ object FullText {
       .select(col("field"), col("term"), col("df").cast("double").as("df"))
       .withColumn("df_blend",
         max(col("df")).over(Window.partitionBy(col("term"))))
-    val withDf = spark.read.parquet(s"$indexDir/postings")
+    val withDf = livePostings(spark, indexDir)
       .filter(col("bucket").isInCollection(qBuckets))
       .filter(col("term").isInCollection(queryTerms))
       .select(col("doc_id"), col("field"), col("doclen"),

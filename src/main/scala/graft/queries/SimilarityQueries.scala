@@ -1090,9 +1090,41 @@ object SimilarityQueries {
     * VectorIndexLayoutSpec pins file reclamation + stored-search
     * frame equality across the rewrite. */
   def compactIvfPqIndex(spark: SparkSession,
-      indexDir: String): (Long, Long, Long) =
-    graft.io.Layout.compactParquetDir(spark, s"$indexDir/codes",
-      Seq("cell_id"))
+      indexDir: String): (Long, Long, Long) = {
+    val tombPath = s"$indexDir/tombstones"
+    val hasTomb = graft.io.Layout.pathExists(spark, tombPath)
+    val res = graft.io.Layout.compactParquetDir(spark,
+      s"$indexDir/codes", Seq("cell_id"),
+      if (hasTomb) Some((spark.read.parquet(tombPath), Seq("vec_id")))
+      else None)
+    if (hasTomb) {
+      val p = new org.apache.hadoop.fs.Path(tombPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    res
+  }
+
+  /** Tombstone DELETE from the stored vector index — the text twin
+    * is [[graft.ops.FullText.deleteFromTextIndex]], and the need is
+    * the same takedown/dedup-ruling path (q117 decides which cluster
+    * member survives; this is what evicts the losers from a served
+    * index): ids land in `<indexDir>/tombstones/` (delete-batch-
+    * sized I/O), [[ivfPqSearchStored]] anti-joins them before the
+    * ADC scoring, and [[compactIvfPqIndex]] physically reclaims the
+    * code rows. Unlike BM25, the IVF+PQ artifacts hold NO corpus
+    * aggregates a delete could stale — cells and codebooks are
+    * training artifacts, deliberately fixed between retrains (the
+    * q106 stability contract; FAISS `remove_ids` keeps its
+    * quantizers the same way) — so search-after-delete is exactly
+    * search-over-surviving-codes (VectorIndexLayoutSpec's pin). */
+  def deleteFromIvfPqIndex(spark: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    import spark.implicits._
+    ids.distinct.toDF("vec_id").write.mode("append")
+      .parquet(s"$indexDir/tombstones")
+  }
 
   /** Query-time IVF+PQ search over a STORED index — the plan a
     * deployment actually runs, with no training anywhere: cells and
@@ -1116,8 +1148,17 @@ object SimilarityQueries {
     val qemb = q.select($"embedding".as("qemb"))
     val probedCells = probeTop(cells, qemb, probes)
       .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes0 = spark.read.parquet(s"$indexDir/codes")
       .filter($"cell_id".isInCollection(probedCells))
+    // tombstoned vectors never reach the ADC scoring (the FAISS
+    // IDSelector mask as an anti-join; compaction reclaims the rows)
+    val codes =
+      if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+        codes0.join(
+          broadcast(spark.read.parquet(s"$indexDir/tombstones")
+            .select($"vec_id").distinct()),
+          Seq("vec_id"), "left_anti")
+      else codes0
     val qsubs = ProductQuant.subVectors(q, m, subdim)
       .select($"sub_id", $"subvec".as("qsub"))
     val adc = ProductQuant.adcTable(cb, qsubs)
@@ -1336,16 +1377,37 @@ object SimilarityQueries {
     * reads them from the layout, so a deployment running both
     * persists its PQ artifacts exactly once. */
   def writeCalibrationArtifacts(spark: SparkSession, dir: String,
-      artDir: String, reuseIvfPqIndex: Option[String] = None): Unit = {
+      artDir: String, reuseIvfPqIndex: Option[String] = None,
+      queryIds: Seq[Long] = Seq(0L), k: Int = 10): Unit = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val a = deriveCalibrationArtifacts(e)
+    // the EXACT top-k baseline is itself an index-time artifact: the
+    // card's queries are fixed per card, so the brute-force pass that
+    // dominated the stored card's runtime runs ONCE here, and every
+    // recurring card run is pure candidate-count aggregates (rank
+    // pins k and the tie-break; a card asked for a query or k the
+    // bundle doesn't carry falls back to the in-query baseline)
+    val exactTopk = queryIds.map { qid =>
+      val qemb = e.filter($"vec_id" === qid)
+        .select($"embedding".as("qemb"))
+      e.filter($"vec_id" =!= qid)
+        .crossJoin(broadcast(qemb))
+        .withColumn("cos", cosine($"embedding", $"qemb"))
+        .orderBy($"cos".desc, $"vec_id".asc).limit(k)
+        .select(lit(qid).as("query_id"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))
+            .orderBy($"cos".desc, $"vec_id".asc))).cast("long")
+            .as("rank"),
+          $"vec_id")
+    }.reduce(_.unionByName(_))
     val own = Seq(
       "buckets" -> a.buckets, "km_cells" -> a.kmCells,
       "km_assigned" -> a.kmAssigned,
       "res_codebooks" -> a.resCodebooks, "res_codes" -> a.resCodes,
       "sq_stats" -> a.sqStats, "imi_codebooks" -> a.imiCodebooks,
-      "imi_cells" -> a.imiCells)
+      "imi_cells" -> a.imiCells, "exact_topk" -> exactTopk)
     val ivfFamily =
       if (reuseIvfPqIndex.isDefined) Nil
       else Seq("cells" -> a.cells, "assigned" -> a.assigned,
@@ -1389,6 +1451,18 @@ object SimilarityQueries {
         (rd("cells"), rd("assigned"), rd("pq_codebooks"),
           rd("pq_codes"), rd("norms"))
     }
+    // the persisted exact baseline (k rows per card query) replaces
+    // the stored card's one remaining corpus-wide exact pass; a
+    // bundle that predates the artifact, or a query/k it doesn't
+    // carry, falls back to the in-query brute force
+    val exactPre: Option[Seq[Long]] =
+      if (!graft.io.Layout.pathExists(spark, s"$artDir/exact_topk")) None
+      else {
+        val ids = rd("exact_topk").filter($"query_id" === queryId)
+          .orderBy($"rank").select($"vec_id")
+          .collect().map(_.getLong(0)).toSeq
+        if (ids.size == k) Some(ids) else None
+      }
     calibrationCardFrom(e, CalibrationArtifacts(
       buckets = rd("buckets"), cells = cells,
       assigned = assigned, kmCells = rd("km_cells"),
@@ -1396,7 +1470,7 @@ object SimilarityQueries {
       pqCodes = pqCodes, norms = norms,
       resCodebooks = rd("res_codebooks"), resCodes = rd("res_codes"),
       sqStats = rd("sq_stats"), imiCodebooks = rd("imi_codebooks"),
-      imiCells = rd("imi_cells")), queryId, k)
+      imiCells = rd("imi_cells")), queryId, k, exactPre)
   }
 
   /** The card's QUERY-TIME core — probes, candidate scans, reranks,
@@ -1405,16 +1479,18 @@ object SimilarityQueries {
     * the in-query derivations and the persisted artifacts cannot
     * drift. */
   private def calibrationCardFrom(e: DataFrame, a: CalibrationArtifacts,
-      queryId: Long, k: Int): DataFrame = {
+      queryId: Long, k: Int,
+      exactIdsPre: Option[Seq[Long]] = None): DataFrame = {
     import e.sparkSession.implicits._
     val fp = ProductQuant.fixedPointScale
     val q = e.filter($"vec_id" === queryId)
     val qemb = q.select($"embedding".as("qemb"))
-    val exactIds = e.filter($"vec_id" =!= queryId)
-      .crossJoin(broadcast(qemb))
-      .withColumn("cos", cosine($"embedding", $"qemb"))
-      .orderBy($"cos".desc, $"vec_id".asc).limit(k)
-      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val exactIds = exactIdsPre.getOrElse(
+      e.filter($"vec_id" =!= queryId)
+        .crossJoin(broadcast(qemb))
+        .withColumn("cos", cosine($"embedding", $"qemb"))
+        .orderBy($"cos".desc, $"vec_id".asc).limit(k)
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq)
     val nMinus1 = e.filter($"vec_id" =!= queryId).select($"vec_id")
 
     def row(tier: String, top: DataFrame, cand: DataFrame,

@@ -1315,27 +1315,114 @@ object TextQueries {
       .groupBy($"bg").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"bg".asc).limit(nQueries)
       .collect().map(_.getString(0))
+    // need (the query's distinct-term count) rides ON the broadcast
+    // query frame instead of a typedLit map: a literal map expression
+    // grows with |queries| in the PLAN itself (thousands of saved
+    // searches would bloat every task's codegen), while a frame
+    // column is just data — PercolateScaleSpec pins the operator at
+    // 512 stored queries
     val qrows = bigrams.zipWithIndex.flatMap { case (bg, i) =>
-      bg.split(" ").distinct.map(t => (i.toLong, bg, t))
+      val ts = bg.split(" ").distinct
+      ts.map(t => (i.toLong, bg, t, ts.length.toLong))
     }.toSeq
-    val qframe = qrows.toDF("qid", "query", "term")
-    val qsize = qrows.groupBy(_._1).view.mapValues(_.size).toMap
-    val need = typedLit(qsize.map { case (k, v) => k -> v.toLong })
+    val qframe = qrows.toDF("qid", "query", "term", "need")
     val allTerms = qrows.map(_._3).distinct
     val matches = analyzed
       .select($"doc_id", explode_outer($"toks").as("term"))
       .where($"term".isInCollection(allTerms))
       .distinct()
       .join(broadcast(qframe), Seq("term"))
-      .groupBy($"qid", $"query", $"doc_id")
+      .groupBy($"qid", $"query", $"need", $"doc_id")
       .agg(count(lit(1)).as("hit"))
-      .filter($"hit" === element_at(need, $"qid"))
+      .filter($"hit" === $"need")
     matches
       .groupBy($"qid", $"query")
       .agg(count(lit(1)).as("n_matched_docs"),
-        slice(sort_array(collect_list($"doc_id")), 1, 3)
+        concat_ws(",", slice(sort_array(collect_list($"doc_id")), 1, 3))
           .as("first_matches"))
       .orderBy($"qid")
+  }
+
+  /** q144 — `search_after` DEEP PAGINATION over the q51 BM25 ranking
+    * (the ES cursor that replaces from/size past the first pages):
+    * page 1 is the plain top-`pageSize`; each later page applies the
+    * KEYSET predicate `score < s ∨ (score = s ∧ doc_id > d)` — the
+    * previous page's last hit under the ranking's total order
+    * (score desc, doc_id asc; 4dp-rounded scores make the cursor
+    * exact across engines) — BELOW its top-k, so page N+1 sorts only
+    * rows past the cursor and never re-ranks (or re-returns) a page
+    * it already served. Emits (page, doc_id, score) for `nPages`
+    * pages ≡ the first nPages·pageSize rows of the global ranking —
+    * the q119 keyset-pagination discipline applied to ranked hits.
+    *
+    * Scale shape: ONE analyzer pass builds the scored frame
+    * (checkpointed — the real cost of BM25); each page is then a
+    * filter + TakeOrdered over the matching-docs-sized frame, and
+    * the cursor is a 1-row driver artifact per page, exactly what a
+    * client round-trips. The stored-index face is
+    * [[graft.ops.FullText.bm25SearchStored]]'s `after` parameter
+    * (TextIndexLayoutSpec pins stored ≡ this). */
+  def searchAfterPages(spark: SparkSession, dir: String,
+      pageSize: Int = 10, nPages: Int = 3): DataFrame = {
+    import spark.implicits._
+    val analyzed = Tables.documents(spark, dir)
+      .select($"doc_id", FullText.analyze($"text").as("toks"))
+      .withColumn("doclen", size($"toks"))
+    val stats = analyzed.agg(
+      count(lit(1)).as("n_docs"), avg($"doclen").as("avgdl"))
+    val postings = analyzed
+      .select($"doc_id", $"doclen", explode_outer($"toks").as("term"))
+    val scores = FullText
+      .bm25ScoresFromPostings(postings, stats, bm25QueryTerms)
+      .localCheckpoint()
+    var after: Option[(Double, Long)] = None
+    val pages = (1 to nPages).map { p =>
+      val page = after.fold(scores) { case (s, d) =>
+        scores.filter($"score" < s ||
+          ($"score" === s && $"doc_id" > d))
+      }
+        .orderBy($"score".desc, $"doc_id")
+        .limit(pageSize)
+      // the cursor is the page's last hit — a pageSize-bounded
+      // driver read, the same rows the client was just served
+      val served = page.collect()
+      after = served.lastOption
+        .map(r => (r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      page.withColumn("page", lit(p.toLong))
+    }
+    pages.reduce(_.unionByName(_))
+      .select($"page", $"doc_id", $"score")
+      .orderBy($"page", $"score".desc, $"doc_id")
+  }
+
+  /** q145 — the stored text index LIFECYCLE under the correctness
+    * gate: write the index over the first 4/5 of the corpus
+    * (term vectors on), batch-append the remaining 1/5
+    * ([[graft.ops.FullText.appendToTextIndex]]'s delta-sized
+    * statistics merge), tombstone-DELETE every doc_id ≡ 5 (mod 97)
+    * (a ~1% takedown batch — the exact-statistics path, since the
+    * forward artifact exists), then serve the q51 search from the
+    * artifacts. The oracle is the self-contained BM25 SQL over
+    * `documents` MINUS the deleted ids — so a hash-match proves the
+    * whole write → append → delete → search chain is bit-identical
+    * to a fresh build over the surviving corpus: the append's
+    * additive df/stats, the delete's decremented df/stats, and the
+    * tombstone anti-join all land under the driver's gate, not just
+    * ScalaTest pins. */
+  def storedTextLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val wm = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-text-lifecycle").toFile.getAbsolutePath
+    FullText.writeTextIndex(docs.filter($"doc_id" <= wm), "doc_id",
+      "text", idx, storeTermVectors = true)
+    FullText.appendToTextIndex(spark, docs.filter($"doc_id" > wm),
+      "doc_id", "text", idx)
+    val dead = docs.filter($"doc_id" % 97 === 5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    FullText.deleteFromTextIndex(spark, idx, dead)
+    FullText.bm25SearchStored(spark, idx, bm25QueryTerms, k = 20)
   }
 
   /** q100 — more-like-this (the ES `more_like_this` query shape):
@@ -2505,7 +2592,8 @@ object TextQueries {
         |mm AS (SELECT m.qid, m.query, m.doc_id FROM m
         |  JOIN need n ON n.qid = m.qid AND m.hit = n.need)
         |SELECT qid, query, COUNT(*) AS n_matched_docs,
-        |  (list_sort(list(doc_id)))[1:3] AS first_matches
+        |  array_to_string((list_sort(list(doc_id)))[1:3], ',')
+        |    AS first_matches
         |FROM mm GROUP BY qid, query ORDER BY qid""".stripMargin,
     "q140_min_should_match" ->
       """WITH lens AS (
@@ -2733,6 +2821,71 @@ object TextQueries {
         |         'that','the','their','then','there','these','they','this',
         |         'to','was','will','with')) AS toks
         |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  WHERE term IN ('fast','vector','query')
+        |  GROUP BY doc_id, doclen, term),
+        |withdf AS (
+        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf)
+        |SELECT doc_id, round(SUM(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+        |FROM withdf CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q144: keyset pagination ≡ row_number pagination because the
+    // ranking (score desc, doc_id asc) is a total order and both
+    // engines page on the 4dp-rounded score
+    "q144_search_after" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents),
+        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+        |tf AS (
+        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+        |  WHERE term IN ('fast','vector','query')
+        |  GROUP BY doc_id, doclen, term),
+        |withdf AS (
+        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+        |  FROM tf),
+        |scored AS (
+        |  SELECT doc_id, round(SUM(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+        |  FROM withdf CROSS JOIN stats GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, score,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT CAST((rn - 1) // 10 + 1 AS BIGINT) AS page, doc_id, score
+        |FROM ranked WHERE rn <= 30
+        |ORDER BY page, score DESC, doc_id""".stripMargin,
+    // q145: the stored-index lifecycle (write 4/5 + append 1/5 +
+    // delete ≡5 mod 97 + search) must be bit-identical to a fresh
+    // build over the surviving corpus — so the oracle is q51's SQL
+    // over documents minus the deleted ids
+    "q145_stored_lifecycle" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      t -> length(t) > 0 AND t NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for','if',
+        |         'in','into','is','it','no','not','of','on','or','such',
+        |         'that','the','their','then','there','these','they','this',
+        |         'to','was','will','with')) AS toks
+        |  FROM documents WHERE doc_id % 97 <> 5),
         |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
         |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
         |tf AS (

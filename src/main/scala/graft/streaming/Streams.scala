@@ -475,15 +475,31 @@ object Streams {
     * the q123 must-coverage rule) — a pure stateless per-row
     * filter/forall over the analyzed tokens. No state store, no
     * shuffle, composes with any sink; a deployment routes each
-    * matched qid's alert from the emitted array. Queries must have
-    * non-empty term sets (an empty set would match everything).
+    * matched qid's alert from the emitted array.
+    *
+    * Stored-query terms NORMALIZE through the field analyzer at
+    * registration (the driver-side twin, QueryString.analyzeText) —
+    * ES percolation analyzes the saved query with the field's
+    * analyzer, so a query registered as "Fast" or containing a
+    * stopword must match documents whose tokens are lowered/
+    * stop-filtered, not silently match nothing. A query whose term
+    * set analyzes to EMPTY (all stopwords) is rejected — it has no
+    * matchable content, and an empty AND-set would match everything.
     * StreamsSpec pins stream ≡ batch coverage on a constructed
-    * feed. */
+    * feed, uppercase/stopword queries included. */
   def percolateStream(docs: DataFrame, textCol: String,
       queries: Seq[(Long, Seq[String])]): DataFrame = {
-    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
-      "stored queries must have non-empty term sets")
-    val qlit = typedLit(queries.map { case (qid, ts) => (qid, ts) })
+    require(queries.nonEmpty, "at least one stored query required")
+    val analyzedQs = queries.map { case (qid, ts) =>
+      (qid, ts.flatMap(t =>
+        graft.ops.QueryString.analyzeText(t)).distinct)
+    }
+    val empty = analyzedQs.collect { case (qid, ts) if ts.isEmpty => qid }
+    require(empty.isEmpty,
+      s"stored queries with no analyzer-surviving terms: " +
+        s"${empty.mkString(",")} (all-stopword or empty queries " +
+        "cannot match any document)")
+    val qlit = typedLit(analyzedQs)
     docs
       .withColumn("__toks",
         graft.ops.FullText.analyze(col(textCol)))

@@ -192,6 +192,20 @@ class QueriesSpec extends SparkSpecBase {
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, dir)
       assert(df.columns.nonEmpty)
+      // DRIVER CONTRACT (round-9 lesson, q143): gated outputs are
+      // SCALARS ONLY. The external harness loads results into pandas
+      // and sorts rows — an array/map/struct cell raises "unhashable
+      // type" and the query loses its green row even when the local
+      // parity gate (string-repr sort) passes. Digest collections to
+      // strings (concat_ws/md5) in BOTH engines.
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val complex = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(complex.isEmpty,
+        s"$name emits non-scalar gated column(s) ${complex.mkString(",")}")
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }

@@ -402,5 +402,9 @@ class HashExpressionsSpec extends SparkSpecBase {
     assert(r.getSeq[String](3).nonEmpty)
     assert(r.getString(4) == "a <em>b</em> c <em>d</em> e f")
     assert(r.getSeq[Double](5) == Seq(2.0, 2.0))
+    // the natural CSV spelling trims: 'b, d' highlights d, not ' d'
+    val spaced = spark.sql(
+      "SELECT highlight_raw(text, 'b, d,') AS hl FROM hk_docs").head
+    assert(spaced.getString(0) == "a <em>b</em> c <em>d</em> e f")
   }
 }

@@ -238,7 +238,7 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       "multi-field postings must bucket-prune")
   }
 
-  test("multi-field append re-derives per-field statistics: append equals rebuild") {
+  test("multi-field append merges per-field statistics additively: append equals rebuild") {
     val docs = graft.io.Tables.documents(spark, dir)
       .select($"doc_id",
         array_join(slice(split($"text", "\\s+"), 1, 6), " ").as("title"),
@@ -362,7 +362,7 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(stored == self, "DOCS_AND_FREQS index must still score terms")
   }
 
-  test("batch append re-derives corpus statistics: append equals rebuild") {
+  test("batch append merges corpus statistics additively: append equals rebuild") {
     val docs = graft.io.Tables.documents(spark, dir)
     val w = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
     val old = docs.filter($"doc_id" <= w)
@@ -392,5 +392,249 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       "content untouched")
     assert(search(idxA) == preSearch,
       "stored search must be compaction-invariant")
+  }
+
+  /** Overwrite every parquet data file under `dir` with garbage so
+    * any job that opens one of them fails loudly — the executed-I/O
+    * proof that a maintenance path is delta-sized. */
+  private def clobberParquet(dir: String): Long = {
+    var n = 0L
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+      if (p.toString.endsWith(".parquet")) {
+        java.nio.file.Files.write(p, "not-a-parquet-file".getBytes)
+        n += 1
+      }
+    }
+    n
+  }
+
+  test("append never opens pre-existing postings files (delta-sized I/O)") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val w = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    val idxA = java.nio.file.Files.createTempDirectory("bm25-noio-a")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs.filter($"doc_id" <= w), "doc_id",
+      "text", idxA)
+    // make the pre-existing postings UNREADABLE: if the append's
+    // statistics merge still re-read the postings table (the shape
+    // this pin exists to ban), it would crash here
+    assert(clobberParquet(s"$idxA/postings") > 0)
+    intercept[Throwable] { // non-vacuous: the clobber took effect
+      spark.read.parquet(s"$idxA/postings").count()
+    }
+    FullText.appendToTextIndex(spark, docs.filter($"doc_id" > w),
+      "doc_id", "text", idxA)
+    // df and stats must still land EXACTLY where a rebuild puts them
+    val idxB = java.nio.file.Files.createTempDirectory("bm25-noio-b")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idxB)
+    def dfOf(idx: String) = spark.read.parquet(s"$idx/df")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df")))
+      .sortBy(_._1).toSeq
+    assert(dfOf(idxA) == dfOf(idxB),
+      "additive dictionary merge must equal a rebuild's df")
+    def statsOf(idx: String) = {
+      val r = spark.read.parquet(s"$idx/stats").head()
+      (r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
+        r.getAs[Long]("sum_doclen"))
+    }
+    assert(statsOf(idxA) == statsOf(idxB),
+      "additive stats merge must equal a rebuild's aggregate")
+  }
+
+  test("multi-field append never opens pre-existing postings files") {
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select($"doc_id",
+        array_join(slice(split($"text", "\\s+"), 1, 6), " ").as("title"),
+        $"text".as("body"))
+    val w = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    val idxA = java.nio.file.Files.createTempDirectory("mf-noio-a")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(docs.filter($"doc_id" <= w),
+      "doc_id", Seq("title", "body"), idxA)
+    assert(clobberParquet(s"$idxA/postings") > 0)
+    FullText.appendToMultiFieldTextIndex(spark,
+      docs.filter($"doc_id" > w), "doc_id", Seq("title", "body"), idxA)
+    val idxB = java.nio.file.Files.createTempDirectory("mf-noio-b")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(docs, "doc_id",
+      Seq("title", "body"), idxB)
+    def dfOf(idx: String) = spark.read.parquet(s"$idx/df")
+      .collect().map(r => (r.getAs[String]("field"),
+        r.getAs[String]("term"), r.getAs[Long]("df")))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(dfOf(idxA) == dfOf(idxB))
+    def statsOf(idx: String) = spark.read.parquet(s"$idx/stats")
+      .collect().map(r => (r.getAs[String]("field"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
+        r.getAs[Long]("sum_doclen"))).sortBy(_._1).toSeq
+    assert(statsOf(idxA) == statsOf(idxB))
+  }
+
+  test("zero-token documents count in appended statistics exactly as the writer counts them") {
+    // "the of and" analyzes to ZERO tokens: the old re-derive-from-
+    // postings append silently dropped such docs from n_docs/avgdl;
+    // the additive merge counts them like the writer
+    val old = Seq((1L, "fast vector engines win"),
+      (2L, "the of and")).toDF("doc_id", "text")
+    val fresh = Seq((3L, "vector query fast"),
+      (4L, "of the")).toDF("doc_id", "text")
+    val idxA = java.nio.file.Files.createTempDirectory("bm25-zt-a")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(old, "doc_id", "text", idxA)
+    FullText.appendToTextIndex(spark, fresh, "doc_id", "text", idxA)
+    val idxB = java.nio.file.Files.createTempDirectory("bm25-zt-b")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(old.unionByName(fresh), "doc_id", "text",
+      idxB)
+    def statsOf(idx: String) = {
+      val r = spark.read.parquet(s"$idx/stats").head()
+      (r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
+        r.getAs[Long]("sum_doclen"))
+    }
+    assert(statsOf(idxA) == statsOf(idxB))
+    assert(statsOf(idxA)._1 == 4L, "all four docs count, tokens or not")
+    // multi-field: doc 4's title analyzes empty, body doesn't
+    val mOld = Seq((1L, "fast engines", "fast vector engines win"))
+      .toDF("doc_id", "title", "body")
+    val mFresh = Seq((4L, "the of", "vector query fast"))
+      .toDF("doc_id", "title", "body")
+    val mA = java.nio.file.Files.createTempDirectory("mf-zt-a")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(mOld, "doc_id",
+      Seq("title", "body"), mA)
+    FullText.appendToMultiFieldTextIndex(spark, mFresh, "doc_id",
+      Seq("title", "body"), mA)
+    val mB = java.nio.file.Files.createTempDirectory("mf-zt-b")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(mOld.unionByName(mFresh),
+      "doc_id", Seq("title", "body"), mB)
+    def mStats(idx: String) = spark.read.parquet(s"$idx/stats")
+      .collect().map(r => (r.getAs[String]("field"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
+        r.getAs[Long]("sum_doclen"))).sortBy(_._1).toSeq
+    assert(mStats(mA) == mStats(mB))
+    assert(mStats(mA).forall(_._2 == 2L),
+      "both docs count in BOTH fields, zero-token title included")
+  }
+
+  test("tombstone delete with term vectors: search-after-delete ≡ rebuild-without-deleted") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idxD = java.nio.file.Files.createTempDirectory("bm25-del")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idxD,
+      storeTermVectors = true)
+    // realistic driver: q117's retention policy decides which cluster
+    // members survive; the losers are exactly a takedown batch
+    val losers = graft.queries.DedupQueries
+      .clusterRetention(spark, dir)
+      .filter($"retained" === 0L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    // pad with a deterministic slice so the batch is non-trivial even
+    // if this SF has few near-dup clusters
+    val dead = (losers ++ docs.filter($"doc_id" % 7 === 3)
+      .select($"doc_id").collect().map(_.getLong(0))).distinct
+    assert(dead.nonEmpty)
+    FullText.deleteFromTextIndex(spark, idxD, dead)
+    val idxR = java.nio.file.Files.createTempDirectory("bm25-del-r")
+      .toFile.getAbsolutePath
+    val survivors = docs.filter(!$"doc_id".isInCollection(dead))
+    FullText.writeTextIndex(survivors, "doc_id", "text", idxR,
+      storeTermVectors = true)
+    def s1(idx: String) = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(s1(idxD) == s1(idxR),
+      "BM25 after delete must be bit-identical to a rebuild without the deleted docs")
+    // dictionary decrements exactly (zero-df terms drop, as a rebuild has no row)
+    def dfOf(idx: String) = spark.read.parquet(s"$idx/df")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df")))
+      .sortBy(_._1).toSeq
+    assert(dfOf(idxD) == dfOf(idxR))
+    // phrase + MLT faces read through the same live view / statistics
+    val bg = survivors
+      .select(FullText.analyze($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(1)
+      .head().getString(0).split(" ").toSeq
+    def ph(idx: String) = FullText.phraseSearchStored(spark, idx, bg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(ph(idxD) == ph(idxR))
+    val seed = survivors.agg(min($"doc_id")).head().getLong(0)
+    def mlt(idx: String) = FullText.moreLikeThisStored(spark, idx, seed)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mlt(idxD) == mlt(idxR))
+    // compaction physically applies the tombstones and reclaims them
+    val pre = s1(idxD)
+    FullText.compactTextIndex(spark, idxD)
+    assert(!new java.io.File(s"$idxD/tombstones").exists(),
+      "compaction must reclaim the tombstone set")
+    assert(spark.read.parquet(s"$idxD/postings").count() ==
+      spark.read.parquet(s"$idxR/postings").count(),
+      "compacted postings must match the rebuild's row count")
+    assert(spark.read.parquet(s"$idxD/termvectors").count() ==
+      spark.read.parquet(s"$idxR/termvectors").count(),
+      "term vectors drop the deleted docs too")
+    assert(s1(idxD) == pre, "search must be compaction-invariant")
+  }
+
+  test("tombstone delete without term vectors: Lucene-stale stats, trued up at compaction") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idxD = java.nio.file.Files.createTempDirectory("bm25-del-lu")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idxD)
+    val hit = FullText.bm25SearchStored(spark, idxD, terms)
+      .head().getLong(0)
+    FullText.deleteFromTextIndex(spark, idxD, Seq(hit))
+    val after = FullText.bm25SearchStored(spark, idxD, terms)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(hit),
+      "a deleted doc must never be served, even before compaction")
+    // compaction trues the statistics up to rebuild-without-deleted
+    FullText.compactTextIndex(spark, idxD)
+    val idxR = java.nio.file.Files.createTempDirectory("bm25-del-lur")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs.filter($"doc_id" =!= hit), "doc_id",
+      "text", idxR)
+    def s1(idx: String) = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(s1(idxD) == s1(idxR))
+  }
+
+  test("search_after keyset pages: disjoint, exhaustive, stored ≡ self-contained") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("bm25-sa")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    val p1 = FullText.bm25SearchStored(spark, idx, terms, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val c1 = p1.last
+    val p2 = FullText.bm25SearchStored(spark, idx, terms, k = 5,
+      after = Some((c1._2, c1._1)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val c2 = p2.last
+    val p3 = FullText.bm25SearchStored(spark, idx, terms, k = 5,
+      after = Some((c2._2, c2._1)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // page N+1 never re-serves page N's rows, and the concatenation
+    // IS the single top-15 — the q119 keyset discipline on ranked hits
+    assert((p1.map(_._1).toSet & p2.map(_._1).toSet).isEmpty)
+    assert((p2.map(_._1).toSet & p3.map(_._1).toSet).isEmpty)
+    val top15 = FullText.bm25SearchStored(spark, idx, terms, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(p1 ++ p2 ++ p3 == top15,
+      "keyset pages must concatenate to the single big page")
+    // and the gated self-contained operator pages identically
+    val q144 = graft.queries.TextQueries
+      .searchAfterPages(spark, dir, pageSize = 5, nPages = 3)
+    val viaQuery = graft.ops.Checkpoints.consume(q144)(
+      _.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSeq)
+    assert(viaQuery == top15.sortBy(x => (-x._2, x._1)),
+      "q144 must serve the same 15 hits in ranking order")
   }
 }

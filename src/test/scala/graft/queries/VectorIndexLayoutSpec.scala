@@ -89,4 +89,40 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$idxA/codes.old").exists() &&
       !new java.io.File(s"$idxA/codes.compact").exists())
   }
+
+  test("vector tombstones: deleted ids leave the search, compaction reclaims the codes") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-del")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idx)
+    def search() = SimilarityQueries
+      .ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val base = search()
+    // delete two ids the search currently SERVES — the observable case
+    val dead = base.take(2).map(_._1)
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idx, dead)
+    val after = search()
+    assert(dead.forall(id => !after.exists(_._1 == id)),
+      "deleted ids must never be served")
+    // deletion is pure masking at fixed artifacts (the FAISS
+    // remove_ids contract): every surviving base hit keeps its exact
+    // score and relative order
+    val baseSurvivors = base.filterNot(h => dead.contains(h._1))
+    assert(after.take(baseSurvivors.size) == baseSurvivors,
+      "surviving hits must keep their scores and order")
+    val rowsBefore = spark.read.parquet(s"$idx/codes").count()
+    val deadRows = spark.read.parquet(s"$idx/codes")
+      .filter($"vec_id".isInCollection(dead)).count()
+    assert(deadRows > 0)
+    val preSearch = search()
+    SimilarityQueries.compactIvfPqIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "compaction must reclaim the tombstone set")
+    assert(spark.read.parquet(s"$idx/codes").count() ==
+      rowsBefore - deadRows,
+      "compaction must drop exactly the tombstoned code rows")
+    assert(search() == preSearch,
+      "search must be identical before and after physical reclamation")
+  }
 }

@@ -500,7 +500,10 @@ class StreamsSpec extends SparkSpecBase {
     val queries = Seq(
       (0L, Seq("fast", "vector")),
       (1L, Seq("slow")),
-      (2L, Seq("fast", "missing")))
+      (2L, Seq("fast", "missing")),
+      // registered terms normalize through the field analyzer (ES
+      // behavior): "The" is a stopword (dropped), "Vector" lowers
+      (3L, Seq("The", "Vector")))
     val rows = Seq(
       (1L, "a fast vector engine"), // q0 (both), not q1/q2
       (2L, "slow and fast"), // q1 only (q0 needs vector too)
@@ -517,12 +520,19 @@ class StreamsSpec extends SparkSpecBase {
     val got = spark.table("percstream").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
     assert(got == Map(
-      1L -> Seq(0L), 2L -> Seq(1L), 3L -> Seq(), 4L -> Seq(0L, 1L)),
+      1L -> Seq(0L, 3L), 2L -> Seq(1L), 3L -> Seq(),
+      4L -> Seq(0L, 1L, 3L)),
       s"got $got")
     // an empty-term-set query is rejected (it would match everything)
     intercept[IllegalArgumentException] {
       Streams.percolateStream(rows.toDF("doc_id", "text"), "text",
         Seq((9L, Seq())))
+    }
+    // ...and so is one whose every term analyzes away (all-stopword
+    // queries can never match an analyzed document)
+    intercept[IllegalArgumentException] {
+      Streams.percolateStream(rows.toDF("doc_id", "text"), "text",
+        Seq((9L, Seq("the", "of"))))
     }
   }
 
