@@ -235,31 +235,19 @@ object FullText {
     *                         standard Lucene trade (positions are on
     *                         by default there too).
     *
-    * One analyzer pass builds all three artifacts; refresh is
-    * append-per-batch into the same bucket partitions (df/stats
-    * re-aggregate — they are dictionary/1-row sized). */
+    * ONE analyzer pass builds every artifact (df/term-vectors/stats
+    * derive from column-pruned read-backs of the written postings —
+    * see the body); refresh is append-per-batch into the same bucket
+    * partitions with additive dictionary/statistics merges
+    * ([[appendToTextIndex]]). */
   def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, buckets: Int = 16,
       storePositions: Boolean = true,
       storeTermVectors: Boolean = false): Unit = {
+    val spark = docs.sparkSession
     val analyzed = docs
       .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
       .withColumn("doclen", size(col("toks")))
-    // sum_doclen (a long) makes minus-one-document statistics EXACT:
-    // avg over long input is sum.toDouble/count in Spark, so
-    // (sum_doclen − seedLen)/(n_docs − 1) reproduces a re-aggregation
-    // bit-for-bit (the moreLikeThisStored contract)
-    // has_positions/has_termvectors record the writer's layout
-    // options IN the 1-row artifact — the append path reads them
-    // there instead of probing the filesystem (a java.io.File probe
-    // resolves only locally; on hdfs://-s3a:// index dirs it reports
-    // "absent" and the forward artifact silently stops refreshing)
-    analyzed
-      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"),
-        sum(col("doclen")).as("sum_doclen"))
-      .withColumn("has_positions", lit(storePositions))
-      .withColumn("has_termvectors", lit(storeTermVectors))
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
     val tf0 = analyzed
       .select(col("doc_id"), col("doclen"),
         posexplode_outer(col("toks")).as(Seq("pos", "term")))
@@ -271,20 +259,57 @@ object FullText {
     // roughly halves postings bytes for term-only deployments;
     // phraseSearchStored then (correctly) fails on the missing column
     val tf = if (storePositions) tf0 else tf0.drop("positions")
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$indexDir/df")
+    // cluster by bucket before the partitioned write: one file per
+    // bucket instead of tasks x buckets part-files (the compacted
+    // layout from day one; a 32-task write into 16 bucket dirs
+    // otherwise lands up to 512 files, and every bucket-pruned scan
+    // pays the file count)
     tf.withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
+    // ONE analyzer pass, genuinely: the postings write above is the
+    // only plan that runs the tokenizer (the expensive stage at
+    // corpus scale); df, term vectors and statistics derive from
+    // COLUMN-PRUNED read-backs of what was just written — parquet
+    // I/O, not analysis. (Reusing the lazy tf frame re-runs the
+    // analyzer once per artifact: measured 2.5× the write cost.)
+    val post = spark.read.parquet(s"$indexDir/postings")
+    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$indexDir/df")
     // term vectors = Lucene's optional FORWARD index (doc → terms),
     // DOC-bucketed so a single document's vector is a file-pruned
     // point read — what more_like_this and highlighting-by-stored-
     // vector need at query time (off by default, as in Lucene)
     if (storeTermVectors)
-      tf.select(col("doc_id"), col("term"), col("tf"))
+      post.select(col("doc_id"), col("term"), col("tf"))
         .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
+        .repartition(col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket")
         .parquet(s"$indexDir/termvectors")
+    // Statistics without re-touching documents: n_docs is a plain
+    // count of the input (zero-token docs included — they have no
+    // posting rows), and sum_doclen = Σ tf over all postings, since
+    // a doc's analyzer doclen IS the sum of its term frequencies.
+    // sum_doclen (a long) makes minus-one-document statistics EXACT:
+    // avg over long input is sum.toDouble/count in Spark, so
+    // (sum_doclen − seedLen)/(n_docs − 1) reproduces a re-aggregation
+    // bit-for-bit (the moreLikeThisStored contract).
+    // has_positions/has_termvectors record the writer's layout
+    // options IN the 1-row artifact — the append path reads them
+    // there instead of probing the filesystem (a java.io.File probe
+    // resolves only locally; on hdfs://-s3a:// index dirs it reports
+    // "absent" and the forward artifact silently stops refreshing)
+    val nDocs = docs.count()
+    require(nDocs > 0, "writeTextIndex: empty corpus")
+    val sumLen = post.agg(coalesce(sum(col("tf")), lit(0L)))
+      .head().getLong(0)
+    import spark.implicits._
+    Seq((nDocs, sumLen.toDouble / nDocs, sumLen, storePositions,
+      storeTermVectors))
+      .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
+        "has_termvectors")
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
   /** Batch refresh of the stored text index, DELTA-SIZED end to end
@@ -298,14 +323,14 @@ object FullText {
     *   df′         = old dictionary ⟗ delta df, counts summed
     *                 (dictionary + delta I/O, swap-rewritten — the
     *                 replacement reads the artifact it replaces)
-    *   n_docs′     = n_docs + |delta| (counted from the ANALYZED
-    *                 delta, so zero-token documents count exactly as
-    *                 the writer counted them — a re-derivation from
+    *   n_docs′     = n_docs + count(delta) (a plain row count, so
+    *                 zero-token documents count exactly as the
+    *                 writer counted them — a re-derivation from
     *                 postings would silently drop them)
-    *   sum_doclen′ = sum_doclen + Σ delta doclen; avgdl′ =
-    *                 sum′/n′ — exact-integer arithmetic, so the
-    *                 result is bit-identical to a rebuild's avg()
-    *                 (integer-valued double sums are exact < 2^53)
+    *   sum_doclen′ = sum_doclen + Σ delta tf (a doc's doclen IS the
+    *                 sum of its term frequencies); avgdl′ = sum′/n′
+    *                 — exact-integer arithmetic, bit-identical to a
+    *                 rebuild (integer double sums are exact < 2^53)
     *
     * The pre-existing POSTINGS files are never opened
     * (TextIndexLayoutSpec proves it by clobbering them before an
@@ -325,12 +350,13 @@ object FullText {
       if (st.schema.fieldNames.contains("has_termvectors"))
         st.getAs[Boolean]("has_termvectors")
       else graft.io.Layout.pathExists(spark, s"$indexDir/termvectors")
-    // ONE analyzer pass over the delta serves postings, term
-    // vectors, the df merge and the stats increment
+    // ONE analyzer materialization over the delta (the checkpointed
+    // tf frame) serves postings, term vectors, the df merge and the
+    // stats increment — the delta's doc count needs no analysis and
+    // its token total is Σ tf
     val analyzed = fresh
       .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
       .withColumn("doclen", size(col("toks")))
-      .localCheckpoint()
     val freshTf0 = analyzed
       .select(col("doc_id"), col("doclen"),
         posexplode_outer(col("toks")).as(Seq("pos", "term")))
@@ -343,11 +369,13 @@ object FullText {
         .localCheckpoint()
     freshTf
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
     if (hasTv)
       freshTf.select(col("doc_id"), col("term"), col("tf"))
         .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
+        .repartition(col("dbucket"))
         .write.mode("append").partitionBy("dbucket")
         .parquet(s"$indexDir/termvectors")
     // dictionary merge: old df ⟗ delta df — the ONLY non-delta input
@@ -364,17 +392,15 @@ object FullText {
     graft.io.Layout.rewriteParquet(spark, merged, s"$indexDir/df")
     // stats increment: counters + delta aggregates (1-row artifact,
     // already collected above, so the overwrite never races the read)
-    val d = analyzed
-      .agg(count(lit(1)), coalesce(sum(col("doclen")), lit(0L))).head()
-    val nDocs = st.getAs[Long]("n_docs") + d.getLong(0)
-    val sumLen = st.getAs[Long]("sum_doclen") + d.getLong(1)
+    val nDocs = st.getAs[Long]("n_docs") + fresh.count()
+    val sumLen = st.getAs[Long]("sum_doclen") +
+      freshTf.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
     import spark.implicits._
     Seq((nDocs, sumLen.toDouble / nDocs, sumLen, hasPos, hasTv))
       .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
         "has_termvectors")
       .write.mode("overwrite").parquet(s"$indexDir/stats")
     Checkpoints.unpersist(freshTf)
-    Checkpoints.unpersist(analyzed)
   }
 
   /** more_like_this over the STORED index — the last query face the
@@ -565,7 +591,8 @@ object FullText {
     * matching-postings-sized; df/stats broadcast. */
   def simpleQueryStringStored(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, q: String, k: Int = 20, buckets: Int = 16,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      after: Option[(Double, Long)] = None): DataFrame = {
     val p = QueryString.parse(q)
     require(p.scoringTerms.nonEmpty || p.phrases.nonEmpty,
       "query must have at least one scoring clause")
@@ -629,8 +656,65 @@ object FullText {
     val gated = mustOk.fold(total)(m =>
       total.join(m, Seq("doc_id"), "left_semi"))
     excl.fold(gated)(x => gated.join(x, Seq("doc_id"), "left_anti"))
+      // search_after: the bm25SearchStored keyset cursor, so the
+      // search box (tools/RunSearch) pages without re-ranking
+      .transform(s => after.fold(s) { case (sc, d) =>
+        s.filter(col("score") < sc ||
+          (col("score") === sc && col("doc_id") > d))
+      })
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Percolation over a STORED index — q143's reversed search served
+    * from the persisted artifacts (the alerting deployment evaluates
+    * its saved searches against an index it already maintains, not a
+    * raw corpus): stored-query terms normalize through the analyzer
+    * twin at registration (ES percolation analyzes the saved query
+    * with the field analyzer; all-stopword queries are rejected —
+    * an empty AND-set would match everything), the postings read
+    * bucket-prunes to the union of query terms, and AND coverage is
+    * the count-vs-need gate over the postings' (doc, term) rows —
+    * which are distinct per (term, doc) BY CONSTRUCTION of the
+    * layout, so the self-contained operator's distinct() pass
+    * disappears. The corpus is never analyzed or scanned at
+    * percolation time; deletes are honored through the live view.
+    * Output (qid, n_matched_docs, first_matches), the q143 shape;
+    * TextIndexLayoutSpec pins frame equality against the gated
+    * operator's queries. */
+  def percolateStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: Seq[(Long, Seq[String])],
+      buckets: Int = 16): DataFrame = {
+    require(queries.nonEmpty, "at least one stored query required")
+    import spark.implicits._
+    val analyzedQs = queries.map { case (qid, ts) =>
+      (qid, ts.flatMap(QueryString.analyzeText).distinct)
+    }
+    val empty = analyzedQs.collect { case (qid, ts) if ts.isEmpty => qid }
+    require(empty.isEmpty,
+      s"stored queries with no analyzer-surviving terms: " +
+        s"${empty.mkString(",")}")
+    val qrows = analyzedQs.flatMap { case (qid, ts) =>
+      ts.map(t => (qid, t, ts.length.toLong))
+    }
+    val qframe = qrows.toDF("qid", "term", "need")
+    val allTerms = qrows.map(_._2).distinct
+    val qBuckets = allTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    livePostings(spark, indexDir)
+      .filter(col("bucket").isInCollection(qBuckets))
+      .filter(col("term").isInCollection(allTerms))
+      .select(col("doc_id"), col("term"))
+      .join(broadcast(qframe), Seq("term"))
+      .groupBy(col("qid"), col("need"), col("doc_id"))
+      .agg(count(lit(1)).as("hit"))
+      .filter(col("hit") === col("need"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_matched_docs"),
+        concat_ws(",", slice(sort_array(collect_list(col("doc_id"))),
+          1, 3)).as("first_matches"))
+      .orderBy(col("qid"))
   }
 
   /** The live view of a stored index's postings: the raw
@@ -678,13 +762,22 @@ object FullText {
     * segments merge.
     *
     * Contract: `ids` are documents the index actually contains
-    * (deleting an absent id over-decrements n_docs), each id deleted
-    * at most once between compactions. */
+    * (deleting an absent id over-decrements n_docs). Re-deleting an
+    * already-tombstoned id is a NO-OP (idempotent: the batch first
+    * subtracts the live tombstone set, so retried takedown jobs
+    * cannot double-decrement the statistics; the tombstone read is
+    * delete-batch-sized by the compaction contract). */
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, ids: Seq[Long], buckets: Int = 16): Unit = {
-    if (ids.isEmpty) return
     import spark.implicits._
-    val distinctIds = ids.distinct
+    val already: Set[Long] =
+      if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+        spark.read.parquet(s"$indexDir/tombstones")
+          .select(col("doc_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty
+    val distinctIds = ids.distinct.filterNot(already)
+    if (distinctIds.isEmpty) return
     distinctIds.toDF("doc_id").write.mode("append")
       .parquet(s"$indexDir/tombstones")
     val st = spark.read.parquet(s"$indexDir/stats").head()
@@ -1100,6 +1193,7 @@ object FullText {
   def writeMultiFieldTextIndex(docs: DataFrame, idCol: String,
       fields: Seq[String], indexDir: String, buckets: Int = 16): Unit = {
     require(fields.nonEmpty, "fields must be non-empty")
+    val spark = docs.sparkSession
     val stacked = docs.select(col(idCol).as("doc_id"),
       explode(array(fields.map { f =>
         struct(lit(f).as("field"), analyze(col(f)).as("toks"))
@@ -1107,26 +1201,44 @@ object FullText {
       .select(col("doc_id"), col("f.field").as("field"),
         col("f.toks").as("toks"))
       .withColumn("doclen", size(col("toks")))
-    // sum_doclen makes the per-field statistics ADDITIVE under
-    // append (exact-integer discipline, as in the single-field
-    // layout) — the append path increments counters instead of
-    // re-reading the postings table
-    stacked.groupBy(col("field"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"),
-        sum(col("doclen")).as("sum_doclen"))
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
     val tf = stacked
       .select(col("doc_id"), col("field"), col("doclen"),
         explode_outer(col("toks")).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("field"), col("term"), col("doc_id"), col("doclen"))
       .agg(count(lit(1)).as("tf"))
-    tf.groupBy(col("field"), col("term"))
-      .agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$indexDir/df")
+    // cluster by bucket before the partitioned write: one file per
+    // bucket instead of tasks x buckets part-files (the compacted
+    // layout from day one; a 32-task write into 16 bucket dirs
+    // otherwise lands up to 512 files, and every bucket-pruned scan
+    // pays the file count)
     tf.withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
+    // ONE stacked analyzer pass (the postings write above); df and
+    // statistics derive from the written postings, column-pruned —
+    // the single-field writer's discipline. Every document counts in
+    // every field (a zero-token field has no posting rows but still
+    // counts toward that field's n_docs, exactly as the stacked
+    // frame's per-field row count would have it); per-field
+    // sum_doclen = Σ tf, additive under append (exact-integer
+    // discipline, as in the single-field layout).
+    val post = spark.read.parquet(s"$indexDir/postings")
+    post.groupBy(col("field"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$indexDir/df")
+    val nDocs = docs.count()
+    require(nDocs > 0, "writeMultiFieldTextIndex: empty corpus")
+    val sums = post.groupBy(col("field"))
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    fields.map { f =>
+      val s = sums.getOrElse(f, 0L)
+      (f, nDocs, s.toDouble / nDocs, s)
+    }.toDF("field", "n_docs", "avgdl", "sum_doclen")
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
   /** Batch refresh of the multi-field index — the
@@ -1152,7 +1264,6 @@ object FullText {
       .select(col("doc_id"), col("f.field").as("field"),
         col("f.toks").as("toks"))
       .withColumn("doclen", size(col("toks")))
-      .localCheckpoint()
     val freshTf = stacked
       .select(col("doc_id"), col("field"), col("doclen"),
         explode_outer(col("toks")).as("term"))
@@ -1162,6 +1273,7 @@ object FullText {
       .localCheckpoint()
     freshTf
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
     val merged = spark.read.parquet(s"$indexDir/df")
@@ -1173,27 +1285,26 @@ object FullText {
           coalesce(col("df_delta"), lit(0L))).as("df"))
     graft.io.Layout.rewriteParquet(spark, merged, s"$indexDir/df")
     // |fields|-row statistics: collected, incremented, rewritten —
-    // avgdl = sum/n in exact-integer arithmetic (bit-equal to a
-    // rebuild's avg; see appendToTextIndex)
-    val deltas = stacked.groupBy(col("field"))
-      .agg(count(lit(1)).as("d_n"),
-        coalesce(sum(col("doclen")), lit(0L)).as("d_sum"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every delta doc counts in every field (zero-token fields
+    // included, like the writer); per-field Σ tf = per-field token
+    // total; avgdl = sum/n in exact-integer arithmetic (bit-equal to
+    // a rebuild; see appendToTextIndex)
+    val dN = fresh.count()
+    val dSums = freshTf.groupBy(col("field"))
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val updated = spark.read.parquet(s"$indexDir/stats").collect()
       .map { r =>
-        val (dn, ds) = deltas.getOrElse(r.getString(
-          r.fieldIndex("field")), (0L, 0L))
-        val n = r.getAs[Long]("n_docs") + dn
-        val s = r.getAs[Long]("sum_doclen") + ds
-        (r.getString(r.fieldIndex("field")), n, s.toDouble / n, s)
+        val f = r.getString(r.fieldIndex("field"))
+        val n = r.getAs[Long]("n_docs") + dN
+        val s = r.getAs[Long]("sum_doclen") + dSums.getOrElse(f, 0L)
+        (f, n, s.toDouble / n, s)
       }
     import spark.implicits._
     updated.toSeq
       .toDF("field", "n_docs", "avgdl", "sum_doclen")
       .write.mode("overwrite").parquet(s"$indexDir/stats")
     Checkpoints.unpersist(freshTf)
-    Checkpoints.unpersist(stacked)
   }
 
   /** Bucket-partition compactor for the multi-field postings — the

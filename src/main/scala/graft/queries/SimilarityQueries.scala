@@ -1053,6 +1053,7 @@ object SimilarityQueries {
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
         Seq("vec_id"))
       .join(norms, Seq("vec_id"))
+      .repartition($"cell_id") // one file per cell, not tasks x cells
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$indexDir/codes")
     graft.ops.Checkpoints.unpersist(cb)
@@ -1077,6 +1078,7 @@ object SimilarityQueries {
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
         Seq("vec_id"))
       .join(norms, Seq("vec_id"))
+      .repartition($"cell_id")
       .write.mode("append").partitionBy("cell_id")
       .parquet(s"$indexDir/codes")
   }
@@ -1120,9 +1122,18 @@ object SimilarityQueries {
     * search-over-surviving-codes (VectorIndexLayoutSpec's pin). */
   def deleteFromIvfPqIndex(spark: SparkSession, indexDir: String,
       ids: Seq[Long]): Unit = {
-    if (ids.isEmpty) return
     import spark.implicits._
-    ids.distinct.toDF("vec_id").write.mode("append")
+    // idempotent like the text twin: already-tombstoned ids drop,
+    // so retried takedown jobs never bloat the tombstone artifact
+    val already: Set[Long] =
+      if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+        spark.read.parquet(s"$indexDir/tombstones")
+          .select($"vec_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty
+    val fresh = ids.distinct.filterNot(already)
+    if (fresh.isEmpty) return
+    fresh.toDF("vec_id").write.mode("append")
       .parquet(s"$indexDir/tombstones")
   }
 

@@ -1415,8 +1415,13 @@ object TextQueries {
     val wm = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
     val idx = java.nio.file.Files
       .createTempDirectory("graft-text-lifecycle").toFile.getAbsolutePath
+    // DOCS_AND_FREQS layout: the lifecycle's search face is term-only
+    // BM25, so positions (which double the postings work) stay off —
+    // a legitimate deployment choice the writer supports; term
+    // vectors stay ON because the exact delete decrement needs the
+    // forward artifact
     FullText.writeTextIndex(docs.filter($"doc_id" <= wm), "doc_id",
-      "text", idx, storeTermVectors = true)
+      "text", idx, storePositions = false, storeTermVectors = true)
     FullText.appendToTextIndex(spark, docs.filter($"doc_id" > wm),
       "doc_id", "text", idx)
     val dead = docs.filter($"doc_id" % 97 === 5)

@@ -31,13 +31,19 @@ object RunSearch {
     * k hit rows for highlighting, as a deployment's stored-fields
     * lookup would). */
   def run(spark: SparkSession, sfDir: String, query: String,
-      k: Int = 10, indexDir: Option[String] = None): DataFrame = {
+      k: Int = 10, indexDir: Option[String] = None,
+      after: Option[(Double, Long)] = None): DataFrame = {
     val p = QueryString.parse(query)
     val hlTerms =
       (p.scoringTerms ++ p.phrases.flatten).distinct
+    // deep pagination is a stored-index feature: the keyset cursor
+    // pushes below the top-k only where an index serves the ranking
+    require(after.isEmpty || indexDir.isDefined,
+      "search_after paging requires a stored index")
     val hits = indexDir match {
       case Some(idx) =>
-        FullText.simpleQueryStringStored(spark, idx, query, k)
+        FullText.simpleQueryStringStored(spark, idx, query, k,
+          after = after)
       case None => TextQueries.simpleQueryString(spark, sfDir, query, k)
     }
     hits

@@ -568,6 +568,11 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     def mlt(idx: String) = FullText.moreLikeThisStored(spark, idx, seed)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(mlt(idxD) == mlt(idxR))
+    // idempotent: a retried takedown of the same batch is a no-op —
+    // no double-decremented statistics, identical search page
+    FullText.deleteFromTextIndex(spark, idxD, dead)
+    assert(s1(idxD) == s1(idxR),
+      "re-deleting tombstoned ids must not shift statistics")
     // compaction physically applies the tombstones and reclaims them
     val pre = s1(idxD)
     FullText.compactTextIndex(spark, idxD)
@@ -603,6 +608,112 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     def s1(idx: String) = FullText.bm25SearchStored(spark, idx, terms)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(s1(idxD) == s1(idxR))
+  }
+
+  test("stored percolation: equals the gated operator, analyzer-normalized registration") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("bm25-perc")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    // the same six bigram queries q143 derives, registered as stored
+    // queries against the index
+    val bigrams = docs
+      .select(FullText.analyze($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"bg".asc).limit(6)
+      .collect().map(_.getString(0))
+    val queries = bigrams.zipWithIndex.map { case (bg, i) =>
+      (i.toLong, bg.split(" ").toSeq) }.toSeq
+    def shape(rows: Array[org.apache.spark.sql.Row],
+        nIdx: Int, fIdx: Int) =
+      rows.map(r => (r.getLong(0), r.getLong(nIdx),
+        r.getString(fIdx))).toSeq
+    val stored = shape(
+      FullText.percolateStored(spark, idx, queries).collect(), 1, 2)
+    val self = shape(
+      TextQueries.percolate(spark, dir).collect(), 2, 3)
+    assert(stored == self,
+      s"stored percolation diverged:\n  $stored\n  $self")
+    // registration analyzes: uppercased terms percolate identically
+    val upper = queries.map { case (q, ts) => (q, ts.map(_.toUpperCase)) }
+    assert(shape(FullText.percolateStored(spark, idx, upper)
+      .collect(), 1, 2) == self,
+      "registered terms must normalize through the field analyzer")
+    // all-stopword queries are rejected, not silently unmatched
+    intercept[IllegalArgumentException] {
+      FullText.percolateStored(spark, idx, Seq((9L, Seq("the", "of"))))
+    }
+  }
+
+  test("stored simple_query_string pages with search_after; RunSearch serves page 2") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("bm25-sqs-sa")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    val q = "fast vector query"
+    def page(after: Option[(Double, Long)]) = FullText
+      .simpleQueryStringStored(spark, idx, q, k = 5, after = after)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val p1 = page(None)
+    val p2 = page(Some((p1.last._2, p1.last._1)))
+    val p3 = page(Some((p2.last._2, p2.last._1)))
+    assert((p1.map(_._1).toSet & p2.map(_._1).toSet).isEmpty)
+    val top15 = FullText
+      .simpleQueryStringStored(spark, idx, q, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(p1 ++ p2 ++ p3 == top15,
+      "SQS keyset pages must concatenate to the single big page")
+    // the CLI's stored path pages the same hits (highlighted)
+    val cliP2 = graft.tools.RunSearch.run(spark, dir, q, k = 5,
+      indexDir = Some(idx), after = Some((p1.last._2, p1.last._1)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(cliP2 == p2, "RunSearch must serve the same second page")
+    // paging without an index is refused, not silently mis-paged
+    intercept[IllegalArgumentException] {
+      graft.tools.RunSearch.run(spark, dir, q, k = 5,
+        after = Some((1.0, 1L)))
+    }
+  }
+
+  test("multi-field tombstones: masked immediately, stats trued at compaction") {
+    // compaction re-derives stats from surviving postings, which
+    // cannot see a doc whose FIELD analyzed to zero tokens (the
+    // documented Lucene-stale limitation) — keep the pin corpus free
+    // of that case so it tests the contract, not the caveat
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select($"doc_id",
+        array_join(slice(split($"text", "\\s+"), 1, 6), " ").as("title"),
+        $"text".as("body"))
+      .filter(size(FullText.analyze($"title")) > 0 &&
+        size(FullText.analyze($"body")) > 0)
+    val fields = Seq("title" -> 2.0, "body" -> 1.0)
+    val idxD = java.nio.file.Files.createTempDirectory("mf-del")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(docs, "doc_id",
+      Seq("title", "body"), idxD)
+    def search(idx: String) = FullText.multiMatchSearchStored(
+      spark, idx, terms, fields, tieBreaker = 0.3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    val hit = search(idxD).head._1
+    // deleteFromTextIndex works unchanged on the multi-field layout
+    // (doc_id-keyed tombstones, shared live view); no forward
+    // artifact exists, so statistics stay Lucene-stale until compact
+    FullText.deleteFromTextIndex(spark, idxD, Seq(hit))
+    assert(!search(idxD).exists(_._1 == hit),
+      "a deleted doc must never be served from any field face")
+    FullText.compactMultiFieldTextIndex(spark, idxD)
+    assert(!new java.io.File(s"$idxD/tombstones").exists())
+    val idxR = java.nio.file.Files.createTempDirectory("mf-del-r")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(docs.filter($"doc_id" =!= hit),
+      "doc_id", Seq("title", "body"), idxR)
+    assert(search(idxD) == search(idxR),
+      "compaction must true multi-field stats up to rebuild-without-deleted")
   }
 
   test("search_after keyset pages: disjoint, exhaustive, stored ≡ self-contained") {
