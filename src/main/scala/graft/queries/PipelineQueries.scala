@@ -443,7 +443,7 @@ object PipelineQueries {
     val builtStages = scala.collection.mutable.ArrayBuffer[String]()
     def stage(name: String)(build: => DataFrame): DataFrame = {
       val path = s"$stageDir/$name"
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      if (!graft.io.Layout.pathExists(spark, s"$path/_SUCCESS")) {
         val df = build
         df.write.mode("overwrite").parquet(path)
         // free any checkpoint the stage body created (SemDeDup

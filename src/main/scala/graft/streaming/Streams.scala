@@ -385,7 +385,10 @@ object Streams {
           // materialized rows; only the cheap 16-hash band kernel
           // re-runs (over batch rows alone) on the append side
           .localCheckpoint()
-        val haveIndex = new java.io.File(bandsPath).exists()
+        // Hadoop-FS probe, not java.io.File: the index dir may be
+        // URI-schemed (hdfs://, s3a://) — a local-only probe would
+        // silently treat a remote index as absent forever
+        val haveIndex = graft.io.Layout.pathExists(spark, bandsPath)
         val (bandIdx, oldSh) =
           if (haveIndex)
             (spark.read.parquet(bandsPath), spark.read.parquet(shPath))
@@ -464,6 +467,34 @@ object Streams {
       shards: Int = 16): DataFrame =
     docs.withColumn("shard",
       graft.ops.Sampling.stableBucket(col(idCol), "shard", shards))
+
+  /** Streaming TAKEDOWN — tombstone deletes driven by an arriving id
+    * stream (a PII/DMCA ruling feed, q117 retention decisions as
+    * events): each micro-batch's ids delete from the stored text
+    * index via [[graft.ops.FullText.deleteFromTextIndex]], so every
+    * search face observes the takedown at its next query through the
+    * live view, and compaction reclaims rows in the usual
+    * maintenance window. At-least-once delivery is SAFE because the
+    * delete is IDEMPOTENT — the batch subtracts the live tombstone
+    * set before touching statistics — so a crash-replayed batch
+    * cannot double-decrement df/stats (StreamsSpec pins the replay).
+    * Batch ids are a bounded driver artifact by the takedown
+    * contract (deletes ≪ corpus; compaction keeps the tombstone set
+    * small). */
+  def takedownStream(ids: DataFrame, idCol: String, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dead = batch
+          .select(col(idCol).cast("long").as("doc_id"))
+          .filter(col("doc_id").isNotNull)
+          .distinct().collect().map(_.getLong(0)).toSeq
+        graft.ops.FullText.deleteFromTextIndex(
+          batch.sparkSession, indexDir, dead)
+      }
+      .start()
 
   /** Streaming percolation — q143's alerting face in its natural
     * habitat (saved searches match ARRIVING documents — the reason

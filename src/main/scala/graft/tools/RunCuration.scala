@@ -68,7 +68,7 @@ object RunCuration {
     // artifact (dir without _SUCCESS) rebuilds individually from the
     // stored corpus.
     def complete(name: String) =
-      new java.io.File(s"$outDir/$name/_SUCCESS").exists()
+      graft.io.Layout.pathExists(spark, s"$outDir/$name/_SUCCESS")
     val keepCorpus = built.isEmpty && complete("corpus")
     val keepPacking = keepCorpus && complete("packing")
     val keepQuality = keepCorpus && complete("quality")

@@ -42,5 +42,19 @@ class PercolateScaleSpec extends SparkSpecBase {
         s"query '${r.getString(1)}' count ${r.getLong(2)} != recount $n")
     }
     graft.ops.Checkpoints.unpersist(docs)
+    // the STORED face holds at the same width, frame-equal
+    val idx = java.nio.file.Files.createTempDirectory("perc-512")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(
+      graft.io.Tables.documents(spark, dir), "doc_id", "text", idx)
+    val queries = rows.map(r =>
+      (r.getLong(0), r.getString(1).split(" ").toSeq)).toSeq
+    val stored = graft.ops.FullText.percolateStored(spark, idx, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    val self = rows.map(r =>
+      (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(stored.sortBy(_._1) == self.sortBy(_._1),
+      "stored percolation must match at 512 queries")
   }
 }

@@ -587,6 +587,41 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(s1(idxD) == pre, "search must be compaction-invariant")
   }
 
+  test("delete then append interleave: statistics stay exact across the mix") {
+    // a real index alternates batches and takedowns; the additive
+    // append must compose with the decremented delete state
+    val old = Seq(
+      (1L, "fast vector engines win races"),
+      (2L, "fast vector query engines"),
+      (3L, "slow scalar fallback path"),
+      (4L, "fast query planners everywhere")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (5L, "vector query fast fast"),
+      (6L, "fast planners vector query")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-mix")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(old, "doc_id", "text", idx,
+      storeTermVectors = true)
+    FullText.deleteFromTextIndex(spark, idx, Seq(2L))
+    FullText.appendToTextIndex(spark, fresh, "doc_id", "text", idx)
+    val idxR = java.nio.file.Files.createTempDirectory("bm25-mix-r")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(
+      old.filter($"doc_id" =!= 2L).unionByName(fresh),
+      "doc_id", "text", idxR, storeTermVectors = true)
+    def search(i: String) = FullText
+      .bm25SearchStored(spark, i, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idx) == search(idxR),
+      "delete → append must equal a rebuild of survivors ∪ fresh")
+    def statsOf(i: String) = {
+      val r = spark.read.parquet(s"$i/stats").head()
+      (r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
+        r.getAs[Long]("sum_doclen"))
+    }
+    assert(statsOf(idx) == statsOf(idxR))
+  }
+
   test("tombstone delete without term vectors: Lucene-stale stats, trued up at compaction") {
     val docs = graft.io.Tables.documents(spark, dir)
     val idxD = java.nio.file.Files.createTempDirectory("bm25-del-lu")

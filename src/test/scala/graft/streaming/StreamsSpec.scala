@@ -494,6 +494,45 @@ class StreamsSpec extends SparkSpecBase {
       "stream ≡ batch hash assignment")
   }
 
+  test("takedownStream: streamed deletes mask the index; replayed ids cannot double-decrement") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "fast vector engines win races"),
+      (2L, "fast vector query engines"),
+      (3L, "slow scalar fallback path"),
+      (4L, "fast query planners everywhere"),
+      (5L, "vector query fast fast")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("takedown-idx")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    val ckpt = java.nio.file.Files.createTempDirectory("takedown-ck")
+      .toFile.getAbsolutePath
+    val src = MemoryStream[Long]
+    val q = Streams.takedownStream(
+      src.toDF().toDF("doc_id"), "doc_id", idx, ckpt)
+    try {
+      src.addData(2L)
+      q.processAllAvailable()
+      // batch 2 REPLAYS id 2 alongside a new takedown — at-least-once
+      // delivery; the idempotent delete must not decrement twice
+      src.addData(2L, 4L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val idxR = java.nio.file.Files.createTempDirectory("takedown-r")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(
+      docs.filter(!$"doc_id".isin(2L, 4L)), "doc_id", "text", idxR,
+      storeTermVectors = true)
+    def search(i: String) = graft.ops.FullText
+      .bm25SearchStored(spark, i, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idx) == search(idxR),
+      "streamed takedowns must equal a rebuild without the deleted " +
+        "docs — bit-for-bit, replays included")
+  }
+
   test("percolateStream: AND coverage per arriving doc, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
