@@ -243,6 +243,14 @@ object SparkEntry {
       TextQueries.searchAfterPages(s, d)),
     "q145_stored_lifecycle" -> ((s: SparkSession, d: String) =>
       TextQueries.storedTextLifecycle(s, d)),
+    "q146_vector_lifecycle" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.storedVectorLifecycle(s, d)),
+    "q147_hybrid_stored" -> ((s: SparkSession, d: String) =>
+      TextQueries.hybridStoredLifecycle(s, d)),
+    "q148_filtered_knn_stored" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.filteredKnnStored(s, d)),
+    "q149_knn_batch_stored" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.knnBatchStored(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -45,6 +45,33 @@ object Layout {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Effectively-once guard for foreachBatch index MAINTENANCE:
+    * Structured Streaming's foreachBatch is AT-LEAST-ONCE — a crash
+    * between sink work and checkpoint commit re-delivers the same
+    * (batchId, rows) on restart. An idempotent body (tombstone
+    * deletes) shrugs replay off; an APPEND body would double-insert,
+    * so it runs under the canonical batch-commit-log defense: skip if
+    * `<dir>/_batch_commits/<id>` exists, else run the body and touch
+    * the marker AFTER it completes. Returns whether the body ran.
+    * The residual window — body finished, crash before the marker —
+    * re-runs the body once on replay; that is the same
+    * non-atomicity any multi-artifact batch append already has
+    * (rebuild/compaction recovers), and closing it fully would need
+    * a transactional table format underneath the artifacts. Markers
+    * accumulate one EMPTY file per micro-batch; they are metadata of
+    * the stream, dropped whenever the index is rebuilt. */
+  def onceForBatch(spark: SparkSession, indexDir: String,
+      batchId: Long)(body: => Unit): Boolean = {
+    val marker = new Path(s"$indexDir/_batch_commits/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      body
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Swap-safe overwrite of a parquet artifact whose REPLACEMENT is
     * computed FROM its current content (a dictionary merge, a
     * statistics decrement): `mode("overwrite")` on the path a plan is

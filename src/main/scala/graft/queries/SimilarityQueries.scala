@@ -1149,7 +1149,8 @@ object SimilarityQueries {
     * rerank; VectorIndexLayoutSpec pins frame equality). */
   def ivfPqSearchStored(spark: SparkSession, indexDir: String,
       dir: String, queryId: Long = 0L, k: Int = 10, probes: Int = 2,
-      shortlist: Int = 50, m: Int = 8, subdim: Int = 8): DataFrame = {
+      shortlist: Int = 50, m: Int = 8, subdim: Int = 8,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val fp = ProductQuant.fixedPointScale
     val cells = spark.read.parquet(s"$indexDir/cells")
@@ -1159,8 +1160,18 @@ object SimilarityQueries {
     val qemb = q.select($"embedding".as("qemb"))
     val probedCells = probeTop(cells, qemb, probes)
       .collect().map(_.getLong(0)).toSeq
-    val codes0 = spark.read.parquet(s"$indexDir/codes")
+    val codes1 = spark.read.parquet(s"$indexDir/codes")
       .filter($"cell_id".isInCollection(probedCells))
+    // PRE-filter semantics for the ES 8.x `knn.filter` clause served
+    // from the stored index (q113's stored face): the metadata
+    // predicate restricts candidates BEFORE the ADC scoring, so the
+    // page always holds k qualifying hits — post-filtering a
+    // selective predicate would empty it. The semi-join sits under
+    // the probed scan (FAISS IDSelector / Lucene acceptDocs shape);
+    // no broadcast hint, since the allowed set can be corpus-scale
+    // for a loose predicate (AQE picks the strategy).
+    val codes0 = allowed.fold(codes1)(a =>
+      codes1.join(a.select($"vec_id"), Seq("vec_id"), "left_semi"))
     // tombstoned vectors never reach the ADC scoring (the FAISS
     // IDSelector mask as an anti-join; compaction reclaims the rows)
     val codes =
@@ -1188,6 +1199,176 @@ object SimilarityQueries {
       .orderBy($"approx_cosine".desc, $"vec_id".asc)
       .limit(shortlist)
     exactRerank(e, cand, qemb, k)
+  }
+
+  /** q146 — the stored VECTOR index lifecycle under the correctness
+    * gate, the [[graft.queries.TextQueries.storedTextLifecycle]]
+    * twin: write the IVF+PQ index over the first 4/5 of the vectors
+    * (cells + codebooks train there and stay FIXED — the q106
+    * stability contract), batch-append the remaining 1/5 against the
+    * persisted artifacts ([[appendToIvfPqIndex]]), tombstone-DELETE
+    * every vec_id ≡ 1 (mod 3) (a third of the corpus, so the
+    * survivors' top-k provably differs from the undeleted ranking —
+    * a delete bug cannot hide below the page), then serve the search
+    * from the artifacts with GATE-EXACT settings: every cell probed
+    * and the shortlist covering the whole corpus, so the ADC stage
+    * passes all surviving codes to the exact rerank and the result
+    * is bit-equal to brute-force cosine over the survivors — which
+    * is precisely what the DuckDB oracle computes (q19's SQL minus
+    * the deleted ids). A hash-match therefore proves the
+    * write → append → delete → anti-join chain loses and leaks no
+    * rows. The PQ approximation itself is gated separately
+    * (q34/q52/q64); a deployment sets the bounded probes/shortlist
+    * knobs, and the one full-corpus rerank here is this query's
+    * verification role, not its deployment shape. */
+  def storedVectorLifecycle(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val wm = e.agg(max($"vec_id")).head().getLong(0) * 4 / 5
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-vec-lifecycle").toFile.getAbsolutePath
+    val numCells = 16
+    writeIvfPqIndexFrames(e.filter($"vec_id" <= wm),
+      e.filter($"vec_id" <= wm), idx, numCells = numCells)
+    appendToIvfPqIndex(spark, idx, e.filter($"vec_id" > wm))
+    val dead = e.filter($"vec_id" % 3 === 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    deleteFromIvfPqIndex(spark, idx, dead)
+    val n = e.count().toInt
+    ivfPqSearchStored(spark, idx, dir, queryId = 0L, k = k,
+      probes = numCells, shortlist = n)
+  }
+
+  /** q148 — FILTERED kNN served from the STORED index: q113's
+    * pre-filter semantics composed with [[ivfPqSearchStored]]'s
+    * probe-pruned plan (the `allowed` semi-join sits under the ADC
+    * scoring). Gate-exact settings (every cell probed, corpus-wide
+    * shortlist — the q146 convention), so the answer must equal
+    * brute-force filtered cosine and the oracle is exactly q113's
+    * SQL. What the driver row adds over the layout spec: the filter
+    * path composes with the real artifacts end-to-end under a hash,
+    * not just frame-equality at one spec corpus. */
+  def filteredKnnStored(spark: SparkSession, dir: String,
+      k: Int = 10, lang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-vec-filtered").toFile.getAbsolutePath
+    writeIvfPqIndex(spark, dir, idx)
+    val allowed = Tables.documents(spark, dir)
+      .filter($"lang" === lang)
+      .select($"doc_id".as("vec_id"))
+    val n = Tables.embeddings(spark, dir).count().toInt
+    ivfPqSearchStored(spark, idx, dir, queryId = 0L, k = k,
+      probes = 16, shortlist = n, allowed = Some(allowed))
+  }
+
+  /** q149 — BATCHED kNN served from the STORED index — the vector
+    * twin of q142's lexical msearch, and q114's deployment face: the
+    * whole query set answers in ONE pass over the probed codes.
+    * Per-query probe lists come from one |Q|×cells ranking (a
+    * broadcast-sized frame); the codes scan prunes to the UNION of
+    * probed cells as a literal partition filter, and each code row
+    * meets only the queries probing its cell (the msearch
+    * amortization: the scan is paid once, not |Q| times). ADC is one
+    * broadcast (q_id, sub_id, cent_id, pdot) table — |Q|·m·c rows —
+    * so the scoring join stays map-side; the per-query shortlist is
+    * the SALTED two-level top-k (q114's discipline: |Q|·salts evenly
+    * sized window keys, never |Q| hot keys), and only shortlist
+    * survivors fetch raw vectors for the exact per-query rerank.
+    * Tombstones anti-join once, masking every query's page at once.
+    *
+    * Registered with gate-exact settings (all cells probed,
+    * corpus-wide shortlist), where the result must equal the
+    * self-contained q114 batch — so the oracle is exactly q114's
+    * SQL; a deployment sets bounded probes/shortlist and keeps the
+    * identical plan shape. */
+  def ivfPqMsearchStored(spark: SparkSession, indexDir: String,
+      dir: String, k: Int = 5, queryStride: Int = 100,
+      probes: Int = 2, shortlist: Int = 50, m: Int = 8,
+      subdim: Int = 8, salts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val fp = ProductQuant.fixedPointScale
+    val win = org.apache.spark.sql.expressions.Window
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val queries = e.filter($"vec_id" % queryStride === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qemb"))
+    // per-query probe list: one |Q| × cells ranking
+    val probed = cells.crossJoin(broadcast(queries))
+      .withColumn("qcos", cosine($"cemb", $"qemb"))
+      .withColumn("rn", row_number().over(
+        win.partitionBy($"q_id").orderBy($"qcos".desc, $"cent_id".asc)))
+      .filter($"rn" <= probes)
+      .select($"q_id", $"cent_id".as("cell_id"))
+    val probedCells = probed.select($"cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes0 = spark.read.parquet(s"$indexDir/codes")
+      .filter($"cell_id".isInCollection(probedCells))
+    val codes =
+      if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+        codes0.join(
+          broadcast(spark.read.parquet(s"$indexDir/tombstones")
+            .select($"vec_id").distinct()),
+          Seq("vec_id"), "left_anti")
+      else codes0
+    // multi-query ADC: |Q|·m·c rows, broadcastable
+    val qsubs = ProductQuant.subVectors(
+        queries.select($"q_id".as("vec_id"), $"qemb".as("embedding")),
+        m, subdim)
+      .select($"vec_id".as("q_id"), $"sub_id", $"subvec".as("qsub"))
+    val adc = cb.join(broadcast(qsubs), Seq("sub_id"))
+      .select($"q_id", $"sub_id", $"cent_id",
+        dot($"cvec", $"qsub").as("pdot"))
+    val qn = queries.select($"q_id", norm($"qemb").as("qnrm"))
+    val approx = codes
+      .join(broadcast(probed), Seq("cell_id"))
+      .join(broadcast(adc), Seq("q_id", "sub_id", "cent_id"))
+      .groupBy($"q_id", $"vec_id", $"nrm")
+      .agg((sum(round($"pdot" * fp).cast("long")).cast("double") / fp)
+        .as("adot"))
+      .join(broadcast(qn), Seq("q_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        when($"nrm" === 0d || $"qnrm" === 0d, lit(0d))
+          .otherwise(round($"adot" / ($"nrm" * $"qnrm"), 4))
+          .as("approx_cosine"),
+        pmod($"vec_id", lit(salts)).as("salt"))
+    val local = approx
+      .withColumn("rn", row_number().over(
+        win.partitionBy($"q_id", $"salt")
+          .orderBy($"approx_cosine".desc, $"vec_id".asc)))
+      .filter($"rn" <= shortlist)
+    val shortl = local
+      .withColumn("srn", row_number().over(
+        win.partitionBy($"q_id")
+          .orderBy($"approx_cosine".desc, $"vec_id".asc)))
+      .filter($"srn" <= shortlist)
+      .select($"q_id", $"vec_id")
+    // exact per-query rerank of the survivors (|Q|·shortlist rows at
+    // deployment; no broadcast hint — at gate-exact settings the
+    // frame is |Q|·N and AQE must be free to sort-merge)
+    e.join(shortl, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_full", cosine($"embedding", $"qemb"))
+      .withColumn("rank", row_number().over(
+        win.partitionBy($"q_id")
+          .orderBy($"cos_full".desc, $"vec_id".asc)).cast("long"))
+      .filter($"rank" <= k)
+      .select($"q_id", $"rank", $"vec_id",
+        round($"cos_full", 4).as("cosine"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** q149's registered face — index write + gate-exact stored
+    * msearch (see [[ivfPqMsearchStored]]). */
+  def knnBatchStored(spark: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-vec-msearch").toFile.getAbsolutePath
+    writeIvfPqIndex(spark, dir, idx)
+    val n = Tables.embeddings(spark, dir).count().toInt
+    ivfPqMsearchStored(spark, idx, dir, probes = 16, shortlist = n)
   }
 
   /** q113 — FILTERED kNN (the ES 8.x `knn` clause's `filter`
@@ -1629,37 +1810,46 @@ object SimilarityQueries {
       .orderBy($"tier")
   }
 
+  private val filteredKnnOracle: String =
+    """WITH allowed AS (SELECT doc_id AS vec_id FROM documents
+      |  WHERE lang = 'en'),
+      |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  round(list_cosine_similarity(e.embedding::DOUBLE[],
+      |    q.embedding::DOUBLE[]), 4) AS cosine
+      |FROM embeddings e JOIN allowed USING (vec_id), q
+      |WHERE e.vec_id <> 0
+      |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+      |  q.embedding::DOUBLE[]) DESC, e.vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  // q114: the plain per-query window — the salted two-level
+  // decomposition is exact, so one window IS the oracle
+  private val knnBatchOracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |qs AS (SELECT vec_id AS q_id, embedding AS qemb FROM e
+      |  WHERE vec_id % 100 = 0),
+      |s AS (SELECT qs.q_id, e.vec_id,
+      |    list_cosine_similarity(e.embedding::DOUBLE[],
+      |      qs.qemb::DOUBLE[]) AS c
+      |  FROM e, qs WHERE e.vec_id <> qs.q_id),
+      |r AS (SELECT q_id, vec_id, c,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank
+      |  FROM s)
+      |SELECT q_id, rank, vec_id, round(c, 4) AS cosine
+      |FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q113: q19's kNN over the lang-filtered candidate set
-    "q113_filtered_knn" ->
-      """WITH allowed AS (SELECT doc_id AS vec_id FROM documents
-        |  WHERE lang = 'en'),
-        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        |  round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |    q.embedding::DOUBLE[]), 4) AS cosine
-        |FROM embeddings e JOIN allowed USING (vec_id), q
-        |WHERE e.vec_id <> 0
-        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-        |  q.embedding::DOUBLE[]) DESC, e.vec_id ASC
-        |LIMIT 10""".stripMargin,
-    // q114: the plain per-query window — the salted two-level
-    // decomposition is exact, so one window IS the oracle
-    "q114_knn_batch" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |qs AS (SELECT vec_id AS q_id, embedding AS qemb FROM e
-        |  WHERE vec_id % 100 = 0),
-        |s AS (SELECT qs.q_id, e.vec_id,
-        |    list_cosine_similarity(e.embedding::DOUBLE[],
-        |      qs.qemb::DOUBLE[]) AS c
-        |  FROM e, qs WHERE e.vec_id <> qs.q_id),
-        |r AS (SELECT q_id, vec_id, c,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank
-        |  FROM s)
-        |SELECT q_id, rank, vec_id, round(c, 4) AS cosine
-        |FROM r WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "q113_filtered_knn" -> filteredKnnOracle,
+    // q148: the stored filtered face runs gate-exact (q146
+    // convention), so its answer IS q113's — one oracle, two plans
+    "q148_filtered_knn_stored" -> filteredKnnOracle,
+    "q114_knn_batch" -> knnBatchOracle,
+    // q149: stored msearch gate-exact ≡ the self-contained batch
+    "q149_knn_batch_stored" -> knnBatchOracle,
     // q106 re-derives the watermark split, trains cells/codebooks on
     // the OLD slice with the q52 Lloyd CTEs, and assigns+encodes the
     // delta against them
@@ -2474,6 +2664,19 @@ object SimilarityQueries {
         | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings e, q
         |WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        | e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    // q146: the stored vector-index lifecycle (write 4/5 + append 1/5
+    // + delete ≡1 mod 3 + gate-exact stored search) must equal
+    // brute-force cosine over the SURVIVORS — q19's SQL minus the
+    // deleted ids
+    "q146_vector_lifecycle" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings e, q
+        |WHERE e.vec_id <> 0 AND e.vec_id % 3 <> 1
         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
         | e.vec_id ASC
         |LIMIT 10""".stripMargin,

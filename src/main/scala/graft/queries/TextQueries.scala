@@ -1551,6 +1551,15 @@ object TextQueries {
       .withColumn("knn_rank", row_number().over(
         win.orderBy($"cosine".desc, $"vec_id".asc)).cast("long"))
       .select($"vec_id".as("doc_id"), $"knn_rank")
+    rrfFuse(bm, kn, rrfK, k)
+  }
+
+  /** The RRF combiner both hybrid faces share — extracting it is what
+    * PINS that the stored face cannot drift from gated q105's fusion
+    * semantics: the two can only differ through their legs. */
+  private def rrfFuse(bm: DataFrame, kn: DataFrame, rrfK: Int,
+      k: Int): DataFrame = {
+    import bm.sparkSession.implicits._
     bm.join(kn, Seq("doc_id"), "full_outer")
       .withColumn("rrf_score", round(
         coalesce(lit(1.0) / (lit(rrfK) + $"bm25_rank"), lit(0.0)) +
@@ -1558,6 +1567,58 @@ object TextQueries {
       .orderBy($"rrf_score".desc, $"doc_id".asc)
       .limit(k)
       .select($"doc_id", $"rrf_score", $"bm25_rank", $"knn_rank")
+  }
+
+  /** Hybrid RRF served from the PERSISTED indexes — the deployment
+    * face of q105: the lexical leg is [[graft.ops.FullText
+    * .bm25SearchStored]] (dictionary df + bucket-pruned postings, no
+    * corpus analysis), the vector leg is [[SimilarityQueries
+    * .ivfPqSearchStored]] (probe-pruned ADC + exact rerank), and the
+    * fusion is the SAME [[rrfFuse]] core as the self-contained
+    * operator. Both legs honor their layouts' tombstones, so a
+    * takedown disappears from the hybrid page at the next query. */
+  def hybridRrfSearchStored(spark: SparkSession, textIdx: String,
+      vecIdx: String, dir: String, queryId: Long = 0L, legK: Int = 20,
+      k: Int = 10, rrfK: Int = 60, probes: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val bm = FullText.bm25SearchStored(spark, textIdx, bm25QueryTerms,
+        legK)
+      .withColumn("bm25_rank", row_number().over(
+        win.orderBy($"score".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"bm25_rank")
+    val kn = SimilarityQueries.ivfPqSearchStored(spark, vecIdx, dir,
+        queryId, legK, probes, shortlist)
+      .withColumn("knn_rank", row_number().over(
+        win.orderBy($"cosine".desc, $"vec_id".asc)).cast("long"))
+      .select($"vec_id".as("doc_id"), $"knn_rank")
+    rrfFuse(bm, kn, rrfK, k)
+  }
+
+  /** q147 — the hybrid deployment path under the correctness gate:
+    * write BOTH stored indexes over the full corpus, then serve
+    * [[hybridRrfSearchStored]] from their artifacts with gate-exact
+    * vector settings (every cell probed, corpus-wide shortlist — the
+    * q146 convention, so the vector leg is bit-equal to brute force
+    * and the oracle is exactly q105's SQL). A hash-match proves the
+    * text index's df/stats artifacts, the vector index's
+    * encode/assign chain, and the shared RRF fusion compose to the
+    * self-contained q105 answer — the full stored-serving stack in
+    * one driver row. */
+  def hybridStoredLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tIdx = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-text").toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", tIdx,
+      storePositions = false)
+    val vIdx = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-vec").toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, vIdx)
+    val n = Tables.embeddings(spark, dir).count().toInt
+    hybridRrfSearchStored(spark, tIdx, vIdx, dir, queryId = 0L,
+      legK = 20, k = 10, rrfK = 60, probes = 16, shortlist = n)
   }
 
   /** q107 — function_score search (the ES `function_score` /
@@ -1764,6 +1825,55 @@ object TextQueries {
     * full-text oracles that need the analyzer more than once. */
   private val stopSql: String =
     FullText.englishStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val hybridRrfOracle: String =
+    s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text),
+         |        '[^\\p{L}\\p{Nd}]+'),
+         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl
+         |  FROM sized),
+         |tf AS (
+         |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+         |  WHERE term IN ('fast','vector','query')
+         |  GROUP BY doc_id, doclen, term),
+         |withdf AS (
+         |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+         |  FROM tf),
+         |bmtop AS (SELECT doc_id, round(SUM(
+         |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+         |  FROM withdf CROSS JOIN stats
+         |  GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |bm AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
+         |  FROM bmtop),
+         |kq AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |kn0 AS (SELECT e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |      kq.embedding::DOUBLE[]), 4) AS cos
+         |  FROM embeddings e, kq WHERE e.vec_id <> 0
+         |  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |    kq.embedding::DOUBLE[]) DESC, e.vec_id ASC LIMIT 20),
+         |kn AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY cos DESC, doc_id) AS BIGINT) AS knn_rank
+         |  FROM kn0),
+         |f AS (SELECT COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
+         |    bm25_rank, knn_rank
+         |  FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id)
+         |SELECT doc_id,
+         |  round(COALESCE(1.0 / (60 + bm25_rank), 0) +
+         |    COALESCE(1.0 / (60 + knn_rank), 0), 6) AS rrf_score,
+         |  bm25_rank, knn_rank
+         |FROM f
+         |ORDER BY round(COALESCE(1.0 / (60 + bm25_rank), 0) +
+         |  COALESCE(1.0 / (60 + knn_rank), 0), 6) DESC, doc_id
+         |LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q112 = q51's CTEs without the limit, best-per-source window,
@@ -2007,54 +2117,11 @@ object TextQueries {
          |ORDER BY input, rank""".stripMargin,
     // q105 re-derives both legs (q51's BM25 CTEs, q19's exact kNN),
     // ranks each by rounded score + id, and fuses 1/(60+rank)
-    "q105_hybrid_rrf" ->
-      s"""WITH lens AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text),
-         |        '[^\\p{L}\\p{Nd}]+'),
-         |      t -> length(t) > 0 AND t NOT IN $stopSql) AS toks
-         |  FROM documents),
-         |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
-         |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl
-         |  FROM sized),
-         |tf AS (
-         |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
-         |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
-         |  WHERE term IN ('fast','vector','query')
-         |  GROUP BY doc_id, doclen, term),
-         |withdf AS (
-         |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
-         |  FROM tf),
-         |bmtop AS (SELECT doc_id, round(SUM(
-         |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
-         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
-         |  FROM withdf CROSS JOIN stats
-         |  GROUP BY doc_id
-         |  ORDER BY score DESC, doc_id LIMIT 20),
-         |bm AS (SELECT doc_id, CAST(row_number() OVER (
-         |    ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
-         |  FROM bmtop),
-         |kq AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-         |kn0 AS (SELECT e.vec_id AS doc_id,
-         |    round(list_cosine_similarity(e.embedding::DOUBLE[],
-         |      kq.embedding::DOUBLE[]), 4) AS cos
-         |  FROM embeddings e, kq WHERE e.vec_id <> 0
-         |  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-         |    kq.embedding::DOUBLE[]) DESC, e.vec_id ASC LIMIT 20),
-         |kn AS (SELECT doc_id, CAST(row_number() OVER (
-         |    ORDER BY cos DESC, doc_id) AS BIGINT) AS knn_rank
-         |  FROM kn0),
-         |f AS (SELECT COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
-         |    bm25_rank, knn_rank
-         |  FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id)
-         |SELECT doc_id,
-         |  round(COALESCE(1.0 / (60 + bm25_rank), 0) +
-         |    COALESCE(1.0 / (60 + knn_rank), 0), 6) AS rrf_score,
-         |  bm25_rank, knn_rank
-         |FROM f
-         |ORDER BY round(COALESCE(1.0 / (60 + bm25_rank), 0) +
-         |  COALESCE(1.0 / (60 + knn_rank), 0), 6) DESC, doc_id
-         |LIMIT 10""".stripMargin,
+    "q105_hybrid_rrf" -> hybridRrfOracle,
+    // q147: the stored hybrid face runs with gate-exact vector
+    // settings, so its answer IS q105's — one oracle, two plans
+    // (self-contained vs served-from-artifacts)
+    "q147_hybrid_stored" -> hybridRrfOracle,
     // q102 re-derives the synthetic title/body split, stacks the two
     // fields with per-field stats (the Lucene per-field index shape),
     // scores each field's BM25, combines best_fields (tie 0.3),

@@ -496,6 +496,87 @@ object Streams {
       }
       .start()
 
+  /** The VECTOR twin of [[takedownStream]]: the same ruling stream
+    * evicts embeddings from the stored IVF+PQ index
+    * ([[graft.queries.SimilarityQueries.deleteFromIvfPqIndex]] — also
+    * idempotent, so at-least-once replay is equally safe; the vector
+    * artifacts hold no corpus aggregates, so there is nothing to
+    * double-decrement even in principle). A deployment runs BOTH
+    * takedown streams off one ruling feed so a document vanishes
+    * from lexical, vector, and hybrid pages at the same watermark. */
+  def vectorTakedownStream(ids: DataFrame, idCol: String,
+      indexDir: String, checkpointDir: String): StreamingQuery =
+    ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dead = batch
+          .select(col(idCol).cast("long").as("vec_id"))
+          .filter(col("vec_id").isNotNull)
+          .distinct().collect().map(_.getLong(0)).toSeq
+        graft.queries.SimilarityQueries.deleteFromIvfPqIndex(
+          batch.sparkSession, indexDir, dead)
+      }
+      .start()
+
+  /** Streaming INGESTION into the stored text index — the refresh
+    * loop as a stream: arriving documents append into the persisted
+    * layout per micro-batch ([[graft.ops.FullText.appendToTextIndex]]
+    * — delta-sized analyzer work, additive df/stats), so the index
+    * every search face serves trails the stream by one trigger.
+    * Unlike the delete, an append is NOT idempotent — a
+    * crash-replayed micro-batch would re-insert its postings and
+    * double-count its statistics — so each batch runs under
+    * [[graft.io.Layout.onceForBatch]]'s commit-log guard (the
+    * canonical foreachBatch exactly-once defense; StreamsSpec pins
+    * that a re-delivered batch id leaves the index bit-identical).
+    * Together with [[takedownStream]] (deletes), `percolateStream`
+    * (alerting) and the stored search faces (serving), the text
+    * index's full lifecycle is streaming-operable. */
+  def indexRefreshStream(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.io.Layout.onceForBatch(batch.sparkSession, indexDir,
+            batchId) {
+            graft.ops.FullText.appendToTextIndex(batch.sparkSession,
+              batch, idCol, textCol, indexDir)
+          }
+          ()
+        }
+      }
+      .start()
+
+  /** The VECTOR twin of [[indexRefreshStream]]: arriving embeddings
+    * assign + encode against the index's FIXED artifacts and append
+    * into their cell partitions ([[graft.queries.SimilarityQueries
+    * .appendToIvfPqIndex]] — the q106 stability contract per
+    * micro-batch). Appends are not idempotent here either (replay
+    * would duplicate code rows and the duplicate could surface in a
+    * page), so the same [[graft.io.Layout.onceForBatch]] guard
+    * applies. */
+  def vectorRefreshStream(vecs: DataFrame, indexDir: String,
+      checkpointDir: String, m: Int = 8,
+      subdim: Int = 8): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.io.Layout.onceForBatch(batch.sparkSession, indexDir,
+            batchId) {
+            graft.queries.SimilarityQueries.appendToIvfPqIndex(
+              batch.sparkSession, indexDir, batch, m, subdim)
+          }
+          ()
+        }
+      }
+      .start()
+
   /** Streaming percolation — q143's alerting face in its natural
     * habitat (saved searches match ARRIVING documents — the reason
     * ES percolation exists): the stored queries ship as a literal

@@ -125,4 +125,57 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     assert(search() == preSearch,
       "search must be identical before and after physical reclamation")
   }
+
+  test("stored filtered search: pre-filter semantics, frame-equal to q113 at gate-exact settings") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-filt")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idx)
+    val allowed = graft.io.Tables.documents(spark, dir)
+      .filter($"lang" === "en")
+      .select($"doc_id".as("vec_id"))
+    val n = graft.io.Tables.embeddings(spark, dir).count().toInt
+    val stored = SimilarityQueries.ivfPqSearchStored(spark, idx, dir,
+        probes = 16, shortlist = n, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val self = SimilarityQueries.filteredKnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == self,
+      "stored filtered search must equal the self-contained q113")
+    // pre-filter semantics: every hit satisfies the filter even at
+    // DEPLOYMENT settings (bounded shortlist) — the property
+    // post-filtering cannot give
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val deploy = SimilarityQueries.ivfPqSearchStored(spark, idx, dir,
+        allowed = Some(allowed))
+      .collect().map(_.getLong(0)).toSeq
+    assert(deploy.nonEmpty && deploy.forall(allowedIds),
+      "every served hit must satisfy the pre-filter")
+  }
+
+  test("stored msearch: one codes pass for the whole query set, frame-equal to q114 at gate-exact settings") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-ms")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idx)
+    val n = graft.io.Tables.embeddings(spark, dir).count().toInt
+    val stored = SimilarityQueries.ivfPqMsearchStored(spark, idx, dir,
+        probes = 16, shortlist = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val self = SimilarityQueries.knnBatch(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(stored == self,
+      "stored msearch must equal the self-contained q114 batch")
+    // deletes flow through the live view for every query in the batch
+    val firstHit = stored.head._3
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idx, Seq(firstHit))
+    val after = SimilarityQueries.ivfPqMsearchStored(spark, idx, dir,
+        probes = 16, shortlist = n)
+      .collect().map(_.getLong(2)).toSeq
+    assert(!after.contains(firstHit),
+      "a tombstoned vector must vanish from every query's page")
+  }
 }

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.SparkSpecBase
+import graft.queries.SimilarityQueries
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String,
     value: Double)
@@ -531,6 +532,135 @@ class StreamsSpec extends SparkSpecBase {
     assert(search(idx) == search(idxR),
       "streamed takedowns must equal a rebuild without the deleted " +
         "docs — bit-for-bit, replays included")
+  }
+
+  test("indexRefreshStream: streamed appends build the index; a re-delivered batch id is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val old = Seq(
+      (1L, "fast vector engines win races"),
+      (2L, "fast vector query engines"),
+      (3L, "slow scalar fallback path")).toDF("doc_id", "text")
+    val b0 = Seq((4L, "fast query planners everywhere"))
+    val b1 = Seq((5L, "vector query fast fast"))
+    val idx = java.nio.file.Files.createTempDirectory("refresh-idx")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(old, "doc_id", "text", idx)
+    val ckpt = java.nio.file.Files.createTempDirectory("refresh-ck")
+      .toFile.getAbsolutePath
+    val src = MemoryStream[(Long, String)]
+    val q = Streams.indexRefreshStream(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt)
+    try {
+      src.addData(b0: _*)
+      q.processAllAvailable()
+      src.addData(b1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def search(i: String) = graft.ops.FullText
+      .bm25SearchStored(spark, i, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idxR = java.nio.file.Files.createTempDirectory("refresh-r")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(
+      old.unionByName((b0 ++ b1).toDF("doc_id", "text")),
+      "doc_id", "text", idxR)
+    assert(search(idx) == search(idxR),
+      "streamed refresh must equal a rebuild over all docs")
+    // at-least-once replay: batch 0 is committed, so re-running its
+    // guarded append (exactly what the restarted stream would do)
+    // must skip — postings un-duplicated, statistics un-doubled
+    val ran = graft.io.Layout.onceForBatch(spark, idx, 0L) {
+      graft.ops.FullText.appendToTextIndex(spark,
+        b0.toDF("doc_id", "text"), "doc_id", "text", idx)
+    }
+    assert(!ran, "a committed batch id must not re-apply")
+    assert(search(idx) == search(idxR),
+      "replayed append batch must leave the index bit-identical")
+  }
+
+  test("vectorRefreshStream: streamed appends equal a rebuild at fixed artifacts; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    val w = maxId * 4 / 5
+    val base = e.filter($"vec_id" <= w)
+    val freshRows = e.filter($"vec_id" > w)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (f0, f1) = freshRows.splitAt(freshRows.size / 2)
+    val idx = java.nio.file.Files.createTempDirectory("vrefresh-idx")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(base, base, idx)
+    val ckpt = java.nio.file.Files.createTempDirectory("vrefresh-ck")
+      .toFile.getAbsolutePath
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.vectorRefreshStream(
+      src.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      src.addData(f0: _*)
+      q.processAllAvailable()
+      src.addData(f1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // rebuild over the full corpus at the SAME base-trained artifacts
+    val idxR = java.nio.file.Files.createTempDirectory("vrefresh-r")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(base, e, idxR)
+    def search(i: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, i, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idx) == search(idxR),
+      "streamed vector refresh must equal a batch rebuild at fixed " +
+        "artifacts")
+    // every vector encoded exactly once — and a replayed batch id
+    // cannot change that
+    def codeIds(i: String) = spark.read.parquet(s"$i/codes")
+      .select($"vec_id").distinct().count()
+    assert(codeIds(idx) == maxId + 1)
+    val ran = graft.io.Layout.onceForBatch(spark, idx, 0L) {
+      SimilarityQueries.appendToIvfPqIndex(spark, idx,
+        f0.toDF("vec_id", "embedding"))
+    }
+    assert(!ran, "a committed batch id must not re-apply")
+    assert(codeIds(idx) == maxId + 1,
+      "replayed append batch must not duplicate code rows")
+  }
+
+  test("vectorTakedownStream: streamed deletes mask the vector index; replays are safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("vtakedown-idx")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idx)
+    // delete the undeleted search's top two hits — the page MUST
+    // change, so a silent delete failure cannot pass
+    val top = SimilarityQueries.ivfPqSearchStored(spark, idx, dir)
+      .collect().map(_.getLong(0)).take(2)
+    val ckpt = java.nio.file.Files.createTempDirectory("vtakedown-ck")
+      .toFile.getAbsolutePath
+    val src = MemoryStream[Long]
+    val q = Streams.vectorTakedownStream(
+      src.toDF().toDF("vec_id"), "vec_id", idx, ckpt)
+    try {
+      src.addData(top(0))
+      q.processAllAvailable()
+      // replay top(0) beside the new ruling — at-least-once delivery
+      src.addData(top(0), top(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = SimilarityQueries.ivfPqSearchStored(spark, idx, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.exists(top.contains),
+      "tombstoned vectors must vanish from the stored search")
+    // the tombstone artifact holds each id once (idempotent delete)
+    val tombs = spark.read.parquet(s"$idx/tombstones")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tombs.sorted == top.toSeq.sorted,
+      "replayed takedown ids must not bloat the tombstone artifact")
   }
 
   test("percolateStream: AND coverage per arriving doc, stateless") {
