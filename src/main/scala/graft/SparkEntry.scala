@@ -251,6 +251,12 @@ object SparkEntry {
       SimilarityQueries.filteredKnnStored(s, d)),
     "q149_knn_batch_stored" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.knnBatchStored(s, d)),
+    "q150_residual_lifecycle" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.storedVectorLifecycle(s, d, codec = "residual")),
+    "q151_opq_lifecycle" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.storedVectorLifecycle(s, d, codec = "opq")),
+    "q152_sq8_lifecycle" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.storedVectorLifecycle(s, d, codec = "sq8")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1025,29 +1025,111 @@ object SimilarityQueries {
     * q106's delta path appending into the same cell partitions. */
   def writeIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
       numCells: Int = 16, m: Int = 8, subdim: Int = 8, c: Int = 16,
-      iters: Int = 1): Unit = {
+      iters: Int = 1, codec: String = "pq"): Unit = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    writeIvfPqIndexFrames(e, e, indexDir, numCells, m, subdim, c, iters)
+    writeIvfPqIndexFrames(e, e, indexDir, numCells, m, subdim, c, iters,
+      codec)
   }
 
   /** Frame-level [[writeIvfPqIndex]] with the artifact/corpus split
     * made explicit: cells and codebooks TRAIN on `artifactsFrom`,
     * every `corpus` row is assigned+encoded against them — which is
     * how IncrementalAnnSpec/VectorIndexLayoutSpec prove the append
-    * path equals a batch rebuild at fixed artifacts. */
+    * path equals a batch rebuild at fixed artifacts.
+    *
+    * `codec` picks the fine quantizer the layout persists — the
+    * calibration card (q103) compares the tiers; this is where the
+    * chosen tier becomes DEPLOYABLE instead of a per-query retrain:
+    *  - `"pq"` — plain product codes over the raw vectors (q55).
+    *  - `"residual"` — FAISS `by_residual`: codes quantize x − c(x)
+    *    against the vector's cell centroid (q64's audited scheme —
+    *    same code size, within-cell quantizer ball, strictly better
+    *    recall on clustered data; zero-residual training exclusion
+    *    and smallest-cent-id encode tie-break as in q64).
+    *  - `"opq"` — eigenvalue-allocation rotation (Ge et al. 2013,
+    *    [[graft.ops.OpqRotation]]) applied before plain PQ; the
+    *    orthonormal rotation artifact persists beside the codebooks
+    *    and is re-applied to queries at search time. Cells stay in
+    *    RAW space — rotation preserves cosine, so the IVF partition
+    *    is unchanged and only the quantizer's view rotates.
+    *  - `"sq8"` — q90's scalar tier (FAISS IndexIVFScalarQuantizer):
+    *    per-dimension 8-bit linear codes against persisted lo/hi
+    *    ranges; search scores the RECONSTRUCTION (no ADC table).
+    * A one-row `meta` artifact records (codec, m, subdim, num_cells,
+    * c); search/append/msearch read it and dispatch — an index is
+    * self-describing, a meta-less dir reads as legacy `"pq"`. */
   def writeIvfPqIndexFrames(artifactsFrom: DataFrame, corpus: DataFrame,
       indexDir: String, numCells: Int = 16, m: Int = 8, subdim: Int = 8,
-      c: Int = 16, iters: Int = 1): Unit = {
+      c: Int = 16, iters: Int = 1, codec: String = "pq"): Unit = {
     import artifactsFrom.sparkSession.implicits._
+    require(Set("pq", "residual", "opq", "sq8")(codec),
+      s"unknown codec '$codec' (pq | residual | opq | sq8)")
+    val spark = artifactsFrom.sparkSession
     val cells = seedCells(artifactsFrom, numCells)
-    val cb = ProductQuant.trainCodebooks(
-      ProductQuant.subVectors(artifactsFrom, m, subdim), c, iters)
     cells.write.mode("overwrite").parquet(s"$indexDir/cells")
-    cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    val assign = assignToCells(corpus, cells)
-    val codes = ProductQuant.encode(
-      ProductQuant.subVectors(corpus, m, subdim), cb)
+    val cellsR = spark.read.parquet(s"$indexDir/cells")
+    val assign = assignToCells(corpus, cellsR)
+    val codes = codec match {
+      case "pq" =>
+        val cb = ProductQuant.trainCodebooks(
+          ProductQuant.subVectors(artifactsFrom, m, subdim), c, iters)
+        cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+        graft.ops.Checkpoints.unpersist(cb)
+        ProductQuant.encode(
+          ProductQuant.subVectors(corpus, m, subdim),
+          spark.read.parquet(s"$indexDir/codebooks"))
+      case "residual" =>
+        def residOf(df: DataFrame) =
+          df.join(assignToCells(df, cellsR), Seq("vec_id"))
+            .join(broadcast(cellsR), Seq("cent_id"))
+            .select($"vec_id",
+              zip_with($"embedding", $"cemb", (a, b) => a - b)
+                .as("embedding"))
+        val residA = residOf(artifactsFrom)
+        val cb = ProductQuant.trainCodebooks(
+          ProductQuant.subVectors(
+            residA.filter(norm($"embedding") =!= 0d), m, subdim),
+          c, iters)
+        cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+        graft.ops.Checkpoints.unpersist(cb)
+        ProductQuant.encodeDet(
+          ProductQuant.subVectors(residOf(corpus), m, subdim),
+          spark.read.parquet(s"$indexDir/codebooks"))
+      case "opq" =>
+        val r = graft.ops.OpqRotation.allocationRotation(
+          graft.ops.OpqRotation.covariance(artifactsFrom, "embedding"),
+          m, subdim)
+        r.zipWithIndex
+          .map { case (row, i) => (i.toLong, row.toSeq) }.toSeq
+          .toDF("row_id", "rvec")
+          .write.mode("overwrite").parquet(s"$indexDir/rotation")
+        def rotOf(df: DataFrame) = df.select($"vec_id",
+          graft.ops.OpqRotation.rotate($"embedding", r).as("embedding"))
+        val cb = ProductQuant.trainCodebooks(
+          ProductQuant.subVectors(rotOf(artifactsFrom), m, subdim),
+          c, iters)
+        cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+        graft.ops.Checkpoints.unpersist(cb)
+        ProductQuant.encode(
+          ProductQuant.subVectors(rotOf(corpus), m, subdim),
+          spark.read.parquet(s"$indexDir/codebooks"))
+      case "sq8" =>
+        // per-dimension ranges from the TRAINING corpus (q90's one
+        // d-row aggregation) persist as the codec artifact; codes
+        // are q90's clamped 8-bit linear quantization, one int per
+        // dimension (constant dims → code 0, reconstructing to lo)
+        artifactsFrom
+          .select(posexplode($"embedding").as(Seq("i", "v")))
+          .groupBy($"i").agg(min($"v").as("lo"), max($"v").as("hi"))
+          .agg(array_sort(collect_list(struct($"i", $"lo"))).as("slo"),
+            array_sort(collect_list(struct($"i", $"hi"))).as("shi"))
+          .select(transform($"slo", x => x.getField("lo")).as("lo"),
+            transform($"shi", x => x.getField("hi")).as("hi"))
+          .write.mode("overwrite").parquet(s"$indexDir/sqstats")
+        sq8Codes(corpus,
+          spark.read.parquet(s"$indexDir/sqstats"), m * subdim)
+    }
     val norms = corpus.select($"vec_id", norm($"embedding").as("nrm"))
     codes
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
@@ -1056,7 +1138,60 @@ object SimilarityQueries {
       .repartition($"cell_id") // one file per cell, not tasks x cells
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$indexDir/codes")
-    graft.ops.Checkpoints.unpersist(cb)
+    Seq((codec, m, subdim, numCells, c))
+      .toDF("codec", "m", "subdim", "num_cells", "c")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** q90's clamped 8-bit linear quantization over the stored ranges:
+    * (vec_id, qcodes[dims]) — the SQ8 codec's per-row encode, shared
+    * by writer and append so a delta cannot quantize differently. */
+  private def sq8Codes(df: DataFrame, st: DataFrame,
+      dims: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.crossJoin(broadcast(st))
+      .withColumn("qcodes",
+        transform(sequence(lit(1), lit(dims)), i => {
+          val v = element_at($"embedding", i).cast("double")
+          val lo = element_at($"lo", i).cast("double")
+          val hi = element_at($"hi", i).cast("double")
+          when(hi === lo, lit(0)).otherwise(least(greatest(
+            floor((v - lo) / (hi - lo) * 256d), lit(0d)), lit(255d))
+            .cast("int"))
+        }))
+      .select($"vec_id", $"qcodes")
+  }
+
+  /** q90's reconstruction — evaluated over (qcodes, lo, hi) columns;
+    * scoring against the reconstruction (not an ADC table) is the
+    * scalar codec's whole mechanism. */
+  private def sq8Recon(dims: Int): Column =
+    transform(sequence(lit(1), lit(dims)), i => {
+      val code = element_at(col("qcodes"), i).cast("double")
+      val lo = element_at(col("lo"), i).cast("double")
+      val hi = element_at(col("hi"), i).cast("double")
+      when(hi === lo, lo)
+        .otherwise(lo + (code + 0.5d) * (hi - lo) / 256d)
+        .cast("float")
+    })
+
+  /** The index's self-description: (codec, m, subdim) — `"pq"` with
+    * the caller's params for a legacy meta-less dir. */
+  private def readIndexMeta(spark: SparkSession, indexDir: String,
+      m: Int, subdim: Int): (String, Int, Int) =
+    if (graft.io.Layout.pathExists(spark, s"$indexDir/meta")) {
+      val r = spark.read.parquet(s"$indexDir/meta").head()
+      (r.getAs[String]("codec"), r.getAs[Int]("m"), r.getAs[Int]("subdim"))
+    } else ("pq", m, subdim)
+
+  /** The persisted OPQ rotation, reassembled row-major (d ≤ a few
+    * hundred — a bounded driver artifact, like the ADC table). */
+  private def readRotation(spark: SparkSession,
+      indexDir: String): Array[Array[Float]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/rotation")
+      .orderBy($"row_id")
+      .collect().map(_.getSeq[Float](1).toArray)
   }
 
   /** The q106 delta path landing in the STORED layout: a fresh batch
@@ -1068,11 +1203,36 @@ object SimilarityQueries {
   def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
       fresh: DataFrame, m: Int = 8, subdim: Int = 8): Unit = {
     import spark.implicits._
+    val (codec, mm, sd) = readIndexMeta(spark, indexDir, m, subdim)
     val cells = spark.read.parquet(s"$indexDir/cells")
-    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    // lazy: the sq8 codec writes no codebooks artifact
+    lazy val cb = spark.read.parquet(s"$indexDir/codebooks")
     val assign = assignToCells(fresh, cells)
-    val codes = ProductQuant.encode(
-      ProductQuant.subVectors(fresh, m, subdim), cb)
+    // the delta encodes through the SAME codec chain the writer used
+    // (meta-dispatched), against the PERSISTED artifacts — append ≡
+    // rebuild at fixed artifacts holds per codec
+    val codes = codec match {
+      case "residual" =>
+        val resid = fresh.join(assign, Seq("vec_id"))
+          .join(broadcast(cells), Seq("cent_id"))
+          .select($"vec_id",
+            zip_with($"embedding", $"cemb", (a, b) => a - b)
+              .as("embedding"))
+        ProductQuant.encodeDet(
+          ProductQuant.subVectors(resid, mm, sd), cb)
+      case "opq" =>
+        val r = readRotation(spark, indexDir)
+        ProductQuant.encode(
+          ProductQuant.subVectors(
+            fresh.select($"vec_id", graft.ops.OpqRotation
+              .rotate($"embedding", r).as("embedding")), mm, sd), cb)
+      case "sq8" =>
+        sq8Codes(fresh,
+          spark.read.parquet(s"$indexDir/sqstats"), mm * sd)
+      case _ =>
+        ProductQuant.encode(
+          ProductQuant.subVectors(fresh, mm, sd), cb)
+    }
     val norms = fresh.select($"vec_id", norm($"embedding").as("nrm"))
     codes
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
@@ -1154,7 +1314,8 @@ object SimilarityQueries {
     import spark.implicits._
     val fp = ProductQuant.fixedPointScale
     val cells = spark.read.parquet(s"$indexDir/cells")
-    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    // lazy: the sq8 codec writes no codebooks artifact
+    lazy val cb = spark.read.parquet(s"$indexDir/codebooks")
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val q = e.filter($"vec_id" === queryId)
     val qemb = q.select($"embedding".as("qemb"))
@@ -1181,15 +1342,54 @@ object SimilarityQueries {
             .select($"vec_id").distinct()),
           Seq("vec_id"), "left_anti")
       else codes0
-    val qsubs = ProductQuant.subVectors(q, m, subdim)
+    // codec dispatch (self-describing index — see writeIvfPqIndexFrames)
+    val (codec, mm, sd) = readIndexMeta(spark, indexDir, m, subdim)
+    val qEff = codec match {
+      case "opq" =>
+        // rotate the query into the quantizer's space; ⟨Rq, R̂x⟩
+        // approximates ⟨q, x⟩ because the rotation is orthonormal
+        val r = readRotation(spark, indexDir)
+        q.select($"vec_id",
+          graft.ops.OpqRotation.rotate($"embedding", r).as("embedding"))
+      case _ => q
+    }
+    val qsubs = ProductQuant.subVectors(qEff, mm, sd)
       .select($"sub_id", $"subvec".as("qsub"))
-    val adc = ProductQuant.adcTable(cb, qsubs)
+    lazy val adc = ProductQuant.adcTable(cb, qsubs)
     val qn = q.select(norm($"embedding").as("qnrm"))
-    val cand = codes
-      .join(broadcast(adc), Seq("sub_id", "cent_id"))
-      .groupBy($"vec_id", $"nrm")
-      .agg((sum(round($"pdot" * fp).cast("long")).cast("double") / fp)
-        .as("adot"))
+    val scored = codec match {
+      case "residual" =>
+        // ⟨q, c + r̂⟩ = ⟨q, c⟩ + ⟨q, r̂⟩ (q64's identity): the per-cell
+        // constant joins after the fixed-point residual sum, keeping
+        // the score order-independent
+        val qc = cells.filter($"cent_id".isInCollection(probedCells))
+          .crossJoin(broadcast(qemb))
+          .select($"cent_id".as("cell_id"),
+            dot($"cemb", $"qemb").as("qcdot"))
+        codes.join(broadcast(adc), Seq("sub_id", "cent_id"))
+          .groupBy($"vec_id", $"nrm", $"cell_id")
+          .agg(sum(round($"pdot" * fp).cast("long")).as("rsum"))
+          .join(broadcast(qc), Seq("cell_id"))
+          .select($"vec_id", $"nrm",
+            (($"rsum" + round($"qcdot" * fp).cast("long"))
+              .cast("double") / fp).as("adot"))
+      case "sq8" =>
+        // score against the RECONSTRUCTION (q90's mechanism): the
+        // shared tail divides by nrm·qnrm, so nrm here is the
+        // reconstruction's norm — cos(recon, q), q90's cos_sq
+        codes.crossJoin(
+            broadcast(spark.read.parquet(s"$indexDir/sqstats")))
+          .withColumn("recon", sq8Recon(mm * sd))
+          .crossJoin(broadcast(qemb))
+          .select($"vec_id", norm($"recon").as("nrm"),
+            dot($"recon", $"qemb").as("adot"))
+      case _ =>
+        codes.join(broadcast(adc), Seq("sub_id", "cent_id"))
+          .groupBy($"vec_id", $"nrm")
+          .agg((sum(round($"pdot" * fp).cast("long")).cast("double") / fp)
+            .as("adot"))
+    }
+    val cand = scored
       .crossJoin(broadcast(qn))
       .filter($"vec_id" =!= queryId)
       .select($"vec_id",
@@ -1222,7 +1422,7 @@ object SimilarityQueries {
     * knobs, and the one full-corpus rerank here is this query's
     * verification role, not its deployment shape. */
   def storedVectorLifecycle(spark: SparkSession, dir: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, codec: String = "pq"): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val wm = e.agg(max($"vec_id")).head().getLong(0) * 4 / 5
@@ -1230,7 +1430,8 @@ object SimilarityQueries {
       .createTempDirectory("graft-vec-lifecycle").toFile.getAbsolutePath
     val numCells = 16
     writeIvfPqIndexFrames(e.filter($"vec_id" <= wm),
-      e.filter($"vec_id" <= wm), idx, numCells = numCells)
+      e.filter($"vec_id" <= wm), idx, numCells = numCells,
+      codec = codec)
     appendToIvfPqIndex(spark, idx, e.filter($"vec_id" > wm))
     val dead = e.filter($"vec_id" % 3 === 1)
       .select($"vec_id").collect().map(_.getLong(0)).toSeq
@@ -1291,7 +1492,8 @@ object SimilarityQueries {
     val fp = ProductQuant.fixedPointScale
     val win = org.apache.spark.sql.expressions.Window
     val cells = spark.read.parquet(s"$indexDir/cells")
-    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    // lazy: the sq8 codec writes no codebooks artifact
+    lazy val cb = spark.read.parquet(s"$indexDir/codebooks")
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val queries = e.filter($"vec_id" % queryStride === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qemb"))
@@ -1313,21 +1515,61 @@ object SimilarityQueries {
             .select($"vec_id").distinct()),
           Seq("vec_id"), "left_anti")
       else codes0
+    // codec dispatch mirrors the single-query face
+    val (codec, mm, sd) = readIndexMeta(spark, indexDir, m, subdim)
+    val qForAdc = codec match {
+      case "opq" =>
+        val r = readRotation(spark, indexDir)
+        queries.select($"q_id".as("vec_id"),
+          graft.ops.OpqRotation.rotate($"qemb", r).as("embedding"))
+      case _ =>
+        queries.select($"q_id".as("vec_id"), $"qemb".as("embedding"))
+    }
     // multi-query ADC: |Q|·m·c rows, broadcastable
-    val qsubs = ProductQuant.subVectors(
-        queries.select($"q_id".as("vec_id"), $"qemb".as("embedding")),
-        m, subdim)
+    val qsubs = ProductQuant.subVectors(qForAdc, mm, sd)
       .select($"vec_id".as("q_id"), $"sub_id", $"subvec".as("qsub"))
-    val adc = cb.join(broadcast(qsubs), Seq("sub_id"))
+    lazy val adc = cb.join(broadcast(qsubs), Seq("sub_id"))
       .select($"q_id", $"sub_id", $"cent_id",
         dot($"cvec", $"qsub").as("pdot"))
     val qn = queries.select($"q_id", norm($"qemb").as("qnrm"))
-    val approx = codes
-      .join(broadcast(probed), Seq("cell_id"))
-      .join(broadcast(adc), Seq("q_id", "sub_id", "cent_id"))
-      .groupBy($"q_id", $"vec_id", $"nrm")
-      .agg((sum(round($"pdot" * fp).cast("long")).cast("double") / fp)
-        .as("adot"))
+    val scored = codec match {
+      case "residual" =>
+        // per-(query, cell) ⟨q, c⟩ constants — |Q|·probes rows
+        val qc = cells.join(broadcast(probed.select($"q_id",
+            $"cell_id".as("cent_id"))), Seq("cent_id"))
+          .join(broadcast(queries), Seq("q_id"))
+          .select($"q_id", $"cent_id".as("cell_id"),
+            dot($"cemb", $"qemb").as("qcdot"))
+        codes
+          .join(broadcast(probed), Seq("cell_id"))
+          .join(broadcast(adc), Seq("q_id", "sub_id", "cent_id"))
+          .groupBy($"q_id", $"vec_id", $"nrm", $"cell_id")
+          .agg(sum(round($"pdot" * fp).cast("long")).as("rsum"))
+          .join(broadcast(qc), Seq("q_id", "cell_id"))
+          .select($"q_id", $"vec_id", $"nrm",
+            (($"rsum" + round($"qcdot" * fp).cast("long"))
+              .cast("double") / fp).as("adot"))
+      case "sq8" =>
+        // one reconstruction per code row, |Q|-scored via the
+        // broadcast query frame — recon is query-independent, so the
+        // msearch amortization holds for the scalar codec too
+        codes
+          .join(broadcast(probed), Seq("cell_id"))
+          .crossJoin(
+            broadcast(spark.read.parquet(s"$indexDir/sqstats")))
+          .withColumn("recon", sq8Recon(mm * sd))
+          .join(broadcast(queries), Seq("q_id"))
+          .select($"q_id", $"vec_id", norm($"recon").as("nrm"),
+            dot($"recon", $"qemb").as("adot"))
+      case _ =>
+        codes
+          .join(broadcast(probed), Seq("cell_id"))
+          .join(broadcast(adc), Seq("q_id", "sub_id", "cent_id"))
+          .groupBy($"q_id", $"vec_id", $"nrm")
+          .agg((sum(round($"pdot" * fp).cast("long")).cast("double") / fp)
+            .as("adot"))
+    }
+    val approx = scored
       .join(broadcast(qn), Seq("q_id"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
@@ -1809,6 +2051,16 @@ object SimilarityQueries {
       .unionByName(row("j_imi", cosTop(imiCandFull), imiCandFull, 256L))
       .orderBy($"tier")
   }
+
+  private val vectorLifecycleOracle: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0 AND e.vec_id % 3 <> 1
+      |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+      | e.vec_id ASC
+      |LIMIT 10""".stripMargin
 
   private val filteredKnnOracle: String =
     """WITH allowed AS (SELECT doc_id AS vec_id FROM documents
@@ -2667,19 +2919,18 @@ object SimilarityQueries {
         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
         | e.vec_id ASC
         |LIMIT 10""".stripMargin,
-    // q146: the stored vector-index lifecycle (write 4/5 + append 1/5
-    // + delete ≡1 mod 3 + gate-exact stored search) must equal
-    // brute-force cosine over the SURVIVORS — q19's SQL minus the
-    // deleted ids
-    "q146_vector_lifecycle" ->
-      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        | ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
-        |FROM embeddings e, q
-        |WHERE e.vec_id <> 0 AND e.vec_id % 3 <> 1
-        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-        | e.vec_id ASC
-        |LIMIT 10""".stripMargin,
+    // q146/q150/q151: the stored vector-index lifecycle (write 4/5 +
+    // append 1/5 + delete ≡1 mod 3 + gate-exact stored search) must
+    // equal brute-force cosine over the SURVIVORS — q19's SQL minus
+    // the deleted ids. Gate-exact settings neutralize the codec's
+    // shortlist ordering, so ONE oracle gates all three codecs' full
+    // write → append → delete → anti-join chains (scoring QUALITY per
+    // codec is the specs' job: ResidualPqSpec / OpqRotationSpec /
+    // VectorIndexLayoutSpec frame-equality pins).
+    "q146_vector_lifecycle" -> vectorLifecycleOracle,
+    "q150_residual_lifecycle" -> vectorLifecycleOracle,
+    "q151_opq_lifecycle" -> vectorLifecycleOracle,
+    "q152_sq8_lifecycle" -> vectorLifecycleOracle,
     "q24_embedding_topk_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine

@@ -126,6 +126,144 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
       "search must be identical before and after physical reclamation")
   }
 
+  test("residual codec: stored search equals the self-contained q64 at deployment settings") {
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-res")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(e, e, idx,
+      codec = "residual")
+    // the stored face at DEPLOYMENT settings (2 probes, shortlist 50)
+    // must reproduce q64's audited operator bit-for-bit: same
+    // artifacts, same ADC + per-cell ⟨q,c⟩ identity, same tie-breaks
+    val stored = SimilarityQueries.ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val self = SimilarityQueries.ivfPqResidualKnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == self,
+      s"stored residual search diverged:\n  stored=$stored\n  self=$self")
+    // and the codec survives the delta path: append against the
+    // FIXED residual artifacts equals a batch rebuild
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    val w = maxId * 4 / 5
+    val idxA = java.nio.file.Files.createTempDirectory("ivfpq-res-a")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(
+      e.filter($"vec_id" <= w), e.filter($"vec_id" <= w), idxA,
+      codec = "residual")
+    SimilarityQueries.appendToIvfPqIndex(spark, idxA,
+      e.filter($"vec_id" > w))
+    val idxB = java.nio.file.Files.createTempDirectory("ivfpq-res-b")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(
+      e.filter($"vec_id" <= w), e, idxB, codec = "residual")
+    def search(i: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, i, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idxA) == search(idxB),
+      "residual append-refresh must equal batch rebuild at fixed " +
+        "artifacts")
+  }
+
+  test("opq codec: orthonormal rotation artifact, rotated codes, exact at gate settings") {
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val idxO = java.nio.file.Files.createTempDirectory("ivfpq-opq")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(e, e, idxO, codec = "opq")
+    // the persisted rotation is orthonormal (R·Rᵀ = I): rotating
+    // preserves dots and norms, so cosine semantics are untouched
+    val rows = spark.read.parquet(s"$idxO/rotation")
+      .orderBy($"row_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (i <- rows.indices; j <- rows.indices) {
+      val d = rows(i).zip(rows(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-3,
+        s"rotation rows $i,$j not orthonormal: $d")
+    }
+    // the rotation actually reached the quantizer: codes differ from
+    // a plain-pq index over the same corpus and artifactsFrom
+    val idxP = java.nio.file.Files.createTempDirectory("ivfpq-plain")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(e, e, idxP, codec = "pq")
+    def codesOf(i: String) = spark.read.parquet(s"$i/codes")
+      .select($"vec_id", $"sub_id", $"cent_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(codesOf(idxO) != codesOf(idxP),
+      "opq codes must differ from plain pq codes")
+    // gate-exact settings: every cell probed, corpus-wide shortlist —
+    // the exact rerank sees everything, so the stored opq face must
+    // equal brute force (the q146 verification convention)
+    val n = e.count().toInt
+    val stored = SimilarityQueries.ivfPqSearchStored(spark, idxO, dir,
+        probes = 16, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = SimilarityQueries.knnBruteForce(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == brute,
+      "gate-exact stored opq search must equal brute force")
+  }
+
+  test("sq8 codec: stored codes are q90's quantization, append holds at fixed ranges, gate-exact is exact") {
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-sq8")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(e, e, idx, codec = "sq8")
+    // the persisted codes ARE q90's quantization: re-derive a sample
+    // row's codes from the raw vector and the stored ranges
+    val st = spark.read.parquet(s"$idx/sqstats").head()
+    val lo = st.getSeq[Float](st.fieldIndex("lo"))
+    val hi = st.getSeq[Float](st.fieldIndex("hi"))
+    val raw = e.filter($"vec_id" === 1L).head().getSeq[Float](1)
+    val storedCodes = spark.read.parquet(s"$idx/codes")
+      .filter($"vec_id" === 1L).head()
+    val qc = storedCodes.getSeq[Int](storedCodes.fieldIndex("qcodes"))
+    raw.indices.foreach { i =>
+      val expect =
+        if (hi(i) == lo(i)) 0
+        else math.min(math.max(math.floor(
+          (raw(i).toDouble - lo(i)) / (hi(i).toDouble - lo(i)) * 256d),
+          0d), 255d).toInt
+      assert(qc(i) == expect, s"dim $i: code ${qc(i)} != $expect")
+    }
+    // gate-exact: shortlist covers the corpus, rerank sees everything
+    val n = e.count().toInt
+    val stored = SimilarityQueries.ivfPqSearchStored(spark, idx, dir,
+        probes = 16, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = SimilarityQueries.knnBruteForce(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == brute,
+      "gate-exact stored sq8 search must equal brute force")
+    // append at FIXED ranges equals a batch rebuild (the lo/hi
+    // artifacts never retrain on append — the q106 stability
+    // contract applied to scalar ranges)
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    val w = maxId * 4 / 5
+    val idxA = java.nio.file.Files.createTempDirectory("ivfpq-sq8-a")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(
+      e.filter($"vec_id" <= w), e.filter($"vec_id" <= w), idxA,
+      codec = "sq8")
+    SimilarityQueries.appendToIvfPqIndex(spark, idxA,
+      e.filter($"vec_id" > w))
+    val idxB = java.nio.file.Files.createTempDirectory("ivfpq-sq8-b")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(
+      e.filter($"vec_id" <= w), e, idxB, codec = "sq8")
+    def search(i: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, i, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idxA) == search(idxB),
+      "sq8 append-refresh must equal batch rebuild at fixed ranges")
+  }
+
   test("stored filtered search: pre-filter semantics, frame-equal to q113 at gate-exact settings") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("ivfpq-filt")
