@@ -1580,11 +1580,11 @@ object TextQueries {
   def hybridRrfSearchStored(spark: SparkSession, textIdx: String,
       vecIdx: String, dir: String, queryId: Long = 0L, legK: Int = 20,
       k: Int = 10, rrfK: Int = 60, probes: Int = 2,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50,
+      terms: Seq[String] = bm25QueryTerms): DataFrame = {
     import spark.implicits._
     val win = org.apache.spark.sql.expressions.Window
-    val bm = FullText.bm25SearchStored(spark, textIdx, bm25QueryTerms,
-        legK)
+    val bm = FullText.bm25SearchStored(spark, textIdx, terms, legK)
       .withColumn("bm25_rank", row_number().over(
         win.orderBy($"score".desc, $"doc_id".asc)).cast("long"))
       .select($"doc_id", $"bm25_rank")

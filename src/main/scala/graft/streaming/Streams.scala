@@ -551,6 +551,30 @@ object Streams {
       }
       .start()
 
+  /** [[indexRefreshStream]] for the MULTI-FIELD text layout: the
+    * same commit-log guard around
+    * [[graft.ops.FullText.appendToMultiFieldTextIndex]] (per-field
+    * additive df/stats, delta-only analyzer work) — a multi-field
+    * search deployment refreshes from a stream exactly like the
+    * single-field one. */
+  def multiFieldRefreshStream(docs: DataFrame, idCol: String,
+      fields: Seq[String], indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.io.Layout.onceForBatch(batch.sparkSession, indexDir,
+            batchId) {
+            graft.ops.FullText.appendToMultiFieldTextIndex(
+              batch.sparkSession, batch, idCol, fields, indexDir)
+          }
+          ()
+        }
+      }
+      .start()
+
   /** The VECTOR twin of [[indexRefreshStream]]: arriving embeddings
     * assign + encode against the index's FIXED artifacts and append
     * into their cell partitions ([[graft.queries.SimilarityQueries

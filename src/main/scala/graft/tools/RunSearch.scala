@@ -55,11 +55,62 @@ object RunSearch {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** HYBRID hits from the persisted indexes: the CLI face of q147 —
+    * the lexical leg ranks the query's ANALYZED scoring terms from
+    * the stored text index, the vector leg probes the stored vector
+    * index for `queryVecId`'s neighbors, both fuse through the SAME
+    * `rrfFuse` core as gated q105/q147 (one fusion, three callers —
+    * none can drift), and the page highlights like the lexical CLI.
+    * Output: (doc_id, rrf_score, highlighted). */
+  def runHybrid(spark: SparkSession, sfDir: String, query: String,
+      textIdx: String, vecIdx: String, queryVecId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val p = QueryString.parse(query)
+    val terms = (p.scoringTerms ++ p.phrases.flatten).distinct
+    require(terms.nonEmpty, "hybrid search needs scoring terms")
+    val hits = TextQueries.hybridRrfSearchStored(spark, textIdx,
+      vecIdx, sfDir, queryId = queryVecId, k = k, terms = terms)
+    hits
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"),
+        col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("rrf_score"),
+        FullText.highlightRawText(col("text"), terms)
+          .as("highlighted"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: RunSearch <sfDir> <query> [k] [storedIndexDir]")
+      "usage: RunSearch <sfDir> <query> [k] [storedIndexDir] " +
+        "[vectorIndexDir [queryVecId]]")
     val k = if (args.length >= 3) args(2).toInt else 10
     val idxDir = if (args.length >= 4) Some(args(3)) else None
+    if (args.length >= 5) {
+      // hybrid mode: both stored indexes required
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .appName("graft-search-hybrid")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val vid = if (args.length >= 6) args(5).toLong else 0L
+        val rows = runHybrid(spark, args(0), args(1),
+          idxDir.get, args(4), vid, k).collect()
+        println(s"${rows.length} hybrid hits for: ${args(1)}")
+        rows.foreach { r =>
+          val snippet = r.getString(2)
+          val short =
+            if (snippet.length <= 160) snippet
+            else snippet.take(157) + "..."
+          println(f"${r.getLong(0)}%8d  ${r.getDouble(1)}%8.6f  $short")
+        }
+      } finally spark.stop()
+      return
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

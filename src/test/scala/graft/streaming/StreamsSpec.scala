@@ -579,6 +579,54 @@ class StreamsSpec extends SparkSpecBase {
       "replayed append batch must leave the index bit-identical")
   }
 
+  test("multiFieldRefreshStream: streamed appends equal a rebuild; committed batch ids skip") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val old = Seq(
+      (1L, "fast engines", "fast vector engines win races"),
+      (2L, "vector query", "fast vector query engines"),
+      (3L, "fallback", "slow scalar fallback path"))
+      .toDF("doc_id", "title", "body")
+    val b0 = Seq((4L, "planners", "fast query planners everywhere"))
+    val b1 = Seq((5L, "vectors", "vector query fast fast"))
+    val idx = java.nio.file.Files.createTempDirectory("mfrefresh-idx")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeMultiFieldTextIndex(old, "doc_id",
+      Seq("title", "body"), idx)
+    val ckpt = java.nio.file.Files.createTempDirectory("mfrefresh-ck")
+      .toFile.getAbsolutePath
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.multiFieldRefreshStream(
+      src.toDF().toDF("doc_id", "title", "body"), "doc_id",
+      Seq("title", "body"), idx, ckpt)
+    try {
+      src.addData(b0: _*)
+      q.processAllAvailable()
+      src.addData(b1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val idxR = java.nio.file.Files.createTempDirectory("mfrefresh-r")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeMultiFieldTextIndex(
+      old.unionByName((b0 ++ b1).toDF("doc_id", "title", "body")),
+      "doc_id", Seq("title", "body"), idxR)
+    def search(i: String) = graft.ops.FullText
+      .multiMatchSearchStored(spark, i,
+        Seq("fast", "vector", "query"),
+        Seq("title" -> 2.0, "body" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idx) == search(idxR),
+      "streamed multi-field refresh must equal a rebuild")
+    val ran = graft.io.Layout.onceForBatch(spark, idx, 0L) {
+      graft.ops.FullText.appendToMultiFieldTextIndex(spark,
+        b0.toDF("doc_id", "title", "body"), "doc_id",
+        Seq("title", "body"), idx)
+    }
+    assert(!ran, "a committed batch id must not re-apply")
+    assert(search(idx) == search(idxR),
+      "replayed append batch must leave the index bit-identical")
+  }
+
   test("vectorRefreshStream: streamed appends equal a rebuild at fixed artifacts; replay is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

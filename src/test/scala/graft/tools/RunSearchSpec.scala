@@ -55,4 +55,37 @@ class RunSearchSpec extends SparkSpecBase {
         "phrase hits must highlight the phrase's terms")
     }
   }
+
+  test("hybrid CLI serves the fused page from both stored indexes, hit-for-hit") {
+    val tIdx = java.nio.file.Files.createTempDirectory("cli-hyb-t")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(
+      Tables.documents(spark, dir), "doc_id", "text", tIdx,
+      storePositions = false)
+    val vIdx = java.nio.file.Files.createTempDirectory("cli-hyb-v")
+      .toFile.getAbsolutePath
+    graft.queries.SimilarityQueries.writeIvfPqIndex(spark, dir, vIdx)
+    val q = "fast vector query"
+    val out = RunSearch.runHybrid(spark, dir, q, tIdx, vIdx).collect()
+    assert(out.nonEmpty)
+    // the CLI page IS the gated hybrid operator's page over the same
+    // analyzed terms (rrfFuse is shared — only the legs could differ,
+    // and both serve from the same artifacts here)
+    val gated = TextQueries.hybridRrfSearchStored(spark, tIdx, vIdx,
+        dir, terms = Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == gated,
+      "hybrid CLI ranking must be exactly the stored hybrid operator's")
+    // highlights still round-trip on the fused page
+    val texts = Tables.documents(spark, dir)
+      .filter($"doc_id".isInCollection(out.map(_.getLong(0)).toSeq))
+      .select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val stripped = r.getString(2)
+        .replace("<em>", "").replace("</em>", "")
+      assert(stripped == texts(r.getLong(0)),
+        s"tag-strip must round-trip doc ${r.getLong(0)}")
+    }
+  }
 }
