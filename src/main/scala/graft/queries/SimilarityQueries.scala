@@ -1487,7 +1487,8 @@ object SimilarityQueries {
   def ivfPqMsearchStored(spark: SparkSession, indexDir: String,
       dir: String, k: Int = 5, queryStride: Int = 100,
       probes: Int = 2, shortlist: Int = 50, m: Int = 8,
-      subdim: Int = 8, salts: Int = 32): DataFrame = {
+      subdim: Int = 8, salts: Int = 32,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val fp = ProductQuant.fixedPointScale
     val win = org.apache.spark.sql.expressions.Window
@@ -1506,8 +1507,14 @@ object SimilarityQueries {
       .select($"q_id", $"cent_id".as("cell_id"))
     val probedCells = probed.select($"cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val codes0 = spark.read.parquet(s"$indexDir/codes")
+    val codes1 = spark.read.parquet(s"$indexDir/codes")
       .filter($"cell_id".isInCollection(probedCells))
+    // the same PRE-filter semi-join as the single-query face — one
+    // filter pass masks every query's candidate set at once (the
+    // filtered × batched composition; no broadcast hint, the allowed
+    // set can be corpus-scale)
+    val codes0 = allowed.fold(codes1)(a =>
+      codes1.join(a.select($"vec_id"), Seq("vec_id"), "left_semi"))
     val codes =
       if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
         codes0.join(

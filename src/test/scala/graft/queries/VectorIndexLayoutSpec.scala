@@ -315,5 +315,24 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
       .collect().map(_.getLong(2)).toSeq
     assert(!after.contains(firstHit),
       "a tombstoned vector must vanish from every query's page")
+    // filtered × batched composition: the pre-filter masks every
+    // query's candidates; with an all-ids filter the page is the
+    // unfiltered one (modulo the tombstone above)
+    val allowed = graft.io.Tables.documents(spark, dir)
+      .filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val filt = SimilarityQueries.ivfPqMsearchStored(spark, idx, dir,
+        allowed = Some(allowed))
+      .collect().map(_.getLong(2)).toSeq
+    assert(filt.nonEmpty && filt.forall(allowedIds),
+      "every batched hit must satisfy the pre-filter")
+    val everything = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id")
+    val openFilt = SimilarityQueries.ivfPqMsearchStored(spark, idx,
+        dir, probes = 16, shortlist = n,
+        allowed = Some(everything))
+      .collect().map(_.getLong(2)).toSeq
+    assert(openFilt == after,
+      "an all-ids filter must reproduce the unfiltered batch page")
   }
 }
