@@ -124,6 +124,15 @@ object Bench {
     }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bulk_sink_docs_per_sec":${docsPerSec.round},"sf":"$sfDir"}""")
+    // The driver records only the trailing ~2 KB of stdout, and the
+    // full per-query line above outgrows that window (~150 queries ×
+    // ~30 chars), losing its HEAD — totals included. This compact
+    // summary is the FINAL line precisely so the headline numbers
+    // always survive the tail capture.
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total_s":${f"$total%.1f"},"n_queries":${results.size},"bulk_sink_docs_per_sec":${docsPerSec.round},"slowest5":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

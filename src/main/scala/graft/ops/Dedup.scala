@@ -408,22 +408,25 @@ object Dedup {
       indexDir: String): ((Long, Long), (Long, Long)) = {
     def compactOne(path: String, dedup: DataFrame => DataFrame)
         : (Long, Long) = {
-      val dir = new java.io.File(path)
-      if (!dir.exists()) return (0L, 0L)
+      // All probes/renames through Hadoop's FileSystem (the resolution
+      // the parquet reads use) so hdfs://-, s3a://- and file:-schemed
+      // index dirs all compact; a java.io.File probe reports "absent"
+      // for URI paths and the compactor would silently reclaim nothing.
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return (0L, 0L)
       val before = spark.read.parquet(path)
       val nBefore = before.count()
       val compacted = dedup(before)
-      val tmp = new java.io.File(path + ".compact")
-      val old = new java.io.File(path + ".old")
-      compacted.write.mode("overwrite").parquet(tmp.getPath)
-      val nAfter = spark.read.parquet(tmp.getPath).count()
-      require(dir.renameTo(old), s"swap: $path -> .old failed")
-      require(tmp.renameTo(dir), s"swap: .compact -> $path failed")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(old)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+      val old = new org.apache.hadoop.fs.Path(path + ".old")
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      compacted.write.mode("overwrite").parquet(tmp.toString)
+      val nAfter = spark.read.parquet(tmp.toString).count()
+      require(fs.rename(p, old), s"swap: $path -> .old failed")
+      require(fs.rename(tmp, p), s"swap: .compact -> $path failed")
+      fs.delete(old, true)
       (nBefore, nAfter)
     }
     val b = compactOne(s"$indexDir/bands", _.distinct())

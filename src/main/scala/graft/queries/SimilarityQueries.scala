@@ -161,10 +161,14 @@ object SimilarityQueries {
 
   private def assignToCells(e: DataFrame, cells: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
+    // tie-break: best cosine, then SMALLEST cent_id (q64's encode
+    // convention) — max_by alone is non-deterministic on a cosine tie
+    // (duplicate vectors among the seeded centroids), and two
+    // evaluations of the assignment could then disagree
     e.crossJoin(broadcast(cells))
       .withColumn("cos", cosine($"embedding", $"cemb"))
       .groupBy($"vec_id")
-      .agg(max_by($"cent_id", $"cos").as("cent_id"))
+      .agg(max_by($"cent_id", struct($"cos", -$"cent_id")).as("cent_id"))
   }
 
   private def probeTop(cells: DataFrame, qemb: DataFrame,
@@ -1080,13 +1084,20 @@ object SimilarityQueries {
           ProductQuant.subVectors(corpus, m, subdim),
           spark.read.parquet(s"$indexDir/codebooks"))
       case "residual" =>
-        def residOf(df: DataFrame) =
-          df.join(assignToCells(df, cellsR), Seq("vec_id"))
+        // the corpus residual reuses the TOP-LEVEL `assign` frame —
+        // the same assignment the stored cell_id comes from, so the
+        // residual is by construction taken against the centroid the
+        // row is filed under (a second assignToCells evaluation could
+        // otherwise disagree with the stored cell on a cosine tie and
+        // break the <q,c>+<q,r̂> scoring identity)
+        def residOf(df: DataFrame, a: DataFrame) =
+          df.join(a.select($"vec_id", $"cent_id"), Seq("vec_id"))
             .join(broadcast(cellsR), Seq("cent_id"))
             .select($"vec_id",
               zip_with($"embedding", $"cemb", (a, b) => a - b)
                 .as("embedding"))
-        val residA = residOf(artifactsFrom)
+        val residA = residOf(artifactsFrom,
+          assignToCells(artifactsFrom, cellsR))
         val cb = ProductQuant.trainCodebooks(
           ProductQuant.subVectors(
             residA.filter(norm($"embedding") =!= 0d), m, subdim),
@@ -1094,7 +1105,7 @@ object SimilarityQueries {
         cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
         graft.ops.Checkpoints.unpersist(cb)
         ProductQuant.encodeDet(
-          ProductQuant.subVectors(residOf(corpus), m, subdim),
+          ProductQuant.subVectors(residOf(corpus, assign), m, subdim),
           spark.read.parquet(s"$indexDir/codebooks"))
       case "opq" =>
         val r = graft.ops.OpqRotation.allocationRotation(
@@ -1337,9 +1348,14 @@ object SimilarityQueries {
     // IDSelector mask as an anti-join; compaction reclaims the rows)
     val codes =
       if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+        // no broadcast hint: the tombstone set is bounded by
+        // deletes-since-compaction, but that bound is operational,
+        // not structural (storedVectorLifecycle tombstones a third
+        // of its corpus) — let AQE pick broadcast when the set is
+        // actually small rather than force a driver-sized assumption
         codes0.join(
-          broadcast(spark.read.parquet(s"$indexDir/tombstones")
-            .select($"vec_id").distinct()),
+          spark.read.parquet(s"$indexDir/tombstones")
+            .select($"vec_id").distinct(),
           Seq("vec_id"), "left_anti")
       else codes0
     // codec dispatch (self-describing index — see writeIvfPqIndexFrames)
@@ -1517,9 +1533,14 @@ object SimilarityQueries {
       codes1.join(a.select($"vec_id"), Seq("vec_id"), "left_semi"))
     val codes =
       if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+        // no broadcast hint: the tombstone set is bounded by
+        // deletes-since-compaction, but that bound is operational,
+        // not structural (storedVectorLifecycle tombstones a third
+        // of its corpus) — let AQE pick broadcast when the set is
+        // actually small rather than force a driver-sized assumption
         codes0.join(
-          broadcast(spark.read.parquet(s"$indexDir/tombstones")
-            .select($"vec_id").distinct()),
+          spark.read.parquet(s"$indexDir/tombstones")
+            .select($"vec_id").distinct(),
           Seq("vec_id"), "left_anti")
       else codes0
     // codec dispatch mirrors the single-query face

@@ -1386,8 +1386,13 @@ object TextQueries {
       // the cursor is the page's last hit — a pageSize-bounded
       // driver read, the same rows the client was just served
       val served = page.collect()
-      after = served.lastOption
-        .map(r => (r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      // an EMPTY page (client paged past the end of the matching
+      // set) must NOT reset the cursor — dropping it to None would
+      // restart the ranking from the top and re-serve page 1's rows
+      // under a later page number; keep the last non-empty cursor so
+      // every page past the end stays empty, as ES search_after does
+      served.lastOption.foreach(r =>
+        after = Some((r.getAs[Double]("score"), r.getAs[Long]("doc_id"))))
       page.withColumn("page", lit(p.toLong))
     }
     pages.reduce(_.unionByName(_))

@@ -409,8 +409,12 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("compactBandIndex halves a double-appended index and changes no verdict") {
-    val indexDir = java.nio.file.Files
+    // file:-schemed URI (the IndexerSpec precedent): a java.io.File
+    // probe reports this path absent, so the test proves the compactor
+    // resolves through Hadoop's FileSystem, not the local-FS API
+    val localDir = java.nio.file.Files
       .createTempDirectory("graft-compact").toString
+    val indexDir = s"file:$localDir"
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
     val other = "one two three four five six seven eight nine ten eleven"
@@ -446,8 +450,8 @@ class DedupSpec extends SparkSpecBase {
     assert(s0 == 2 * s1 && s1 == 2, s"shingles $s0 -> $s1")
     assert(probe() == pre.distinct,
       "post-compaction: identical verdicts, replay duplicates gone")
-    assert(!new java.io.File(s"$indexDir/bands.old").exists() &&
-      !new java.io.File(s"$indexDir/bands.compact").exists(),
+    assert(!new java.io.File(s"$localDir/bands.old").exists() &&
+      !new java.io.File(s"$localDir/bands.compact").exists(),
       "swap leaves no residue")
     // a second compaction is a no-op rewrite
     val ((b2, b3), _) = Dedup.compactBandIndex(spark, indexDir)
