@@ -257,6 +257,9 @@ object SparkEntry {
       SimilarityQueries.storedVectorLifecycle(s, d, codec = "opq")),
     "q152_sq8_lifecycle" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.storedVectorLifecycle(s, d, codec = "sq8")),
+    "q153_imi_lifecycle" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.storedVectorLifecycle(s, d, codec = "residual",
+        coarse = "imi")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

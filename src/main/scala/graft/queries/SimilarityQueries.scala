@@ -1029,11 +1029,12 @@ object SimilarityQueries {
     * q106's delta path appending into the same cell partitions. */
   def writeIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
       numCells: Int = 16, m: Int = 8, subdim: Int = 8, c: Int = 16,
-      iters: Int = 1, codec: String = "pq"): Unit = {
+      iters: Int = 1, codec: String = "pq",
+      coarse: String = "flat"): Unit = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     writeIvfPqIndexFrames(e, e, indexDir, numCells, m, subdim, c, iters,
-      codec)
+      codec, coarse)
   }
 
   /** Frame-level [[writeIvfPqIndex]] with the artifact/corpus split
@@ -1061,19 +1062,61 @@ object SimilarityQueries {
     *    per-dimension 8-bit linear codes against persisted lo/hi
     *    ranges; search scores the RECONSTRUCTION (no ADC table).
     * A one-row `meta` artifact records (codec, m, subdim, num_cells,
-    * c); search/append/msearch read it and dispatch — an index is
-    * self-describing, a meta-less dir reads as legacy `"pq"`. */
+    * c, coarse, c_grid); search/append/msearch read it and dispatch —
+    * an index is self-describing, a meta-less dir reads as legacy
+    * `"pq"`/`"flat"`.
+    *
+    * `coarse` picks the COARSE quantizer the layout persists,
+    * orthogonally to the fine codec:
+    *  - `"flat"` — one numCells-row centroid table (`cells/`), q34's
+    *    Voronoi IVF; assignment pays numCells full-vector
+    *    comparisons per vector.
+    *  - `"imi"` — q104's inverted multi-index: TWO cGrid-centroid
+    *    HALF-vector codebooks persist (`imi_codebooks/`, the q104
+    *    artifacts, 2·cGrid rows total), cell_id = cGrid·c0 + c1,
+    *    cGrid² cells for 2·cGrid half-comparisons of assignment cost
+    *    — the layout a billion-vector deployment needs, where a flat
+    *    coarse table with the same cell count would pay quadratically
+    *    growing assignment cost. Probing follows q116's blended
+    *    multi-sequence order ([[multiSequenceWalk]] — `probes` means
+    *    CELLS in blended-affinity order, not a per-half budget). The
+    *    codes layout, tombstones, compaction, and every fine codec
+    *    compose unchanged — cell_id is just a finer-grained
+    *    partition column. */
   def writeIvfPqIndexFrames(artifactsFrom: DataFrame, corpus: DataFrame,
       indexDir: String, numCells: Int = 16, m: Int = 8, subdim: Int = 8,
-      c: Int = 16, iters: Int = 1, codec: String = "pq"): Unit = {
+      c: Int = 16, iters: Int = 1, codec: String = "pq",
+      coarse: String = "flat", cGrid: Int = 16): Unit = {
     import artifactsFrom.sparkSession.implicits._
     require(Set("pq", "residual", "opq", "sq8")(codec),
       s"unknown codec '$codec' (pq | residual | opq | sq8)")
+    require(Set("flat", "imi")(coarse),
+      s"unknown coarse quantizer '$coarse' (flat | imi)")
     val spark = artifactsFrom.sparkSession
-    val cells = seedCells(artifactsFrom, numCells)
-    cells.write.mode("overwrite").parquet(s"$indexDir/cells")
-    val cellsR = spark.read.parquet(s"$indexDir/cells")
-    val assign = assignToCells(corpus, cellsR)
+    val halfDim = m * subdim / 2
+    val assign = coarse match {
+      case "imi" =>
+        val imiCb = ProductQuant.trainCodebooks(
+          ProductQuant.subVectors(artifactsFrom, 2, halfDim),
+          cGrid, iters)
+        imiCb.write.mode("overwrite").parquet(s"$indexDir/imi_codebooks")
+        graft.ops.Checkpoints.unpersist(imiCb)
+        imiAssign(corpus,
+          spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid, halfDim)
+      case _ =>
+        val cells = seedCells(artifactsFrom, numCells)
+        cells.write.mode("overwrite").parquet(s"$indexDir/cells")
+        assignToCells(corpus, spark.read.parquet(s"$indexDir/cells"))
+    }
+    // coarse centroids for the cell ids in `needed` — the residual
+    // codec's reference points, coarse-dispatched (flat: the cells
+    // table; imi: composed from the half codebooks, occupied/probed
+    // cells only — never the grid)
+    def centsFor(needed: DataFrame): DataFrame = coarse match {
+      case "imi" => imiCembFor(needed,
+        spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid)
+      case _ => spark.read.parquet(s"$indexDir/cells")
+    }
     val codes = codec match {
       case "pq" =>
         val cb = ProductQuant.trainCodebooks(
@@ -1087,17 +1130,28 @@ object SimilarityQueries {
         // the corpus residual reuses the TOP-LEVEL `assign` frame —
         // the same assignment the stored cell_id comes from, so the
         // residual is by construction taken against the centroid the
-        // row is filed under (a second assignToCells evaluation could
+        // row is filed under (a second assignment evaluation could
         // otherwise disagree with the stored cell on a cosine tie and
-        // break the <q,c>+<q,r̂> scoring identity)
+        // break the <q,c>+<q,r̂> scoring identity). Coarse-agnostic:
+        // the centroid lookup goes through centsFor (no broadcast
+        // hint — flat is numCells rows and AQE broadcasts it; imi's
+        // occupied-cell frame can be corpus-scale at billion-vector
+        // grids)
         def residOf(df: DataFrame, a: DataFrame) =
           df.join(a.select($"vec_id", $"cent_id"), Seq("vec_id"))
-            .join(broadcast(cellsR), Seq("cent_id"))
+            .join(centsFor(a.select($"cent_id").distinct()),
+              Seq("cent_id"))
             .select($"vec_id",
               zip_with($"embedding", $"cemb", (a, b) => a - b)
                 .as("embedding"))
-        val residA = residOf(artifactsFrom,
-          assignToCells(artifactsFrom, cellsR))
+        def assignOf(df: DataFrame): DataFrame = coarse match {
+          case "imi" => imiAssign(df,
+            spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid,
+            halfDim)
+          case _ => assignToCells(df,
+            spark.read.parquet(s"$indexDir/cells"))
+        }
+        val residA = residOf(artifactsFrom, assignOf(artifactsFrom))
         val cb = ProductQuant.trainCodebooks(
           ProductQuant.subVectors(
             residA.filter(norm($"embedding") =!= 0d), m, subdim),
@@ -1149,8 +1203,8 @@ object SimilarityQueries {
       .repartition($"cell_id") // one file per cell, not tasks x cells
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$indexDir/codes")
-    Seq((codec, m, subdim, numCells, c))
-      .toDF("codec", "m", "subdim", "num_cells", "c")
+    Seq((codec, m, subdim, numCells, c, coarse, cGrid))
+      .toDF("codec", "m", "subdim", "num_cells", "c", "coarse", "c_grid")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -1186,14 +1240,88 @@ object SimilarityQueries {
         .cast("float")
     })
 
-  /** The index's self-description: (codec, m, subdim) — `"pq"` with
-    * the caller's params for a legacy meta-less dir. */
+  /** The index's self-description: (codec, m, subdim, coarse, cGrid)
+    * — `"pq"`/`"flat"` with the caller's params for a legacy
+    * meta-less dir or a meta written before the coarse dimension
+    * existed. */
   private def readIndexMeta(spark: SparkSession, indexDir: String,
-      m: Int, subdim: Int): (String, Int, Int) =
+      m: Int, subdim: Int): (String, Int, Int, String, Int) =
     if (graft.io.Layout.pathExists(spark, s"$indexDir/meta")) {
       val r = spark.read.parquet(s"$indexDir/meta").head()
-      (r.getAs[String]("codec"), r.getAs[Int]("m"), r.getAs[Int]("subdim"))
-    } else ("pq", m, subdim)
+      val coarse =
+        if (r.schema.fieldNames.contains("coarse")) r.getAs[String]("coarse")
+        else "flat"
+      val cGrid =
+        if (r.schema.fieldNames.contains("c_grid")) r.getAs[Int]("c_grid")
+        else 16
+      (r.getAs[String]("codec"), r.getAs[Int]("m"), r.getAs[Int]("subdim"),
+        coarse, cGrid)
+    } else ("pq", m, subdim, "flat", 16)
+
+  /** IMI coarse assignment (q104's composition over the PERSISTED
+    * half codebooks): each vector's two halves encode independently
+    * against their `cGrid`-centroid codebooks and the cell id is
+    * `cGrid·c0 + c1` — the two-level grid whose assignment cost is
+    * 2·cGrid HALF-vector comparisons for cGrid² cells (the
+    * quadratic-cells-for-linear-cost trade that makes a
+    * billion-vector coarse quantizer affordable, Babenko & Lempitsky
+    * 2012). Deterministic tie-break ([[ProductQuant.encodeDet]],
+    * smallest cent_id): the stored cell_id and any residual taken
+    * against it must come from ONE assignment, the flat-coarse
+    * discipline assignToCells carries. */
+  private def imiAssign(df: DataFrame, imiCb: DataFrame,
+      cGrid: Int, halfDim: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    ProductQuant.encodeDet(
+        ProductQuant.subVectors(df, 2, halfDim), imiCb)
+      .groupBy($"vec_id")
+      .agg((max(when($"sub_id" === 0, $"cent_id")) * cGrid +
+        max(when($"sub_id" === 1, $"cent_id"))).as("cent_id"))
+  }
+
+  /** Composed IMI coarse centroids for the cell ids in `needed` —
+    * concat(half-0 centroid, half-1 centroid), derived from the two
+    * cGrid-row half codebooks instead of materializing the cGrid²
+    * grid (at the paper's cGrid = 2¹⁴ the grid is 2²⁸ full vectors;
+    * the residual codec only ever needs the OCCUPIED cells at encode
+    * time and the PROBED cells at query time, both joined here). */
+  private def imiCembFor(needed: DataFrame, imiCb: DataFrame,
+      cGrid: Int): DataFrame = {
+    import needed.sparkSession.implicits._
+    needed.select($"cent_id")
+      .withColumn("c0", floor($"cent_id" / cGrid).cast("long"))
+      .withColumn("c1", pmod($"cent_id", lit(cGrid.toLong)))
+      .join(broadcast(imiCb.filter($"sub_id" === 0)
+        .select($"cent_id".as("c0"), $"cvec".as("v0"))), Seq("c0"))
+      .join(broadcast(imiCb.filter($"sub_id" === 1)
+        .select($"cent_id".as("c1"), $"cvec".as("v1"))), Seq("c1"))
+      .select($"cent_id", concat($"v0", $"v1").as("cemb"))
+  }
+
+  /** IMI probe list in q116's blended multi-sequence order: the
+    * 2·cGrid per-half query affinities (a bounded driver artifact —
+    * the probe-list convention) feed [[multiSequenceWalk]], which
+    * emits the top-`probes` cells by `dot(q₀,c₀) + dot(q₁,c₁)`
+    * without enumerating the grid. `q` is the 1-row (vec_id,
+    * embedding) query frame. */
+  private def imiProbeCells(q: DataFrame, imiCb: DataFrame,
+      cGrid: Int, halfDim: Int, probes: Int): Seq[Long] = {
+    import q.sparkSession.implicits._
+    val qsubs = ProductQuant.subVectors(q, 2, halfDim)
+      .select($"sub_id", $"subvec".as("qsub"))
+    val d0 = Array.fill(cGrid)(Double.NegativeInfinity)
+    val d1 = Array.fill(cGrid)(Double.NegativeInfinity)
+    imiCb.join(broadcast(qsubs), Seq("sub_id"))
+      .select($"sub_id", $"cent_id", dot($"cvec", $"qsub").as("qdot"))
+      .collect().foreach { r =>
+        val s = r.getAs[Number]("sub_id").intValue
+        val ci = r.getAs[Number]("cent_id").intValue
+        val d = r.getAs[Number]("qdot").doubleValue
+        if (s == 0) d0(ci) = d else d1(ci) = d
+      }
+    multiSequenceWalk(d0, d1, probes)
+      .map { case (c0, c1) => c0.toLong * cGrid + c1 }
+  }
 
   /** The persisted OPQ rotation, reassembled row-major (d ≤ a few
     * hundred — a bounded driver artifact, like the ADC table). */
@@ -1214,18 +1342,34 @@ object SimilarityQueries {
   def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
       fresh: DataFrame, m: Int = 8, subdim: Int = 8): Unit = {
     import spark.implicits._
-    val (codec, mm, sd) = readIndexMeta(spark, indexDir, m, subdim)
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    val (codec, mm, sd, coarse, cGrid) =
+      readIndexMeta(spark, indexDir, m, subdim)
+    // the delta assigns through the SAME coarse quantizer the writer
+    // persisted (meta-dispatched — flat cells or the q104 half
+    // codebooks), so appended rows land in the partitions every
+    // search face probes
+    val assign = coarse match {
+      case "imi" => imiAssign(fresh,
+        spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid,
+        mm * sd / 2)
+      case _ => assignToCells(fresh,
+        spark.read.parquet(s"$indexDir/cells"))
+    }
+    def centsFor(needed: DataFrame): DataFrame = coarse match {
+      case "imi" => imiCembFor(needed,
+        spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid)
+      case _ => spark.read.parquet(s"$indexDir/cells")
+    }
     // lazy: the sq8 codec writes no codebooks artifact
     lazy val cb = spark.read.parquet(s"$indexDir/codebooks")
-    val assign = assignToCells(fresh, cells)
     // the delta encodes through the SAME codec chain the writer used
     // (meta-dispatched), against the PERSISTED artifacts — append ≡
     // rebuild at fixed artifacts holds per codec
     val codes = codec match {
       case "residual" =>
         val resid = fresh.join(assign, Seq("vec_id"))
-          .join(broadcast(cells), Seq("cent_id"))
+          .join(centsFor(assign.select($"cent_id").distinct()),
+            Seq("cent_id"))
           .select($"vec_id",
             zip_with($"embedding", $"cemb", (a, b) => a - b)
               .as("embedding"))
@@ -1324,14 +1468,31 @@ object SimilarityQueries {
       allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val fp = ProductQuant.fixedPointScale
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    // codec dispatch (self-describing index — see writeIvfPqIndexFrames)
+    val (codec, mm, sd, coarse, cGrid) =
+      readIndexMeta(spark, indexDir, m, subdim)
     // lazy: the sq8 codec writes no codebooks artifact
     lazy val cb = spark.read.parquet(s"$indexDir/codebooks")
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val q = e.filter($"vec_id" === queryId)
     val qemb = q.select($"embedding".as("qemb"))
-    val probedCells = probeTop(cells, qemb, probes)
-      .collect().map(_.getLong(0)).toSeq
+    // probe list per the persisted coarse quantizer: flat ranks the
+    // cells table; imi walks q116's blended multi-sequence order over
+    // the 2·cGrid half affinities — both a bounded driver artifact
+    // that becomes the literal partition filter below
+    val probedCells = coarse match {
+      case "imi" => imiProbeCells(q,
+        spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid,
+        mm * sd / 2, probes)
+      case _ => probeTop(spark.read.parquet(s"$indexDir/cells"), qemb,
+          probes)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    def centsFor(needed: DataFrame): DataFrame = coarse match {
+      case "imi" => imiCembFor(needed,
+        spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid)
+      case _ => spark.read.parquet(s"$indexDir/cells")
+    }
     val codes1 = spark.read.parquet(s"$indexDir/codes")
       .filter($"cell_id".isInCollection(probedCells))
     // PRE-filter semantics for the ES 8.x `knn.filter` clause served
@@ -1358,8 +1519,6 @@ object SimilarityQueries {
             .select($"vec_id").distinct(),
           Seq("vec_id"), "left_anti")
       else codes0
-    // codec dispatch (self-describing index — see writeIvfPqIndexFrames)
-    val (codec, mm, sd) = readIndexMeta(spark, indexDir, m, subdim)
     val qEff = codec match {
       case "opq" =>
         // rotate the query into the quantizer's space; ⟨Rq, R̂x⟩
@@ -1377,8 +1536,11 @@ object SimilarityQueries {
       case "residual" =>
         // ⟨q, c + r̂⟩ = ⟨q, c⟩ + ⟨q, r̂⟩ (q64's identity): the per-cell
         // constant joins after the fixed-point residual sum, keeping
-        // the score order-independent
-        val qc = cells.filter($"cent_id".isInCollection(probedCells))
+        // the score order-independent; centroids of the PROBED cells
+        // via centsFor (coarse-dispatched), so the identity holds
+        // against exactly the centroid the residual was taken from
+        val qc = centsFor(probedCells.toDF("cent_id"))
+          .filter($"cent_id".isInCollection(probedCells))
           .crossJoin(broadcast(qemb))
           .select($"cent_id".as("cell_id"),
             dot($"cemb", $"qemb").as("qcdot"))
@@ -1436,25 +1598,39 @@ object SimilarityQueries {
     * rows. The PQ approximation itself is gated separately
     * (q34/q52/q64); a deployment sets the bounded probes/shortlist
     * knobs, and the one full-corpus rerank here is this query's
-    * verification role, not its deployment shape. */
+    * verification role, not its deployment shape.
+    *
+    * q153 (`codec = "residual"`, `coarse = "imi"`) runs the same
+    * lifecycle over the two-level grid layout: the q104 half
+    * codebooks persist as the coarse quantizer, cell_id =
+    * cGrid·c0 + c1, gate-exact probing walks all cGrid² cells in
+    * q116's blended order — composed with the residual fine codec so
+    * the hash also covers the composed-centroid ⟨q,c⟩+⟨q,r̂⟩ chain.
+    * The deployment-shaped probing (bounded `probes`) is pinned by
+    * VectorIndexLayoutSpec's frame equality against the
+    * self-contained q116. */
   def storedVectorLifecycle(spark: SparkSession, dir: String,
-      k: Int = 10, codec: String = "pq"): DataFrame = {
+      k: Int = 10, codec: String = "pq",
+      coarse: String = "flat"): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val wm = e.agg(max($"vec_id")).head().getLong(0) * 4 / 5
     val idx = java.nio.file.Files
       .createTempDirectory("graft-vec-lifecycle").toFile.getAbsolutePath
     val numCells = 16
+    val cGrid = 16
     writeIvfPqIndexFrames(e.filter($"vec_id" <= wm),
       e.filter($"vec_id" <= wm), idx, numCells = numCells,
-      codec = codec)
+      codec = codec, coarse = coarse, cGrid = cGrid)
     appendToIvfPqIndex(spark, idx, e.filter($"vec_id" > wm))
     val dead = e.filter($"vec_id" % 3 === 1)
       .select($"vec_id").collect().map(_.getLong(0)).toSeq
     deleteFromIvfPqIndex(spark, idx, dead)
     val n = e.count().toInt
+    // gate-exact probes: every cell — cGrid² on the IMI grid
+    val allCells = if (coarse == "imi") cGrid * cGrid else numCells
     ivfPqSearchStored(spark, idx, dir, queryId = 0L, k = k,
-      probes = numCells, shortlist = n)
+      probes = allCells, shortlist = n)
   }
 
   /** q148 — FILTERED kNN served from the STORED index: q113's
@@ -1508,19 +1684,57 @@ object SimilarityQueries {
     import spark.implicits._
     val fp = ProductQuant.fixedPointScale
     val win = org.apache.spark.sql.expressions.Window
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    // codec dispatch mirrors the single-query face
+    val (codec, mm, sd, coarse, cGrid) =
+      readIndexMeta(spark, indexDir, m, subdim)
     // lazy: the sq8 codec writes no codebooks artifact
     lazy val cb = spark.read.parquet(s"$indexDir/codebooks")
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val queries = e.filter($"vec_id" % queryStride === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qemb"))
-    // per-query probe list: one |Q| × cells ranking
-    val probed = cells.crossJoin(broadcast(queries))
-      .withColumn("qcos", cosine($"cemb", $"qemb"))
-      .withColumn("rn", row_number().over(
-        win.partitionBy($"q_id").orderBy($"qcos".desc, $"cent_id".asc)))
-      .filter($"rn" <= probes)
-      .select($"q_id", $"cent_id".as("cell_id"))
+    def centsFor(needed: DataFrame): DataFrame = coarse match {
+      case "imi" => imiCembFor(needed,
+        spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid)
+      case _ => spark.read.parquet(s"$indexDir/cells")
+    }
+    // per-query probe list — flat: one |Q| × cells ranking; imi: one
+    // |Q|·2·cGrid half-affinity frame (the probe-list convention's
+    // bounded driver artifact), then q116's blended multi-sequence
+    // walk per query
+    val probed = coarse match {
+      case "imi" =>
+        val imiCb = spark.read.parquet(s"$indexDir/imi_codebooks")
+        val qsubs2 = ProductQuant.subVectors(
+            queries.select($"q_id".as("vec_id"), $"qemb".as("embedding")),
+            2, mm * sd / 2)
+          .select($"vec_id".as("q_id"), $"sub_id", $"subvec".as("qsub"))
+        val aff = imiCb.join(broadcast(qsubs2), Seq("sub_id"))
+          .select($"q_id", $"sub_id", $"cent_id",
+            dot($"cvec", $"qsub").as("qdot"))
+          .collect()
+        aff.groupBy(_.getAs[Long]("q_id")).toSeq.flatMap {
+          case (qid, rows) =>
+            val d0 = Array.fill(cGrid)(Double.NegativeInfinity)
+            val d1 = Array.fill(cGrid)(Double.NegativeInfinity)
+            rows.foreach { r =>
+              val s = r.getAs[Number]("sub_id").intValue
+              val ci = r.getAs[Number]("cent_id").intValue
+              val d = r.getAs[Number]("qdot").doubleValue
+              if (s == 0) d0(ci) = d else d1(ci) = d
+            }
+            multiSequenceWalk(d0, d1, probes)
+              .map { case (c0, c1) => (qid, c0.toLong * cGrid + c1) }
+        }.toDF("q_id", "cell_id")
+      case _ =>
+        spark.read.parquet(s"$indexDir/cells")
+          .crossJoin(broadcast(queries))
+          .withColumn("qcos", cosine($"cemb", $"qemb"))
+          .withColumn("rn", row_number().over(
+            win.partitionBy($"q_id")
+              .orderBy($"qcos".desc, $"cent_id".asc)))
+          .filter($"rn" <= probes)
+          .select($"q_id", $"cent_id".as("cell_id"))
+    }
     val probedCells = probed.select($"cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val codes1 = spark.read.parquet(s"$indexDir/codes")
@@ -1543,8 +1757,6 @@ object SimilarityQueries {
             .select($"vec_id").distinct(),
           Seq("vec_id"), "left_anti")
       else codes0
-    // codec dispatch mirrors the single-query face
-    val (codec, mm, sd) = readIndexMeta(spark, indexDir, m, subdim)
     val qForAdc = codec match {
       case "opq" =>
         val r = readRotation(spark, indexDir)
@@ -1562,8 +1774,11 @@ object SimilarityQueries {
     val qn = queries.select($"q_id", norm($"qemb").as("qnrm"))
     val scored = codec match {
       case "residual" =>
-        // per-(query, cell) ⟨q, c⟩ constants — |Q|·probes rows
-        val qc = cells.join(broadcast(probed.select($"q_id",
+        // per-(query, cell) ⟨q, c⟩ constants — |Q|·probes rows;
+        // centroids via centsFor (coarse-dispatched)
+        val qc = centsFor(probed.select($"cell_id".as("cent_id"))
+            .distinct())
+          .join(broadcast(probed.select($"q_id",
             $"cell_id".as("cent_id"))), Seq("cent_id"))
           .join(broadcast(queries), Seq("q_id"))
           .select($"q_id", $"cent_id".as("cell_id"),
@@ -2959,6 +3174,11 @@ object SimilarityQueries {
     "q150_residual_lifecycle" -> vectorLifecycleOracle,
     "q151_opq_lifecycle" -> vectorLifecycleOracle,
     "q152_sq8_lifecycle" -> vectorLifecycleOracle,
+    // q153: same oracle — gate-exact IMI-coarse lifecycle must equal
+    // brute force over the survivors, exactly like the flat-coarse
+    // gates; what the hash adds is that the two-level write → append
+    // → delete → probe-all-cells chain loses and leaks no rows
+    "q153_imi_lifecycle" -> vectorLifecycleOracle,
     "q24_embedding_topk_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine

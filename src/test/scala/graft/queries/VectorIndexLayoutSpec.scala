@@ -335,4 +335,100 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     assert(openFilt == after,
       "an all-ids filter must reproduce the unfiltered batch page")
   }
+
+  test("imi coarse: stored search equals the self-contained q116 at deployment settings") {
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-imi")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(e, e, idx, coarse = "imi")
+    // the persisted coarse quantizer is the q104 artifact pair: two
+    // half-vector codebooks, nothing flat
+    assert(!new java.io.File(s"$idx/cells").exists(),
+      "an imi index must not persist a flat cells table")
+    val subIds = spark.read.parquet(s"$idx/imi_codebooks")
+      .select($"sub_id").distinct()
+      .collect().map(_.getAs[Number]("sub_id").intValue).toSet
+    assert(subIds == Set(0, 1))
+    // cell ids are the two-level composition: beyond one half's range
+    // partition-column read-back infers int — read type-agnostically
+    val maxCell = spark.read.parquet(s"$idx/codes")
+      .agg(max($"cell_id")).head().getAs[Number](0).longValue
+    assert(maxCell >= 16, s"composed cell ids expected, got max $maxCell")
+    // deployment-shaped probing (4 cells in q116's blended order,
+    // corpus shortlist so the ADC stage reorders nothing) must equal
+    // the self-contained q116 bit-for-bit: same half codebooks, same
+    // blended walk, same exact rerank and tie-breaks
+    val n = e.count().toInt
+    val stored = SimilarityQueries.ivfPqSearchStored(spark, idx, dir,
+        probes = 4, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val self = SimilarityQueries.imiIvfKnnMultiSeqFrames(e,
+        queryId = 0L, k = 10, subdim = 32, c = 16, iters = 1, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == self,
+      s"stored imi search diverged from q116:\n  stored=$stored\n  self=$self")
+    // the probed scan still file-prunes on the composed partition col
+    val probedTwo = spark.read.parquet(s"$idx/codes")
+      .filter($"cell_id".isin(maxCell))
+    val plan = probedTwo.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.split("PartitionFilters: \\[")(1).takeWhile(_ != ']')
+        .contains("cell_id"),
+      s"imi cell pruning must stay a PartitionFilter:\n$plan")
+  }
+
+  test("imi coarse: append equals rebuild at fixed artifacts; residual composition gate-exact") {
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    val w = maxId * 4 / 5
+    // append path vs rebuild at the SAME old-trained half codebooks —
+    // the q106 delta contract on the two-level grid
+    val idxA = java.nio.file.Files.createTempDirectory("imi-a")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(
+      e.filter($"vec_id" <= w), e.filter($"vec_id" <= w), idxA,
+      coarse = "imi")
+    SimilarityQueries.appendToIvfPqIndex(spark, idxA,
+      e.filter($"vec_id" > w))
+    val idxB = java.nio.file.Files.createTempDirectory("imi-b")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(
+      e.filter($"vec_id" <= w), e, idxB, coarse = "imi")
+    def search(i: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, i, dir, probes = 4,
+        shortlist = maxId.toInt + 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idxA) == search(idxB),
+      "imi append-refresh must equal batch rebuild at fixed artifacts")
+    // residual fine codec composed with the imi coarse grid: the
+    // ⟨q,c⟩+⟨q,r̂⟩ identity runs against COMPOSED centroids; at
+    // gate-exact settings (every grid cell probed, corpus shortlist)
+    // the result must equal brute force — the q153 gate, locally
+    val idxR = java.nio.file.Files.createTempDirectory("imi-res")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(e, e, idxR,
+      codec = "residual", coarse = "imi")
+    val n = e.count().toInt
+    val stored = SimilarityQueries.ivfPqSearchStored(spark, idxR, dir,
+        probes = 256, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = SimilarityQueries.knnBruteForce(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == brute,
+      "gate-exact stored imi+residual search must equal brute force")
+    // deletes mask on the composed grid exactly as on flat cells
+    val dead = stored.take(2).map(_._1)
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idxR, dead)
+    val after = SimilarityQueries.ivfPqSearchStored(spark, idxR, dir,
+        probes = 256, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dead.forall(id => !after.exists(_._1 == id)))
+    val survivors = stored.filterNot(h => dead.contains(h._1))
+    assert(after.take(survivors.size) == survivors,
+      "surviving hits keep exact scores and order on the imi grid")
+  }
 }
