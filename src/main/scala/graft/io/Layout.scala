@@ -54,12 +54,17 @@ object Layout {
     * `<dir>/_batch_commits/<id>` exists, else run the body and touch
     * the marker AFTER it completes. Returns whether the body ran.
     * The residual window — body finished, crash before the marker —
-    * re-runs the body once on replay; that is the same
-    * non-atomicity any multi-artifact batch append already has
-    * (rebuild/compaction recovers), and closing it fully would need
-    * a transactional table format underneath the artifacts. Markers
-    * accumulate one EMPTY file per micro-batch; they are metadata of
-    * the stream, dropped whenever the index is rebuilt. */
+    * re-runs the body once on replay. The TEXT-index refresh streams
+    * no longer carry this window: their appends commit through the
+    * staged-segment manifest protocol (see
+    * [[graft.ops.FullText.appendToTextIndex]]), where the batch's
+    * segment id in the live manifest IS the commit record. This
+    * guard remains for bodies whose append target is an unversioned
+    * directory (the vector index's cell-partitioned codes), where
+    * closing the window fully would need the same manifest
+    * treatment or a transactional table format. Markers accumulate
+    * one EMPTY file per micro-batch; they are metadata of the
+    * stream, dropped whenever the index is rebuilt. */
   def onceForBatch(spark: SparkSession, indexDir: String,
       batchId: Long)(body: => Unit): Boolean = {
     val marker = new Path(s"$indexDir/_batch_commits/$batchId")
@@ -69,6 +74,60 @@ object Layout {
       body
       fs.create(marker, true).close()
       true
+    }
+  }
+
+  /** Generation COMMIT POINTS for stored-index layouts — the Lucene
+    * `segments_N` model: artifacts that must move TOGETHER under a
+    * mutation (a text index's dictionary + statistics + tombstones
+    * under a delete) live in `<indexDir>/gen-N/` directories, and a
+    * generation becomes visible only when its `_COMMITTED` marker
+    * lands (one atomic file create). A writer stages gen N+1 fully —
+    * any crash before the marker leaves an INVISIBLE partial dir and
+    * the previous generation intact and mutually consistent — then
+    * commits. Readers resolve the highest committed generation.
+    * Returns None when no committed generation exists (a legacy /
+    * never-deleted index keeps its artifacts at the root). */
+  def liveGeneration(spark: SparkSession, indexDir: String): Option[Long] = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val gens = fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && n.length > 4 &&
+        n.drop(4).forall(_.isDigit))
+      .map(_.drop(4).toLong)
+      .filter(g => fs.exists(new Path(s"${generationDir(indexDir, g)}/_COMMITTED")))
+      .toSeq
+    if (gens.isEmpty) None else Some(gens.max)
+  }
+
+  def generationDir(indexDir: String, gen: Long): String =
+    s"$indexDir/gen-$gen"
+
+  /** The single-file-create commit of a fully staged generation. */
+  def commitGeneration(spark: SparkSession, genDir: String): Unit = {
+    val marker = new Path(s"$genDir/_COMMITTED")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
+  }
+
+  /** Reclaim generations older than `keep` (and any uncommitted
+    * stragglers above it) — run AFTER a successful commit. A reader
+    * mid-plan on a superseded generation can lose its input, the same
+    * maintenance-window caveat [[rewriteParquet]] carries; a
+    * deployment wanting lock-free readers keeps K old generations. */
+  def dropSupersededGenerations(spark: SparkSession, indexDir: String,
+      keep: Long): Unit = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("gen-") && n.length > 4 &&
+          n.drop(4).forall(_.isDigit) && n.drop(4).toLong != keep)
+        fs.delete(st.getPath, true)
     }
   }
 

@@ -245,6 +245,11 @@ object FullText {
       storePositions: Boolean = true,
       storeTermVectors: Boolean = false): Unit = {
     val spark = docs.sparkSession
+    // mode("overwrite") semantics for the WHOLE layout: a previous
+    // index at this path may hold committed generations, segments,
+    // folded dirs, or a tombstone set (see liveArtifactDir) that
+    // would SHADOW or mask the fresh root artifacts
+    clearDerivedLayout(spark, indexDir)
     val analyzed = docs
       .select(col(idCol).as("doc_id"), analyze(col(textCol)).as("toks"))
       .withColumn("doclen", size(col("toks")))
@@ -305,10 +310,15 @@ object FullText {
     val sumLen = post.agg(coalesce(sum(col("tf")), lit(0L)))
       .head().getLong(0)
     import spark.implicits._
+    // `buckets` records the layout's term-bucket count IN the stats
+    // artifact: append/delete/search read it from there (statsBuckets)
+    // instead of trusting a caller parameter — a mismatched parameter
+    // would land postings in, and prune scans to, the WRONG bucket
+    // partitions with no error anywhere
     Seq((nDocs, sumLen.toDouble / nDocs, sumLen, storePositions,
-      storeTermVectors))
+      storeTermVectors, buckets))
       .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
-        "has_termvectors")
+        "has_termvectors", "buckets")
       .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
@@ -340,16 +350,50 @@ object FullText {
     * ones under append-only ids, so the merge is delta+dictionary
     * work, never index work. Layout options (positions, term
     * vectors) come from the stats artifact's recorded flags, not a
-    * filesystem probe — see [[writeTextIndex]]. */
+    * filesystem probe — see [[writeTextIndex]].
+    *
+    * Crash safety / exactly-once (the Lucene segment model): the
+    * delta's postings + term vectors land in an IMMUTABLE
+    * `seg-<id>/` directory that no manifest references yet, the
+    * merged dictionary + incremented statistics + carried tombstones
+    * + the manifest (old dirs ∪ the new segment) stage into
+    * generation `gen-(N+1)`, and ONE marker file commits everything
+    * together. A crash anywhere mid-append leaves generation N fully
+    * consistent and the segment invisible; a REPLAY with the same
+    * `segmentId` (the streaming layer passes its micro-batch id) is
+    * a no-op when the live manifest already references the segment
+    * and a clean re-stage otherwise — there is NO residual window
+    * where the data landed but the replay can't tell
+    * (StreamsSpec/TextIndexLayoutSpec pin both sides). A batch
+    * caller omitting `segmentId` gets a generation-numbered segment:
+    * same crash atomicity; replay identity is then the caller's
+    * contract. */
   def appendToTextIndex(spark: org.apache.spark.sql.SparkSession,
       fresh: DataFrame, idCol: String, textCol: String,
-      indexDir: String, buckets: Int = 16): Unit = {
-    val st = spark.read.parquet(s"$indexDir/stats").head()
+      indexDir: String, buckets: Int = 16,
+      segmentId: Option[String] = None): Unit = {
+    val art = liveArtifactDir(spark, indexDir)
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val segName = segmentId.map(s => s"seg-$s").getOrElse(s"seg-gen$gen")
+    val oldPost = liveDirs(spark, indexDir, art, "postings")
+    if (segmentId.isDefined && oldPost.contains(s"$segName/postings"))
+      return // the batch's commit record exists: full replay no-op
+    val st = spark.read.parquet(s"$art/stats").head()
+    val bk = statsBuckets(st, buckets)
     val hasPos = statsFlag(st, "has_positions", default = true)
     val hasTv =
       if (st.schema.fieldNames.contains("has_termvectors"))
         st.getAs[Boolean]("has_termvectors")
       else graft.io.Layout.pathExists(spark, s"$indexDir/termvectors")
+    // clear a crashed predecessor's partial staging (seg + gen dirs)
+    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$segName"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
     // ONE analyzer materialization over the delta (the checkpointed
     // tf frame) serves postings, term vectors, the df merge and the
     // stats increment — the delta's doc count needs no analysis and
@@ -368,38 +412,52 @@ object FullText {
       (if (hasPos) freshTf0 else freshTf0.drop("positions"))
         .localCheckpoint()
     freshTf
-      .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
       .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$indexDir/postings")
+      .write.partitionBy("bucket")
+      .parquet(s"$indexDir/$segName/postings")
     if (hasTv)
       freshTf.select(col("doc_id"), col("term"), col("tf"))
-        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
+        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
         .repartition(col("dbucket"))
-        .write.mode("append").partitionBy("dbucket")
-        .parquet(s"$indexDir/termvectors")
+        .write.partitionBy("dbucket")
+        .parquet(s"$indexDir/$segName/termvectors")
     // dictionary merge: old df ⟗ delta df — the ONLY non-delta input
     // is the dictionary artifact itself (Heaps-law-sized, never the
-    // postings); swap-rewritten because the merge reads the artifact
-    // it replaces
+    // postings); staged into the NEW generation, never in place
     val deltaDf = freshTf.groupBy(col("term"))
       .agg(count(lit(1)).as("df_delta"))
-    val merged = spark.read.parquet(s"$indexDir/df")
+    spark.read.parquet(s"$art/df")
       .join(deltaDf, Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("df"), lit(0L)) +
           coalesce(col("df_delta"), lit(0L))).as("df"))
-    graft.io.Layout.rewriteParquet(spark, merged, s"$indexDir/df")
+      .write.parquet(s"$stage/df")
     // stats increment: counters + delta aggregates (1-row artifact,
     // already collected above, so the overwrite never races the read)
     val nDocs = st.getAs[Long]("n_docs") + fresh.count()
     val sumLen = st.getAs[Long]("sum_doclen") +
       freshTf.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
     import spark.implicits._
-    Seq((nDocs, sumLen.toDouble / nDocs, sumLen, hasPos, hasTv))
+    Seq((nDocs, sumLen.toDouble / nDocs, sumLen, hasPos, hasTv, bk))
       .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
-        "has_termvectors")
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
+        "has_termvectors", "buckets")
+      .write.parquet(s"$stage/stats")
+    if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+      spark.read.parquet(s"$art/tombstones")
+        .coalesce(1).write.parquet(s"$stage/tombstones")
+    val oldTv = liveDirs(spark, indexDir, art, "termvectors")
+    writeManifest(spark, stage,
+      (oldPost :+ s"$segName/postings").map(("postings", _)) ++
+        (if (hasTv) (oldTv :+ s"$segName/termvectors")
+          .map(("termvectors", _)) else Nil))
+    graft.io.Layout.commitGeneration(spark, stage)
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (art == indexDir) { // legacy flat tombstones are superseded
+      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(t, true)
+    }
     Checkpoints.unpersist(freshTf)
   }
 
@@ -423,17 +481,19 @@ object FullText {
       indexDir: String, seedId: Long, nTerms: Int = 3, k: Int = 20,
       buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val art = liveArtifactDir(spark, indexDir)
+    val st = spark.read.parquet(s"$art/stats").head()
+    val bk = statsBuckets(st, buckets)
     val nDocs = st.getAs[Long]("n_docs")
     val sumLen = st.getAs[Long]("sum_doclen")
     val dBucket = Seq(seedId).toDF("doc_id")
-      .select(pmod(hash(col("doc_id")), lit(buckets)))
+      .select(pmod(hash(col("doc_id")), lit(bk)))
       .head().getInt(0)
-    val seedVec = spark.read.parquet(s"$indexDir/termvectors")
+    val seedVec = termVectorsFrame(spark, indexDir)
       .filter(col("dbucket") === dBucket && col("doc_id") === seedId)
       .select(col("term"), col("tf"))
       .localCheckpoint()
-    val dict = spark.read.parquet(s"$indexDir/df")
+    val dict = spark.read.parquet(s"$art/df")
     val topTerms = seedVec.join(dict, Seq("term"))
       .withColumn("w", col("tf") * log(lit(1.0) +
         (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -443,7 +503,7 @@ object FullText {
       .head().getLong(0)
     val seedTerms = seedVec.collect().map(_.getAs[String]("term")).toSet
     val qBuckets = topTerms.toDF("term")
-      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .select(pmod(hash(col("term")), lit(bk)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val inSeed =
       if (seedTerms.isEmpty) lit(false)
@@ -458,7 +518,7 @@ object FullText {
       lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / lit(avgdlRest))
     val idf = log(lit(1.0) +
       (lit(nRest) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    livePostings(spark, indexDir)
+    livePostings(spark, indexDir, art)
       .filter(col("bucket").isInCollection(qBuckets))
       .filter(col("term").isInCollection(topTerms))
       .filter(col("doc_id") =!= seedId)
@@ -492,7 +552,9 @@ object FullText {
       indexDir: String, phrase: Seq[String], k: Int = 20,
       buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75,
       slop: Int = 0, inOrder: Boolean = false): DataFrame = {
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val stats = spark.read
+      .parquet(s"${liveArtifactDir(spark, indexDir)}/stats")
+      .select(col("n_docs"), col("avgdl"))
     val hits = storedPhraseHits(spark, indexDir, phrase, buckets,
       slop, inOrder)
     val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
@@ -521,12 +583,15 @@ object FullText {
     import spark.implicits._
     // bucket ids via the writer's own hash expression (the probe-list
     // convention: a bounded literal driver frame, then a literal
-    // partition filter)
+    // partition filter) over the RECORDED bucket count
+    val art = liveArtifactDir(spark, indexDir)
+    val bk = statsBuckets(
+      spark.read.parquet(s"$art/stats").head(), buckets)
     val qterms = phrase.distinct
     val qBuckets = qterms.toDF("term")
-      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .select(pmod(hash(col("term")), lit(bk)).as("bucket"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val post = livePostings(spark, indexDir)
+    val post = livePostings(spark, indexDir, art)
       .filter(col("bucket").isInCollection(qBuckets))
       .filter(col("term").isInCollection(qterms))
     val slots = phrase.zipWithIndex.map { case (w, j) =>
@@ -596,7 +661,11 @@ object FullText {
     val p = QueryString.parse(q)
     require(p.scoringTerms.nonEmpty || p.phrases.nonEmpty,
       "query must have at least one scoring clause")
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val art = liveArtifactDir(spark, indexDir)
+    val bk = statsBuckets(
+      spark.read.parquet(s"$art/stats").head(), buckets)
+    val stats = spark.read.parquet(s"$art/stats")
+      .select(col("n_docs"), col("avgdl"))
     val normLen = col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
     def idfOf(dfCol: Column) = log(lit(1.0) +
@@ -608,9 +677,9 @@ object FullText {
         val qFrame = spark.createDataFrame(allTerms.map(Tuple1(_)))
           .toDF("term")
         val qBuckets = qFrame
-          .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+          .select(pmod(hash(col("term")), lit(bk)).as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        Some(livePostings(spark, indexDir)
+        Some(livePostings(spark, indexDir, art)
           .filter(col("bucket").isInCollection(qBuckets))
           .filter(col("term").isInCollection(allTerms))
           .select(col("doc_id"), col("doclen"), col("term"),
@@ -619,7 +688,7 @@ object FullText {
       }
     val termScore: Option[DataFrame] =
       rowsOpt.filter(_ => p.scoringTerms.nonEmpty).map { rows =>
-        val dfDict = spark.read.parquet(s"$indexDir/df")
+        val dfDict = spark.read.parquet(s"$art/df")
           .filter(col("term").isInCollection(p.scoringTerms))
           .select(col("term"), col("df").cast("double").as("df"))
         rows.filter(col("term").isInCollection(p.scoringTerms))
@@ -699,10 +768,13 @@ object FullText {
     }
     val qframe = qrows.toDF("qid", "term", "need")
     val allTerms = qrows.map(_._2).distinct
+    val art = liveArtifactDir(spark, indexDir)
+    val bk = statsBuckets(
+      spark.read.parquet(s"$art/stats").head(), buckets)
     val qBuckets = allTerms.toDF("term")
-      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .select(pmod(hash(col("term")), lit(bk)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    livePostings(spark, indexDir)
+    livePostings(spark, indexDir, art)
       .filter(col("bucket").isInCollection(qBuckets))
       .filter(col("term").isInCollection(allTerms))
       .select(col("doc_id"), col("term"))
@@ -732,15 +804,144 @@ object FullText {
     if (st.schema.fieldNames.contains(name)) st.getAs[Boolean](name)
     else default
 
-  private def livePostings(spark: org.apache.spark.sql.SparkSession,
+  /** The RECORDED term-bucket count from the stats artifact — the
+    * writer's layout choice, which append/delete/search must follow
+    * or land postings in (and prune to) the wrong bucket partitions
+    * silently. The caller's `buckets` parameter is only the fallback
+    * for indexes written before the column existed. */
+  private def statsBuckets(st: org.apache.spark.sql.Row,
+      fallback: Int): Int =
+    if (st.schema.fieldNames.contains("buckets")) st.getAs[Int]("buckets")
+    else fallback
+
+  /** Where this index's MUTATION-COMMITTED artifacts (df / stats /
+    * tombstones / the segment manifest) live: the highest COMMITTED
+    * generation directory ([[graft.io.Layout.liveGeneration]] —
+    * deletes AND appends stage their artifact set into `gen-N/` and
+    * commit with one marker, so it can never be observed
+    * half-applied), or the index root for a freshly written index.
+    * Postings / positions / term-vector DATA live in immutable
+    * directories the manifest references. Public because layout specs
+    * (and any external artifact reader) must resolve through the same
+    * commit points the search faces use. */
+  def liveArtifactDir(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): String =
+    graft.io.Layout.liveGeneration(spark, indexDir)
+      .map(g => graft.io.Layout.generationDir(indexDir, g))
+      .getOrElse(indexDir)
+
+  /** The SEGMENT MANIFEST: which physical directories (relative to
+    * the index root) currently back an artifact `kind` ("postings" |
+    * "termvectors"). The writer leaves no manifest — the defaults ARE
+    * the root dirs; each APPEND adds an immutable `seg-<id>/` pair
+    * and commits a manifest that references it; COMPACTION folds
+    * everything into fresh `<kind>-v<gen>/` dirs and commits a
+    * one-entry manifest. A directory not referenced by the live
+    * manifest is invisible to every face — which is what makes an
+    * append crash-safe: its segment data lands first, unreferenced,
+    * and ONE marker makes segment + dictionary + statistics visible
+    * together (no window where postings are searchable but the
+    * statistics don't count them, and no replay that can double-apply
+    * — the manifest is the batch's commit record). */
+  private def liveDirs(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, art: String, kind: String): Seq[String] =
+    if (graft.io.Layout.pathExists(spark, s"$art/segments"))
+      spark.read.parquet(s"$art/segments")
+        .filter(col("kind") === kind)
+        .collect().map(_.getAs[String]("dir")).toSeq.sorted
+    else Seq(kind)
+
+  /** One frame over several physical roots: each directory reads
+    * SEPARATELY (its own partition discovery — a shared multi-path
+    * read trips Spark's conflicting-directory-structures check when
+    * the roots sit at different depths) and the scans union. Filters
+    * on the partition column push into EVERY child scan, so bucket
+    * pruning survives segmentation. */
+  private def readUnion(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): DataFrame =
+    paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  /** Manifest-resolved postings frame WITHOUT the tombstone mask —
+    * the raw physical union (base + committed segments). Public for
+    * layout specs and maintenance tooling; query faces go through
+    * [[livePostings]]. */
+  def postingsFrame(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
-    val post = spark.read.parquet(s"$indexDir/postings")
-    if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+    val art = liveArtifactDir(spark, indexDir)
+    readUnion(spark,
+      liveDirs(spark, indexDir, art, "postings").map(d => s"$indexDir/$d"))
+  }
+
+  /** Manifest-resolved term-vectors frame (raw union) — the forward
+    * artifact's physical view; empty-schema failure if the layout
+    * never stored term vectors (callers guard on the stats flag). */
+  def termVectorsFrame(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val art = liveArtifactDir(spark, indexDir)
+    readUnion(spark,
+      liveDirs(spark, indexDir, art, "termvectors")
+        .map(d => s"$indexDir/$d"))
+  }
+
+  private def livePostings(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, art: String): DataFrame = {
+    val post = readUnion(spark,
+      liveDirs(spark, indexDir, art, "postings").map(d => s"$indexDir/$d"))
+    if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
       post.join(
-        broadcast(spark.read.parquet(s"$indexDir/tombstones")
+        broadcast(spark.read.parquet(s"$art/tombstones")
           .select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
     else post
+  }
+
+  /** Write the staged generation's segment manifest (bounded rows:
+    * one per live directory). */
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      stage: String, rows: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("kind", "dir").coalesce(1)
+      .write.parquet(s"$stage/segments")
+  }
+
+  /** Drop every derived-layout artifact a PREVIOUS index at this path
+    * may have left (committed generations, tombstones, segment dirs,
+    * folded `-v` dirs, stream batch markers) — `mode("overwrite")`
+    * semantics for the WHOLE layout, shared by both writers. */
+  private def clearDerivedLayout(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = -1L)
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && (n == "tombstones" || n == "_batch_commits" ||
+          n.startsWith("seg-") || n.startsWith("postings-v") ||
+          n.startsWith("termvectors-v")))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Reclaim root directories no longer referenced by the live
+    * manifest (crashed appends' orphan segments, superseded folded
+    * dirs) — idempotent, called around compaction. */
+  private def gcUnreferenced(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val art = liveArtifactDir(spark, indexDir)
+    val live = (liveDirs(spark, indexDir, art, "postings") ++
+      liveDirs(spark, indexDir, art, "termvectors"))
+      .map(_.split('/').head).toSet
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && !live.contains(n) &&
+          (n.startsWith("seg-") || n.startsWith("postings-v") ||
+            n.startsWith("termvectors-v")))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Tombstone DELETE from the stored text index — the takedown path
@@ -766,49 +967,98 @@ object FullText {
     * already-tombstoned id is a NO-OP (idempotent: the batch first
     * subtracts the live tombstone set, so retried takedown jobs
     * cannot double-decrement the statistics; the tombstone read is
-    * delete-batch-sized by the compaction contract). */
+    * delete-batch-sized by the compaction contract).
+    *
+    * Crash safety: tombstones, the decremented dictionary and the
+    * decremented statistics are STAGED TOGETHER into generation
+    * `gen-(N+1)` and committed with one marker file
+    * ([[graft.io.Layout.liveGeneration]] — the Lucene `segments_N`
+    * model). A crash anywhere mid-delete leaves an invisible partial
+    * directory and generation N fully consistent, and the replayed
+    * batch recomputes from N — there is NO window where the
+    * tombstones are visible but the decrement is not (the ordering
+    * bug an append-tombstones-then-rewrite-stats sequence has: a
+    * crash between the two makes every replay see the ids as
+    * already-deleted and skip the decrement forever). */
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, ids: Seq[Long], buckets: Int = 16): Unit = {
     import spark.implicits._
+    val art = liveArtifactDir(spark, indexDir)
     val already: Set[Long] =
-      if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
-        spark.read.parquet(s"$indexDir/tombstones")
+      if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+        spark.read.parquet(s"$art/tombstones")
           .select(col("doc_id")).distinct()
           .collect().map(_.getLong(0)).toSet
       else Set.empty
     val distinctIds = ids.distinct.filterNot(already)
     if (distinctIds.isEmpty) return
-    distinctIds.toDF("doc_id").write.mode("append")
-      .parquet(s"$indexDir/tombstones")
-    val st = spark.read.parquet(s"$indexDir/stats").head()
-    val hasTv = statsFlag(st, "has_termvectors", default = false)
-    if (!hasTv) return // Lucene mode: stats true up at compaction
-    val dBuckets = distinctIds.toDF("doc_id")
-      .select(pmod(hash(col("doc_id")), lit(buckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val deadVecs = spark.read.parquet(s"$indexDir/termvectors")
-      .filter(col("dbucket").isInCollection(dBuckets))
-      .filter(col("doc_id").isInCollection(distinctIds))
-      .localCheckpoint()
-    val merged = spark.read.parquet(s"$indexDir/df")
-      .join(deadVecs.groupBy(col("term"))
-          .agg(count(lit(1)).as("df_dead")),
-        Seq("term"), "left_outer")
-      .select(col("term"),
-        (col("df") - coalesce(col("df_dead"), lit(0L))).as("df"))
-      .filter(col("df") > 0) // a rebuild has no zero-df dictionary row
-    graft.io.Layout.rewriteParquet(spark, merged, s"$indexDir/df")
-    val deadLen = deadVecs.agg(coalesce(sum(col("tf")), lit(0L)))
-      .head().getLong(0)
-    val nDocs = st.getAs[Long]("n_docs") - distinctIds.size
-    val sumLen = st.getAs[Long]("sum_doclen") - deadLen
-    require(nDocs > 0, "deleting every document: rebuild instead")
-    Seq((nDocs, sumLen.toDouble / nDocs, sumLen,
-      statsFlag(st, "has_positions", default = true), true))
-      .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
-        "has_termvectors")
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
-    Checkpoints.unpersist(deadVecs)
+    val st = spark.read.parquet(s"$art/stats").head()
+    val bk = statsBuckets(st, buckets)
+    // the exact-decrement path needs the single-field forward
+    // artifact; a multi-field index (stats keyed by `field`) takes
+    // the Lucene-stale path here — its exact twin is
+    // [[deleteFromMultiFieldTextIndex]]
+    val multiField = st.schema.fieldNames.contains("field")
+    val hasTv = !multiField &&
+      statsFlag(st, "has_termvectors", default = false)
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    locally { // clear a crashed predecessor's partial staging
+      val p = new org.apache.hadoop.fs.Path(stage)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    // the full live tombstone set rewrites per delete — bounded by
+    // deletes-since-compaction, the same bound the search faces'
+    // anti-join broadcast already carries
+    (already ++ distinctIds).toSeq.sorted.toDF("doc_id")
+      .coalesce(1).write.parquet(s"$stage/tombstones")
+    if (!hasTv) {
+      // Lucene mode: stats stay stale until compaction — the new
+      // generation carries the dictionary/statistics values forward
+      spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
+      spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
+    } else {
+      val dBuckets = distinctIds.toDF("doc_id")
+        .select(pmod(hash(col("doc_id")), lit(bk)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val deadVecs = termVectorsFrame(spark, indexDir)
+        .filter(col("dbucket").isInCollection(dBuckets))
+        .filter(col("doc_id").isInCollection(distinctIds))
+        .localCheckpoint()
+      spark.read.parquet(s"$art/df")
+        .join(deadVecs.groupBy(col("term"))
+            .agg(count(lit(1)).as("df_dead")),
+          Seq("term"), "left_outer")
+        .select(col("term"),
+          (col("df") - coalesce(col("df_dead"), lit(0L))).as("df"))
+        .filter(col("df") > 0) // a rebuild has no zero-df dictionary row
+        .write.parquet(s"$stage/df")
+      val deadLen = deadVecs.agg(coalesce(sum(col("tf")), lit(0L)))
+        .head().getLong(0)
+      val nDocs = st.getAs[Long]("n_docs") - distinctIds.size
+      val sumLen = st.getAs[Long]("sum_doclen") - deadLen
+      require(nDocs > 0, "deleting every document: rebuild instead")
+      Seq((nDocs, sumLen.toDouble / nDocs, sumLen,
+        statsFlag(st, "has_positions", default = true), true, bk))
+        .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
+          "has_termvectors", "buckets")
+        .write.parquet(s"$stage/stats")
+      Checkpoints.unpersist(deadVecs)
+    }
+    // the segment manifest carries forward unchanged — a delete masks
+    // rows, it does not move postings data
+    if (graft.io.Layout.pathExists(spark, s"$art/segments"))
+      spark.read.parquet(s"$art/segments")
+        .coalesce(1).write.parquet(s"$stage/segments")
+    graft.io.Layout.commitGeneration(spark, stage)
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (art == indexDir) { // legacy flat tombstones are superseded too
+      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(t, true)
+    }
   }
 
   /** Maintenance compactor for the stored text layout's
@@ -831,42 +1081,93 @@ object FullText {
     * frame equality across the rewrite. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (Long, Long, Long) = {
-    val tombPath = s"$indexDir/tombstones"
+    import spark.implicits._
+    gcUnreferenced(spark, indexDir) // crashed predecessors' orphans
+    val art = liveArtifactDir(spark, indexDir)
+    val tombPath = s"$art/tombstones"
     val hasTomb = graft.io.Layout.pathExists(spark, tombPath)
-    val minus =
-      if (hasTomb)
-        Some((spark.read.parquet(tombPath), Seq("doc_id")))
-      else None
-    val res = graft.io.Layout.compactParquetDir(spark,
-      s"$indexDir/postings", Seq("bucket"), minus)
-    if (hasTomb) {
-      val st = spark.read.parquet(s"$indexDir/stats").head()
-      val hasTv = statsFlag(st, "has_termvectors", default = false)
-      if (hasTv)
-        graft.io.Layout.compactParquetDir(spark,
-          s"$indexDir/termvectors", Seq("dbucket"), minus)
-      else {
-        // Lucene mode: true the statistics up from the survivors
-        val post = spark.read.parquet(s"$indexDir/postings")
-        graft.io.Layout.rewriteParquet(spark,
-          post.groupBy(col("term")).agg(count(lit(1)).as("df")),
-          s"$indexDir/df")
-        import spark.implicits._
-        val r = post.select(col("doc_id"), col("doclen")).distinct()
-          .agg(count(lit(1)).as("n"),
-            coalesce(sum(col("doclen")), lit(0L)).as("s")).head()
-        val hasPos = statsFlag(st, "has_positions", default = true)
-        Seq((r.getLong(0), r.getLong(1).toDouble / r.getLong(0),
-          r.getLong(1), hasPos, false))
-          .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
-            "has_termvectors")
-          .write.mode("overwrite").parquet(s"$indexDir/stats")
+    val st = spark.read.parquet(s"$art/stats").head()
+    val hasTv = statsFlag(st, "has_termvectors", default = false)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(dirs: Seq[String]): Long = {
+      var n = 0L
+      dirs.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          while (it.hasNext)
+            if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
       }
-      val p = new org.apache.hadoop.fs.Path(tombPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
+      n
     }
-    res
+    def minus(df: DataFrame): DataFrame =
+      if (hasTomb)
+        df.join(broadcast(spark.read.parquet(tombPath)
+          .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+      else df
+    val before = countFiles(liveDirs(spark, indexDir, art, "postings"))
+    // fold base + every committed segment, minus tombstones, into
+    // FRESH versioned dirs (one file per bucket), then cut ONE
+    // generation whose manifest points at them: the marker is the
+    // atomic cutover — a crash anywhere before it leaves the old
+    // generation (manifest, stats, tombstones) fully live and only
+    // unreferenced new dirs on disk, which the next run's GC clears.
+    // Re-running after any crash is therefore safe and complete.
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val newPost = s"postings-v$gen"
+    val newTv = s"termvectors-v$gen"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newPost"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
+    minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
+        .map(d => s"$indexDir/$d")))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$indexDir/$newPost")
+    val folded = spark.read.parquet(s"$indexDir/$newPost")
+    val rows = folded.count()
+    if (hasTv)
+      minus(termVectorsFrame(spark, indexDir))
+        .repartition(col("dbucket"))
+        .write.partitionBy("dbucket").parquet(s"$indexDir/$newTv")
+    if (hasTomb && !hasTv) {
+      // Lucene mode: statistics were left stale at delete time — true
+      // them up from the survivors into the new generation
+      folded.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.parquet(s"$stage/df")
+      val r = folded.select(col("doc_id"), col("doclen")).distinct()
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("doclen")), lit(0L)).as("s")).head()
+      val hasPos = statsFlag(st, "has_positions", default = true)
+      Seq((r.getLong(0), r.getLong(1).toDouble / r.getLong(0),
+        r.getLong(1), hasPos, false, statsBuckets(st, 16)))
+        .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
+          "has_termvectors", "buckets")
+        .write.parquet(s"$stage/stats")
+    } else {
+      // exact mode (or nothing tombstoned): df/stats carry forward
+      // unchanged — they were decremented exactly at delete time
+      spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
+      spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
+    }
+    // no tombstones in the new generation: physically applied
+    writeManifest(spark, stage, Seq(("postings", newPost)) ++
+      (if (hasTv) Seq(("termvectors", newTv)) else Nil))
+    graft.io.Layout.commitGeneration(spark, stage)
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (art == indexDir) { // legacy flat tombstones superseded
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
+        true)
+    }
+    // reclaim the superseded base/segment dirs (now unreferenced)
+    gcUnreferenced(spark, indexDir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/termvectors"),
+      true)
+    (before, countFiles(Seq(newPost)), rows)
   }
 
   /** Query-time BM25 over a STORED index — no analyzer, no corpus
@@ -898,15 +1199,19 @@ object FullText {
       buckets: Int = 16, k1: Double = 1.2, b: Double = 0.75,
       after: Option[(Double, Long)] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val art = liveArtifactDir(spark, indexDir)
+    val bk = statsBuckets(
+      spark.read.parquet(s"$art/stats").head(), buckets)
     val qFrame = spark.createDataFrame(queryTerms.map(Tuple1(_)))
       .toDF("term")
     val qBuckets = qFrame
-      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .select(pmod(hash(col("term")), lit(bk)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val stats = spark.read.parquet(s"$indexDir/stats")
-    val dfDict = spark.read.parquet(s"$indexDir/df")
+    val stats = spark.read.parquet(s"$art/stats")
+      .select(col("n_docs"), col("avgdl"))
+    val dfDict = spark.read.parquet(s"$art/df")
       .filter(col("term").isInCollection(queryTerms))
-    val tf = livePostings(spark, indexDir)
+    val tf = livePostings(spark, indexDir, art)
       .filter(col("bucket").isInCollection(qBuckets))
       .filter(col("term").isInCollection(queryTerms))
     val normLen = col("tf").cast("double") +
@@ -947,7 +1252,8 @@ object FullText {
       maxEdits: Int = 1, buckets: Int = 16,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val dict = spark.read.parquet(s"$indexDir/df")
+    val dict = spark.read
+      .parquet(s"${liveArtifactDir(spark, indexDir)}/df")
     val q = spark.createDataFrame(queryTerms.map(Tuple1(_))).toDF("qterm")
     val expanded = dict.crossJoin(broadcast(q))
       .withColumn("ed", levenshtein(col("term"), col("qterm")))
@@ -990,7 +1296,8 @@ object FullText {
     * exact output shape of the self-contained q124/q131. */
   private def dictionarySetSearch(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, pred: Column, k: Int, buckets: Int): DataFrame = {
-    val expanded = spark.read.parquet(s"$indexDir/df")
+    val expanded = spark.read
+      .parquet(s"${liveArtifactDir(spark, indexDir)}/df")
       .filter(pred).select(col("term"))
     val post = bucketPrunedPostings(spark, indexDir, expanded, buckets)
     post
@@ -1010,11 +1317,14 @@ object FullText {
     * isin). */
   private def bucketPrunedPostings(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, expanded: DataFrame, buckets: Int): DataFrame = {
+    val art = liveArtifactDir(spark, indexDir)
+    val bk = statsBuckets(
+      spark.read.parquet(s"$art/stats").head(), buckets)
     val exp = expanded.localCheckpoint()
     val qBuckets = exp
-      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .select(pmod(hash(col("term")), lit(bk)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    livePostings(spark, indexDir)
+    livePostings(spark, indexDir, art)
       .filter(col("bucket").isInCollection(
         if (qBuckets.isEmpty) Seq(-1) else qBuckets))
       .join(broadcast(exp), Seq("term"))
@@ -1030,7 +1340,9 @@ object FullText {
   private def storedExpansionScore(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, expanded: DataFrame, buckets: Int,
       k1: Double, b: Double): DataFrame = {
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val stats = spark.read
+      .parquet(s"${liveArtifactDir(spark, indexDir)}/stats")
+      .select(col("n_docs"), col("avgdl"))
     val post = bucketPrunedPostings(spark, indexDir, expanded, buckets)
     val normLen = col("tf").cast("double") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("avgdl"))
@@ -1191,9 +1503,13 @@ object FullText {
     *
     * One stacked analyzer pass builds all three artifacts. */
   def writeMultiFieldTextIndex(docs: DataFrame, idCol: String,
-      fields: Seq[String], indexDir: String, buckets: Int = 16): Unit = {
+      fields: Seq[String], indexDir: String, buckets: Int = 16,
+      storeTermVectors: Boolean = false): Unit = {
     require(fields.nonEmpty, "fields must be non-empty")
     val spark = docs.sparkSession
+    // whole-layout overwrite: drop stale generations / segments /
+    // folded dirs / tombstones of a previous index at this path
+    clearDerivedLayout(spark, indexDir)
     val stacked = docs.select(col(idCol).as("doc_id"),
       explode(array(fields.map { f =>
         struct(lit(f).as("field"), analyze(col(f)).as("toks"))
@@ -1228,6 +1544,18 @@ object FullText {
     post.groupBy(col("field"), col("term"))
       .agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$indexDir/df")
+    // per-FIELD term vectors — the forward artifact the EXACT
+    // multi-field delete decrement needs ([[deleteFromMultiFieldTextIndex]]);
+    // doc-bucketed like the single-field layout so a deleted doc's
+    // vectors are file-pruned point reads. Off by default, as in
+    // Lucene — without it multi-field deletes stay Lucene-stale
+    // until compaction.
+    if (storeTermVectors)
+      post.select(col("field"), col("doc_id"), col("term"), col("tf"))
+        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket")
+        .parquet(s"$indexDir/termvectors")
     val nDocs = docs.count()
     require(nDocs > 0, "writeMultiFieldTextIndex: empty corpus")
     val sums = post.groupBy(col("field"))
@@ -1236,8 +1564,9 @@ object FullText {
     import spark.implicits._
     fields.map { f =>
       val s = sums.getOrElse(f, 0L)
-      (f, nDocs, s.toDouble / nDocs, s)
-    }.toDF("field", "n_docs", "avgdl", "sum_doclen")
+      (f, nDocs, s.toDouble / nDocs, s, storeTermVectors, buckets)
+    }.toDF("field", "n_docs", "avgdl", "sum_doclen",
+      "has_termvectors", "buckets")
       .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
@@ -1252,11 +1581,34 @@ object FullText {
     * re-derive-from-postings shape both dropped such docs AND read
     * the whole index per batch). TextIndexLayoutSpec pins
     * append ≡ rebuild, zero-token docs included, and that the
-    * pre-existing postings files are never opened. */
+    * pre-existing postings files are never opened.
+    *
+    * Same staged-segment exactly-once protocol as
+    * [[appendToTextIndex]]: immutable `seg-<id>/` data, manifest +
+    * dictionary + statistics committed by one marker, `segmentId`
+    * replay resolved against the live manifest. */
   def appendToMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
       fresh: DataFrame, idCol: String, fields: Seq[String],
-      indexDir: String, buckets: Int = 16): Unit = {
+      indexDir: String, buckets: Int = 16,
+      segmentId: Option[String] = None): Unit = {
     require(fields.nonEmpty, "fields must be non-empty")
+    val art = liveArtifactDir(spark, indexDir)
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val segName = segmentId.map(s => s"seg-$s").getOrElse(s"seg-gen$gen")
+    val oldPost = liveDirs(spark, indexDir, art, "postings")
+    if (segmentId.isDefined && oldPost.contains(s"$segName/postings"))
+      return // the batch's commit record exists: full replay no-op
+    val st0 = spark.read.parquet(s"$art/stats").head()
+    val bk = statsBuckets(st0, buckets)
+    val hasTv = statsFlag(st0, "has_termvectors", default = false)
+    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    locally { // clear a crashed predecessor's partial staging
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$segName"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
     val stacked = fresh.select(col(idCol).as("doc_id"),
       explode(array(fields.map { f =>
         struct(lit(f).as("field"), analyze(col(f)).as("toks"))
@@ -1272,19 +1624,25 @@ object FullText {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     freshTf
-      .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
       .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$indexDir/postings")
-    val merged = spark.read.parquet(s"$indexDir/df")
+      .write.partitionBy("bucket")
+      .parquet(s"$indexDir/$segName/postings")
+    if (hasTv)
+      freshTf.select(col("field"), col("doc_id"), col("term"), col("tf"))
+        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
+        .repartition(col("dbucket"))
+        .write.partitionBy("dbucket")
+        .parquet(s"$indexDir/$segName/termvectors")
+    spark.read.parquet(s"$art/df")
       .join(freshTf.groupBy(col("field"), col("term"))
           .agg(count(lit(1)).as("df_delta")),
         Seq("field", "term"), "full_outer")
       .select(col("field"), col("term"),
         (coalesce(col("df"), lit(0L)) +
           coalesce(col("df_delta"), lit(0L))).as("df"))
-    graft.io.Layout.rewriteParquet(spark, merged, s"$indexDir/df")
-    // |fields|-row statistics: collected, incremented, rewritten —
+      .write.parquet(s"$stage/df")
+    // |fields|-row statistics: collected, incremented, staged —
     // every delta doc counts in every field (zero-token fields
     // included, like the writer); per-field Σ tf = per-field token
     // total; avgdl = sum/n in exact-integer arithmetic (bit-equal to
@@ -1293,60 +1651,216 @@ object FullText {
     val dSums = freshTf.groupBy(col("field"))
       .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val updated = spark.read.parquet(s"$indexDir/stats").collect()
+    val updated = spark.read.parquet(s"$art/stats").collect()
       .map { r =>
         val f = r.getString(r.fieldIndex("field"))
         val n = r.getAs[Long]("n_docs") + dN
         val s = r.getAs[Long]("sum_doclen") + dSums.getOrElse(f, 0L)
-        (f, n, s.toDouble / n, s)
+        (f, n, s.toDouble / n, s, hasTv, bk)
       }
     import spark.implicits._
     updated.toSeq
-      .toDF("field", "n_docs", "avgdl", "sum_doclen")
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
+      .toDF("field", "n_docs", "avgdl", "sum_doclen",
+        "has_termvectors", "buckets")
+      .write.parquet(s"$stage/stats")
+    if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+      spark.read.parquet(s"$art/tombstones")
+        .coalesce(1).write.parquet(s"$stage/tombstones")
+    val oldTv = liveDirs(spark, indexDir, art, "termvectors")
+    writeManifest(spark, stage,
+      (oldPost :+ s"$segName/postings").map(("postings", _)) ++
+        (if (hasTv) (oldTv :+ s"$segName/termvectors")
+          .map(("termvectors", _)) else Nil))
+    graft.io.Layout.commitGeneration(spark, stage)
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (art == indexDir) { // legacy flat tombstones are superseded
+      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(t, true)
+    }
     Checkpoints.unpersist(freshTf)
   }
 
-  /** Bucket-partition compactor for the multi-field postings — the
-    * [[compactTextIndex]] maintenance face on the same swap-safe
-    * rewrite. Tombstones ([[deleteFromTextIndex]] works unchanged on
-    * a multi-field index — the tombstone artifact is doc_id-keyed
-    * and every face reads through [[livePostings]]) apply physically
-    * here; the multi-field layout has no forward artifact, so its
-    * statistics are always Lucene-stale between delete and
-    * compaction and re-derive from the survivors. */
+  /** Tombstone DELETE from the MULTI-FIELD stored index — the exact
+    * twin of [[deleteFromTextIndex]] per field: when the layout
+    * stores per-field TERM VECTORS
+    * ([[writeMultiFieldTextIndex]]'s `storeTermVectors`), the
+    * deleted docs' vectors are doc-bucket-pruned point reads and the
+    * per-(field, term) dictionary plus every field's statistics
+    * decrement EXACTLY — multi-field search-after-delete is then
+    * bit-identical to a rebuild without the deleted docs
+    * (TextIndexLayoutSpec's pin, widened from the single-field
+    * layout). Without term vectors (the default, as in Lucene) the
+    * statistics stay Lucene-stale until compaction — the
+    * [[deleteFromTextIndex]] Lucene mode.
+    *
+    * Same generation-commit crash story as the single-field delete:
+    * tombstones + df + stats stage into `gen-(N+1)` together and one
+    * marker makes them visible — no ordering window. */
+  def deleteFromMultiFieldTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: Seq[Long], buckets: Int = 16): Unit = {
+    import spark.implicits._
+    val art = liveArtifactDir(spark, indexDir)
+    val already: Set[Long] =
+      if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+        spark.read.parquet(s"$art/tombstones")
+          .select(col("doc_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty
+    val distinctIds = ids.distinct.filterNot(already)
+    if (distinctIds.isEmpty) return
+    val st = spark.read.parquet(s"$art/stats").head()
+    val bk = statsBuckets(st, buckets)
+    val hasTv = statsFlag(st, "has_termvectors", default = false)
+    if (!hasTv) { // Lucene mode: identical to the single-field path
+      deleteFromTextIndex(spark, indexDir, ids, bk)
+      return
+    }
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(stage)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    (already ++ distinctIds).toSeq.sorted.toDF("doc_id")
+      .coalesce(1).write.parquet(s"$stage/tombstones")
+    val dBuckets = distinctIds.toDF("doc_id")
+      .select(pmod(hash(col("doc_id")), lit(bk)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val deadVecs = termVectorsFrame(spark, indexDir)
+      .filter(col("dbucket").isInCollection(dBuckets))
+      .filter(col("doc_id").isInCollection(distinctIds))
+      .localCheckpoint()
+    spark.read.parquet(s"$art/df")
+      .join(deadVecs.groupBy(col("field"), col("term"))
+          .agg(count(lit(1)).as("df_dead")),
+        Seq("field", "term"), "left_outer")
+      .select(col("field"), col("term"),
+        (col("df") - coalesce(col("df_dead"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .write.parquet(s"$stage/df")
+    // per-field Σ tf of the dead vectors = per-field dead doclen
+    // (a zero-token FIELD of a deleted doc has no vector rows —
+    // contributes 0, exactly as the writer counted it)
+    val deadSums = deadVecs.groupBy(col("field"))
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val updated = spark.read.parquet(s"$art/stats").collect()
+      .map { r =>
+        val f = r.getString(r.fieldIndex("field"))
+        val n = r.getAs[Long]("n_docs") - distinctIds.size
+        require(n > 0, "deleting every document: rebuild instead")
+        val s = r.getAs[Long]("sum_doclen") - deadSums.getOrElse(f, 0L)
+        (f, n, s.toDouble / n, s, true, bk)
+      }
+    updated.toSeq
+      .toDF("field", "n_docs", "avgdl", "sum_doclen",
+        "has_termvectors", "buckets")
+      .write.parquet(s"$stage/stats")
+    Checkpoints.unpersist(deadVecs)
+    // the segment manifest carries forward unchanged (delete = mask)
+    if (graft.io.Layout.pathExists(spark, s"$art/segments"))
+      spark.read.parquet(s"$art/segments")
+        .coalesce(1).write.parquet(s"$stage/segments")
+    graft.io.Layout.commitGeneration(spark, stage)
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (art == indexDir) {
+      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(t, true)
+    }
+  }
+
+  /** Compactor for the multi-field layout — [[compactTextIndex]]'s
+    * fold-and-cutover on the same manifest machinery: base + segments
+    * fold (minus tombstones) into fresh versioned dirs, one marker
+    * cuts the generation over, unreferenced dirs reclaim. With
+    * per-field term vectors the statistics were decremented exactly
+    * at delete time and carry forward; without them they re-derive
+    * from the survivors. */
   def compactMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (Long, Long, Long) = {
-    val tombPath = s"$indexDir/tombstones"
+    import spark.implicits._
+    gcUnreferenced(spark, indexDir)
+    val art = liveArtifactDir(spark, indexDir)
+    val tombPath = s"$art/tombstones"
     val hasTomb = graft.io.Layout.pathExists(spark, tombPath)
-    val minus =
+    val st = spark.read.parquet(s"$art/stats").head()
+    val hasTv = statsFlag(st, "has_termvectors", default = false)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(dirs: Seq[String]): Long = {
+      var n = 0L
+      dirs.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          while (it.hasNext)
+            if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+      }
+      n
+    }
+    def minus(df: DataFrame): DataFrame =
       if (hasTomb)
-        Some((spark.read.parquet(tombPath), Seq("doc_id")))
-      else None
-    val res = graft.io.Layout.compactParquetDir(spark,
-      s"$indexDir/postings", Seq("bucket"), minus)
-    if (hasTomb) {
-      val post = spark.read.parquet(s"$indexDir/postings")
-      graft.io.Layout.rewriteParquet(spark,
-        post.groupBy(col("field"), col("term"))
-          .agg(count(lit(1)).as("df")),
-        s"$indexDir/df")
-      import spark.implicits._
-      val rows = post
+        df.join(broadcast(spark.read.parquet(tombPath)
+          .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+      else df
+    val before = countFiles(liveDirs(spark, indexDir, art, "postings"))
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val newPost = s"postings-v$gen"
+    val newTv = s"termvectors-v$gen"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newPost"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
+    minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
+        .map(d => s"$indexDir/$d")))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$indexDir/$newPost")
+    val folded = spark.read.parquet(s"$indexDir/$newPost")
+    val rows = folded.count()
+    if (hasTv)
+      minus(termVectorsFrame(spark, indexDir))
+        .repartition(col("dbucket"))
+        .write.partitionBy("dbucket").parquet(s"$indexDir/$newTv")
+    if (hasTomb && !hasTv) {
+      // Lucene mode: true the per-field statistics up from survivors
+      folded.groupBy(col("field"), col("term"))
+        .agg(count(lit(1)).as("df"))
+        .write.parquet(s"$stage/df")
+      val rws = folded
         .select(col("field"), col("doc_id"), col("doclen")).distinct()
         .groupBy(col("field"))
         .agg(count(lit(1)).as("n"),
           coalesce(sum(col("doclen")), lit(0L)).as("s"))
         .collect()
         .map(r => (r.getString(0), r.getLong(1),
-          r.getLong(2).toDouble / r.getLong(1), r.getLong(2)))
-      rows.toSeq.toDF("field", "n_docs", "avgdl", "sum_doclen")
-        .write.mode("overwrite").parquet(s"$indexDir/stats")
-      val p = new org.apache.hadoop.fs.Path(tombPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
+          r.getLong(2).toDouble / r.getLong(1), r.getLong(2),
+          false, statsBuckets(st, 16)))
+      rws.toSeq.toDF("field", "n_docs", "avgdl", "sum_doclen",
+        "has_termvectors", "buckets")
+        .write.parquet(s"$stage/stats")
+    } else {
+      spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
+      spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
     }
-    res
+    writeManifest(spark, stage, Seq(("postings", newPost)) ++
+      (if (hasTv) Seq(("termvectors", newTv)) else Nil))
+    graft.io.Layout.commitGeneration(spark, stage)
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (art == indexDir)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
+        true)
+    gcUnreferenced(spark, indexDir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/termvectors"),
+      true)
+    (before, countFiles(Seq(newPost)), rows)
   }
 
   /** multi_match over the STORED multi-field index: per-field
@@ -1363,19 +1877,23 @@ object FullText {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(fieldBoosts.nonEmpty, "fieldBoosts must be non-empty")
+    val art = liveArtifactDir(spark, indexDir)
+    val bk = statsBuckets(
+      spark.read.parquet(s"$art/stats").head(), buckets)
     val qFrame = spark.createDataFrame(queryTerms.map(Tuple1(_)))
       .toDF("term")
     val qBuckets = qFrame
-      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"))
+      .select(pmod(hash(col("term")), lit(bk)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val stats = spark.read.parquet(s"$art/stats")
+      .select(col("field"), col("n_docs"), col("avgdl"))
     val boosts = spark.createDataFrame(fieldBoosts).toDF("field", "boost")
-    val dfDict = spark.read.parquet(s"$indexDir/df")
+    val dfDict = spark.read.parquet(s"$art/df")
       .filter(col("term").isInCollection(queryTerms))
       .select(col("field"), col("term"), col("df").cast("double").as("df"))
       .withColumn("df_blend",
         max(col("df")).over(Window.partitionBy(col("term"))))
-    val withDf = livePostings(spark, indexDir)
+    val withDf = livePostings(spark, indexDir, art)
       .filter(col("bucket").isInCollection(qBuckets))
       .filter(col("term").isInCollection(queryTerms))
       .select(col("doc_id"), col("field"), col("doclen"),

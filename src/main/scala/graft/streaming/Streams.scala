@@ -524,12 +524,17 @@ object Streams {
     * layout per micro-batch ([[graft.ops.FullText.appendToTextIndex]]
     * — delta-sized analyzer work, additive df/stats), so the index
     * every search face serves trails the stream by one trigger.
-    * Unlike the delete, an append is NOT idempotent — a
+    * Unlike the delete, an append is NOT idempotent in itself — a
     * crash-replayed micro-batch would re-insert its postings and
-    * double-count its statistics — so each batch runs under
-    * [[graft.io.Layout.onceForBatch]]'s commit-log guard (the
-    * canonical foreachBatch exactly-once defense; StreamsSpec pins
-    * that a re-delivered batch id leaves the index bit-identical).
+    * double-count its statistics — so the batch id rides into the
+    * append as its SEGMENT IDENTITY: the staged-segment protocol
+    * commits data + dictionary + statistics + manifest with one
+    * marker, a replay whose segment is already in the live manifest
+    * is a no-op, and a replay of a crashed half-append re-stages
+    * cleanly (its partial state was never visible). Strictly
+    * stronger than the old `_batch_commits` marker-log guard, which
+    * left the canonical window (body complete, crash before marker →
+    * one double-apply); StreamsSpec pins both replay sides.
     * Together with [[takedownStream]] (deletes), `percolateStream`
     * (alerting) and the stored search faces (serving), the text
     * index's full lifecycle is streaming-operable. */
@@ -540,19 +545,15 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.io.Layout.onceForBatch(batch.sparkSession, indexDir,
-            batchId) {
-            graft.ops.FullText.appendToTextIndex(batch.sparkSession,
-              batch, idCol, textCol, indexDir)
-          }
-          ()
-        }
+        if (!batch.isEmpty)
+          graft.ops.FullText.appendToTextIndex(batch.sparkSession,
+            batch, idCol, textCol, indexDir,
+            segmentId = Some(s"b$batchId"))
       }
       .start()
 
   /** [[indexRefreshStream]] for the MULTI-FIELD text layout: the
-    * same commit-log guard around
+    * same staged-segment exactly-once protocol around
     * [[graft.ops.FullText.appendToMultiFieldTextIndex]] (per-field
     * additive df/stats, delta-only analyzer work) — a multi-field
     * search deployment refreshes from a stream exactly like the
@@ -564,14 +565,10 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.io.Layout.onceForBatch(batch.sparkSession, indexDir,
-            batchId) {
-            graft.ops.FullText.appendToMultiFieldTextIndex(
-              batch.sparkSession, batch, idCol, fields, indexDir)
-          }
-          ()
-        }
+        if (!batch.isEmpty)
+          graft.ops.FullText.appendToMultiFieldTextIndex(
+            batch.sparkSession, batch, idCol, fields, indexDir,
+            segmentId = Some(s"b$batchId"))
       }
       .start()
 

@@ -264,7 +264,7 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       "append must shift per-field df/stats exactly like a rebuild")
     val (fb, fa, rows) = FullText.compactMultiFieldTextIndex(spark, idxA)
     assert(fa < fb, s"compaction must reclaim append files: $fb -> $fa")
-    assert(rows == spark.read.parquet(s"$idxA/postings").count())
+    assert(rows == FullText.postingsFrame(spark, idxA).count())
     assert(search(idxA) == pre, "search must be compaction-invariant")
   }
 
@@ -388,7 +388,7 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     val (fBefore, fAfter, rows) = FullText.compactTextIndex(spark, idxA)
     assert(fAfter < fBefore,
       s"compaction must reclaim append files: $fBefore -> $fAfter")
-    assert(rows == spark.read.parquet(s"$idxA/postings").count(),
+    assert(rows == FullText.postingsFrame(spark, idxA).count(),
       "content untouched")
     assert(search(idxA) == preSearch,
       "stored search must be compaction-invariant")
@@ -425,16 +425,19 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     FullText.appendToTextIndex(spark, docs.filter($"doc_id" > w),
       "doc_id", "text", idxA)
     // df and stats must still land EXACTLY where a rebuild puts them
+    // (resolved through the live generation the append committed)
     val idxB = java.nio.file.Files.createTempDirectory("bm25-noio-b")
       .toFile.getAbsolutePath
     FullText.writeTextIndex(docs, "doc_id", "text", idxB)
-    def dfOf(idx: String) = spark.read.parquet(s"$idx/df")
+    def dfOf(idx: String) = spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/df")
       .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df")))
       .sortBy(_._1).toSeq
     assert(dfOf(idxA) == dfOf(idxB),
       "additive dictionary merge must equal a rebuild's df")
     def statsOf(idx: String) = {
-      val r = spark.read.parquet(s"$idx/stats").head()
+      val r = spark.read
+        .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats").head()
       (r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
         r.getAs[Long]("sum_doclen"))
     }
@@ -459,12 +462,14 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       .toFile.getAbsolutePath
     FullText.writeMultiFieldTextIndex(docs, "doc_id",
       Seq("title", "body"), idxB)
-    def dfOf(idx: String) = spark.read.parquet(s"$idx/df")
+    def dfOf(idx: String) = spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/df")
       .collect().map(r => (r.getAs[String]("field"),
         r.getAs[String]("term"), r.getAs[Long]("df")))
       .sortBy(r => (r._1, r._2)).toSeq
     assert(dfOf(idxA) == dfOf(idxB))
-    def statsOf(idx: String) = spark.read.parquet(s"$idx/stats")
+    def statsOf(idx: String) = spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats")
       .collect().map(r => (r.getAs[String]("field"),
         r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
         r.getAs[Long]("sum_doclen"))).sortBy(_._1).toSeq
@@ -488,7 +493,8 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     FullText.writeTextIndex(old.unionByName(fresh), "doc_id", "text",
       idxB)
     def statsOf(idx: String) = {
-      val r = spark.read.parquet(s"$idx/stats").head()
+      val r = spark.read
+        .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats").head()
       (r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
         r.getAs[Long]("sum_doclen"))
     }
@@ -509,7 +515,8 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       .toFile.getAbsolutePath
     FullText.writeMultiFieldTextIndex(mOld.unionByName(mFresh),
       "doc_id", Seq("title", "body"), mB)
-    def mStats(idx: String) = spark.read.parquet(s"$idx/stats")
+    def mStats(idx: String) = spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats")
       .collect().map(r => (r.getAs[String]("field"),
         r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
         r.getAs[Long]("sum_doclen"))).sortBy(_._1).toSeq
@@ -545,8 +552,11 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(s1(idxD) == s1(idxR),
       "BM25 after delete must be bit-identical to a rebuild without the deleted docs")
-    // dictionary decrements exactly (zero-df terms drop, as a rebuild has no row)
-    def dfOf(idx: String) = spark.read.parquet(s"$idx/df")
+    // dictionary decrements exactly (zero-df terms drop, as a rebuild
+    // has no row) — resolved through the live generation, since the
+    // delete commits df/stats/tombstones as one generation dir
+    def dfOf(idx: String) = spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/df")
       .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df")))
       .sortBy(_._1).toSeq
     assert(dfOf(idxD) == dfOf(idxR))
@@ -576,13 +586,14 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     // compaction physically applies the tombstones and reclaims them
     val pre = s1(idxD)
     FullText.compactTextIndex(spark, idxD)
-    assert(!new java.io.File(s"$idxD/tombstones").exists(),
+    assert(!graft.io.Layout.pathExists(spark,
+      s"${FullText.liveArtifactDir(spark, idxD)}/tombstones"),
       "compaction must reclaim the tombstone set")
-    assert(spark.read.parquet(s"$idxD/postings").count() ==
-      spark.read.parquet(s"$idxR/postings").count(),
+    assert(FullText.postingsFrame(spark, idxD).count() ==
+      FullText.postingsFrame(spark, idxR).count(),
       "compacted postings must match the rebuild's row count")
-    assert(spark.read.parquet(s"$idxD/termvectors").count() ==
-      spark.read.parquet(s"$idxR/termvectors").count(),
+    assert(FullText.termVectorsFrame(spark, idxD).count() ==
+      FullText.termVectorsFrame(spark, idxR).count(),
       "term vectors drop the deleted docs too")
     assert(s1(idxD) == pre, "search must be compaction-invariant")
   }
@@ -615,7 +626,8 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(search(idx) == search(idxR),
       "delete → append must equal a rebuild of survivors ∪ fresh")
     def statsOf(i: String) = {
-      val r = spark.read.parquet(s"$i/stats").head()
+      val r = spark.read
+        .parquet(s"${FullText.liveArtifactDir(spark, i)}/stats").head()
       (r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"),
         r.getAs[Long]("sum_doclen"))
     }
@@ -742,7 +754,8 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(!search(idxD).exists(_._1 == hit),
       "a deleted doc must never be served from any field face")
     FullText.compactMultiFieldTextIndex(spark, idxD)
-    assert(!new java.io.File(s"$idxD/tombstones").exists())
+    assert(!graft.io.Layout.pathExists(spark,
+      s"${FullText.liveArtifactDir(spark, idxD)}/tombstones"))
     val idxR = java.nio.file.Files.createTempDirectory("mf-del-r")
       .toFile.getAbsolutePath
     FullText.writeMultiFieldTextIndex(docs.filter($"doc_id" =!= hit),
@@ -782,5 +795,137 @@ class TextIndexLayoutSpec extends SparkSpecBase {
         r.getAs[Double]("score"))).toSeq)
     assert(viaQuery == top15.sortBy(x => (-x._2, x._1)),
       "q144 must serve the same 15 hits in ranking order")
+  }
+
+  test("generation commit: a crashed (uncommitted) delete is invisible; replay lands exactly") {
+    val docs = Seq(
+      (1L, "fast vector engines win races"),
+      (2L, "fast vector query engines"),
+      (3L, "slow scalar fallback path"),
+      (4L, "fast query planners everywhere")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-crash")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    def search() = FullText
+      .bm25SearchStored(spark, idx, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pre = search()
+    // simulate a delete that CRASHED mid-staging: a gen dir holding a
+    // tombstone set (even garbage artifacts) but NO _COMMITTED marker
+    // — no search face may observe any of it
+    val stage = graft.io.Layout.generationDir(idx, 1L)
+    Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$stage/tombstones")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stage, "df"), "garbage".getBytes)
+    assert(FullText.liveArtifactDir(spark, idx) == idx,
+      "an uncommitted generation must not resolve as live")
+    assert(search() == pre,
+      "a crashed delete's partial staging must be invisible to search")
+    // the REPLAYED delete clears the partial staging and commits the
+    // full trio — exact equality with a rebuild, no double effects
+    FullText.deleteFromTextIndex(spark, idx, Seq(1L))
+    FullText.deleteFromTextIndex(spark, idx, Seq(1L)) // and re-replay
+    val idxR = java.nio.file.Files.createTempDirectory("bm25-crash-r")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs.filter($"doc_id" =!= 1L), "doc_id",
+      "text", idxR, storeTermVectors = true)
+    assert(search() == FullText
+      .bm25SearchStored(spark, idxR, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "replayed delete over crashed staging must equal a rebuild")
+    // exactly one committed generation remains (the re-replay is an
+    // idempotent NO-OP — ids already tombstoned — so no gen-2 is cut);
+    // flat tombstones never existed (the trio lives inside the gen dir)
+    assert(graft.io.Layout.liveGeneration(spark, idx).contains(1L))
+    assert(!graft.io.Layout.pathExists(spark, s"$idx/tombstones"))
+  }
+
+  test("recorded bucket count: append/delete/search follow the writer's layout, not the caller's parameter") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val w = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    val idx = java.nio.file.Files.createTempDirectory("bm25-bk")
+      .toFile.getAbsolutePath
+    // a NON-DEFAULT bucket count at write time; every subsequent call
+    // uses the DEFAULT parameter (16) — with a trusted-parameter
+    // implementation the append lands postings in wrong partitions
+    // and the search prunes to wrong buckets, both silently
+    FullText.writeTextIndex(docs.filter($"doc_id" <= w), "doc_id",
+      "text", idx, buckets = 5, storeTermVectors = true)
+    FullText.appendToTextIndex(spark, docs.filter($"doc_id" > w),
+      "doc_id", "text", idx)
+    val dead = docs.filter($"doc_id" % 11 === 3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    FullText.deleteFromTextIndex(spark, idx, dead)
+    val idxR = java.nio.file.Files.createTempDirectory("bm25-bk-r")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs.filter(!$"doc_id".isInCollection(dead)),
+      "doc_id", "text", idxR, buckets = 5, storeTermVectors = true)
+    def s1(i: String) = FullText.bm25SearchStored(spark, i, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(s1(idx) == s1(idxR),
+      "recorded buckets must drive append + delete + search")
+    assert(s1(idx).nonEmpty)
+  }
+
+  test("multi-field term vectors: exact delete ≡ rebuild bit-for-bit, appends compose") {
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select($"doc_id",
+        array_join(slice(split($"text", "\\s+"), 1, 6), " ").as("title"),
+        $"text".as("body"))
+    val fields = Seq("title" -> 2.0, "body" -> 1.0)
+    val idxD = java.nio.file.Files.createTempDirectory("mf-tv-del")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(docs, "doc_id",
+      Seq("title", "body"), idxD, storeTermVectors = true)
+    val dead = docs.filter($"doc_id" % 7 === 3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(dead.nonEmpty)
+    FullText.deleteFromMultiFieldTextIndex(spark, idxD, dead)
+    val idxR = java.nio.file.Files.createTempDirectory("mf-tv-del-r")
+      .toFile.getAbsolutePath
+    val survivors = docs.filter(!$"doc_id".isInCollection(dead))
+    FullText.writeMultiFieldTextIndex(survivors, "doc_id",
+      Seq("title", "body"), idxR, storeTermVectors = true)
+    def search(idx: String) = FullText.multiMatchSearchStored(
+      spark, idx, terms, fields, tieBreaker = 0.3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    assert(search(idxD) == search(idxR),
+      "multi-field search-after-delete must be bit-identical to a " +
+        "rebuild without the deleted docs (all three modes)")
+    // per-(field, term) dictionary decrements exactly
+    def dfOf(idx: String) = spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/df")
+      .collect().map(r => (r.getAs[String]("field"),
+        r.getAs[String]("term"), r.getAs[Long]("df")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(dfOf(idxD) == dfOf(idxR))
+    // idempotent replay
+    FullText.deleteFromMultiFieldTextIndex(spark, idxD, dead)
+    assert(search(idxD) == search(idxR))
+    // an append composes with the decremented state (delete → append
+    // ≡ rebuild of survivors ∪ fresh), term vectors in lockstep
+    val extra = Seq((990001L, "fast vectors", "fast vector query win"),
+      (990002L, "slow path", "slow scalar query fallback"))
+      .toDF("doc_id", "title", "body")
+    FullText.appendToMultiFieldTextIndex(spark, extra, "doc_id",
+      Seq("title", "body"), idxD)
+    val idxR2 = java.nio.file.Files.createTempDirectory("mf-tv-del-r2")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(survivors.unionByName(extra),
+      "doc_id", Seq("title", "body"), idxR2, storeTermVectors = true)
+    assert(search(idxD) == search(idxR2),
+      "multi-field delete → append must equal a rebuild")
+    // compaction applies tombstones physically (term vectors too) and
+    // keeps every page bit-identical
+    val pre = search(idxD)
+    FullText.compactMultiFieldTextIndex(spark, idxD)
+    assert(!graft.io.Layout.pathExists(spark,
+      s"${FullText.liveArtifactDir(spark, idxD)}/tombstones"))
+    assert(FullText.termVectorsFrame(spark, idxD).count() ==
+      FullText.termVectorsFrame(spark, idxR2).count(),
+      "compacted term vectors must match the rebuild's row count")
+    assert(search(idxD) == pre, "search must be compaction-invariant")
   }
 }

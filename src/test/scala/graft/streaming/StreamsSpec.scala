@@ -567,14 +567,13 @@ class StreamsSpec extends SparkSpecBase {
       "doc_id", "text", idxR)
     assert(search(idx) == search(idxR),
       "streamed refresh must equal a rebuild over all docs")
-    // at-least-once replay: batch 0 is committed, so re-running its
-    // guarded append (exactly what the restarted stream would do)
-    // must skip — postings un-duplicated, statistics un-doubled
-    val ran = graft.io.Layout.onceForBatch(spark, idx, 0L) {
-      graft.ops.FullText.appendToTextIndex(spark,
-        b0.toDF("doc_id", "text"), "doc_id", "text", idx)
-    }
-    assert(!ran, "a committed batch id must not re-apply")
+    // at-least-once replay: batch 0's segment is in the live
+    // manifest, so re-running its append (exactly what the restarted
+    // stream would do) is a no-op — postings un-duplicated,
+    // statistics un-doubled
+    graft.ops.FullText.appendToTextIndex(spark,
+      b0.toDF("doc_id", "text"), "doc_id", "text", idx,
+      segmentId = Some("b0"))
     assert(search(idx) == search(idxR),
       "replayed append batch must leave the index bit-identical")
   }
@@ -617,14 +616,54 @@ class StreamsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(search(idx) == search(idxR),
       "streamed multi-field refresh must equal a rebuild")
-    val ran = graft.io.Layout.onceForBatch(spark, idx, 0L) {
-      graft.ops.FullText.appendToMultiFieldTextIndex(spark,
-        b0.toDF("doc_id", "title", "body"), "doc_id",
-        Seq("title", "body"), idx)
-    }
-    assert(!ran, "a committed batch id must not re-apply")
+    graft.ops.FullText.appendToMultiFieldTextIndex(spark,
+      b0.toDF("doc_id", "title", "body"), "doc_id",
+      Seq("title", "body"), idx, segmentId = Some("b0"))
     assert(search(idx) == search(idxR),
       "replayed append batch must leave the index bit-identical")
+  }
+
+  test("refresh replay has no residual window: a crashed half-append re-stages, a committed one no-ops") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "fast vector engines win races"),
+      (2L, "fast vector query engines"),
+      (3L, "slow scalar fallback path")).toDF("doc_id", "text")
+    val b0 = Seq((4L, "fast query planners everywhere"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("crashwin-idx")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(old, "doc_id", "text", idx)
+    def search(i: String) = graft.ops.FullText
+      .bm25SearchStored(spark, i, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pre = search(idx)
+    // simulate the CRASH WINDOW the old _batch_commits guard could
+    // not close: the append's body completed its data writes (the
+    // segment exists, even a staged generation exists) but the
+    // commit marker never landed — everything must be invisible
+    b0.withColumn("bucket", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"text"), lit(16)))
+      .write.partitionBy("bucket").parquet(s"$idx/seg-b0/postings")
+    val stage = graft.io.Layout.generationDir(idx, 1L)
+    Seq(("garbage", "garbage")).toDF("kind", "dir")
+      .write.parquet(s"$stage/segments")
+    assert(search(idx) == pre,
+      "a crashed half-append must be invisible to every search face")
+    // the REPLAYED batch re-stages cleanly and commits exactly once
+    graft.ops.FullText.appendToTextIndex(spark, b0, "doc_id", "text",
+      idx, segmentId = Some("b0"))
+    val idxR = java.nio.file.Files.createTempDirectory("crashwin-r")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(old.unionByName(b0), "doc_id",
+      "text", idxR)
+    assert(search(idx) == search(idxR),
+      "replay over the crash window must equal a rebuild")
+    // and a SECOND replay (the committed side of the window) no-ops
+    graft.ops.FullText.appendToTextIndex(spark, b0, "doc_id", "text",
+      idx, segmentId = Some("b0"))
+    assert(search(idx) == search(idxR),
+      "a committed segment id must be a strict no-op on replay")
   }
 
   test("vectorRefreshStream: streamed appends equal a rebuild at fixed artifacts; replay is a no-op") {
