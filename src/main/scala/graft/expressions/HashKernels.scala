@@ -602,6 +602,120 @@ object HashKernels {
     ArrayData.toArrayData(Array(freq, matches))
   }
 
+  /** [[sloppyPhraseStats]] with Lucene's REPEAT-GROUP ADVANCE as the
+    * collision policy (SloppyPhraseMatcher's repeats handling), flag
+    * variant behind `sloppy_phrase_stats(..., rpts = true)`:
+    *
+    * The default kernel's rule is mover-skips — the pointer being
+    * advanced skips past any document position another same-term slot
+    * occupies. Lucene instead resolves a collision by advancing the
+    * pp with the GREATER OFFSET, regardless of which pointer moved:
+    * after every advance, while any two slots occupy one document
+    * position, the higher slot index steps forward. The observable
+    * difference: when a lower slot advances ONTO an occupied
+    * position, Lucene evicts the occupant forward and keeps the
+    * mover there — which can keep a tighter alignment alive where
+    * mover-skips jumps the mover past it (the hand-traced fixtures in
+    * FullTextSpec pin exactly such a case). Only same-term slots can
+    * ever collide here (one term per token-stream position), so this
+    * IS the repeats constraint; the bijection machinery Lucene adds
+    * for MULTI-term repeat phrases ("A B A B") remains out of scope
+    * and is documented in SURVEY §9. Emission logic, sloppyFreq
+    * weighting, and termination are the default kernel's. */
+  def sloppyPhraseStatsRpts(posLists: ArrayData, slop: Int): ArrayData = {
+    val m = posLists.numElements()
+    val zero = ArrayData.toArrayData(Array(0.0, 0.0))
+    if (m < 2) return zero
+    val lists = new Array[Array[Int]](m)
+    var j = 0
+    while (j < m) {
+      if (posLists.isNullAt(j)) return zero
+      lists(j) = posLists.getArray(j).toIntArray()
+      if (lists(j).length == 0) return zero
+      j += 1
+    }
+    val idx = new Array[Int](m)
+    def value(k: Int): Int = lists(k)(idx(k))
+    def docPos(k: Int): Int = value(k) + k
+    // repeat-group advance: while any two slots share a document
+    // position, the GREATER slot index steps forward. Every step
+    // strictly advances one pointer, so this terminates; false =
+    // some list exhausted (no further alignment exists).
+    def resolveCollisions(): Boolean = {
+      var changed = true
+      while (changed) {
+        changed = false
+        var a = 0
+        while (a < m) {
+          var b = a + 1
+          while (b < m) {
+            if (docPos(a) == docPos(b)) {
+              idx(b) += 1
+              if (idx(b) >= lists(b).length) return false
+              changed = true
+            }
+            b += 1
+          }
+          a += 1
+        }
+      }
+      true
+    }
+    if (!resolveCollisions()) return zero
+    var end = Int.MinValue
+    j = 0
+    while (j < m) { if (value(j) > end) end = value(j); j += 1 }
+    def argMin(): Int = {
+      var best = 0
+      var k = 1
+      while (k < m) { if (value(k) < value(best)) best = k; k += 1 }
+      best
+    }
+    def minExcept(k: Int): Int = {
+      var best = Int.MaxValue
+      var o = 0
+      while (o < m) {
+        if (o != k && value(o) < best) best = value(o)
+        o += 1
+      }
+      best
+    }
+    var ppJ = argMin()
+    var matchLength = end - value(ppJ)
+    var next = minExcept(ppJ)
+    var freq = 0.0
+    var matches = 0.0
+    var exhausted = false
+    while (!exhausted) {
+      idx(ppJ) += 1
+      if (idx(ppJ) >= lists(ppJ).length || !resolveCollisions())
+        exhausted = true
+      else {
+        // the eviction may have moved OTHER slots: recompute end
+        end = Int.MinValue
+        j = 0
+        while (j < m) { if (value(j) > end) end = value(j); j += 1 }
+        if (value(ppJ) > next) {
+          if (matchLength <= slop) {
+            freq += 1.0 / (matchLength + 1)
+            matches += 1.0
+          }
+          ppJ = argMin()
+          next = minExcept(ppJ)
+          matchLength = end - value(ppJ)
+        } else {
+          val ml2 = end - value(ppJ)
+          if (ml2 < matchLength) matchLength = ml2
+        }
+      }
+    }
+    if (matchLength <= slop) {
+      freq += 1.0 / (matchLength + 1)
+      matches += 1.0
+    }
+    ArrayData.toArrayData(Array(freq, matches))
+  }
+
   /** Raw-text highlighting with CHARACTER offsets — the ES plain
     * highlighter over the ORIGINAL field value: tokens are maximal
     * runs of Unicode letters/digits (exactly the spans

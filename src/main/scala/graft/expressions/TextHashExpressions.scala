@@ -258,8 +258,12 @@ case class StopwordHits(child: Expression, words: Seq[String])
   * per-row pass (reordering allowed, 1/(matchLength+1) freq
   * weighting; see HashKernels.sloppyPhraseStats for the exact
   * contract). Input: array<array<int>>, one sorted shifted list per
-  * phrase slot. */
-case class SloppyPhraseStats(child: Expression, slop: Int)
+  * phrase slot. `rpts = true` switches the same-term collision
+  * policy to Lucene's repeat-group advance
+  * (HashKernels.sloppyPhraseStatsRpts); the default keeps the
+  * mover-skips rule every gated query ships with. */
+case class SloppyPhraseStats(child: Expression, slop: Int,
+    rpts: Boolean = false)
     extends HashKernelExpression {
   override protected def inputOk(dt: DataType): Boolean = dt match {
     case ArrayType(ArrayType(org.apache.spark.sql.types.IntegerType, _), _) =>
@@ -272,11 +276,17 @@ case class SloppyPhraseStats(child: Expression, slop: Int)
     ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
   override def prettyName: String = "sloppy_phrase_stats"
 
+  private def kernel: String =
+    if (rpts) "sloppyPhraseStatsRpts" else "sloppyPhraseStats"
+
   override protected def nullSafeEval(input: Any): Any =
-    HashKernels.sloppyPhraseStats(input.asInstanceOf[ArrayData], slop)
+    if (rpts)
+      HashKernels.sloppyPhraseStatsRpts(input.asInstanceOf[ArrayData], slop)
+    else
+      HashKernels.sloppyPhraseStats(input.asInstanceOf[ArrayData], slop)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"$kernels.sloppyPhraseStats($c, $slop)")
+    defineCodeGen(ctx, ev, c => s"$kernels.$kernel($c, $slop)")
 
   override protected def withNewChildInternal(newChild: Expression): SloppyPhraseStats =
     copy(child = newChild)
@@ -428,8 +438,9 @@ object TextHashes {
   def bloomHitCount(grams: Column, bits: Array[Long], kProbes: Int): Column =
     c(BloomHitCount(e(grams), bits, kProbes))
   def tokenLengthSum(toks: Column): Column = c(TokenLengthSum(e(toks)))
-  def sloppyPhraseStats(posLists: Column, slop: Int): Column =
-    c(SloppyPhraseStats(e(posLists), slop))
+  def sloppyPhraseStats(posLists: Column, slop: Int,
+      rpts: Boolean = false): Column =
+    c(SloppyPhraseStats(e(posLists), slop, rpts))
   def highlightRaw(text: Column, terms: Seq[String]): Column =
     c(HighlightRawTerms(e(text), terms))
 }

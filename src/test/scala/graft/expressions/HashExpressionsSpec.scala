@@ -318,6 +318,58 @@ class HashExpressionsSpec extends SparkSpecBase {
     assert(stats(Seq(Seq(0, 1, 2), Seq(-1, 0, 1)), 1) == (1.0, 1.0))
   }
 
+  test("sloppyPhraseStatsRpts: repeat-group advance, hand-traced fixtures") {
+    import spark.implicits._
+    def stats(lists: Seq[Seq[Int]], slop: Int,
+        rpts: Boolean): (Double, Double) = {
+      val r = Seq(Tuple1(lists)).toDF("p")
+        .select(graft.expressions.TextHashes
+          .sloppyPhraseStats(col("p"), slop, rpts).as("s"))
+        .head.getSeq[Double](0)
+      (r(0), r(1))
+    }
+    // "echo echo echo" vs query "echo echo": the doc contains the
+    // phrase TWICE ((0,1) and (1,2) — Lucene scores freq 2). The
+    // default mover-skips rule jumps the advancing slot past the
+    // occupied middle position and finds only one; the repeat-group
+    // advance EVICTS the occupant forward instead, keeping both.
+    // Trace (shifted lists {0,1,2}/{-1,0,1}): init (0@d0, 1@d1);
+    // advance s0→d1, eviction pushes s1→d2, emit ml=0; advance
+    // s0→d2, eviction exhausts s1, final emit ml=0 → freq 2.
+    assert(stats(Seq(Seq(0, 1, 2), Seq(-1, 0, 1)), 0, rpts = true)
+      == (2.0, 2.0))
+    assert(stats(Seq(Seq(0, 1, 2), Seq(-1, 0, 1)), 0, rpts = false)
+      == (1.0, 1.0)) // the documented default-rule under-count
+    // A at doc {1,2,10}, query "A A": the in-order alignment
+    // (d2, d10) has cost 7. Mover-skips advances s0 OVER the
+    // occupied d2 straight to d10 (only the crossed cost-9
+    // alignment remains); repeat-group advance keeps s0 at d2 and
+    // evicts s1 to d10. Trace: init (s0@d1, s1@d2), emit ml=0;
+    // advance s0→d2 evicts s1→d10, window ml=7; exhaust, final
+    // emit at slop ≥ 7.
+    assert(stats(Seq(Seq(1, 2, 10), Seq(0, 1, 9)), 7, rpts = true)
+      == (1.0 + 1.0 / 8, 2.0))
+    assert(stats(Seq(Seq(1, 2, 10), Seq(0, 1, 9)), 7, rpts = false)
+      == (1.0, 1.0))
+    // both agree at slop 0 on that corpus (one exact match)
+    assert(stats(Seq(Seq(1, 2, 10), Seq(0, 1, 9)), 0, rpts = true)
+      == (1.0, 1.0))
+    // collision-free inputs (distinct terms — the dominant case):
+    // the two rules are IDENTICAL, pinned over the default test's
+    // fixtures — which is why the default flag keeps every gated
+    // hash unchanged
+    for ((lists, slop) <- Seq(
+      (Seq(Seq(5), Seq(5)), 0),
+      (Seq(Seq(0, 5), Seq(0, 5)), 0),
+      (Seq(Seq(1), Seq(-1)), 2),
+      (Seq(Seq(0, 10), Seq(2, 3)), 2),
+      (Seq(Seq(0, 10), Seq(2, 3)), 7),
+      (Seq(Seq(2), Seq(0), Seq(-2)), 4)))
+      assert(stats(lists, slop, rpts = true) ==
+        stats(lists, slop, rpts = false),
+        s"collision-free parity failed for $lists slop $slop")
+  }
+
   test("highlightRaw: offsets in the raw text, tag-strip round-trip") {
     import spark.implicits._
     val terms = Seq("cat", "naïve", "東京", "r2")
