@@ -1093,6 +1093,7 @@ object SimilarityQueries {
     require(Set("flat", "imi")(coarse),
       s"unknown coarse quantizer '$coarse' (flat | imi)")
     val spark = artifactsFrom.sparkSession
+    clearVecDerivedLayout(spark, indexDir)
     val halfDim = m * subdim / 2
     val assign = coarse match {
       case "imi" =>
@@ -1323,6 +1324,84 @@ object SimilarityQueries {
       .map { case (c0, c1) => c0.toLong * cGrid + c1 }
   }
 
+  /** The vector index's MUTATION-COMMITTED artifact dir — the
+    * [[graft.ops.FullText.liveArtifactDir]] model: deletes and
+    * appends stage tombstones + the segment manifest into `gen-N/`
+    * and commit with one marker; a never-mutated index keeps its
+    * artifacts at the root. Cells / codebooks / rotation / sqstats /
+    * meta are training-time artifacts, immutable between retrains
+    * (the q106 stability contract), and stay at the root. */
+  def vectorArtifactDir(spark: SparkSession, indexDir: String): String =
+    graft.io.Layout.liveGeneration(spark, indexDir)
+      .map(g => graft.io.Layout.generationDir(indexDir, g))
+      .getOrElse(indexDir)
+
+  /** The live CODES directories (relative to the index root) — the
+    * segment manifest of the committed generation, or the root
+    * `codes/` default for a never-appended index. */
+  private def codesDirs(spark: SparkSession, indexDir: String,
+      art: String): Seq[String] =
+    if (graft.io.Layout.pathExists(spark, s"$art/segments"))
+      spark.read.parquet(s"$art/segments")
+        .filter(col("kind") === "codes")
+        .collect().map(_.getAs[String]("dir")).toSeq.sorted
+    else Seq("codes")
+
+  /** Manifest-resolved codes frame (base ∪ committed segments) — each
+    * directory reads separately so cell_id partition filters push
+    * into every child scan (the FullText.readUnion discipline). Public
+    * for layout specs and maintenance tooling. */
+  def codesFrame(spark: SparkSession, indexDir: String): DataFrame = {
+    val art = vectorArtifactDir(spark, indexDir)
+    codesDirs(spark, indexDir, art)
+      .map(d => spark.read.parquet(s"$indexDir/$d"))
+      .reduce(_ unionByName _)
+  }
+
+  private def writeVecManifest(spark: SparkSession, stage: String,
+      dirs: Seq[String]): Unit = {
+    import spark.implicits._
+    dirs.map(("codes", _)).toDF("kind", "dir").coalesce(1)
+      .write.parquet(s"$stage/segments")
+  }
+
+  /** Reclaim root dirs no longer referenced by the live manifest
+    * (crashed appends' orphan segments, superseded folds) —
+    * idempotent, called around compaction. */
+  private def vecGcUnreferenced(spark: SparkSession,
+      indexDir: String): Unit = {
+    val art = vectorArtifactDir(spark, indexDir)
+    val live = codesDirs(spark, indexDir, art)
+      .map(_.split('/').head).toSet
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && !live.contains(n) &&
+          (n.startsWith("seg-") || n.startsWith("codes-v")))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Whole-layout overwrite semantics for [[writeIvfPqIndexFrames]]:
+    * a previous index at this path may hold committed generations,
+    * segments, folded dirs, or a tombstone set that would shadow or
+    * mask the fresh root artifacts. */
+  private def clearVecDerivedLayout(spark: SparkSession,
+      indexDir: String): Unit = {
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = -1L)
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && (n == "tombstones" || n == "_batch_commits" ||
+          n.startsWith("seg-") || n.startsWith("codes-v")))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** The persisted OPQ rotation, reassembled row-major (d ≤ a few
     * hundred — a bounded driver artifact, like the ADC table). */
   private def readRotation(spark: SparkSession,
@@ -1335,13 +1414,38 @@ object SimilarityQueries {
 
   /** The q106 delta path landing in the STORED layout: a fresh batch
     * assigns+encodes against the index's PERSISTED artifacts (read,
-    * never retrained — the q106 stability contract) and APPENDS into
-    * the same cell partitions. Equal to a batch rebuild at fixed
-    * artifacts (VectorIndexLayoutSpec pins stored-search frame
-    * equality between append and rebuild). */
+    * never retrained — the q106 stability contract) and lands as an
+    * immutable cell-partitioned SEGMENT. Equal to a batch rebuild at
+    * fixed artifacts (VectorIndexLayoutSpec pins stored-search frame
+    * equality between append and rebuild).
+    *
+    * Same staged-segment exactly-once protocol as
+    * [[graft.ops.FullText.appendToTextIndex]]: the delta's codes land
+    * in `seg-<id>/codes/` (unreferenced, invisible), the manifest +
+    * carried tombstones stage into `gen-(N+1)` and ONE marker commits
+    * them together. A replay whose `segmentId` is already in the live
+    * manifest is a no-op; a replay over a crashed half-append
+    * re-stages cleanly — the vector refresh stream no longer needs
+    * (or has) a marker-log guard with its residual double-apply
+    * window. */
   def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
-      fresh: DataFrame, m: Int = 8, subdim: Int = 8): Unit = {
+      fresh: DataFrame, m: Int = 8, subdim: Int = 8,
+      segmentId: Option[String] = None): Unit = {
     import spark.implicits._
+    val art = vectorArtifactDir(spark, indexDir)
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val segName = segmentId.map(s => s"seg-$s").getOrElse(s"seg-gen$gen")
+    val oldDirs = codesDirs(spark, indexDir, art)
+    if (segmentId.isDefined && oldDirs.contains(s"$segName/codes"))
+      return // the batch's commit record exists: full replay no-op
+    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    locally { // clear a crashed predecessor's partial staging
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$segName"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
     val (codec, mm, sd, coarse, cGrid) =
       readIndexMeta(spark, indexDir, m, subdim)
     // the delta assigns through the SAME coarse quantizer the writer
@@ -1394,32 +1498,79 @@ object SimilarityQueries {
         Seq("vec_id"))
       .join(norms, Seq("vec_id"))
       .repartition($"cell_id")
-      .write.mode("append").partitionBy("cell_id")
-      .parquet(s"$indexDir/codes")
+      .write.partitionBy("cell_id")
+      .parquet(s"$indexDir/$segName/codes")
+    if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+      spark.read.parquet(s"$art/tombstones")
+        .coalesce(1).write.parquet(s"$stage/tombstones")
+    writeVecManifest(spark, stage, oldDirs :+ s"$segName/codes")
+    graft.io.Layout.commitGeneration(spark, stage)
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (art == indexDir) { // legacy flat tombstones are superseded
+      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(t, true)
+    }
   }
 
   /** Maintenance compactor for the stored layout's cell-partitioned
-    * codes: every [[appendToIvfPqIndex]] lands a new part-file PER
-    * CELL, degrading exactly the probe-pruned scan the partitioning
-    * exists for — [[graft.io.Layout.compactParquetDir]]'s swap-safe
-    * rewrite restores one file per cell. Cells/codebooks are tiny
-    * single-write artifacts and never need it.
-    * VectorIndexLayoutSpec pins file reclamation + stored-search
+    * codes: every [[appendToIvfPqIndex]] lands a SEGMENT whose
+    * per-cell files degrade exactly the probe-pruned scan the
+    * partitioning exists for. Base + segments fold (minus tombstones)
+    * into a fresh `codes-v<gen>/` (one file per cell), ONE marker
+    * cuts the generation over (a crash anywhere leaves the old
+    * generation live and only unreferenced dirs on disk — GC'd
+    * idempotently on the next run), then superseded dirs reclaim.
+    * Cells/codebooks are tiny single-write artifacts and never need
+    * it. VectorIndexLayoutSpec pins file reclamation + stored-search
     * frame equality across the rewrite. */
   def compactIvfPqIndex(spark: SparkSession,
       indexDir: String): (Long, Long, Long) = {
-    val tombPath = s"$indexDir/tombstones"
+    import spark.implicits._
+    vecGcUnreferenced(spark, indexDir)
+    val art = vectorArtifactDir(spark, indexDir)
+    val tombPath = s"$art/tombstones"
     val hasTomb = graft.io.Layout.pathExists(spark, tombPath)
-    val res = graft.io.Layout.compactParquetDir(spark,
-      s"$indexDir/codes", Seq("cell_id"),
-      if (hasTomb) Some((spark.read.parquet(tombPath), Seq("vec_id")))
-      else None)
-    if (hasTomb) {
-      val p = new org.apache.hadoop.fs.Path(tombPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(dirs: Seq[String]): Long = {
+      var n = 0L
+      dirs.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          while (it.hasNext)
+            if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+      }
+      n
     }
-    res
+    val before = countFiles(codesDirs(spark, indexDir, art))
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val newCodes = s"codes-v$gen"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newCodes"), true)
+    val base = codesFrame(spark, indexDir)
+    val folded0 =
+      if (hasTomb)
+        base.join(broadcast(spark.read.parquet(tombPath)
+          .select($"vec_id").distinct()), Seq("vec_id"), "left_anti")
+      else base
+    folded0.repartition($"cell_id")
+      .write.partitionBy("cell_id").parquet(s"$indexDir/$newCodes")
+    val rows = spark.read.parquet(s"$indexDir/$newCodes").count()
+    // no tombstones in the new generation: physically applied
+    writeVecManifest(spark, stage, Seq(newCodes))
+    graft.io.Layout.commitGeneration(spark, stage)
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (art == indexDir)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
+        true)
+    vecGcUnreferenced(spark, indexDir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/codes"), true)
+    (before, countFiles(Seq(newCodes)), rows)
   }
 
   /** Tombstone DELETE from the stored vector index — the text twin
@@ -1438,18 +1589,37 @@ object SimilarityQueries {
   def deleteFromIvfPqIndex(spark: SparkSession, indexDir: String,
       ids: Seq[Long]): Unit = {
     import spark.implicits._
+    val art = vectorArtifactDir(spark, indexDir)
     // idempotent like the text twin: already-tombstoned ids drop,
     // so retried takedown jobs never bloat the tombstone artifact
     val already: Set[Long] =
-      if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
-        spark.read.parquet(s"$indexDir/tombstones")
+      if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+        spark.read.parquet(s"$art/tombstones")
           .select($"vec_id").distinct()
           .collect().map(_.getLong(0)).toSet
       else Set.empty
     val fresh = ids.distinct.filterNot(already)
     if (fresh.isEmpty) return
-    fresh.toDF("vec_id").write.mode("append")
-      .parquet(s"$indexDir/tombstones")
+    // tombstones + the carried manifest commit as ONE generation
+    // (the text twin's staging discipline) — never half-visible
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(stage)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    (already ++ fresh).toSeq.sorted.toDF("vec_id")
+      .coalesce(1).write.parquet(s"$stage/tombstones")
+    writeVecManifest(spark, stage, codesDirs(spark, indexDir, art))
+    graft.io.Layout.commitGeneration(spark, stage)
+    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (art == indexDir) { // legacy flat tombstones are superseded
+      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(t, true)
+    }
   }
 
   /** Query-time IVF+PQ search over a STORED index — the plan a
@@ -1493,7 +1663,8 @@ object SimilarityQueries {
         spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid)
       case _ => spark.read.parquet(s"$indexDir/cells")
     }
-    val codes1 = spark.read.parquet(s"$indexDir/codes")
+    val vart = vectorArtifactDir(spark, indexDir)
+    val codes1 = codesFrame(spark, indexDir)
       .filter($"cell_id".isInCollection(probedCells))
     // PRE-filter semantics for the ES 8.x `knn.filter` clause served
     // from the stored index (q113's stored face): the metadata
@@ -1508,14 +1679,14 @@ object SimilarityQueries {
     // tombstoned vectors never reach the ADC scoring (the FAISS
     // IDSelector mask as an anti-join; compaction reclaims the rows)
     val codes =
-      if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+      if (graft.io.Layout.pathExists(spark, s"$vart/tombstones"))
         // no broadcast hint: the tombstone set is bounded by
         // deletes-since-compaction, but that bound is operational,
         // not structural (storedVectorLifecycle tombstones a third
         // of its corpus) — let AQE pick broadcast when the set is
         // actually small rather than force a driver-sized assumption
         codes0.join(
-          spark.read.parquet(s"$indexDir/tombstones")
+          spark.read.parquet(s"$vart/tombstones")
             .select($"vec_id").distinct(),
           Seq("vec_id"), "left_anti")
       else codes0
@@ -1737,7 +1908,8 @@ object SimilarityQueries {
     }
     val probedCells = probed.select($"cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val codes1 = spark.read.parquet(s"$indexDir/codes")
+    val vart = vectorArtifactDir(spark, indexDir)
+    val codes1 = codesFrame(spark, indexDir)
       .filter($"cell_id".isInCollection(probedCells))
     // the same PRE-filter semi-join as the single-query face — one
     // filter pass masks every query's candidate set at once (the
@@ -1746,14 +1918,14 @@ object SimilarityQueries {
     val codes0 = allowed.fold(codes1)(a =>
       codes1.join(a.select($"vec_id"), Seq("vec_id"), "left_semi"))
     val codes =
-      if (graft.io.Layout.pathExists(spark, s"$indexDir/tombstones"))
+      if (graft.io.Layout.pathExists(spark, s"$vart/tombstones"))
         // no broadcast hint: the tombstone set is bounded by
         // deletes-since-compaction, but that bound is operational,
         // not structural (storedVectorLifecycle tombstones a third
         // of its corpus) — let AQE pick broadcast when the set is
         // actually small rather than force a driver-sized assumption
         codes0.join(
-          spark.read.parquet(s"$indexDir/tombstones")
+          spark.read.parquet(s"$vart/tombstones")
             .select($"vec_id").distinct(),
           Seq("vec_id"), "left_anti")
       else codes0

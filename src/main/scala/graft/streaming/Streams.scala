@@ -573,13 +573,14 @@ object Streams {
       .start()
 
   /** The VECTOR twin of [[indexRefreshStream]]: arriving embeddings
-    * assign + encode against the index's FIXED artifacts and append
-    * into their cell partitions ([[graft.queries.SimilarityQueries
-    * .appendToIvfPqIndex]] — the q106 stability contract per
-    * micro-batch). Appends are not idempotent here either (replay
-    * would duplicate code rows and the duplicate could surface in a
-    * page), so the same [[graft.io.Layout.onceForBatch]] guard
-    * applies. */
+    * assign + encode against the index's FIXED artifacts and land as
+    * an immutable cell-partitioned segment
+    * ([[graft.queries.SimilarityQueries.appendToIvfPqIndex]] — the
+    * q106 stability contract per micro-batch). The batch id is the
+    * segment identity, so replays of committed batches are strict
+    * no-ops and crashed half-appends re-stage cleanly — the same
+    * staged-segment exactly-once protocol as the text refresh
+    * streams, with no marker-log residual window. */
   def vectorRefreshStream(vecs: DataFrame, indexDir: String,
       checkpointDir: String, m: Int = 8,
       subdim: Int = 8): StreamingQuery =
@@ -587,14 +588,10 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.io.Layout.onceForBatch(batch.sparkSession, indexDir,
-            batchId) {
-            graft.queries.SimilarityQueries.appendToIvfPqIndex(
-              batch.sparkSession, indexDir, batch, m, subdim)
-          }
-          ()
-        }
+        if (!batch.isEmpty)
+          graft.queries.SimilarityQueries.appendToIvfPqIndex(
+            batch.sparkSession, indexDir, batch, m, subdim,
+            segmentId = Some(s"b$batchId"))
       }
       .start()
 

@@ -72,7 +72,7 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     assert(search(idxA) == search(idxB),
       "append-refresh must equal batch rebuild at fixed artifacts")
     // the appended codes table holds every vector exactly once
-    val ids = spark.read.parquet(s"$idxA/codes")
+    val ids = SimilarityQueries.codesFrame(spark, idxA)
       .select($"vec_id").distinct().count()
     assert(ids == maxId + 1)
     // compaction: the append left extra part-files per touched cell;
@@ -82,7 +82,7 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
       SimilarityQueries.compactIvfPqIndex(spark, idxA)
     assert(fAfter < fBefore,
       s"compaction must reclaim append files: $fBefore -> $fAfter")
-    assert(rows == spark.read.parquet(s"$idxA/codes").count(),
+    assert(rows == SimilarityQueries.codesFrame(spark, idxA).count(),
       "content untouched")
     assert(search(idxA) == preSearch,
       "stored search must be compaction-invariant")
@@ -111,15 +111,16 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     val baseSurvivors = base.filterNot(h => dead.contains(h._1))
     assert(after.take(baseSurvivors.size) == baseSurvivors,
       "surviving hits must keep their scores and order")
-    val rowsBefore = spark.read.parquet(s"$idx/codes").count()
-    val deadRows = spark.read.parquet(s"$idx/codes")
+    val rowsBefore = SimilarityQueries.codesFrame(spark, idx).count()
+    val deadRows = SimilarityQueries.codesFrame(spark, idx)
       .filter($"vec_id".isInCollection(dead)).count()
     assert(deadRows > 0)
     val preSearch = search()
     SimilarityQueries.compactIvfPqIndex(spark, idx)
-    assert(!new java.io.File(s"$idx/tombstones").exists(),
+    assert(!graft.io.Layout.pathExists(spark,
+      s"${SimilarityQueries.vectorArtifactDir(spark, idx)}/tombstones"),
       "compaction must reclaim the tombstone set")
-    assert(spark.read.parquet(s"$idx/codes").count() ==
+    assert(SimilarityQueries.codesFrame(spark, idx).count() ==
       rowsBefore - deadRows,
       "compaction must drop exactly the tombstoned code rows")
     assert(search() == preSearch,
@@ -430,5 +431,37 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     val survivors = stored.filterNot(h => dead.contains(h._1))
     assert(after.take(survivors.size) == survivors,
       "surviving hits keep exact scores and order on the imi grid")
+  }
+
+  test("imi coarse: batched and filtered faces compose on the grid") {
+    val idx = java.nio.file.Files.createTempDirectory("imi-msearch")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idx, coarse = "imi")
+    val n = graft.io.Tables.embeddings(spark, dir).count().toInt
+    // gate-exact batched search over the imi grid (every cell probed
+    // via the per-query multi-sequence walks) must equal the
+    // self-contained q114 batch — one codes pass for all queries,
+    // coarse quantizer transparent to the msearch amortization
+    val stored = SimilarityQueries.ivfPqMsearchStored(spark, idx, dir,
+        probes = 256, shortlist = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val self = SimilarityQueries.knnBatch(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(stored == self,
+      "gate-exact imi msearch must equal the self-contained batch")
+    // pre-filter semantics under the imi probe path: every hit
+    // satisfies the filter, an all-ids filter reproduces the page
+    val allowed = graft.io.Tables.documents(spark, dir)
+      .filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val filt = SimilarityQueries.ivfPqSearchStored(spark, idx, dir,
+        probes = 256, shortlist = n, allowed = Some(allowed))
+      .collect().map(_.getLong(0)).toSeq
+    assert(filt.nonEmpty && filt.forall(allowedIds),
+      "every imi filtered hit must satisfy the pre-filter")
   }
 }

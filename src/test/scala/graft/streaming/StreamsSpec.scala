@@ -703,17 +703,30 @@ class StreamsSpec extends SparkSpecBase {
       "streamed vector refresh must equal a batch rebuild at fixed " +
         "artifacts")
     // every vector encoded exactly once — and a replayed batch id
-    // cannot change that
-    def codeIds(i: String) = spark.read.parquet(s"$i/codes")
+    // (its segment already in the live manifest) cannot change that
+    def codeIds(i: String) = SimilarityQueries.codesFrame(spark, i)
       .select($"vec_id").distinct().count()
     assert(codeIds(idx) == maxId + 1)
-    val ran = graft.io.Layout.onceForBatch(spark, idx, 0L) {
-      SimilarityQueries.appendToIvfPqIndex(spark, idx,
-        f0.toDF("vec_id", "embedding"))
-    }
-    assert(!ran, "a committed batch id must not re-apply")
+    SimilarityQueries.appendToIvfPqIndex(spark, idx,
+      f0.toDF("vec_id", "embedding"), segmentId = Some("b0"))
     assert(codeIds(idx) == maxId + 1,
       "replayed append batch must not duplicate code rows")
+    // the crash-window side: a half-appended segment (data landed,
+    // no commit marker) is invisible, and the batch's replay — same
+    // batch id, same rows, what a restarted stream delivers —
+    // re-stages it exactly once
+    val b9 = Seq((maxId + 100, f0.head._2), (maxId + 101, f1.head._2))
+      .toDF("vec_id", "embedding")
+    val preSearch = search(idx)
+    b9.write.parquet(s"$idx/seg-b9/codes/cell_id=0")
+    assert(search(idx) == preSearch,
+      "an uncommitted vector segment must be invisible")
+    SimilarityQueries.appendToIvfPqIndex(spark, idx, b9,
+      segmentId = Some("b9"))
+    SimilarityQueries.appendToIvfPqIndex(spark, idx, b9,
+      segmentId = Some("b9")) // and the committed-side replay
+    assert(codeIds(idx) == maxId + 1 + 2,
+      "replay over a crashed half-append must land each vector once")
   }
 
   test("vectorTakedownStream: streamed deletes mask the vector index; replays are safe") {
@@ -744,7 +757,9 @@ class StreamsSpec extends SparkSpecBase {
     assert(!after.exists(top.contains),
       "tombstoned vectors must vanish from the stored search")
     // the tombstone artifact holds each id once (idempotent delete)
-    val tombs = spark.read.parquet(s"$idx/tombstones")
+    // tombstones resolve through the committed generation now
+    val tombs = spark.read.parquet(
+        s"${SimilarityQueries.vectorArtifactDir(spark, idx)}/tombstones")
       .collect().map(_.getLong(0)).toSeq
     assert(tombs.sorted == top.toSeq.sorted,
       "replayed takedown ids must not bloat the tombstone artifact")
