@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.FullText
+import graft.queries.SimilarityQueries
+
+/** Measures the STORED faces' scale claims as query-time-vs-corpus-size
+  * CURVES on synthetic corpora the driver's testdata cannot reach
+  * (10× / 100× the base size):
+  *
+  *  - `bm25SearchStored`: the claim is "query cost tracks dictionary +
+  *    matched postings" — the query terms' bucket-pruned postings scan
+  *    plus a Heaps-law dictionary probe, NOT the corpus. The curve
+  *    should grow far sublinearly in corpus size (matched postings
+  *    grow with df; the scan prunes to |query-term buckets| of the
+  *    term-bucket partitions).
+  *  - `ivfPqSearchStored`: the claim is "probed cells' FILES only" —
+  *    at fixed probes/cells the candidate volume is ≈ probes/cells of
+  *    the corpus, so the curve should track N/cells, not N, and stay
+  *    far under the brute-force scan it replaces.
+  *
+  * Index BUILD time is excluded (index-time cost, paid once); each
+  * query times min-of-3 after a warm-up evaluation. Corpora are
+  * deterministic (seeded xxhash64 token soup / hash-derived float
+  * embeddings — the ProbeSimhash convention), so runs are
+  * reproducible. Usage:
+  * `runMain graft.tools.ProbeScaleCurve [baseN] [factors]` (default
+  * 20000 and "1,10,100"). Prints one JSON line per (face, N); PLANS.md
+  * records the measured curves. */
+object ProbeScaleCurve {
+
+  private def timeMin3(body: => Unit): Double = {
+    body // warm-up (plans compile, codegen caches fill)
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  /** ~30-token docs over a Heaps-ish vocabulary: vocab grows with
+    * sqrt(N) so the dictionary behaves like real text (bigger corpora
+    * add types sublinearly); 20% of slots draw from 64 hot terms (a
+    * Zipf head), the rest from the cold tail. */
+  private def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val vocab = math.max(2048, math.sqrt(n.toDouble).toInt * 24)
+    spark.range(n).select($"id".as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(29)), i => {
+        val h = xxhash64($"id" * 31 + i)
+        val hot = concat(lit("h"), pmod(h, lit(64)).cast("string"))
+        val cold = concat(lit("w"),
+          pmod(xxhash64($"id" * 131 + i * 7), lit(vocab)).cast("string"))
+        when(pmod(h, lit(5)) === 0, hot).otherwise(cold)
+      })).as("text"))
+  }
+
+  /** Deterministic 64-d float embeddings in [-0.5, 0.5). */
+  private def syntheticEmbeddings(spark: SparkSession,
+      n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (pmod(xxhash64($"id" * 67 + d), lit(1000)).cast("double") / 1000d
+          - lit(0.5d)).cast("float")).as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseN = args.headOption.map(_.toLong).getOrElse(20000L)
+    val factors = args.lift(1).getOrElse("1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    factors.foreach { f =>
+      val n = baseN * f
+      // ---- text face -------------------------------------------------
+      val idx = java.nio.file.Files.createTempDirectory(s"curve-txt-$n")
+        .toFile.getAbsolutePath
+      val docs = syntheticDocs(spark, n).localCheckpoint()
+      FullText.writeTextIndex(docs, "doc_id", "text", idx)
+      val terms = Seq("h1", "h7", "w42") // two hot heads + one tail term
+      val tSearch = timeMin3 {
+        FullText.bm25SearchStored(spark, idx, terms).collect()
+      }
+      // the claim's denominators: dictionary size and matched postings
+      val art = FullText.liveArtifactDir(spark, idx)
+      val dict = spark.read.parquet(s"$art/df").count()
+      val matched = FullText.postingsFrame(spark, idx)
+        .filter($"term".isInCollection(terms)).count()
+      println(s"""{"face":"bm25SearchStored","n_docs":$n,""" +
+        s""""query_s":${f"$tSearch%.3f"},"dict_terms":$dict,""" +
+        s""""matched_postings":$matched}""")
+      graft.ops.Checkpoints.unpersist(docs)
+
+      // ---- vector face -----------------------------------------------
+      // cells scale with sqrt(N) (the FAISS sizing convention), so the
+      // probed fraction — probes/cells — SHRINKS as the corpus grows,
+      // which is the deployment shape the claim is about
+      val vidx = java.nio.file.Files.createTempDirectory(s"curve-vec-$n")
+        .toFile.getAbsolutePath
+      val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+      val e = syntheticEmbeddings(spark, n).localCheckpoint()
+      SimilarityQueries.writeIvfPqIndexFrames(e, e, vidx,
+        numCells = cells)
+      val eDir = java.nio.file.Files.createTempDirectory(s"curve-emb-$n")
+        .toFile.getAbsolutePath
+      e.write.mode("overwrite").parquet(s"$eDir/embeddings.parquet")
+      val tVec = timeMin3 {
+        SimilarityQueries.ivfPqSearchStored(spark, vidx, eDir).collect()
+      }
+      val probedRows = spark.read.parquet(s"$vidx/codes")
+        .filter($"cell_id".isin(0L, 1L)).count() / 8 // 8 sub-rows/vec
+      val tBrute = timeMin3 {
+        SimilarityQueries.knnBruteForce(spark, eDir).collect()
+      }
+      println(s"""{"face":"ivfPqSearchStored","n_vecs":$n,""" +
+        s""""cells":$cells,"query_s":${f"$tVec%.3f"},""" +
+        s""""probed_vecs":$probedRows,""" +
+        s""""brute_force_s":${f"$tBrute%.3f"}}""")
+      graft.ops.Checkpoints.unpersist(e)
+    }
+    spark.stop()
+  }
+}
