@@ -1095,7 +1095,11 @@ object SimilarityQueries {
     val spark = artifactsFrom.sparkSession
     clearVecDerivedLayout(spark, indexDir)
     val halfDim = m * subdim / 2
-    val assign = coarse match {
+    // checkpointed: the corpus assignment is consumed by the codes
+    // join AND (for the residual codec) the residual encode — lazy
+    // re-evaluation would re-run the whole score-and-pick chain per
+    // consumer (measured seconds per extra pass at bench scale)
+    val assign0 = coarse match {
       case "imi" =>
         val imiCb = ProductQuant.trainCodebooks(
           ProductQuant.subVectors(artifactsFrom, 2, halfDim),
@@ -1109,6 +1113,7 @@ object SimilarityQueries {
         cells.write.mode("overwrite").parquet(s"$indexDir/cells")
         assignToCells(corpus, spark.read.parquet(s"$indexDir/cells"))
     }
+    val assign = assign0.localCheckpoint()
     // coarse centroids for the cell ids in `needed` — the residual
     // codec's reference points, coarse-dispatched (flat: the cells
     // table; imi: composed from the half codebooks, occupied/probed
@@ -1152,13 +1157,17 @@ object SimilarityQueries {
           case _ => assignToCells(df,
             spark.read.parquet(s"$indexDir/cells"))
         }
-        val residA = residOf(artifactsFrom, assignOf(artifactsFrom))
+        // checkpointed for the same reason as `assign`: trainCodebooks
+        // evaluates its input repeatedly across Lloyd rounds
+        val assignA = assignOf(artifactsFrom).localCheckpoint()
+        val residA = residOf(artifactsFrom, assignA)
         val cb = ProductQuant.trainCodebooks(
           ProductQuant.subVectors(
             residA.filter(norm($"embedding") =!= 0d), m, subdim),
           c, iters)
         cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
         graft.ops.Checkpoints.unpersist(cb)
+        graft.ops.Checkpoints.unpersist(assignA)
         ProductQuant.encodeDet(
           ProductQuant.subVectors(residOf(corpus, assign), m, subdim),
           spark.read.parquet(s"$indexDir/codebooks"))
@@ -1207,6 +1216,7 @@ object SimilarityQueries {
     Seq((codec, m, subdim, numCells, c, coarse, cGrid))
       .toDF("codec", "m", "subdim", "num_cells", "c", "coarse", "c_grid")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
+    graft.ops.Checkpoints.unpersist(assign)
   }
 
   /** q90's clamped 8-bit linear quantization over the stored ranges:
@@ -1451,14 +1461,15 @@ object SimilarityQueries {
     // the delta assigns through the SAME coarse quantizer the writer
     // persisted (meta-dispatched — flat cells or the q104 half
     // codebooks), so appended rows land in the partitions every
-    // search face probes
-    val assign = coarse match {
+    // search face probes; checkpointed — the codes join and the
+    // residual encode both consume it
+    val assign = (coarse match {
       case "imi" => imiAssign(fresh,
         spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid,
         mm * sd / 2)
       case _ => assignToCells(fresh,
         spark.read.parquet(s"$indexDir/cells"))
-    }
+    }).localCheckpoint()
     def centsFor(needed: DataFrame): DataFrame = coarse match {
       case "imi" => imiCembFor(needed,
         spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid)
@@ -1511,6 +1522,7 @@ object SimilarityQueries {
       t.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(t, true)
     }
+    graft.ops.Checkpoints.unpersist(assign)
   }
 
   /** Maintenance compactor for the stored layout's cell-partitioned
@@ -1789,7 +1801,12 @@ object SimilarityQueries {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-vec-lifecycle").toFile.getAbsolutePath
     val numCells = 16
-    val cGrid = 16
+    // the gate's grid: 8×8 = 64 composed cells — a genuine two-level
+    // grid (4× the flat cell count) without the tiny-file partition
+    // overhead cGrid = 16 (256 dirs for a gate-sized corpus) costs in
+    // the bench; the deployment-spec equality with q116 runs at
+    // cGrid = 16 in VectorIndexLayoutSpec, where quality matters
+    val cGrid = 8
     writeIvfPqIndexFrames(e.filter($"vec_id" <= wm),
       e.filter($"vec_id" <= wm), idx, numCells = numCells,
       codec = codec, coarse = coarse, cGrid = cGrid)
