@@ -54,17 +54,17 @@ object Layout {
     * `<dir>/_batch_commits/<id>` exists, else run the body and touch
     * the marker AFTER it completes. Returns whether the body ran.
     * The residual window — body finished, crash before the marker —
-    * re-runs the body once on replay. The TEXT-index refresh streams
-    * no longer carry this window: their appends commit through the
-    * staged-segment manifest protocol (see
-    * [[graft.ops.FullText.appendToTextIndex]]), where the batch's
-    * segment id in the live manifest IS the commit record. This
-    * guard remains for bodies whose append target is an unversioned
-    * directory (the vector index's cell-partitioned codes), where
-    * closing the window fully would need the same manifest
-    * treatment or a transactional table format. Markers accumulate
-    * one EMPTY file per micro-batch; they are metadata of the
-    * stream, dropped whenever the index is rebuilt. */
+    * re-runs the body once on replay. NOTHING in the engine uses
+    * this guard anymore: both index families' refresh streams commit
+    * through the staged-segment manifest protocol (see
+    * [[graft.ops.FullText.appendToTextIndex]] /
+    * [[graft.queries.SimilarityQueries.appendToIvfPqIndex]]), where
+    * the batch's segment id in the applied-segments registry IS the
+    * commit record, with no residual window. Kept as the generic
+    * defense for EXTERNAL foreachBatch bodies that write unversioned
+    * targets. Markers accumulate one EMPTY file per micro-batch;
+    * they are metadata of the stream, dropped whenever the index is
+    * rebuilt. */
   def onceForBatch(spark: SparkSession, indexDir: String,
       batchId: Long)(body: => Unit): Boolean = {
     val marker = new Path(s"$indexDir/_batch_commits/$batchId")
@@ -87,7 +87,16 @@ object Layout {
     * the previous generation intact and mutually consistent — then
     * commits. Readers resolve the highest committed generation.
     * Returns None when no committed generation exists (a legacy /
-    * never-deleted index keeps its artifacts at the root). */
+    * never-deleted index keeps its artifacts at the root).
+    *
+    * SINGLE MUTATOR AT A TIME — the Lucene IndexWriter contract:
+    * concurrent mutations of one index race on the gen-(N+1) staging
+    * directory (each starts by clearing it) and are NOT supported.
+    * Readers are unaffected (they see only committed generations); a
+    * deployment feeding one index from several streams unions the
+    * feeds into one stream, or serializes mutations through one
+    * maintenance queue, exactly as it would with Lucene/ES shard
+    * writers. */
   def liveGeneration(spark: SparkSession, indexDir: String): Option[Long] = {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -113,21 +122,65 @@ object Layout {
       .create(marker, true).close()
   }
 
-  /** Reclaim generations older than `keep` (and any uncommitted
-    * stragglers above it) — run AFTER a successful commit. A reader
-    * mid-plan on a superseded generation can lose its input, the same
-    * maintenance-window caveat [[rewriteParquet]] carries; a
-    * deployment wanting lock-free readers keeps K old generations. */
+  /** Reclaim generations superseded by `keep` — run AFTER a
+    * successful commit. By default only the just-committed generation
+    * survives; a deployment wanting LOCK-FREE READERS (a query planned
+    * over gen-N must not lose its artifacts when gen-N+1 commits
+    * mid-plan) sets `graft.index.retainGenerations` in the session
+    * conf to K > 1 and the K newest generations below `keep` are
+    * retained (segment GC honors their manifests too). Uncommitted
+    * stragglers ABOVE `keep` (crashed writers) always drop. Compaction
+    * remains a maintenance-window operation regardless — it
+    * physically reclaims data directories older generations may
+    * reference. */
   def dropSupersededGenerations(spark: SparkSession, indexDir: String,
       keep: Long): Unit = {
+    val retain = spark.conf
+      .get("graft.index.retainGenerations", "1").toInt.max(1)
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("gen-") && n.length > 4 &&
-          n.drop(4).forall(_.isDigit) && n.drop(4).toLong != keep)
-        fs.delete(st.getPath, true)
+          n.drop(4).forall(_.isDigit)) {
+        val g = n.drop(4).toLong
+        if (g > keep || g <= keep - retain)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** The committed generation numbers currently on disk, ascending —
+    * more than one only under `graft.index.retainGenerations` > 1. */
+  def committedGenerations(spark: SparkSession,
+      indexDir: String): Seq[Long] = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && n.length > 4 &&
+        n.drop(4).forall(_.isDigit))
+      .map(_.drop(4).toLong)
+      .filter(g => fs.exists(new Path(s"${generationDir(indexDir, g)}/_COMMITTED")))
+      .toSeq.sorted
+  }
+
+  /** The shared commit epilogue of every staged-generation mutation:
+    * ONE marker makes the staged artifact set live, superseded
+    * generations retire (honoring the retain knob), and a legacy
+    * FLAT tombstone set at the root — now shadowed by the committed
+    * generation — is reclaimed. */
+  def commitGenerationAndRetire(spark: SparkSession, indexDir: String,
+      stage: String, gen: Long, previousArt: String): Unit = {
+    commitGeneration(spark, stage)
+    dropSupersededGenerations(spark, indexDir, keep = gen)
+    if (previousArt == indexDir) {
+      val t = new Path(s"$indexDir/tombstones")
+      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(t, true)
     }
   }
 

@@ -377,15 +377,13 @@ object FullText {
       .getOrElse(0L) + 1
     val segName = segmentId.map(s => s"seg-$s").getOrElse(s"seg-gen$gen")
     val oldPost = liveDirs(spark, indexDir, art, "postings")
-    if (segmentId.isDefined && oldPost.contains(s"$segName/postings"))
+    val applied = appliedSegments(spark, indexDir, art)
+    if (segmentId.isDefined && applied.contains(segName))
       return // the batch's commit record exists: full replay no-op
     val st = spark.read.parquet(s"$art/stats").head()
     val bk = statsBuckets(st, buckets)
     val hasPos = statsFlag(st, "has_positions", default = true)
-    val hasTv =
-      if (st.schema.fieldNames.contains("has_termvectors"))
-        st.getAs[Boolean]("has_termvectors")
-      else graft.io.Layout.pathExists(spark, s"$indexDir/termvectors")
+    val hasTv = hasTermVectors(spark, indexDir, art, st)
     // clear a crashed predecessor's partial staging (seg + gen dirs)
     val stage = graft.io.Layout.generationDir(indexDir, gen)
     locally {
@@ -450,14 +448,10 @@ object FullText {
     writeManifest(spark, stage,
       (oldPost :+ s"$segName/postings").map(("postings", _)) ++
         (if (hasTv) (oldTv :+ s"$segName/termvectors")
-          .map(("termvectors", _)) else Nil))
-    graft.io.Layout.commitGeneration(spark, stage)
-    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
-    if (art == indexDir) { // legacy flat tombstones are superseded
-      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(t, true)
-    }
+          .map(("termvectors", _)) else Nil) ++
+        (applied :+ segName).distinct.map(("applied", _)))
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
     Checkpoints.unpersist(freshTf)
   }
 
@@ -851,6 +845,40 @@ object FullText {
         .collect().map(_.getAs[String]("dir")).toSeq.sorted
     else Seq(kind)
 
+  /** The APPLIED-SEGMENTS registry: every segment id ever committed
+    * into this index, carried through deletes AND compactions (the
+    * manifest's live dirs forget a segment once compaction folds it —
+    * this registry must not, or a micro-batch redelivered after a
+    * compaction would re-apply; the replay check consults THIS, never
+    * the live dirs). One row per stream batch since the index was
+    * written — dictionary-small forever. Indexes from before the
+    * registry derive it from the live dirs' segment roots. */
+  private def appliedSegments(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, art: String): Seq[String] =
+    if (graft.io.Layout.pathExists(spark, s"$art/segments")) {
+      val rows = spark.read.parquet(s"$art/segments").collect()
+      val explicit = rows.filter(_.getAs[String]("kind") == "applied")
+        .map(_.getAs[String]("dir"))
+      val legacy = rows.filter(_.getAs[String]("kind") != "applied")
+        .map(_.getAs[String]("dir").split('/').head)
+        .filter(_.startsWith("seg-"))
+      (explicit ++ legacy).distinct.toSeq
+    } else Seq.empty
+
+  /** Whether this layout stores term vectors: the stats artifact's
+    * recorded flag when the column exists, else (legacy index from
+    * before the column) whether a term-vectors directory is live —
+    * the fallback the append path always had; a compactor WITHOUT it
+    * would skip folding a legacy index's forward artifact and then
+    * reclaim it, destroying exact deletes and stored MLT. */
+  private def hasTermVectors(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, art: String,
+      st: org.apache.spark.sql.Row): Boolean =
+    if (st.schema.fieldNames.contains("has_termvectors"))
+      st.getAs[Boolean]("has_termvectors")
+    else liveDirs(spark, indexDir, art, "termvectors")
+      .exists(d => graft.io.Layout.pathExists(spark, s"$indexDir/$d"))
+
   /** One frame over several physical roots: each directory reads
     * SEPARATELY (its own partition discovery — a shared multi-path
     * read trips Spark's conflicting-directory-structures check when
@@ -858,8 +886,12 @@ object FullText {
     * on the partition column push into EVERY child scan, so bucket
     * pruning survives segmentation. */
   private def readUnion(spark: org.apache.spark.sql.SparkSession,
-      paths: Seq[String]): DataFrame =
+      paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty,
+      "no live directories for this artifact kind — the layout never " +
+        "stored it (check the stats artifact's recorded flags)")
     paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
 
   /** Manifest-resolved postings frame WITHOUT the tombstone mask —
     * the raw physical union (base + committed segments). Public for
@@ -923,14 +955,21 @@ object FullText {
     }
   }
 
-  /** Reclaim root directories no longer referenced by the live
-    * manifest (crashed appends' orphan segments, superseded folded
-    * dirs) — idempotent, called around compaction. */
+  /** Reclaim root directories no longer referenced by ANY retained
+    * committed generation's manifest (crashed appends' orphan
+    * segments, superseded folded dirs) — idempotent, called around
+    * compaction. Scans every committed generation, not just the
+    * newest, so `graft.index.retainGenerations` > 1 keeps older
+    * generations' segment dirs readable. */
   private def gcUnreferenced(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
-    val art = liveArtifactDir(spark, indexDir)
-    val live = (liveDirs(spark, indexDir, art, "postings") ++
-      liveDirs(spark, indexDir, art, "termvectors"))
+    val gens = graft.io.Layout.committedGenerations(spark, indexDir)
+    val arts =
+      if (gens.isEmpty) Seq(indexDir)
+      else gens.map(g => graft.io.Layout.generationDir(indexDir, g))
+    val live = arts.flatMap(a =>
+      liveDirs(spark, indexDir, a, "postings") ++
+        liveDirs(spark, indexDir, a, "termvectors"))
       .map(_.split('/').head).toSet
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -999,8 +1038,7 @@ object FullText {
     // the Lucene-stale path here — its exact twin is
     // [[deleteFromMultiFieldTextIndex]]
     val multiField = st.schema.fieldNames.contains("field")
-    val hasTv = !multiField &&
-      statsFlag(st, "has_termvectors", default = false)
+    val hasTv = !multiField && hasTermVectors(spark, indexDir, art, st)
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
     val stage = graft.io.Layout.generationDir(indexDir, gen)
@@ -1052,13 +1090,8 @@ object FullText {
     if (graft.io.Layout.pathExists(spark, s"$art/segments"))
       spark.read.parquet(s"$art/segments")
         .coalesce(1).write.parquet(s"$stage/segments")
-    graft.io.Layout.commitGeneration(spark, stage)
-    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
-    if (art == indexDir) { // legacy flat tombstones are superseded too
-      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(t, true)
-    }
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
   }
 
   /** Maintenance compactor for the stored text layout's
@@ -1080,14 +1113,14 @@ object FullText {
     * file reclamation, tombstone reclamation, and stored-search
     * frame equality across the rewrite. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): (Long, Long, Long) = {
+      indexDir: String, buckets: Int = 16): (Long, Long, Long) = {
     import spark.implicits._
     gcUnreferenced(spark, indexDir) // crashed predecessors' orphans
     val art = liveArtifactDir(spark, indexDir)
     val tombPath = s"$art/tombstones"
     val hasTomb = graft.io.Layout.pathExists(spark, tombPath)
     val st = spark.read.parquet(s"$art/stats").head()
-    val hasTv = statsFlag(st, "has_termvectors", default = false)
+    val hasTv = hasTermVectors(spark, indexDir, art, st)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def countFiles(dirs: Seq[String]): Long = {
@@ -1143,7 +1176,7 @@ object FullText {
           coalesce(sum(col("doclen")), lit(0L)).as("s")).head()
       val hasPos = statsFlag(st, "has_positions", default = true)
       Seq((r.getLong(0), r.getLong(1).toDouble / r.getLong(0),
-        r.getLong(1), hasPos, false, statsBuckets(st, 16)))
+        r.getLong(1), hasPos, false, statsBuckets(st, buckets)))
         .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
           "has_termvectors", "buckets")
         .write.parquet(s"$stage/stats")
@@ -1153,15 +1186,15 @@ object FullText {
       spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
       spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
     }
-    // no tombstones in the new generation: physically applied
+    // no tombstones in the new generation: physically applied. The
+    // APPLIED-SEGMENTS registry carries forward even though the live
+    // dirs forget the folded segments — a micro-batch redelivered
+    // after this compaction must still read as already-applied
     writeManifest(spark, stage, Seq(("postings", newPost)) ++
-      (if (hasTv) Seq(("termvectors", newTv)) else Nil))
-    graft.io.Layout.commitGeneration(spark, stage)
-    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
-    if (art == indexDir) { // legacy flat tombstones superseded
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
-        true)
-    }
+      (if (hasTv) Seq(("termvectors", newTv)) else Nil) ++
+      appliedSegments(spark, indexDir, art).map(("applied", _)))
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
     // reclaim the superseded base/segment dirs (now unreferenced)
     gcUnreferenced(spark, indexDir)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings"), true)
@@ -1597,7 +1630,8 @@ object FullText {
       .getOrElse(0L) + 1
     val segName = segmentId.map(s => s"seg-$s").getOrElse(s"seg-gen$gen")
     val oldPost = liveDirs(spark, indexDir, art, "postings")
-    if (segmentId.isDefined && oldPost.contains(s"$segName/postings"))
+    val applied = appliedSegments(spark, indexDir, art)
+    if (segmentId.isDefined && applied.contains(segName))
       return // the batch's commit record exists: full replay no-op
     val st0 = spark.read.parquet(s"$art/stats").head()
     val bk = statsBuckets(st0, buckets)
@@ -1670,14 +1704,10 @@ object FullText {
     writeManifest(spark, stage,
       (oldPost :+ s"$segName/postings").map(("postings", _)) ++
         (if (hasTv) (oldTv :+ s"$segName/termvectors")
-          .map(("termvectors", _)) else Nil))
-    graft.io.Layout.commitGeneration(spark, stage)
-    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
-    if (art == indexDir) { // legacy flat tombstones are superseded
-      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(t, true)
-    }
+          .map(("termvectors", _)) else Nil) ++
+        (applied :+ segName).distinct.map(("applied", _)))
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
     Checkpoints.unpersist(freshTf)
   }
 
@@ -1712,7 +1742,7 @@ object FullText {
     if (distinctIds.isEmpty) return
     val st = spark.read.parquet(s"$art/stats").head()
     val bk = statsBuckets(st, buckets)
-    val hasTv = statsFlag(st, "has_termvectors", default = false)
+    val hasTv = hasTermVectors(spark, indexDir, art, st)
     if (!hasTv) { // Lucene mode: identical to the single-field path
       deleteFromTextIndex(spark, indexDir, ids, bk)
       return
@@ -1765,13 +1795,8 @@ object FullText {
     if (graft.io.Layout.pathExists(spark, s"$art/segments"))
       spark.read.parquet(s"$art/segments")
         .coalesce(1).write.parquet(s"$stage/segments")
-    graft.io.Layout.commitGeneration(spark, stage)
-    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
-    if (art == indexDir) {
-      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(t, true)
-    }
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
   }
 
   /** Compactor for the multi-field layout — [[compactTextIndex]]'s
@@ -1782,14 +1807,14 @@ object FullText {
     * at delete time and carry forward; without them they re-derive
     * from the survivors. */
   def compactMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): (Long, Long, Long) = {
+      indexDir: String, buckets: Int = 16): (Long, Long, Long) = {
     import spark.implicits._
     gcUnreferenced(spark, indexDir)
     val art = liveArtifactDir(spark, indexDir)
     val tombPath = s"$art/tombstones"
     val hasTomb = graft.io.Layout.pathExists(spark, tombPath)
     val st = spark.read.parquet(s"$art/stats").head()
-    val hasTv = statsFlag(st, "has_termvectors", default = false)
+    val hasTv = hasTermVectors(spark, indexDir, art, st)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def countFiles(dirs: Seq[String]): Long = {
@@ -1841,7 +1866,7 @@ object FullText {
         .collect()
         .map(r => (r.getString(0), r.getLong(1),
           r.getLong(2).toDouble / r.getLong(1), r.getLong(2),
-          false, statsBuckets(st, 16)))
+          false, statsBuckets(st, buckets)))
       rws.toSeq.toDF("field", "n_docs", "avgdl", "sum_doclen",
         "has_termvectors", "buckets")
         .write.parquet(s"$stage/stats")
@@ -1850,12 +1875,10 @@ object FullText {
       spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
     }
     writeManifest(spark, stage, Seq(("postings", newPost)) ++
-      (if (hasTv) Seq(("termvectors", newTv)) else Nil))
-    graft.io.Layout.commitGeneration(spark, stage)
-    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
-    if (art == indexDir)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
-        true)
+      (if (hasTv) Seq(("termvectors", newTv)) else Nil) ++
+      appliedSegments(spark, indexDir, art).map(("applied", _)))
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
     gcUnreferenced(spark, indexDir)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/termvectors"),

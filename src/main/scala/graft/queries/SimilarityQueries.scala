@@ -1369,19 +1369,40 @@ object SimilarityQueries {
   }
 
   private def writeVecManifest(spark: SparkSession, stage: String,
-      dirs: Seq[String]): Unit = {
+      dirs: Seq[String], applied: Seq[String]): Unit = {
     import spark.implicits._
-    dirs.map(("codes", _)).toDF("kind", "dir").coalesce(1)
+    (dirs.map(("codes", _)) ++ applied.distinct.map(("applied", _)))
+      .toDF("kind", "dir").coalesce(1)
       .write.parquet(s"$stage/segments")
   }
+
+  /** The APPLIED-SEGMENTS registry (the FullText.appliedSegments
+    * twin): every segment id ever committed, surviving deletes AND
+    * compactions — the replay check consults this, never the live
+    * dirs, or a micro-batch redelivered after a compaction would
+    * re-apply. */
+  private def vecAppliedSegments(spark: SparkSession,
+      indexDir: String, art: String): Seq[String] =
+    if (graft.io.Layout.pathExists(spark, s"$art/segments")) {
+      val rows = spark.read.parquet(s"$art/segments").collect()
+      val explicit = rows.filter(_.getAs[String]("kind") == "applied")
+        .map(_.getAs[String]("dir"))
+      val legacy = rows.filter(_.getAs[String]("kind") != "applied")
+        .map(_.getAs[String]("dir").split('/').head)
+        .filter(_.startsWith("seg-"))
+      (explicit ++ legacy).distinct.toSeq
+    } else Seq.empty
 
   /** Reclaim root dirs no longer referenced by the live manifest
     * (crashed appends' orphan segments, superseded folds) —
     * idempotent, called around compaction. */
   private def vecGcUnreferenced(spark: SparkSession,
       indexDir: String): Unit = {
-    val art = vectorArtifactDir(spark, indexDir)
-    val live = codesDirs(spark, indexDir, art)
+    val gens = graft.io.Layout.committedGenerations(spark, indexDir)
+    val arts =
+      if (gens.isEmpty) Seq(indexDir)
+      else gens.map(g => graft.io.Layout.generationDir(indexDir, g))
+    val live = arts.flatMap(a => codesDirs(spark, indexDir, a))
       .map(_.split('/').head).toSet
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1447,7 +1468,8 @@ object SimilarityQueries {
       .getOrElse(0L) + 1
     val segName = segmentId.map(s => s"seg-$s").getOrElse(s"seg-gen$gen")
     val oldDirs = codesDirs(spark, indexDir, art)
-    if (segmentId.isDefined && oldDirs.contains(s"$segName/codes"))
+    val applied = vecAppliedSegments(spark, indexDir, art)
+    if (segmentId.isDefined && applied.contains(segName))
       return // the batch's commit record exists: full replay no-op
     val stage = graft.io.Layout.generationDir(indexDir, gen)
     locally { // clear a crashed predecessor's partial staging
@@ -1514,14 +1536,10 @@ object SimilarityQueries {
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
       spark.read.parquet(s"$art/tombstones")
         .coalesce(1).write.parquet(s"$stage/tombstones")
-    writeVecManifest(spark, stage, oldDirs :+ s"$segName/codes")
-    graft.io.Layout.commitGeneration(spark, stage)
-    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
-    if (art == indexDir) { // legacy flat tombstones are superseded
-      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(t, true)
-    }
+    writeVecManifest(spark, stage, oldDirs :+ s"$segName/codes",
+      applied :+ segName)
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
     graft.ops.Checkpoints.unpersist(assign)
   }
 
@@ -1573,13 +1591,12 @@ object SimilarityQueries {
     folded0.repartition($"cell_id")
       .write.partitionBy("cell_id").parquet(s"$indexDir/$newCodes")
     val rows = spark.read.parquet(s"$indexDir/$newCodes").count()
-    // no tombstones in the new generation: physically applied
-    writeVecManifest(spark, stage, Seq(newCodes))
-    graft.io.Layout.commitGeneration(spark, stage)
-    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
-    if (art == indexDir)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
-        true)
+    // no tombstones in the new generation: physically applied; the
+    // applied-segments registry carries forward past the fold
+    writeVecManifest(spark, stage, Seq(newCodes),
+      vecAppliedSegments(spark, indexDir, art))
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
     vecGcUnreferenced(spark, indexDir)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/codes"), true)
     (before, countFiles(Seq(newCodes)), rows)
@@ -1624,14 +1641,10 @@ object SimilarityQueries {
     }
     (already ++ fresh).toSeq.sorted.toDF("vec_id")
       .coalesce(1).write.parquet(s"$stage/tombstones")
-    writeVecManifest(spark, stage, codesDirs(spark, indexDir, art))
-    graft.io.Layout.commitGeneration(spark, stage)
-    graft.io.Layout.dropSupersededGenerations(spark, indexDir, keep = gen)
-    if (art == indexDir) { // legacy flat tombstones are superseded
-      val t = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-      t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(t, true)
-    }
+    writeVecManifest(spark, stage, codesDirs(spark, indexDir, art),
+      vecAppliedSegments(spark, indexDir, art))
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
   }
 
   /** Query-time IVF+PQ search over a STORED index — the plan a

@@ -841,6 +841,76 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(!graft.io.Layout.pathExists(spark, s"$idx/tombstones"))
   }
 
+  test("applied-segments registry: a batch replayed AFTER compaction is still a no-op") {
+    val old = Seq(
+      (1L, "fast vector engines win races"),
+      (2L, "fast vector query engines"),
+      (3L, "slow scalar fallback path")).toDF("doc_id", "text")
+    val b0 = Seq((4L, "fast query planners everywhere"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-replay-c")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(old, "doc_id", "text", idx)
+    FullText.appendToTextIndex(spark, b0, "doc_id", "text", idx,
+      segmentId = Some("b0"))
+    // compaction folds the segment away from the LIVE dirs — the
+    // applied registry must remember it, or a stream restarted after
+    // a maintenance compaction re-applies its last batch
+    FullText.compactTextIndex(spark, idx)
+    def search(i: String) = FullText
+      .bm25SearchStored(spark, i, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pre = search(idx)
+    FullText.appendToTextIndex(spark, b0, "doc_id", "text", idx,
+      segmentId = Some("b0"))
+    assert(search(idx) == pre,
+      "a batch id committed before compaction must replay as a no-op")
+    val idxR = java.nio.file.Files.createTempDirectory("bm25-replay-r")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(old.unionByName(b0), "doc_id", "text", idxR)
+    assert(search(idx) == search(idxR),
+      "post-compaction state must still equal the rebuild")
+  }
+
+  test("legacy stats schema: compaction folds (not destroys) a pre-flag term-vectors artifact") {
+    val docs = Seq(
+      (1L, "fast vector engines win races"),
+      (2L, "fast vector query engines"),
+      (3L, "slow scalar fallback path"),
+      (4L, "fast query planners everywhere")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-legacy")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    // simulate an index written BEFORE the has_termvectors/buckets
+    // stats columns existed: strip them (collect first — the
+    // overwrite targets the path being read)
+    val legacy = spark.read.parquet(s"$idx/stats")
+      .select($"n_docs", $"avgdl", $"sum_doclen", $"has_positions")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    legacy.toDF("n_docs", "avgdl", "sum_doclen", "has_positions")
+      .write.mode("overwrite").parquet(s"$idx/stats")
+    // the filesystem fallback must see the forward artifact: delete
+    // takes the EXACT path, compaction FOLDS termvectors instead of
+    // skipping and then destroying the root dir
+    FullText.deleteFromTextIndex(spark, idx, Seq(2L))
+    FullText.compactTextIndex(spark, idx)
+    val seedId = 1L
+    val stored = FullText.moreLikeThisStored(spark, idx, seedId)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idxR = java.nio.file.Files.createTempDirectory("bm25-legacy-r")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs.filter($"doc_id" =!= 2L), "doc_id",
+      "text", idxR, storeTermVectors = true)
+    val self = FullText.moreLikeThisStored(spark, idxR, seedId)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == self,
+      "a legacy index's term vectors must survive delete + compaction")
+    assert(FullText.termVectorsFrame(spark, idx).count() ==
+      FullText.termVectorsFrame(spark, idxR).count())
+  }
+
   test("recorded bucket count: append/delete/search follow the writer's layout, not the caller's parameter") {
     val docs = graft.io.Tables.documents(spark, dir)
     val w = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5

@@ -88,6 +88,20 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
       "stored search must be compaction-invariant")
     assert(!new java.io.File(s"$idxA/codes.old").exists() &&
       !new java.io.File(s"$idxA/codes.compact").exists())
+    // applied-segments registry: a batch committed BEFORE the
+    // compaction must replay as a no-op after it (the live dirs
+    // forgot the folded segment; the registry must not). New ids —
+    // a real redelivery carries the same rows under the same batch id
+    val b7 = fresh.select(($"vec_id" + 990000L).as("vec_id"),
+      $"embedding")
+    SimilarityQueries.appendToIvfPqIndex(spark, idxA, b7,
+      segmentId = Some("b7"))
+    val n7 = SimilarityQueries.codesFrame(spark, idxA).count()
+    SimilarityQueries.compactIvfPqIndex(spark, idxA)
+    SimilarityQueries.appendToIvfPqIndex(spark, idxA, b7,
+      segmentId = Some("b7"))
+    assert(SimilarityQueries.codesFrame(spark, idxA).count() == n7,
+      "a pre-compaction batch id must not re-apply after the fold")
   }
 
   test("vector tombstones: deleted ids leave the search, compaction reclaims the codes") {
