@@ -75,6 +75,44 @@ object ProbeSegments {
     }
     val (fb, fa, _) = FullText.compactTextIndex(spark, idx)
     probe(s"compacted(files $fb -> $fa)")
+
+    // ---- the vector face's segment curve -----------------------------
+    import spark.implicits._
+    def vecsOf(from: Long, n: Long) =
+      spark.range(from, from + n).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (pmod(xxhash64($"id" * 67 + d), lit(1000)).cast("double")
+            / 1000d - lit(0.5d)).cast("float")).as("embedding"))
+    val vidx = java.nio.file.Files.createTempDirectory("seg-curve-vec")
+      .toFile.getAbsolutePath
+    val vBase = math.max(baseN / 5, 10000L)
+    val base = vecsOf(0, vBase).localCheckpoint()
+    graft.queries.SimilarityQueries
+      .writeIvfPqIndexFrames(base, base, vidx)
+    val eDir = java.nio.file.Files.createTempDirectory("seg-curve-emb")
+      .toFile.getAbsolutePath
+    base.write.mode("overwrite").parquet(s"$eDir/embeddings.parquet")
+    def vprobe(label: String): Unit = {
+      val t = timeMin3 {
+        graft.queries.SimilarityQueries
+          .ivfPqSearchStored(spark, vidx, eDir).collect()
+      }
+      println(s"""{"probe":"vec_segments","at":"$label",""" +
+        s""""query_s":${f"$t%.3f"}}""")
+    }
+    vprobe("segments=0")
+    b = 0
+    while (b < batches) {
+      graft.queries.SimilarityQueries.appendToIvfPqIndex(spark, vidx,
+        vecsOf(vBase + b * batchN, batchN), segmentId = Some(s"b$b"))
+      b += 1
+      if (b == batches / 4 || b == batches)
+        vprobe(s"segments=$b")
+    }
+    val (vfb, vfa, _) = graft.queries.SimilarityQueries
+      .compactIvfPqIndex(spark, vidx)
+    vprobe(s"compacted(files $vfb -> $vfa)")
+    graft.ops.Checkpoints.unpersist(base)
     spark.stop()
   }
 }
