@@ -184,6 +184,29 @@ object Layout {
     }
   }
 
+  /** Distributed rewrite of a stored index's TOMBSTONE artifact —
+    * the one artifact whose size is bounded only by
+    * deletes-since-compaction, which a takedown backlog (a GDPR
+    * sweep, a dedup-losers purge of 30% of a corpus) makes
+    * corpus-scale. The frame therefore writes DISTRIBUTED: below
+    * `graft.index.tombstoneSingleFileMax` rows (default 2M) it
+    * packs into one sorted file — the stable small-set layout every
+    * reader point-loads cheaply — and above it the partitioning of
+    * the union writes through unchanged, so a billion-row tombstone
+    * set never funnels through one task (and never through the
+    * driver: callers build `frame` from anti-joins and unions, not
+    * collected Sets). */
+  def writeTombstoneArtifact(spark: SparkSession, frame: DataFrame,
+      path: String, totalRows: Long): Unit = {
+    val max = spark.conf
+      .get("graft.index.tombstoneSingleFileMax", "2000000").toLong
+    val out =
+      if (totalRows <= max)
+        frame.coalesce(1).sortWithinPartitions(frame.columns.head)
+      else frame
+    out.write.parquet(path)
+  }
+
   /** Swap-safe overwrite of a parquet artifact whose REPLACEMENT is
     * computed FROM its current content (a dictionary merge, a
     * statistics decrement): `mode("overwrite")` on the path a plan is

@@ -919,10 +919,14 @@ object FullText {
       indexDir: String, art: String): DataFrame = {
     val post = readUnion(spark,
       liveDirs(spark, indexDir, art, "postings").map(d => s"$indexDir/$d"))
+    // hint-free anti-join: AQE broadcasts the usual small set and
+    // falls back to a shuffle join for a takedown-backlog-sized one
+    // (the delete faces write tombstones distributed, so the set is
+    // bounded by deletes-since-compaction, not by driver memory)
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
       post.join(
-        broadcast(spark.read.parquet(s"$art/tombstones")
-          .select(col("doc_id")).distinct()),
+        spark.read.parquet(s"$art/tombstones")
+          .select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
     else post
   }
@@ -1022,15 +1026,43 @@ object FullText {
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, ids: Seq[Long], buckets: Int = 16): Unit = {
     import spark.implicits._
+    deleteFromTextIndex(spark, indexDir, ids.toDF("doc_id"), buckets)
+  }
+
+  /** The DISTRIBUTED face of the tombstone delete: `ids`' FIRST
+    * column (cast to long) is the doc ids to evict, and nothing
+    * about the batch ever funnels through the driver — idempotence
+    * is a `left_anti` join against the live tombstone frame (not a
+    * collected Set), the rewritten tombstone artifact is
+    * `old ∪ batch` written distributed
+    * ([[graft.io.Layout.writeTombstoneArtifact]]), and the dead
+    * term-vector lookup is a `left_semi` join (not an IN-list).
+    * A takedown backlog of billions of ids between compactions —
+    * the GDPR-sweep case — therefore costs shuffles, not driver
+    * heap. Bulk callers (a takedown stream's micro-batch, a dedup
+    * ruling frame) pass their frame straight through; the Seq
+    * overload above exists for point deletes. */
+  def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, buckets: Int): Unit = {
+    import spark.implicits._
     val art = liveArtifactDir(spark, indexDir)
-    val already: Set[Long] =
-      if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+    val hadTomb = graft.io.Layout.pathExists(spark, s"$art/tombstones")
+    val oldTomb =
+      if (hadTomb)
         spark.read.parquet(s"$art/tombstones")
           .select(col("doc_id")).distinct()
-          .collect().map(_.getLong(0)).toSet
-      else Set.empty
-    val distinctIds = ids.distinct.filterNot(already)
-    if (distinctIds.isEmpty) return
+      else Seq.empty[Long].toDF("doc_id")
+    // idempotent like before, but distributed: already-tombstoned
+    // ids drop via anti-join, so retried takedown jobs cannot
+    // double-decrement the statistics and never materialize the
+    // accumulated tombstone set anywhere
+    val fresh = ids
+      .select(col(ids.columns.head).cast("long").as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+      .join(oldTomb, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val nDeleted = fresh.count()
+    if (nDeleted == 0L) { Checkpoints.unpersist(fresh); return }
     val st = spark.read.parquet(s"$art/stats").head()
     val bk = statsBuckets(st, buckets)
     // the exact-decrement path needs the single-field forward
@@ -1047,23 +1079,26 @@ object FullText {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
     }
-    // the full live tombstone set rewrites per delete — bounded by
-    // deletes-since-compaction, the same bound the search faces'
-    // anti-join broadcast already carries
-    (already ++ distinctIds).toSeq.sorted.toDF("doc_id")
-      .coalesce(1).write.parquet(s"$stage/tombstones")
+    // the live tombstone set rewrites per delete — bounded by
+    // deletes-since-compaction, and written DISTRIBUTED so that
+    // bound costs I/O, never driver memory
+    val nOld = if (hadTomb) oldTomb.count() else 0L
+    graft.io.Layout.writeTombstoneArtifact(spark,
+      oldTomb.unionByName(fresh), s"$stage/tombstones", nOld + nDeleted)
     if (!hasTv) {
       // Lucene mode: stats stay stale until compaction — the new
       // generation carries the dictionary/statistics values forward
       spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
       spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
     } else {
-      val dBuckets = distinctIds.toDF("doc_id")
+      // bucket PRUNE list: ≤ `buckets` distinct values by
+      // construction — a bounded driver artifact, unlike the ids
+      val dBuckets = fresh
         .select(pmod(hash(col("doc_id")), lit(bk)).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val deadVecs = termVectorsFrame(spark, indexDir)
         .filter(col("dbucket").isInCollection(dBuckets))
-        .filter(col("doc_id").isInCollection(distinctIds))
+        .join(fresh, Seq("doc_id"), "left_semi")
         .localCheckpoint()
       spark.read.parquet(s"$art/df")
         .join(deadVecs.groupBy(col("term"))
@@ -1075,7 +1110,7 @@ object FullText {
         .write.parquet(s"$stage/df")
       val deadLen = deadVecs.agg(coalesce(sum(col("tf")), lit(0L)))
         .head().getLong(0)
-      val nDocs = st.getAs[Long]("n_docs") - distinctIds.size
+      val nDocs = st.getAs[Long]("n_docs") - nDeleted
       val sumLen = st.getAs[Long]("sum_doclen") - deadLen
       require(nDocs > 0, "deleting every document: rebuild instead")
       Seq((nDocs, sumLen.toDouble / nDocs, sumLen,
@@ -1092,6 +1127,7 @@ object FullText {
         .coalesce(1).write.parquet(s"$stage/segments")
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
+    Checkpoints.unpersist(fresh)
   }
 
   /** Maintenance compactor for the stored text layout's
@@ -1137,8 +1173,8 @@ object FullText {
     }
     def minus(df: DataFrame): DataFrame =
       if (hasTomb)
-        df.join(broadcast(spark.read.parquet(tombPath)
-          .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+        df.join(spark.read.parquet(tombPath)
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       else df
     val before = countFiles(liveDirs(spark, indexDir, art, "postings"))
     // fold base + every committed segment, minus tombstones, into
@@ -1731,15 +1767,21 @@ object FullText {
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String, ids: Seq[Long], buckets: Int = 16): Unit = {
     import spark.implicits._
+    deleteFromMultiFieldTextIndex(spark, indexDir, ids.toDF("doc_id"),
+      buckets)
+  }
+
+  /** DataFrame face of the multi-field delete — the same
+    * nothing-through-the-driver contract as the single-field
+    * [[deleteFromTextIndex]] overload: anti-join idempotence,
+    * distributed `old ∪ batch` tombstone rewrite, semi-join dead
+    * term-vector lookup. `ids`' first column (cast to long) is the
+    * doc ids. */
+  def deleteFromMultiFieldTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, buckets: Int): Unit = {
+    import spark.implicits._
     val art = liveArtifactDir(spark, indexDir)
-    val already: Set[Long] =
-      if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
-        spark.read.parquet(s"$art/tombstones")
-          .select(col("doc_id")).distinct()
-          .collect().map(_.getLong(0)).toSet
-      else Set.empty
-    val distinctIds = ids.distinct.filterNot(already)
-    if (distinctIds.isEmpty) return
     val st = spark.read.parquet(s"$art/stats").head()
     val bk = statsBuckets(st, buckets)
     val hasTv = hasTermVectors(spark, indexDir, art, st)
@@ -1747,6 +1789,19 @@ object FullText {
       deleteFromTextIndex(spark, indexDir, ids, bk)
       return
     }
+    val hadTomb = graft.io.Layout.pathExists(spark, s"$art/tombstones")
+    val oldTomb =
+      if (hadTomb)
+        spark.read.parquet(s"$art/tombstones")
+          .select(col("doc_id")).distinct()
+      else Seq.empty[Long].toDF("doc_id")
+    val fresh = ids
+      .select(col(ids.columns.head).cast("long").as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+      .join(oldTomb, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val nDeleted = fresh.count()
+    if (nDeleted == 0L) { Checkpoints.unpersist(fresh); return }
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
     val stage = graft.io.Layout.generationDir(indexDir, gen)
@@ -1755,14 +1810,15 @@ object FullText {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
     }
-    (already ++ distinctIds).toSeq.sorted.toDF("doc_id")
-      .coalesce(1).write.parquet(s"$stage/tombstones")
-    val dBuckets = distinctIds.toDF("doc_id")
+    val nOld = if (hadTomb) oldTomb.count() else 0L
+    graft.io.Layout.writeTombstoneArtifact(spark,
+      oldTomb.unionByName(fresh), s"$stage/tombstones", nOld + nDeleted)
+    val dBuckets = fresh
       .select(pmod(hash(col("doc_id")), lit(bk)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val deadVecs = termVectorsFrame(spark, indexDir)
       .filter(col("dbucket").isInCollection(dBuckets))
-      .filter(col("doc_id").isInCollection(distinctIds))
+      .join(fresh, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     spark.read.parquet(s"$art/df")
       .join(deadVecs.groupBy(col("field"), col("term"))
@@ -1781,7 +1837,7 @@ object FullText {
     val updated = spark.read.parquet(s"$art/stats").collect()
       .map { r =>
         val f = r.getString(r.fieldIndex("field"))
-        val n = r.getAs[Long]("n_docs") - distinctIds.size
+        val n = r.getAs[Long]("n_docs") - nDeleted
         require(n > 0, "deleting every document: rebuild instead")
         val s = r.getAs[Long]("sum_doclen") - deadSums.getOrElse(f, 0L)
         (f, n, s.toDouble / n, s, true, bk)
@@ -1797,6 +1853,7 @@ object FullText {
         .coalesce(1).write.parquet(s"$stage/segments")
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
+    Checkpoints.unpersist(fresh)
   }
 
   /** Compactor for the multi-field layout — [[compactTextIndex]]'s
@@ -1831,8 +1888,8 @@ object FullText {
     }
     def minus(df: DataFrame): DataFrame =
       if (hasTomb)
-        df.join(broadcast(spark.read.parquet(tombPath)
-          .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+        df.join(spark.read.parquet(tombPath)
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       else df
     val before = countFiles(liveDirs(spark, indexDir, art, "postings"))
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)

@@ -1585,8 +1585,8 @@ object SimilarityQueries {
     val base = codesFrame(spark, indexDir)
     val folded0 =
       if (hasTomb)
-        base.join(broadcast(spark.read.parquet(tombPath)
-          .select($"vec_id").distinct()), Seq("vec_id"), "left_anti")
+        base.join(spark.read.parquet(tombPath)
+          .select($"vec_id").distinct(), Seq("vec_id"), "left_anti")
       else base
     folded0.repartition($"cell_id")
       .write.partitionBy("cell_id").parquet(s"$indexDir/$newCodes")
@@ -1618,17 +1618,39 @@ object SimilarityQueries {
   def deleteFromIvfPqIndex(spark: SparkSession, indexDir: String,
       ids: Seq[Long]): Unit = {
     import spark.implicits._
+    deleteFromIvfPqIndex(spark, indexDir, ids.toDF("vec_id"))
+  }
+
+  /** The DISTRIBUTED face of the vector tombstone delete — `ids`'
+    * FIRST column (cast to long) is the vec ids, and the batch never
+    * funnels through the driver: idempotence is a `left_anti` join
+    * against the live tombstone frame, and the rewritten artifact is
+    * `old ∪ batch` written distributed
+    * ([[graft.io.Layout.writeTombstoneArtifact]]) — a dedup-losers
+    * purge of a third of the corpus between compactions costs one
+    * shuffle, not billions of longs on the driver. Bulk callers (the
+    * vector takedown stream, a q117 ruling frame) pass their frame
+    * straight through. */
+  def deleteFromIvfPqIndex(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit = {
+    import spark.implicits._
     val art = vectorArtifactDir(spark, indexDir)
-    // idempotent like the text twin: already-tombstoned ids drop,
-    // so retried takedown jobs never bloat the tombstone artifact
-    val already: Set[Long] =
-      if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+    val hadTomb = graft.io.Layout.pathExists(spark, s"$art/tombstones")
+    val oldTomb =
+      if (hadTomb)
         spark.read.parquet(s"$art/tombstones")
           .select($"vec_id").distinct()
-          .collect().map(_.getLong(0)).toSet
-      else Set.empty
-    val fresh = ids.distinct.filterNot(already)
-    if (fresh.isEmpty) return
+      else Seq.empty[Long].toDF("vec_id")
+    // idempotent like the text twin: already-tombstoned ids drop
+    // via anti-join, so retried takedown jobs never bloat the
+    // tombstone artifact
+    val fresh = ids
+      .select(col(ids.columns.head).cast("long").as("vec_id"))
+      .filter($"vec_id".isNotNull).distinct()
+      .join(oldTomb, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val nFresh = fresh.count()
+    if (nFresh == 0L) { graft.ops.Checkpoints.unpersist(fresh); return }
     // tombstones + the carried manifest commit as ONE generation
     // (the text twin's staging discipline) — never half-visible
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
@@ -1639,12 +1661,14 @@ object SimilarityQueries {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
     }
-    (already ++ fresh).toSeq.sorted.toDF("vec_id")
-      .coalesce(1).write.parquet(s"$stage/tombstones")
+    val nOld = if (hadTomb) oldTomb.count() else 0L
+    graft.io.Layout.writeTombstoneArtifact(spark,
+      oldTomb.unionByName(fresh), s"$stage/tombstones", nOld + nFresh)
     writeVecManifest(spark, stage, codesDirs(spark, indexDir, art),
       vecAppliedSegments(spark, indexDir, art))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
+    graft.ops.Checkpoints.unpersist(fresh)
   }
 
   /** Query-time IVF+PQ search over a STORED index — the plan a

@@ -475,24 +475,21 @@ object Streams {
     * search face observes the takedown at its next query through the
     * live view, and compaction reclaims rows in the usual
     * maintenance window. At-least-once delivery is SAFE because the
-    * delete is IDEMPOTENT — the batch subtracts the live tombstone
+    * delete is IDEMPOTENT — the batch anti-joins the live tombstone
     * set before touching statistics — so a crash-replayed batch
     * cannot double-decrement df/stats (StreamsSpec pins the replay).
-    * Batch ids are a bounded driver artifact by the takedown
-    * contract (deletes ≪ corpus; compaction keeps the tombstone set
-    * small). */
+    * The batch frame passes through WHOLE (the DataFrame delete
+    * face): a ruling feed that dumps millions of ids into one
+    * micro-batch costs shuffles, never a driver collect. */
   def takedownStream(ids: DataFrame, idCol: String, indexDir: String,
       checkpointDir: String): StreamingQuery =
     ids.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dead = batch
-          .select(col(idCol).cast("long").as("doc_id"))
-          .filter(col("doc_id").isNotNull)
-          .distinct().collect().map(_.getLong(0)).toSeq
         graft.ops.FullText.deleteFromTextIndex(
-          batch.sparkSession, indexDir, dead)
+          batch.sparkSession, indexDir,
+          batch.select(col(idCol).cast("long").as("doc_id")), 16)
       }
       .start()
 
@@ -510,12 +507,9 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dead = batch
-          .select(col(idCol).cast("long").as("vec_id"))
-          .filter(col("vec_id").isNotNull)
-          .distinct().collect().map(_.getLong(0)).toSeq
         graft.queries.SimilarityQueries.deleteFromIvfPqIndex(
-          batch.sparkSession, indexDir, dead)
+          batch.sparkSession, indexDir,
+          batch.select(col(idCol).cast("long").as("vec_id")))
       }
       .start()
 

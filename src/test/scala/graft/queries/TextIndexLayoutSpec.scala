@@ -998,4 +998,71 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       "compacted term vectors must match the rebuild's row count")
     assert(search(idxD) == pre, "search must be compaction-invariant")
   }
+
+  test("distributed delete: DataFrame face ≡ Seq face, tombstones never single-task above the threshold") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val dead = docs.filter($"doc_id" % 5 === 2)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(dead.size > 4)
+    // same batch through both faces → bit-identical search pages and
+    // dictionary (the DataFrame face is the same delete, distributed)
+    val idxA = java.nio.file.Files.createTempDirectory("del-df-a")
+      .toFile.getAbsolutePath
+    val idxB = java.nio.file.Files.createTempDirectory("del-df-b")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idxA,
+      storeTermVectors = true)
+    FullText.writeTextIndex(docs, "doc_id", "text", idxB,
+      storeTermVectors = true)
+    FullText.deleteFromTextIndex(spark, idxA, dead)
+    // the frame face takes an arbitrary first column name/type and a
+    // skewed partitioning — nothing about it may reach the driver
+    FullText.deleteFromTextIndex(spark, idxB,
+      dead.toDF("ruling_id").repartition(7), buckets = 16)
+    def page(idx: String) = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(page(idxA) == page(idxB),
+      "DataFrame delete face must equal the Seq face bit-for-bit")
+    def dfOf(idx: String) = spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/df")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df")))
+      .sortBy(_._1).toSeq
+    assert(dfOf(idxA) == dfOf(idxB))
+    // above the single-file threshold the tombstone artifact writes
+    // DISTRIBUTED — more than one part file, proving the rewrite is
+    // not a coalesce(1) funnel (and a fortiori not a driver Seq)
+    val prev = spark.conf.getOption("graft.index.tombstoneSingleFileMax")
+    try {
+      spark.conf.set("graft.index.tombstoneSingleFileMax", "0")
+      val more = docs.filter($"doc_id" % 5 === 4).select($"doc_id")
+        .repartition(4)
+      FullText.deleteFromTextIndex(spark, idxB, more, buckets = 16)
+      val tombDir = new java.io.File(
+        s"${FullText.liveArtifactDir(spark, idxB)}/tombstones")
+      val parts = tombDir.listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(parts > 1,
+        s"tombstone artifact above the threshold must write " +
+          s"distributed (got $parts part files)")
+      // and the search faces read the multi-file artifact unchanged
+      val survivors = docs.filter($"doc_id" % 5 =!= 2)
+        .filter($"doc_id" % 5 =!= 4)
+      val idxR = java.nio.file.Files.createTempDirectory("del-df-r")
+        .toFile.getAbsolutePath
+      FullText.writeTextIndex(survivors, "doc_id", "text", idxR,
+        storeTermVectors = true)
+      assert(page(idxB) == page(idxR),
+        "search over a multi-file tombstone set must equal a rebuild")
+      // idempotent replay through the frame face stays a no-op
+      FullText.deleteFromTextIndex(spark, idxB, more, buckets = 16)
+      assert(page(idxB) == page(idxR))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("graft.index.tombstoneSingleFileMax", v)
+        case None =>
+          spark.conf.unset("graft.index.tombstoneSingleFileMax")
+      }
+    }
+  }
 }

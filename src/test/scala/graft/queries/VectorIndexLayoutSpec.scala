@@ -478,4 +478,54 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     assert(filt.nonEmpty && filt.forall(allowedIds),
       "every imi filtered hit must satisfy the pre-filter")
   }
+
+  test("distributed vector delete: DataFrame face ≡ Seq face, multi-file tombstones above the threshold") {
+    import org.apache.spark.sql.functions._
+    val idxA = java.nio.file.Files.createTempDirectory("ivfpq-ddel-a")
+      .toFile.getAbsolutePath
+    val idxB = java.nio.file.Files.createTempDirectory("ivfpq-ddel-b")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idxA)
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idxB)
+    def page(idx: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dead = graft.io.Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 3 === 1).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idxA, dead)
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idxB,
+      dead.toDF("ruling_id").repartition(7))
+    assert(page(idxA) == page(idxB),
+      "DataFrame vector delete must equal the Seq face bit-for-bit")
+    val prev = spark.conf.getOption("graft.index.tombstoneSingleFileMax")
+    try {
+      spark.conf.set("graft.index.tombstoneSingleFileMax", "0")
+      val more = graft.io.Tables.embeddings(spark, dir)
+        .filter($"vec_id" % 3 === 2).select($"vec_id").repartition(4)
+      SimilarityQueries.deleteFromIvfPqIndex(spark, idxB, more)
+      val tombDir = new java.io.File(
+        s"${SimilarityQueries.vectorArtifactDir(spark, idxB)}/tombstones")
+      val parts = tombDir.listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(parts > 1,
+        s"vector tombstones above the threshold must write " +
+          s"distributed (got $parts part files)")
+      val served = page(idxB).map(_._1).toSet
+      val gone = more.collect().map(_.getLong(0)).toSet
+      assert(served.intersect(gone).isEmpty,
+        "no tombstoned id may be served from the multi-file artifact")
+      // idempotent replay through the frame face
+      val pre = page(idxB)
+      SimilarityQueries.deleteFromIvfPqIndex(spark, idxB, more)
+      assert(page(idxB) == pre)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("graft.index.tombstoneSingleFileMax", v)
+        case None =>
+          spark.conf.unset("graft.index.tombstoneSingleFileMax")
+      }
+    }
+  }
 }
