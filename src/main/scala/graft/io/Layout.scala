@@ -77,6 +77,144 @@ object Layout {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Mutation lease: SINGLE MUTATOR AT A TIME, enforced
+  // ---------------------------------------------------------------
+
+  /** Per-index-path locks serializing mutators inside ONE JVM (two
+    * streams of one session feeding the same index — the
+    * refresh+takedown deployment — block here and run one at a
+    * time, never seeing each other's filesystem lease). Keyed by the
+    * normalized path string; ReentrantLock so a mutator that calls
+    * another mutator (multi-field delete delegating to the
+    * single-field path, a refresh stream's compaction hook) nests
+    * freely. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+
+  /** The FS lease tokens held by the current thread, keyed by index
+    * path — lets [[commitGeneration]] fence a commit against a
+    * stale-lease takeover without changing every caller's
+    * signature. */
+  private val heldLeases = new ThreadLocal[Map[String, (Long, String)]] {
+    override def initialValue(): Map[String, (Long, String)] = Map.empty
+  }
+
+  private def leasePath(indexDir: String) =
+    new Path(s"$indexDir/_mutation.lock")
+
+  private def leaseKey(indexDir: String): String =
+    new Path(indexDir).toString
+
+  /** Run `body` as THE single mutator of `indexDir` — every
+    * stored-index mutation (append, delete, compact, both index
+    * families) runs inside this. Two layers:
+    *
+    *  1. a JVM-wide lock per index path: concurrent mutators in one
+    *     JVM (the refresh + takedown stream pair) SERIALIZE — they
+    *     block, they don't fail, and the single-mutator contract
+    *     holds without any deployment discipline;
+    *  2. a filesystem lease (`_mutation.lock`, atomic
+    *     create-fails-if-exists — the HDFS/S3A-conditional-put
+    *     primitive): a mutator in ANOTHER JVM fails fast with an
+    *     actionable error instead of racing the gen-(N+1) staging
+    *     dir. The lease records (epoch, token, owner, mtime). A
+    *     holder that died without releasing is taken over after
+    *     `graft.index.leaseStaleMs` (default 15 min — size it above
+    *     the longest mutation; 0 disables takeover) with epoch+1,
+    *     and [[commitGeneration]] re-reads the lease before creating
+    *     the marker, so a fenced-out zombie writer ABORTS its commit
+    *     rather than publishing over the new holder's generation.
+    *
+    * Reentrant per thread: the outer acquisition owns the lease; the
+    * release happens only when the outermost frame exits. */
+  def withMutationLease[T](spark: SparkSession, indexDir: String)
+      (body: => T): T = {
+    val key = leaseKey(indexDir)
+    val lock = jvmLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    try {
+      if (lock.getHoldCount > 1) body // nested mutator: lease held
+      else {
+        val (epoch, token) = acquireLease(spark, indexDir)
+        heldLeases.set(heldLeases.get + (key -> (epoch, token)))
+        try body
+        finally {
+          heldLeases.set(heldLeases.get - key)
+          releaseLease(spark, indexDir, token)
+        }
+      }
+    } finally lock.unlock()
+  }
+
+  private def acquireLease(spark: SparkSession,
+      indexDir: String): (Long, String) = {
+    val p = leasePath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staleMs = spark.conf
+      .get("graft.index.leaseStaleMs", "900000").toLong
+    var epoch = 0L
+    if (fs.exists(p)) {
+      val st = fs.getFileStatus(p)
+      val (heldEpoch, _, owner) = readLease(fs, p)
+      val age = System.currentTimeMillis() - st.getModificationTime
+      if (staleMs > 0 && age > staleMs) {
+        // stale takeover: the holder crashed without releasing.
+        // epoch+1 fences it — if it is actually alive and racing us,
+        // its commitGeneration re-read sees a token it doesn't hold
+        // and aborts.
+        epoch = heldEpoch + 1
+        fs.delete(p, false)
+      } else {
+        throw new IllegalStateException(
+          s"index $indexDir is being mutated by '$owner' " +
+            s"(lease epoch $heldEpoch, held ${age / 1000}s): " +
+            "concurrent mutation of one index is not supported. " +
+            "Retry after the holder commits; if it crashed, the " +
+            s"lease auto-expires after ${staleMs / 1000}s (or remove " +
+            s"$p manually).")
+      }
+    }
+    val token = java.util.UUID.randomUUID().toString
+    val owner = s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"pid=${ProcessHandle.current().pid()}"
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"lost the mutation-lease race for $indexDir — another " +
+            "mutator acquired it first; retry after it commits.", e)
+      }
+    out.write(s"$epoch $token $owner".getBytes("UTF-8"))
+    out.close()
+    (epoch, token)
+  }
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): (Long, String, String) = {
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.split(' ') match {
+      case Array(e, t, o @ _*) =>
+        (scala.util.Try(e.toLong).getOrElse(0L), t, o.mkString(" "))
+      case _ => (0L, "", "unknown")
+    }
+  }
+
+  private def releaseLease(spark: SparkSession, indexDir: String,
+      token: String): Unit = {
+    val p = leasePath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // release only OUR lease: after a stale takeover the file holds
+    // the new owner's token and must survive our (zombie) release
+    if (fs.exists(p) && readLease(fs, p)._2 == token)
+      fs.delete(p, false)
+  }
+
   /** Generation COMMIT POINTS for stored-index layouts — the Lucene
     * `segments_N` model: artifacts that must move TOGETHER under a
     * mutation (a text index's dictionary + statistics + tombstones
@@ -89,14 +227,14 @@ object Layout {
     * Returns None when no committed generation exists (a legacy /
     * never-deleted index keeps its artifacts at the root).
     *
-    * SINGLE MUTATOR AT A TIME — the Lucene IndexWriter contract:
-    * concurrent mutations of one index race on the gen-(N+1) staging
-    * directory (each starts by clearing it) and are NOT supported.
-    * Readers are unaffected (they see only committed generations); a
-    * deployment feeding one index from several streams unions the
-    * feeds into one stream, or serializes mutations through one
-    * maintenance queue, exactly as it would with Lucene/ES shard
-    * writers. */
+    * SINGLE MUTATOR AT A TIME — the Lucene IndexWriter contract,
+    * ENFORCED by [[withMutationLease]] (every engine mutation runs
+    * inside it): concurrent mutators in one JVM serialize on a
+    * per-index lock (two streams feeding one index simply take
+    * turns), and a mutator in another JVM fails fast on the
+    * `_mutation.lock` filesystem lease instead of racing the
+    * gen-(N+1) staging directory. Readers are unaffected — they see
+    * only committed generations. */
   def liveGeneration(spark: SparkSession, indexDir: String): Option[Long] = {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -115,8 +253,25 @@ object Layout {
   def generationDir(indexDir: String, gen: Long): String =
     s"$indexDir/gen-$gen"
 
-  /** The single-file-create commit of a fully staged generation. */
+  /** The single-file-create commit of a fully staged generation.
+    * When the committing thread holds a mutation lease for the
+    * index, the lease is RE-READ first — a writer fenced out by a
+    * stale-lease takeover aborts here instead of publishing its
+    * generation over the new holder's (the epoch-fencing half of
+    * [[withMutationLease]]). */
   def commitGeneration(spark: SparkSession, genDir: String): Unit = {
+    val genPath = new Path(genDir)
+    val indexKey = leaseKey(genPath.getParent.toString)
+    heldLeases.get.get(indexKey).foreach { case (epoch, token) =>
+      val p = new Path(s"${genPath.getParent}/_mutation.lock")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val held = fs.exists(p) && readLease(fs, p)._2 == token
+      if (!held) throw new IllegalStateException(
+        s"mutation lease for ${genPath.getParent} (epoch $epoch) was " +
+          "taken over while this writer was staging — aborting the " +
+          "commit; the staged generation stays invisible and the new " +
+          "holder's index state is untouched.")
+    }
     val marker = new Path(s"$genDir/_COMMITTED")
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(marker, true).close()

@@ -243,7 +243,15 @@ object FullText {
   def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, buckets: Int = 16,
       storePositions: Boolean = true,
-      storeTermVectors: Boolean = false): Unit = {
+      storeTermVectors: Boolean = false): Unit =
+    graft.io.Layout.withMutationLease(docs.sparkSession, indexDir) {
+      writeTextIndexImpl(docs, idCol, textCol, indexDir, buckets,
+        storePositions, storeTermVectors)
+    }
+
+  private def writeTextIndexImpl(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String, buckets: Int,
+      storePositions: Boolean, storeTermVectors: Boolean): Unit = {
     val spark = docs.sparkSession
     // mode("overwrite") semantics for the WHOLE layout: a previous
     // index at this path may hold committed generations, segments,
@@ -371,7 +379,17 @@ object FullText {
   def appendToTextIndex(spark: org.apache.spark.sql.SparkSession,
       fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String, buckets: Int = 16,
-      segmentId: Option[String] = None): Unit = {
+      segmentId: Option[String] = None): Unit =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      appendToTextIndexImpl(spark, fresh, idCol, textCol, indexDir,
+        buckets, segmentId)
+    }
+
+  private def appendToTextIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      fresh: DataFrame, idCol: String, textCol: String,
+      indexDir: String, buckets: Int,
+      segmentId: Option[String]): Unit = {
     val art = liveArtifactDir(spark, indexDir)
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
@@ -409,17 +427,27 @@ object FullText {
     val freshTf =
       (if (hasPos) freshTf0 else freshTf0.drop("positions"))
         .localCheckpoint()
-    freshTf
-      .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket")
-      .parquet(s"$indexDir/$segName/postings")
-    if (hasTv)
-      freshTf.select(col("doc_id"), col("term"), col("tf"))
-        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
-        .repartition(col("dbucket"))
-        .write.partitionBy("dbucket")
-        .parquet(s"$indexDir/$segName/termvectors")
+    // a non-empty batch can still analyze to ZERO tokens (all-stopword
+    // docs — a case the layout supports): an empty partitionBy write
+    // leaves a _SUCCESS-only directory that poisons every later
+    // manifest union ("unable to infer schema"), so an empty delta
+    // writes NO segment dirs and references none — the applied
+    // segment id and the stats increment still commit, keeping
+    // replay identity and n_docs exact
+    val deltaEmpty = freshTf.isEmpty
+    if (!deltaEmpty) {
+      freshTf
+        .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket")
+        .parquet(s"$indexDir/$segName/postings")
+      if (hasTv)
+        freshTf.select(col("doc_id"), col("term"), col("tf"))
+          .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
+          .repartition(col("dbucket"))
+          .write.partitionBy("dbucket")
+          .parquet(s"$indexDir/$segName/termvectors")
+    }
     // dictionary merge: old df ⟗ delta df — the ONLY non-delta input
     // is the dictionary artifact itself (Heaps-law-sized, never the
     // postings); staged into the NEW generation, never in place
@@ -443,12 +471,13 @@ object FullText {
       .write.parquet(s"$stage/stats")
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
       spark.read.parquet(s"$art/tombstones")
-        .coalesce(1).write.parquet(s"$stage/tombstones")
+        .write.parquet(s"$stage/tombstones")
     val oldTv = liveDirs(spark, indexDir, art, "termvectors")
+    val newPost = if (deltaEmpty) oldPost else oldPost :+ s"$segName/postings"
+    val newTv = if (deltaEmpty) oldTv else oldTv :+ s"$segName/termvectors"
     writeManifest(spark, stage,
-      (oldPost :+ s"$segName/postings").map(("postings", _)) ++
-        (if (hasTv) (oldTv :+ s"$segName/termvectors")
-          .map(("termvectors", _)) else Nil) ++
+      newPost.map(("postings", _)) ++
+        (if (hasTv) newTv.map(("termvectors", _)) else Nil) ++
         (applied :+ segName).distinct.map(("applied", _)))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
@@ -1043,6 +1072,13 @@ object FullText {
     * ruling frame) pass their frame straight through; the Seq
     * overload above exists for point deletes. */
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, buckets: Int): Unit =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      deleteFromTextIndexImpl(spark, indexDir, ids, buckets)
+    }
+
+  private def deleteFromTextIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
       indexDir: String, ids: DataFrame, buckets: Int): Unit = {
     import spark.implicits._
     val art = liveArtifactDir(spark, indexDir)
@@ -1149,7 +1185,14 @@ object FullText {
     * file reclamation, tombstone reclamation, and stored-search
     * frame equality across the rewrite. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, buckets: Int = 16): (Long, Long, Long) = {
+      indexDir: String, buckets: Int = 16): (Long, Long, Long) =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      compactTextIndexImpl(spark, indexDir, buckets)
+    }
+
+  private def compactTextIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, buckets: Int): (Long, Long, Long) = {
     import spark.implicits._
     gcUnreferenced(spark, indexDir) // crashed predecessors' orphans
     val art = liveArtifactDir(spark, indexDir)
@@ -1573,7 +1616,15 @@ object FullText {
     * One stacked analyzer pass builds all three artifacts. */
   def writeMultiFieldTextIndex(docs: DataFrame, idCol: String,
       fields: Seq[String], indexDir: String, buckets: Int = 16,
-      storeTermVectors: Boolean = false): Unit = {
+      storeTermVectors: Boolean = false): Unit =
+    graft.io.Layout.withMutationLease(docs.sparkSession, indexDir) {
+      writeMultiFieldTextIndexImpl(docs, idCol, fields, indexDir,
+        buckets, storeTermVectors)
+    }
+
+  private def writeMultiFieldTextIndexImpl(docs: DataFrame,
+      idCol: String, fields: Seq[String], indexDir: String,
+      buckets: Int, storeTermVectors: Boolean): Unit = {
     require(fields.nonEmpty, "fields must be non-empty")
     val spark = docs.sparkSession
     // whole-layout overwrite: drop stale generations / segments /
@@ -1659,7 +1710,17 @@ object FullText {
   def appendToMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
       fresh: DataFrame, idCol: String, fields: Seq[String],
       indexDir: String, buckets: Int = 16,
-      segmentId: Option[String] = None): Unit = {
+      segmentId: Option[String] = None): Unit =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      appendToMultiFieldTextIndexImpl(spark, fresh, idCol, fields,
+        indexDir, buckets, segmentId)
+    }
+
+  private def appendToMultiFieldTextIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      fresh: DataFrame, idCol: String, fields: Seq[String],
+      indexDir: String, buckets: Int,
+      segmentId: Option[String]): Unit = {
     require(fields.nonEmpty, "fields must be non-empty")
     val art = liveArtifactDir(spark, indexDir)
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
@@ -1693,17 +1754,23 @@ object FullText {
       .groupBy(col("field"), col("term"), col("doc_id"), col("doclen"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    freshTf
-      .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket")
-      .parquet(s"$indexDir/$segName/postings")
-    if (hasTv)
-      freshTf.select(col("field"), col("doc_id"), col("term"), col("tf"))
-        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
-        .repartition(col("dbucket"))
-        .write.partitionBy("dbucket")
-        .parquet(s"$indexDir/$segName/termvectors")
+    // empty analyzed delta (every doc's every field all-stopword):
+    // write and reference NO segment dirs — see appendToTextIndex
+    val deltaEmpty = freshTf.isEmpty
+    if (!deltaEmpty) {
+      freshTf
+        .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket")
+        .parquet(s"$indexDir/$segName/postings")
+      if (hasTv)
+        freshTf.select(col("field"), col("doc_id"), col("term"),
+            col("tf"))
+          .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
+          .repartition(col("dbucket"))
+          .write.partitionBy("dbucket")
+          .parquet(s"$indexDir/$segName/termvectors")
+    }
     spark.read.parquet(s"$art/df")
       .join(freshTf.groupBy(col("field"), col("term"))
           .agg(count(lit(1)).as("df_delta")),
@@ -1735,12 +1802,13 @@ object FullText {
       .write.parquet(s"$stage/stats")
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
       spark.read.parquet(s"$art/tombstones")
-        .coalesce(1).write.parquet(s"$stage/tombstones")
+        .write.parquet(s"$stage/tombstones")
     val oldTv = liveDirs(spark, indexDir, art, "termvectors")
+    val newPost = if (deltaEmpty) oldPost else oldPost :+ s"$segName/postings"
+    val newTv = if (deltaEmpty) oldTv else oldTv :+ s"$segName/termvectors"
     writeManifest(spark, stage,
-      (oldPost :+ s"$segName/postings").map(("postings", _)) ++
-        (if (hasTv) (oldTv :+ s"$segName/termvectors")
-          .map(("termvectors", _)) else Nil) ++
+      newPost.map(("postings", _)) ++
+        (if (hasTv) newTv.map(("termvectors", _)) else Nil) ++
         (applied :+ segName).distinct.map(("applied", _)))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
@@ -1778,6 +1846,13 @@ object FullText {
     * term-vector lookup. `ids`' first column (cast to long) is the
     * doc ids. */
   def deleteFromMultiFieldTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, buckets: Int): Unit =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      deleteFromMultiFieldTextIndexImpl(spark, indexDir, ids, buckets)
+    }
+
+  private def deleteFromMultiFieldTextIndexImpl(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String, ids: DataFrame, buckets: Int): Unit = {
     import spark.implicits._
@@ -1864,7 +1939,14 @@ object FullText {
     * at delete time and carry forward; without them they re-derive
     * from the survivors. */
   def compactMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, buckets: Int = 16): (Long, Long, Long) = {
+      indexDir: String, buckets: Int = 16): (Long, Long, Long) =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      compactMultiFieldTextIndexImpl(spark, indexDir, buckets)
+    }
+
+  private def compactMultiFieldTextIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, buckets: Int): (Long, Long, Long) = {
     import spark.implicits._
     gcUnreferenced(spark, indexDir)
     val art = liveArtifactDir(spark, indexDir)

@@ -1086,7 +1086,17 @@ object SimilarityQueries {
   def writeIvfPqIndexFrames(artifactsFrom: DataFrame, corpus: DataFrame,
       indexDir: String, numCells: Int = 16, m: Int = 8, subdim: Int = 8,
       c: Int = 16, iters: Int = 1, codec: String = "pq",
-      coarse: String = "flat", cGrid: Int = 16): Unit = {
+      coarse: String = "flat", cGrid: Int = 16): Unit =
+    graft.io.Layout.withMutationLease(artifactsFrom.sparkSession,
+        indexDir) {
+      writeIvfPqIndexFramesImpl(artifactsFrom, corpus, indexDir,
+        numCells, m, subdim, c, iters, codec, coarse, cGrid)
+    }
+
+  private def writeIvfPqIndexFramesImpl(artifactsFrom: DataFrame,
+      corpus: DataFrame, indexDir: String, numCells: Int, m: Int,
+      subdim: Int, c: Int, iters: Int, codec: String,
+      coarse: String, cGrid: Int): Unit = {
     import artifactsFrom.sparkSession.implicits._
     require(Set("pq", "residual", "opq", "sq8")(codec),
       s"unknown codec '$codec' (pq | residual | opq | sq8)")
@@ -1461,7 +1471,15 @@ object SimilarityQueries {
     * window. */
   def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
       fresh: DataFrame, m: Int = 8, subdim: Int = 8,
-      segmentId: Option[String] = None): Unit = {
+      segmentId: Option[String] = None): Unit =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      appendToIvfPqIndexImpl(spark, indexDir, fresh, m, subdim,
+        segmentId)
+    }
+
+  private def appendToIvfPqIndexImpl(spark: SparkSession,
+      indexDir: String, fresh: DataFrame, m: Int, subdim: Int,
+      segmentId: Option[String]): Unit = {
     import spark.implicits._
     val art = vectorArtifactDir(spark, indexDir)
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
@@ -1480,6 +1498,21 @@ object SimilarityQueries {
     }
     val (codec, mm, sd, coarse, cGrid) =
       readIndexMeta(spark, indexDir, m, subdim)
+    // an EMPTY delta writes and references no segment dir — an empty
+    // partitionBy write leaves a _SUCCESS-only directory that poisons
+    // every later manifest union; the applied segment id still
+    // commits so a replayed empty batch stays a no-op (the text
+    // twin's contract)
+    val deltaEmpty = fresh.isEmpty
+    if (deltaEmpty) {
+      if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+        spark.read.parquet(s"$art/tombstones")
+          .write.parquet(s"$stage/tombstones")
+      writeVecManifest(spark, stage, oldDirs, applied :+ segName)
+      graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+        gen, art)
+      return
+    }
     // the delta assigns through the SAME coarse quantizer the writer
     // persisted (meta-dispatched — flat cells or the q104 half
     // codebooks), so appended rows land in the partitions every
@@ -1535,7 +1568,7 @@ object SimilarityQueries {
       .parquet(s"$indexDir/$segName/codes")
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
       spark.read.parquet(s"$art/tombstones")
-        .coalesce(1).write.parquet(s"$stage/tombstones")
+        .write.parquet(s"$stage/tombstones")
     writeVecManifest(spark, stage, oldDirs :+ s"$segName/codes",
       applied :+ segName)
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
@@ -1555,6 +1588,12 @@ object SimilarityQueries {
     * it. VectorIndexLayoutSpec pins file reclamation + stored-search
     * frame equality across the rewrite. */
   def compactIvfPqIndex(spark: SparkSession,
+      indexDir: String): (Long, Long, Long) =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      compactIvfPqIndexImpl(spark, indexDir)
+    }
+
+  private def compactIvfPqIndexImpl(spark: SparkSession,
       indexDir: String): (Long, Long, Long) = {
     import spark.implicits._
     vecGcUnreferenced(spark, indexDir)
@@ -1632,7 +1671,13 @@ object SimilarityQueries {
     * vector takedown stream, a q117 ruling frame) pass their frame
     * straight through. */
   def deleteFromIvfPqIndex(spark: SparkSession, indexDir: String,
-      ids: DataFrame): Unit = {
+      ids: DataFrame): Unit =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      deleteFromIvfPqIndexImpl(spark, indexDir, ids)
+    }
+
+  private def deleteFromIvfPqIndexImpl(spark: SparkSession,
+      indexDir: String, ids: DataFrame): Unit = {
     import spark.implicits._
     val art = vectorArtifactDir(spark, indexDir)
     val hadTomb = graft.io.Layout.pathExists(spark, s"$art/tombstones")

@@ -531,7 +531,13 @@ object Streams {
     * one double-apply); StreamsSpec pins both replay sides.
     * Together with [[takedownStream]] (deletes), `percolateStream`
     * (alerting) and the stored search faces (serving), the text
-    * index's full lifecycle is streaming-operable. */
+    * index's full lifecycle is streaming-operable — and running the
+    * refresh and takedown streams CONCURRENTLY on one index is safe:
+    * every mutation runs under
+    * [[graft.io.Layout.withMutationLease]], so the two foreachBatch
+    * bodies serialize on the per-index JVM lock (a mutator from
+    * another JVM fails fast on the filesystem lease instead of
+    * racing the staging directory). */
   def indexRefreshStream(docs: DataFrame, idCol: String,
       textCol: String, indexDir: String,
       checkpointDir: String): StreamingQuery =

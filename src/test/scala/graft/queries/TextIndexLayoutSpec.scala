@@ -999,6 +999,69 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(search(idxD) == pre, "search must be compaction-invariant")
   }
 
+  test("empty analyzed delta: append stays searchable, counts docs, references no segment") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("empty-delta")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    def stats() = spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats").head()
+    val n0 = stats().getAs[Long]("n_docs")
+    val s0 = stats().getAs[Long]("sum_doclen")
+    val postRows = FullText.postingsFrame(spark, idx).count()
+    // docs whose every token is an English stopword analyze to ZERO
+    // tokens — a supported case that must not write a _SUCCESS-only
+    // segment dir poisoning every later manifest union
+    val stop = Seq((880001L, "the and of to a"),
+      (880002L, "is it in on for")).toDF("doc_id", "text")
+    FullText.appendToTextIndex(spark, stop, "doc_id", "text", idx,
+      segmentId = Some("bStop"))
+    // the index must remain fully searchable (the failure mode was
+    // "Unable to infer schema for Parquet" on ANY later read)
+    val page = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(page.nonEmpty)
+    assert(stats().getAs[Long]("n_docs") == n0 + 2,
+      "zero-token docs still count in n_docs (writer semantics)")
+    assert(stats().getAs[Long]("sum_doclen") == s0)
+    assert(FullText.postingsFrame(spark, idx).count() == postRows,
+      "an empty delta must add no postings rows and no segment dir")
+    // replay of the empty batch is a no-op (its id committed)
+    FullText.appendToTextIndex(spark, stop, "doc_id", "text", idx,
+      segmentId = Some("bStop"))
+    assert(stats().getAs[Long]("n_docs") == n0 + 2)
+    // a later REAL append composes: search ≡ rebuild over the union
+    val extra = Seq((880003L, "fast vector query wins the race"))
+      .toDF("doc_id", "text")
+    FullText.appendToTextIndex(spark, extra, "doc_id", "text", idx,
+      segmentId = Some("bReal"))
+    val idxR = java.nio.file.Files.createTempDirectory("empty-delta-r")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(
+      docs.select($"doc_id", $"text").unionByName(stop)
+        .unionByName(extra), "doc_id", "text", idxR)
+    def p(i: String) = FullText.bm25SearchStored(spark, i, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(p(idx) == p(idxR),
+      "append after an empty delta must equal a rebuild bit-for-bit")
+    // multi-field twin: every field all-stopword
+    val mIdx = java.nio.file.Files.createTempDirectory("empty-delta-mf")
+      .toFile.getAbsolutePath
+    val mDocs = docs.select($"doc_id",
+      array_join(slice(split($"text", "\\s+"), 1, 6), " ").as("title"),
+      $"text".as("body"))
+    FullText.writeMultiFieldTextIndex(mDocs, "doc_id",
+      Seq("title", "body"), mIdx)
+    val mStop = Seq((880004L, "the and", "of to a"))
+      .toDF("doc_id", "title", "body")
+    FullText.appendToMultiFieldTextIndex(spark, mStop, "doc_id",
+      Seq("title", "body"), mIdx, segmentId = Some("bStop"))
+    val mPage = FullText.multiMatchSearchStored(spark, mIdx, terms,
+      Seq("title" -> 2.0, "body" -> 1.0)).collect()
+    assert(mPage.nonEmpty,
+      "multi-field index must stay searchable after an empty delta")
+  }
+
   test("distributed delete: DataFrame face ≡ Seq face, tombstones never single-task above the threshold") {
     val docs = graft.io.Tables.documents(spark, dir)
     val dead = docs.filter($"doc_id" % 5 === 2)

@@ -479,6 +479,36 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
       "every imi filtered hit must satisfy the pre-filter")
   }
 
+  test("empty vector delta: append commits its id, references no dir, stays searchable") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-empty")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idx)
+    def page() = SimilarityQueries.ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = page()
+    val rows = SimilarityQueries.codesFrame(spark, idx).count()
+    val empty = graft.io.Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 0).select($"vec_id", $"embedding")
+    SimilarityQueries.appendToIvfPqIndex(spark, idx, empty,
+      segmentId = Some("bEmpty"))
+    assert(page() == before,
+      "an empty vector delta must leave every search face readable " +
+        "and unchanged (no _SUCCESS-only segment dir)")
+    assert(SimilarityQueries.codesFrame(spark, idx).count() == rows)
+    // replay no-op, then a real append composes
+    SimilarityQueries.appendToIvfPqIndex(spark, idx, empty,
+      segmentId = Some("bEmpty"))
+    val freshV = graft.io.Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 11 === 3)
+      .select(($"vec_id" + 970000L).as("vec_id"), $"embedding")
+    SimilarityQueries.appendToIvfPqIndex(spark, idx, freshV,
+      segmentId = Some("bReal"))
+    assert(SimilarityQueries.codesFrame(spark, idx).count() > rows,
+      "a real append after the empty delta must land")
+    assert(page().nonEmpty)
+  }
+
   test("distributed vector delete: DataFrame face ≡ Seq face, multi-file tombstones above the threshold") {
     import org.apache.spark.sql.functions._
     val idxA = java.nio.file.Files.createTempDirectory("ivfpq-ddel-a")
