@@ -691,7 +691,16 @@ object HashKernels {
       if (idx(ppJ) >= lists(ppJ).length || !resolveCollisions())
         exhausted = true
       else {
-        // the eviction may have moved OTHER slots: recompute end
+        // the eviction may have moved OTHER slots: recompute end —
+        // but deliberately NOT `next`. Lucene's SloppyPhraseMatcher
+        // reads `next = pq.top().position` ONCE when a window forms
+        // and compares against that captured value even after
+        // advanceRpts evicts and re-queues colliding pps; refreshing
+        // next here would suppress the emission of a completed
+        // window whose defining slot was evicted forward — e.g.
+        // "A A A A" vs query "A A A" would drop from Lucene's
+        // freq 2 to 1 (the 2- and 3-slot repeat fixtures in
+        // HashExpressionsSpec pin both counts).
         end = Int.MinValue
         j = 0
         while (j < m) { if (value(j) > end) end = value(j); j += 1 }

@@ -933,6 +933,18 @@ object FullText {
       liveDirs(spark, indexDir, art, "postings").map(d => s"$indexDir/$d"))
   }
 
+  /** How many APPEND SEGMENTS the live manifest currently unions
+    * beyond the base — each costs one extra scan node per stored
+    * read (~75-80 ms measured, ProbeSegments) until a compaction
+    * folds them. Public so refresh streams (and deployment
+    * monitoring) can size compaction cadence against it. */
+  def liveSegmentCount(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Int = {
+    val art = liveArtifactDir(spark, indexDir)
+    liveDirs(spark, indexDir, art, "postings")
+      .count(_.startsWith("seg-"))
+  }
+
   /** Manifest-resolved term-vectors frame (raw union) — the forward
     * artifact's physical view; empty-schema failure if the layout
     * never stored term vectors (callers guard on the stats flag). */
@@ -1011,7 +1023,8 @@ object FullText {
       val n = st.getPath.getName
       if (st.isDirectory && !live.contains(n) &&
           (n.startsWith("seg-") || n.startsWith("postings-v") ||
-            n.startsWith("termvectors-v")))
+            n.startsWith("termvectors-v") ||
+            n == "postings" || n == "termvectors"))
         fs.delete(st.getPath, true)
     }
   }
@@ -1275,10 +1288,12 @@ object FullText {
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
     // reclaim the superseded base/segment dirs (now unreferenced)
+    // the ROOT postings/termvectors dirs reclaim through the same
+    // liveness check as seg-/-v dirs: under retainGenerations > 1 an
+    // older retained generation's manifest may still reference them,
+    // and deleting them unconditionally would break the lock-free
+    // reader guarantee for any index compacted before its first fold
     gcUnreferenced(spark, indexDir)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/termvectors"),
-      true)
     (before, countFiles(Seq(newPost)), rows)
   }
 
@@ -2018,10 +2033,12 @@ object FullText {
       appliedSegments(spark, indexDir, art).map(("applied", _)))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
+    // the ROOT postings/termvectors dirs reclaim through the same
+    // liveness check as seg-/-v dirs: under retainGenerations > 1 an
+    // older retained generation's manifest may still reference them,
+    // and deleting them unconditionally would break the lock-free
+    // reader guarantee for any index compacted before its first fold
     gcUnreferenced(spark, indexDir)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/termvectors"),
-      true)
     (before, countFiles(Seq(newPost)), rows)
   }
 

@@ -1367,6 +1367,14 @@ object SimilarityQueries {
         .collect().map(_.getAs[String]("dir")).toSeq.sorted
     else Seq("codes")
 
+  /** How many APPEND SEGMENTS the live manifest unions beyond the
+    * base — the text twin is
+    * [[graft.ops.FullText.liveSegmentCount]]; refresh streams size
+    * their compaction cadence against it. */
+  def liveSegmentCount(spark: SparkSession, indexDir: String): Int =
+    codesDirs(spark, indexDir, vectorArtifactDir(spark, indexDir))
+      .count(_.startsWith("seg-"))
+
   /** Manifest-resolved codes frame (base ∪ committed segments) — each
     * directory reads separately so cell_id partition filters push
     * into every child scan (the FullText.readUnion discipline). Public
@@ -1420,7 +1428,8 @@ object SimilarityQueries {
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && !live.contains(n) &&
-          (n.startsWith("seg-") || n.startsWith("codes-v")))
+          (n.startsWith("seg-") || n.startsWith("codes-v") ||
+            n == "codes"))
         fs.delete(st.getPath, true)
     }
   }
@@ -1636,8 +1645,9 @@ object SimilarityQueries {
       vecAppliedSegments(spark, indexDir, art))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
+    // the ROOT codes dir reclaims through the liveness check too —
+    // a retained older generation's manifest may still reference it
     vecGcUnreferenced(spark, indexDir)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/codes"), true)
     (before, countFiles(Seq(newCodes)), rows)
   }
 

@@ -540,15 +540,30 @@ object Streams {
     * racing the staging directory). */
   def indexRefreshStream(docs: DataFrame, idCol: String,
       textCol: String, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.ops.FullText.appendToTextIndex(batch.sparkSession,
             batch, idCol, textCol, indexDir,
             segmentId = Some(s"b$batchId"))
+          // auto-compaction: each committed segment costs one extra
+          // scan node per stored read (~75-80 ms measured,
+          // ProbeSegments) — fold inside the stream's own
+          // single-writer serialization once the manifest unions
+          // `compactEvery` segments, bounding search cost across an
+          // unbounded stream. Counting SEGMENTS (not batch ids)
+          // makes the cadence restart-proof: replayed no-op batches
+          // don't advance it. 0 = off (maintenance-window cadence).
+          if (compactEvery > 0 && graft.ops.FullText
+              .liveSegmentCount(batch.sparkSession, indexDir)
+              >= compactEvery)
+            graft.ops.FullText.compactTextIndex(
+              batch.sparkSession, indexDir)
+          ()
+        }
       }
       .start()
 
@@ -560,15 +575,22 @@ object Streams {
     * single-field one. */
   def multiFieldRefreshStream(docs: DataFrame, idCol: String,
       fields: Seq[String], indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.ops.FullText.appendToMultiFieldTextIndex(
             batch.sparkSession, batch, idCol, fields, indexDir,
             segmentId = Some(s"b$batchId"))
+          if (compactEvery > 0 && graft.ops.FullText
+              .liveSegmentCount(batch.sparkSession, indexDir)
+              >= compactEvery)
+            graft.ops.FullText.compactMultiFieldTextIndex(
+              batch.sparkSession, indexDir)
+          ()
+        }
       }
       .start()
 
@@ -583,15 +605,22 @@ object Streams {
     * streams, with no marker-log residual window. */
   def vectorRefreshStream(vecs: DataFrame, indexDir: String,
       checkpointDir: String, m: Int = 8,
-      subdim: Int = 8): StreamingQuery =
+      subdim: Int = 8, compactEvery: Int = 0): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.queries.SimilarityQueries.appendToIvfPqIndex(
             batch.sparkSession, indexDir, batch, m, subdim,
             segmentId = Some(s"b$batchId"))
+          if (compactEvery > 0 && graft.queries.SimilarityQueries
+              .liveSegmentCount(batch.sparkSession, indexDir)
+              >= compactEvery)
+            graft.queries.SimilarityQueries.compactIvfPqIndex(
+              batch.sparkSession, indexDir)
+          ()
+        }
       }
       .start()
 

@@ -354,6 +354,21 @@ class HashExpressionsSpec extends SparkSpecBase {
     // both agree at slop 0 on that corpus (one exact match)
     assert(stats(Seq(Seq(1, 2, 10), Seq(0, 1, 9)), 0, rpts = true)
       == (1.0, 1.0))
+    // THREE-slot repeat ("A A A"): pins that the emission check
+    // compares against `next` CAPTURED at window formation — Lucene
+    // reads pq.top().position once per window and does not refresh
+    // it when advanceRpts evicts the slot that defined it.
+    // Doc "A A A A" (shifted lists {0..3}/{-1..2}/{-2..1}): init
+    // resolves to values (0,0,0); advancing s0→1 evicts s1→1 and
+    // s2→1, and value(s0)=1 > captured next=0 emits the completed
+    // (0,1,2) window; the (1,2,3) window emits at exhaustion —
+    // Lucene's freq 2. (Refreshing next after the eviction would
+    // suppress the first emission: freq 1, a real divergence.)
+    assert(stats(Seq(Seq(0, 1, 2, 3), Seq(-1, 0, 1, 2),
+      Seq(-2, -1, 0, 1)), 0, rpts = true) == (2.0, 2.0))
+    // doc "A A A": exactly one alignment survives the evictions
+    assert(stats(Seq(Seq(0, 1, 2), Seq(-1, 0, 1),
+      Seq(-2, -1, 0)), 0, rpts = true) == (1.0, 1.0))
     // collision-free inputs (distinct terms — the dominant case):
     // the two rules are IDENTICAL, pinned over the default test's
     // fixtures — which is why the default flag keeps every gated

@@ -999,6 +999,44 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(search(idxD) == pre, "search must be compaction-invariant")
   }
 
+  test("retainGenerations: root dirs survive compaction while a retained manifest references them") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("retain-root")
+      .toFile.getAbsolutePath
+    spark.conf.set("graft.index.retainGenerations", "2")
+    try {
+      FullText.writeTextIndex(docs, "doc_id", "text", idx)
+      // gen-1: an append whose manifest references the ROOT postings
+      FullText.appendToTextIndex(spark,
+        Seq((990001L, "fast vector query extra")).toDF("doc_id", "text"),
+        "doc_id", "text", idx, segmentId = Some("b1"))
+      def page() = FullText.bm25SearchStored(spark, idx, terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val before = page()
+      // gen-2: compaction folds into postings-v2 — but gen-1 is
+      // RETAINED and its manifest still references the root dir, so
+      // the lock-free-reader knob demands the root survive
+      FullText.compactTextIndex(spark, idx)
+      assert(graft.io.Layout.pathExists(spark, s"$idx/postings"),
+        "root postings must survive while a retained generation " +
+          "references them")
+      // every dir gen-1's manifest references must still resolve —
+      // a reader pinned at gen-1 mid-query keeps its inputs
+      val gen1Dirs = spark.read.parquet(s"$idx/gen-1/segments")
+        .filter($"kind" === "postings")
+        .collect().map(_.getAs[String]("dir"))
+      assert(gen1Dirs.forall(d =>
+        graft.io.Layout.pathExists(spark, s"$idx/$d")))
+      assert(page() == before, "compaction must not change the page")
+      // a second fold retires gen-1; nothing references the root
+      // anymore and the liveness sweep reclaims it
+      FullText.compactTextIndex(spark, idx)
+      assert(!graft.io.Layout.pathExists(spark, s"$idx/postings"),
+        "once no retained manifest references the root, it reclaims")
+      assert(page() == before)
+    } finally spark.conf.unset("graft.index.retainGenerations")
+  }
+
   test("empty analyzed delta: append stays searchable, counts docs, references no segment") {
     val docs = graft.io.Tables.documents(spark, dir)
     val idx = java.nio.file.Files.createTempDirectory("empty-delta")

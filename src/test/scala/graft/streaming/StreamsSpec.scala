@@ -578,6 +578,78 @@ class StreamsSpec extends SparkSpecBase {
       "replayed append batch must leave the index bit-identical")
   }
 
+  test("indexRefreshStream compactEvery: segment count stays bounded, search equals rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val old = Seq(
+      (1L, "fast vector engines win races"),
+      (2L, "fast vector query engines"),
+      (3L, "slow scalar fallback path")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("autocompact-idx")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(old, "doc_id", "text", idx)
+    val ckpt = java.nio.file.Files.createTempDirectory("autocompact-ck")
+      .toFile.getAbsolutePath
+    val src = MemoryStream[(Long, String)]
+    // 3N batches against compactEvery = N: without the hook the
+    // manifest would union 6 segments (ProbeSegments' linear cost);
+    // with it the count must never exceed N after a trigger
+    val q = Streams.indexRefreshStream(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt,
+      compactEvery = 2)
+    val batches = (0 until 6).map(i =>
+      Seq((10L + i, s"fast vector query batch$i")))
+    try {
+      batches.foreach { b =>
+        src.addData(b: _*)
+        q.processAllAvailable()
+        assert(graft.ops.FullText.liveSegmentCount(spark, idx) <= 2,
+          "auto-compaction must bound the live segment count")
+      }
+    } finally q.stop()
+    assert(graft.ops.FullText.liveSegmentCount(spark, idx) == 0,
+      "the 6th batch hits the threshold: the index ends compacted")
+    def search(i: String) = graft.ops.FullText
+      .bm25SearchStored(spark, i, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idxR = java.nio.file.Files.createTempDirectory("autocompact-r")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(
+      old.unionByName(batches.flatten.toDF("doc_id", "text")),
+      "doc_id", "text", idxR)
+    assert(search(idx) == search(idxR),
+      "auto-compacted stream must equal a rebuild over all docs")
+    // vector twin: same contract on the codes manifest
+    val vecs = graft.io.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val vIdx = java.nio.file.Files.createTempDirectory("autocompact-v")
+      .toFile.getAbsolutePath
+    graft.queries.SimilarityQueries.writeIvfPqIndexFrames(
+      vecs, vecs, vIdx)
+    val vCkpt = java.nio.file.Files.createTempDirectory("autocompact-vc")
+      .toFile.getAbsolutePath
+    val vSrc = MemoryStream[Long]
+    val vBase = vecs.limit(4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val vq = Streams.vectorRefreshStream(
+      vSrc.toDF().toDF("k").join(
+        vecs.withColumnRenamed("vec_id", "k"), Seq("k"))
+        .select(($"k" + 880000L).as("vec_id"), $"embedding"),
+      vIdx, vCkpt, compactEvery = 2)
+    try {
+      (0 until 4).foreach { i =>
+        vSrc.addData(vBase(i)._1)
+        vq.processAllAvailable()
+        assert(graft.queries.SimilarityQueries
+          .liveSegmentCount(spark, vIdx) <= 2,
+          "vector auto-compaction must bound the segment count")
+      }
+    } finally vq.stop()
+    assert(graft.queries.SimilarityQueries
+      .liveSegmentCount(spark, vIdx) == 0)
+  }
+
   test("multiFieldRefreshStream: streamed appends equal a rebuild; committed batch ids skip") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
