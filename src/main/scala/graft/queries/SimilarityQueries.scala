@@ -1344,6 +1344,64 @@ object SimilarityQueries {
       .map { case (c0, c1) => c0.toLong * cGrid + c1 }
   }
 
+  /** DISTRIBUTED per-query IMI probe selection — the msearch-scale
+    * face of [[imiProbeCells]] (public: ProbeImiWalk measures it): the blended multi-sequence walk runs
+    * in `mapPartitions` over the BROADCAST half-codebooks (2·cGrid
+    * rows — a persisted index artifact, bounded by design), so a
+    * 1000-query batch at cGrid = 2¹⁴ costs executor work instead of
+    * collecting a |Q|·2¹⁵-row half-affinity frame onto the driver
+    * and walking it there. Per-half dot products replicate
+    * [[graft.expressions.FloatVectorDot]]'s left-to-right double
+    * accumulation over the min length exactly, so the emitted cell
+    * set is bit-identical to the frame path's (the gate-exact imi
+    * msearch spec pins equality with the self-contained batch).
+    * Probe-selection time is therefore flat in |Q| on the driver —
+    * the walk parallelizes with the queries (ProbeScaleCurve's
+    * imi-batch leg measures it). */
+  def imiProbeCellsBatch(queries: DataFrame, imiCb: DataFrame,
+      cGrid: Int, halfDim: Int, probes: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb0 = Array.fill(cGrid)(null: Array[Float])
+    val cb1 = Array.fill(cGrid)(null: Array[Float])
+    imiCb.select($"sub_id", $"cent_id", $"cvec").collect().foreach { r =>
+      val v = r.getSeq[Float](2).toArray
+      val ci = r.getAs[Number](1).intValue
+      if (r.getAs[Number](0).intValue == 0) cb0(ci) = v else cb1(ci) = v
+    }
+    val bc = spark.sparkContext.broadcast((cb0, cb1))
+    val g = cGrid
+    val hd = halfDim
+    val pr = probes
+    queries.select($"q_id", $"qemb").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (c0s, c1s) = bc.value
+        // FloatVectorDot parity: Σ (double) cv(i) · (double) q(off+i),
+        // left to right, over min(|cv|, |qsub|); a missing (empty-
+        // cluster) centroid scores -∞ exactly like the frame path's
+        // absent affinity row
+        def dotAt(cv: Array[Float], emb: Array[Float],
+            off: Int): Double = {
+          if (cv == null) return Double.NegativeInfinity
+          val n = math.min(cv.length,
+            math.min(hd, math.max(0, emb.length - off)))
+          var s = 0.0
+          var i = 0
+          while (i < n) {
+            s += cv(i).toDouble * emb(off + i).toDouble
+            i += 1
+          }
+          s
+        }
+        it.flatMap { case (qid, emb) =>
+          val d0 = Array.tabulate(g)(ci => dotAt(c0s(ci), emb, 0))
+          val d1 = Array.tabulate(g)(ci => dotAt(c1s(ci), emb, hd))
+          multiSequenceWalk(d0, d1, pr)
+            .map { case (c0, c1) => (qid, c0.toLong * g + c1) }
+        }
+      }.toDF("q_id", "cell_id")
+  }
+
   /** The vector index's MUTATION-COMMITTED artifact dir — the
     * [[graft.ops.FullText.liveArtifactDir]] model: deletes and
     * appends stage tombstones + the segment manifest into `gen-N/`
@@ -1977,34 +2035,17 @@ object SimilarityQueries {
         spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid)
       case _ => spark.read.parquet(s"$indexDir/cells")
     }
-    // per-query probe list — flat: one |Q| × cells ranking; imi: one
-    // |Q|·2·cGrid half-affinity frame (the probe-list convention's
-    // bounded driver artifact), then q116's blended multi-sequence
-    // walk per query
+    // per-query probe list — flat: one |Q| × cells ranking; imi:
+    // the executor-side multi-sequence walk
     val probed = coarse match {
       case "imi" =>
-        val imiCb = spark.read.parquet(s"$indexDir/imi_codebooks")
-        val qsubs2 = ProductQuant.subVectors(
-            queries.select($"q_id".as("vec_id"), $"qemb".as("embedding")),
-            2, mm * sd / 2)
-          .select($"vec_id".as("q_id"), $"sub_id", $"subvec".as("qsub"))
-        val aff = imiCb.join(broadcast(qsubs2), Seq("sub_id"))
-          .select($"q_id", $"sub_id", $"cent_id",
-            dot($"cvec", $"qsub").as("qdot"))
-          .collect()
-        aff.groupBy(_.getAs[Long]("q_id")).toSeq.flatMap {
-          case (qid, rows) =>
-            val d0 = Array.fill(cGrid)(Double.NegativeInfinity)
-            val d1 = Array.fill(cGrid)(Double.NegativeInfinity)
-            rows.foreach { r =>
-              val s = r.getAs[Number]("sub_id").intValue
-              val ci = r.getAs[Number]("cent_id").intValue
-              val d = r.getAs[Number]("qdot").doubleValue
-              if (s == 0) d0(ci) = d else d1(ci) = d
-            }
-            multiSequenceWalk(d0, d1, probes)
-              .map { case (c0, c1) => (qid, c0.toLong * cGrid + c1) }
-        }.toDF("q_id", "cell_id")
+        // q116's blended walk per query, run on the EXECUTORS over
+        // the broadcast half-codebooks (imiProbeCellsFrame) — at the
+        // 2^14 grids that motivate IMI, a driver-side walk would
+        // collect |Q|·2^15 affinity rows
+        imiProbeCellsBatch(queries,
+          spark.read.parquet(s"$indexDir/imi_codebooks"),
+          cGrid, mm * sd / 2, probes)
       case _ =>
         spark.read.parquet(s"$indexDir/cells")
           .crossJoin(broadcast(queries))
