@@ -1030,11 +1030,11 @@ object SimilarityQueries {
   def writeIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
       numCells: Int = 16, m: Int = 8, subdim: Int = 8, c: Int = 16,
       iters: Int = 1, codec: String = "pq",
-      coarse: String = "flat"): Unit = {
+      coarse: String = "flat", pgroups: Int = 0): Unit = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     writeIvfPqIndexFrames(e, e, indexDir, numCells, m, subdim, c, iters,
-      codec, coarse)
+      codec, coarse, pgroups = pgroups)
   }
 
   /** Frame-level [[writeIvfPqIndex]] with the artifact/corpus split
@@ -1086,17 +1086,18 @@ object SimilarityQueries {
   def writeIvfPqIndexFrames(artifactsFrom: DataFrame, corpus: DataFrame,
       indexDir: String, numCells: Int = 16, m: Int = 8, subdim: Int = 8,
       c: Int = 16, iters: Int = 1, codec: String = "pq",
-      coarse: String = "flat", cGrid: Int = 16): Unit =
+      coarse: String = "flat", cGrid: Int = 16,
+      pgroups: Int = 0): Unit =
     graft.io.Layout.withMutationLease(artifactsFrom.sparkSession,
         indexDir) {
       writeIvfPqIndexFramesImpl(artifactsFrom, corpus, indexDir,
-        numCells, m, subdim, c, iters, codec, coarse, cGrid)
+        numCells, m, subdim, c, iters, codec, coarse, cGrid, pgroups)
     }
 
   private def writeIvfPqIndexFramesImpl(artifactsFrom: DataFrame,
       corpus: DataFrame, indexDir: String, numCells: Int, m: Int,
       subdim: Int, c: Int, iters: Int, codec: String,
-      coarse: String, cGrid: Int): Unit = {
+      coarse: String, cGrid: Int, pgroups: Int): Unit = {
     import artifactsFrom.sparkSession.implicits._
     require(Set("pq", "residual", "opq", "sq8")(codec),
       s"unknown codec '$codec' (pq | residual | opq | sq8)")
@@ -1216,15 +1217,13 @@ object SimilarityQueries {
           spark.read.parquet(s"$indexDir/sqstats"), m * subdim)
     }
     val norms = corpus.select($"vec_id", norm($"embedding").as("nrm"))
-    codes
+    writeCodes(codes
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
         Seq("vec_id"))
-      .join(norms, Seq("vec_id"))
-      .repartition($"cell_id") // one file per cell, not tasks x cells
-      .write.mode("overwrite").partitionBy("cell_id")
-      .parquet(s"$indexDir/codes")
-    Seq((codec, m, subdim, numCells, c, coarse, cGrid))
-      .toDF("codec", "m", "subdim", "num_cells", "c", "coarse", "c_grid")
+      .join(norms, Seq("vec_id")), s"$indexDir/codes", pgroups)
+    Seq((codec, m, subdim, numCells, c, coarse, cGrid, pgroups))
+      .toDF("codec", "m", "subdim", "num_cells", "c", "coarse",
+        "c_grid", "pgroups")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     graft.ops.Checkpoints.unpersist(assign)
   }
@@ -1266,7 +1265,7 @@ object SimilarityQueries {
     * meta-less dir or a meta written before the coarse dimension
     * existed. */
   private def readIndexMeta(spark: SparkSession, indexDir: String,
-      m: Int, subdim: Int): (String, Int, Int, String, Int) =
+      m: Int, subdim: Int): (String, Int, Int, String, Int, Int) =
     if (graft.io.Layout.pathExists(spark, s"$indexDir/meta")) {
       val r = spark.read.parquet(s"$indexDir/meta").head()
       val coarse =
@@ -1275,9 +1274,12 @@ object SimilarityQueries {
       val cGrid =
         if (r.schema.fieldNames.contains("c_grid")) r.getAs[Int]("c_grid")
         else 16
+      val pgroups =
+        if (r.schema.fieldNames.contains("pgroups")) r.getAs[Int]("pgroups")
+        else 0
       (r.getAs[String]("codec"), r.getAs[Int]("m"), r.getAs[Int]("subdim"),
-        coarse, cGrid)
-    } else ("pq", m, subdim, "flat", 16)
+        coarse, cGrid, pgroups)
+    } else ("pq", m, subdim, "flat", 16, 0)
 
   /** IMI coarse assignment (q104's composition over the PERSISTED
     * half codebooks): each vector's two halves encode independently
@@ -1433,6 +1435,52 @@ object SimilarityQueries {
     codesDirs(spark, indexDir, vectorArtifactDir(spark, indexDir))
       .count(_.startsWith("seg-"))
 
+  /** Physical CODES write — the one place the cell partitioning is
+    * chosen. `pgroups = 0` (the default): `partitionBy(cell_id)`,
+    * one directory per cell — exact directory-level file pruning,
+    * ideal up to ~1k cells. `pgroups > 0`: cells group into
+    * `pmod(cell_id, pgroups)` physical partitions with rows SORTED
+    * by cell_id inside each file, so a probe prunes to |probed
+    * pgroups| directories by listing and to the probed cells' row
+    * groups by parquet min/max stats — the layout for large cell
+    * counts, where ProbeScaleCurve measured per-cell directory
+    * LISTING (not data) as the stored-face bottleneck (~1.4k dirs at
+    * 2M vectors), and the only layout that stays listable at the
+    * cGrid² cells IMI exists for. Recorded in `meta.pgroups`; append
+    * and compaction dispatch through it so segments and folds always
+    * match the base layout. */
+  private def writeCodes(df: DataFrame, path: String,
+      pgroups: Int): Unit = {
+    import df.sparkSession.implicits._
+    if (pgroups > 0)
+      df.drop("pgroup")
+        .withColumn("pgroup",
+          pmod($"cell_id", lit(pgroups.toLong)).cast("int"))
+        .repartition($"pgroup")
+        .sortWithinPartitions($"pgroup", $"cell_id")
+        .write.mode("overwrite").partitionBy("pgroup").parquet(path)
+    else
+      df.drop("pgroup")
+        .repartition($"cell_id") // one file per cell, not tasks × cells
+        .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+  }
+
+  /** The probed-cells scan under either physical layout: cell-
+    * partitioned indexes prune directories on the cell_id literal
+    * directly; pgroup'd indexes prune directories on the probed
+    * cells' pgroups and rows on the cell_id filter (row-group
+    * min/max over the sorted files). Both keep the probe list a
+    * bounded literal — never a join. */
+  private def prunedCodes(codes: DataFrame, cells: Seq[Long],
+      pgroups: Int): DataFrame = {
+    import codes.sparkSession.implicits._
+    val byCell = codes.filter($"cell_id".isInCollection(cells))
+    if (pgroups > 0)
+      byCell.filter($"pgroup".isInCollection(
+        cells.map(c => (c % pgroups).toInt).distinct))
+    else byCell
+  }
+
   /** Manifest-resolved codes frame (base ∪ committed segments) — each
     * directory reads separately so cell_id partition filters push
     * into every child scan (the FullText.readUnion discipline). Public
@@ -1563,7 +1611,7 @@ object SimilarityQueries {
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$segName"), true)
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     }
-    val (codec, mm, sd, coarse, cGrid) =
+    val (codec, mm, sd, coarse, cGrid, pgroups) =
       readIndexMeta(spark, indexDir, m, subdim)
     // an EMPTY delta writes and references no segment dir — an empty
     // partitionBy write leaves a _SUCCESS-only directory that poisons
@@ -1626,13 +1674,11 @@ object SimilarityQueries {
           ProductQuant.subVectors(fresh, mm, sd), cb)
     }
     val norms = fresh.select($"vec_id", norm($"embedding").as("nrm"))
-    codes
+    writeCodes(codes
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
         Seq("vec_id"))
-      .join(norms, Seq("vec_id"))
-      .repartition($"cell_id")
-      .write.partitionBy("cell_id")
-      .parquet(s"$indexDir/$segName/codes")
+      .join(norms, Seq("vec_id")),
+      s"$indexDir/$segName/codes", pgroups)
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
       spark.read.parquet(s"$art/tombstones")
         .write.parquet(s"$stage/tombstones")
@@ -1694,8 +1740,10 @@ object SimilarityQueries {
         base.join(spark.read.parquet(tombPath)
           .select($"vec_id").distinct(), Seq("vec_id"), "left_anti")
       else base
-    folded0.repartition($"cell_id")
-      .write.partitionBy("cell_id").parquet(s"$indexDir/$newCodes")
+    // the fold rewrites in the layout the meta records — pgroup'd
+    // indexes stay pgroup'd (one file per physical partition)
+    writeCodes(folded0, s"$indexDir/$newCodes",
+      readIndexMeta(spark, indexDir, 8, 8)._6)
     val rows = spark.read.parquet(s"$indexDir/$newCodes").count()
     // no tombstones in the new generation: physically applied; the
     // applied-segments registry carries forward past the fold
@@ -1801,7 +1849,7 @@ object SimilarityQueries {
     import spark.implicits._
     val fp = ProductQuant.fixedPointScale
     // codec dispatch (self-describing index — see writeIvfPqIndexFrames)
-    val (codec, mm, sd, coarse, cGrid) =
+    val (codec, mm, sd, coarse, cGrid, pgroups) =
       readIndexMeta(spark, indexDir, m, subdim)
     // lazy: the sq8 codec writes no codebooks artifact
     lazy val cb = spark.read.parquet(s"$indexDir/codebooks")
@@ -1826,8 +1874,8 @@ object SimilarityQueries {
       case _ => spark.read.parquet(s"$indexDir/cells")
     }
     val vart = vectorArtifactDir(spark, indexDir)
-    val codes1 = codesFrame(spark, indexDir)
-      .filter($"cell_id".isInCollection(probedCells))
+    val codes1 = prunedCodes(
+      codesFrame(spark, indexDir), probedCells, pgroups)
     // PRE-filter semantics for the ES 8.x `knn.filter` clause served
     // from the stored index (q113's stored face): the metadata
     // predicate restricts candidates BEFORE the ADC scoring, so the
@@ -2023,7 +2071,7 @@ object SimilarityQueries {
     val fp = ProductQuant.fixedPointScale
     val win = org.apache.spark.sql.expressions.Window
     // codec dispatch mirrors the single-query face
-    val (codec, mm, sd, coarse, cGrid) =
+    val (codec, mm, sd, coarse, cGrid, pgroups) =
       readIndexMeta(spark, indexDir, m, subdim)
     // lazy: the sq8 codec writes no codebooks artifact
     lazy val cb = spark.read.parquet(s"$indexDir/codebooks")
@@ -2059,8 +2107,8 @@ object SimilarityQueries {
     val probedCells = probed.select($"cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val vart = vectorArtifactDir(spark, indexDir)
-    val codes1 = codesFrame(spark, indexDir)
-      .filter($"cell_id".isInCollection(probedCells))
+    val codes1 = prunedCodes(
+      codesFrame(spark, indexDir), probedCells, pgroups)
     // the same PRE-filter semi-join as the single-query face — one
     // filter pass masks every query's candidate set at once (the
     // filtered × batched composition; no broadcast hint, the allowed

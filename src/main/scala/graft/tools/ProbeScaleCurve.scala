@@ -125,6 +125,24 @@ object ProbeScaleCurve {
         s""""cells":$cells,"query_s":${f"$tVec%.3f"},""" +
         s""""probed_vecs":$probedRows,""" +
         s""""brute_force_s":${f"$tBrute%.3f"}}""")
+      // the round-11 finding: at ~1.4k cells the stored face is
+      // LISTING-bound (one directory per cell), not data-bound. The
+      // pgroup'd twin groups cells into 64 physical partitions with
+      // cell_id sorted inside files — same page, directory count
+      // independent of the cell count
+      if (cells > 256) {
+        val pidx = java.nio.file.Files
+          .createTempDirectory(s"curve-vec-pg-$n").toFile.getAbsolutePath
+        SimilarityQueries.writeIvfPqIndexFrames(e, e, pidx,
+          numCells = cells, pgroups = 64)
+        val tPg = timeMin3 {
+          SimilarityQueries.ivfPqSearchStored(spark, pidx, eDir)
+            .collect()
+        }
+        println(s"""{"face":"ivfPqSearchStored","n_vecs":$n,""" +
+          s""""cells":$cells,"pgroups":64,""" +
+          s""""query_s":${f"$tPg%.3f"}}""")
+      }
       graft.ops.Checkpoints.unpersist(e)
     }
     spark.stop()

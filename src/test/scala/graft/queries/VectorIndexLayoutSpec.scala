@@ -479,6 +479,68 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
       "every imi filtered hit must satisfy the pre-filter")
   }
 
+  test("pgroup layout: same pages as cell-partitioned, pruned by pgroup dirs, lifecycle intact") {
+    import org.apache.spark.sql.functions._
+    val idxC = java.nio.file.Files.createTempDirectory("pg-cell")
+      .toFile.getAbsolutePath
+    val idxP = java.nio.file.Files.createTempDirectory("pg-grp")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idxC)
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idxP, pgroups = 4)
+    def page(idx: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the physical layout is invisible to the query: identical page
+    assert(page(idxP) == page(idxC),
+      "pgroup'd index must serve the cell-partitioned page bit-for-bit")
+    // physical shape: pgroup= dirs, cell_id as a data column
+    val dirs = new java.io.File(s"$idxP/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("pgroup=")),
+      s"expected pgroup= partitions, got ${dirs.toSeq}")
+    assert(dirs.length <= 4)
+    // the probed scan prunes: fewer files than the full table, and
+    // the pgroup filter is a PartitionFilter in the executed plan
+    val all = spark.read.parquet(s"$idxP/codes")
+    val pruned = all.filter($"pgroup".isInCollection(Seq(0, 1)))
+      .filter($"cell_id".isInCollection(Seq(0L, 4L)))
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [pgroup"),
+      "pgroup pruning must be a PartitionFilter")
+    val filesPruned = pruned.select(input_file_name()).distinct().count()
+    val filesAll = all.select(input_file_name()).distinct().count()
+    assert(filesPruned < filesAll,
+      s"pgroup filter must prune files ($filesPruned vs $filesAll)")
+    // full lifecycle on the pgroup layout: append lands pgroup'd
+    // segments, delete masks, compaction folds pgroup'd
+    val freshV = graft.io.Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 13 === 5)
+      .select(($"vec_id" + 960000L).as("vec_id"), $"embedding")
+    SimilarityQueries.appendToIvfPqIndex(spark, idxP, freshV,
+      segmentId = Some("bPg"))
+    SimilarityQueries.appendToIvfPqIndex(spark, idxC, freshV,
+      segmentId = Some("bPg"))
+    assert(page(idxP) == page(idxC),
+      "append must preserve layout equivalence")
+    val segDirs = new java.io.File(s"$idxP/seg-bPg/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(segDirs.forall(_.startsWith("pgroup=")),
+      "segments must inherit the base layout from meta")
+    val dead = page(idxP).take(2).map(_._1)
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idxP, dead)
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idxC, dead)
+    assert(page(idxP) == page(idxC))
+    SimilarityQueries.compactIvfPqIndex(spark, idxP)
+    assert(page(idxP) == page(idxC),
+      "compaction must fold the pgroup layout unchanged")
+    val foldDirs = new java.io.File(idxP).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("codes-v"))
+    assert(foldDirs.nonEmpty && foldDirs.head.listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .forall(_.startsWith("pgroup=")),
+      "the fold must stay pgroup'd")
+  }
+
   test("empty vector delta: append commits its id, references no dir, stays searchable") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("ivfpq-empty")
