@@ -617,10 +617,16 @@ object HashKernels {
     * mover there — which can keep a tighter alignment alive where
     * mover-skips jumps the mover past it (the hand-traced fixtures in
     * FullTextSpec pin exactly such a case). Only same-term slots can
-    * ever collide here (one term per token-stream position), so this
-    * IS the repeats constraint; the bijection machinery Lucene adds
-    * for MULTI-term repeat phrases ("A B A B") remains out of scope
-    * and is documented in SURVEY §9. Emission logic, sloppyFreq
+    * ever collide here (one term per token-stream position), so the
+    * pairwise rule IS Lucene's simple-repeats constraint — including
+    * for phrases repeating SEVERAL distinct terms ("A B A B", two
+    * same-term pairs; collisions fire exactly within each term's
+    * group because cross-term slots can never share a document
+    * position — the multi-group fixtures in HashExpressionsSpec pin
+    * Lucene's counts). The bijection/term-group machinery Lucene
+    * adds applies only to MULTI-TERM POSITIONS (MultiPhraseQuery —
+    * synonym expansion at one slot), which this engine's phrase
+    * surface cannot express; documented in SURVEY §9. Emission logic, sloppyFreq
     * weighting, and termination are the default kernel's. */
   def sloppyPhraseStatsRpts(posLists: ArrayData, slop: Int): ArrayData = {
     val m = posLists.numElements()

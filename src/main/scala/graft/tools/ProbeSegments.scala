@@ -76,6 +76,32 @@ object ProbeSegments {
     val (fb, fa, _) = FullText.compactTextIndex(spark, idx)
     probe(s"compacted(files $fb -> $fa)")
 
+    // ---- compactEvery cadence (round 12): the same 32 batches
+    // through the refresh streams' auto-compaction rule — fold once
+    // the manifest unions 8 segments. Search cost after the full
+    // stream should sit at the ~compacted cost, not the 32-segment
+    // peak: the knob bounds the curve over an unbounded stream.
+    val idxA = java.nio.file.Files.createTempDirectory("seg-auto")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docsOf(spark, 0, baseN), "doc_id", "text",
+      idxA)
+    var b2 = 0
+    while (b2 < batches) {
+      FullText.appendToTextIndex(spark,
+        docsOf(spark, baseN + b2 * batchN, batchN), "doc_id", "text",
+        idxA, segmentId = Some(s"b$b2"))
+      if (FullText.liveSegmentCount(spark, idxA) >= 8)
+        FullText.compactTextIndex(spark, idxA)
+      b2 += 1
+    }
+    val tAuto = timeMin3 {
+      FullText.bm25SearchStored(spark, idxA, terms).collect()
+    }
+    println(s"""{"probe":"segments","at":"compactEvery=8 after """ +
+      s"""$batches batches (live=${
+        FullText.liveSegmentCount(spark, idxA)})",""" +
+      s""""query_s":${f"$tAuto%.3f"}}""")
+
     // ---- the vector face's segment curve -----------------------------
     import spark.implicits._
     def vecsOf(from: Long, n: Long) =

@@ -369,6 +369,25 @@ class HashExpressionsSpec extends SparkSpecBase {
     // doc "A A A": exactly one alignment survives the evictions
     assert(stats(Seq(Seq(0, 1, 2), Seq(-1, 0, 1),
       Seq(-2, -1, 0)), 0, rpts = true) == (1.0, 1.0))
+    // MULTI-GROUP repeats ("A B A B" — two same-term pairs): the
+    // pairwise same-docPos eviction IS Lucene's simple-repeats rule
+    // here, because slots of DIFFERENT terms can never occupy one
+    // document position (one term per position), so collisions fire
+    // exactly within each term's group — no bijection machinery
+    // needed for single-term positions. Query slots A@0 B@1 A@2 B@3
+    // over doc "a b a b a b" (A at 0,2,4; B at 1,3,5; shifted lists
+    // below): Lucene finds the alignments at 0 and 2 → freq 2.
+    assert(stats(Seq(Seq(0, 2, 4), Seq(0, 2, 4),
+      Seq(-2, 0, 2), Seq(-2, 0, 2)), 0, rpts = true) == (2.0, 2.0))
+    // doc "a b a b": exactly one alignment
+    assert(stats(Seq(Seq(0, 2), Seq(0, 2),
+      Seq(-2, 0), Seq(-2, 0)), 0, rpts = true) == (1.0, 1.0))
+    // doc "a b x a b": the minimal window stretches by 1 (A@2→pos 3,
+    // B@3→pos 4) — no match at slop 0, sloppy freq 1/2 at slop 1
+    assert(stats(Seq(Seq(0, 3), Seq(0, 3),
+      Seq(-2, 1), Seq(-2, 1)), 0, rpts = true) == (0.0, 0.0))
+    assert(stats(Seq(Seq(0, 3), Seq(0, 3),
+      Seq(-2, 1), Seq(-2, 1)), 1, rpts = true) == (0.5, 1.0))
     // collision-free inputs (distinct terms — the dominant case):
     // the two rules are IDENTICAL, pinned over the default test's
     // fixtures — which is why the default flag keeps every gated
