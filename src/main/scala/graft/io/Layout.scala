@@ -119,13 +119,16 @@ object Layout {
     *     create-fails-if-exists — the HDFS/S3A-conditional-put
     *     primitive): a mutator in ANOTHER JVM fails fast with an
     *     actionable error instead of racing the gen-(N+1) staging
-    *     dir. The lease records (epoch, token, owner, mtime). A
-    *     holder that died without releasing is taken over after
-    *     `graft.index.leaseStaleMs` (default 15 min — size it above
-    *     the longest mutation; 0 disables takeover) with epoch+1,
-    *     and [[commitGeneration]] re-reads the lease before creating
-    *     the marker, so a fenced-out zombie writer ABORTS its commit
-    *     rather than publishing over the new holder's generation.
+    *     dir. The lease records (epoch, token, owner, mtime), and a
+    *     HEARTBEAT thread refreshes the mtime every staleMs/3 while
+    *     the mutation runs — `graft.index.leaseStaleMs` (default 15
+    *     min; 0 disables takeover) therefore measures crash SILENCE,
+    *     not mutation duration: a multi-hour compaction stays
+    *     protected while a holder that DIED is taken over with
+    *     epoch+1. [[commitGeneration]] re-reads the lease before
+    *     creating the marker, so a fenced-out zombie writer ABORTS
+    *     its commit rather than publishing over the new holder's
+    *     generation.
     *
     * Reentrant per thread: the outer acquisition owns the lease; the
     * release happens only when the outermost frame exits. */
@@ -140,13 +143,51 @@ object Layout {
       else {
         val (epoch, token) = acquireLease(spark, indexDir)
         heldLeases.set(heldLeases.get + (key -> (epoch, token)))
+        val hb = startHeartbeat(spark, indexDir, token)
         try body
         finally {
+          hb.foreach(_.interrupt())
           heldLeases.set(heldLeases.get - key)
           releaseLease(spark, indexDir, token)
         }
       }
     } finally lock.unlock()
+  }
+
+  /** Keeps a HELD lease fresh while its mutation runs: a daemon
+    * thread touches the lock file's mtime every staleMs/3, so a
+    * long-but-alive mutation (a multi-hour compaction) is never
+    * mistaken for a crashed holder and taken over mid-stage — the
+    * stale window measures silence, not duration. Refreshes only
+    * while the file still carries OUR token (after a takeover the
+    * intruder's lease must not be kept alive by the zombie); stops
+    * on interrupt at release. No heartbeat when takeover is disabled
+    * (staleMs = 0) — there is nothing to keep fresh. */
+  private def startHeartbeat(spark: SparkSession, indexDir: String,
+      token: String): Option[Thread] = {
+    val staleMs = spark.conf
+      .get("graft.index.leaseStaleMs", "900000").toLong
+    if (staleMs <= 0) return None
+    val p = leasePath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val interval = math.max(staleMs / 3, 250L)
+    val t = new Thread(() => {
+      try {
+        var live = true
+        while (live) {
+          Thread.sleep(interval)
+          if (fs.exists(p) && readLease(fs, p)._2 == token)
+            fs.setTimes(p, System.currentTimeMillis(), -1)
+          else live = false // taken over: stop refreshing
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException => () // FS hiccup: next acquire decides
+      }
+    }, s"graft-lease-heartbeat-${p.getName}")
+    t.setDaemon(true)
+    t.start()
+    Some(t)
   }
 
   private def acquireLease(spark: SparkSession,

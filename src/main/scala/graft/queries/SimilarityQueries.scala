@@ -1097,8 +1097,31 @@ object SimilarityQueries {
   private def writeIvfPqIndexFramesImpl(artifactsFrom: DataFrame,
       corpus: DataFrame, indexDir: String, numCells: Int, m: Int,
       subdim: Int, c: Int, iters: Int, codec: String,
-      coarse: String, cGrid: Int, pgroups: Int): Unit = {
+      coarse: String, cGrid: Int, pgroups0: Int): Unit = {
     import artifactsFrom.sparkSession.implicits._
+    // physical-layout resolution: pgroups0 > 0 = explicit pgroup
+    // count; 0 (the default) = AUTO — per-cell directories up to
+    // `graft.index.codesAutoPgroupCells` cells (1024; the measured
+    // listing knee sits around ~1k dirs), pgroup'd at
+    // `graft.index.codesPgroups` (64) beyond it, which is what keeps
+    // an IMI grid (cGrid² cells) listable without the caller
+    // remembering the knob; -1 = force per-cell dirs (the probe
+    // tools' baseline leg). The RESOLVED value lands in meta, so
+    // appends/compactions/search never re-derive it.
+    val pgroups = {
+      val sess = artifactsFrom.sparkSession
+      if (pgroups0 > 0) pgroups0
+      else if (pgroups0 < 0) 0
+      else {
+        val cellCount =
+          if (coarse == "imi") cGrid.toLong * cGrid else numCells.toLong
+        val knee = sess.conf
+          .get("graft.index.codesAutoPgroupCells", "1024").toLong
+        if (knee > 0 && cellCount > knee)
+          sess.conf.get("graft.index.codesPgroups", "64").toInt
+        else 0
+      }
+    }
     require(Set("pq", "residual", "opq", "sq8")(codec),
       s"unknown codec '$codec' (pq | residual | opq | sq8)")
     require(Set("flat", "imi")(coarse),

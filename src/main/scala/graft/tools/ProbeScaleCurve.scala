@@ -108,8 +108,11 @@ object ProbeScaleCurve {
         .toFile.getAbsolutePath
       val cells = math.max(16, math.sqrt(n.toDouble).toInt)
       val e = syntheticEmbeddings(spark, n).localCheckpoint()
+      // pgroups = -1: force the per-cell baseline layout (auto
+      // selection would switch past the ~1k-cell knee and hide the
+      // curve this leg exists to measure)
       SimilarityQueries.writeIvfPqIndexFrames(e, e, vidx,
-        numCells = cells)
+        numCells = cells, pgroups = -1)
       val eDir = java.nio.file.Files.createTempDirectory(s"curve-emb-$n")
         .toFile.getAbsolutePath
       e.write.mode("overwrite").parquet(s"$eDir/embeddings.parquet")

@@ -116,6 +116,40 @@ class LeaseSpec extends SparkSpecBase {
       "release must be token-guarded")
   }
 
+  test("heartbeat: a long-but-alive mutation keeps its lease fresh past the stale window") {
+    val idx = tmp("lease-hb")
+    val p = new Path(s"$idx/_mutation.lock")
+    spark.conf.set("graft.index.leaseStaleMs", "1500")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // a mutation that RUNS 3x the stale window without touching
+      // the lease itself — only the heartbeat keeps it alive
+      val holder = Future {
+        Layout.withMutationLease(spark, idx) {
+          Thread.sleep(4000)
+          "done"
+        }
+      }
+      val deadline = System.currentTimeMillis() + 2000
+      while (!fs.exists(p) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(fs.exists(p), "the holder must have acquired the lease")
+      Thread.sleep(3000) // well past staleMs = 1500
+      assert(fs.exists(p), "the lease must still be held")
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime
+      assert(age < 1500,
+        s"heartbeat must keep the lease fresher than staleMs " +
+          s"(mtime age ${age}ms) — a live multi-hour mutation must " +
+          "never look crashed")
+      assert(Await.result(holder, 2.minutes) == "done")
+      assert(!Layout.pathExists(spark, s"$idx/_mutation.lock"),
+        "release must still reclaim the heartbeated lease")
+    } finally spark.conf.unset("graft.index.leaseStaleMs")
+  }
+
   test("concurrent refresh + takedown on one index serialize in one JVM") {
     val docs = graft.io.Tables.documents(spark, dir)
     val idx = tmp("lease-conc")

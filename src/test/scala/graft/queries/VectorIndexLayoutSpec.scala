@@ -541,6 +541,49 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
       "the fold must stay pgroup'd")
   }
 
+  test("auto pgroup: the writer switches layouts at the conf knee, -1 forces per-cell") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val prev = spark.conf.getOption("graft.index.codesAutoPgroupCells")
+    spark.conf.set("graft.index.codesAutoPgroupCells", "8")
+    try {
+      // 16 cells > knee of 8 → the DEFAULT write auto-selects pgroups
+      val idxAuto = java.nio.file.Files
+        .createTempDirectory("pg-auto").toFile.getAbsolutePath
+      SimilarityQueries.writeIvfPqIndexFrames(vecs, vecs, idxAuto,
+        numCells = 16)
+      val aDirs = new java.io.File(s"$idxAuto/codes").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(aDirs.nonEmpty && aDirs.forall(_.startsWith("pgroup=")),
+        s"auto selection past the knee must pgroup (got ${aDirs.toSeq})")
+      assert(spark.read.parquet(s"$idxAuto/meta").head()
+        .getAs[Int]("pgroups") == 64,
+        "meta must record the RESOLVED pgroup count")
+      // -1 forces the per-cell baseline under the same conf
+      val idxCell = java.nio.file.Files
+        .createTempDirectory("pg-force").toFile.getAbsolutePath
+      SimilarityQueries.writeIvfPqIndexFrames(vecs, vecs, idxCell,
+        numCells = 16, pgroups = -1)
+      val cDirs = new java.io.File(s"$idxCell/codes").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(cDirs.forall(_.startsWith("cell_id=")),
+        s"pgroups = -1 must force per-cell dirs (got ${cDirs.toSeq})")
+      // the layouts serve the same page
+      def page(idx: String) = SimilarityQueries
+        .ivfPqSearchStored(spark, idx, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(page(idxAuto) == page(idxCell))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("graft.index.codesAutoPgroupCells", v)
+        case None =>
+          spark.conf.unset("graft.index.codesAutoPgroupCells")
+      }
+    }
+  }
+
   test("empty vector delta: append commits its id, references no dir, stays searchable") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("ivfpq-empty")
