@@ -816,9 +816,11 @@ object FullText {
     * bucket-partitioned table minus any TOMBSTONED documents. Every
     * stored search face reads through this, so a delete is visible
     * the moment [[deleteFromTextIndex]] lands — the Lucene liveDocs
-    * bitset as an anti-join. The tombstone frame broadcasts: it is
-    * bounded by the deletes since the last compaction, and
-    * [[compactTextIndex]] is exactly what keeps that bound small. */
+    * bitset as an anti-join. Hint-free: AQE broadcasts the usual
+    * small set and falls back to a shuffle join for a
+    * takedown-backlog-sized one (the delete faces write tombstones
+    * DISTRIBUTED, so the set is bounded by deletes-since-compaction,
+    * not by driver memory; [[compactTextIndex]] keeps it small). */
   /** A recorded layout flag from the 1-row stats artifact, with the
     * pre-flag-layout default for indexes written before the flags
     * existed. */
@@ -1105,11 +1107,14 @@ object FullText {
     // ids drop via anti-join, so retried takedown jobs cannot
     // double-decrement the statistics and never materialize the
     // accumulated tombstone set anywhere
-    val fresh = ids
+    val dedup = ids
       .select(col(ids.columns.head).cast("long").as("doc_id"))
       .filter(col("doc_id").isNotNull).distinct()
-      .join(oldTomb, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    // first delete of an index (no tombstones yet — every lifecycle
+    // gate's case) skips the idempotence join and the union outright
+    val fresh =
+      (if (hadTomb) dedup.join(oldTomb, Seq("doc_id"), "left_anti")
+       else dedup).localCheckpoint()
     val nDeleted = fresh.count()
     if (nDeleted == 0L) { Checkpoints.unpersist(fresh); return }
     val st = spark.read.parquet(s"$art/stats").head()
@@ -1133,7 +1138,8 @@ object FullText {
     // bound costs I/O, never driver memory
     val nOld = if (hadTomb) oldTomb.count() else 0L
     graft.io.Layout.writeTombstoneArtifact(spark,
-      oldTomb.unionByName(fresh), s"$stage/tombstones", nOld + nDeleted)
+      if (hadTomb) oldTomb.unionByName(fresh) else fresh,
+      s"$stage/tombstones", nOld + nDeleted)
     if (!hasTv) {
       // Lucene mode: stats stay stale until compaction — the new
       // generation carries the dictionary/statistics values forward
@@ -1885,11 +1891,14 @@ object FullText {
         spark.read.parquet(s"$art/tombstones")
           .select(col("doc_id")).distinct()
       else Seq.empty[Long].toDF("doc_id")
-    val fresh = ids
+    val dedup = ids
       .select(col(ids.columns.head).cast("long").as("doc_id"))
       .filter(col("doc_id").isNotNull).distinct()
-      .join(oldTomb, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    // first delete of an index (no tombstones yet — every lifecycle
+    // gate's case) skips the idempotence join and the union outright
+    val fresh =
+      (if (hadTomb) dedup.join(oldTomb, Seq("doc_id"), "left_anti")
+       else dedup).localCheckpoint()
     val nDeleted = fresh.count()
     if (nDeleted == 0L) { Checkpoints.unpersist(fresh); return }
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
@@ -1902,7 +1911,8 @@ object FullText {
     }
     val nOld = if (hadTomb) oldTomb.count() else 0L
     graft.io.Layout.writeTombstoneArtifact(spark,
-      oldTomb.unionByName(fresh), s"$stage/tombstones", nOld + nDeleted)
+      if (hadTomb) oldTomb.unionByName(fresh) else fresh,
+      s"$stage/tombstones", nOld + nDeleted)
     val dBuckets = fresh
       .select(pmod(hash(col("doc_id")), lit(bk)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq

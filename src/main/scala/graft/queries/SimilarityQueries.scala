@@ -1828,11 +1828,13 @@ object SimilarityQueries {
     // idempotent like the text twin: already-tombstoned ids drop
     // via anti-join, so retried takedown jobs never bloat the
     // tombstone artifact
-    val fresh = ids
+    val dedup = ids
       .select(col(ids.columns.head).cast("long").as("vec_id"))
       .filter($"vec_id".isNotNull).distinct()
-      .join(oldTomb, Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+    // first delete (no tombstones yet) skips the idempotence join
+    val fresh =
+      (if (hadTomb) dedup.join(oldTomb, Seq("vec_id"), "left_anti")
+       else dedup).localCheckpoint()
     val nFresh = fresh.count()
     if (nFresh == 0L) { graft.ops.Checkpoints.unpersist(fresh); return }
     // tombstones + the carried manifest commit as ONE generation
@@ -1847,7 +1849,8 @@ object SimilarityQueries {
     }
     val nOld = if (hadTomb) oldTomb.count() else 0L
     graft.io.Layout.writeTombstoneArtifact(spark,
-      oldTomb.unionByName(fresh), s"$stage/tombstones", nOld + nFresh)
+      if (hadTomb) oldTomb.unionByName(fresh) else fresh,
+      s"$stage/tombstones", nOld + nFresh)
     writeVecManifest(spark, stage, codesDirs(spark, indexDir, art),
       vecAppliedSegments(spark, indexDir, art))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
