@@ -260,6 +260,8 @@ object SparkEntry {
     "q153_imi_lifecycle" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.storedVectorLifecycle(s, d, codec = "residual",
         coarse = "imi")),
+    "q154_pgroup_lifecycle" -> ((s: SparkSession, d: String) =>
+      SimilarityQueries.storedVectorLifecycle(s, d, pgroups = 4)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

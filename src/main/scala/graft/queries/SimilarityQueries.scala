@@ -1636,21 +1636,6 @@ object SimilarityQueries {
     }
     val (codec, mm, sd, coarse, cGrid, pgroups) =
       readIndexMeta(spark, indexDir, m, subdim)
-    // an EMPTY delta writes and references no segment dir — an empty
-    // partitionBy write leaves a _SUCCESS-only directory that poisons
-    // every later manifest union; the applied segment id still
-    // commits so a replayed empty batch stays a no-op (the text
-    // twin's contract)
-    val deltaEmpty = fresh.isEmpty
-    if (deltaEmpty) {
-      if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
-        spark.read.parquet(s"$art/tombstones")
-          .write.parquet(s"$stage/tombstones")
-      writeVecManifest(spark, stage, oldDirs, applied :+ segName)
-      graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
-        gen, art)
-      return
-    }
     // the delta assigns through the SAME coarse quantizer the writer
     // persisted (meta-dispatched — flat cells or the q104 half
     // codebooks), so appended rows land in the partitions every
@@ -1663,6 +1648,24 @@ object SimilarityQueries {
       case _ => assignToCells(fresh,
         spark.read.parquet(s"$indexDir/cells"))
     }).localCheckpoint()
+    // an EMPTY delta writes and references no segment dir — an empty
+    // partitionBy write leaves a _SUCCESS-only directory that poisons
+    // every later manifest union; the applied segment id still
+    // commits so a replayed empty batch stays a no-op (the text
+    // twin's contract). Checked on the CHECKPOINTED assignment
+    // (every vector gets exactly one assignment row), so the probe
+    // is a first-partition peek, not a second pass over the input.
+    val deltaEmpty = assign.isEmpty
+    if (deltaEmpty) {
+      if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+        spark.read.parquet(s"$art/tombstones")
+          .write.parquet(s"$stage/tombstones")
+      writeVecManifest(spark, stage, oldDirs, applied :+ segName)
+      graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+        gen, art)
+      graft.ops.Checkpoints.unpersist(assign)
+      return
+    }
     def centsFor(needed: DataFrame): DataFrame = coarse match {
       case "imi" => imiCembFor(needed,
         spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid)
@@ -2018,7 +2021,7 @@ object SimilarityQueries {
     * self-contained q116. */
   def storedVectorLifecycle(spark: SparkSession, dir: String,
       k: Int = 10, codec: String = "pq",
-      coarse: String = "flat"): DataFrame = {
+      coarse: String = "flat", pgroups: Int = 0): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val wm = e.agg(max($"vec_id")).head().getLong(0) * 4 / 5
@@ -2033,7 +2036,8 @@ object SimilarityQueries {
     val cGrid = 8
     writeIvfPqIndexFrames(e.filter($"vec_id" <= wm),
       e.filter($"vec_id" <= wm), idx, numCells = numCells,
-      codec = codec, coarse = coarse, cGrid = cGrid)
+      codec = codec, coarse = coarse, cGrid = cGrid,
+      pgroups = pgroups)
     appendToIvfPqIndex(spark, idx, e.filter($"vec_id" > wm))
     val dead = e.filter($"vec_id" % 3 === 1)
       .select($"vec_id").collect().map(_.getLong(0)).toSeq
@@ -3575,6 +3579,12 @@ object SimilarityQueries {
     // gates; what the hash adds is that the two-level write → append
     // → delete → probe-all-cells chain loses and leaks no rows
     "q153_imi_lifecycle" -> vectorLifecycleOracle,
+    // q154: same oracle — the pgroup'd physical layout (cells grouped
+    // into pmod(cell_id, P) partitions, rows sorted by cell_id) must
+    // be INVISIBLE to the query: the full write → append → delete →
+    // probe-all-cells chain over the grouped files equals brute force
+    // over the survivors, hash-for-hash with the per-cell layout
+    "q154_pgroup_lifecycle" -> vectorLifecycleOracle,
     "q24_embedding_topk_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
