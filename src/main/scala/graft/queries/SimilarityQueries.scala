@@ -2039,9 +2039,10 @@ object SimilarityQueries {
       codec = codec, coarse = coarse, cGrid = cGrid,
       pgroups = pgroups)
     appendToIvfPqIndex(spark, idx, e.filter($"vec_id" > wm))
-    val dead = e.filter($"vec_id" % 3 === 1)
-      .select($"vec_id").collect().map(_.getLong(0)).toSeq
-    deleteFromIvfPqIndex(spark, idx, dead)
+    // frame-face delete: the gate's third-of-corpus tombstone batch
+    // never touches the driver
+    deleteFromIvfPqIndex(spark, idx,
+      e.filter($"vec_id" % 3 === 1).select($"vec_id"))
     val n = e.count().toInt
     // gate-exact probes: every cell — cGrid² on the IMI grid
     val allCells = if (coarse == "imi") cGrid * cGrid else numCells

@@ -1429,9 +1429,11 @@ object TextQueries {
       "text", idx, storePositions = false, storeTermVectors = true)
     FullText.appendToTextIndex(spark, docs.filter($"doc_id" > wm),
       "doc_id", "text", idx)
-    val dead = docs.filter($"doc_id" % 97 === 5)
-      .select($"doc_id").collect().map(_.getLong(0)).toSeq
-    FullText.deleteFromTextIndex(spark, idx, dead)
+    // the delete batch stays a FRAME end to end (the DataFrame
+    // delete face) — the gate exercises the path a takedown backlog
+    // actually takes, with no driver materialization
+    FullText.deleteFromTextIndex(spark, idx,
+      docs.filter($"doc_id" % 97 === 5).select($"doc_id"), 16)
     FullText.bm25SearchStored(spark, idx, bm25QueryTerms, k = 20)
   }
 
