@@ -1082,7 +1082,15 @@ object SimilarityQueries {
     *    CELLS in blended-affinity order, not a per-half budget). The
     *    codes layout, tombstones, compaction, and every fine codec
     *    compose unchanged — cell_id is just a finer-grained
-    *    partition column. */
+    *    partition column.
+    *
+    * `pgroups` picks the PHYSICAL partitioning of the codes table
+    * (see `writeCodes`): 0 (default) resolves automatically —
+    * per-cell directories up to `graft.index.codesAutoPgroupCells`
+    * (1024), grouped into `graft.index.codesPgroups` (64) physical
+    * partitions beyond it; > 0 forces that group count; -1 forces
+    * per-cell dirs. The RESOLVED value is recorded in `meta` and
+    * inherited by appends, compactions, and the probed scans. */
   def writeIvfPqIndexFrames(artifactsFrom: DataFrame, corpus: DataFrame,
       indexDir: String, numCells: Int = 16, m: Int = 8, subdim: Int = 8,
       c: Int = 16, iters: Int = 1, codec: String = "pq",
