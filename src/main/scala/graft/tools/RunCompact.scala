@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.FullText
+import graft.queries.SimilarityQueries
+
+/** Compaction CLI — the maintenance-window face of the stored
+  * layouts (the knob every segment-cost measurement points at:
+  * ~75-80 ms of manifest-union overhead per committed streaming
+  * segment until a fold reclaims it): detect the index family at
+  * the given path and run its compactor under the mutation lease —
+  * base + segments fold minus tombstones into fresh one-file-per-
+  * partition dirs, one marker cuts the generation over, tombstones
+  * and superseded dirs reclaim.
+  *
+  * Family detection mirrors the layouts' own self-description: a
+  * `meta` artifact marks the VECTOR layout; a stats artifact with a
+  * `field` column marks the MULTI-FIELD text layout; otherwise
+  * single-field text. `--family text|multifield|vector` overrides.
+  *
+  * Usage: RunCompact <indexDir> [--family <f>]
+  *
+  * Prints one JSON line: data files before/after and surviving
+  * rows. Safe to re-run (idempotent fold; a crash leaves the old
+  * generation live and the next run's GC clears orphans). */
+object RunCompact {
+
+  /** Detect which compactor owns the path. */
+  def detectFamily(spark: SparkSession, indexDir: String): String =
+    if (graft.io.Layout.pathExists(spark, s"$indexDir/meta")) "vector"
+    else {
+      val art = FullText.liveArtifactDir(spark, indexDir)
+      if (spark.read.parquet(s"$art/stats")
+          .schema.fieldNames.contains("field")) "multifield"
+      else "text"
+    }
+
+  /** Separated from main for RunCompactSpec: returns
+    * (family, filesBefore, filesAfter, rows). */
+  def run(spark: SparkSession, indexDir: String,
+      family: Option[String] = None): (String, Long, Long, Long) = {
+    val fam = family.getOrElse(detectFamily(spark, indexDir))
+    val (b, a, r) = fam match {
+      case "vector" => SimilarityQueries.compactIvfPqIndex(spark, indexDir)
+      case "multifield" =>
+        FullText.compactMultiFieldTextIndex(spark, indexDir)
+      case "text" => FullText.compactTextIndex(spark, indexDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown family '$other' (text | multifield | vector)")
+    }
+    (fam, b, a, r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: RunCompact <indexDir> [--family text|multifield|vector]")
+    val fam = args.indexOf("--family") match {
+      case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+      case _ => None
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-compact")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (f, b, a, r) = run(spark, args(0), fam)
+    println(s"""{"tool":"compact","family":"$f","files_before":$b,""" +
+      s""""files_after":$a,"rows":$r}""")
+    spark.stop()
+  }
+}

@@ -578,6 +578,59 @@ class StreamsSpec extends SparkSpecBase {
       "replayed append batch must leave the index bit-identical")
   }
 
+  test("concurrent refresh + takedown streams on one index serialize safely") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the round-11 ADVICE race: two foreachBatch mutators live on
+    // ONE index at the same time. Since round 12 they serialize on
+    // the per-index mutation lease, so appends (new ids) and deletes
+    // (existing ids) commute to the rebuild regardless of which
+    // micro-batch wins each turn — and no append can ever commit
+    // over a takedown's tombstones.
+    val old = Seq(
+      (1L, "fast vector engines win races"),
+      (2L, "fast vector query engines"),
+      (3L, "slow scalar fallback path"),
+      (4L, "fast query fallback vector")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("conc-streams")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(old, "doc_id", "text", idx,
+      storeTermVectors = true)
+    val rCk = java.nio.file.Files.createTempDirectory("conc-rck")
+      .toFile.getAbsolutePath
+    val tCk = java.nio.file.Files.createTempDirectory("conc-tck")
+      .toFile.getAbsolutePath
+    val rSrc = MemoryStream[(Long, String)]
+    val tSrc = MemoryStream[Long]
+    val rq = Streams.indexRefreshStream(
+      rSrc.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, rCk)
+    val tq = Streams.takedownStream(
+      tSrc.toDF().toDF("doc_id"), "doc_id", idx, tCk)
+    try {
+      // interleaved feeds, both streams live: each processAll pair
+      // overlaps the two mutators in wall time
+      rSrc.addData((10L, "fast vector planners everywhere"))
+      tSrc.addData(1L)
+      rq.processAllAvailable(); tq.processAllAvailable()
+      rSrc.addData((11L, "vector query fast fast"))
+      tSrc.addData(3L)
+      tq.processAllAvailable(); rq.processAllAvailable()
+    } finally { rq.stop(); tq.stop() }
+    val idxR = java.nio.file.Files.createTempDirectory("conc-r")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(
+      old.filter(!$"doc_id".isInCollection(Seq(1L, 3L)))
+        .unionByName(Seq(
+          (10L, "fast vector planners everywhere"),
+          (11L, "vector query fast fast")).toDF("doc_id", "text")),
+      "doc_id", "text", idxR, storeTermVectors = true)
+    def search(i: String) = graft.ops.FullText
+      .bm25SearchStored(spark, i, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search(idx) == search(idxR),
+      "two live mutator streams must serialize to the rebuild state")
+  }
+
   test("indexRefreshStream compactEvery: segment count stays bounded, search equals rebuild") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.ops.FullText
+import graft.queries.SimilarityQueries
+
+/** The compaction CLI's contract: family auto-detection picks the
+  * right compactor, files fold, search pages are invariant. */
+class RunCompactSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("auto-detected compaction folds segments, pages invariant, both families") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    // text index with an appended segment
+    val tIdx = java.nio.file.Files.createTempDirectory("compact-t")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", tIdx)
+    FullText.appendToTextIndex(spark,
+      Seq((880011L, "fast vector query extra doc")).toDF("doc_id", "text"),
+      "doc_id", "text", tIdx, segmentId = Some("b1"))
+    def tPage() = FullText
+      .bm25SearchStored(spark, tIdx, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val tBefore = tPage()
+    assert(FullText.liveSegmentCount(spark, tIdx) == 1)
+    val (tf, tb, ta, _) = RunCompact.run(spark, tIdx)
+    assert(tf == "text" && ta < tb,
+      s"text compaction must shrink files ($tb -> $ta)")
+    assert(FullText.liveSegmentCount(spark, tIdx) == 0)
+    assert(tPage() == tBefore, "text page must be fold-invariant")
+    // vector index with an appended segment
+    val vIdx = java.nio.file.Files.createTempDirectory("compact-v")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, vIdx)
+    SimilarityQueries.appendToIvfPqIndex(spark, vIdx,
+      graft.io.Tables.embeddings(spark, dir)
+        .filter($"vec_id" % 17 === 2)
+        .select(($"vec_id" + 880000L).as("vec_id"), $"embedding"),
+      segmentId = Some("b1"))
+    def vPage() = SimilarityQueries.ivfPqSearchStored(spark, vIdx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val vBefore = vPage()
+    val (vf, vb, va, _) = RunCompact.run(spark, vIdx)
+    assert(vf == "vector" && va < vb,
+      s"vector compaction must shrink files ($vb -> $va)")
+    assert(vPage() == vBefore, "vector page must be fold-invariant")
+    // unknown family override fails actionably
+    intercept[IllegalArgumentException] {
+      RunCompact.run(spark, tIdx, Some("bogus"))
+    }
+  }
+}
