@@ -239,7 +239,18 @@ object FullText {
     * derive from column-pruned read-backs of the written postings —
     * see the body); refresh is append-per-batch into the same bucket
     * partitions with additive dictionary/statistics merges
-    * ([[appendToTextIndex]]). */
+    * ([[appendToTextIndex]]).
+    *
+    * Within each bucket's files rows are SORTED by term (and term
+    * vectors by doc_id) — so beyond the directory-level bucket
+    * pruning, a `term IN (...)` scan prunes ROW GROUPS via parquet
+    * min/max stats inside the bucket. At toy scale a bucket is one
+    * row group and this is free; at 100 TB a bucket holds
+    * |dictionary|/buckets terms' postings and the sort is the
+    * difference between reading the matched terms' row groups and
+    * reading the whole bucket (the Lucene term-dictionary locality
+    * argument, expressed in parquet). Appends and compaction keep
+    * the order per file. */
   def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, buckets: Int = 16,
       storePositions: Boolean = true,
@@ -279,6 +290,7 @@ object FullText {
     // pays the file count)
     tf.withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
       .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
     // ONE analyzer pass, genuinely: the postings write above is the
@@ -298,6 +310,7 @@ object FullText {
       post.select(col("doc_id"), col("term"), col("tf"))
         .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
         .repartition(col("dbucket"))
+        .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.mode("overwrite").partitionBy("dbucket")
         .parquet(s"$indexDir/termvectors")
     // Statistics without re-touching documents: n_docs is a plain
@@ -439,12 +452,14 @@ object FullText {
       freshTf
         .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
         .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
         .write.partitionBy("bucket")
         .parquet(s"$indexDir/$segName/postings")
       if (hasTv)
         freshTf.select(col("doc_id"), col("term"), col("tf"))
           .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
           .repartition(col("dbucket"))
+          .sortWithinPartitions(col("dbucket"), col("doc_id"))
           .write.partitionBy("dbucket")
           .parquet(s"$indexDir/$segName/termvectors")
     }
@@ -1257,12 +1272,14 @@ object FullText {
     minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
         .map(d => s"$indexDir/$d")))
       .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").parquet(s"$indexDir/$newPost")
     val folded = spark.read.parquet(s"$indexDir/$newPost")
     val rows = folded.count()
     if (hasTv)
       minus(termVectorsFrame(spark, indexDir))
         .repartition(col("dbucket"))
+        .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket").parquet(s"$indexDir/$newTv")
     if (hasTomb && !hasTv) {
       // Lucene mode: statistics were left stale at delete time — true
@@ -1671,6 +1688,7 @@ object FullText {
     // pays the file count)
     tf.withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
       .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
     // ONE stacked analyzer pass (the postings write above); df and
@@ -1695,6 +1713,7 @@ object FullText {
       post.select(col("field"), col("doc_id"), col("term"), col("tf"))
         .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
         .repartition(col("dbucket"))
+        .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.mode("overwrite").partitionBy("dbucket")
         .parquet(s"$indexDir/termvectors")
     val nDocs = docs.count()
@@ -1782,6 +1801,7 @@ object FullText {
       freshTf
         .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
         .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
         .write.partitionBy("bucket")
         .parquet(s"$indexDir/$segName/postings")
       if (hasTv)
@@ -1789,6 +1809,7 @@ object FullText {
             col("tf"))
           .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
           .repartition(col("dbucket"))
+          .sortWithinPartitions(col("dbucket"), col("doc_id"))
           .write.partitionBy("dbucket")
           .parquet(s"$indexDir/$segName/termvectors")
     }
@@ -2010,12 +2031,14 @@ object FullText {
     minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
         .map(d => s"$indexDir/$d")))
       .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").parquet(s"$indexDir/$newPost")
     val folded = spark.read.parquet(s"$indexDir/$newPost")
     val rows = folded.count()
     if (hasTv)
       minus(termVectorsFrame(spark, indexDir))
         .repartition(col("dbucket"))
+        .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket").parquet(s"$indexDir/$newTv")
     if (hasTomb && !hasTv) {
       // Lucene mode: true the per-field statistics up from survivors

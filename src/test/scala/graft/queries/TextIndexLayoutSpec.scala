@@ -999,6 +999,35 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(search(idxD) == pre, "search must be compaction-invariant")
   }
 
+  test("postings files are term-sorted, term vectors doc-sorted (row-group pruning order)") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("sorted-idx")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    // an append's segment files carry the same order
+    FullText.appendToTextIndex(spark,
+      Seq((880021L, "zz fast aa vector mm query")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, segmentId = Some("b1"))
+    def assertSorted(frame: org.apache.spark.sql.DataFrame,
+        key: org.apache.spark.sql.Column, what: String): Unit =
+      frame.select(input_file_name().as("f"), key.as("k"))
+        .collect().groupBy(_.getString(0)).foreach { case (f, rs) =>
+          val ks = rs.map(_.get(1).toString).toSeq
+          assert(ks == ks.sorted,
+            s"$what rows in $f must be sorted for row-group pruning")
+        }
+    assertSorted(FullText.postingsFrame(spark, idx)
+      .select($"term"), $"term", "postings")
+    assertSorted(FullText.termVectorsFrame(spark, idx)
+      .select(format_string("%020d", $"doc_id").as("d")), $"d",
+      "term-vector")
+    // and the compaction fold preserves it
+    FullText.compactTextIndex(spark, idx)
+    assertSorted(FullText.postingsFrame(spark, idx)
+      .select($"term"), $"term", "compacted postings")
+  }
+
   test("retainGenerations: root dirs survive compaction while a retained manifest references them") {
     val docs = graft.io.Tables.documents(spark, dir)
     val idx = java.nio.file.Files.createTempDirectory("retain-root")
