@@ -541,6 +541,37 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
       "the fold must stay pgroup'd")
   }
 
+  test("retainGenerations: the root codes dir survives while a retained manifest references it") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("retain-vec")
+      .toFile.getAbsolutePath
+    spark.conf.set("graft.index.retainGenerations", "2")
+    try {
+      SimilarityQueries.writeIvfPqIndex(spark, dir, idx)
+      // gen-1: an append whose manifest references the ROOT codes
+      SimilarityQueries.appendToIvfPqIndex(spark, idx,
+        graft.io.Tables.embeddings(spark, dir)
+          .filter($"vec_id" % 19 === 3)
+          .select(($"vec_id" + 950000L).as("vec_id"), $"embedding"),
+        segmentId = Some("b1"))
+      def page() = SimilarityQueries.ivfPqSearchStored(spark, idx, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val before = page()
+      // gen-2 folds into codes-v2, but gen-1 is retained and still
+      // references the root — the lock-free-reader knob demands it
+      SimilarityQueries.compactIvfPqIndex(spark, idx)
+      assert(graft.io.Layout.pathExists(spark, s"$idx/codes"),
+        "root codes must survive while a retained generation " +
+          "references them")
+      assert(page() == before)
+      // a second fold retires gen-1; the root reclaims
+      SimilarityQueries.compactIvfPqIndex(spark, idx)
+      assert(!graft.io.Layout.pathExists(spark, s"$idx/codes"),
+        "once unreferenced, the liveness sweep reclaims the root")
+      assert(page() == before)
+    } finally spark.conf.unset("graft.index.retainGenerations")
+  }
+
   test("auto pgroup: the writer switches layouts at the conf knee, -1 forces per-cell") {
     import org.apache.spark.sql.functions._
     val vecs = graft.io.Tables.embeddings(spark, dir)
