@@ -104,8 +104,18 @@ object Layout {
   private def leasePath(indexDir: String) =
     new Path(s"$indexDir/_mutation.lock")
 
-  private def leaseKey(indexDir: String): String =
-    new Path(indexDir).toString
+  /** The canonical key for one index: the FULLY-QUALIFIED path under
+    * the session's filesystem resolution, so the same index addressed
+    * with and without a scheme (`file:/tmp/idx` vs `/tmp/idx`) maps
+    * to ONE jvm lock and ONE heldLeases entry — an unqualified key
+    * would let a second same-JVM mutator bypass the serialization and
+    * fail on the filesystem lease instead, with its commit fence
+    * silently skipped. */
+  private def leaseKey(spark: SparkSession, indexDir: String): String = {
+    val p = new Path(indexDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
 
   /** Run `body` as THE single mutator of `indexDir` — every
     * stored-index mutation (append, delete, compact, both index
@@ -134,14 +144,14 @@ object Layout {
     * release happens only when the outermost frame exits. */
   def withMutationLease[T](spark: SparkSession, indexDir: String)
       (body: => T): T = {
-    val key = leaseKey(indexDir)
+    val key = leaseKey(spark, indexDir)
     val lock = jvmLocks.computeIfAbsent(key,
       _ => new java.util.concurrent.locks.ReentrantLock())
     lock.lock()
     try {
       if (lock.getHoldCount > 1) body // nested mutator: lease held
       else {
-        val (epoch, token) = acquireLease(spark, indexDir)
+        val (epoch, token) = acquireLeaseWithWait(spark, indexDir)
         heldLeases.set(heldLeases.get + (key -> (epoch, token)))
         val hb = startHeartbeat(spark, indexDir, token)
         try body
@@ -152,6 +162,33 @@ object Layout {
         }
       }
     } finally lock.unlock()
+  }
+
+  /** Bounded acquisition window for OPERATIONAL callers:
+    * `graft.index.leaseWaitMs` (default 0 = today's fail-fast, the
+    * right library default) makes a cross-JVM caller POLL with
+    * backoff until the holder releases or the deadline passes — the
+    * RunTakedown/RunCompact `--wait` flag and the documented retry
+    * knob for cross-JVM stream deployments (two stream drivers in
+    * DIFFERENT JVMs feeding one index retry their micro-batch's
+    * mutation instead of killing the query over a 10-second holder).
+    * Only the acquisition retries; once held, the mutation runs
+    * exactly once. */
+  private def acquireLeaseWithWait(spark: SparkSession,
+      indexDir: String): (Long, String) = {
+    val waitMs = spark.conf.get("graft.index.leaseWaitMs", "0").toLong
+    val deadline = System.currentTimeMillis() + waitMs
+    var backoff = 250L
+    while (true) {
+      try return acquireLease(spark, indexDir)
+      catch {
+        case e: IllegalStateException =>
+          if (System.currentTimeMillis() + backoff > deadline) throw e
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 5000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Keeps a HELD lease fresh while its mutation runs: a daemon
@@ -172,17 +209,34 @@ object Layout {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val interval = math.max(staleMs / 3, 250L)
     val t = new Thread(() => {
+      // a TRANSIENT IOException (an FS hiccup, or the benign
+      // FileNotFound race between exists and readLease while a
+      // takeover check swaps the file) must not kill the heartbeat —
+      // a dead heartbeat makes a still-alive holder look crashed
+      // after staleMs, defeating exactly the "staleness measures
+      // silence, not duration" guarantee it exists for. Only an
+      // interrupt (release) or a CONFIRMED token mismatch/absence
+      // (takeover) stops the refresh loop.
       try {
         var live = true
+        var failures = 0
         while (live) {
           Thread.sleep(interval)
-          if (fs.exists(p) && readLease(fs, p)._2 == token)
-            fs.setTimes(p, System.currentTimeMillis(), -1)
-          else live = false // taken over: stop refreshing
+          try {
+            if (fs.exists(p) && readLease(fs, p)._2 == token) {
+              fs.setTimes(p, System.currentTimeMillis(), -1)
+              failures = 0
+            } else live = false // taken over: stop refreshing
+          } catch {
+            case _: java.io.IOException =>
+              failures += 1
+              if (failures == 3) System.err.println(
+                s"graft: lease heartbeat for $p failing " +
+                  s"($failures consecutive IO errors) — still retrying")
+          }
         }
       } catch {
-        case _: InterruptedException => ()
-        case _: java.io.IOException => () // FS hiccup: next acquire decides
+        case _: InterruptedException => () // released: done
       }
     }, s"graft-lease-heartbeat-${p.getName}")
     t.setDaemon(true)
@@ -294,28 +348,99 @@ object Layout {
   def generationDir(indexDir: String, gen: Long): String =
     s"$indexDir/gen-$gen"
 
-  /** The single-file-create commit of a fully staged generation.
-    * When the committing thread holds a mutation lease for the
-    * index, the lease is RE-READ first — a writer fenced out by a
-    * stale-lease takeover aborts here instead of publishing its
-    * generation over the new holder's (the epoch-fencing half of
-    * [[withMutationLease]]). */
-  def commitGeneration(spark: SparkSession, genDir: String): Unit = {
-    val genPath = new Path(genDir)
-    val indexKey = leaseKey(genPath.getParent.toString)
-    heldLeases.get.get(indexKey).foreach { case (epoch, token) =>
-      val p = new Path(s"${genPath.getParent}/_mutation.lock")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val held = fs.exists(p) && readLease(fs, p)._2 == token
-      if (!held) throw new IllegalStateException(
-        s"mutation lease for ${genPath.getParent} (epoch $epoch) was " +
-          "taken over while this writer was staging — aborting the " +
-          "commit; the staged generation stays invisible and the new " +
-          "holder's index state is untouched.")
+  /** The WRITER-UNIQUE staging suffix for `indexDir`'s current
+    * mutation: a fragment of the held lease token (empty when the
+    * calling thread holds no lease — a legacy direct caller). This is
+    * what closes the double-stale-takeover staging collision: two
+    * mutators that BOTH took over a crashed holder's lease (the
+    * check-stale → delete → create interleave) would otherwise stage
+    * into the SAME `gen-(N+1)` and side directories — the fenced-out
+    * zombie's still-running Spark jobs could land part-files in the
+    * intruder's staging dirs, which the intruder then commits. With
+    * token-unique staging, a zombie's I/O lands in a directory nobody
+    * ever commits (reclaimed by GC / the next retire sweep), and the
+    * committed generation provably contains only the committing
+    * writer's files ([[commitGeneration]] renames staged → final
+    * AFTER its fence re-read). */
+  private def stagedSuffix(spark: SparkSession, indexDir: String): String =
+    heldLeases.get.get(leaseKey(spark, indexDir)) match {
+      case Some((_, token)) => "." + token.replace("-", "").take(12)
+      case None => ""
     }
-    val marker = new Path(s"$genDir/_COMMITTED")
-    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(marker, true).close()
+
+  /** Token-unique staging path for generation `gen` — every mutation
+    * stages here and [[commitGeneration]] renames it to the final
+    * `gen-N` after the lease fence re-read. The suffixed name is
+    * invisible to [[liveGeneration]]/[[committedGenerations]] (their
+    * all-digits filter) even if a crash leaves it behind. */
+  def stageGenerationDir(spark: SparkSession, indexDir: String,
+      gen: Long): String =
+    s"$indexDir/gen-$gen${stagedSuffix(spark, indexDir)}"
+
+  /** Token-unique staging name for a SIDE directory a mutation writes
+    * next to the generation (a compaction's `postings-v<gen>`, an
+    * append's `seg-<id>` data dir): pass the final name, stage into
+    * the returned name, and hand (staged, final) to
+    * [[commitGenerationAndRetire]]'s `sideRenames` so it lands under
+    * the same fence-then-rename discipline as the generation dir. */
+  def stagedSideName(spark: SparkSession, indexDir: String,
+      name: String): String =
+    s"$name${stagedSuffix(spark, indexDir)}"
+
+  /** The commit of a fully staged generation. When the committing
+    * thread holds a mutation lease for the index, the lease is
+    * RE-READ first — a writer fenced out by a stale-lease takeover
+    * aborts here instead of publishing its generation over the new
+    * holder's (the epoch-fencing half of [[withMutationLease]]).
+    * Only AFTER the fence pass do the writer-unique staged
+    * directories rename to their final names (`sideRenames`: staged
+    * side dir → final, then the gen dir itself), and the `_COMMITTED`
+    * marker lands last — a crash between renames leaves finally-named
+    * but UNREFERENCED dirs (no marker → invisible; the families' GC
+    * sweeps reclaim them), never a half-visible generation. */
+  def commitGeneration(spark: SparkSession, genDir: String,
+      sideRenames: Seq[(String, String)] = Nil): Unit = {
+    val genPath = new Path(genDir)
+    val indexDir = genPath.getParent.toString
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    heldLeases.get.get(leaseKey(spark, indexDir)).foreach {
+      case (epoch, token) =>
+        val p = new Path(s"$indexDir/_mutation.lock")
+        val held = fs.exists(p) && readLease(fs, p)._2 == token
+        if (!held) throw new IllegalStateException(
+          s"mutation lease for $indexDir (epoch $epoch) was " +
+            "taken over while this writer was staging — aborting the " +
+            "commit; the staged generation stays invisible and the new " +
+            "holder's index state is untouched.")
+    }
+    // fence passed: we are THE writer — rename the token-unique
+    // staging dirs to their final names. A finally-named leftover
+    // from a crashed predecessor (it died after ITS renames, before
+    // its marker) is uncommitted by construction and safe to replace.
+    sideRenames.foreach { case (staged, fin) =>
+      if (staged != fin) {
+        val s = new Path(s"$indexDir/$staged")
+        val f = new Path(s"$indexDir/$fin")
+        fs.delete(f, true)
+        require(fs.rename(s, f), s"commit: rename $s -> $f failed")
+      }
+    }
+    val finalName = genPath.getName.takeWhile(_ != '.')
+    val finalDir =
+      if (finalName == genPath.getName) genPath
+      else new Path(s"$indexDir/$finalName")
+    if (finalDir != genPath) {
+      if (fs.exists(new Path(finalDir, "_COMMITTED")))
+        throw new IllegalStateException(
+          s"$finalDir is already committed — a competing writer " +
+            "published this generation; aborting (the lease fence " +
+            "should have prevented this).")
+      fs.delete(finalDir, true)
+      require(fs.rename(genPath, finalDir),
+        s"commit: rename $genPath -> $finalDir failed")
+    }
+    val marker = new Path(finalDir, "_COMMITTED")
+    fs.create(marker, true).close()
   }
 
   /** Reclaim generations superseded by `keep` — run AFTER a
@@ -343,7 +468,15 @@ object Layout {
         val g = n.drop(4).toLong
         if (g > keep || g <= keep - retain)
           fs.delete(st.getPath, true)
-      }
+      } else if (st.isDirectory && n.startsWith("gen-") && {
+        // orphaned token-suffixed STAGING dirs (`gen-N.<token>`): this
+        // sweep runs after the committing writer renamed its own away,
+        // so any remaining one belongs to a crashed or fenced-out
+        // zombie and never becomes visible — reclaim it
+        val core = n.drop(4).takeWhile(_ != '.')
+        core.nonEmpty && core.forall(_.isDigit) &&
+          n.drop(4).length > core.length
+      }) fs.delete(st.getPath, true)
     }
   }
 
@@ -370,8 +503,9 @@ object Layout {
     * FLAT tombstone set at the root — now shadowed by the committed
     * generation — is reclaimed. */
   def commitGenerationAndRetire(spark: SparkSession, indexDir: String,
-      stage: String, gen: Long, previousArt: String): Unit = {
-    commitGeneration(spark, stage)
+      stage: String, gen: Long, previousArt: String,
+      sideRenames: Seq[(String, String)] = Nil): Unit = {
+    commitGeneration(spark, stage, sideRenames)
     dropSupersededGenerations(spark, indexDir, keep = gen)
     if (previousArt == indexDir) {
       val t = new Path(s"$indexDir/tombstones")
@@ -401,6 +535,46 @@ object Layout {
         frame.coalesce(1).sortWithinPartitions(frame.columns.head)
       else frame
     out.write.parquet(path)
+    // record the row count beside the data (underscore files are
+    // invisible to parquet readers): the NEXT delete's single-file-vs-
+    // distributed layout decision reads this instead of paying a full
+    // count() scan over the accumulated tombstone set
+    val cnt = new Path(s"$path/_rowcount")
+    val os = cnt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(cnt, true)
+    os.write(totalRows.toString.getBytes("UTF-8"))
+    os.close()
+  }
+
+  /** Row count of a tombstone artifact WITHOUT a Spark job when the
+    * writer recorded it (`_rowcount`, [[writeTombstoneArtifact]]);
+    * falls back to counting `frame` for a legacy artifact. Keeps each
+    * delete at two passes over the tombstone set (anti-join + union
+    * rewrite) instead of three. */
+  def tombstoneRowCount(spark: SparkSession, path: String,
+      frame: => DataFrame): Long = {
+    val p = new Path(s"$path/_rowcount")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      scala.util.Try(s.trim.toLong).getOrElse(frame.count())
+    } else frame.count()
+  }
+
+  /** Byte-level carry-forward of a small staged artifact directory
+    * (a tombstone set, a meta row) into the next generation — a raw
+    * filesystem copy instead of a Spark read→write round-trip: no
+    * job, no schema inference, and side files like `_rowcount`
+    * survive. */
+  def copyArtifact(spark: SparkSession, src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = s.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, s, d.getFileSystem(conf), d,
+      false, true, conf)
   }
 
   /** Swap-safe overwrite of a parquet artifact whose REPLACEMENT is

@@ -415,8 +415,13 @@ object FullText {
     val bk = statsBuckets(st, buckets)
     val hasPos = statsFlag(st, "has_positions", default = true)
     val hasTv = hasTermVectors(spark, indexDir, art, st)
-    // clear a crashed predecessor's partial staging (seg + gen dirs)
-    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    // stage into WRITER-UNIQUE names (gen dir + the segment's data
+    // dir) — renamed to their final names inside the commit, after
+    // the lease fence re-read, so a fenced-out zombie's staging I/O
+    // can never land in a directory that gets committed. Clear a
+    // crashed predecessor's finally-named partial staging up front.
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
+    val segStaged = graft.io.Layout.stagedSideName(spark, indexDir, segName)
     locally {
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -454,14 +459,14 @@ object FullText {
         .repartition(col("bucket"))
         .sortWithinPartitions(col("bucket"), col("term"))
         .write.partitionBy("bucket")
-        .parquet(s"$indexDir/$segName/postings")
+        .parquet(s"$indexDir/$segStaged/postings")
       if (hasTv)
         freshTf.select(col("doc_id"), col("term"), col("tf"))
           .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
           .repartition(col("dbucket"))
           .sortWithinPartitions(col("dbucket"), col("doc_id"))
           .write.partitionBy("dbucket")
-          .parquet(s"$indexDir/$segName/termvectors")
+          .parquet(s"$indexDir/$segStaged/termvectors")
     }
     // dictionary merge: old df ⟗ delta df — the ONLY non-delta input
     // is the dictionary artifact itself (Heaps-law-sized, never the
@@ -485,8 +490,8 @@ object FullText {
         "has_termvectors", "buckets")
       .write.parquet(s"$stage/stats")
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
-      spark.read.parquet(s"$art/tombstones")
-        .write.parquet(s"$stage/tombstones")
+      graft.io.Layout.copyArtifact(spark, s"$art/tombstones",
+        s"$stage/tombstones")
     val oldTv = liveDirs(spark, indexDir, art, "termvectors")
     val newPost = if (deltaEmpty) oldPost else oldPost :+ s"$segName/postings"
     val newTv = if (deltaEmpty) oldTv else oldTv :+ s"$segName/termvectors"
@@ -495,7 +500,8 @@ object FullText {
         (if (hasTv) newTv.map(("termvectors", _)) else Nil) ++
         (applied :+ segName).distinct.map(("applied", _)))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
-      gen, art)
+      gen, art,
+      sideRenames = if (deltaEmpty) Nil else Seq(segStaged -> segName))
     Checkpoints.unpersist(freshTf)
   }
 
@@ -1142,7 +1148,7 @@ object FullText {
     val hasTv = !multiField && hasTermVectors(spark, indexDir, art, st)
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
-    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
     locally { // clear a crashed predecessor's partial staging
       val p = new org.apache.hadoop.fs.Path(stage)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1150,8 +1156,13 @@ object FullText {
     }
     // the live tombstone set rewrites per delete — bounded by
     // deletes-since-compaction, and written DISTRIBUTED so that
-    // bound costs I/O, never driver memory
-    val nOld = if (hadTomb) oldTomb.count() else 0L
+    // bound costs I/O, never driver memory; the old set's size reads
+    // from the artifact's recorded `_rowcount` (no third scan)
+    val nOld =
+      if (hadTomb)
+        graft.io.Layout.tombstoneRowCount(spark, s"$art/tombstones",
+          oldTomb)
+      else 0L
     graft.io.Layout.writeTombstoneArtifact(spark,
       if (hadTomb) oldTomb.unionByName(fresh) else fresh,
       s"$stage/tombstones", nOld + nDeleted)
@@ -1263,9 +1274,13 @@ object FullText {
     // Re-running after any crash is therefore safe and complete.
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
-    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
     val newPost = s"postings-v$gen"
     val newTv = s"termvectors-v$gen"
+    // writer-unique staging names for the folded dirs — renamed to
+    // the final `-v$gen` names inside the commit, after the fence
+    val stPost = graft.io.Layout.stagedSideName(spark, indexDir, newPost)
+    val stTv = graft.io.Layout.stagedSideName(spark, indexDir, newTv)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newPost"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
@@ -1273,14 +1288,14 @@ object FullText {
         .map(d => s"$indexDir/$d")))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
-      .write.partitionBy("bucket").parquet(s"$indexDir/$newPost")
-    val folded = spark.read.parquet(s"$indexDir/$newPost")
+      .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
+    val folded = spark.read.parquet(s"$indexDir/$stPost")
     val rows = folded.count()
     if (hasTv)
       minus(termVectorsFrame(spark, indexDir))
         .repartition(col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
-        .write.partitionBy("dbucket").parquet(s"$indexDir/$newTv")
+        .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
     if (hasTomb && !hasTv) {
       // Lucene mode: statistics were left stale at delete time — true
       // them up from the survivors into the new generation
@@ -1309,7 +1324,8 @@ object FullText {
       (if (hasTv) Seq(("termvectors", newTv)) else Nil) ++
       appliedSegments(spark, indexDir, art).map(("applied", _)))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
-      gen, art)
+      gen, art, sideRenames = Seq(stPost -> newPost) ++
+        (if (hasTv) Seq(stTv -> newTv) else Nil))
     // reclaim the superseded base/segment dirs (now unreferenced)
     // the ROOT postings/termvectors dirs reclaim through the same
     // liveness check as seg-/-v dirs: under retainGenerations > 1 an
@@ -1773,7 +1789,8 @@ object FullText {
     val st0 = spark.read.parquet(s"$art/stats").head()
     val bk = statsBuckets(st0, buckets)
     val hasTv = statsFlag(st0, "has_termvectors", default = false)
-    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
+    val segStaged = graft.io.Layout.stagedSideName(spark, indexDir, segName)
     locally { // clear a crashed predecessor's partial staging
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1803,7 +1820,7 @@ object FullText {
         .repartition(col("bucket"))
         .sortWithinPartitions(col("bucket"), col("term"))
         .write.partitionBy("bucket")
-        .parquet(s"$indexDir/$segName/postings")
+        .parquet(s"$indexDir/$segStaged/postings")
       if (hasTv)
         freshTf.select(col("field"), col("doc_id"), col("term"),
             col("tf"))
@@ -1811,7 +1828,7 @@ object FullText {
           .repartition(col("dbucket"))
           .sortWithinPartitions(col("dbucket"), col("doc_id"))
           .write.partitionBy("dbucket")
-          .parquet(s"$indexDir/$segName/termvectors")
+          .parquet(s"$indexDir/$segStaged/termvectors")
     }
     spark.read.parquet(s"$art/df")
       .join(freshTf.groupBy(col("field"), col("term"))
@@ -1843,8 +1860,8 @@ object FullText {
         "has_termvectors", "buckets")
       .write.parquet(s"$stage/stats")
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
-      spark.read.parquet(s"$art/tombstones")
-        .write.parquet(s"$stage/tombstones")
+      graft.io.Layout.copyArtifact(spark, s"$art/tombstones",
+        s"$stage/tombstones")
     val oldTv = liveDirs(spark, indexDir, art, "termvectors")
     val newPost = if (deltaEmpty) oldPost else oldPost :+ s"$segName/postings"
     val newTv = if (deltaEmpty) oldTv else oldTv :+ s"$segName/termvectors"
@@ -1853,7 +1870,8 @@ object FullText {
         (if (hasTv) newTv.map(("termvectors", _)) else Nil) ++
         (applied :+ segName).distinct.map(("applied", _)))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
-      gen, art)
+      gen, art,
+      sideRenames = if (deltaEmpty) Nil else Seq(segStaged -> segName))
     Checkpoints.unpersist(freshTf)
   }
 
@@ -1924,13 +1942,17 @@ object FullText {
     if (nDeleted == 0L) { Checkpoints.unpersist(fresh); return }
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
-    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
     locally {
       val p = new org.apache.hadoop.fs.Path(stage)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
     }
-    val nOld = if (hadTomb) oldTomb.count() else 0L
+    val nOld =
+      if (hadTomb)
+        graft.io.Layout.tombstoneRowCount(spark, s"$art/tombstones",
+          oldTomb)
+      else 0L
     graft.io.Layout.writeTombstoneArtifact(spark,
       if (hadTomb) oldTomb.unionByName(fresh) else fresh,
       s"$stage/tombstones", nOld + nDeleted)
@@ -2022,9 +2044,13 @@ object FullText {
     val before = countFiles(liveDirs(spark, indexDir, art, "postings"))
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
-    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
     val newPost = s"postings-v$gen"
     val newTv = s"termvectors-v$gen"
+    // writer-unique staging names for the folded dirs — renamed to
+    // the final `-v$gen` names inside the commit, after the fence
+    val stPost = graft.io.Layout.stagedSideName(spark, indexDir, newPost)
+    val stTv = graft.io.Layout.stagedSideName(spark, indexDir, newTv)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newPost"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
@@ -2032,14 +2058,14 @@ object FullText {
         .map(d => s"$indexDir/$d")))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
-      .write.partitionBy("bucket").parquet(s"$indexDir/$newPost")
-    val folded = spark.read.parquet(s"$indexDir/$newPost")
+      .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
+    val folded = spark.read.parquet(s"$indexDir/$stPost")
     val rows = folded.count()
     if (hasTv)
       minus(termVectorsFrame(spark, indexDir))
         .repartition(col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
-        .write.partitionBy("dbucket").parquet(s"$indexDir/$newTv")
+        .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
     if (hasTomb && !hasTv) {
       // Lucene mode: true the per-field statistics up from survivors
       folded.groupBy(col("field"), col("term"))
@@ -2065,7 +2091,8 @@ object FullText {
       (if (hasTv) Seq(("termvectors", newTv)) else Nil) ++
       appliedSegments(spark, indexDir, art).map(("applied", _)))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
-      gen, art)
+      gen, art, sideRenames = Seq(stPost -> newPost) ++
+        (if (hasTv) Seq(stTv -> newTv) else Nil))
     // the ROOT postings/termvectors dirs reclaim through the same
     // liveness check as seg-/-v dirs: under retainGenerations > 1 an
     // older retained generation's manifest may still reference them,

@@ -1252,9 +1252,10 @@ object SimilarityQueries {
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
         Seq("vec_id"))
       .join(norms, Seq("vec_id")), s"$indexDir/codes", pgroups)
-    Seq((codec, m, subdim, numCells, c, coarse, cGrid, pgroups))
+    Seq((codec, m, subdim, numCells, c, coarse, cGrid, pgroups,
+        pgroups0 != 0))
       .toDF("codec", "m", "subdim", "num_cells", "c", "coarse",
-        "c_grid", "pgroups")
+        "c_grid", "pgroups", "pgroups_forced")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     graft.ops.Checkpoints.unpersist(assign)
   }
@@ -1295,22 +1296,83 @@ object SimilarityQueries {
     * — `"pq"`/`"flat"` with the caller's params for a legacy
     * meta-less dir or a meta written before the coarse dimension
     * existed. */
+  /** The meta row resolves GENERATION-FIRST: a compaction that
+    * re-resolved the physical codes layout stages its updated meta
+    * into the committed generation (atomic with the rewritten codes),
+    * so readers must prefer `<liveGen>/meta` over the write-time root
+    * artifact; appends/deletes carry the live meta forward
+    * ([[carryMeta]]) the way tombstones carry. The root `meta` stays
+    * as the family marker (RunCompact's detection) and the legacy
+    * fallback. */
+  private def readMetaRow(spark: SparkSession,
+      indexDir: String): Option[org.apache.spark.sql.Row] = {
+    val art = vectorArtifactDir(spark, indexDir)
+    val p =
+      if (graft.io.Layout.pathExists(spark, s"$art/meta")) Some(s"$art/meta")
+      else if (graft.io.Layout.pathExists(spark, s"$indexDir/meta"))
+        Some(s"$indexDir/meta")
+      else None
+    p.map(spark.read.parquet(_).head())
+  }
+
+  private def metaPgroups(r: org.apache.spark.sql.Row): Int =
+    if (r.schema.fieldNames.contains("pgroups")) r.getAs[Int]("pgroups")
+    else 0
+
+  /** Whether the write-time caller FORCED the physical layout
+    * (`pgroups` > 0 or -1) — a forced layout never re-resolves at
+    * compaction. Legacy metas without the column read as auto. */
+  private def metaForced(r: org.apache.spark.sql.Row): Boolean =
+    r.schema.fieldNames.contains("pgroups_forced") &&
+      r.getAs[Boolean]("pgroups_forced")
+
+  /** Carry the live meta artifact into a staged generation (byte
+    * copy — no job). No-op for a meta-less legacy index. */
+  private def carryMeta(spark: SparkSession, indexDir: String,
+      art: String, stage: String): Unit = {
+    val src =
+      if (graft.io.Layout.pathExists(spark, s"$art/meta")) Some(s"$art/meta")
+      else if (graft.io.Layout.pathExists(spark, s"$indexDir/meta"))
+        Some(s"$indexDir/meta")
+      else None
+    src.foreach(graft.io.Layout.copyArtifact(spark, _, s"$stage/meta"))
+  }
+
+  /** Stage a meta row identical to `r` but with the re-resolved
+    * pgroup count — the compaction-time layout upgrade's commit
+    * record. */
+  private def stageMetaWithPgroups(spark: SparkSession,
+      r: org.apache.spark.sql.Row, pgroups: Int, stage: String): Unit = {
+    import spark.implicits._
+    val base = Seq((
+      r.getAs[String]("codec"), r.getAs[Int]("m"), r.getAs[Int]("subdim"),
+      if (r.schema.fieldNames.contains("num_cells"))
+        r.getAs[Int]("num_cells") else 16,
+      if (r.schema.fieldNames.contains("c")) r.getAs[Int]("c") else 16,
+      if (r.schema.fieldNames.contains("coarse"))
+        r.getAs[String]("coarse") else "flat",
+      if (r.schema.fieldNames.contains("c_grid"))
+        r.getAs[Int]("c_grid") else 16,
+      pgroups, metaForced(r)))
+      .toDF("codec", "m", "subdim", "num_cells", "c", "coarse",
+        "c_grid", "pgroups", "pgroups_forced")
+    base.coalesce(1).write.parquet(s"$stage/meta")
+  }
+
   private def readIndexMeta(spark: SparkSession, indexDir: String,
       m: Int, subdim: Int): (String, Int, Int, String, Int, Int) =
-    if (graft.io.Layout.pathExists(spark, s"$indexDir/meta")) {
-      val r = spark.read.parquet(s"$indexDir/meta").head()
-      val coarse =
-        if (r.schema.fieldNames.contains("coarse")) r.getAs[String]("coarse")
-        else "flat"
-      val cGrid =
-        if (r.schema.fieldNames.contains("c_grid")) r.getAs[Int]("c_grid")
-        else 16
-      val pgroups =
-        if (r.schema.fieldNames.contains("pgroups")) r.getAs[Int]("pgroups")
-        else 0
-      (r.getAs[String]("codec"), r.getAs[Int]("m"), r.getAs[Int]("subdim"),
-        coarse, cGrid, pgroups)
-    } else ("pq", m, subdim, "flat", 16, 0)
+    readMetaRow(spark, indexDir) match {
+      case Some(r) =>
+        val coarse =
+          if (r.schema.fieldNames.contains("coarse")) r.getAs[String]("coarse")
+          else "flat"
+        val cGrid =
+          if (r.schema.fieldNames.contains("c_grid")) r.getAs[Int]("c_grid")
+          else 16
+        (r.getAs[String]("codec"), r.getAs[Int]("m"), r.getAs[Int]("subdim"),
+          coarse, cGrid, metaPgroups(r))
+      case None => ("pq", m, subdim, "flat", 16, 0)
+    }
 
   /** IMI coarse assignment (q104's composition over the PERSISTED
     * half codebooks): each vector's two halves encode independently
@@ -1635,7 +1697,11 @@ object SimilarityQueries {
     val applied = vecAppliedSegments(spark, indexDir, art)
     if (segmentId.isDefined && applied.contains(segName))
       return // the batch's commit record exists: full replay no-op
-    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    // writer-unique staging (gen dir + the segment's codes dir) —
+    // renamed to the final names inside the commit, after the lease
+    // fence re-read (the text twin's discipline)
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
+    val segStaged = graft.io.Layout.stagedSideName(spark, indexDir, segName)
     locally { // clear a crashed predecessor's partial staging
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1666,8 +1732,9 @@ object SimilarityQueries {
     val deltaEmpty = assign.isEmpty
     if (deltaEmpty) {
       if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
-        spark.read.parquet(s"$art/tombstones")
-          .write.parquet(s"$stage/tombstones")
+        graft.io.Layout.copyArtifact(spark, s"$art/tombstones",
+          s"$stage/tombstones")
+      carryMeta(spark, indexDir, art, stage)
       writeVecManifest(spark, stage, oldDirs, applied :+ segName)
       graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
         gen, art)
@@ -1712,14 +1779,15 @@ object SimilarityQueries {
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
         Seq("vec_id"))
       .join(norms, Seq("vec_id")),
-      s"$indexDir/$segName/codes", pgroups)
+      s"$indexDir/$segStaged/codes", pgroups)
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
-      spark.read.parquet(s"$art/tombstones")
-        .write.parquet(s"$stage/tombstones")
+      graft.io.Layout.copyArtifact(spark, s"$art/tombstones",
+        s"$stage/tombstones")
+    carryMeta(spark, indexDir, art, stage)
     writeVecManifest(spark, stage, oldDirs :+ s"$segName/codes",
       applied :+ segName)
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
-      gen, art)
+      gen, art, sideRenames = Seq(segStaged -> segName))
     graft.ops.Checkpoints.unpersist(assign)
   }
 
@@ -1764,8 +1832,9 @@ object SimilarityQueries {
     val before = countFiles(codesDirs(spark, indexDir, art))
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
-    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
     val newCodes = s"codes-v$gen"
+    val stCodes = graft.io.Layout.stagedSideName(spark, indexDir, newCodes)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newCodes"), true)
     val base = codesFrame(spark, indexDir)
@@ -1774,17 +1843,45 @@ object SimilarityQueries {
         base.join(spark.read.parquet(tombPath)
           .select($"vec_id").distinct(), Seq("vec_id"), "left_anti")
       else base
-    // the fold rewrites in the layout the meta records — pgroup'd
-    // indexes stay pgroup'd (one file per physical partition)
-    writeCodes(folded0, s"$indexDir/$newCodes",
-      readIndexMeta(spark, indexDir, 8, 8)._6)
-    val rows = spark.read.parquet(s"$indexDir/$newCodes").count()
+    // the fold RE-RESOLVES the physical layout against the index as
+    // it stands NOW: a per-cell index whose occupied-cell count has
+    // grown past the `graft.index.codesAutoPgroupCells` listing knee
+    // (appends land in cells the initial write never saw; an IMI
+    // grid fills in) rewrites into the pgroup'd layout here, and the
+    // new layout commits ATOMICALLY with the fold via a meta staged
+    // into the same generation — without this, an index written
+    // per-cell at 500 cells keeps paying the measured listing curve
+    // forever. An EXPLICIT write-time choice (`pgroups` > 0 or -1 →
+    // meta.pgroups_forced) is preserved; only auto-resolved layouts
+    // re-resolve.
+    val metaRow = readMetaRow(spark, indexDir)
+    val oldPgroups = metaRow.map(metaPgroups).getOrElse(0)
+    val newPgroups = metaRow match {
+      case Some(r) if !metaForced(r) && oldPgroups == 0 =>
+        val knee = spark.conf
+          .get("graft.index.codesAutoPgroupCells", "1024").toLong
+        val occupied = folded0.select($"cell_id").distinct().count()
+        if (knee > 0 && occupied > knee)
+          spark.conf.get("graft.index.codesPgroups", "64").toInt
+        else 0
+      case _ => oldPgroups
+    }
+    writeCodes(folded0, s"$indexDir/$stCodes", newPgroups)
+    val rows = spark.read.parquet(s"$indexDir/$stCodes").count()
+    // stage the (possibly re-resolved) meta into the generation — the
+    // layout the codes were just written in and the meta readers
+    // dispatch on become visible together or not at all
+    metaRow.foreach { r =>
+      if (newPgroups != oldPgroups)
+        stageMetaWithPgroups(spark, r, newPgroups, stage)
+      else carryMeta(spark, indexDir, art, stage)
+    }
     // no tombstones in the new generation: physically applied; the
     // applied-segments registry carries forward past the fold
     writeVecManifest(spark, stage, Seq(newCodes),
       vecAppliedSegments(spark, indexDir, art))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
-      gen, art)
+      gen, art, sideRenames = Seq(stCodes -> newCodes))
     // the ROOT codes dir reclaims through the liveness check too —
     // a retained older generation's manifest may still reference it
     vecGcUnreferenced(spark, indexDir)
@@ -1852,16 +1949,21 @@ object SimilarityQueries {
     // (the text twin's staging discipline) — never half-visible
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
-    val stage = graft.io.Layout.generationDir(indexDir, gen)
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
     locally {
       val p = new org.apache.hadoop.fs.Path(stage)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
     }
-    val nOld = if (hadTomb) oldTomb.count() else 0L
+    val nOld =
+      if (hadTomb)
+        graft.io.Layout.tombstoneRowCount(spark, s"$art/tombstones",
+          oldTomb)
+      else 0L
     graft.io.Layout.writeTombstoneArtifact(spark,
       if (hadTomb) oldTomb.unionByName(fresh) else fresh,
       s"$stage/tombstones", nOld + nFresh)
+    carryMeta(spark, indexDir, art, stage)
     writeVecManifest(spark, stage, codesDirs(spark, indexDir, art),
       vecAppliedSegments(spark, indexDir, art))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
@@ -2127,7 +2229,7 @@ object SimilarityQueries {
     val probed = coarse match {
       case "imi" =>
         // q116's blended walk per query, run on the EXECUTORS over
-        // the broadcast half-codebooks (imiProbeCellsFrame) — at the
+        // the broadcast half-codebooks (imiProbeCellsBatch) — at the
         // 2^14 grids that motivate IMI, a driver-side walk would
         // collect |Q|·2^15 affinity rows
         imiProbeCellsBatch(queries,

@@ -19,7 +19,12 @@ import graft.queries.SimilarityQueries
   * `field` column marks the MULTI-FIELD text layout; otherwise
   * single-field text. `--family text|multifield|vector` overrides.
   *
-  * Usage: RunCompact <indexDir> [--family <f>]
+  * Usage: RunCompact <indexDir> [--family <f>] [--wait <sec>]
+  *
+  * `--wait <sec>` polls the mutation-lease acquisition with backoff
+  * (`graft.index.leaseWaitMs`) instead of the library's fail-fast —
+  * the right mode for a maintenance job queued behind a short-lived
+  * refresh batch.
   *
   * Prints one JSON line: data files before/after and surviving
   * rows. Safe to re-run (idempotent fold; a crash leaves the old
@@ -39,7 +44,17 @@ object RunCompact {
   /** Separated from main for RunCompactSpec: returns
     * (family, filesBefore, filesAfter, rows). */
   def run(spark: SparkSession, indexDir: String,
-      family: Option[String] = None): (String, Long, Long, Long) = {
+      family: Option[String] = None,
+      waitSec: Option[Long] = None): (String, Long, Long, Long) = {
+    waitSec.foreach(s =>
+      spark.conf.set("graft.index.leaseWaitMs", (s * 1000L).toString))
+    try runInner(spark, indexDir, family)
+    finally waitSec.foreach(_ =>
+      spark.conf.unset("graft.index.leaseWaitMs"))
+  }
+
+  private def runInner(spark: SparkSession, indexDir: String,
+      family: Option[String]): (String, Long, Long, Long) = {
     val fam = family.getOrElse(detectFamily(spark, indexDir))
     val (b, a, r) = fam match {
       case "vector" => SimilarityQueries.compactIvfPqIndex(spark, indexDir)
@@ -54,11 +69,14 @@ object RunCompact {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: RunCompact <indexDir> [--family text|multifield|vector]")
-    val fam = args.indexOf("--family") match {
-      case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
-      case _ => None
-    }
+      "usage: RunCompact <indexDir> [--family text|multifield|vector] " +
+        "[--wait <sec>]")
+    def opt(flag: String): Option[String] =
+      args.indexOf(flag) match {
+        case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+        case _ => None
+      }
+    val fam = opt("--family")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .appName("graft-compact")
@@ -66,7 +84,8 @@ object RunCompact {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (f, b, a, r) = run(spark, args(0), fam)
+    val (f, b, a, r) = run(spark, args(0), fam,
+      opt("--wait").map(_.toLong))
     println(s"""{"tool":"compact","family":"$f","files_before":$b,""" +
       s""""files_after":$a,"rows":$r}""")
     spark.stop()

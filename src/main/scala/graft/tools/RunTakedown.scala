@@ -20,6 +20,14 @@ import graft.queries.SimilarityQueries
   *
   * Usage: RunTakedown <ids: parquet path | comma list>
   *          [--text <indexDir>] [--vector <indexDir>] [--compact]
+  *          [--wait <sec>]
+  *
+  * `--wait <sec>`: the index mutation lease fails FAST by default
+  * (the right library behavior) — rough for a CLI racing a
+  * ten-second refresh batch. With `--wait`, acquisition polls with
+  * backoff (`graft.index.leaseWaitMs`) until the holder releases or
+  * the deadline passes; without it, a held lease surfaces the
+  * fail-fast error unchanged.
   *
   * Prints one JSON summary line (ids loaded, faces touched). Rerun
   * safety is the delete contract's: already-tombstoned ids drop in
@@ -45,6 +53,17 @@ object RunTakedown {
     * the given faces and returns (nIds, textDeleted, vectorDeleted)
     * where the deleted flags report which faces ran. */
   def run(spark: SparkSession, idsSpec: String,
+      textIdx: Option[String], vectorIdx: Option[String],
+      compact: Boolean, waitSec: Option[Long] = None):
+      (Long, Boolean, Boolean) = {
+    waitSec.foreach(s =>
+      spark.conf.set("graft.index.leaseWaitMs", (s * 1000L).toString))
+    try runInner(spark, idsSpec, textIdx, vectorIdx, compact)
+    finally waitSec.foreach(_ =>
+      spark.conf.unset("graft.index.leaseWaitMs"))
+  }
+
+  private def runInner(spark: SparkSession, idsSpec: String,
       textIdx: Option[String], vectorIdx: Option[String],
       compact: Boolean): (Long, Boolean, Boolean) = {
     val ids = idsFrame(spark, idsSpec)
@@ -74,7 +93,8 @@ object RunTakedown {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: RunTakedown <ids: parquet path | comma list> " +
-        "[--text <indexDir>] [--vector <indexDir>] [--compact]")
+        "[--text <indexDir>] [--vector <indexDir>] [--compact] " +
+        "[--wait <sec>]")
     def opt(flag: String): Option[String] =
       args.indexOf(flag) match {
         case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
@@ -88,7 +108,7 @@ object RunTakedown {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (n, t, v) = run(spark, args(0), opt("--text"), opt("--vector"),
-      args.contains("--compact"))
+      args.contains("--compact"), opt("--wait").map(_.toLong))
     println(s"""{"tool":"takedown","ids":$n,"text":$t,"vector":$v,""" +
       s""""compacted":${args.contains("--compact")}}""")
     spark.stop()

@@ -150,6 +150,221 @@ class LeaseSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.index.leaseStaleMs")
   }
 
+  test("double takeover: a zombie's staging never lands in the committed generation") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = tmp("lease-dual")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    // writer A (the zombie) acquires and stages; writer B's takeover
+    // lands mid-stage (the check-stale → delete → create interleave
+    // both can win). A must abort AND its staged bytes must be
+    // unreachable from any committed generation.
+    val thrown = intercept[IllegalStateException] {
+      Layout.withMutationLease(spark, idx) {
+        val stage = Layout.stageGenerationDir(spark, idx, 1)
+        val name = new Path(stage).getName
+        assert(name != "gen-1" && name.startsWith("gen-1."),
+          s"staging must be writer-unique under a held lease (got $name)")
+        // the side-dir staging names are writer-unique too
+        val side = Layout.stagedSideName(spark, idx, "postings-v1")
+        assert(side != "postings-v1" && side.startsWith("postings-v1."))
+        fs.mkdirs(new Path(s"$stage/df"))
+        val out = fs.create(new Path(s"$stage/df/part-zombie"), true)
+        out.write("zombie bytes".getBytes("UTF-8")); out.close()
+        // B's takeover: the lease now carries the intruder's token
+        writeLock(idx, "99 intruder-token newhost:pid=2")
+        Layout.commitGenerationAndRetire(spark, idx, stage, 1, idx)
+      }
+    }
+    assert(thrown.getMessage.contains("taken over"))
+    assert(!Layout.pathExists(spark, s"$idx/gen-1"),
+      "the zombie's staging must never surface under the final name")
+    // the intruder (B) releases-equivalent: clear its lock, then run
+    // a REAL mutation as the winner — it commits gen-1
+    fs.delete(new Path(s"$idx/_mutation.lock"), false)
+    val dead = docs.limit(2).select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    FullText.deleteFromTextIndex(spark, idx, dead)
+    assert(Layout.pathExists(spark, s"$idx/gen-1/_COMMITTED"))
+    // the committed generation contains ONLY the winner's files
+    val it = fs.listFiles(new Path(s"$idx/gen-1"), true)
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) names += it.next().getPath.getName
+    assert(!names.contains("part-zombie"),
+      s"committed generation must hold only the winner's files ($names)")
+    // and the zombie's orphaned staging dir was reclaimed by the
+    // winner's retire sweep
+    val orphans = fs.listStatus(new Path(idx)).map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-1.") )
+    assert(orphans.isEmpty,
+      s"orphaned staging dirs must be reclaimed (left: ${orphans.toSeq})")
+  }
+
+  test("lease keys are scheme-insensitive: file:/ and / mutators serialize, not fail") {
+    val idx = tmp("lease-scheme")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val p = new Path(s"$idx/_mutation.lock")
+    val holder = Future {
+      Layout.withMutationLease(spark, idx) { Thread.sleep(2000); "a" }
+    }
+    val deadline = System.currentTimeMillis() + 5000
+    while (!fs.exists(p) && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(fs.exists(p))
+    // the SAME index addressed with an explicit scheme: an unqualified
+    // lease key would route this to a different JVM lock and fail
+    // fast on the filesystem lease; the qualified key serializes it
+    val second = Future {
+      Layout.withMutationLease(spark, s"file:$idx") { "b" }
+    }
+    assert(Await.result(second, 2.minutes) == "b",
+      "a same-JVM mutator via a scheme-qualified path must serialize")
+    assert(Await.result(holder, 2.minutes) == "a")
+  }
+
+  test("heartbeat survives transient FS errors instead of dying mid-mutation") {
+    val idx = tmp("lease-hb-io")
+    val p = new Path(s"$idx/_mutation.lock")
+    spark.conf.set("graft.index.leaseStaleMs", "1500") // beat ~500ms
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val holder = Future {
+        Layout.withMutationLease(spark, idx) { Thread.sleep(6500); "done" }
+      }
+      val deadline = System.currentTimeMillis() + 5000
+      while (!fs.exists(p) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(fs.exists(p))
+      val content = {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      // simulate a transient FS outage at the lock path: a DIRECTORY
+      // of the same name makes every readLease throw IOException for
+      // ~2 beats (a one-shot handler would kill the thread here and
+      // the still-alive holder would look crashed after staleMs)
+      fs.delete(p, false)
+      fs.mkdirs(p)
+      Thread.sleep(1200)
+      fs.delete(p, true)
+      val out = fs.create(p, true)
+      out.write(content.getBytes("UTF-8")); out.close()
+      // past a full stale window AFTER the restore: only a live
+      // heartbeat keeps the mtime fresher than staleMs
+      Thread.sleep(2000)
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime
+      assert(age < 1500,
+        s"heartbeat must keep beating after transient IO errors " +
+          s"(mtime age ${age}ms)")
+      assert(Await.result(holder, 2.minutes) == "done")
+    } finally spark.conf.unset("graft.index.leaseStaleMs")
+  }
+
+  test("graft.index.leaseWaitMs: acquisition polls until the holder releases") {
+    val docs = graft.io.Tables.documents(spark, dir).limit(60)
+    val idx = tmp("lease-wait")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    writeLock(idx, "4 foreign-token otherhost:pid=77")
+    val dead = docs.limit(1).select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // default: fail fast (the library contract, unchanged)
+    intercept[IllegalStateException] {
+      FullText.deleteFromTextIndex(spark, idx, dead)
+    }
+    // with the wait knob: poll with backoff until the holder releases
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.conf.set("graft.index.leaseWaitMs", "60000")
+    try {
+      val releaser = Future {
+        Thread.sleep(1500)
+        fs.delete(new Path(s"$idx/_mutation.lock"), false)
+      }
+      FullText.deleteFromTextIndex(spark, idx, dead) // must land
+      Await.result(releaser, 2.minutes)
+      assert(spark.read
+        .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats")
+        .head().getAs[Long]("n_docs") == docs.count() - 1)
+    } finally spark.conf.unset("graft.index.leaseWaitMs")
+  }
+
+  test("mutation storm: racing appends/deletes/compactions + a takeover equal the serial rebuild") {
+    // randomized-interleaving stress over the PUBLIC mutation faces:
+    // three threads race appends, deletes and compactions on ONE
+    // index (they serialize on the per-index lock in any order); the
+    // operations are chosen to COMMUTE (disjoint appends, deletes of
+    // distinct pre-existing ids, compaction is semantics-preserving),
+    // so EVERY interleaving must equal the serial rebuild — this is
+    // the harness that catches the next fencing corner before an
+    // advisor does. A deterministic seed keeps failures replayable.
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = tmp("lease-storm")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    val rnd = new scala.util.Random(13)
+    val appends = (1 to 3).map { i =>
+      (s"storm$i", Seq((7780000L + i, s"fast vector storm batch $i"))
+        .toDF("doc_id", "text"))
+    }
+    val allIds = docs.select($"doc_id").collect().map(_.getLong(0))
+    val deletes = (0 until 3).map(i =>
+      allIds.filter(_ % 17 == i).take(4).toSeq)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tA = Future {
+      appends.foreach { case (sid, df) =>
+        Thread.sleep(rnd.nextInt(300))
+        FullText.appendToTextIndex(spark, df, "doc_id", "text", idx,
+          segmentId = Some(sid))
+      }
+    }
+    val tD = Future {
+      deletes.foreach { ids =>
+        Thread.sleep(rnd.nextInt(300))
+        FullText.deleteFromTextIndex(spark, idx, ids)
+      }
+    }
+    val tC = Future {
+      (1 to 2).foreach { _ =>
+        Thread.sleep(rnd.nextInt(500))
+        FullText.compactTextIndex(spark, idx)
+      }
+    }
+    Await.result(tA, 5.minutes)
+    Await.result(tD, 5.minutes)
+    Await.result(tC, 5.minutes)
+    // a crashed foreign holder appears AFTER the storm; the next
+    // mutation must take its lease over and still land exactly
+    writeLock(idx, "7 crashed-token deadhost:pid=1")
+    fs.setTimes(new Path(s"$idx/_mutation.lock"),
+      System.currentTimeMillis() - 3600L * 1000, -1)
+    spark.conf.set("graft.index.leaseStaleMs", "1000")
+    val lastDead = allIds.filter(_ % 17 == 4).take(2).toSeq
+    try FullText.deleteFromTextIndex(spark, idx, lastDead)
+    finally spark.conf.unset("graft.index.leaseStaleMs")
+    // serial rebuild over the equivalent final corpus
+    val deadAll = (deletes.flatten ++ lastDead).toSet
+    val idxR = tmp("lease-storm-r")
+    FullText.writeTextIndex(
+      docs.filter(!$"doc_id".isInCollection(deadAll))
+        .select($"doc_id", $"text")
+        .unionByName(appends.map(_._2).reduce(_ unionByName _)),
+      "doc_id", "text", idxR, storeTermVectors = true)
+    def page(i: String) = FullText.bm25SearchStored(spark, i, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(page(idx) == page(idxR),
+      "every storm interleaving must equal the serial rebuild")
+  }
+
   test("concurrent refresh + takedown on one index serialize in one JVM") {
     val docs = graft.io.Tables.documents(spark, dir)
     val idx = tmp("lease-conc")

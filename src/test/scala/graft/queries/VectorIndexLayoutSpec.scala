@@ -615,6 +615,85 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction re-resolves pgroups across the knee; forced layouts stay put") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    // hold out ~1/7 of the corpus, write the rest per-cell (auto,
+    // below the knee), then append the held-out vectors — the grown
+    // index now sits past a knee the write-time selection never saw
+    val held = vecs.filter($"vec_id" % 7 === 3)
+    val base = vecs.filter($"vec_id" % 7 =!= 3)
+    val idx = java.nio.file.Files.createTempDirectory("pg-regroup")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(vecs, base, idx,
+      numCells = 16)
+    assert(new java.io.File(s"$idx/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .forall(_.startsWith("cell_id=")),
+      "below the knee the auto write must stay per-cell")
+    SimilarityQueries.appendToIvfPqIndex(spark, idx, held,
+      segmentId = Some("grow"))
+    def page() = SimilarityQueries.ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = page()
+    val occupied = SimilarityQueries.codesFrame(spark, idx)
+      .select($"cell_id").distinct().count()
+    val prevKnee = spark.conf.getOption("graft.index.codesAutoPgroupCells")
+    spark.conf.set("graft.index.codesAutoPgroupCells",
+      (occupied - 1).toString)
+    spark.conf.set("graft.index.codesPgroups", "4")
+    try {
+      // the fold re-runs the write-time auto-selection against the
+      // CURRENT occupancy: past the knee, the rewrite lands pgroup'd
+      // and the updated meta commits ATOMICALLY with the fold
+      SimilarityQueries.compactIvfPqIndex(spark, idx)
+      val foldDirs = new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("codes-v"))
+      assert(foldDirs.nonEmpty && foldDirs.head.listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .forall(_.startsWith("pgroup=")),
+        "a grown per-cell index must fold into the pgroup'd layout")
+      assert(page() == before,
+        "the re-grouped fold must serve the same page bit-for-bit")
+      // the staged meta records the new layout in the LIVE generation
+      val art = SimilarityQueries.vectorArtifactDir(spark, idx)
+      assert(art != idx && graft.io.Layout.pathExists(spark, s"$art/meta"))
+      assert(spark.read.parquet(s"$art/meta").head()
+        .getAs[Int]("pgroups") == 4,
+        "the re-resolved pgroup count must commit with the generation")
+      // subsequent appends inherit the upgraded layout
+      val more = vecs.limit(20)
+        .select(($"vec_id" + 970000L).as("vec_id"), $"embedding")
+      SimilarityQueries.appendToIvfPqIndex(spark, idx, more,
+        segmentId = Some("after"))
+      assert(new java.io.File(s"$idx/seg-after/codes").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .forall(_.startsWith("pgroup=")),
+        "appends after the upgrade must write pgroup'd segments")
+      // a FORCED per-cell index (-1) never re-groups, same knee
+      val idxF = java.nio.file.Files.createTempDirectory("pg-forced")
+        .toFile.getAbsolutePath
+      SimilarityQueries.writeIvfPqIndexFrames(vecs, vecs, idxF,
+        numCells = 16, pgroups = -1)
+      SimilarityQueries.compactIvfPqIndex(spark, idxF)
+      val fDirs = new java.io.File(idxF).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("codes-v"))
+      assert(fDirs.nonEmpty && fDirs.head.listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .forall(_.startsWith("cell_id=")),
+        "an explicitly forced per-cell layout must survive compaction")
+    } finally {
+      prevKnee match {
+        case Some(v) =>
+          spark.conf.set("graft.index.codesAutoPgroupCells", v)
+        case None =>
+          spark.conf.unset("graft.index.codesAutoPgroupCells")
+      }
+      spark.conf.unset("graft.index.codesPgroups")
+    }
+  }
+
   test("empty vector delta: append commits its id, references no dir, stays searchable") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("ivfpq-empty")

@@ -56,4 +56,40 @@ class RunTakedownSpec extends SparkSpecBase {
       "--compact must reclaim the tombstone artifact")
     assert(!tPage().exists(_._1 == more))
   }
+
+  test("--wait retries a held lease until release; without it, today's fail-fast") {
+    val docs = graft.io.Tables.documents(spark, dir).limit(60)
+    val idx = java.nio.file.Files.createTempDirectory("takedown-wait")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$idx/_mutation.lock")
+    val out = fs.create(lock, true)
+    out.write("2 foreign-token otherhost:pid=7".getBytes("UTF-8"))
+    out.close()
+    val id = docs.limit(1).select($"doc_id").head().getLong(0)
+    // no --wait: the lease's fail-fast error surfaces unchanged
+    val e = intercept[IllegalStateException] {
+      RunTakedown.run(spark, id.toString, Some(idx), None,
+        compact = false)
+    }
+    assert(e.getMessage.contains("being mutated"))
+    // --wait: acquisition polls with backoff; the holder releases
+    // mid-poll and the ruling lands
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val releaser = Future { Thread.sleep(1500); fs.delete(lock, false) }
+    val (n, t, v) = RunTakedown.run(spark, id.toString, Some(idx), None,
+      compact = false, waitSec = Some(60))
+    Await.result(releaser, 2.minutes)
+    assert(n == 1 && t && !v)
+    assert(spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats")
+      .head().getAs[Long]("n_docs") == docs.count() - 1)
+    assert(spark.conf.getOption("graft.index.leaseWaitMs").isEmpty,
+      "the CLI must not leak the wait knob into the session")
+  }
 }
