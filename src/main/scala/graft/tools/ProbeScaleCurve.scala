@@ -146,6 +146,66 @@ object ProbeScaleCurve {
           s""""cells":$cells,"pgroups":64,""" +
           s""""query_s":${f"$tPg%.3f"}}""")
       }
+      // ---- compaction-time re-grouping: a per-cell index that sits
+      // past the listing knee (written AUTO under a raised knee —
+      // the state a deployment reaches by growing after its write)
+      // must fold into the pgroup'd layout at its next compaction,
+      // flattening the listing-bound curve WITHOUT a manual rewrite
+      if (cells > 1024) {
+        val gidx = java.nio.file.Files
+          .createTempDirectory(s"curve-regroup-$n").toFile.getAbsolutePath
+        spark.conf.set("graft.index.codesAutoPgroupCells", "1000000")
+        SimilarityQueries.writeIvfPqIndexFrames(e, e, gidx,
+          numCells = cells)
+        spark.conf.unset("graft.index.codesAutoPgroupCells")
+        val tCell = timeMin3 {
+          SimilarityQueries.ivfPqSearchStored(spark, gidx, eDir)
+            .collect()
+        }
+        SimilarityQueries.compactIvfPqIndex(spark, gidx)
+        val regrouped = new java.io.File(gidx).listFiles()
+          .filter(f2 => f2.isDirectory && f2.getName.startsWith("codes-v"))
+          .headOption.exists(_.listFiles().filter(_.isDirectory)
+            .map(_.getName).forall(_.startsWith("pgroup=")))
+        val tRegroup = timeMin3 {
+          SimilarityQueries.ivfPqSearchStored(spark, gidx, eDir)
+            .collect()
+        }
+        println(s"""{"face":"compactRegroup","n_vecs":$n,""" +
+          s""""cells":$cells,"regrouped":$regrouped,""" +
+          s""""query_s_before":${f"$tCell%.3f"},""" +
+          s""""query_s_after":${f"$tRegroup%.3f"}}""")
+      }
+      // ---- imi coarse × pgroup'd codes — the composition a
+      // billion-vector deployment runs: cGrid = 2⁶ → 4096 logical
+      // cells from 128 persisted half-centroids, codes auto-pgroup'd
+      // past the listing knee (nothing forced — the DEFAULT write
+      // resolves the layout). Measured end-to-end on the STORED
+      // index: the single-query face (executor-independent walk) and
+      // the batched msearch face (executor-side multi-sequence walk,
+      // ~100 queries, ONE codes pass).
+      if (cells > 256) {
+        val iidx = java.nio.file.Files
+          .createTempDirectory(s"curve-imi-pg-$n").toFile.getAbsolutePath
+        SimilarityQueries.writeIvfPqIndexFrames(e, e, iidx,
+          coarse = "imi", cGrid = 64)
+        val iDirs = new java.io.File(s"$iidx/codes").listFiles()
+          .filter(_.isDirectory).map(_.getName)
+        val tImi = timeMin3 {
+          SimilarityQueries.ivfPqSearchStored(spark, iidx, eDir,
+            probes = 8).collect()
+        }
+        val stride = math.max(1L, n / 100) // |Q| ≈ 100
+        val tMs = timeMin3 {
+          SimilarityQueries.ivfPqMsearchStored(spark, iidx, eDir,
+            queryStride = stride.toInt, probes = 4).collect()
+        }
+        println(s"""{"face":"ivfPqSearchStored","coarse":"imi",""" +
+          s""""n_vecs":$n,"cgrid":64,"cells":4096,""" +
+          s""""pgrouped":${iDirs.forall(_.startsWith("pgroup="))},""" +
+          s""""query_s":${f"$tImi%.3f"},""" +
+          s""""msearch100_s":${f"$tMs%.3f"}}""")
+      }
       graft.ops.Checkpoints.unpersist(e)
     }
     spark.stop()
