@@ -209,31 +209,37 @@ object Layout {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val interval = math.max(staleMs / 3, 250L)
     val t = new Thread(() => {
-      // a TRANSIENT IOException (an FS hiccup, or the benign
-      // FileNotFound race between exists and readLease while a
-      // takeover check swaps the file) must not kill the heartbeat —
-      // a dead heartbeat makes a still-alive holder look crashed
-      // after staleMs, defeating exactly the "staleness measures
-      // silence, not duration" guarantee it exists for. Only an
-      // interrupt (release) or a CONFIRMED token mismatch/absence
-      // (takeover) stops the refresh loop.
+      // a TRANSIENT failure (an IOException from an FS hiccup, the
+      // benign FileNotFound race while a takeover check swaps the
+      // file, or a single false "absent" report from a flaky store's
+      // LIST/HEAD) must not kill the heartbeat — a dead heartbeat
+      // makes a still-alive holder look crashed after staleMs,
+      // defeating exactly the "staleness measures silence, not
+      // duration" guarantee it exists for. Only an interrupt
+      // (release) or a CONFIRMED takeover — a SUCCESSFUL read whose
+      // token is not ours — stops the refresh loop; an absent or
+      // unreadable lock just skips the refresh and retries (if it
+      // stays absent, the loop idles harmlessly until release).
       try {
         var live = true
         var failures = 0
         while (live) {
           Thread.sleep(interval)
           try {
-            if (fs.exists(p) && readLease(fs, p)._2 == token) {
-              fs.setTimes(p, System.currentTimeMillis(), -1)
-              failures = 0
-            } else live = false // taken over: stop refreshing
+            if (fs.exists(p)) {
+              if (readLease(fs, p)._2 == token) {
+                fs.setTimes(p, System.currentTimeMillis(), -1)
+                failures = 0
+              } else live = false // confirmed takeover: stop
+            } else failures += 1 // possibly a takeover mid-swap or a
+              // transient listing error: the next successful read
+              // decides
           } catch {
-            case _: java.io.IOException =>
-              failures += 1
-              if (failures == 3) System.err.println(
-                s"graft: lease heartbeat for $p failing " +
-                  s"($failures consecutive IO errors) — still retrying")
+            case _: java.io.IOException => failures += 1
           }
+          if (failures == 3) System.err.println(
+            s"graft: lease heartbeat for $p failing " +
+              s"($failures consecutive misses) — still retrying")
         }
       } catch {
         case _: InterruptedException => () // released: done
@@ -413,6 +419,20 @@ object Layout {
             "commit; the staged generation stays invisible and the new " +
             "holder's index state is untouched.")
     }
+    val finalName = genPath.getName.takeWhile(_ != '.')
+    val finalDir =
+      if (finalName == genPath.getName) genPath
+      else new Path(s"$indexDir/$finalName")
+    // defense-in-depth BEFORE any destructive rename: if a competing
+    // writer already committed this generation number (a takeover
+    // landing after our fence re-read), abort without touching its
+    // published side data — a guard placed after the renames would
+    // fire only after clobbering the very generation it protects
+    if (finalDir != genPath && fs.exists(new Path(finalDir, "_COMMITTED")))
+      throw new IllegalStateException(
+        s"$finalDir is already committed — a competing writer " +
+          "published this generation; aborting (the lease fence " +
+          "should have prevented this).")
     // fence passed: we are THE writer — rename the token-unique
     // staging dirs to their final names. A finally-named leftover
     // from a crashed predecessor (it died after ITS renames, before
@@ -425,16 +445,7 @@ object Layout {
         require(fs.rename(s, f), s"commit: rename $s -> $f failed")
       }
     }
-    val finalName = genPath.getName.takeWhile(_ != '.')
-    val finalDir =
-      if (finalName == genPath.getName) genPath
-      else new Path(s"$indexDir/$finalName")
     if (finalDir != genPath) {
-      if (fs.exists(new Path(finalDir, "_COMMITTED")))
-        throw new IllegalStateException(
-          s"$finalDir is already committed — a competing writer " +
-            "published this generation; aborting (the lease fence " +
-            "should have prevented this).")
       fs.delete(finalDir, true)
       require(fs.rename(genPath, finalDir),
         s"commit: rename $genPath -> $finalDir failed")

@@ -1304,16 +1304,20 @@ object SimilarityQueries {
     * ([[carryMeta]]) the way tombstones carry. The root `meta` stays
     * as the family marker (RunCompact's detection) and the legacy
     * fallback. */
+  /** The single generation-first meta-path cascade both the readers
+    * and the carry path resolve through — two divergent copies would
+    * break exactly the staged-meta atomicity they implement. */
+  private def metaSrc(spark: SparkSession, indexDir: String,
+      art: String): Option[String] =
+    if (graft.io.Layout.pathExists(spark, s"$art/meta")) Some(s"$art/meta")
+    else if (graft.io.Layout.pathExists(spark, s"$indexDir/meta"))
+      Some(s"$indexDir/meta")
+    else None
+
   private def readMetaRow(spark: SparkSession,
-      indexDir: String): Option[org.apache.spark.sql.Row] = {
-    val art = vectorArtifactDir(spark, indexDir)
-    val p =
-      if (graft.io.Layout.pathExists(spark, s"$art/meta")) Some(s"$art/meta")
-      else if (graft.io.Layout.pathExists(spark, s"$indexDir/meta"))
-        Some(s"$indexDir/meta")
-      else None
-    p.map(spark.read.parquet(_).head())
-  }
+      indexDir: String): Option[org.apache.spark.sql.Row] =
+    metaSrc(spark, indexDir, vectorArtifactDir(spark, indexDir))
+      .map(spark.read.parquet(_).head())
 
   private def metaPgroups(r: org.apache.spark.sql.Row): Int =
     if (r.schema.fieldNames.contains("pgroups")) r.getAs[Int]("pgroups")
@@ -1329,14 +1333,9 @@ object SimilarityQueries {
   /** Carry the live meta artifact into a staged generation (byte
     * copy — no job). No-op for a meta-less legacy index. */
   private def carryMeta(spark: SparkSession, indexDir: String,
-      art: String, stage: String): Unit = {
-    val src =
-      if (graft.io.Layout.pathExists(spark, s"$art/meta")) Some(s"$art/meta")
-      else if (graft.io.Layout.pathExists(spark, s"$indexDir/meta"))
-        Some(s"$indexDir/meta")
-      else None
-    src.foreach(graft.io.Layout.copyArtifact(spark, _, s"$stage/meta"))
-  }
+      art: String, stage: String): Unit =
+    metaSrc(spark, indexDir, art)
+      .foreach(graft.io.Layout.copyArtifact(spark, _, s"$stage/meta"))
 
   /** Stage a meta row identical to `r` but with the re-resolved
     * pgroup count — the compaction-time layout upgrade's commit
@@ -1860,7 +1859,28 @@ object SimilarityQueries {
       case Some(r) if !metaForced(r) && oldPgroups == 0 =>
         val knee = spark.conf
           .get("graft.index.codesAutoPgroupCells", "1024").toLong
-        val occupied = folded0.select($"cell_id").distinct().count()
+        // occupancy = the number of cell_id= directories across the
+        // live codes dirs (per-cell layout by this branch's
+        // precondition) — a LISTING, never a corpus scan: the same
+        // listing-vs-scan economy the pgroup layout exists for. An
+        // upper bound vs the post-tombstone fold, erring toward
+        // grouping — harmless (pgroups serve any occupancy).
+        // Caveat: a PRE-pgroups_forced index that forced per-cell
+        // with -1 is indistinguishable from auto here and will
+        // re-group; rewrite such baselines with current code to pin.
+        val occupied = {
+          val names = scala.collection.mutable.HashSet[String]()
+          codesDirs(spark, indexDir, art).foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+            if (fs.exists(p))
+              fs.listStatus(p).foreach { st =>
+                val n2 = st.getPath.getName
+                if (st.isDirectory && n2.startsWith("cell_id="))
+                  names += n2
+              }
+          }
+          names.size.toLong
+        }
         if (knee > 0 && occupied > knee)
           spark.conf.get("graft.index.codesPgroups", "64").toInt
         else 0

@@ -155,9 +155,9 @@ object ProbeScaleCurve {
         val gidx = java.nio.file.Files
           .createTempDirectory(s"curve-regroup-$n").toFile.getAbsolutePath
         spark.conf.set("graft.index.codesAutoPgroupCells", "1000000")
-        SimilarityQueries.writeIvfPqIndexFrames(e, e, gidx,
+        try SimilarityQueries.writeIvfPqIndexFrames(e, e, gidx,
           numCells = cells)
-        spark.conf.unset("graft.index.codesAutoPgroupCells")
+        finally spark.conf.unset("graft.index.codesAutoPgroupCells")
         val tCell = timeMin3 {
           SimilarityQueries.ivfPqSearchStored(spark, gidx, eDir)
             .collect()

@@ -46,11 +46,14 @@ object RunCompact {
   def run(spark: SparkSession, indexDir: String,
       family: Option[String] = None,
       waitSec: Option[Long] = None): (String, Long, Long, Long) = {
+    val prev = spark.conf.getOption("graft.index.leaseWaitMs")
     waitSec.foreach(s =>
       spark.conf.set("graft.index.leaseWaitMs", (s * 1000L).toString))
     try runInner(spark, indexDir, family)
-    finally waitSec.foreach(_ =>
-      spark.conf.unset("graft.index.leaseWaitMs"))
+    finally if (waitSec.isDefined) prev match {
+      case Some(v) => spark.conf.set("graft.index.leaseWaitMs", v)
+      case None => spark.conf.unset("graft.index.leaseWaitMs")
+    }
   }
 
   private def runInner(spark: SparkSession, indexDir: String,

@@ -56,11 +56,14 @@ object RunTakedown {
       textIdx: Option[String], vectorIdx: Option[String],
       compact: Boolean, waitSec: Option[Long] = None):
       (Long, Boolean, Boolean) = {
+    val prev = spark.conf.getOption("graft.index.leaseWaitMs")
     waitSec.foreach(s =>
       spark.conf.set("graft.index.leaseWaitMs", (s * 1000L).toString))
     try runInner(spark, idsSpec, textIdx, vectorIdx, compact)
-    finally waitSec.foreach(_ =>
-      spark.conf.unset("graft.index.leaseWaitMs"))
+    finally if (waitSec.isDefined) prev match {
+      case Some(v) => spark.conf.set("graft.index.leaseWaitMs", v)
+      case None => spark.conf.unset("graft.index.leaseWaitMs")
+    }
   }
 
   private def runInner(spark: SparkSession, idsSpec: String,

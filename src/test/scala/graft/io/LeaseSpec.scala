@@ -200,6 +200,74 @@ class LeaseSpec extends SparkSpecBase {
       s"orphaned staging dirs must be reclaimed (left: ${orphans.toSeq})")
   }
 
+  test("a competing writer's committed generation is never clobbered by a late committer") {
+    val idx = tmp("lease-clobber")
+    // writer W holds the lease and stages; an intruder has ALREADY
+    // published gen-1 (it took over after W's acquire, committed its
+    // own staging, and released — so the lock W re-reads still holds
+    // W's token and the fence PASSES). The already-committed guard
+    // must abort W BEFORE any destructive rename touches the
+    // intruder's published data.
+    val thrown = intercept[IllegalStateException] {
+      Layout.withMutationLease(spark, idx) {
+        val stage = Layout.stageGenerationDir(spark, idx, 1)
+        val side = Layout.stagedSideName(spark, idx, "postings-v1")
+        fs.mkdirs(new Path(s"$stage/df"))
+        fs.mkdirs(new Path(s"$idx/$side"))
+        // the intruder's published state: final gen-1 + side dir
+        fs.mkdirs(new Path(s"$idx/gen-1"))
+        fs.create(new Path(s"$idx/gen-1/_COMMITTED"), true).close()
+        val out = fs.create(new Path(s"$idx/postings-v1/part-intruder"),
+          true)
+        out.write("intruder bytes".getBytes("UTF-8")); out.close()
+        Layout.commitGenerationAndRetire(spark, idx, stage, 1, idx,
+          sideRenames = Seq(side -> "postings-v1"))
+      }
+    }
+    assert(thrown.getMessage.contains("already committed"))
+    assert(Layout.pathExists(spark, s"$idx/postings-v1/part-intruder"),
+      "the guard must fire BEFORE the side renames clobber the " +
+        "competing writer's published data")
+    assert(Layout.pathExists(spark, s"$idx/gen-1/_COMMITTED"))
+  }
+
+  test("heartbeat outlives a transient 'absent' lock report") {
+    val idx = tmp("lease-hb-absent")
+    val p = new Path(s"$idx/_mutation.lock")
+    spark.conf.set("graft.index.leaseStaleMs", "1500") // beat ~500ms
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val holder = Future {
+        Layout.withMutationLease(spark, idx) { Thread.sleep(6500); "done" }
+      }
+      val deadline = System.currentTimeMillis() + 5000
+      while (!fs.exists(p) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(fs.exists(p))
+      val content = {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      // the lock is briefly ABSENT (a flaky store's listing, or a
+      // takeover mid-swap that never completes) — one false absence
+      // must not permanently stop the refresh loop
+      fs.delete(p, false)
+      Thread.sleep(1200) // ≥ 2 beats observe absence
+      val out = fs.create(p, true)
+      out.write(content.getBytes("UTF-8")); out.close()
+      Thread.sleep(2000) // a full stale window after the restore
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime
+      assert(age < 1500,
+        s"heartbeat must resume after a transient absence " +
+          s"(mtime age ${age}ms)")
+      assert(Await.result(holder, 2.minutes) == "done")
+    } finally spark.conf.unset("graft.index.leaseStaleMs")
+  }
+
   test("lease keys are scheme-insensitive: file:/ and / mutators serialize, not fail") {
     val idx = tmp("lease-scheme")
     import scala.concurrent.{Await, Future}
@@ -363,6 +431,64 @@ class LeaseSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(page(idx) == page(idxR),
       "every storm interleaving must equal the serial rebuild")
+  }
+
+  test("vector mutation storm: racing appends/deletes/compactions equal the rebuild at fixed artifacts") {
+    // the text storm's vector twin: appends encode against PERSISTED
+    // artifacts (the q106 stability contract), deletes mask
+    // pre-existing ids, compaction preserves semantics — so every
+    // interleaving must equal a batch rebuild over (survivors ∪
+    // appended) at the SAME artifacts. Runs the whole vector
+    // mutation surface under the race the lease serializes.
+    val vecs = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val idx = tmp("lease-vstorm")
+    SimilarityQueries.writeIvfPqIndexFrames(vecs, vecs, idx)
+    val rnd = new scala.util.Random(17)
+    val appends = (1 to 3).map { i =>
+      (s"vs$i", vecs.filter($"vec_id" % 11 === i)
+        .select(($"vec_id" + 880000L * i).as("vec_id"), $"embedding"))
+    }
+    val allIds = vecs.select($"vec_id").collect().map(_.getLong(0))
+    val deletes = (0 until 3).map(i =>
+      allIds.filter(_ % 13 == i).take(5).toSeq)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tA = Future {
+      appends.foreach { case (sid, df) =>
+        Thread.sleep(rnd.nextInt(300))
+        SimilarityQueries.appendToIvfPqIndex(spark, idx, df,
+          segmentId = Some(sid))
+      }
+    }
+    val tD = Future {
+      deletes.foreach { ids =>
+        Thread.sleep(rnd.nextInt(300))
+        SimilarityQueries.deleteFromIvfPqIndex(spark, idx, ids)
+      }
+    }
+    val tC = Future {
+      (1 to 2).foreach { _ =>
+        Thread.sleep(rnd.nextInt(500))
+        SimilarityQueries.compactIvfPqIndex(spark, idx)
+      }
+    }
+    Await.result(tA, 5.minutes)
+    Await.result(tD, 5.minutes)
+    Await.result(tC, 5.minutes)
+    // rebuild over the equivalent final corpus at the SAME artifacts
+    val deadAll = deletes.flatten.toSet
+    val finalCorpus = vecs.filter(!$"vec_id".isInCollection(deadAll))
+      .unionByName(appends.map(_._2).reduce(_ unionByName _))
+    val idxR = tmp("lease-vstorm-r")
+    SimilarityQueries.writeIvfPqIndexFrames(vecs, finalCorpus, idxR)
+    def page(i: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, i, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(page(idx) == page(idxR),
+      "every vector storm interleaving must equal the rebuild at " +
+        "fixed artifacts")
   }
 
   test("concurrent refresh + takedown on one index serialize in one JVM") {
