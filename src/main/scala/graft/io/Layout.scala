@@ -574,18 +574,37 @@ object Layout {
     } else frame.count()
   }
 
-  /** Byte-level carry-forward of a small staged artifact directory
-    * (a tombstone set, a meta row) into the next generation — a raw
-    * filesystem copy instead of a Spark read→write round-trip: no
-    * job, no schema inference, and side files like `_rowcount`
-    * survive. */
+  /** Carry-forward of a staged artifact directory (a tombstone set,
+    * a meta row) into the next generation. Small artifacts — the
+    * overwhelmingly common case — copy as raw bytes on the driver:
+    * no Spark job, no schema inference, and side files like
+    * `_rowcount` survive. Above `graft.index.artifactCopyMaxBytes`
+    * (default 256 MiB — a tombstone set mid-GDPR-backlog can be
+    * corpus-scale) the parquet content copies DISTRIBUTED (one task
+    * per split, no shuffle — a single driver stream would serialize
+    * gigabytes through one connection) and the underscore side files
+    * follow as a driver copy. */
   def copyArtifact(spark: SparkSession, src: String, dst: String): Unit = {
     val s = new Path(src)
     val d = new Path(dst)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = s.getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs, s, d.getFileSystem(conf), d,
-      false, true, conf)
+    val max = spark.conf
+      .get("graft.index.artifactCopyMaxBytes", "268435456").toLong
+    val bytes = fs.getContentSummary(s).getLength
+    if (bytes <= max)
+      org.apache.hadoop.fs.FileUtil.copy(fs, s, d.getFileSystem(conf), d,
+        false, true, conf)
+    else {
+      spark.read.parquet(src).write.parquet(dst)
+      val dfs = d.getFileSystem(conf)
+      fs.listStatus(s).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith("_") && n != "_SUCCESS")
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, dfs,
+            new Path(d, n), false, true, conf)
+      }
+    }
   }
 
   /** Swap-safe overwrite of a parquet artifact whose REPLACEMENT is

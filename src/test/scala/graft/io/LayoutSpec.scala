@@ -26,6 +26,41 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("copyArtifact carries _rowcount in both regimes; tombstoneRowCount never scans when recorded") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("layout-copy")
+      .toFile.getAbsolutePath
+    val ids = (1L to 500L).toDF("doc_id")
+    Layout.writeTombstoneArtifact(spark, ids, s"$base/tomb", 500L)
+    assert(Layout.pathExists(spark, s"$base/tomb/_rowcount"))
+    // recorded count reads WITHOUT evaluating the frame — a by-name
+    // argument that throws proves no scan happens
+    assert(Layout.tombstoneRowCount(spark, s"$base/tomb",
+      sys.error("the recorded count must short-circuit the frame")) == 500L)
+    // small regime: raw byte copy, side file survives
+    Layout.copyArtifact(spark, s"$base/tomb", s"$base/tomb_small")
+    assert(Layout.pathExists(spark, s"$base/tomb_small/_rowcount"))
+    assert(spark.read.parquet(s"$base/tomb_small").count() == 500L)
+    // large regime (forced by a tiny threshold): the parquet content
+    // copies DISTRIBUTED — a corpus-scale tombstone set mid-backlog
+    // must never serialize through one driver stream — and the
+    // _rowcount side file still follows
+    spark.conf.set("graft.index.artifactCopyMaxBytes", "1")
+    try {
+      Layout.copyArtifact(spark, s"$base/tomb", s"$base/tomb_big")
+      assert(Layout.pathExists(spark, s"$base/tomb_big/_rowcount"))
+      assert(Layout.tombstoneRowCount(spark, s"$base/tomb_big",
+        sys.error("recorded count must carry through the copy")) == 500L)
+      assert(spark.read.parquet(s"$base/tomb_big")
+        .orderBy($"doc_id").collect().map(_.getLong(0)).toSeq ==
+        (1L to 500L))
+    } finally spark.conf.unset("graft.index.artifactCopyMaxBytes")
+    // legacy artifact (no _rowcount): the fallback counts the frame
+    ids.write.parquet(s"$base/legacy")
+    assert(Layout.tombstoneRowCount(spark, s"$base/legacy",
+      spark.read.parquet(s"$base/legacy")) == 500L)
+  }
+
   private def withNoBroadcast[A](f: => A): A = {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
