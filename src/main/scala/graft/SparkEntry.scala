@@ -262,6 +262,8 @@ object SparkEntry {
         coarse = "imi")),
     "q154_pgroup_lifecycle" -> ((s: SparkSession, d: String) =>
       SimilarityQueries.storedVectorLifecycle(s, d, pgroups = 4)),
+    "q155_rebucket_lifecycle" -> ((s: SparkSession, d: String) =>
+      TextQueries.rebucketTextLifecycle(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

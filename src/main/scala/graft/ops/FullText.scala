@@ -860,6 +860,29 @@ object FullText {
     if (st.schema.fieldNames.contains("buckets")) st.getAs[Int]("buckets")
     else fallback
 
+  /** Compaction-time bucket RESIZE, shared by both compactors: the
+    * fold reassigns the hash partition of the rows it is already
+    * rewriting; None keeps every row's recorded bucket untouched. */
+  private def rebucketed(df: DataFrame, keyCol: String,
+      bucketCol: String, rebucket: Option[Int]): DataFrame =
+    rebucket match {
+      case Some(nb) =>
+        df.withColumn(bucketCol, pmod(hash(col(keyCol)), lit(nb)))
+      case None => df
+    }
+
+  /** The exact-mode stats carry under a rebucket: only the recorded
+    * bucket count — the value searches and appends derive their
+    * pruning from — changes; every other statistic carries verbatim
+    * (works for single-field, multi-field, and pre-column legacy
+    * schemas alike, since withColumn replaces or adds). */
+  private def statsWithBuckets(stDf: DataFrame,
+      rebucket: Option[Int]): DataFrame =
+    rebucket match {
+      case Some(nb) => stDf.withColumn("buckets", lit(nb))
+      case None => stDf
+    }
+
   /** Where this index's MUTATION-COMMITTED artifacts (df / stats /
     * tombstones / the segment manifest) live: the highest COMMITTED
     * generation directory ([[graft.io.Layout.liveGeneration]] —
@@ -1228,16 +1251,37 @@ object FullText {
     * the maintenance-window full rewrite by definition (the
     * delete-time exact path never pays it). TextIndexLayoutSpec pins
     * file reclamation, tombstone reclamation, and stored-search
-    * frame equality across the rewrite. */
+    * frame equality across the rewrite.
+    *
+    * `rebucket = Some(n)` RESIZES the term-bucket partitioning during
+    * the fold — the text twin of the vector layout's compaction-time
+    * pgroup re-resolution: a bucket count chosen for a small corpus
+    * (16 default) concentrates a 100×-grown index's postings into a
+    * few huge partitions, degrading exactly the bucket-pruned scan;
+    * the fold already rewrites every surviving posting, so
+    * reassigning `bucket = pmod(hash(term), n)` is free, and the new
+    * count lands in the SAME staged stats the generation commits —
+    * searches and appends follow the recorded count atomically (the
+    * recorded-bucket-count contract). The dictionary is bucket-free
+    * and carries unchanged. No auto policy: bucket economics depend
+    * on postings volume per term, an operational judgment — exposed
+    * as RunCompact `--buckets`. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, buckets: Int = 16): (Long, Long, Long) =
+      indexDir: String, buckets: Int = 16,
+      rebucket: Option[Int] = None): (Long, Long, Long) = {
+    rebucket.foreach(nb => require(nb > 0,
+      s"rebucket bucket count must be positive (got $nb) — " +
+        "pmod against 0 dies mid-fold and a committed non-positive " +
+        "count would corrupt every later search's pruning"))
     graft.io.Layout.withMutationLease(spark, indexDir) {
-      compactTextIndexImpl(spark, indexDir, buckets)
+      compactTextIndexImpl(spark, indexDir, buckets, rebucket)
     }
+  }
 
   private def compactTextIndexImpl(
       spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, buckets: Int): (Long, Long, Long) = {
+      indexDir: String, buckets: Int,
+      rebucket: Option[Int]): (Long, Long, Long) = {
     import spark.implicits._
     gcUnreferenced(spark, indexDir) // crashed predecessors' orphans
     val art = liveArtifactDir(spark, indexDir)
@@ -1284,15 +1328,17 @@ object FullText {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newPost"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
-    minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
-        .map(d => s"$indexDir/$d")))
+    rebucketed(
+        minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
+          .map(d => s"$indexDir/$d"))), "term", "bucket", rebucket)
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
     val folded = spark.read.parquet(s"$indexDir/$stPost")
     val rows = folded.count()
     if (hasTv)
-      minus(termVectorsFrame(spark, indexDir))
+      rebucketed(minus(termVectorsFrame(spark, indexDir)),
+          "doc_id", "dbucket", rebucket)
         .repartition(col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
@@ -1306,15 +1352,18 @@ object FullText {
           coalesce(sum(col("doclen")), lit(0L)).as("s")).head()
       val hasPos = statsFlag(st, "has_positions", default = true)
       Seq((r.getLong(0), r.getLong(1).toDouble / r.getLong(0),
-        r.getLong(1), hasPos, false, statsBuckets(st, buckets)))
+        r.getLong(1), hasPos, false,
+        rebucket.getOrElse(statsBuckets(st, buckets))))
         .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
           "has_termvectors", "buckets")
         .write.parquet(s"$stage/stats")
     } else {
       // exact mode (or nothing tombstoned): df/stats carry forward
-      // unchanged — they were decremented exactly at delete time
+      // unchanged — they were decremented exactly at delete time;
+      // a rebucket replaces only the recorded bucket count
       spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
-      spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
+      statsWithBuckets(spark.read.parquet(s"$art/stats"), rebucket)
+        .write.parquet(s"$stage/stats")
     }
     // no tombstones in the new generation: physically applied. The
     // APPLIED-SEGMENTS registry carries forward even though the live
@@ -2007,14 +2056,21 @@ object FullText {
     * at delete time and carry forward; without them they re-derive
     * from the survivors. */
   def compactMultiFieldTextIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, buckets: Int = 16): (Long, Long, Long) =
+      indexDir: String, buckets: Int = 16,
+      rebucket: Option[Int] = None): (Long, Long, Long) = {
+    rebucket.foreach(nb => require(nb > 0,
+      s"rebucket bucket count must be positive (got $nb) — " +
+        "pmod against 0 dies mid-fold and a committed non-positive " +
+        "count would corrupt every later search's pruning"))
     graft.io.Layout.withMutationLease(spark, indexDir) {
-      compactMultiFieldTextIndexImpl(spark, indexDir, buckets)
+      compactMultiFieldTextIndexImpl(spark, indexDir, buckets, rebucket)
     }
+  }
 
   private def compactMultiFieldTextIndexImpl(
       spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, buckets: Int): (Long, Long, Long) = {
+      indexDir: String, buckets: Int,
+      rebucket: Option[Int]): (Long, Long, Long) = {
     import spark.implicits._
     gcUnreferenced(spark, indexDir)
     val art = liveArtifactDir(spark, indexDir)
@@ -2054,15 +2110,19 @@ object FullText {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newPost"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
-    minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
-        .map(d => s"$indexDir/$d")))
+    // rebucket: same fold-time partition resize as the single-field
+    // compactor (term buckets are field-agnostic — one hash space)
+    rebucketed(
+        minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
+          .map(d => s"$indexDir/$d"))), "term", "bucket", rebucket)
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
     val folded = spark.read.parquet(s"$indexDir/$stPost")
     val rows = folded.count()
     if (hasTv)
-      minus(termVectorsFrame(spark, indexDir))
+      rebucketed(minus(termVectorsFrame(spark, indexDir)),
+          "doc_id", "dbucket", rebucket)
         .repartition(col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
@@ -2079,13 +2139,14 @@ object FullText {
         .collect()
         .map(r => (r.getString(0), r.getLong(1),
           r.getLong(2).toDouble / r.getLong(1), r.getLong(2),
-          false, statsBuckets(st, buckets)))
+          false, rebucket.getOrElse(statsBuckets(st, buckets))))
       rws.toSeq.toDF("field", "n_docs", "avgdl", "sum_doclen",
         "has_termvectors", "buckets")
         .write.parquet(s"$stage/stats")
     } else {
       spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
-      spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
+      statsWithBuckets(spark.read.parquet(s"$art/stats"), rebucket)
+        .write.parquet(s"$stage/stats")
     }
     writeManifest(spark, stage, Seq(("postings", newPost)) ++
       (if (hasTv) Seq(("termvectors", newTv)) else Nil) ++

@@ -1414,7 +1414,22 @@ object TextQueries {
     * additive df/stats, the delete's decremented df/stats, and the
     * tombstone anti-join all land under the driver's gate, not just
     * ScalaTest pins. */
-  def storedTextLifecycle(spark: SparkSession, dir: String): DataFrame = {
+  def storedTextLifecycle(spark: SparkSession, dir: String): DataFrame =
+    textLifecycle(spark, dir, rebucketTo = None)
+
+  /** q155 — the q145 lifecycle plus a REBUCKETING COMPACTION between
+    * the delete and the search: the fold physically applies the
+    * tombstones AND resizes the term-bucket partitioning (4 → 10 —
+    * the compaction-time layout migration a grown deployment runs,
+    * [[graft.ops.FullText.compactTextIndex]]'s `rebucket`). The
+    * oracle is UNCHANGED from q145 — a hash-match proves the resized
+    * physical layout serves the exact page a fresh build over the
+    * survivors serves, under the driver's gate. */
+  def rebucketTextLifecycle(spark: SparkSession, dir: String): DataFrame =
+    textLifecycle(spark, dir, rebucketTo = Some(10))
+
+  private def textLifecycle(spark: SparkSession, dir: String,
+      rebucketTo: Option[Int]): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val wm = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
@@ -1424,9 +1439,11 @@ object TextQueries {
     // BM25, so positions (which double the postings work) stay off —
     // a legitimate deployment choice the writer supports; term
     // vectors stay ON because the exact delete decrement needs the
-    // forward artifact
+    // forward artifact. The rebucket variant writes at a cramped 4
+    // buckets so the fold's resize is a real layout change.
     FullText.writeTextIndex(docs.filter($"doc_id" <= wm), "doc_id",
-      "text", idx, storePositions = false, storeTermVectors = true)
+      "text", idx, buckets = rebucketTo.map(_ => 4).getOrElse(16),
+      storePositions = false, storeTermVectors = true)
     FullText.appendToTextIndex(spark, docs.filter($"doc_id" > wm),
       "doc_id", "text", idx)
     // the delete batch stays a FRAME end to end (the DataFrame
@@ -1434,6 +1451,8 @@ object TextQueries {
     // actually takes, with no driver materialization
     FullText.deleteFromTextIndex(spark, idx,
       docs.filter($"doc_id" % 97 === 5).select($"doc_id"), 16)
+    rebucketTo.foreach(nb =>
+      FullText.compactTextIndex(spark, idx, rebucket = Some(nb)))
     FullText.bm25SearchStored(spark, idx, bm25QueryTerms, k = 20)
   }
 
@@ -1881,6 +1900,37 @@ object TextQueries {
          |ORDER BY round(COALESCE(1.0 / (60 + bm25_rank), 0) +
          |  COALESCE(1.0 / (60 + knn_rank), 0), 6) DESC, doc_id
          |LIMIT 10""".stripMargin
+
+  /** Shared by q145 and q155: both lifecycles must be bit-identical
+    * to a fresh build over the surviving corpus — q155 additionally
+    * rebuckets at compaction, which is invisible to the page by
+    * contract, so the SAME oracle gates both. */
+  private val textLifecycleOracle: String =
+    """WITH lens AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+      |      t -> length(t) > 0 AND t NOT IN
+      |        ('a','an','and','are','as','at','be','but','by','for','if',
+      |         'in','into','is','it','no','not','of','on','or','such',
+      |         'that','the','their','then','there','these','they','this',
+      |         'to','was','will','with')) AS toks
+      |  FROM documents WHERE doc_id % 97 <> 5),
+      |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
+      |tf AS (
+      |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
+      |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
+      |  WHERE term IN ('fast','vector','query')
+      |  GROUP BY doc_id, doclen, term),
+      |withdf AS (
+      |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
+      |  FROM tf)
+      |SELECT doc_id, round(SUM(
+      |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+      |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
+      |FROM withdf CROSS JOIN stats
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q112 = q51's CTEs without the limit, best-per-source window,
@@ -2955,32 +3005,8 @@ object TextQueries {
     // delete ≡5 mod 97 + search) must be bit-identical to a fresh
     // build over the surviving corpus — so the oracle is q51's SQL
     // over documents minus the deleted ids
-    "q145_stored_lifecycle" ->
-      """WITH lens AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
-        |      t -> length(t) > 0 AND t NOT IN
-        |        ('a','an','and','are','as','at','be','but','by','for','if',
-        |         'in','into','is','it','no','not','of','on','or','such',
-        |         'that','the','their','then','there','these','they','this',
-        |         'to','was','will','with')) AS toks
-        |  FROM documents WHERE doc_id % 97 <> 5),
-        |sized AS (SELECT doc_id, len(toks) AS doclen, toks FROM lens),
-        |stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM sized),
-        |tf AS (
-        |  SELECT doc_id, doclen, term, COUNT(*)::DOUBLE AS tf
-        |  FROM (SELECT doc_id, doclen, unnest(toks) AS term FROM sized)
-        |  WHERE term IN ('fast','vector','query')
-        |  GROUP BY doc_id, doclen, term),
-        |withdf AS (
-        |  SELECT *, (COUNT(*) OVER (PARTITION BY term))::DOUBLE AS df
-        |  FROM tf)
-        |SELECT doc_id, round(SUM(
-        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
-        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))), 4) AS score
-        |FROM withdf CROSS JOIN stats
-        |GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q145_stored_lifecycle" -> textLifecycleOracle,
+    "q155_rebucket_lifecycle" -> textLifecycleOracle,
     "q49_length_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | quantile_cont(n_chars, 0.25) AS p25,

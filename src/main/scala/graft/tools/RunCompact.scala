@@ -20,11 +20,19 @@ import graft.queries.SimilarityQueries
   * single-field text. `--family text|multifield|vector` overrides.
   *
   * Usage: RunCompact <indexDir> [--family <f>] [--wait <sec>]
+  *          [--buckets <n>]
   *
   * `--wait <sec>` polls the mutation-lease acquisition with backoff
   * (`graft.index.leaseWaitMs`) instead of the library's fail-fast —
   * the right mode for a maintenance job queued behind a short-lived
   * refresh batch.
+  *
+  * `--buckets <n>` RESIZES a text layout's term-bucket partitioning
+  * during the fold (the operational face of
+  * [[graft.ops.FullText.compactTextIndex]]'s `rebucket` — a bucket
+  * count sized for a small corpus concentrates a grown index's
+  * postings into a few huge partitions). Text families only; the
+  * vector layout's physical re-resolution is automatic.
   *
   * Prints one JSON line: data files before/after and surviving
   * rows. Safe to re-run (idempotent fold; a crash leaves the old
@@ -45,11 +53,12 @@ object RunCompact {
     * (family, filesBefore, filesAfter, rows). */
   def run(spark: SparkSession, indexDir: String,
       family: Option[String] = None,
-      waitSec: Option[Long] = None): (String, Long, Long, Long) = {
+      waitSec: Option[Long] = None,
+      rebucket: Option[Int] = None): (String, Long, Long, Long) = {
     val prev = spark.conf.getOption("graft.index.leaseWaitMs")
     waitSec.foreach(s =>
       spark.conf.set("graft.index.leaseWaitMs", (s * 1000L).toString))
-    try runInner(spark, indexDir, family)
+    try runInner(spark, indexDir, family, rebucket)
     finally if (waitSec.isDefined) prev match {
       case Some(v) => spark.conf.set("graft.index.leaseWaitMs", v)
       case None => spark.conf.unset("graft.index.leaseWaitMs")
@@ -57,13 +66,20 @@ object RunCompact {
   }
 
   private def runInner(spark: SparkSession, indexDir: String,
-      family: Option[String]): (String, Long, Long, Long) = {
+      family: Option[String],
+      rebucket: Option[Int]): (String, Long, Long, Long) = {
     val fam = family.getOrElse(detectFamily(spark, indexDir))
+    if (fam == "vector" && rebucket.isDefined)
+      throw new IllegalArgumentException(
+        "--buckets applies to text layouts only; the vector layout " +
+          "re-resolves its physical grouping automatically at the fold")
     val (b, a, r) = fam match {
       case "vector" => SimilarityQueries.compactIvfPqIndex(spark, indexDir)
       case "multifield" =>
-        FullText.compactMultiFieldTextIndex(spark, indexDir)
-      case "text" => FullText.compactTextIndex(spark, indexDir)
+        FullText.compactMultiFieldTextIndex(spark, indexDir,
+          rebucket = rebucket)
+      case "text" => FullText.compactTextIndex(spark, indexDir,
+        rebucket = rebucket)
       case other => throw new IllegalArgumentException(
         s"unknown family '$other' (text | multifield | vector)")
     }
@@ -73,10 +89,13 @@ object RunCompact {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: RunCompact <indexDir> [--family text|multifield|vector] " +
-        "[--wait <sec>]")
+        "[--wait <sec>] [--buckets <n>]")
     def opt(flag: String): Option[String] =
       args.indexOf(flag) match {
         case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+        case i if i >= 0 => throw new IllegalArgumentException(
+          s"$flag requires a value — a silently dropped flag would " +
+            "skip a durable layout change without a trace")
         case _ => None
       }
     val fam = opt("--family")
@@ -87,10 +106,12 @@ object RunCompact {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val rebucket = opt("--buckets").map(_.toInt)
     val (f, b, a, r) = run(spark, args(0), fam,
-      opt("--wait").map(_.toLong))
+      opt("--wait").map(_.toLong), rebucket)
+    val bk = rebucket.map(n => s""","buckets":$n""").getOrElse("")
     println(s"""{"tool":"compact","family":"$f","files_before":$b,""" +
-      s""""files_after":$a,"rows":$r}""")
+      s""""files_after":$a,"rows":$r$bk}""")
     spark.stop()
   }
 }

@@ -938,6 +938,80 @@ class TextIndexLayoutSpec extends SparkSpecBase {
     assert(s1(idx).nonEmpty)
   }
 
+  test("rebucket at compaction: pages identical, recorded count updates, appends follow") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("bm25-rebk")
+      .toFile.getAbsolutePath
+    // a small-corpus bucket count at write time; the index then
+    // accretes an append and a delete — the state a grown deployment
+    // compacts from
+    val w = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    FullText.writeTextIndex(docs.filter($"doc_id" <= w), "doc_id",
+      "text", idx, buckets = 4, storeTermVectors = true)
+    FullText.appendToTextIndex(spark, docs.filter($"doc_id" > w),
+      "doc_id", "text", idx, segmentId = Some("grow"))
+    val dead = docs.filter($"doc_id" % 9 === 2)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    FullText.deleteFromTextIndex(spark, idx, dead)
+    def page() = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = page()
+    // the fold resizes the term-bucket partitioning to 10
+    FullText.compactTextIndex(spark, idx, rebucket = Some(10))
+    assert(page() == before,
+      "a rebucketing fold must serve the same page bit-for-bit")
+    // the physical layout really changed: > 4 bucket dirs in the fold
+    val foldDir = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("postings-v"))
+      .head
+    val bks = foldDir.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt)
+    assert(bks.length > 4 && bks.forall(b => b >= 0 && b < 10),
+      s"the fold must land in the NEW bucket space (got ${bks.toSeq})")
+    // the committed stats record the new count
+    assert(spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats")
+      .head().getAs[Int]("buckets") == 10)
+    // subsequent appends + searches follow the RECORDED 10 (callers
+    // still pass the default 16): equal to a rebuild AT 10 BUCKETS
+    val extra = Seq((8880001L, "fast vector query rebucketed"))
+      .toDF("doc_id", "text")
+    FullText.appendToTextIndex(spark, extra, "doc_id", "text", idx)
+    val idxR = java.nio.file.Files.createTempDirectory("bm25-rebk-r")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(
+      docs.filter(!$"doc_id".isInCollection(dead))
+        .select($"doc_id", $"text").unionByName(extra),
+      "doc_id", "text", idxR, buckets = 10, storeTermVectors = true)
+    def pageOf(i: String) = FullText.bm25SearchStored(spark, i, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pageOf(idx) == pageOf(idxR),
+      "post-rebucket appends and searches must follow the recorded " +
+        "count exactly")
+    // multi-field twin: rebucket folds, multi_match page invariant,
+    // per-field stats all record the new count
+    val mdocs = docs.select($"doc_id",
+      array_join(slice(split($"text", "\\s+"), 1, 6), " ").as("title"),
+      $"text".as("body"))
+    val midx = java.nio.file.Files.createTempDirectory("mf-rebk")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(mdocs, "doc_id",
+      Seq("title", "body"), midx, buckets = 4)
+    def mpage() = FullText.multiMatchSearchStored(spark, midx, terms,
+      Seq("title" -> 2.0, "body" -> 1.0), tieBreaker = 0.3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mBefore = mpage()
+    FullText.compactMultiFieldTextIndex(spark, midx,
+      rebucket = Some(8))
+    assert(mpage() == mBefore,
+      "multi-field rebucket must serve the same page")
+    assert(spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, midx)}/stats")
+      .collect().forall(_.getAs[Int]("buckets") == 8),
+      "every field's stats row must record the new bucket count")
+  }
+
   test("multi-field term vectors: exact delete ≡ rebuild bit-for-bit, appends compose") {
     val docs = graft.io.Tables.documents(spark, dir)
       .select($"doc_id",

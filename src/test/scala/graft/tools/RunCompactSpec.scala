@@ -52,5 +52,29 @@ class RunCompactSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       RunCompact.run(spark, tIdx, Some("bogus"))
     }
+    // --buckets resizes the text layout through the CLI face and the
+    // recorded count drives later searches; the vector family
+    // rejects it actionably
+    val (rf, _, _, _) = RunCompact.run(spark, tIdx, rebucket = Some(9))
+    assert(rf == "text")
+    assert(spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, tIdx)}/stats")
+      .head().getAs[Int]("buckets") == 9)
+    assert(tPage() == tBefore,
+      "a CLI rebucket must keep the page invariant")
+    val eV = intercept[IllegalArgumentException] {
+      RunCompact.run(spark, vIdx, rebucket = Some(9))
+    }
+    assert(eV.getMessage.contains("text layouts only"))
+    // non-positive counts refuse at the LIBRARY face — a committed
+    // zero/negative count would corrupt every later search's pruning
+    val eZ = intercept[IllegalArgumentException] {
+      FullText.compactTextIndex(spark, tIdx, rebucket = Some(0))
+    }
+    assert(eZ.getMessage.contains("must be positive"))
+    intercept[IllegalArgumentException] {
+      FullText.compactMultiFieldTextIndex(spark, tIdx,
+        rebucket = Some(-3))
+    }
   }
 }
