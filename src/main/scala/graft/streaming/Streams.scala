@@ -537,7 +537,14 @@ object Streams {
     * [[graft.io.Layout.withMutationLease]], so the two foreachBatch
     * bodies serialize on the per-index JVM lock (a mutator from
     * another JVM fails fast on the filesystem lease instead of
-    * racing the staging directory). */
+    * racing the staging directory). A deployment that runs stream
+    * drivers for one index in SEPARATE JVMs sets
+    * `graft.index.leaseWaitMs` in each session's conf — acquisition
+    * then polls with backoff for up to that long instead of failing
+    * the micro-batch over a transient holder (only the acquisition
+    * retries; the mutation still runs exactly once, and the
+    * segment-id replay guard makes a batch retried by the stream
+    * engine a no-op regardless). */
   def indexRefreshStream(docs: DataFrame, idCol: String,
       textCol: String, indexDir: String,
       checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
