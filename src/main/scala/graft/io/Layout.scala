@@ -183,12 +183,36 @@ object Layout {
       try return acquireLease(spark, indexDir)
       catch {
         case e: IllegalStateException =>
-          if (System.currentTimeMillis() + backoff > deadline) throw e
-          Thread.sleep(backoff)
+          // sleep only the REMAINING window on the last nap, then
+          // make one final attempt AT the deadline — capping the nap
+          // instead of giving up early means the configured wait is
+          // honored in full (a holder releasing at waitMs − ε still
+          // loses the race under a throw-when-backoff-overshoots
+          // policy, by up to a whole 5 s backoff)
+          val remaining = deadline - System.currentTimeMillis()
+          if (remaining <= 0) throw e
+          Thread.sleep(math.min(backoff, remaining))
           backoff = math.min(backoff * 2, 5000L)
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** The CLI/operational face of `graft.index.leaseWaitMs`: set the
+    * knob for the duration of `body`, restoring any pre-existing
+    * session value afterwards — shared by RunTakedown and RunCompact
+    * so the two tools' `--wait` semantics cannot drift. */
+  def withLeaseWait[T](spark: SparkSession, waitSec: Option[Long])
+      (body: => T): T = {
+    if (waitSec.isEmpty) return body
+    val prev = spark.conf.getOption("graft.index.leaseWaitMs")
+    waitSec.foreach(s =>
+      spark.conf.set("graft.index.leaseWaitMs", (s * 1000L).toString))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("graft.index.leaseWaitMs", v)
+      case None => spark.conf.unset("graft.index.leaseWaitMs")
+    }
   }
 
   /** Keeps a HELD lease fresh while its mutation runs: a daemon
@@ -449,6 +473,26 @@ object Layout {
       fs.delete(finalDir, true)
       require(fs.rename(genPath, finalDir),
         s"commit: rename $genPath -> $finalDir failed")
+    }
+    // second fence re-read, AFTER the renames and immediately before
+    // publication: a takeover that landed while this writer was mid-
+    // commit (its first fence read already passed) aborts here
+    // without a marker — the renamed-but-unpublished dirs stay
+    // invisible and the GC sweeps reclaim them. The residual window
+    // is now only the instant between this read and the one create
+    // call below, and reaching even that requires a holder whose
+    // heartbeat died while the process lived plus a takeover
+    // interleaved INSIDE the commit sequence — versus the whole
+    // staging phase before token-unique staging existed.
+    heldLeases.get.get(leaseKey(spark, indexDir)).foreach {
+      case (epoch, token) =>
+        val p = new Path(s"$indexDir/_mutation.lock")
+        val held = fs.exists(p) && readLease(fs, p)._2 == token
+        if (!held) throw new IllegalStateException(
+          s"mutation lease for $indexDir (epoch $epoch) was taken " +
+            "over mid-commit — aborting before publication; the " +
+            "renamed generation stays unmarked (invisible) and is " +
+            "reclaimed by the next retire sweep.")
     }
     val marker = new Path(finalDir, "_COMMITTED")
     fs.create(marker, true).close()

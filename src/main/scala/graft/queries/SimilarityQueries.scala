@@ -1864,11 +1864,13 @@ object SimilarityQueries {
         // precondition) — a LISTING, never a corpus scan: the same
         // listing-vs-scan economy the pgroup layout exists for. An
         // upper bound vs the post-tombstone fold, erring toward
-        // grouping — harmless (pgroups serve any occupancy).
+        // grouping — harmless (pgroups serve any occupancy). Only
+        // paid when the knee is ENABLED — knee = 0 pins per-cell
+        // layouts and must not walk 10k+ dirs to discard the answer.
         // Caveat: a PRE-pgroups_forced index that forced per-cell
         // with -1 is indistinguishable from auto here and will
         // re-group; rewrite such baselines with current code to pin.
-        val occupied = {
+        def occupied: Long = {
           val names = scala.collection.mutable.HashSet[String]()
           codesDirs(spark, indexDir, art).foreach { d =>
             val p = new org.apache.hadoop.fs.Path(s"$indexDir/$d")

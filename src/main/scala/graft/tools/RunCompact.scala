@@ -54,16 +54,10 @@ object RunCompact {
   def run(spark: SparkSession, indexDir: String,
       family: Option[String] = None,
       waitSec: Option[Long] = None,
-      rebucket: Option[Int] = None): (String, Long, Long, Long) = {
-    val prev = spark.conf.getOption("graft.index.leaseWaitMs")
-    waitSec.foreach(s =>
-      spark.conf.set("graft.index.leaseWaitMs", (s * 1000L).toString))
-    try runInner(spark, indexDir, family, rebucket)
-    finally if (waitSec.isDefined) prev match {
-      case Some(v) => spark.conf.set("graft.index.leaseWaitMs", v)
-      case None => spark.conf.unset("graft.index.leaseWaitMs")
+      rebucket: Option[Int] = None): (String, Long, Long, Long) =
+    graft.io.Layout.withLeaseWait(spark, waitSec) {
+      runInner(spark, indexDir, family, rebucket)
     }
-  }
 
   private def runInner(spark: SparkSession, indexDir: String,
       family: Option[String],

@@ -55,16 +55,10 @@ object RunTakedown {
   def run(spark: SparkSession, idsSpec: String,
       textIdx: Option[String], vectorIdx: Option[String],
       compact: Boolean, waitSec: Option[Long] = None):
-      (Long, Boolean, Boolean) = {
-    val prev = spark.conf.getOption("graft.index.leaseWaitMs")
-    waitSec.foreach(s =>
-      spark.conf.set("graft.index.leaseWaitMs", (s * 1000L).toString))
-    try runInner(spark, idsSpec, textIdx, vectorIdx, compact)
-    finally if (waitSec.isDefined) prev match {
-      case Some(v) => spark.conf.set("graft.index.leaseWaitMs", v)
-      case None => spark.conf.unset("graft.index.leaseWaitMs")
+      (Long, Boolean, Boolean) =
+    graft.io.Layout.withLeaseWait(spark, waitSec) {
+      runInner(spark, idsSpec, textIdx, vectorIdx, compact)
     }
-  }
 
   private def runInner(spark: SparkSession, idsSpec: String,
       textIdx: Option[String], vectorIdx: Option[String],
@@ -101,6 +95,9 @@ object RunTakedown {
     def opt(flag: String): Option[String] =
       args.indexOf(flag) match {
         case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+        case i if i >= 0 => throw new IllegalArgumentException(
+          s"$flag requires a value — a silently dropped flag would " +
+            "run the takedown without the requested semantics")
         case _ => None
       }
     val spark = SparkSession.builder()
