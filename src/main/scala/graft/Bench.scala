@@ -65,14 +65,26 @@ object Bench {
       System.err.println(s"[bench] warmup failed (timings for the " +
         s"first query may include one-time costs): ${e.getMessage}")
     }
-    // Each query is timed twice and the MIN is reported. The driver
-    // runs this bench co-tenant with other processes on the host, and
-    // a single timed pass has shown up-to-20x inflation on pure
-    // per-row maps purely from CPU contention (BENCH_r08 vs the same
-    // queries solo). min-of-two is the standard benchmarking defense:
-    // contention spikes are uncorrelated across passes, so the min
-    // tracks the true cost far more tightly, at 2x wall cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Each query is timed SPARK_GRAFT_PASSES times (default 2) and
+    // the MIN is reported. The driver runs this bench co-tenant with
+    // other processes on the host, and a single timed pass has shown
+    // up-to-20x inflation on pure per-row maps purely from CPU
+    // contention (BENCH_r08 vs the same queries solo). min-of-N is
+    // the standard benchmarking defense: contention spikes are
+    // uncorrelated across passes, so the min tracks the true cost far
+    // more tightly. ALL passes are emitted ("passes") plus a "noisy"
+    // list of queries whose pass spread exceeds 3x — the artifact
+    // carries its own co-tenancy evidence, so a spike on an untouched
+    // query self-diagnoses as contention instead of demanding a solo
+    // re-run to refute a phantom regression (the r11-r13 pattern).
+    // SPARK_GRAFT_QUERIES (comma-separated names) restricts the run —
+    // the solo per-query measurement knob; default is every query.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
+    val results = selected.map {
       case (name, fn) =>
         def onePass(): Double = {
           val t0 = System.nanoTime()
@@ -91,18 +103,30 @@ object Bench {
             -((System.nanoTime() - t0) / 1e9)
           }
         }
-        val first = onePass()
-        val best =
-          if (first < 0) -first // failed: report elapsed, skip retry
-          else {
-            val second = onePass()
-            // a failed-fast SECOND pass must not understate the query
-            if (second < 0) first else math.min(first, second)
-          }
-        name -> best
+        // a failed pass (negative) stops the retries; its elapsed time
+        // reports as the single recorded pass
+        val ts = scala.collection.mutable.ArrayBuffer[Double]()
+        var failed = false
+        while (ts.length < passes && !failed) {
+          val t = onePass()
+          if (t < 0) { failed = true; if (ts.isEmpty) ts += -t }
+          else ts += t
+        }
+        (name, ts.min, ts.toSeq)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // noisy = spread (max/min over passes) beyond 3x on a query whose
+    // best pass is non-trivial (>= 0.1 s — ratio on a 20 ms query is
+    // scheduler jitter, not co-tenancy evidence)
+    val noisy = results.collect {
+      case (name, best, ts)
+        if ts.length > 1 && best >= 0.1 && ts.max / ts.min > 3.0 => name
+    }
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passJson = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // Bulk-sink throughput, the reference's headline indexing metric
@@ -123,16 +147,17 @@ object Bench {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bulk_sink_docs_per_sec":${docsPerSec.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"bulk_sink_docs_per_sec":${docsPerSec.round},"sf":"$sfDir"}""")
     // The driver records only the trailing ~2 KB of stdout, and the
     // full per-query line above outgrows that window (~150 queries ×
     // ~30 chars), losing its HEAD — totals included. This compact
     // summary is the FINAL line precisely so the headline numbers
-    // always survive the tail capture.
+    // always survive the tail capture. "noisy" repeats here for the
+    // same reason: the self-diagnosis must survive truncation.
     val slowest = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total_s":${f"$total%.1f"},"n_queries":${results.size},"bulk_sink_docs_per_sec":${docsPerSec.round},"slowest5":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total_s":${f"$total%.1f"},"n_queries":${results.size},"bulk_sink_docs_per_sec":${docsPerSec.round},"noisy":$noisyJson,"slowest5":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,6 +4,17 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col}
 
+/** Lease CONTENTION — another mutator currently holds (or just won
+  * the race for) an index's `_mutation.lock`. A dedicated type so the
+  * bounded-wait retry loop ([[Layout.withLeaseWait]] /
+  * `graft.index.leaseWaitMs`) retries exactly the transient
+  * wait-for-the-holder cases and nothing else: any other
+  * `IllegalStateException` out of the lease machinery (a fence abort,
+  * a corrupt state someone should look at) is immediately diagnosable
+  * and must surface at once, not after `waitMs` of silent polling. */
+final class LeaseHeldException(msg: String, cause: Throwable = null)
+  extends IllegalStateException(msg, cause)
+
 /** Physical-layout helpers for the warehouse side of the engine: at
   * 100 TB the cheapest shuffle is the one the table layout already
   * paid for. Bucketed tables co-locate equal join keys, so repeated
@@ -104,6 +115,45 @@ object Layout {
   private def leasePath(indexDir: String) =
     new Path(s"$indexDir/_mutation.lock")
 
+  /** The heartbeat SIDECAR (`_mutation.lock.hb`) — liveness for
+    * filesystems whose `setTimes` is a no-op (object-store
+    * FileSystem implementations commonly ignore it): where the probe
+    * in [[startHeartbeat]] finds mtime refresh unsupported, each beat
+    * atomically rewrites this file with `<token> <epochMillis>` and
+    * staleness reads `max(lock mtime, sidecar timestamp)` — without
+    * the fallback, a multi-hour compaction on such a store would look
+    * crashed after `leaseStaleMs` and become takeover bait, exactly
+    * the failure the heartbeat exists to prevent. */
+  private def heartbeatPath(p: Path) =
+    new Path(p.getParent, p.getName + ".hb")
+
+  /** The lease's last PROVEN liveness instant: the lock file's mtime,
+    * or the heartbeat sidecar's recorded timestamp when one exists
+    * AND carries the current lock's token (a stale sidecar left by a
+    * PREVIOUS holder must not keep a new holder's crashed lease
+    * alive), whichever is later. Unreadable/corrupt sidecars are
+    * ignored — freshness degrades to the lock mtime, never throws. */
+  private def leaseLiveness(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, lockToken: String): Long = {
+    val mtime = fs.getFileStatus(p).getModificationTime
+    val hb = heartbeatPath(p)
+    val hbTs =
+      try {
+        if (!fs.exists(hb)) 0L
+        else {
+          val in = fs.open(hb)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          s.split(' ') match {
+            case Array(t, ts, _*) if t == lockToken =>
+              scala.util.Try(ts.trim.toLong).getOrElse(0L)
+            case _ => 0L
+          }
+        }
+      } catch { case _: java.io.IOException => 0L }
+    math.max(mtime, hbTs)
+  }
+
   /** The canonical key for one index: the FULLY-QUALIFIED path under
     * the session's filesystem resolution, so the same index addressed
     * with and without a scheme (`file:/tmp/idx` vs `/tmp/idx`) maps
@@ -176,13 +226,17 @@ object Layout {
     * exactly once. */
   private def acquireLeaseWithWait(spark: SparkSession,
       indexDir: String): (Long, String) = {
-    val waitMs = spark.conf.get("graft.index.leaseWaitMs", "0").toLong
+    val waitMs = leaseWaitOverride.get.getOrElse(
+      spark.conf.get("graft.index.leaseWaitMs", "0").toLong)
     val deadline = System.currentTimeMillis() + waitMs
     var backoff = 250L
     while (true) {
+      // retry ONLY contention ([[LeaseHeldException]]): a fence abort
+      // or any other IllegalStateException is a diagnosable error, not
+      // a holder to wait out, and rethrows immediately
       try return acquireLease(spark, indexDir)
       catch {
-        case e: IllegalStateException =>
+        case e: LeaseHeldException =>
           // sleep only the REMAINING window on the last nap, then
           // make one final attempt AT the deadline — capping the nap
           // instead of giving up early means the configured wait is
@@ -198,32 +252,83 @@ object Layout {
     throw new IllegalStateException("unreachable")
   }
 
-  /** The CLI/operational face of `graft.index.leaseWaitMs`: set the
-    * knob for the duration of `body`, restoring any pre-existing
-    * session value afterwards — shared by RunTakedown and RunCompact
-    * so the two tools' `--wait` semantics cannot drift. */
+  /** The per-THREAD override of `graft.index.leaseWaitMs` set by
+    * [[withLeaseWait]]: the session conf stays the deployment-wide
+    * default, but a CLI `--wait` scoped to one call must not leak
+    * into a concurrent mutation on the SAME SparkSession (a stream
+    * micro-batch running while RunTakedown.run is invoked
+    * programmatically would otherwise transiently inherit — or lose —
+    * the knob for the CLI call's duration). Acquisition happens on
+    * the mutating thread, so a ThreadLocal scopes exactly right. */
+  private val leaseWaitOverride = new ThreadLocal[Option[Long]] {
+    override def initialValue(): Option[Long] = None
+  }
+
+  /** The CLI/operational face of `graft.index.leaseWaitMs`: override
+    * the knob for the duration of `body` ON THIS THREAD ONLY —
+    * shared by RunTakedown and RunCompact so the two tools' `--wait`
+    * semantics cannot drift, and thread-scoped so a programmatic
+    * caller embedded in a live session never perturbs concurrent
+    * mutations (the session conf remains the cross-thread default,
+    * which is what a stream deployment sets). */
   def withLeaseWait[T](spark: SparkSession, waitSec: Option[Long])
       (body: => T): T = {
     if (waitSec.isEmpty) return body
-    val prev = spark.conf.getOption("graft.index.leaseWaitMs")
-    waitSec.foreach(s =>
-      spark.conf.set("graft.index.leaseWaitMs", (s * 1000L).toString))
+    val prev = leaseWaitOverride.get
+    leaseWaitOverride.set(waitSec.map(_ * 1000L))
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set("graft.index.leaseWaitMs", v)
-      case None => spark.conf.unset("graft.index.leaseWaitMs")
-    }
+    finally leaseWaitOverride.set(prev)
   }
 
+  /** Diagnostic face of the staleness clock: milliseconds since the
+    * lease's last PROVEN liveness instant (the same
+    * mtime-or-heartbeat-sidecar read [[acquireLease]]'s stale check
+    * uses — Long.MaxValue when no lease exists). Same-JVM mutators
+    * SERIALIZE on the per-index lock and can never observe another
+    * holder's staleness through an acquire, so the no-op-setTimes
+    * fixture (and deployment monitoring) reads the clock here. */
+  private[graft] def leaseAgeMs(spark: SparkSession,
+      indexDir: String): Long = {
+    val p = leasePath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Long.MaxValue
+    val (_, token, _) = readLease(fs, p)
+    System.currentTimeMillis() - leaseLiveness(fs, p, token)
+  }
+
+  /** Whether `fs` actually honors `setTimes` on `p` — probed by
+    * setting a distinct mtime and re-statting. Object-store
+    * FileSystem implementations commonly implement `setTimes` as a
+    * silent no-op (or throw UnsupportedOperationException), and a
+    * heartbeat built on it would refresh NOTHING while reporting
+    * success. A working filesystem gets its mtime restored to "now"
+    * (which is itself the first refresh); a blind one routes the
+    * heartbeat through the [[heartbeatPath]] sidecar instead. */
+  private def probeSetTimes(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean =
+    try {
+      val target = fs.getFileStatus(p).getModificationTime + 7777L
+      fs.setTimes(p, target, -1)
+      val moved = fs.getFileStatus(p).getModificationTime == target
+      if (moved) fs.setTimes(p, System.currentTimeMillis(), -1)
+      moved
+    } catch { case _: Exception => false }
+
   /** Keeps a HELD lease fresh while its mutation runs: a daemon
-    * thread touches the lock file's mtime every staleMs/3, so a
-    * long-but-alive mutation (a multi-hour compaction) is never
-    * mistaken for a crashed holder and taken over mid-stage — the
-    * stale window measures silence, not duration. Refreshes only
-    * while the file still carries OUR token (after a takeover the
-    * intruder's lease must not be kept alive by the zombie); stops
-    * on interrupt at release. No heartbeat when takeover is disabled
-    * (staleMs = 0) — there is nothing to keep fresh. */
+    * thread refreshes liveness every staleMs/3, so a long-but-alive
+    * mutation (a multi-hour compaction) is never mistaken for a
+    * crashed holder and taken over mid-stage — the stale window
+    * measures silence, not duration. The refresh mechanism is PROBED
+    * at start ([[probeSetTimes]]): where the filesystem honors
+    * `setTimes`, the lock file's mtime is touched (HDFS, local);
+    * where it silently ignores it (object stores), each beat
+    * atomically rewrites the `_mutation.lock.hb` sidecar and
+    * staleness reads the later of the two ([[leaseLiveness]]).
+    * Refreshes only while the lock still carries OUR token (after a
+    * takeover the intruder's lease must not be kept alive by the
+    * zombie); stops on interrupt at release. No heartbeat when
+    * takeover is disabled (staleMs = 0) — there is nothing to keep
+    * fresh. */
   private def startHeartbeat(spark: SparkSession, indexDir: String,
       token: String): Option[Thread] = {
     val staleMs = spark.conf
@@ -232,6 +337,7 @@ object Layout {
     val p = leasePath(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val interval = math.max(staleMs / 3, 250L)
+    val mtimeWorks = probeSetTimes(fs, p)
     val t = new Thread(() => {
       // a TRANSIENT failure (an IOException from an FS hiccup, the
       // benign FileNotFound race while a takeover check swaps the
@@ -252,7 +358,27 @@ object Layout {
           try {
             if (fs.exists(p)) {
               if (readLease(fs, p)._2 == token) {
-                fs.setTimes(p, System.currentTimeMillis(), -1)
+                if (mtimeWorks)
+                  fs.setTimes(p, System.currentTimeMillis(), -1)
+                else {
+                  // ATOMIC overwrite (write-aside + rename): a reader
+                  // sampling staleness mid-beat must see the previous
+                  // beat or this one, never a truncated sidecar whose
+                  // failed parse would discard the liveness it carries
+                  val hb = heartbeatPath(p)
+                  val aside = new Path(hb.getParent, hb.getName + ".tmp")
+                  val out = fs.create(aside, true)
+                  out.write(s"$token ${System.currentTimeMillis()}"
+                    .getBytes("UTF-8"))
+                  out.close()
+                  if (!fs.rename(aside, hb)) {
+                    // rename-over-existing is store-dependent; the
+                    // fallback's absent instant degrades one sample to
+                    // the lock mtime, it never corrupts
+                    fs.delete(hb, false)
+                    fs.rename(aside, hb)
+                  }
+                }
                 failures = 0
               } else live = false // confirmed takeover: stop
             } else failures += 1 // possibly a takeover mid-swap or a
@@ -261,9 +387,17 @@ object Layout {
           } catch {
             case _: java.io.IOException => failures += 1
           }
-          if (failures == 3) System.err.println(
-            s"graft: lease heartbeat for $p failing " +
-              s"($failures consecutive misses) — still retrying")
+          // throttled persistent-outage warning: a single line at the
+          // third miss then silence would hide staleness accruing
+          // toward a takeover of a still-alive holder — re-log every
+          // third consecutive miss with the accumulated silent
+          // duration against the takeover window, so an operator
+          // watching logs SEES the risk approaching
+          if (failures >= 3 && failures % 3 == 0) System.err.println(
+            s"graft: lease heartbeat for $p failing ($failures " +
+              s"consecutive misses, ~${failures * interval / 1000}s " +
+              s"silent of the ${staleMs / 1000}s takeover window) — " +
+              "still retrying")
         }
       } catch {
         case _: InterruptedException => () // released: done
@@ -282,18 +416,25 @@ object Layout {
       .get("graft.index.leaseStaleMs", "900000").toLong
     var epoch = 0L
     if (fs.exists(p)) {
-      val st = fs.getFileStatus(p)
-      val (heldEpoch, _, owner) = readLease(fs, p)
-      val age = System.currentTimeMillis() - st.getModificationTime
+      val (heldEpoch, heldToken, owner) = readLease(fs, p)
+      // liveness = the later of the lock mtime and the heartbeat
+      // sidecar a setTimes-blind filesystem's holder writes — on such
+      // a store the lock mtime never moves after creation and would
+      // make every live multi-hour mutation takeover bait
+      val age = System.currentTimeMillis() -
+        leaseLiveness(fs, p, heldToken)
       if (staleMs > 0 && age > staleMs) {
         // stale takeover: the holder crashed without releasing.
         // epoch+1 fences it — if it is actually alive and racing us,
         // its commitGeneration re-read sees a token it doesn't hold
-        // and aborts.
+        // and aborts. The crashed holder's heartbeat sidecar (if any)
+        // dies with its lease — a leftover would stale-match nothing
+        // (token-checked) but is garbage all the same.
         epoch = heldEpoch + 1
         fs.delete(p, false)
+        fs.delete(heartbeatPath(p), false)
       } else {
-        throw new IllegalStateException(
+        throw new LeaseHeldException(
           s"index $indexDir is being mutated by '$owner' " +
             s"(lease epoch $heldEpoch, held ${age / 1000}s): " +
             "concurrent mutation of one index is not supported. " +
@@ -308,7 +449,7 @@ object Layout {
     val out =
       try fs.create(p, false)
       catch {
-        case e: java.io.IOException => throw new IllegalStateException(
+        case e: java.io.IOException => throw new LeaseHeldException(
           s"lost the mutation-lease race for $indexDir — another " +
             "mutator acquired it first; retry after it commits.", e)
       }
@@ -336,8 +477,13 @@ object Layout {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // release only OUR lease: after a stale takeover the file holds
     // the new owner's token and must survive our (zombie) release
-    if (fs.exists(p) && readLease(fs, p)._2 == token)
+    if (fs.exists(p) && readLease(fs, p)._2 == token) {
       fs.delete(p, false)
+      // the heartbeat sidecar (written only on setTimes-blind
+      // filesystems) is liveness metadata OF this lease and must not
+      // outlive it
+      fs.delete(heartbeatPath(p), false)
+    }
   }
 
   /** Generation COMMIT POINTS for stored-index layouts — the Lucene
@@ -417,36 +563,79 @@ object Layout {
       name: String): String =
     s"$name${stagedSuffix(spark, indexDir)}"
 
-  /** The commit of a fully staged generation. When the committing
-    * thread holds a mutation lease for the index, the lease is
-    * RE-READ first — a writer fenced out by a stale-lease takeover
-    * aborts here instead of publishing its generation over the new
-    * holder's (the epoch-fencing half of [[withMutationLease]]).
-    * Only AFTER the fence pass do the writer-unique staged
-    * directories rename to their final names (`sideRenames`: staged
-    * side dir → final, then the gen dir itself), and the `_COMMITTED`
-    * marker lands last — a crash between renames leaves finally-named
-    * but UNREFERENCED dirs (no marker → invisible; the families' GC
-    * sweeps reclaim them), never a half-visible generation. */
-  def commitGeneration(spark: SparkSession, genDir: String,
-      sideRenames: Seq[(String, String)] = Nil): Unit = {
-    val genPath = new Path(genDir)
-    val indexDir = genPath.getParent.toString
-    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** The fence half of the epoch-fenced commit: when the calling
+    * thread holds a mutation lease for `indexDir`, RE-READ it and
+    * abort unless the lock still carries our token — a writer fenced
+    * out by a stale-lease takeover stops here instead of touching the
+    * new holder's state. A thread holding no lease (a legacy direct
+    * caller) passes through. */
+  private def fenceOrAbort(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String,
+      when: String): Unit =
     heldLeases.get.get(leaseKey(spark, indexDir)).foreach {
       case (epoch, token) =>
         val p = new Path(s"$indexDir/_mutation.lock")
         val held = fs.exists(p) && readLease(fs, p)._2 == token
         if (!held) throw new IllegalStateException(
-          s"mutation lease for $indexDir (epoch $epoch) was " +
-            "taken over while this writer was staging — aborting the " +
-            "commit; the staged generation stays invisible and the new " +
-            "holder's index state is untouched.")
+          s"mutation lease for $indexDir (epoch $epoch) was taken " +
+            s"over $when — aborting the commit; the staged " +
+            "generation stays invisible and the new holder's index " +
+            "state is untouched.")
     }
+
+  /** TEST-ONLY instrumentation: invoked between the second fence
+    * re-read and the `_COMMITTED` marker create — the one residual
+    * instant of the commit protocol. LeaseSpec uses it to PIN the
+    * marker-after-takeover interleave (a zombie that passed the
+    * second fence and then lost a full takeover at this exact point
+    * can at worst publish the intruder's fully-renamed, complete
+    * generation slightly early — never a mixed or partial one).
+    * Default no-op; never set outside tests. */
+  private[graft] var beforeMarkerHook: () => Unit = () => ()
+
+  /** The commit of a fully staged generation — the epoch-fencing half
+    * of [[withMutationLease]]. Protocol, in order:
+    *
+    *  1. FENCE re-read + already-committed check, IMMEDIATELY before
+    *     the first destructive operation: a writer fenced out by a
+    *     stale-lease takeover — or racing a competitor that already
+    *     published this generation number — aborts here without
+    *     touching the competitor's data. Keeping the fence adjacent
+    *     to the deletes (not at method entry) shrinks the
+    *     check-to-destroy window to the instant between one read and
+    *     one delete;
+    *  2. the writer-unique staged directories rename to their final
+    *     names (`sideRenames`: staged side dir → final, then the gen
+    *     dir itself) — a crash between renames leaves finally-named
+    *     but UNREFERENCED dirs (no marker → invisible; the families'
+    *     GC sweeps reclaim them), never a half-visible generation;
+    *  3. a SECOND fence re-read, then the `_COMMITTED` marker lands
+    *     last. A takeover interleaving after this read can at worst
+    *     publish the intruder's complete generation slightly early
+    *     (LeaseSpec pins exactly this observable).
+    *
+    * FILESYSTEM CONTRACT: this rename-based commit assumes ATOMIC
+    * directory rename — HDFS, local, ABFS, GCS. On a store where
+    * rename is copy+delete (plain S3A without a metadata layer) a
+    * crash mid-"rename" CAN leave a partially-copied finally-named
+    * dir; it stays invisible (no marker) and is reclaimed, but the
+    * fence-to-destroy windows here widen from instants to the full
+    * copy duration — run such deployments against an atomic-rename
+    * layer (or a conditional-put store) instead. */
+  def commitGeneration(spark: SparkSession, genDir: String,
+      sideRenames: Seq[(String, String)] = Nil): Unit = {
+    val genPath = new Path(genDir)
+    val indexDir = genPath.getParent.toString
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalName = genPath.getName.takeWhile(_ != '.')
     val finalDir =
       if (finalName == genPath.getName) genPath
       else new Path(s"$indexDir/$finalName")
+    // the fence re-read sits IMMEDIATELY before the destructive
+    // deletes/renames — a fence at method entry would leave every
+    // check above it inside the check-to-destroy window
+    fenceOrAbort(spark, fs, indexDir,
+      "while this writer was staging")
     // defense-in-depth BEFORE any destructive rename: if a competing
     // writer already committed this generation number (a takeover
     // landing after our fence re-read), abort without touching its
@@ -484,16 +673,8 @@ object Layout {
     // heartbeat died while the process lived plus a takeover
     // interleaved INSIDE the commit sequence — versus the whole
     // staging phase before token-unique staging existed.
-    heldLeases.get.get(leaseKey(spark, indexDir)).foreach {
-      case (epoch, token) =>
-        val p = new Path(s"$indexDir/_mutation.lock")
-        val held = fs.exists(p) && readLease(fs, p)._2 == token
-        if (!held) throw new IllegalStateException(
-          s"mutation lease for $indexDir (epoch $epoch) was taken " +
-            "over mid-commit — aborting before publication; the " +
-            "renamed generation stays unmarked (invisible) and is " +
-            "reclaimed by the next retire sweep.")
-    }
+    fenceOrAbort(spark, fs, indexDir, "mid-commit")
+    beforeMarkerHook()
     val marker = new Path(finalDir, "_COMMITTED")
     fs.create(marker, true).close()
   }
@@ -605,7 +786,22 @@ object Layout {
     * writer recorded it (`_rowcount`, [[writeTombstoneArtifact]]);
     * falls back to counting `frame` for a legacy artifact. Keeps each
     * delete at two passes over the tombstone set (anti-join + union
-    * rewrite) instead of three. */
+    * rewrite) instead of three.
+    *
+    * CONTRACT: `_rowcount` must equal the EXACT physical row count of
+    * the artifact — never an estimate — because the value propagates
+    * through `nOld + nDeleted` into every later delete's layout
+    * decision until the next compaction resets it. The recorded value
+    * is therefore SANITY-CHECKED against the parquet footers' exact
+    * row counts whenever the artifact holds few files (the
+    * overwhelmingly common small-single-file layout; footer reads are
+    * driver-side metadata fetches, no Spark job) — a drifted value
+    * (a partially overwritten artifact, a future caller passing an
+    * estimate) is corrected to the physical truth with a warning
+    * instead of silently steering the layout. Many-file artifacts
+    * (the distributed mid-backlog layout) trust the recorded value:
+    * per-file footer reads on an object store would re-introduce the
+    * scan cost the side file exists to avoid. */
   def tombstoneRowCount(spark: SparkSession, path: String,
       frame: => DataFrame): Long = {
     val p = new Path(s"$path/_rowcount")
@@ -614,7 +810,29 @@ object Layout {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      scala.util.Try(s.trim.toLong).getOrElse(frame.count())
+      scala.util.Try(s.trim.toLong) match {
+        case scala.util.Success(recorded) =>
+          val conf = spark.sparkContext.hadoopConfiguration
+          val parts = fs.listStatus(new Path(path))
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+          if (parts.length > 16) recorded
+          else try {
+            val physical = parts.map { st =>
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromStatus(st, conf))
+              try r.getRecordCount finally r.close()
+            }.sum
+            if (physical != recorded) System.err.println(
+              s"graft: $path/_rowcount records $recorded but the " +
+                s"parquet footers sum to $physical — using the " +
+                "physical count (a drifted _rowcount would steer " +
+                "every later delete's layout decision)")
+            physical
+          } catch { case _: Exception => recorded }
+        case scala.util.Failure(_) => frame.count()
+      }
     } else frame.count()
   }
 

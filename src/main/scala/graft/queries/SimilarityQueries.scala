@@ -1338,10 +1338,11 @@ object SimilarityQueries {
       .foreach(graft.io.Layout.copyArtifact(spark, _, s"$stage/meta"))
 
   /** Stage a meta row identical to `r` but with the re-resolved
-    * pgroup count — the compaction-time layout upgrade's commit
-    * record. */
+    * pgroup count (and, for [[pinVectorLayout]], the forced flag) —
+    * the compaction-time layout upgrade's commit record. */
   private def stageMetaWithPgroups(spark: SparkSession,
-      r: org.apache.spark.sql.Row, pgroups: Int, stage: String): Unit = {
+      r: org.apache.spark.sql.Row, pgroups: Int, stage: String,
+      forced: Boolean): Unit = {
     import spark.implicits._
     val base = Seq((
       r.getAs[String]("codec"), r.getAs[Int]("m"), r.getAs[Int]("subdim"),
@@ -1352,10 +1353,54 @@ object SimilarityQueries {
         r.getAs[String]("coarse") else "flat",
       if (r.schema.fieldNames.contains("c_grid"))
         r.getAs[Int]("c_grid") else 16,
-      pgroups, metaForced(r)))
+      pgroups, forced))
       .toDF("codec", "m", "subdim", "num_cells", "c", "coarse",
         "c_grid", "pgroups", "pgroups_forced")
     base.coalesce(1).write.parquet(s"$stage/meta")
+  }
+
+  /** PIN the index's CURRENT physical codes layout as a write-time-
+    * forced choice (`meta.pgroups_forced = true`, pgroup count
+    * unchanged) — the migration face for indexes written BEFORE the
+    * forced flag existed: such a meta is indistinguishable from
+    * auto-resolved, so the next compaction would fold a deliberately
+    * per-cell baseline into pgroups (harmless for correctness, wrong
+    * for an operator who chose the per-cell layout on purpose).
+    * Stages the stamped meta into a fresh generation carrying the
+    * live tombstones and manifest — the pin commits under exactly
+    * the atomicity every other meta change does (one marker, lease-
+    * fenced). RunCompact exposes it as `--pin-layout`. Returns the
+    * pinned pgroup count. */
+  def pinVectorLayout(spark: SparkSession, indexDir: String): Int =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      pinVectorLayoutImpl(spark, indexDir)
+    }
+
+  private def pinVectorLayoutImpl(spark: SparkSession,
+      indexDir: String): Int = {
+    val art = vectorArtifactDir(spark, indexDir)
+    val r = readMetaRow(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$indexDir has no meta artifact — --pin-layout applies to " +
+          "the stored vector family only"))
+    val pg = metaPgroups(r)
+    val gen = graft.io.Layout.liveGeneration(spark, indexDir)
+      .getOrElse(0L) + 1
+    val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(stage)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    stageMetaWithPgroups(spark, r, pg, stage, forced = true)
+    if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+      graft.io.Layout.copyArtifact(spark, s"$art/tombstones",
+        s"$stage/tombstones")
+    writeVecManifest(spark, stage, codesDirs(spark, indexDir, art),
+      vecAppliedSegments(spark, indexDir, art))
+    graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
+      gen, art)
+    pg
   }
 
   private def readIndexMeta(spark: SparkSession, indexDir: String,
@@ -1895,7 +1940,7 @@ object SimilarityQueries {
     // dispatch on become visible together or not at all
     metaRow.foreach { r =>
       if (newPgroups != oldPgroups)
-        stageMetaWithPgroups(spark, r, newPgroups, stage)
+        stageMetaWithPgroups(spark, r, newPgroups, stage, metaForced(r))
       else carryMeta(spark, indexDir, art, stage)
     }
     // no tombstones in the new generation: physically applied; the

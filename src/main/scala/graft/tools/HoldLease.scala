@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   * stdout. */
 object HoldLease {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: HoldLease <indexDir> <holdMs>")
+    require(args.length >= 2,
+      "usage: HoldLease <indexDir> <holdMs> [staleMs]")
     val indexDir = args(0)
     val holdMs = args(1).toLong
     val spark = SparkSession.builder()
@@ -25,6 +26,12 @@ object HoldLease {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional stale window: the cross-JVM storm fixture shrinks it so
+    // this holder HEARTBEATS at test cadence (staleMs/3) while alive —
+    // a kill -9 then leaves a lease that goes stale within seconds
+    // instead of the 15-minute default
+    if (args.length > 2)
+      spark.conf.set("graft.index.leaseStaleMs", args(2))
     graft.io.Layout.withMutationLease(spark, indexDir) {
       Thread.sleep(holdMs)
     }

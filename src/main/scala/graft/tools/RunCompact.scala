@@ -20,7 +20,7 @@ import graft.queries.SimilarityQueries
   * single-field text. `--family text|multifield|vector` overrides.
   *
   * Usage: RunCompact <indexDir> [--family <f>] [--wait <sec>]
-  *          [--buckets <n>]
+  *          [--buckets <n>] [--pin-layout]
   *
   * `--wait <sec>` polls the mutation-lease acquisition with backoff
   * (`graft.index.leaseWaitMs`) instead of the library's fail-fast —
@@ -32,7 +32,18 @@ import graft.queries.SimilarityQueries
   * [[graft.ops.FullText.compactTextIndex]]'s `rebucket` — a bucket
   * count sized for a small corpus concentrates a grown index's
   * postings into a few huge partitions). Text families only; the
-  * vector layout's physical re-resolution is automatic.
+  * vector layout's physical re-resolution is automatic. To make the
+  * manual call INFORMED, every text fold prints a `bucket_skew`
+  * advisory line (per-bucket postings-row max vs median) — high skew
+  * or a max far above a row-group's worth of rows is the signal that
+  * a resize pays; the tool deliberately never resizes on its own (a
+  * bucket count is a durable layout property).
+  *
+  * `--pin-layout` stamps `pgroups_forced` onto a VECTOR index's meta
+  * without compacting ([[graft.queries.SimilarityQueries.pinVectorLayout]])
+  * — the migration flag for pre-forced-flag metas whose per-cell
+  * layout was a deliberate choice: unpinned, the next compaction's
+  * auto-resolution would fold a grown per-cell baseline into pgroups.
   *
   * Prints one JSON line: data files before/after and surviving
   * rows. Safe to re-run (idempotent fold; a crash leaves the old
@@ -56,8 +67,48 @@ object RunCompact {
       waitSec: Option[Long] = None,
       rebucket: Option[Int] = None): (String, Long, Long, Long) =
     graft.io.Layout.withLeaseWait(spark, waitSec) {
-      runInner(spark, indexDir, family, rebucket)
+      val res = runInner(spark, indexDir, family, rebucket)
+      if (res._1 != "vector") println(bucketSkewLine(spark, indexDir))
+      res
     }
+
+  /** The `--pin-layout` face, separated for RunCompactSpec /
+    * VectorIndexLayoutSpec: stamp `pgroups_forced` onto the vector
+    * meta without compacting. Returns the pinned pgroup count. */
+  def pin(spark: SparkSession, indexDir: String,
+      waitSec: Option[Long] = None): Int =
+    graft.io.Layout.withLeaseWait(spark, waitSec) {
+      SimilarityQueries.pinVectorLayout(spark, indexDir)
+    }
+
+  /** Per-bucket postings-row skew of a text layout, measured over the
+    * OCCUPIED buckets: (buckets, maxRows, medianRows). One bounded
+    * collect of |buckets| counts — the fold just rewrote the postings,
+    * so the groupBy rides warm data. */
+  def bucketSkew(spark: SparkSession,
+      indexDir: String): (Int, Long, Long) = {
+    val counts = FullText.postingsFrame(spark, indexDir)
+      .groupBy("bucket").count()
+      .collect().map(_.getAs[Long]("count")).sorted
+    (counts.length, counts.last, counts(counts.length / 2))
+  }
+
+  /** The post-fold advisory line: tells the operator WHEN `--buckets`
+    * is worth passing, without the tool ever resizing on its own (a
+    * bucket count is a durable layout property; an auto-resize during
+    * routine maintenance would silently change every later scan's
+    * pruning shape). `skew` = max/median over occupied buckets. */
+  def bucketSkewLine(spark: SparkSession, indexDir: String): String = {
+    val (nb, mx, md) = bucketSkew(spark, indexDir)
+    val skew = if (md > 0) mx.toDouble / md else 0.0
+    val hint =
+      if (skew >= 4.0)
+        "postings skewed across buckets — consider --buckets to rebalance"
+      else "bucket balance healthy"
+    s"""{"advisory":"bucket_skew","buckets":$nb,"max_rows":$mx,""" +
+      s""""median_rows":$md,"skew":${math.round(skew * 100) / 100.0},""" +
+      s""""hint":"$hint"}"""
+  }
 
   private def runInner(spark: SparkSession, indexDir: String,
       family: Option[String],
@@ -83,7 +134,7 @@ object RunCompact {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: RunCompact <indexDir> [--family text|multifield|vector] " +
-        "[--wait <sec>] [--buckets <n>]")
+        "[--wait <sec>] [--buckets <n>] [--pin-layout]")
     def opt(flag: String): Option[String] =
       args.indexOf(flag) match {
         case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
@@ -101,6 +152,16 @@ object RunCompact {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rebucket = opt("--buckets").map(_.toInt)
+    if (args.contains("--pin-layout")) {
+      require(rebucket.isEmpty && fam.forall(_ == "vector"),
+        "--pin-layout stamps a vector meta and composes with no " +
+          "other mutation flag")
+      val pg = pin(spark, args(0), opt("--wait").map(_.toLong))
+      println(s"""{"tool":"compact","action":"pin_layout",""" +
+        s""""pgroups":$pg,"pgroups_forced":true}""")
+      spark.stop()
+      return
+    }
     val (f, b, a, r) = run(spark, args(0), fam,
       opt("--wait").map(_.toLong), rebucket)
     val bk = rebucket.map(n => s""","buckets":$n""").getOrElse("")

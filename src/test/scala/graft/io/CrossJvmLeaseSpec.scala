@@ -34,6 +34,102 @@ class CrossJvmLeaseSpec extends SparkSpecBase {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** Spawn `mainClass` as a real second JVM on the forked test JVM's
+    * own classpath, stdout+stderr to a temp log. */
+  private def spawnJvm(mainClass: String,
+      mainArgs: Seq[String]): Process = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx1g", "-cp", cp,
+      "-Dspark.ui.enabled=false", mainClass) ++ mainArgs).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(java.io.File.createTempFile(
+      mainClass.split('.').last.toLowerCase, ".log"))
+    pb.start()
+  }
+
+  test("cross-JVM mutation storm: real processes race appends/deletes/compactions through a kill -9 takeover and equal the serial rebuild") {
+    // LeaseSpec's storms race THREADS in one JVM (they serialize on
+    // the per-index lock and never touch the filesystem lease);
+    // CrossJvmLeaseSpec's first fixture runs ONE competitor. This
+    // composes them: three REAL JVMs race an append, a delete and a
+    // compaction on one index with the bounded-wait knob set, against
+    // a holder that is kill -9'd MID-MUTATION — the workers must wait
+    // out the live holder (its heartbeat keeps the lease fresh), take
+    // over its crashed lease once stale, serialize among themselves
+    // on lease contention, and land a final index bit-identical to
+    // the serial rebuild. This is the only harness that exercises
+    // token-unique staging + epoch fencing under genuine multi-
+    // process pressure.
+    val docs = graft.io.Tables.documents(spark, dir).limit(80)
+    val idx = java.nio.file.Files.createTempDirectory("lease-xstorm")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    val lock = new Path(s"$idx/_mutation.lock")
+    // the kill -9 victim: holds the lease mid-"mutation" with a 4 s
+    // stale window (heartbeating every ~1.3 s while alive)
+    val holder = spawnJvm("graft.tools.HoldLease",
+      Seq(idx, "120000", "4000"))
+    val workers = scala.collection.mutable.ArrayBuffer[Process]()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!fs.exists(lock) && holder.isAlive &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(fs.exists(lock), "the holder JVM must acquire the lease")
+      // three real competing mutators, all polling (--waitMs) with
+      // the same 4 s stale window
+      val dead = docs.select($"doc_id").collect().map(_.getLong(0))
+        .sorted.take(4)
+      val stormArgs = Seq("--waitMs", "150000", "--staleMs", "4000")
+      workers += spawnJvm("graft.tools.StormWorker",
+        Seq(idx, "append", "xjvm1", "7790000", "3") ++ stormArgs)
+      workers += spawnJvm("graft.tools.StormWorker",
+        Seq(idx, "delete", dead.mkString(",")) ++ stormArgs)
+      workers += spawnJvm("graft.tools.StormWorker",
+        Seq(idx, "compact") ++ stormArgs)
+      // let the workers reach their polling loops against the LIVE
+      // holder, then crash it without release — the takeover is the
+      // only road to their mutations landing
+      Thread.sleep(3000)
+      holder.destroyForcibly()
+      holder.waitFor()
+      assert(fs.exists(lock) || workers.exists(_.isAlive),
+        "a killed holder's lease must remain until a worker takes over")
+      workers.foreach { w =>
+        assert(w.waitFor(150, java.util.concurrent.TimeUnit.SECONDS),
+          "every storm worker must finish inside its wait window")
+        assert(w.exitValue() == 0,
+          s"a storm worker failed (exit ${w.exitValue()}) — see its log")
+      }
+      // serial rebuild over the equivalent final corpus: base minus
+      // the deletes, plus the worker's deterministic appended docs
+      val appended = (0 until 3)
+        .map(i => (7790000L + i,
+          graft.tools.StormWorker.stormDocText(7790000L + i)))
+        .toDF("doc_id", "text")
+      val idxR = java.nio.file.Files
+        .createTempDirectory("lease-xstorm-r").toFile.getAbsolutePath
+      FullText.writeTextIndex(
+        docs.filter(!$"doc_id".isInCollection(dead.toSeq))
+          .select($"doc_id", $"text").unionByName(appended),
+        "doc_id", "text", idxR, storeTermVectors = true)
+      def page(i: String) = FullText
+        .bm25SearchStored(spark, i, Seq("fast", "vector", "query"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(page(idx) == page(idxR),
+        "the cross-JVM storm must equal the serial rebuild")
+      assert(!Layout.pathExists(spark, s"$idx/_mutation.lock"),
+        "the last worker's clean release must reclaim the lease")
+    } finally {
+      holder.destroyForcibly()
+      workers.foreach(_.destroyForcibly())
+      ()
+    }
+  }
+
   test("a live second JVM excludes this one; kill -9 leaves a stale lease the takeover recovers") {
     val docs = graft.io.Tables.documents(spark, dir).limit(80)
     val idx = java.nio.file.Files.createTempDirectory("lease-xjvm")

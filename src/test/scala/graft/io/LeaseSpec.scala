@@ -523,4 +523,151 @@ class LeaseSpec extends SparkSpecBase {
     assert(page(idx) == page(idxR),
       "serialized concurrent mutations must equal the rebuild")
   }
+
+  test("setTimes-blind filesystem: the heartbeat probes the capability and keeps a live holder fresh via the sidecar; a crashed one still goes stale") {
+    // the object-store failure mode: a FileSystem whose setTimes is a
+    // silent no-op starves an mtime-touch heartbeat — the lock's
+    // mtime never moves, a live multi-hour mutation looks crashed
+    // after leaseStaleMs, and the takeover machinery attacks exactly
+    // the holder it exists to protect. The heartbeat must PROBE the
+    // capability and route liveness through the `_mutation.lock.hb`
+    // sidecar instead.
+    spark.sparkContext.hadoopConfiguration.set("fs.nost.impl",
+      classOf[NoSetTimesFileSystem].getName)
+    val idx = "nost://" + tmp("lease-nost")
+    val lock = new Path(s"$idx/_mutation.lock")
+    val sidecar = new Path(s"$idx/_mutation.lock.hb")
+    val nfs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sanity: the wrapper really ignores setTimes (else this fixture
+    // tests nothing)
+    nfs.mkdirs(new Path(idx))
+    val probe = new Path(s"$idx/_probe")
+    nfs.create(probe, true).close()
+    val m0 = nfs.getFileStatus(probe).getModificationTime
+    nfs.setTimes(probe, m0 + 99999, -1)
+    assert(nfs.getFileStatus(probe).getModificationTime == m0,
+      "nost:// must ignore setTimes")
+    spark.conf.set("graft.index.leaseStaleMs", "1500")
+    try {
+      // a LIVE holder survives 3x the stale window: the staleness
+      // clock (the same read acquireLease's takeover check uses) must
+      // never approach staleMs while the sidecar heartbeat beats
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val holder = Future {
+        Layout.withMutationLease(spark, idx) {
+          Thread.sleep(5200); "done"
+        }
+      }
+      val t0 = System.currentTimeMillis()
+      while (!nfs.exists(lock) &&
+          System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(100)
+      assert(nfs.exists(lock), "the holder must acquire")
+      var sawSidecar = false
+      val tStart = System.currentTimeMillis()
+      while (System.currentTimeMillis() - tStart < 4500) { // 3x window
+        Thread.sleep(300)
+        if (nfs.exists(lock)) {
+          val age = Layout.leaseAgeMs(spark, idx)
+          assert(age < 1500,
+            s"a live holder must never look stale on a setTimes-blind " +
+              s"store (staleness clock read ${age}ms of the 1500ms " +
+              "window) — the sidecar heartbeat is not refreshing")
+          sawSidecar = sawSidecar || nfs.exists(sidecar)
+        }
+      }
+      assert(sawSidecar,
+        "liveness must flow through the heartbeat sidecar where " +
+          "setTimes is a no-op")
+      assert(Await.result(holder, 2.minutes) == "done")
+      assert(!nfs.exists(lock) && !nfs.exists(sidecar),
+        "release must reclaim the lock AND its sidecar")
+      // a CRASHED holder (lock on disk, no heartbeat) still goes
+      // stale by wall clock — creation mtime ages naturally even
+      // where setTimes can't fake it — and the next mutator takes
+      // over through the ordinary acquire path
+      val out = nfs.create(lock, true)
+      out.write("0 dead-token deadhost:pid=1".getBytes("UTF-8"))
+      out.close()
+      Thread.sleep(1900) // > staleMs of real wall-clock silence
+      var ran = false
+      Layout.withMutationLease(spark, idx) { ran = true }
+      assert(ran, "the takeover must reach the mutation body")
+      assert(!nfs.exists(lock),
+        "the takeover's clean release must reclaim the lease")
+      // contrast pin: on a filesystem where setTimes WORKS the
+      // heartbeat keeps touching mtime and writes NO sidecar
+      val lIdx = tmp("lease-mtime")
+      Layout.withMutationLease(spark, lIdx) { Thread.sleep(1200) }
+      assert(!Layout.pathExists(spark, s"$lIdx/_mutation.lock.hb"),
+        "a working-setTimes filesystem must not grow sidecars")
+    } finally spark.conf.unset("graft.index.leaseStaleMs")
+  }
+
+  test("pinned residual window: a zombie past the second fence that loses a takeover publishes the intruder's COMPLETE generation, never a mixed one") {
+    // the one instant the commit protocol cannot close without a CAS
+    // primitive: a writer that passed the second fence re-read and
+    // then lost a full takeover before its marker create. The code
+    // comment argues the worst case is publishing the INTRUDER's
+    // fully-renamed, complete generation slightly early (the zombie's
+    // own dirs were already replaced) — this fixture turns that
+    // argument into a pinned observable via Layout.beforeMarkerHook,
+    // the test-only seam at exactly that instant.
+    val docs = graft.io.Tables.documents(spark, dir).limit(80)
+    val idx = tmp("lease-marker")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    val allIds = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+    val zombieDead = allIds.take(2).toSeq
+    val intruderDead = allIds.slice(2, 4).toSeq
+    // the intruder's generation, built for real on a CLONE of the
+    // index (same base artifacts, so its manifest's relative dir
+    // names resolve identically): its delete of intruderDead commits
+    // the clone's gen-1
+    val clone = tmp("lease-marker") + "/clone"
+    val conf = spark.sparkContext.hadoopConfiguration
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(idx), fs,
+      new Path(clone), false, true, conf)
+    FullText.deleteFromTextIndex(spark, clone, intruderDead)
+    assert(Layout.liveGeneration(spark, clone).contains(1L))
+    // arm the seam: between the zombie's second fence pass and its
+    // marker create, a takeover lands — the lock flips to the
+    // intruder's token and the intruder's generation is fully renamed
+    // into place (unmarked: the intruder is an instant from its OWN
+    // marker create)
+    Layout.beforeMarkerHook = () => {
+      Layout.beforeMarkerHook = () => () // one-shot: not for the clone
+      writeLock(idx, "1 intruder-token otherhost:pid=42")
+      fs.delete(new Path(s"$idx/gen-1"), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$clone/gen-1"),
+        fs, new Path(s"$idx/gen-1"), false, true, conf)
+      fs.delete(new Path(s"$idx/gen-1/_COMMITTED"), false)
+    }
+    try {
+      // the zombie's delete: stages, passes both fences, loses the
+      // takeover at the seam, then creates the marker anyway — the
+      // at-worst outcome is that create publishing the intruder's
+      // complete generation slightly early
+      FullText.deleteFromTextIndex(spark, idx, zombieDead)
+    } finally Layout.beforeMarkerHook = () => ()
+    assert(Layout.liveGeneration(spark, idx).contains(1L),
+      "the early publication must be a committed generation")
+    val tombs = spark.read.parquet(s"$idx/gen-1/tombstones")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs == intruderDead.toSet,
+      s"the published generation must be ENTIRELY the intruder's " +
+        s"(found tombstones $tombs — zombie content would be " +
+        s"${zombieDead.toSet})")
+    def page(i: String) = FullText.bm25SearchStored(spark, i, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(page(idx) == page(clone),
+      "the early-published index must equal the intruder's complete " +
+        "state — never a mix of two writers")
+    // the zombie's release must not reclaim the intruder's lease
+    assert(Layout.pathExists(spark, s"$idx/_mutation.lock"),
+      "a zombie's release must leave the intruder's lease standing")
+    fs.delete(new Path(s"$idx/_mutation.lock"), false)
+  }
 }

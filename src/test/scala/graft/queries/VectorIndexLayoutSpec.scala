@@ -694,6 +694,79 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("--pin-layout stamps pgroups_forced onto a legacy meta; the pinned per-cell layout survives a knee-crossing compaction") {
+    import org.apache.spark.sql.functions._
+    // a PRE-forced-flag index: written per-cell on purpose, but its
+    // meta (simulated by dropping the pgroups_forced column) is
+    // indistinguishable from auto-resolved — the accepted r13
+    // residual this flag exists to close
+    val vecs = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val idx = java.nio.file.Files.createTempDirectory("pg-pin")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(vecs, vecs, idx,
+      numCells = 16, pgroups = -1)
+    val legacy = spark.read.parquet(s"$idx/meta")
+      .drop("pgroups_forced").collect().head
+    graft.io.Layout.rewriteParquet(spark,
+      spark.createDataFrame(
+        java.util.List.of(legacy),
+        legacy.schema), s"$idx/meta")
+    assert(!spark.read.parquet(s"$idx/meta")
+      .schema.fieldNames.contains("pgroups_forced"))
+    def page() = SimilarityQueries.ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = page()
+    // the CLI pin: a staged meta rewrite under the lease, committed
+    // as a generation like every other meta change
+    val pinned = graft.tools.RunCompact.pin(spark, idx)
+    assert(pinned == 0, "pinning must keep the recorded pgroup count")
+    val art = SimilarityQueries.vectorArtifactDir(spark, idx)
+    assert(art != idx, "the pin must commit through a generation")
+    val metaRow = spark.read.parquet(s"$art/meta").head()
+    assert(metaRow.getAs[Boolean]("pgroups_forced") &&
+      metaRow.getAs[Int]("pgroups") == 0,
+      "the pinned meta must carry forced=true at the same layout")
+    assert(page() == before, "pinning must not perturb any search face")
+    // the proof: a compaction whose knee sits BELOW the occupancy
+    // would re-group an unpinned legacy meta — the pinned one stays
+    // per-cell
+    val occupied = SimilarityQueries.codesFrame(spark, idx)
+      .select($"cell_id").distinct().count()
+    val prevKnee = spark.conf.getOption("graft.index.codesAutoPgroupCells")
+    spark.conf.set("graft.index.codesAutoPgroupCells",
+      (occupied - 1).toString)
+    spark.conf.set("graft.index.codesPgroups", "4")
+    try {
+      SimilarityQueries.compactIvfPqIndex(spark, idx)
+      val foldDirs = new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("codes-v"))
+      assert(foldDirs.nonEmpty && foldDirs.head.listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .forall(_.startsWith("cell_id=")),
+        "a pinned legacy per-cell baseline must survive the fold")
+      assert(page() == before)
+    } finally {
+      prevKnee match {
+        case Some(v) =>
+          spark.conf.set("graft.index.codesAutoPgroupCells", v)
+        case None =>
+          spark.conf.unset("graft.index.codesAutoPgroupCells")
+      }
+      spark.conf.unset("graft.index.codesPgroups")
+    }
+    // the pin refuses a non-vector path actionably
+    val tIdx = java.nio.file.Files.createTempDirectory("pg-pin-t")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(
+      graft.io.Tables.documents(spark, dir).limit(20),
+      "doc_id", "text", tIdx)
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.RunCompact.pin(spark, tIdx)
+    }
+    assert(e.getMessage.contains("vector family"))
+  }
+
   test("empty vector delta: append commits its id, references no dir, stays searchable") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("ivfpq-empty")

@@ -77,4 +77,40 @@ class RunCompactSpec extends SparkSpecBase {
         rebucket = Some(-3))
     }
   }
+
+  test("text folds print the bucket-skew advisory; the numbers are real and vector folds stay silent") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val tIdx = java.nio.file.Files.createTempDirectory("compact-adv")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", tIdx)
+    // the fold's stdout carries the advisory line — the operator's
+    // signal for WHEN --buckets is worth passing (the tool itself
+    // never resizes: a bucket count is a durable layout property)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      RunCompact.run(spark, tIdx)
+    }
+    val out = buf.toString("UTF-8")
+    assert(out.contains("\"advisory\":\"bucket_skew\""),
+      s"a text fold must print the skew advisory (got: $out)")
+    assert(out.contains("\"max_rows\"") && out.contains("\"hint\""))
+    // the measured numbers agree with a direct postings aggregation
+    val (nb, mx, md) = RunCompact.bucketSkew(spark, tIdx)
+    val counts = FullText.postingsFrame(spark, tIdx)
+      .groupBy("bucket").count()
+      .collect().map(_.getAs[Long]("count")).sorted
+    assert(nb == counts.length && mx == counts.last &&
+      md == counts(counts.length / 2))
+    assert(out.contains(s""""buckets":$nb""") &&
+      out.contains(s""""max_rows":$mx"""))
+    // vector folds have no term buckets and print no advisory
+    val vIdx = java.nio.file.Files.createTempDirectory("compact-adv-v")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndex(spark, dir, vIdx)
+    val vBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vBuf, true, "UTF-8")) {
+      RunCompact.run(spark, vIdx)
+    }
+    assert(!vBuf.toString("UTF-8").contains("bucket_skew"))
+  }
 }
