@@ -396,15 +396,30 @@ object Dedup {
     * each to a fresh directory, then swaps directories with
     * keep-the-old-until-the-new-is-live ordering: crash before the
     * swap leaves the live index untouched; crash between the two
-    * renames leaves a `.old` backup to restore from. Run it in the
-    * stream's maintenance window (between batches) — the foreachBatch
-    * reader takes no lock; a deployment wanting online compaction uses
-    * a transactional table format instead.
+    * renames leaves a `.old` backup to restore from.
+    *
+    * SINGLE MUTATOR AT A TIME, enforced like the text/vector
+    * families: the fold runs under [[graft.io.Layout
+    * .withMutationLease]] — a concurrent admission stream's batch
+    * (whose body holds the same lease) serializes with it in one JVM
+    * and excludes it across JVMs, so the swap can never rotate the
+    * directories out from under a batch's collision probe. The
+    * band index keeps its swap-rotation commit rather than
+    * generations: its artifacts are an append-only log whose replays
+    * are byte-identical by construction (verdicts distinct-ed before
+    * the verify), so generation atomicity would buy nothing the
+    * rotation doesn't already give.
     *
     * Returns ((bandsBefore, bandsAfter), (shinglesBefore,
     * shinglesAfter)) row counts — the reclaimed-volume observable
     * DedupSpec pins. */
   def compactBandIndex(spark: SparkSession,
+      indexDir: String): ((Long, Long), (Long, Long)) =
+    graft.io.Layout.withMutationLease(spark, indexDir) {
+      compactBandIndexImpl(spark, indexDir)
+    }
+
+  private def compactBandIndexImpl(spark: SparkSession,
       indexDir: String): ((Long, Long), (Long, Long)) = {
     def compactOne(path: String, dedup: DataFrame => DataFrame)
         : (Long, Long) = {

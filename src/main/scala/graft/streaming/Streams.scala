@@ -361,7 +361,18 @@ object Streams {
     * batches (the compactor's required window). State lives in the PERSISTED artifacts, not the
     * state store — executors hold nothing between batches, and the
     * collision join scales with the index exactly as the batch path
-    * does. */
+    * does.
+    *
+    * Each batch body runs under the index's MUTATION LEASE (the
+    * text/vector families' single-writer contract, extended to the
+    * band artifacts): the collision probe reads the same directories
+    * a maintenance [[graft.ops.Dedup.compactBandIndex]] swap-rotates
+    * (no generations here — see its scaladoc), so probe + append +
+    * in-stream fold hold the lease together. A second admission
+    * stream or an external compactor on the same index serializes in
+    * one JVM and fails fast (or polls, under
+    * `graft.index.leaseWaitMs` / RunCompact `--wait`) from another —
+    * instead of racing the rotation. */
   def nearDupAdmissionStream(docs: DataFrame, idCol: String,
       textCol: String, indexDir: String, checkpointDir: String,
       sink: DataFrame => Unit,
@@ -373,6 +384,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        graft.io.Layout.withMutationLease(spark, indexDir) {
         val bandsPath = s"$indexDir/bands"
         val shPath = s"$indexDir/shingles"
         val prepped = batch
@@ -432,8 +444,10 @@ object Streams {
         // grow as an uncompacted log (compactEvery 0 = caller
         // schedules compaction externally)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          // nests freely: the lease is reentrant per thread
           graft.ops.Dedup.compactBandIndex(spark, indexDir)
           ()
+        }
         }
       }
       .start()

@@ -15,9 +15,12 @@ import graft.queries.SimilarityQueries
   * and superseded dirs reclaim.
   *
   * Family detection mirrors the layouts' own self-description: a
-  * `meta` artifact marks the VECTOR layout; a stats artifact with a
-  * `field` column marks the MULTI-FIELD text layout; otherwise
-  * single-field text. `--family text|multifield|vector` overrides.
+  * `meta` artifact marks the VECTOR layout; a `bands` directory the
+  * near-dup BAND index (the admission stream's artifacts — its fold
+  * dedups replay-appended rows under the same mutation lease); a
+  * stats artifact with a `field` column the MULTI-FIELD text layout;
+  * otherwise single-field text.
+  * `--family text|multifield|vector|band` overrides.
   *
   * Usage: RunCompact <indexDir> [--family <f>] [--wait <sec>]
   *          [--buckets <n>] [--pin-layout]
@@ -50,9 +53,14 @@ import graft.queries.SimilarityQueries
   * generation live and the next run's GC clears orphans). */
 object RunCompact {
 
-  /** Detect which compactor owns the path. */
+  /** Detect which compactor owns the path. The band family (the
+    * near-dup admission stream's `bands` + `shingles` artifacts) is
+    * recognized by its own directories BEFORE the text fallback — a
+    * band index stores no stats artifact, and the text probe would
+    * fail unreadably on it. */
   def detectFamily(spark: SparkSession, indexDir: String): String =
     if (graft.io.Layout.pathExists(spark, s"$indexDir/meta")) "vector"
+    else if (graft.io.Layout.pathExists(spark, s"$indexDir/bands")) "band"
     else {
       val art = FullText.liveArtifactDir(spark, indexDir)
       if (spark.read.parquet(s"$art/stats")
@@ -68,7 +76,8 @@ object RunCompact {
       rebucket: Option[Int] = None): (String, Long, Long, Long) =
     graft.io.Layout.withLeaseWait(spark, waitSec) {
       val res = runInner(spark, indexDir, family, rebucket)
-      if (res._1 != "vector") println(bucketSkewLine(spark, indexDir))
+      if (res._1 == "text" || res._1 == "multifield")
+        println(bucketSkewLine(spark, indexDir))
       res
     }
 
@@ -114,7 +123,7 @@ object RunCompact {
       family: Option[String],
       rebucket: Option[Int]): (String, Long, Long, Long) = {
     val fam = family.getOrElse(detectFamily(spark, indexDir))
-    if (fam == "vector" && rebucket.isDefined)
+    if (fam != "text" && fam != "multifield" && rebucket.isDefined)
       throw new IllegalArgumentException(
         "--buckets applies to text layouts only; the vector layout " +
           "re-resolves its physical grouping automatically at the fold")
@@ -125,8 +134,15 @@ object RunCompact {
           rebucket = rebucket)
       case "text" => FullText.compactTextIndex(spark, indexDir,
         rebucket = rebucket)
+      case "band" =>
+        // the near-dup admission index: the compactor's observable is
+        // ROW counts (its swap-rotation dedups replay-appended rows),
+        // reported through the same (before, after, surviving) slots
+        val ((bB, bA), (sB, sA)) =
+          graft.ops.Dedup.compactBandIndex(spark, indexDir)
+        (bB + sB, bA + sA, bA + sA)
       case other => throw new IllegalArgumentException(
-        s"unknown family '$other' (text | multifield | vector)")
+        s"unknown family '$other' (text | multifield | vector | band)")
     }
     (fam, b, a, r)
   }

@@ -524,6 +524,50 @@ class LeaseSpec extends SparkSpecBase {
       "serialized concurrent mutations must equal the rebuild")
   }
 
+  test("the band index family honors the mutation lease: the fold refuses a live foreign holder and recovers a stale one") {
+    // the near-dup admission artifacts were the one persisted family
+    // outside the single-writer contract (its compactor documented
+    // "the foreachBatch reader takes no lock") — now the admission
+    // stream's batch body and compactBandIndex hold the same lease,
+    // so a maintenance fold can never swap-rotate the directories out
+    // from under a probing batch
+    import graft.ops.Dedup
+    val docs = graft.io.Tables.documents(spark, dir).limit(60)
+    val idx = tmp("lease-band")
+    val prepped = docs.select($"doc_id".as("id"),
+      Dedup.shingles(Dedup.tokens($"text")).as("sh"))
+      .filter($"sh".isNotNull)
+    def appendOnce(): Unit = {
+      prepped
+        .withColumn("bandh", Dedup.bandHashesDirect($"sh", 16, 4))
+        .select($"id",
+          posexplode_outer($"bandh").as(Seq("band", "band_hash")))
+        .write.mode("append").parquet(s"$idx/bands")
+      prepped.select($"id", $"sh")
+        .write.mode("append").parquet(s"$idx/shingles")
+    }
+    appendOnce()
+    appendOnce() // the at-least-once replay the fold exists to reclaim
+    writeLock(idx, "2 foreign-token otherhost:pid=55")
+    val e = intercept[IllegalStateException] {
+      Dedup.compactBandIndex(spark, idx)
+    }
+    assert(e.getMessage.contains("being mutated"))
+    // a crashed holder: aged past the stale window, the fold takes
+    // over, reclaims the replayed rows, and releases
+    fs.setTimes(new Path(s"$idx/_mutation.lock"),
+      System.currentTimeMillis() - 3600L * 1000, -1)
+    spark.conf.set("graft.index.leaseStaleMs", "1000")
+    try {
+      val ((bB, bA), (sB, sA)) = Dedup.compactBandIndex(spark, idx)
+      assert(bA == bB / 2 && sA == sB / 2,
+        s"the fold must drop exactly the replayed duplicates " +
+          s"(bands $bB->$bA, shingles $sB->$sA)")
+    } finally spark.conf.unset("graft.index.leaseStaleMs")
+    assert(!Layout.pathExists(spark, s"$idx/_mutation.lock"),
+      "the fold's clean release must reclaim the lease")
+  }
+
   test("setTimes-blind filesystem: the heartbeat probes the capability and keeps a live holder fresh via the sidecar; a crashed one still goes stale") {
     // the object-store failure mode: a FileSystem whose setTimes is a
     // silent no-op starves an mtime-touch heartbeat — the lock's

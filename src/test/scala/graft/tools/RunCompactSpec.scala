@@ -78,6 +78,51 @@ class RunCompactSpec extends SparkSpecBase {
     }
   }
 
+  test("band family auto-detects: the fold reclaims replayed rows, keeps collision verdicts, and rejects --buckets") {
+    import graft.ops.Dedup
+    val docs = graft.io.Tables.documents(spark, dir).limit(80)
+    val idx = java.nio.file.Files.createTempDirectory("compact-band")
+      .toFile.getAbsolutePath
+    val prepped = docs.select($"doc_id".as("id"),
+      Dedup.shingles(Dedup.tokens($"text")).as("sh"))
+      .filter($"sh".isNotNull)
+    def appendOnce(): Unit = {
+      prepped
+        .withColumn("bandh", Dedup.bandHashesDirect($"sh", 16, 4))
+        .select($"id",
+          posexplode_outer($"bandh").as(Seq("band", "band_hash")))
+        .write.mode("append").parquet(s"$idx/bands")
+      prepped.select($"id", $"sh")
+        .write.mode("append").parquet(s"$idx/shingles")
+    }
+    appendOnce()
+    appendOnce() // an at-least-once replay
+    // the collision verdict a probing batch gets must be fold-invariant
+    val newDocs = docs.limit(5)
+      .select(($"doc_id" + 9000000L).as("id"), $"text")
+      .select($"id", Dedup.shingles(Dedup.tokens($"text")).as("sh"))
+    // the pair SET is what admission consumes (its dup_of aggregate is
+    // multiplicity-insensitive); replayed shingle rows fan the verify
+    // join out to duplicate ROWS pre-fold, which the fold reclaims
+    def verdict() = Dedup.minhashLshPairsAgainstIndex(
+        spark.read.parquet(s"$idx/bands"),
+        spark.read.parquet(s"$idx/shingles"),
+        newDocs, "id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = verdict()
+    val (f, b, a, r) = RunCompact.run(spark, idx)
+    assert(f == "band", s"bands+shingles dirs must detect as band (got $f)")
+    assert(a == b / 2 && r == a,
+      s"the fold must reclaim exactly the replayed rows ($b -> $a)")
+    assert(verdict() == before,
+      "collision verdicts must be fold-invariant")
+    // --buckets is a text-layout knob
+    val eB = intercept[IllegalArgumentException] {
+      RunCompact.run(spark, idx, rebucket = Some(8))
+    }
+    assert(eB.getMessage.contains("text layouts only"))
+  }
+
   test("text folds print the bucket-skew advisory; the numbers are real and vector folds stay silent") {
     val docs = graft.io.Tables.documents(spark, dir)
     val tIdx = java.nio.file.Files.createTempDirectory("compact-adv")
