@@ -296,6 +296,24 @@ object Layout {
     System.currentTimeMillis() - leaseLiveness(fs, p, token)
   }
 
+  /** Monitoring face of the lease: (epoch, owner, silence-age ms) of
+    * the current holder, None when the index is unheld. The age is
+    * the same staleness clock the takeover check reads (mtime or
+    * heartbeat sidecar, whichever is fresher) — an operator comparing
+    * it against `graft.index.leaseStaleMs` sees exactly how close a
+    * silent holder is to takeover. RunStatus prints it. */
+  def leaseInfo(spark: SparkSession,
+      indexDir: String): Option[(Long, String, Long)] = {
+    val p = leasePath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    try {
+      val (epoch, token, owner) = readLease(fs, p)
+      Some((epoch, owner,
+        System.currentTimeMillis() - leaseLiveness(fs, p, token)))
+    } catch { case _: java.io.IOException => None } // released mid-read
+  }
+
   /** Whether `fs` actually honors `setTimes` on `p` — probed by
     * setting a distinct mtime and re-statting. Object-store
     * FileSystem implementations commonly implement `setTimes` as a

@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.io.Layout
+import graft.ops.FullText
+
+/** Index STATUS CLI — the read-only "describe index" face every
+  * stored layout earns once it has generations, segments, tombstones
+  * and a mutation lease: one JSON line of recorded state, built
+  * entirely from METADATA reads (1-row stats/meta artifacts, the
+  * segment manifest, the recorded `_rowcount`, the lease file's
+  * staleness clock) — never a corpus scan, so it is safe to poll
+  * from monitoring against a 100 TB index.
+  *
+  * Usage: RunStatus <indexDir>
+  *
+  * Fields common to all families: `family`, `generation` (-1 = no
+  * committed generation, the legacy root layout), `generations`
+  * retained, `segments` (manifest entries beyond the base),
+  * `tombstone_rows` (recorded count; 0 when physically applied), and
+  * `lease` (holder epoch/owner plus `silent_s` — the SAME staleness
+  * clock the takeover check reads, so comparing it against
+  * `graft.index.leaseStaleMs` shows exactly how close a silent
+  * holder is to takeover; absent when unheld). Text adds the
+  * recorded corpus statistics and bucket count; vector adds the
+  * codec/coarse/pgroups meta row. */
+object RunStatus {
+
+  private def jstr(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+
+  /** Separated from main for RunStatusSpec: the status JSON line. */
+  def describe(spark: SparkSession, indexDir: String): String = {
+    val fam = RunCompact.detectFamily(spark, indexDir)
+    val gen = Layout.liveGeneration(spark, indexDir)
+    val gens = Layout.committedGenerations(spark, indexDir)
+    val sb = new StringBuilder
+    sb ++= s"""{"tool":"status","family":${jstr(fam)}"""
+    sb ++= s""","generation":${gen.getOrElse(-1L)}"""
+    sb ++= s""","generations":${math.max(gens.size, 1)}"""
+    fam match {
+      case "text" | "multifield" =>
+        val art = FullText.liveArtifactDir(spark, indexDir)
+        val st = spark.read.parquet(s"$art/stats")
+        if (fam == "multifield") {
+          // per-field rows: report the total corpus size (n_docs is
+          // per-field identical by construction) and the field count
+          val rows = st.collect()
+          sb ++= s""","fields":${rows.length}"""
+          sb ++= s""","n_docs":${rows.head.getAs[Long]("n_docs")}"""
+        } else {
+          val r = st.head()
+          sb ++= s""","n_docs":${r.getAs[Long]("n_docs")}"""
+          sb ++= s""","avgdl":${math.round(r.getAs[Double]("avgdl") * 100) / 100.0}"""
+          if (r.schema.fieldNames.contains("buckets"))
+            sb ++= s""","buckets":${r.getAs[Int]("buckets")}"""
+        }
+        sb ++= s""","segments":${FullText.liveSegmentCount(spark, indexDir)}"""
+        sb ++= s""","tombstone_rows":${tombRows(spark, s"$art/tombstones")}"""
+      case "vector" =>
+        val art = graft.queries.SimilarityQueries
+          .vectorArtifactDir(spark, indexDir)
+        val metaPath =
+          if (Layout.pathExists(spark, s"$art/meta")) s"$art/meta"
+          else s"$indexDir/meta"
+        val m = spark.read.parquet(metaPath).head()
+        def opt[T](name: String, get: => T, default: T): T =
+          if (m.schema.fieldNames.contains(name)) get else default
+        sb ++= s""","codec":${jstr(m.getAs[String]("codec"))}"""
+        sb ++= s""","coarse":${jstr(opt("coarse", m.getAs[String]("coarse"), "flat"))}"""
+        sb ++= s""","pgroups":${opt("pgroups", m.getAs[Int]("pgroups"), 0)}"""
+        sb ++= s""","pgroups_forced":${opt("pgroups_forced", m.getAs[Boolean]("pgroups_forced"), false)}"""
+        val segPath = s"$art/segments"
+        val segs =
+          if (Layout.pathExists(spark, segPath))
+            spark.read.parquet(segPath).collect() // manifest: tiny
+              .count(r => r.getAs[String]("kind") == "codes" &&
+                r.getAs[String]("dir").startsWith("seg-"))
+          else 0
+        sb ++= s""","segments":$segs"""
+        sb ++= s""","tombstone_rows":${tombRows(spark, s"$art/tombstones")}"""
+      case "band" =>
+        // append-only log artifacts: presence is the status; row
+        // counts would be corpus scans and belong to the compactor's
+        // own report
+        sb ++= s""","artifacts":["bands","shingles"]"""
+      case _ => ()
+    }
+    Layout.leaseInfo(spark, indexDir).foreach { case (epoch, owner, age) =>
+      sb ++= s""","lease":{"epoch":$epoch,"owner":${jstr(owner)}"""
+      sb ++= s""","silent_s":${age / 1000}}"""
+    }
+    sb ++= "}"
+    sb.toString
+  }
+
+  /** Recorded tombstone rows — `_rowcount` when the distributed
+    * delete wrote one, a count of the (delete-batch-bounded) artifact
+    * otherwise, 0 when compaction physically applied them. */
+  private def tombRows(spark: SparkSession, path: String): Long =
+    if (!Layout.pathExists(spark, path)) 0L
+    else Layout.tombstoneRowCount(spark, path, spark.read.parquet(path))
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: RunStatus <indexDir>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-status")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(describe(spark, args(0)))
+    spark.stop()
+  }
+}

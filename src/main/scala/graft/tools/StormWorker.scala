@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.ops.FullText
 
@@ -22,10 +23,15 @@ import graft.ops.FullText
   *               [--waitMs <ms>] [--staleMs <ms>]
   *   StormWorker <indexDir> delete <id1,id2,...> [...]
   *   StormWorker <indexDir> compact [...]
+  *   StormWorker <indexDir> vappend <sfDir> <segmentId> <mod> <rem> <offset> [...]
+  *   StormWorker <indexDir> vdelete <id1,id2,...> [...]
+  *   StormWorker <indexDir> vcompact [...]
   *
-  * Appended docs are DETERMINISTIC (`storm doc <id>` text) so the
-  * parent spec can reconstruct the serial-rebuild corpus without a
-  * side channel. Exits 0 on a landed mutation; any failure surfaces
+  * Appended content is DETERMINISTIC — text docs carry `storm doc
+  * <id>` text; vector appends take the embeddings whose
+  * `vec_id % mod == rem` from `sfDir`, ids shifted by `offset` — so
+  * the parent spec can reconstruct the serial-rebuild corpus without
+  * a side channel. Exits 0 on a landed mutation; any failure surfaces
   * as a non-zero exit the spec asserts on. */
 object StormWorker {
   /** The deterministic text of storm doc `id` — ONE definition shared
@@ -70,9 +76,27 @@ object StormWorker {
         FullText.deleteFromTextIndex(spark, indexDir, ids)
       case "compact" =>
         FullText.compactTextIndex(spark, indexDir)
+      case "vappend" =>
+        val sfDir = args(2)
+        val sid = args(3)
+        val mod = args(4).toLong
+        val rem = args(5).toLong
+        val offset = args(6).toLong
+        val fresh = graft.io.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % mod === rem)
+          .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+        graft.queries.SimilarityQueries.appendToIvfPqIndex(spark,
+          indexDir, fresh, segmentId = Some(sid))
+      case "vdelete" =>
+        val ids = args(2).split(',').map(_.trim.toLong).toSeq
+        graft.queries.SimilarityQueries.deleteFromIvfPqIndex(spark,
+          indexDir, ids)
+      case "vcompact" =>
+        graft.queries.SimilarityQueries.compactIvfPqIndex(spark, indexDir)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown storm op '$other' (append | delete | compact)")
+          s"unknown storm op '$other' " +
+            "(append | delete | compact | vappend | vdelete | vcompact)")
     }
     spark.stop()
   }

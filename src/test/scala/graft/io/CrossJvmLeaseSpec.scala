@@ -130,6 +130,71 @@ class CrossJvmLeaseSpec extends SparkSpecBase {
     }
   }
 
+  test("cross-JVM VECTOR storm: real processes race append/delete/compact through a kill -9 takeover and equal the rebuild at fixed artifacts") {
+    // the text storm's vector twin across REAL processes: appends
+    // encode against the PERSISTED artifacts (the q106 stability
+    // contract), so any interleaving must equal a batch rebuild over
+    // (survivors ∪ appended) at the SAME artifacts — here with the
+    // lease contention, takeover, meta carry and codes-segment
+    // staging all exercised by separate JVMs instead of threads.
+    import graft.queries.SimilarityQueries
+    val vecs = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val idx = java.nio.file.Files.createTempDirectory("lease-xvstorm")
+      .toFile.getAbsolutePath
+    SimilarityQueries.writeIvfPqIndexFrames(vecs, vecs, idx)
+    val lock = new Path(s"$idx/_mutation.lock")
+    val holder = spawnJvm("graft.tools.HoldLease",
+      Seq(idx, "120000", "4000"))
+    val workers = scala.collection.mutable.ArrayBuffer[Process]()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!fs.exists(lock) && holder.isAlive &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(fs.exists(lock), "the holder JVM must acquire the lease")
+      val dead = vecs.select($"vec_id").collect().map(_.getLong(0))
+        .sorted.take(5)
+      val stormArgs = Seq("--waitMs", "150000", "--staleMs", "4000")
+      workers += spawnJvm("graft.tools.StormWorker",
+        Seq(idx, "vappend", dir, "xv1", "11", "2", "880000") ++ stormArgs)
+      workers += spawnJvm("graft.tools.StormWorker",
+        Seq(idx, "vdelete", dead.mkString(",")) ++ stormArgs)
+      workers += spawnJvm("graft.tools.StormWorker",
+        Seq(idx, "vcompact") ++ stormArgs)
+      Thread.sleep(3000)
+      holder.destroyForcibly()
+      holder.waitFor()
+      workers.foreach { w =>
+        assert(w.waitFor(150, java.util.concurrent.TimeUnit.SECONDS),
+          "every vector storm worker must finish inside its window")
+        assert(w.exitValue() == 0,
+          s"a vector storm worker failed (exit ${w.exitValue()})")
+      }
+      // rebuild over the equivalent final corpus at the SAME artifacts
+      val appended = vecs.filter($"vec_id" % 11 === 2)
+        .select(($"vec_id" + 880000L).as("vec_id"), $"embedding")
+      val finalCorpus = vecs
+        .filter(!$"vec_id".isInCollection(dead.toSeq))
+        .unionByName(appended)
+      val idxR = java.nio.file.Files
+        .createTempDirectory("lease-xvstorm-r").toFile.getAbsolutePath
+      SimilarityQueries.writeIvfPqIndexFrames(vecs, finalCorpus, idxR)
+      def page(i: String) = SimilarityQueries
+        .ivfPqSearchStored(spark, i, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(page(idx) == page(idxR),
+        "the cross-JVM vector storm must equal the rebuild at fixed " +
+          "artifacts")
+      assert(!Layout.pathExists(spark, s"$idx/_mutation.lock"),
+        "the last worker's clean release must reclaim the lease")
+    } finally {
+      holder.destroyForcibly()
+      workers.foreach(_.destroyForcibly())
+      ()
+    }
+  }
+
   test("a live second JVM excludes this one; kill -9 leaves a stale lease the takeover recovers") {
     val docs = graft.io.Tables.documents(spark, dir).limit(80)
     val idx = java.nio.file.Files.createTempDirectory("lease-xjvm")

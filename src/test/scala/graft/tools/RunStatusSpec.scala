@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.ops.FullText
+import graft.queries.SimilarityQueries
+
+/** The status CLI's contract: one metadata-only JSON line per index,
+  * accurate across the mutation lifecycle, never scanning a corpus
+  * artifact (safe to poll against a 100 TB index), and surfacing the
+  * lease's staleness clock while a mutation runs. */
+class RunStatusSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix)
+      .toFile.getAbsolutePath
+
+  test("text index: statistics, segments, tombstones and generation track the lifecycle") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val idx = tmp("status-t")
+    // term vectors on: deletes take the exact-stats path, so n_docs
+    // must track the evictions (the Lucene-stale path would carry
+    // the stale count until compaction, by design)
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    val s0 = RunStatus.describe(spark, idx)
+    assert(s0.contains("\"family\":\"text\""))
+    assert(s0.contains(s""""n_docs":${docs.count()}"""))
+    assert(s0.contains("\"generation\":-1") &&
+      s0.contains("\"segments\":0") &&
+      s0.contains("\"tombstone_rows\":0"),
+      s"a fresh write is the legacy root layout (got $s0)")
+    assert(!s0.contains("\"lease\""),
+      "an unheld index must report no lease")
+    // append a segment + delete two docs: the status must follow the
+    // committed generation's recorded state
+    FullText.appendToTextIndex(spark,
+      Seq((9100001L, "fast vector status probe")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, segmentId = Some("s1"))
+    val dead = docs.limit(2).select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    FullText.deleteFromTextIndex(spark, idx, dead)
+    val s1 = RunStatus.describe(spark, idx)
+    assert(s1.contains(s""""n_docs":${docs.count() + 1 - dead.size}"""))
+    assert(s1.contains("\"segments\":1") &&
+      s1.contains("\"tombstone_rows\":2"))
+    assert(!s1.contains("\"generation\":-1"))
+    // compaction applies the tombstones physically
+    FullText.compactTextIndex(spark, idx)
+    val s2 = RunStatus.describe(spark, idx)
+    assert(s2.contains("\"segments\":0") &&
+      s2.contains("\"tombstone_rows\":0"))
+  }
+
+  test("vector index: the meta row surfaces; band index reports its artifacts; lease silence surfaces while held") {
+    val vIdx = tmp("status-v")
+    SimilarityQueries.writeIvfPqIndex(spark, dir, vIdx)
+    val sv = RunStatus.describe(spark, vIdx)
+    assert(sv.contains("\"family\":\"vector\"") &&
+      sv.contains("\"codec\":\"pq\"") &&
+      sv.contains("\"coarse\":\"flat\"") &&
+      sv.contains("\"pgroups\":0") &&
+      sv.contains("\"pgroups_forced\":false"), s"got $sv")
+    // band artifacts
+    import graft.ops.Dedup
+    val bIdx = tmp("status-b")
+    val prepped = graft.io.Tables.documents(spark, dir).limit(20)
+      .select($"doc_id".as("id"),
+        Dedup.shingles(Dedup.tokens($"text")).as("sh"))
+      .filter($"sh".isNotNull)
+    prepped.withColumn("bandh", Dedup.bandHashesDirect($"sh", 16, 4))
+      .select($"id", posexplode_outer($"bandh").as(Seq("band", "band_hash")))
+      .write.mode("append").parquet(s"$bIdx/bands")
+    prepped.select($"id", $"sh")
+      .write.mode("append").parquet(s"$bIdx/shingles")
+    val sb0 = RunStatus.describe(spark, bIdx)
+    assert(sb0.contains("\"family\":\"band\"") &&
+      sb0.contains("\"artifacts\":[\"bands\",\"shingles\"]"))
+    // a held lease surfaces with the staleness clock (the same read
+    // the takeover check uses) — simulate the foreign holder the
+    // established way and age it a little
+    val lock = new Path(s"$vIdx/_mutation.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, true)
+    out.write("3 some-token otherhost:pid=777".getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 5000, -1)
+    val sl = RunStatus.describe(spark, vIdx)
+    assert(sl.contains("\"lease\":{\"epoch\":3,\"owner\":\"otherhost:pid=777\""),
+      s"a held lease must surface its holder (got $sl)")
+    assert("\"silent_s\":([0-9]+)".r.findFirstMatchIn(sl)
+      .exists(_.group(1).toLong >= 5),
+      s"the silence clock must reflect the aged mtime (got $sl)")
+    fs.delete(lock, false)
+  }
+}
