@@ -2,7 +2,7 @@ package graft.io
 
 import java.net.URI
 
-import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
 
 /** A local filesystem whose `setTimes` is a SILENT NO-OP — the
   * object-store FileSystem behavior (S3A and friends commonly ignore
@@ -18,4 +18,22 @@ class NoSetTimesFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "nost"
   override def getUri: URI = URI.create("nost:///")
   override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
+
+  /** RawLocalFileSystem's statuses load permissions LAZILY via
+    * `new java.io.File(path.toUri)`, which rejects any scheme but
+    * `file` — fine on real stores, fatal under a foreign test
+    * scheme the moment something wraps a status into
+    * LocatedFileStatus (FileSystem.listFiles does). Materialize
+    * plain statuses with default permissions instead; nothing in the
+    * engine reads permissions. */
+  private def strip(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      null, null, null, st.getPath)
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(strip)
+
+  override def getFileStatus(f: Path): FileStatus =
+    strip(super.getFileStatus(f))
 }

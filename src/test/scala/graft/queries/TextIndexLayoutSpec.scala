@@ -1269,4 +1269,53 @@ class TextIndexLayoutSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("the full stored-text lifecycle runs on a setTimes-blind URI-schemed filesystem, page-equal to the local twin") {
+    // the object-store simulation END-TO-END, not just the lease leg:
+    // every artifact read/write/rename/commit of
+    // write → append → delete → compact → search resolves through a
+    // foreign-scheme FileSystem whose setTimes is a no-op
+    // (graft.io.NoSetTimesFileSystem under nost://) — pinning the
+    // repo-wide Hadoop-FS path discipline (a java.io.File probe
+    // anywhere in the lifecycle would silently misbehave here) AND
+    // the heartbeat-sidecar fallback under real mutations. The local
+    // twin runs the identical lifecycle; pages must match bit-for-bit.
+    import graft.ops.FullText
+    spark.sparkContext.hadoopConfiguration.set("fs.nost.impl",
+      classOf[graft.io.NoSetTimesFileSystem].getName)
+    val docs = graft.io.Tables.documents(spark, dir).limit(60)
+    val extra = Seq((9200001L, "fast vector lifecycle on a blind store"))
+      .toDF("doc_id", "text")
+    val dead = docs.limit(2).select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    def lifecycle(idx: String): Unit = {
+      FullText.writeTextIndex(docs, "doc_id", "text", idx,
+        storeTermVectors = true)
+      FullText.appendToTextIndex(spark, extra, "doc_id", "text", idx,
+        segmentId = Some("b1"))
+      FullText.deleteFromTextIndex(spark, idx, dead)
+      FullText.compactTextIndex(spark, idx)
+    }
+    val nIdx = "nost://" + java.nio.file.Files
+      .createTempDirectory("bm25-nost").toFile.getAbsolutePath
+    val lIdx = java.nio.file.Files
+      .createTempDirectory("bm25-nost-twin").toFile.getAbsolutePath
+    lifecycle(nIdx)
+    lifecycle(lIdx)
+    def page(i: String) = FullText
+      .bm25SearchStored(spark, i, Seq("fast", "vector", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(page(nIdx) == page(lIdx),
+      "the lifecycle on a setTimes-blind URI-schemed store must equal " +
+        "the local twin")
+    // the committed state reads back correctly through the status face
+    val st = graft.tools.RunStatus.describe(spark, nIdx)
+    assert(st.contains("\"family\":\"text\"") &&
+      st.contains(s""""n_docs":${docs.count() + 1 - dead.size}""") &&
+      st.contains("\"segments\":0") &&
+      st.contains("\"tombstone_rows\":0"), s"got $st")
+    // no lease or sidecar outlives the mutations
+    assert(!graft.io.Layout.pathExists(spark, s"$nIdx/_mutation.lock"))
+    assert(!graft.io.Layout.pathExists(spark, s"$nIdx/_mutation.lock.hb"))
+  }
 }
