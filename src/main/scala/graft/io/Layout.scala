@@ -426,6 +426,15 @@ object Layout {
     Some(t)
   }
 
+  /** TEST-ONLY instrumentation: invoked between the held-lease exists
+    * probe and the lock read — the instant where a holder's release
+    * turns `readLease` into FileNotFound. LeaseSpec uses it to PIN
+    * that the race maps to CONTENTION (a [[LeaseHeldException]] the
+    * `--wait` poll loop retries — and the retried create then
+    * succeeds) instead of crashing the waiting caller at exactly the
+    * moment the lease frees. Default no-op; never set outside tests. */
+  private[graft] var afterLeaseExistsHook: () => Unit = () => ()
+
   private def acquireLease(spark: SparkSession,
       indexDir: String): (Long, String) = {
     val p = leasePath(indexDir)
@@ -434,31 +443,53 @@ object Layout {
       .get("graft.index.leaseStaleMs", "900000").toLong
     var epoch = 0L
     if (fs.exists(p)) {
-      val (heldEpoch, heldToken, owner) = readLease(fs, p)
-      // liveness = the later of the lock mtime and the heartbeat
-      // sidecar a setTimes-blind filesystem's holder writes — on such
-      // a store the lock mtime never moves after creation and would
-      // make every live multi-hour mutation takeover bait
-      val age = System.currentTimeMillis() -
-        leaseLiveness(fs, p, heldToken)
-      if (staleMs > 0 && age > staleMs) {
-        // stale takeover: the holder crashed without releasing.
-        // epoch+1 fences it — if it is actually alive and racing us,
-        // its commitGeneration re-read sees a token it doesn't hold
-        // and aborts. The crashed holder's heartbeat sidecar (if any)
-        // dies with its lease — a leftover would stale-match nothing
-        // (token-checked) but is garbage all the same.
-        epoch = heldEpoch + 1
-        fs.delete(p, false)
-        fs.delete(heartbeatPath(p), false)
-      } else {
-        throw new LeaseHeldException(
-          s"index $indexDir is being mutated by '$owner' " +
-            s"(lease epoch $heldEpoch, held ${age / 1000}s): " +
-            "concurrent mutation of one index is not supported. " +
-            "Retry after the holder commits; if it crashed, the " +
-            s"lease auto-expires after ${staleMs / 1000}s (or remove " +
-            s"$p manually).")
+      afterLeaseExistsHook()
+      // the held-lease inspection races the holder's RELEASE: between
+      // the exists probe and the reads below the lock file can vanish,
+      // and the resulting FileNotFoundException is a plain IOException
+      // — surfacing it would crash a --wait poller at exactly the
+      // moment the lease frees. It IS contention (a holder that just
+      // released), so it maps to LeaseHeldException and the wait loop
+      // retries the create, which now succeeds.
+      val inspected =
+        try {
+          val (heldEpoch, heldToken, owner) = readLease(fs, p)
+          // liveness = the later of the lock mtime and the heartbeat
+          // sidecar a setTimes-blind filesystem's holder writes — on
+          // such a store the lock mtime never moves after creation and
+          // would make every live multi-hour mutation takeover bait
+          val age = System.currentTimeMillis() -
+            leaseLiveness(fs, p, heldToken)
+          Some((heldEpoch, heldToken, owner, age))
+        } catch {
+          case e: java.io.FileNotFoundException =>
+            throw new LeaseHeldException(
+              s"the mutation lease for $indexDir was released while " +
+                "being inspected — retry the acquisition.", e)
+        }
+      inspected.foreach { case (heldEpoch, _, owner, age) =>
+        if (staleMs > 0 && age > staleMs) {
+          // stale takeover: the holder crashed without releasing.
+          // epoch+1 fences it — if it is actually alive and racing us,
+          // its commitGeneration re-read sees a token it doesn't hold
+          // and aborts. The crashed holder's heartbeat sidecar (if
+          // any) dies with its lease — a leftover would stale-match
+          // nothing (token-checked) but is garbage all the same, as is
+          // the `.tmp` write-aside a heartbeat crash can strand.
+          epoch = heldEpoch + 1
+          fs.delete(p, false)
+          val hb = heartbeatPath(p)
+          fs.delete(hb, false)
+          fs.delete(new Path(hb.getParent, hb.getName + ".tmp"), false)
+        } else {
+          throw new LeaseHeldException(
+            s"index $indexDir is being mutated by '$owner' " +
+              s"(lease epoch $heldEpoch, held ${age / 1000}s): " +
+              "concurrent mutation of one index is not supported. " +
+              "Retry after the holder commits; if it crashed, the " +
+              s"lease auto-expires after ${staleMs / 1000}s (or remove " +
+              s"$p manually).")
+        }
       }
     }
     val token = java.util.UUID.randomUUID().toString
@@ -499,9 +530,30 @@ object Layout {
       fs.delete(p, false)
       // the heartbeat sidecar (written only on setTimes-blind
       // filesystems) is liveness metadata OF this lease and must not
-      // outlive it
-      fs.delete(heartbeatPath(p), false)
+      // outlive it — nor may the `.tmp` write-aside a beat that
+      // crashed between create and rename leaves behind (never read,
+      // but permanent garbage in the index dir otherwise)
+      val hb = heartbeatPath(p)
+      fs.delete(hb, false)
+      fs.delete(new Path(hb.getParent, hb.getName + ".tmp"), false)
     }
+  }
+
+  /** The fence re-read, exposed for mutators whose commit is NOT a
+    * generation marker (the near-dup band index's swap-rotation): when
+    * the calling thread holds a mutation lease for `indexDir`, abort
+    * unless the lock still carries our token — called immediately
+    * before the destructive renames, exactly like
+    * [[commitGeneration]]'s own fence, so a zombie holder that lost a
+    * stale-lease takeover mid-fold cannot rotate its pre-takeover
+    * artifacts over rows the intruder appended. A thread holding no
+    * lease (a legacy direct caller) passes through. */
+  private[graft] def fenceHeldLease(spark: SparkSession,
+      indexDir: String, when: String): Unit = {
+    val p = new Path(indexDir)
+    fenceOrAbort(spark,
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      indexDir, when)
   }
 
   /** Generation COMMIT POINTS for stored-index layouts — the Lucene
@@ -734,6 +786,83 @@ object Layout {
     }
   }
 
+  /** The token-suffix shape of [[stagedSuffix]]: 12 lowercase hex
+    * chars after the last dot. Segment ids are caller-chosen — one
+    * that mimics this shape would read as staging, so the GC faces
+    * additionally exclude anything the live manifest references. */
+  private val tokenSuffixRe = "^(.+)\\.([0-9a-f]{12})$".r
+
+  /** Directories the LIVE segment manifest references (both index
+    * families commit a `segments` parquet of (kind, dir) rows into
+    * the generation dir) — the belt-and-suspenders exclusion for the
+    * orphan sweep: nothing a committed manifest points at is ever an
+    * orphan, whatever its name looks like. */
+  private def manifestReferenced(spark: SparkSession,
+      indexDir: String): Set[String] = {
+    val art = liveGeneration(spark, indexDir)
+      .map(g => generationDir(indexDir, g)).getOrElse(indexDir)
+    if (!pathExists(spark, s"$art/segments")) Set.empty
+    else
+      try spark.read.parquet(s"$art/segments")
+        .select(col("dir")).collect()
+        .map(_.getString(0).split('/').head).toSet
+      catch { case _: Exception => Set.empty }
+  }
+
+  /** ORPHANED staging artifacts of `indexDir`: the token-suffixed
+    * `gen-N.<token>` / side (`seg-x.<token>`, `postings-vN.<token>`)
+    * directories a writer that crashed (or was fenced out) mid-stage
+    * leaves behind, plus — when no mutation is in flight —
+    * finally-named `gen-N` dirs above the live generation that never
+    * got their `_COMMITTED` marker (a pre-token-staging crash).
+    * Invisible to every reader (correct) but reclaimed only by the
+    * retire sweep of the NEXT committed mutation — an index that
+    * crashes and then goes idle leaks them forever, which is what
+    * [[graft.tools.RunGc]] exists to close. Returns (name, bytes)
+    * pairs from a driver-side listing — metadata reads only, safe to
+    * poll. A CURRENT lease holder's own staging (token matching the
+    * lock) is in-flight work, never reported.
+    *
+    * `underLease` = the caller IS the current holder (the GC face):
+    * the uncommitted-gen rule then applies even though a lock exists
+    * — the holder is the caller, which stages nothing before its
+    * sweep, so an unmarked `gen-N` above live is provably a crashed
+    * predecessor's, not in-flight work. */
+  def orphanedStaging(spark: SparkSession, indexDir: String,
+      underLease: Boolean = false): Seq[(String, Long)] = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val holderToken: Option[String] =
+      try {
+        val lp = leasePath(indexDir)
+        if (fs.exists(lp))
+          Some(readLease(fs, lp)._2.replace("-", "").take(12))
+        else None
+      } catch { case _: java.io.IOException => None }
+    val referenced = manifestReferenced(spark, indexDir)
+    val live = liveGeneration(spark, indexDir).getOrElse(0L)
+    fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      def bytes = fs.getContentSummary(st.getPath).getLength
+      n match {
+        case _ if referenced.contains(n) => None
+        case tokenSuffixRe(_, tok) if !holderToken.contains(tok) =>
+          Some(n -> bytes)
+        case _ if (holderToken.isEmpty || underLease) &&
+            n.startsWith("gen-") &&
+            n.length > 4 && n.drop(4).forall(_.isDigit) &&
+            n.drop(4).toLong > live &&
+            !fs.exists(new Path(st.getPath, "_COMMITTED")) =>
+          // above the live generation with no marker and no active
+          // writer (or the writer is the GC itself): a crashed
+          // pre-token-staging writer's leftovers
+          Some(n -> bytes)
+        case _ => None
+      }
+    }
+  }
+
   /** The committed generation numbers currently on disk, ascending —
     * more than one only under `graft.index.retainGenerations` > 1. */
   def committedGenerations(spark: SparkSession,
@@ -885,6 +1014,31 @@ object Layout {
             new Path(d, n), false, true, conf)
       }
     }
+  }
+
+  /** Schema preservation for PARTITIONED artifact writes that can
+    * legitimately fold to ZERO rows (a compaction after a full-corpus
+    * takedown): `partitionBy` on an empty frame writes no part files
+    * at all — only `_SUCCESS` — leaving a directory schema inference
+    * cannot read, which poisons EVERY later scan of the index (the
+    * non-partitioned writer emits one empty schema-bearing file; the
+    * partitioned one does not). Call after such a write: if no data
+    * file landed, overwrite with an empty non-partitioned frame of
+    * the same schema — the partition column degrades to a regular
+    * (zero-row) data column, so readers' filters apply unchanged. */
+  def ensureReadableParquet(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val it = fs.listFiles(p, true)
+    var hasData = false
+    while (it.hasNext && !hasData)
+      hasData = it.next().getPath.getName.endsWith(".parquet")
+    if (!hasData)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema).coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Swap-safe overwrite of a parquet artifact whose REPLACEMENT is

@@ -408,7 +408,11 @@ object Dedup {
     * generations: its artifacts are an append-only log whose replays
     * are byte-identical by construction (verdicts distinct-ed before
     * the verify), so generation atomicity would buy nothing the
-    * rotation doesn't already give.
+    * rotation doesn't already give. The rotation IS epoch-fenced like
+    * the generation commits: the lock token re-reads immediately
+    * before each rename pair ([[graft.io.Layout.fenceHeldLease]]), so
+    * a zombie that lost a stale-lease takeover mid-fold aborts instead
+    * of rotating away rows the intruder appended.
     *
     * Returns ((bandsBefore, bandsAfter), (shinglesBefore,
     * shinglesAfter)) row counts — the reclaimed-volume observable
@@ -439,6 +443,15 @@ object Dedup {
       fs.delete(old, true)
       compacted.write.mode("overwrite").parquet(tmp.toString)
       val nAfter = spark.read.parquet(tmp.toString).count()
+      // EPOCH FENCE immediately before the destructive rename pair —
+      // the commitGeneration discipline, applied to the swap-rotation
+      // commit this family keeps: a zombie holder that lost a
+      // stale-lease takeover mid-fold re-reads the lock here, sees a
+      // token it no longer holds and ABORTS, instead of renaming its
+      // pre-takeover-computed artifacts over rows the intruder
+      // appended (which the rotation would silently lose)
+      graft.io.Layout.fenceHeldLease(spark, indexDir,
+        "while this compactor was folding the band artifacts")
       require(fs.rename(p, old), s"swap: $path -> .old failed")
       require(fs.rename(tmp, p), s"swap: .compact -> $path failed")
       fs.delete(old, true)

@@ -946,7 +946,8 @@ object FullText {
     * the fallback the append path always had; a compactor WITHOUT it
     * would skip folding a legacy index's forward artifact and then
     * reclaim it, destroying exact deletes and stored MLT. */
-  private def hasTermVectors(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def hasTermVectors(
+      spark: org.apache.spark.sql.SparkSession,
       indexDir: String, art: String,
       st: org.apache.spark.sql.Row): Boolean =
     if (st.schema.fieldNames.contains("has_termvectors"))
@@ -1328,20 +1329,29 @@ object FullText {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newPost"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
-    rebucketed(
+    locally {
+      val src = rebucketed(
         minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
           .map(d => s"$indexDir/$d"))), "term", "bucket", rebucket)
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"))
-      .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
+      src.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
+      // a FULL PURGE (every doc tombstoned) folds to zero rows, and a
+      // zero-row partitionBy write is schema-less — keep it readable
+      graft.io.Layout.ensureReadableParquet(spark,
+        s"$indexDir/$stPost", src.schema)
+    }
     val folded = spark.read.parquet(s"$indexDir/$stPost")
     val rows = folded.count()
-    if (hasTv)
-      rebucketed(minus(termVectorsFrame(spark, indexDir)),
-          "doc_id", "dbucket", rebucket)
-        .repartition(col("dbucket"))
+    if (hasTv) {
+      val src = rebucketed(minus(termVectorsFrame(spark, indexDir)),
+        "doc_id", "dbucket", rebucket)
+      src.repartition(col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
+      graft.io.Layout.ensureReadableParquet(spark,
+        s"$indexDir/$stTv", src.schema)
+    }
     if (hasTomb && !hasTv) {
       // Lucene mode: statistics were left stale at delete time — true
       // them up from the survivors into the new generation
@@ -1351,7 +1361,9 @@ object FullText {
         .agg(count(lit(1)).as("n"),
           coalesce(sum(col("doclen")), lit(0L)).as("s")).head()
       val hasPos = statsFlag(st, "has_positions", default = true)
-      Seq((r.getLong(0), r.getLong(1).toDouble / r.getLong(0),
+      Seq((r.getLong(0),
+        if (r.getLong(0) == 0L) 0.0 // full purge: no NaN in stats
+        else r.getLong(1).toDouble / r.getLong(0),
         r.getLong(1), hasPos, false,
         rebucket.getOrElse(statsBuckets(st, buckets))))
         .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
@@ -2112,25 +2124,35 @@ object FullText {
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
     // rebucket: same fold-time partition resize as the single-field
     // compactor (term buckets are field-agnostic — one hash space)
-    rebucketed(
+    locally {
+      val src = rebucketed(
         minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
           .map(d => s"$indexDir/$d"))), "term", "bucket", rebucket)
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"))
-      .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
+      src.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
+      // a full purge folds to zero rows; a zero-row partitionBy write
+      // is schema-less — keep it readable
+      graft.io.Layout.ensureReadableParquet(spark,
+        s"$indexDir/$stPost", src.schema)
+    }
     val folded = spark.read.parquet(s"$indexDir/$stPost")
     val rows = folded.count()
-    if (hasTv)
-      rebucketed(minus(termVectorsFrame(spark, indexDir)),
-          "doc_id", "dbucket", rebucket)
-        .repartition(col("dbucket"))
+    if (hasTv) {
+      val src = rebucketed(minus(termVectorsFrame(spark, indexDir)),
+        "doc_id", "dbucket", rebucket)
+      src.repartition(col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
+      graft.io.Layout.ensureReadableParquet(spark,
+        s"$indexDir/$stTv", src.schema)
+    }
     if (hasTomb && !hasTv) {
       // Lucene mode: true the per-field statistics up from survivors
       folded.groupBy(col("field"), col("term"))
         .agg(count(lit(1)).as("df"))
         .write.parquet(s"$stage/df")
+      val bk2 = rebucket.getOrElse(statsBuckets(st, buckets))
       val rws = folded
         .select(col("field"), col("doc_id"), col("doclen")).distinct()
         .groupBy(col("field"))
@@ -2139,9 +2161,18 @@ object FullText {
         .collect()
         .map(r => (r.getString(0), r.getLong(1),
           r.getLong(2).toDouble / r.getLong(1), r.getLong(2),
-          false, rebucket.getOrElse(statsBuckets(st, buckets))))
-      rws.toSeq.toDF("field", "n_docs", "avgdl", "sum_doclen",
-        "has_termvectors", "buckets")
+          false, bk2))
+      // a FULL PURGE leaves no survivor rows for some (or all) fields
+      // — the field list is a durable layout property, so fields the
+      // fold saw nothing of keep a zeroed row instead of vanishing
+      // (a later stats read must never find an empty artifact)
+      val seen = rws.map(_._1).toSet
+      val zeroed = spark.read.parquet(s"$art/stats")
+        .select(col("field")).collect().map(_.getString(0))
+        .filterNot(seen)
+        .map(f => (f, 0L, 0.0, 0L, false, bk2))
+      (rws ++ zeroed).toSeq.toDF("field", "n_docs", "avgdl",
+        "sum_doclen", "has_termvectors", "buckets")
         .write.parquet(s"$stage/stats")
     } else {
       spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")

@@ -1589,17 +1589,25 @@ object SimilarityQueries {
   private def writeCodes(df: DataFrame, path: String,
       pgroups: Int): Unit = {
     import df.sparkSession.implicits._
-    if (pgroups > 0)
-      df.drop("pgroup")
+    if (pgroups > 0) {
+      val out = df.drop("pgroup")
         .withColumn("pgroup",
           pmod($"cell_id", lit(pgroups.toLong)).cast("int"))
-        .repartition($"pgroup")
+      out.repartition($"pgroup")
         .sortWithinPartitions($"pgroup", $"cell_id")
         .write.mode("overwrite").partitionBy("pgroup").parquet(path)
-    else
-      df.drop("pgroup")
-        .repartition($"cell_id") // one file per cell, not tasks × cells
+      // a compaction after a full-corpus takedown folds to zero rows,
+      // and a zero-row partitionBy write is schema-less — keep the
+      // codes table readable (empty, with schema)
+      graft.io.Layout.ensureReadableParquet(df.sparkSession, path,
+        out.schema)
+    } else {
+      val out = df.drop("pgroup")
+      out.repartition($"cell_id") // one file per cell, not tasks × cells
         .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+      graft.io.Layout.ensureReadableParquet(df.sparkSession, path,
+        out.schema)
+    }
   }
 
   /** The probed-cells scan under either physical layout: cell-

@@ -93,13 +93,17 @@ object RunCompact {
   /** Per-bucket postings-row skew of a text layout, measured over the
     * OCCUPIED buckets: (buckets, maxRows, medianRows). One bounded
     * collect of |buckets| counts — the fold just rewrote the postings,
-    * so the groupBy rides warm data. */
+    * so the groupBy rides warm data. A fully-purged index (every doc
+    * deleted, then folded — a plausible maintenance flow) has ZERO
+    * occupied buckets; report (0, 0, 0) instead of crashing the CLI
+    * AFTER the fold already committed. */
   def bucketSkew(spark: SparkSession,
       indexDir: String): (Int, Long, Long) = {
     val counts = FullText.postingsFrame(spark, indexDir)
       .groupBy("bucket").count()
       .collect().map(_.getAs[Long]("count")).sorted
-    (counts.length, counts.last, counts(counts.length / 2))
+    if (counts.isEmpty) (0, 0L, 0L)
+    else (counts.length, counts.last, counts(counts.length / 2))
   }
 
   /** The post-fold advisory line: tells the operator WHEN `--buckets`
@@ -111,7 +115,9 @@ object RunCompact {
     val (nb, mx, md) = bucketSkew(spark, indexDir)
     val skew = if (md > 0) mx.toDouble / md else 0.0
     val hint =
-      if (skew >= 4.0)
+      if (nb == 0)
+        "no postings survive the fold — nothing to rebalance"
+      else if (skew >= 4.0)
         "postings skewed across buckets — consider --buckets to rebalance"
       else "bucket balance healthy"
     s"""{"advisory":"bucket_skew","buckets":$nb,"max_rows":$mx,""" +

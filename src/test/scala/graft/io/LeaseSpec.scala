@@ -714,4 +714,129 @@ class LeaseSpec extends SparkSpecBase {
       "a zombie's release must leave the intruder's lease standing")
     fs.delete(new Path(s"$idx/_mutation.lock"), false)
   }
+
+  test("a lease released mid-inspection reads as contention: the --wait poller retries the create instead of crashing") {
+    // the acquireLease race: exists(lock) returns true, the holder
+    // releases, readLease throws FileNotFound — a plain IOException
+    // that would crash a --wait caller at exactly the moment the
+    // lease frees. The fix maps it to LeaseHeldException, which the
+    // poll loop retries; the retried create then wins the (now-free)
+    // lock and the mutation lands.
+    val docs = graft.io.Tables.documents(spark, dir).limit(40)
+    val idx = tmp("lease-fnf")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    writeLock(idx, "1 about-to-release otherhost:pid=9")
+    val dead = docs.limit(1).select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // the hook fires INSIDE the race window (after exists, before
+    // readLease) and releases the lock exactly once — the
+    // deterministic version of a holder whose release interleaves
+    var fired = false
+    Layout.afterLeaseExistsHook = () => {
+      if (!fired) {
+        fired = true
+        fs.delete(new Path(s"$idx/_mutation.lock"), false)
+      }
+    }
+    spark.conf.set("graft.index.leaseWaitMs", "30000")
+    try {
+      FullText.deleteFromTextIndex(spark, idx, dead) // must land
+    } finally {
+      Layout.afterLeaseExistsHook = () => ()
+      spark.conf.unset("graft.index.leaseWaitMs")
+    }
+    assert(fired, "the pin must have exercised the race window")
+    assert(spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats")
+      .head().getAs[Long]("n_docs") == docs.count() - 1,
+      "the retried acquisition must run the mutation exactly once")
+    // and WITHOUT a wait window the same race surfaces as the typed
+    // contention error (diagnosable), not a raw FileNotFound
+    writeLock(idx, "1 about-to-release-2 otherhost:pid=9")
+    fired = false
+    Layout.afterLeaseExistsHook = () => {
+      if (!fired) {
+        fired = true
+        fs.delete(new Path(s"$idx/_mutation.lock"), false)
+      }
+    }
+    try {
+      val e = intercept[LeaseHeldException] {
+        FullText.deleteFromTextIndex(spark, idx,
+          Seq(dead.head + 1))
+      }
+      assert(e.getMessage.contains("released while being inspected"))
+    } finally Layout.afterLeaseExistsHook = () => ()
+  }
+
+  test("band-fold fence: a zombie compactor aborts before the swap renames instead of rotating away an intruder's rows") {
+    // the swap-rotation twin of the commitGeneration fence: a holder
+    // that lost a stale-lease takeover mid-fold re-reads the lock
+    // immediately before the rename pair and ABORTS — without it, the
+    // zombie's pre-takeover-computed bands/shingles would rename over
+    // whatever the intruder appended, silently losing those rows
+    import graft.ops.Dedup
+    val docs = graft.io.Tables.documents(spark, dir).limit(40)
+    val idx = tmp("lease-band-fence")
+    val prepped = docs.select($"doc_id".as("id"),
+      Dedup.shingles(Dedup.tokens($"text")).as("sh"))
+      .filter($"sh".isNotNull)
+    prepped.withColumn("bandh", Dedup.bandHashesDirect($"sh", 16, 4))
+      .select($"id",
+        posexplode_outer($"bandh").as(Seq("band", "band_hash")))
+      .write.mode("append").parquet(s"$idx/bands")
+    prepped.select($"id", $"sh")
+      .write.mode("append").parquet(s"$idx/shingles")
+    val bandsBefore = spark.read.parquet(s"$idx/bands").count()
+    // become the (soon-to-be-zombie) holder, then simulate the
+    // takeover: the lock now carries the intruder's token; the nested
+    // compactBandIndex call rides the outer lease (same thread) and
+    // its fence re-read must abort before any rename
+    val e = intercept[IllegalStateException] {
+      Layout.withMutationLease(spark, idx) {
+        writeLock(idx, "9 intruder-token otherhost:pid=31")
+        Dedup.compactBandIndex(spark, idx)
+      }
+    }
+    assert(e.getMessage.contains("taken over"),
+      s"the fence must name the takeover (got: ${e.getMessage})")
+    assert(spark.read.parquet(s"$idx/bands").count() == bandsBefore,
+      "an aborted fold must leave the live band artifacts untouched")
+    assert(Layout.pathExists(spark, s"$idx/_mutation.lock"),
+      "the zombie's release must not reclaim the intruder's lease")
+    fs.delete(new Path(s"$idx/_mutation.lock"), false)
+  }
+
+  test("a crashed heartbeat's write-aside (.hb.tmp) is reclaimed at release and at takeover") {
+    val docs = graft.io.Tables.documents(spark, dir).limit(30)
+    val idx = tmp("lease-hbtmp")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    // a beat that crashed between create and rename leaves the aside;
+    // it is never read (staleness parses only the renamed sidecar)
+    // but without cleanup it persists in the index dir forever
+    def strand(): Unit = {
+      val out = fs.create(new Path(s"$idx/_mutation.lock.hb.tmp"), true)
+      out.write("dead-token 123".getBytes("UTF-8"))
+      out.close()
+    }
+    strand()
+    FullText.deleteFromTextIndex(spark, idx,
+      docs.limit(1).select($"doc_id").collect().map(_.getLong(0)).toSeq)
+    assert(!Layout.pathExists(spark, s"$idx/_mutation.lock.hb.tmp"),
+      "release must reclaim a stranded heartbeat write-aside")
+    // and the stale-takeover path reclaims a crashed holder's aside
+    writeLock(idx, "4 crashed-token otherhost:pid=13")
+    fs.setTimes(new Path(s"$idx/_mutation.lock"),
+      System.currentTimeMillis() - 3600L * 1000, -1)
+    strand()
+    spark.conf.set("graft.index.leaseStaleMs", "1000")
+    try {
+      FullText.deleteFromTextIndex(spark, idx,
+        docs.limit(2).select($"doc_id").collect().map(_.getLong(0))
+          .toSeq)
+    } finally spark.conf.unset("graft.index.leaseStaleMs")
+    assert(!Layout.pathExists(spark, s"$idx/_mutation.lock.hb.tmp"),
+      "takeover must reclaim the crashed holder's write-aside")
+  }
 }

@@ -158,4 +158,32 @@ class RunCompactSpec extends SparkSpecBase {
     }
     assert(!vBuf.toString("UTF-8").contains("bucket_skew"))
   }
+
+  test("full purge: a fold over zero surviving postings reports 'no postings' instead of crashing after the commit") {
+    // delete EVERY doc, then RunCompact — a plausible maintenance
+    // flow (a takedown of a whole corpus slice) whose fold commits an
+    // empty postings set; the skew advisory must degrade to a
+    // zero-bucket line, not throw on an empty per-bucket count array
+    // and report failure for a mutation that already succeeded
+    val docs = graft.io.Tables.documents(spark, dir).limit(25)
+    val idx = java.nio.file.Files.createTempDirectory("compact-purge")
+      .toFile.getAbsolutePath
+    FullText.writeTextIndex(docs, "doc_id", "text", idx)
+    FullText.deleteFromTextIndex(spark, idx,
+      docs.select($"doc_id").collect().map(_.getLong(0)).toSeq)
+    val buf = new java.io.ByteArrayOutputStream()
+    val (f, _, _, rows) = Console.withOut(
+      new java.io.PrintStream(buf, true, "UTF-8")) {
+      RunCompact.run(spark, idx)
+    }
+    assert(f == "text" && rows == 0,
+      s"the purge fold must commit zero surviving rows (got $rows)")
+    val out = buf.toString("UTF-8")
+    assert(out.contains("\"buckets\":0") &&
+      out.contains("no postings"),
+      s"the advisory must report the empty layout (got: $out)")
+    assert(FullText.bm25SearchStored(spark, idx,
+      Seq("fast", "vector", "query")).count() == 0,
+      "a fully-purged index must serve empty pages, not errors")
+  }
 }
