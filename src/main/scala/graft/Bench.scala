@@ -9,7 +9,23 @@ import org.apache.spark.sql.SparkSession
   * warmup job so JIT/codegen startup isn't charged to the first query.
   */
 object Bench {
+
+  /** The host's 1-minute load average, read from /proc/loadavg —
+    * recorded at bench start AND end in both JSON lines, because the
+    * per-query `"passes"` spread only catches contention SPIKES: a
+    * co-tenant that drags the whole run uniformly (the r14 driver run:
+    * 27.7k bulk docs/s vs 207k solo, untouched queries at 4×) inflates
+    * every pass equally and needed a judge shell to diagnose. With the
+    * load bracket in-artifact, a drag run self-explains. -1.0 when the
+    * file is unreadable (non-Linux host). */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg", "UTF-8")
+      try src.mkString.split(' ').head.toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -147,7 +163,13 @@ object Bench {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"bulk_sink_docs_per_sec":${docsPerSec.round},"sf":"$sfDir"}""")
+    // the load BRACKET (start + end of the whole run): sustained
+    // co-tenant drag — which inflates all passes equally and so
+    // evades the spread-based "noisy" flag — shows up here as a high
+    // load average on a run whose numbers sit above their solo bands
+    val loadEnd = loadAvg()
+    val loads = s""""load_start":$loadStart,"load_end":$loadEnd"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"bulk_sink_docs_per_sec":${docsPerSec.round},$loads,"sf":"$sfDir"}""")
     // The driver records only the trailing ~2 KB of stdout, and the
     // full per-query line above outgrows that window (~150 queries ×
     // ~30 chars), losing its HEAD — totals included. This compact
@@ -157,7 +179,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total_s":${f"$total%.1f"},"n_queries":${results.size},"bulk_sink_docs_per_sec":${docsPerSec.round},"noisy":$noisyJson,"slowest5":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total_s":${f"$total%.1f"},"n_queries":${results.size},"bulk_sink_docs_per_sec":${docsPerSec.round},"noisy":$noisyJson,$loads,"slowest5":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

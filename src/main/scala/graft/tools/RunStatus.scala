@@ -18,13 +18,20 @@ import graft.ops.FullText
   * Fields common to all families: `family`, `generation` (-1 = no
   * committed generation, the legacy root layout), `generations`
   * retained, `segments` (manifest entries beyond the base),
-  * `tombstone_rows` (recorded count; 0 when physically applied), and
+  * `tombstone_rows` (recorded count; 0 when physically applied),
+  * `orphaned_staging` (count + bytes of crashed/fenced writers'
+  * leftover staging dirs — the leak [[RunGc]] reclaims), and
   * `lease` (holder epoch/owner plus `silent_s` — the SAME staleness
   * clock the takeover check reads, so comparing it against
   * `graft.index.leaseStaleMs` shows exactly how close a silent
   * holder is to takeover; absent when unheld). Text adds the
-  * recorded corpus statistics and bucket count; vector adds the
-  * codec/coarse/pgroups meta row. */
+  * recorded corpus statistics and bucket count plus `n_docs_live` —
+  * recorded n_docs minus the tombstoned doc count where the recorded
+  * value is Lucene-stale (positions-only and multi-field layouts
+  * leave n_docs untouched until the fold; the exact-decrement
+  * term-vector path already excludes them) — so an operator reads
+  * the servable corpus size directly instead of subtracting; vector
+  * adds the codec/coarse/pgroups meta row. */
 object RunStatus {
 
   private def jstr(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
@@ -42,21 +49,42 @@ object RunStatus {
       case "text" | "multifield" =>
         val art = FullText.liveArtifactDir(spark, indexDir)
         val st = spark.read.parquet(s"$art/stats")
+        val tombs = tombRows(spark, s"$art/tombstones")
+        // whether the recorded n_docs already EXCLUDES tombstoned
+        // docs: the exact-decrement delete path (single-field with
+        // term vectors) trues statistics at delete time; every other
+        // text variant leaves them Lucene-stale until the fold
+        val statsExact = fam == "text" &&
+          FullText.hasTermVectors(spark, indexDir, art, st.head())
+        def emitLive(nDocs: Long): Unit = {
+          // the number an operator actually wants next to a non-zero
+          // tombstone count: documents a search can still serve.
+          // Both inputs are already metadata (recorded stats row +
+          // recorded tombstone count) — no corpus scan. Tombstones
+          // are distinct doc ids by construction, so the subtraction
+          // is exact; under exact-mode stats the recorded n_docs IS
+          // live already and subtracting again would double-count.
+          val live = if (statsExact) nDocs
+            else math.max(nDocs - tombs, 0L)
+          sb ++= s""","n_docs_live":$live"""
+        }
         if (fam == "multifield") {
           // per-field rows: report the total corpus size (n_docs is
           // per-field identical by construction) and the field count
           val rows = st.collect()
           sb ++= s""","fields":${rows.length}"""
           sb ++= s""","n_docs":${rows.head.getAs[Long]("n_docs")}"""
+          emitLive(rows.head.getAs[Long]("n_docs"))
         } else {
           val r = st.head()
           sb ++= s""","n_docs":${r.getAs[Long]("n_docs")}"""
+          emitLive(r.getAs[Long]("n_docs"))
           sb ++= s""","avgdl":${math.round(r.getAs[Double]("avgdl") * 100) / 100.0}"""
           if (r.schema.fieldNames.contains("buckets"))
             sb ++= s""","buckets":${r.getAs[Int]("buckets")}"""
         }
         sb ++= s""","segments":${FullText.liveSegmentCount(spark, indexDir)}"""
-        sb ++= s""","tombstone_rows":${tombRows(spark, s"$art/tombstones")}"""
+        sb ++= s""","tombstone_rows":$tombs"""
       case "vector" =>
         val art = graft.queries.SimilarityQueries
           .vectorArtifactDir(spark, indexDir)
@@ -85,6 +113,18 @@ object RunStatus {
         // own report
         sb ++= s""","artifacts":["bands","shingles"]"""
       case _ => ()
+    }
+    // orphaned staging (crashed/fenced writers' token-suffixed dirs
+    // and unmarked generations above live): invisible to readers but
+    // reclaimed only by the NEXT committed mutation's retire sweep —
+    // on a crashed-then-idle index this is a permanent leak until
+    // RunGc runs, so the status face surfaces it (count + bytes from
+    // a driver-side listing; an active holder's in-flight staging is
+    // excluded by token)
+    locally {
+      val orphans = Layout.orphanedStaging(spark, indexDir)
+      sb ++= s""","orphaned_staging":{"count":${orphans.size}"""
+      sb ++= s""","bytes":${orphans.map(_._2).sum}}"""
     }
     Layout.leaseInfo(spark, indexDir).foreach { case (epoch, owner, age) =>
       sb ++= s""","lease":{"epoch":$epoch,"owner":${jstr(owner)}"""

@@ -98,4 +98,61 @@ class RunStatusSpec extends SparkSpecBase {
       s"the silence clock must reflect the aged mtime (got $sl)")
     fs.delete(lock, false)
   }
+
+  test("n_docs_live: Lucene-stale layouts subtract tombstones, exact layouts don't double-subtract") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val n = docs.count()
+    // positions-only (no term vectors): deletes leave the recorded
+    // n_docs Lucene-stale until the fold — n_docs_live must hand the
+    // operator the servable count instead of making them subtract
+    val idx = tmp("status-live")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storePositions = false)
+    FullText.appendToTextIndex(spark,
+      Seq((9300001L, "fast vector live count probe"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", idx, segmentId = Some("s1"))
+    val s0 = RunStatus.describe(spark, idx)
+    assert(s0.contains(s""""n_docs":${n + 1}""") &&
+      s0.contains(s""""n_docs_live":${n + 1}"""),
+      s"no tombstones: live equals recorded (got $s0)")
+    val dead = docs.limit(3).select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    FullText.deleteFromTextIndex(spark, idx, dead)
+    val s1 = RunStatus.describe(spark, idx)
+    assert(s1.contains(s""""n_docs":${n + 1}"""),
+      s"the recorded count stays Lucene-stale by design (got $s1)")
+    assert(s1.contains(s""""n_docs_live":${n + 1 - dead.size}""") &&
+      s1.contains(s""""tombstone_rows":${dead.size}"""),
+      s"live must subtract the tombstoned docs (got $s1)")
+    // the fold trues the recorded count; live converges to it
+    FullText.compactTextIndex(spark, idx)
+    val s2 = RunStatus.describe(spark, idx)
+    assert(s2.contains(s""""n_docs":${n + 1 - dead.size}""") &&
+      s2.contains(s""""n_docs_live":${n + 1 - dead.size}""") &&
+      s2.contains("\"tombstone_rows\":0"), s"got $s2")
+    // exact-mode twin (term vectors): the delete already decremented
+    // n_docs, so live must NOT subtract the tombstones again
+    val idxTv = tmp("status-live-tv")
+    FullText.writeTextIndex(docs, "doc_id", "text", idxTv,
+      storeTermVectors = true)
+    FullText.deleteFromTextIndex(spark, idxTv, dead)
+    val sTv = RunStatus.describe(spark, idxTv)
+    assert(sTv.contains(s""""n_docs":${n - dead.size}""") &&
+      sTv.contains(s""""n_docs_live":${n - dead.size}""") &&
+      sTv.contains(s""""tombstone_rows":${dead.size}"""),
+      s"exact stats must not double-subtract (got $sTv)")
+    // multi-field: Lucene-stale like positions-only, per-field n_docs
+    val mf = docs.select($"doc_id",
+      substring($"text", 1, 24).as("title"), $"text".as("body"))
+    val idxMf = tmp("status-live-mf")
+    FullText.writeMultiFieldTextIndex(mf, "doc_id",
+      Seq("title", "body"), idxMf)
+    FullText.deleteFromTextIndex(spark, idxMf, dead)
+    val sMf = RunStatus.describe(spark, idxMf)
+    assert(sMf.contains("\"family\":\"multifield\"") &&
+      sMf.contains(s""""n_docs":$n""") &&
+      sMf.contains(s""""n_docs_live":${n - dead.size}"""),
+      s"multi-field live must subtract tombstones (got $sMf)")
+  }
 }
