@@ -767,6 +767,105 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     assert(e.getMessage.contains("vector family"))
   }
 
+  test("the full stored-vector lifecycle runs on a setTimes-blind URI-schemed filesystem, page-equal to the local twin") {
+    // the vector twin of TextIndexLayoutSpec's object-store
+    // simulation — and the heavier one: the vector layout moves MORE
+    // artifacts per mutation (meta carry, codes segments, pgroup
+    // auto-re-resolution at the fold) and until now only its lease
+    // leg and cross-JVM storm ran under a foreign scheme. Every
+    // write/append/delete/compact/search here resolves through
+    // graft.io.NoSetTimesFileSystem under nost:// — a java.io.File
+    // probe or scheme assumption anywhere in the vector path would
+    // silently misbehave on an object store, and nothing else pins
+    // it. The fold deliberately CROSSES the pgroup knee so the
+    // re-resolution (meta rewrite + re-grouped codes dirs) also runs
+    // on the blind store. The local twin runs the identical
+    // lifecycle; pages must match bit-for-bit.
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.hadoopConfiguration.set("fs.nost.impl",
+      classOf[graft.io.NoSetTimesFileSystem].getName)
+    val vecs = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val held = vecs.filter($"vec_id" % 7 === 3)
+    val base = vecs.filter($"vec_id" % 7 =!= 3)
+    def occupiedAfterGrow: Long = {
+      // the knee must sit below the grown occupancy in BOTH twins;
+      // derive it once from the corpus (cell assignment is
+      // deterministic at fixed artifacts, so both twins agree)
+      val idx = java.nio.file.Files.createTempDirectory("vn-occ")
+        .toFile.getAbsolutePath
+      SimilarityQueries.writeIvfPqIndexFrames(vecs, vecs, idx,
+        numCells = 16)
+      SimilarityQueries.codesFrame(spark, idx)
+        .select($"cell_id").distinct().count()
+    }
+    val knee = occupiedAfterGrow - 1
+    val dead = base.limit(2).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    def lifecycle(idx: String): Unit = {
+      // write below the knee (per-cell), grow past it, delete, fold:
+      // the fold re-resolves the physical layout into pgroups
+      SimilarityQueries.writeIvfPqIndexFrames(vecs, base, idx,
+        numCells = 16)
+      SimilarityQueries.appendToIvfPqIndex(spark, idx, held,
+        segmentId = Some("grow"))
+      SimilarityQueries.deleteFromIvfPqIndex(spark, idx, dead)
+      spark.conf.set("graft.index.codesAutoPgroupCells", knee.toString)
+      spark.conf.set("graft.index.codesPgroups", "4")
+      try SimilarityQueries.compactIvfPqIndex(spark, idx)
+      finally {
+        spark.conf.unset("graft.index.codesAutoPgroupCells")
+        spark.conf.unset("graft.index.codesPgroups")
+      }
+    }
+    val nIdx = "nost://" + java.nio.file.Files
+      .createTempDirectory("ivfpq-nost").toFile.getAbsolutePath
+    val lIdx = java.nio.file.Files
+      .createTempDirectory("ivfpq-nost-twin").toFile.getAbsolutePath
+    lifecycle(nIdx)
+    lifecycle(lIdx)
+    def page(idx: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, idx, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(page(nIdx) == page(lIdx),
+      "the vector lifecycle on a setTimes-blind URI-schemed store " +
+        "must equal the local twin bit-for-bit")
+    assert(!page(nIdx).exists(h => dead.contains(h._1)),
+      "deleted ids must not be served from the blind store either")
+    // the pgroup re-resolution really happened ON the blind store:
+    // the folded codes dir is pgroup-partitioned (listed through the
+    // Hadoop FS — java.io.File cannot see nost:// paths) and the
+    // LIVE generation's meta records the re-resolved count
+    val art = SimilarityQueries.vectorArtifactDir(spark, nIdx)
+    assert(art != nIdx, "the fold must have committed a generation")
+    val hfs = new org.apache.hadoop.fs.Path(nIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldDirs = hfs.listStatus(new org.apache.hadoop.fs.Path(nIdx))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("codes-v"))
+    assert(foldDirs.nonEmpty && foldDirs.forall(fd =>
+      hfs.listStatus(fd.getPath).filter(_.isDirectory)
+        .forall(_.getPath.getName.startsWith("pgroup="))),
+      "the knee-crossing fold must land pgroup'd on the blind store")
+    assert(spark.read.parquet(s"$art/meta").head()
+      .getAs[Int]("pgroups") == 4,
+      "the re-resolved pgroup count must commit with the generation")
+    // the committed state reads back through the status face
+    val st = graft.tools.RunStatus.describe(spark, nIdx)
+    assert(st.contains("\"family\":\"vector\"") &&
+      st.contains("\"codec\":\"pq\"") &&
+      st.contains("\"pgroups\":4") &&
+      st.contains("\"segments\":0") &&
+      st.contains("\"tombstone_rows\":0") &&
+      st.contains("\"orphaned_staging\":{\"count\":0,\"bytes\":0}"),
+      s"got $st")
+    // no lease, heartbeat sidecar, or write-aside outlives the run
+    for (suffix <- Seq("_mutation.lock", "_mutation.lock.hb",
+        "_mutation.lock.hb.tmp"))
+      assert(!graft.io.Layout.pathExists(spark, s"$nIdx/$suffix"),
+        s"$suffix must not outlive the mutations")
+  }
+
   test("empty vector delta: append commits its id, references no dir, stays searchable") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("ivfpq-empty")
