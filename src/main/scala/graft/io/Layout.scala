@@ -195,6 +195,15 @@ object Layout {
   def withMutationLease[T](spark: SparkSession, indexDir: String)
       (body: => T): T = {
     val key = leaseKey(spark, indexDir)
+    // a generation-pinned session is READ-ONLY for that index: a
+    // mutation under the pin would resolve its base artifacts from
+    // the pinned (old) generation and stage gen pinned+1 — silently
+    // forking history against whatever committed since. Refuse.
+    if (pinnedGeneration.get.contains(key))
+      throw new IllegalStateException(
+        s"index $indexDir is pinned at a read snapshot " +
+          s"(withPinnedGeneration) on this thread — pinned sessions " +
+          "are read-only; run the mutation outside the pin.")
     val lock = jvmLocks.computeIfAbsent(key,
       _ => new java.util.concurrent.locks.ReentrantLock())
     lock.lock()
@@ -556,6 +565,47 @@ object Layout {
       indexDir, when)
   }
 
+  /** The per-thread generation PIN set by [[withPinnedGeneration]],
+    * keyed like [[heldLeases]] by the fully-qualified index path. */
+  private val pinnedGeneration = new ThreadLocal[Map[String, Long]] {
+    override def initialValue(): Map[String, Long] = Map.empty
+  }
+
+  /** Run `body` with every read of `indexDir` PINNED at committed
+    * generation `gen` — the explicit-snapshot face of
+    * `graft.index.retainGenerations`: retaining K generations keeps
+    * a commit from deleting artifacts under a running reader, but
+    * every read face re-resolves [[liveGeneration]] per call, so a
+    * multi-query session (a repro run, a paginated scroll) could
+    * still observe gen-N for one page and gen-N+1 for the next.
+    * Inside this scope both families' artifact-dir resolvers return
+    * `gen` instead of the highest committed generation: pages are
+    * bit-stable across a concurrent commit (GenerationPinSpec races
+    * one mid-session).
+    *
+    * Read-only by construction: [[withMutationLease]] refuses to
+    * start a mutation of a pinned index on this thread — a mutation
+    * resolving its base from the pinned (old) generation would fork
+    * history against whatever committed since. The pinned generation
+    * must exist and be committed (checked at every resolution, so a
+    * retire mid-session fails loudly instead of reading deleted
+    * artifacts — retain enough generations for the longest reader).
+    * Thread-scoped like [[withLeaseWait]]: concurrent sessions on
+    * the same SparkSession pin independently. Nests by shadowing
+    * (innermost pin wins; the outer pin restores on exit). */
+  def withPinnedGeneration[T](spark: SparkSession, indexDir: String,
+      gen: Long)(body: => T): T = {
+    val key = leaseKey(spark, indexDir)
+    val prev = pinnedGeneration.get
+    pinnedGeneration.set(prev + (key -> gen))
+    // validate eagerly — a typo'd pin should fail at the pin, not at
+    // the first read deep inside a query plan
+    try {
+      liveGeneration(spark, indexDir)
+      body
+    } finally pinnedGeneration.set(prev)
+  }
+
   /** Generation COMMIT POINTS for stored-index layouts — the Lucene
     * `segments_N` model: artifacts that must move TOGETHER under a
     * mutation (a text index's dictionary + statistics + tombstones
@@ -577,6 +627,20 @@ object Layout {
     * gen-(N+1) staging directory. Readers are unaffected — they see
     * only committed generations. */
   def liveGeneration(spark: SparkSession, indexDir: String): Option[Long] = {
+    // an explicit generation pin ([[withPinnedGeneration]]) overrides
+    // the highest-committed resolution for this thread: every read
+    // face of both families resolves its artifact dir through here,
+    // so one pin holds a whole query session on one snapshot
+    pinnedGeneration.get.get(leaseKey(spark, indexDir)).foreach { g =>
+      val marker = new Path(s"${generationDir(indexDir, g)}/_COMMITTED")
+      require(marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(marker),
+        s"generation $g of $indexDir is not committed (or was " +
+          "retired) — pin a generation from committedGenerations, " +
+          "and raise graft.index.retainGenerations if commits are " +
+          "retiring snapshots readers still hold.")
+      return Some(g)
+    }
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -688,10 +752,15 @@ object Layout {
     * directory rename — HDFS, local, ABFS, GCS. On a store where
     * rename is copy+delete (plain S3A without a metadata layer) a
     * crash mid-"rename" CAN leave a partially-copied finally-named
-    * dir; it stays invisible (no marker) and is reclaimed, but the
-    * fence-to-destroy windows here widen from instants to the full
-    * copy duration — run such deployments against an atomic-rename
-    * layer (or a conditional-put store) instead. */
+    * dir; it stays invisible (no marker) and is reclaimed — PINNED,
+    * not assumed, by CopyRenameFsSpec, which runs the lifecycle on a
+    * registered copy+delete-rename FileSystem (`cprn://`) and injects
+    * the mid-copy crash: the partial never resolves as live, the
+    * previous generation serves unchanged, and the replayed mutation
+    * clears it exactly. What REMAINS true on such stores is that the
+    * fence-to-destroy windows widen from instants to the full copy
+    * duration — run such deployments against an atomic-rename layer
+    * (or a conditional-put store) when takeover racing matters. */
   def commitGeneration(spark: SparkSession, genDir: String,
       sideRenames: Seq[(String, String)] = Nil): Unit = {
     val genPath = new Path(genDir)
