@@ -1116,14 +1116,21 @@ object Layout {
     * lazily reading deletes the input mid-scan, so the new frame
     * lands in `<path>.new` first and directory renames make it live.
     * Crash before the first rename leaves the live artifact
-    * untouched; crash between renames leaves a `<path>.old` to
-    * restore (the compactBandIndex rotation). */
+    * untouched; crash between renames leaves a `<path>.old` backup
+    * that the NEXT run restores automatically before proceeding (the
+    * rotation self-heal, shared with the compactBandIndex rotation —
+    * previously a documented manual restore). */
   def rewriteParquet(spark: SparkSession, frame: DataFrame, path: String,
       partitionCols: Seq[String] = Nil): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + ".new")
     val old = new Path(path + ".old")
+    // ROTATION SELF-HEAL: a crash between the two renames left the
+    // live path missing and `.old` holding the only copy — restore
+    // before the delete below destroys the backup
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"self-heal: $path.old -> $path failed")
     fs.delete(tmp, true)
     fs.delete(old, true)
     var w = frame.write.mode("overwrite")
@@ -1143,8 +1150,9 @@ object Layout {
     * `partitionCols` (one task per hash bucket → one file per
     * partition value) and swaps directories keep-the-old-until-live
     * (the compactBandIndex rotation: crash before the swap leaves the
-    * live dir untouched; crash between renames leaves a `.old` to
-    * restore). Run in a maintenance window; online compaction wants a
+    * live dir untouched; crash between renames leaves a `.old` backup
+    * the next run restores automatically — the rotation self-heal).
+    * Run in a maintenance window; online compaction wants a
     * transactional table format.
     *
     * `minus` applies a TOMBSTONE set during the rewrite: rows whose
@@ -1171,6 +1179,14 @@ object Layout {
       while (it.hasNext)
         if (it.next().getPath.getName.endsWith(".parquet")) n += 1
       n
+    }
+    // ROTATION SELF-HEAL, as in rewriteParquet: restore a crashed
+    // predecessor's `.old` backup before reading or deleting anything
+    locally {
+      val old = new Path(path + ".old")
+      if (!fs.exists(p) && fs.exists(old))
+        require(fs.rename(old, p),
+          s"self-heal: $path.old -> $path failed")
     }
     if (!fs.exists(p)) return (0L, 0L, 0L)
     val before = dataFiles(p)

@@ -433,12 +433,19 @@ object Dedup {
       // for URI paths and the compactor would silently reclaim nothing.
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+      val old = new org.apache.hadoop.fs.Path(path + ".old")
+      // ROTATION SELF-HEAL: a predecessor that crashed BETWEEN the
+      // two swap renames left the live dir missing with `.old`
+      // holding the only copy — restore it before anything reads the
+      // missing path or deletes the backup (re-running after such a
+      // crash previously required the documented manual restore)
+      if (!fs.exists(p) && fs.exists(old))
+        require(fs.rename(old, p), s"self-heal: $path.old -> $path failed")
       if (!fs.exists(p)) return (0L, 0L)
       val before = spark.read.parquet(path)
       val nBefore = before.count()
       val compacted = dedup(before)
-      val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
-      val old = new org.apache.hadoop.fs.Path(path + ".old")
       fs.delete(tmp, true)
       fs.delete(old, true)
       compacted.write.mode("overwrite").parquet(tmp.toString)

@@ -67,4 +67,35 @@ class LayoutSpec extends SparkSpecBase {
     spark.conf.set(key, "-1")
     try f finally spark.conf.set(key, old)
   }
+
+  test("rotation self-heal: rewriteParquet and compactParquetDir restore a crashed predecessor's .old backup") {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rot(path: String): Unit = assert(fs.rename(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old")))
+    // rewriteParquet: the crash-between-renames state (live path
+    // missing, .old holding the only copy) previously hit the entry
+    // delete of .old — destroying the backup — or failed on the
+    // missing input; the heal restores it before either
+    val dir = java.nio.file.Files.createTempDirectory("rot-heal")
+      .toFile.getAbsolutePath
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$dir/art")
+    rot(s"$dir/art")
+    Layout.rewriteParquet(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), s"$dir/art")
+    assert(spark.read.parquet(s"$dir/art").count() == 3,
+      "the healed rewrite must land the replacement frame")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/art.old")))
+    // compactParquetDir: same crash state; the fold must see the
+    // restored rows, not report an empty directory
+    Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("k", "v")
+      .write.parquet(s"$dir/cmp")
+    rot(s"$dir/cmp")
+    val (_, _, rows) = Layout.compactParquetDir(spark, s"$dir/cmp")
+    assert(rows == 3,
+      s"the healed fold must rewrite the restored rows (got $rows)")
+    assert(spark.read.parquet(s"$dir/cmp").count() == 3)
+  }
 }

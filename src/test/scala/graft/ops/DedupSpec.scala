@@ -456,6 +456,23 @@ class DedupSpec extends SparkSpecBase {
     // a second compaction is a no-op rewrite
     val ((b2, b3), _) = Dedup.compactBandIndex(spark, indexDir)
     assert(b2 == b1 && b3 == b1)
+    // ROTATION SELF-HEAL: simulate a predecessor that crashed BETWEEN
+    // the two swap renames (live dir gone, `.old` holding the only
+    // copy) — the next fold must restore the backup and proceed,
+    // instead of reporting an empty index (or a collision probe
+    // failing on the missing path)
+    val hfs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.rename(
+      new org.apache.hadoop.fs.Path(s"$indexDir/bands"),
+      new org.apache.hadoop.fs.Path(s"$indexDir/bands.old")))
+    val ((b4, b5), _) = Dedup.compactBandIndex(spark, indexDir)
+    assert(b4 == b1 && b5 == b1,
+      s"the healed fold must see the restored rows ($b4 -> $b5)")
+    assert(probe() == pre.distinct,
+      "verdicts must survive the crash-restore cycle")
+    assert(!new java.io.File(s"$localDir/bands.old").exists(),
+      "the healed rotation leaves no residue")
   }
 
   test("retentionPolicy: quality beats length; singletons always survive") {
