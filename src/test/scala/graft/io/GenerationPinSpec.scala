@@ -116,4 +116,38 @@ class GenerationPinSpec extends SparkSpecBase {
         "the unpinned read follows the live generation")
     } finally spark.conf.unset("graft.index.retainGenerations")
   }
+
+  test("a retire mid-session fails the pinned reader loudly; an abandoned pin never leaks") {
+    val docs = graft.io.Tables.documents(spark, dir).limit(50)
+    val idx = tmp("pin-retire")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    val ids = docs.select($"doc_id").collect().map(_.getLong(0))
+    FullText.deleteFromTextIndex(spark, idx, Seq(ids(0))) // gen-1
+    def page() = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // retainGenerations stays at the default 1: the gen-2 commit
+    // RETIRES gen-1 under the running pinned reader — the next read
+    // must fail with the actionable message (naming the retain knob),
+    // never silently read deleted artifacts or fall back to live
+    val e = intercept[IllegalArgumentException] {
+      Layout.withPinnedGeneration(spark, idx, 1L) {
+        page() // fine: gen-1 still committed
+        onOtherThread {
+          FullText.deleteFromTextIndex(spark, idx, Seq(ids(1)))
+        }
+        page() // gen-1 is gone: must throw, not mis-read
+      }
+    }
+    assert(e.getMessage.contains("retainGenerations"),
+      s"the failure must point at the retain knob (got ${e.getMessage})")
+    // the pin unwound with the exception: the same thread reads live
+    // (a leaked pin would keep throwing on every later read) and may
+    // mutate again
+    assert(Layout.liveGeneration(spark, idx).contains(2L))
+    assert(page().nonEmpty)
+    FullText.deleteFromTextIndex(spark, idx, Seq(ids(2)))
+    assert(Layout.liveGeneration(spark, idx).contains(3L),
+      "mutations must work again once the pin unwound")
+  }
 }
