@@ -460,45 +460,42 @@ object Layout {
       // moment the lease frees. It IS contention (a holder that just
       // released), so it maps to LeaseHeldException and the wait loop
       // retries the create, which now succeeds.
-      val inspected =
+      val (heldEpoch, owner, age) =
         try {
-          val (heldEpoch, heldToken, owner) = readLease(fs, p)
+          val (e0, heldToken, o0) = readLease(fs, p)
           // liveness = the later of the lock mtime and the heartbeat
           // sidecar a setTimes-blind filesystem's holder writes — on
           // such a store the lock mtime never moves after creation and
           // would make every live multi-hour mutation takeover bait
-          val age = System.currentTimeMillis() -
-            leaseLiveness(fs, p, heldToken)
-          Some((heldEpoch, heldToken, owner, age))
+          (e0, o0,
+            System.currentTimeMillis() - leaseLiveness(fs, p, heldToken))
         } catch {
           case e: java.io.FileNotFoundException =>
             throw new LeaseHeldException(
               s"the mutation lease for $indexDir was released while " +
                 "being inspected — retry the acquisition.", e)
         }
-      inspected.foreach { case (heldEpoch, _, owner, age) =>
-        if (staleMs > 0 && age > staleMs) {
-          // stale takeover: the holder crashed without releasing.
-          // epoch+1 fences it — if it is actually alive and racing us,
-          // its commitGeneration re-read sees a token it doesn't hold
-          // and aborts. The crashed holder's heartbeat sidecar (if
-          // any) dies with its lease — a leftover would stale-match
-          // nothing (token-checked) but is garbage all the same, as is
-          // the `.tmp` write-aside a heartbeat crash can strand.
-          epoch = heldEpoch + 1
-          fs.delete(p, false)
-          val hb = heartbeatPath(p)
-          fs.delete(hb, false)
-          fs.delete(new Path(hb.getParent, hb.getName + ".tmp"), false)
-        } else {
-          throw new LeaseHeldException(
-            s"index $indexDir is being mutated by '$owner' " +
-              s"(lease epoch $heldEpoch, held ${age / 1000}s): " +
-              "concurrent mutation of one index is not supported. " +
-              "Retry after the holder commits; if it crashed, the " +
-              s"lease auto-expires after ${staleMs / 1000}s (or remove " +
-              s"$p manually).")
-        }
+      if (staleMs > 0 && age > staleMs) {
+        // stale takeover: the holder crashed without releasing.
+        // epoch+1 fences it — if it is actually alive and racing us,
+        // its commitGeneration re-read sees a token it doesn't hold
+        // and aborts. The crashed holder's heartbeat sidecar (if
+        // any) dies with its lease — a leftover would stale-match
+        // nothing (token-checked) but is garbage all the same, as is
+        // the `.tmp` write-aside a heartbeat crash can strand.
+        epoch = heldEpoch + 1
+        fs.delete(p, false)
+        val hb = heartbeatPath(p)
+        fs.delete(hb, false)
+        fs.delete(new Path(hb.getParent, hb.getName + ".tmp"), false)
+      } else {
+        throw new LeaseHeldException(
+          s"index $indexDir is being mutated by '$owner' " +
+            s"(lease epoch $heldEpoch, held ${age / 1000}s): " +
+            "concurrent mutation of one index is not supported. " +
+            "Retry after the holder commits; if it crashed, the " +
+            s"lease auto-expires after ${staleMs / 1000}s (or remove " +
+            s"$p manually).")
       }
     }
     val token = java.util.UUID.randomUUID().toString
@@ -861,21 +858,28 @@ object Layout {
     * additionally exclude anything the live manifest references. */
   private val tokenSuffixRe = "^(.+)\\.([0-9a-f]{12})$".r
 
-  /** Directories the LIVE segment manifest references (both index
-    * families commit a `segments` parquet of (kind, dir) rows into
-    * the generation dir) — the belt-and-suspenders exclusion for the
+  /** Directories ANY retained committed generation's segment manifest
+    * references (both index families commit a `segments` parquet of
+    * (kind, dir) rows into the generation dir; a root manifest covers
+    * the legacy layout) — the belt-and-suspenders exclusion for the
     * orphan sweep: nothing a committed manifest points at is ever an
-    * orphan, whatever its name looks like. */
-  private def manifestReferenced(spark: SparkSession,
+    * orphan, whatever its name looks like. ALL retained generations,
+    * not just the live one: under `retainGenerations` > 1 an older
+    * manifest may reference a segment the live fold dropped, and a
+    * reader pinned at that generation ([[withPinnedGeneration]]) must
+    * never lose it to a GC sweep. */
+  private[graft] def manifestReferenced(spark: SparkSession,
       indexDir: String): Set[String] = {
-    val art = liveGeneration(spark, indexDir)
-      .map(g => generationDir(indexDir, g)).getOrElse(indexDir)
-    if (!pathExists(spark, s"$art/segments")) Set.empty
-    else
-      try spark.read.parquet(s"$art/segments")
-        .select(col("dir")).collect()
-        .map(_.getString(0).split('/').head).toSet
-      catch { case _: Exception => Set.empty }
+    val arts = indexDir +: committedGenerations(spark, indexDir)
+      .map(g => generationDir(indexDir, g))
+    arts.flatMap { art =>
+      if (!pathExists(spark, s"$art/segments")) Set.empty[String]
+      else
+        try spark.read.parquet(s"$art/segments")
+          .select(col("dir")).collect()
+          .map(_.getString(0).split('/').head).toSet
+        catch { case _: Exception => Set.empty[String] }
+    }.toSet
   }
 
   /** ORPHANED staging artifacts of `indexDir`: the token-suffixed
@@ -913,11 +917,17 @@ object Layout {
     val live = liveGeneration(spark, indexDir).getOrElse(0L)
     fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
       val n = st.getPath.getName
-      def bytes = fs.getContentSummary(st.getPath).getLength
+      // a concurrent mutator's retire sweep can reclaim the orphan
+      // between the listing and the size read — a vanished entry is
+      // a reclaimed one, not an error (this face is documented as
+      // safe to poll from monitoring)
+      def sized: Option[(String, Long)] =
+        try Some(n -> fs.getContentSummary(st.getPath).getLength)
+        catch { case _: java.io.IOException => None }
       n match {
         case _ if referenced.contains(n) => None
         case tokenSuffixRe(_, tok) if !holderToken.contains(tok) =>
-          Some(n -> bytes)
+          sized
         case _ if (holderToken.isEmpty || underLease) &&
             n.startsWith("gen-") &&
             n.length > 4 && n.drop(4).forall(_.isDigit) &&
@@ -926,7 +936,7 @@ object Layout {
           // above the live generation with no marker and no active
           // writer (or the writer is the GC itself): a crashed
           // pre-token-staging writer's leftovers
-          Some(n -> bytes)
+          sized
         case _ => None
       }
     }
@@ -1110,6 +1120,27 @@ object Layout {
         schema).coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** The rotation SELF-HEAL, public: restore `<path>.old` to `<path>`
+    * when a crash between a swap rotation's two renames left the live
+    * path missing with the backup holding the only copy. Returns
+    * whether a restore happened. [[rewriteParquet]]/
+    * [[compactParquetDir]]/the band compactor call it internally
+    * before touching anything — but a caller whose replacement frame
+    * is COMPUTED FROM the live path (`spark.read.parquet(path)`
+    * before calling rewriteParquet) hits the missing path first, so
+    * such callers (and operators) heal explicitly before reading.
+    * [[graft.tools.RunGc]] also restores dangling `.old` backups
+    * index-wide. */
+  def healSwapRotation(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + ".old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"self-heal: $path.old -> $path failed")
+      true
+    } else false
+  }
+
   /** Swap-safe overwrite of a parquet artifact whose REPLACEMENT is
     * computed FROM its current content (a dictionary merge, a
     * statistics decrement): `mode("overwrite")` on the path a plan is
@@ -1128,14 +1159,19 @@ object Layout {
     val old = new Path(path + ".old")
     // ROTATION SELF-HEAL: a crash between the two renames left the
     // live path missing and `.old` holding the only copy — restore
-    // before the delete below destroys the backup
-    if (!fs.exists(p) && fs.exists(old))
-      require(fs.rename(old, p), s"self-heal: $path.old -> $path failed")
+    // before the delete below destroys the backup. NOTE: a caller
+    // whose frame reads FROM `path` fails before reaching here; such
+    // callers heal explicitly ([[healSwapRotation]]) before reading.
+    healSwapRotation(spark, path)
     fs.delete(tmp, true)
     fs.delete(old, true)
     var w = frame.write.mode("overwrite")
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     w.parquet(tmp.toString)
+    // an empty frame under partitionBy writes no schema-bearing file
+    // — swapping that live would replace a readable artifact with a
+    // poisoned one (the same hole the fold writers guard)
+    ensureReadableParquet(spark, tmp.toString, frame.schema)
     if (fs.exists(p))
       require(fs.rename(p, old), s"swap: $path -> .old failed")
     require(fs.rename(tmp, p), s"swap: .new -> $path failed")
@@ -1182,12 +1218,7 @@ object Layout {
     }
     // ROTATION SELF-HEAL, as in rewriteParquet: restore a crashed
     // predecessor's `.old` backup before reading or deleting anything
-    locally {
-      val old = new Path(path + ".old")
-      if (!fs.exists(p) && fs.exists(old))
-        require(fs.rename(old, p),
-          s"self-heal: $path.old -> $path failed")
-    }
+    healSwapRotation(spark, path)
     if (!fs.exists(p)) return (0L, 0L, 0L)
     val before = dataFiles(p)
     val df0 = spark.read.parquet(path)
@@ -1210,6 +1241,11 @@ object Layout {
     var w = df.write.mode("overwrite")
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     w.parquet(tmp.toString)
+    // a fold whose tombstones cover every row writes zero rows, and a
+    // zero-row partitionBy write is schema-less — without this the
+    // read-back below crashes the fold (live stays, but the
+    // maintenance job reports failure for recoverable state)
+    ensureReadableParquet(spark, tmp.toString, df.schema)
     val rows = spark.read.parquet(tmp.toString).count()
     require(fs.rename(p, old), s"swap: $path -> .old failed")
     require(fs.rename(tmp, p), s"swap: .compact -> $path failed")

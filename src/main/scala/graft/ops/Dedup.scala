@@ -440,8 +440,7 @@ object Dedup {
       // holding the only copy — restore it before anything reads the
       // missing path or deletes the backup (re-running after such a
       // crash previously required the documented manual restore)
-      if (!fs.exists(p) && fs.exists(old))
-        require(fs.rename(old, p), s"self-heal: $path.old -> $path failed")
+      graft.io.Layout.healSwapRotation(spark, path)
       if (!fs.exists(p)) return (0L, 0L)
       val before = spark.read.parquet(path)
       val nBefore = before.count()

@@ -29,10 +29,19 @@ import graft.io.Layout
   * reclaimed dir count and bytes. */
 object RunGc {
 
-  /** Separated from main for RunGcSpec: reclaim orphaned staging
-    * under the lease, returning (dirsReclaimed, bytesReclaimed). */
+  /** Separated from main for RunGcSpec: reclaim orphaned staging and
+    * sweep rotation leftovers under the lease, returning
+    * (dirsReclaimed, bytesReclaimed, rotationsHealed). The rotation
+    * sweep covers the swap-rotation crash states the staging listing
+    * doesn't: a dangling `.old` whose base path is MISSING (crash
+    * between the two renames — the backup holds the only copy) is
+    * RESTORED, never deleted; `.old` beside a live base (crash after
+    * the second rename, before the backup delete) and `.new`/
+    * `.compact` staging (crash before any rename) are garbage and
+    * reclaim. Manifest-referenced names are excluded like everywhere
+    * else. Safe under the lease: no rotation can be in flight. */
   def run(spark: SparkSession, indexDir: String,
-      waitSec: Option[Long] = None): (Int, Long) =
+      waitSec: Option[Long] = None): (Int, Long, Int) =
     Layout.withLeaseWait(spark, waitSec) {
       Layout.withMutationLease(spark, indexDir) {
         val orphans = Layout.orphanedStaging(spark, indexDir,
@@ -43,7 +52,35 @@ object RunGc {
         orphans.foreach { case (name, _) =>
           fs.delete(new Path(p, name), true)
         }
-        (orphans.size, orphans.map(_._2).sum)
+        var healed = 0
+        var garbage = 0
+        var garbageBytes = 0L
+        val rotSuffixes = Seq(".old", ".new", ".compact")
+        val referenced = Layout.manifestReferenced(spark, indexDir)
+        fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+          val n = st.getPath.getName
+          rotSuffixes.find(n.endsWith(_)).foreach { suf =>
+            val base = n.dropRight(suf.length)
+            if (base.nonEmpty && !referenced.contains(n)) {
+              if (suf == ".old" &&
+                  !fs.exists(new Path(p, base))) {
+                // the backup is the only copy: restore, don't reclaim
+                if (Layout.healSwapRotation(spark,
+                    new Path(p, base).toString)) healed += 1
+              } else {
+                val bytes =
+                  try fs.getContentSummary(st.getPath).getLength
+                  catch { case _: java.io.IOException => 0L }
+                if (fs.delete(st.getPath, true)) {
+                  garbage += 1
+                  garbageBytes += bytes
+                }
+              }
+            }
+          }
+        }
+        (orphans.size + garbage,
+          orphans.map(_._2).sum + garbageBytes, healed)
       }
     }
 
@@ -62,9 +99,9 @@ object RunGc {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (dirs, bytes) = run(spark, args(0), waitSec)
+    val (dirs, bytes, healed) = run(spark, args(0), waitSec)
     println(s"""{"tool":"gc","reclaimed_dirs":$dirs,""" +
-      s""""reclaimed_bytes":$bytes}""")
+      s""""reclaimed_bytes":$bytes,"rotations_healed":$healed}""")
     spark.stop()
   }
 }

@@ -74,8 +74,8 @@ class RunGcSpec extends SparkSpecBase {
     // RunGc reclaims under the lease, WITHOUT folding: the live
     // generation number and the search page must not move
     val genBefore = Layout.liveGeneration(spark, idx)
-    val (nDirs, nBytes) = RunGc.run(spark, idx)
-    assert(nDirs == 3 && nBytes > 0,
+    val (nDirs, nBytes, healed0) = RunGc.run(spark, idx)
+    assert(nDirs == 3 && nBytes > 0 && healed0 == 0,
       s"the sweep must reclaim all three orphans (got $nDirs)")
     assert(Layout.liveGeneration(spark, idx) == genBefore,
       "GC must not cut a generation — it reclaims, never folds")
@@ -85,7 +85,7 @@ class RunGcSpec extends SparkSpecBase {
     assert(!Layout.pathExists(spark, s"$idx/_mutation.lock"),
       "the GC's own lease must release")
     // idempotent: an empty re-sweep reclaims nothing
-    assert(RunGc.run(spark, idx) == ((0, 0L)))
+    assert(RunGc.run(spark, idx) == ((0, 0L, 0)))
   }
 
   test("an ACTIVE writer's in-flight staging is never reported or reclaimed") {
@@ -109,7 +109,7 @@ class RunGcSpec extends SparkSpecBase {
     val st2 = RunStatus.describe(spark, idx)
     assert(st2.contains("\"orphaned_staging\":{\"count\":1"),
       s"released-without-commit staging must read as orphaned (got $st2)")
-    val (n, _) = RunGc.run(spark, idx)
+    val (n, _, _) = RunGc.run(spark, idx)
     assert(n == 1)
   }
 
@@ -125,7 +125,7 @@ class RunGcSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val before = page()
     crashMidStage(idx)
-    val (n, b) = RunGc.run(spark, idx)
+    val (n, b, _) = RunGc.run(spark, idx)
     assert(n == 2 && b > 0,
       s"the sweep must reclaim exactly the crashed stage's two dirs (got $n)")
     assert(Layout.pathExists(spark, s"$idx/seg-keepme"),
@@ -133,5 +133,47 @@ class RunGcSpec extends SparkSpecBase {
     assert(page() == before, "vector search must be GC-invariant")
     assert(SimilarityQueries.liveSegmentCount(spark, idx) == 1,
       "the committed segment must still be live after GC")
+  }
+
+  test("rotation sweep: a dangling .old restores, rotation garbage reclaims, live state untouched") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.documents(spark, dir).limit(40)
+    val idx = tmp("gc-rot")
+    // the band family — the rotation-committing layout
+    val prepped = docs.select($"doc_id".as("id"),
+      graft.ops.Dedup.shingles(graft.ops.Dedup.tokens($"text")).as("sh"))
+      .filter($"sh".isNotNull)
+    prepped
+      .withColumn("bandh",
+        graft.ops.Dedup.bandHashesDirect($"sh", 16, 4))
+      .select($"id",
+        posexplode_outer($"bandh").as(Seq("band", "band_hash")))
+      .write.mode("append").parquet(s"$idx/bands")
+    prepped.select($"id", $"sh")
+      .write.mode("append").parquet(s"$idx/shingles")
+    val bandRows = spark.read.parquet(s"$idx/bands").count()
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash-between-renames: bands gone, bands.old = the only copy
+    assert(fs.rename(hp(s"$idx/bands"), hp(s"$idx/bands.old")))
+    // crash-before-any-rename: a stale .compact beside live shingles
+    Seq((1L, Seq("x"))).toDF("id", "sh").write
+      .parquet(s"$idx/shingles.compact")
+    // crash-after-second-rename: a .old beside a live base
+    Seq((2L, Seq("y"))).toDF("id", "sh").write
+      .parquet(s"$idx/shingles.old")
+    val (reclaimed, bytes, healed) = RunGc.run(spark, idx)
+    assert(healed == 1,
+      s"the dangling bands.old must RESTORE, not reclaim (got $healed)")
+    assert(reclaimed == 2 && bytes > 0,
+      s"the two garbage dirs must reclaim (got $reclaimed)")
+    assert(spark.read.parquet(s"$idx/bands").count() == bandRows,
+      "the restored rotation must hold every pre-crash row")
+    assert(!Layout.pathExists(spark, s"$idx/bands.old") &&
+      !Layout.pathExists(spark, s"$idx/shingles.compact") &&
+      !Layout.pathExists(spark, s"$idx/shingles.old"))
+    assert(spark.read.parquet(s"$idx/shingles").count() ==
+      prepped.count(), "live shingles must be untouched by the sweep")
   }
 }
