@@ -81,8 +81,27 @@ class CopyRenameFsSpec extends SparkSpecBase {
       "the replayed commit over crash leftovers must equal the twin")
     assert(Layout.orphanedStaging(spark, idx).isEmpty,
       "the retire sweep must have reclaimed the crash leftovers")
-    // the fold (heaviest rename traffic: side dirs + gen dir) also
-    // runs clean on the copy-rename store
+    // the SIDE-DIR rename is a distinct crash state: compaction's
+    // commit renames the staged folded dirs (postings-v<gen>.<token>
+    // -> postings-v<gen>) BEFORE the gen dir — crash there leaves a
+    // partially-copied finally-named side dir that no committed
+    // manifest references
+    val preFold = page(idx)
+    val genBefore = Layout.liveGeneration(spark, idx)
+    CopyRenameFileSystem.crashStagedRenameAfterFiles = 1
+    try {
+      val e = intercept[Exception] {
+        FullText.compactTextIndex(spark, idx)
+      }
+      assert(e.getMessage != null &&
+        e.getMessage.contains("simulated crash mid-copy-rename"))
+    } finally CopyRenameFileSystem.crashStagedRenameAfterFiles = -1
+    assert(Layout.liveGeneration(spark, idx) == genBefore,
+      "a crashed side rename must not move the live generation")
+    assert(page(idx) == preFold,
+      "the unreferenced partial side dir must be invisible to search")
+    // the replayed fold clears the partial (commitGeneration deletes
+    // the final name before its rename) and both folds land exact
     FullText.compactTextIndex(spark, idx)
     FullText.compactTextIndex(spark, lIdx)
     assert(page(idx) == page(lIdx),
