@@ -186,4 +186,54 @@ class RunCompactSpec extends SparkSpecBase {
       Seq("fast", "vector", "query")).count() == 0,
       "a fully-purged index must serve empty pages, not errors")
   }
+
+  test("full purge, multi-field: the fold keeps zeroed per-field stats rows and serves empty pages") {
+    val docs = graft.io.Tables.documents(spark, dir).limit(25)
+      .select($"doc_id",
+        substring($"text", 1, 24).as("title"), $"text".as("body"))
+    val idx = java.nio.file.Files.createTempDirectory("compact-purge-mf")
+      .toFile.getAbsolutePath
+    FullText.writeMultiFieldTextIndex(docs, "doc_id",
+      Seq("title", "body"), idx)
+    FullText.deleteFromTextIndex(spark, idx,
+      docs.select($"doc_id").collect().map(_.getLong(0)).toSeq)
+    val (f, _, _, rows) = RunCompact.run(spark, idx)
+    assert(f == "multifield" && rows == 0)
+    // the field list is a durable layout property: both fields keep a
+    // zeroed stats row (an empty stats artifact would crash every
+    // later stats read, including family detection)
+    val stats = spark.read
+      .parquet(s"${FullText.liveArtifactDir(spark, idx)}/stats")
+      .collect().map(r => (r.getAs[String]("field"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"))).sortBy(_._1)
+    assert(stats.toSeq == Seq(("body", 0L, 0.0), ("title", 0L, 0.0)),
+      s"purged multi-field stats must zero, not vanish (got ${stats.toSeq})")
+    assert(RunCompact.detectFamily(spark, idx) == "multifield",
+      "family detection must survive the purge")
+    assert(FullText.multiMatchSearchStored(spark, idx,
+      Seq("fast", "vector"), Seq("title" -> 2.0, "body" -> 1.0),
+      tieBreaker = 0.3).count() == 0)
+  }
+
+  test("full purge, vector: both physical layouts fold to a readable empty codes table") {
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val allIds = e.select($"vec_id").collect().map(_.getLong(0)).toSeq
+    for (pg <- Seq(-1, 4)) {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"compact-purge-v$pg")
+        .toFile.getAbsolutePath
+      SimilarityQueries.writeIvfPqIndexFrames(e, e, idx,
+        numCells = 16, pgroups = pg)
+      SimilarityQueries.deleteFromIvfPqIndex(spark, idx, allIds)
+      val (f, _, _, rows) = RunCompact.run(spark, idx)
+      assert(f == "vector" && rows == 0,
+        s"pgroups=$pg purge fold must commit zero rows (got $rows)")
+      assert(SimilarityQueries.codesFrame(spark, idx).count() == 0,
+        s"pgroups=$pg purged codes must read back empty, not crash")
+      assert(SimilarityQueries.ivfPqSearchStored(spark, idx, dir)
+        .count() == 0,
+        s"pgroups=$pg purged search must serve an empty page")
+    }
+  }
 }

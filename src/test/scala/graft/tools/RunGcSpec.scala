@@ -176,4 +176,33 @@ class RunGcSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$idx/shingles").count() ==
       prepped.count(), "live shingles must be untouched by the sweep")
   }
+
+  test("the GC faces run on a URI-schemed object-store filesystem") {
+    // RunGc and orphanedStaging are NEW filesystem-walking code — the
+    // exact class the nost:// pins exist for (a java.io.File slip
+    // would silently report nothing / reclaim nothing on a real
+    // object store, with no error)
+    spark.sparkContext.hadoopConfiguration.set("fs.nost.impl",
+      classOf[graft.io.NoSetTimesFileSystem].getName)
+    val docs = graft.io.Tables.documents(spark, dir).limit(40)
+    val idx = "nost://" + tmp("gc-nost")
+    FullText.writeTextIndex(docs, "doc_id", "text", idx,
+      storeTermVectors = true)
+    FullText.deleteFromTextIndex(spark, idx,
+      docs.limit(1).select($"doc_id").collect().map(_.getLong(0)).toSeq)
+    def page() = FullText.bm25SearchStored(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = page()
+    crashMidStage(idx)
+    val st = RunStatus.describe(spark, idx)
+    assert(st.contains("\"orphaned_staging\":{\"count\":2"),
+      s"the blind store's orphans must be visible (got $st)")
+    val (n, b, _) = RunGc.run(spark, idx)
+    assert(n == 2 && b > 0,
+      s"the sweep must reclaim both orphan dirs on nost:// (got $n)")
+    assert(page() == before, "search must be GC-invariant on nost://")
+    assert(RunStatus.describe(spark, idx)
+      .contains("\"orphaned_staging\":{\"count\":0,\"bytes\":0}"))
+    assert(!Layout.pathExists(spark, s"$idx/_mutation.lock"))
+  }
 }
