@@ -264,6 +264,8 @@ object SparkEntry {
       SimilarityQueries.storedVectorLifecycle(s, d, pgroups = 4)),
     "q155_rebucket_lifecycle" -> ((s: SparkSession, d: String) =>
       TextQueries.rebucketTextLifecycle(s, d)),
+    "q156_multifield_lifecycle" -> ((s: SparkSession, d: String) =>
+      TextQueries.multiFieldTextLifecycle(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

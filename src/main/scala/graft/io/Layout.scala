@@ -756,8 +756,12 @@ object Layout {
     * previous generation serves unchanged, and the replayed mutation
     * clears it exactly. What REMAINS true on such stores is that the
     * fence-to-destroy windows widen from instants to the full copy
-    * duration — run such deployments against an atomic-rename layer
-    * (or a conditional-put store) when takeover racing matters. */
+    * duration — run such deployments against an atomic-rename layer,
+    * OR inject a conditional-put/CAS publication primitive via
+    * `graft.index.commitMarkerFactory` ([[CommitMarker]]): the marker
+    * create then refuses when the fence token moved mid-commit, and
+    * the fully-renamed generation stays unpublished (CasMarkerSpec
+    * pins the refusal under `cprn://`). */
   def commitGeneration(spark: SparkSession, genDir: String,
       sideRenames: Seq[(String, String)] = Nil): Unit = {
     val genPath = new Path(genDir)
@@ -812,7 +816,31 @@ object Layout {
     fenceOrAbort(spark, fs, indexDir, "mid-commit")
     beforeMarkerHook()
     val marker = new Path(finalDir, "_COMMITTED")
-    fs.create(marker, true).close()
+    val publisher = commitMarker(spark)
+    if (!publisher.publish(fs, marker, indexDir,
+        heldLeases.get.get(leaseKey(spark, indexDir)).map(_._2)))
+      throw new IllegalStateException(
+        s"publication of $marker REFUSED by " +
+          s"${publisher.getClass.getName}: the fence token moved " +
+          "between the fence re-read and the conditional put — " +
+          "aborting; the renamed generation stays unpublished " +
+          "(invisible to every reader) and the GC sweeps reclaim it.")
+  }
+
+  /** The [[CommitMarker]] publication primitive for this session:
+    * `graft.index.commitMarkerFactory` names a no-arg-constructible
+    * implementation (a conditional-put/CAS publisher for stores
+    * without atomic rename — see CommitMarker's scaladoc); unset =
+    * the plain create. Instances are cached per class name — one
+    * reflective load per session, not per commit. */
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitMarker]
+  private def commitMarker(spark: SparkSession): CommitMarker = {
+    val cn = spark.conf.getOption("graft.index.commitMarkerFactory")
+      .getOrElse(classOf[CreateCommitMarker].getName)
+    markerCache.computeIfAbsent(cn, n =>
+      Class.forName(n).getDeclaredConstructor()
+        .newInstance().asInstanceOf[CommitMarker])
   }
 
   /** Reclaim generations superseded by `keep` — run AFTER a
@@ -858,6 +886,19 @@ object Layout {
     * additionally exclude anything the live manifest references. */
   private val tokenSuffixRe = "^(.+)\\.([0-9a-f]{12})$".r
 
+  /** Per-generation manifest memo for [[manifestReferenced]]: a
+    * committed generation's `segments` parquet is IMMUTABLE (every
+    * mutation stages a NEW generation; nothing rewrites a committed
+    * one), so repeated status polls can reuse the parsed set. Keyed
+    * by the segments dir path; the dir's modificationTime guards the
+    * one way the path can change content — the whole index deleted
+    * and rebuilt at the same location (a fresh dir gets a fresh
+    * mtime). One getFileStatus per poll replaces one Spark parquet
+    * job per retained generation. Bounded: cleared wholesale past
+    * 256 entries (an engine touches a handful of indexes). */
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]
+
   /** Directories ANY retained committed generation's segment manifest
     * references (both index families commit a `segments` parquet of
     * (kind, dir) rows into the generation dir; a root manifest covers
@@ -867,18 +908,54 @@ object Layout {
     * not just the live one: under `retainGenerations` > 1 an older
     * manifest may reference a segment the live fold dropped, and a
     * reader pinned at that generation ([[withPinnedGeneration]]) must
-    * never lose it to a GC sweep. */
+    * never lose it to a GC sweep.
+    *
+    * `strict` = the caller intends to DELETE what this set fails to
+    * protect (the [[graft.tools.RunGc]] sweep): a manifest read
+    * failure then PROPAGATES and the sweep aborts — swallowing it
+    * into an empty set would silently convert protection into
+    * deletion of live segment dirs whose caller-chosen names match
+    * the token shape. The lenient default serves the read-only
+    * status path, where a transient read failure only under-reports.
+    *
+    * Committed generations' manifests are served from [[manifestMemo]]
+    * (mtime-guarded); the mutable root manifest of a legacy layout is
+    * read fresh every call. */
   private[graft] def manifestReferenced(spark: SparkSession,
-      indexDir: String): Set[String] = {
+      indexDir: String, strict: Boolean = false): Set[String] = {
     val arts = indexDir +: committedGenerations(spark, indexDir)
       .map(g => generationDir(indexDir, g))
     arts.flatMap { art =>
-      if (!pathExists(spark, s"$art/segments")) Set.empty[String]
-      else
-        try spark.read.parquet(s"$art/segments")
+      val segPath = s"$art/segments"
+      def readSet(): Set[String] =
+        spark.read.parquet(segPath)
           .select(col("dir")).collect()
           .map(_.getString(0).split('/').head).toSet
-        catch { case _: Exception => Set.empty[String] }
+      val p = new Path(segPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        val st =
+          try Some(fs.getFileStatus(p))
+          catch { case _: java.io.FileNotFoundException => None }
+        st match {
+          case None => Set.empty[String]
+          case Some(s) if art != indexDir =>
+            // immutable committed-generation manifest: memoizable
+            val key = fs.makeQualified(p).toString
+            val mtime = s.getModificationTime
+            manifestMemo.get(key) match {
+              case (t, set) if t == mtime => set
+              case _ =>
+                val set = readSet()
+                if (manifestMemo.size > 256) manifestMemo.clear()
+                manifestMemo.put(key, (mtime, set))
+                set
+            }
+          case Some(_) => readSet()
+        }
+      } catch {
+        case _: Exception if !strict => Set.empty[String]
+      }
     }.toSet
   }
 
@@ -892,15 +969,22 @@ object Layout {
     * retire sweep of the NEXT committed mutation — an index that
     * crashes and then goes idle leaks them forever, which is what
     * [[graft.tools.RunGc]] exists to close. Returns (name, bytes)
-    * pairs from a driver-side listing — metadata reads only, safe to
-    * poll. A CURRENT lease holder's own staging (token matching the
-    * lock) is in-flight work, never reported.
+    * pairs from a driver-side listing plus the manifest exclusion —
+    * filesystem metadata RPCs and (first poll per committed
+    * generation only, [[manifestMemo]]) a tiny parquet read of each
+    * retained generation's segment manifest; steady-state polling
+    * costs one listing + one getFileStatus per generation, no corpus
+    * read ever. A CURRENT lease holder's own staging (token matching
+    * the lock) is in-flight work, never reported.
     *
     * `underLease` = the caller IS the current holder (the GC face):
     * the uncommitted-gen rule then applies even though a lock exists
     * — the holder is the caller, which stages nothing before its
     * sweep, so an unmarked `gen-N` above live is provably a crashed
-    * predecessor's, not in-flight work. */
+    * predecessor's, not in-flight work. The same flag marks DELETION
+    * intent, so the manifest exclusion runs strict: a manifest read
+    * failure aborts the sweep instead of degrading into an empty
+    * protection set. */
   def orphanedStaging(spark: SparkSession, indexDir: String,
       underLease: Boolean = false): Seq[(String, Long)] = {
     val p = new Path(indexDir)
@@ -913,7 +997,8 @@ object Layout {
           Some(readLease(fs, lp)._2.replace("-", "").take(12))
         else None
       } catch { case _: java.io.IOException => None }
-    val referenced = manifestReferenced(spark, indexDir)
+    val referenced =
+      manifestReferenced(spark, indexDir, strict = underLease)
     val live = liveGeneration(spark, indexDir).getOrElse(0L)
     fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
       val n = st.getPath.getName

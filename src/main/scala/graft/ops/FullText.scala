@@ -1215,7 +1215,21 @@ object FullText {
         .write.parquet(s"$stage/df")
       val deadLen = deadVecs.agg(coalesce(sum(col("tf")), lit(0L)))
         .head().getLong(0)
-      val nDocs = st.getAs[Long]("n_docs") - nDeleted
+      // decrement by the dead docs PRESENT in the index (distinct
+      // ids in the forward artifact — delete-batch-bounded), never
+      // by the raw batch count: a replayed id whose doc was already
+      // physically folded away (an at-least-once ruling feed
+      // crossing a compaction boundary — the fold clears the
+      // tombstone set, so the idempotence anti-join no longer
+      // recognizes it) or a never-indexed id would otherwise
+      // corrupt n_docs/avgdl for every later search
+      // (ObjectStoreStreamsSpec's nost:// lifecycle caught exactly
+      // that). The one imprecision left: a ZERO-TOKEN doc has no
+      // vector rows, so deleting one leaves its n_docs slot counted
+      // until a rebuild — it has no postings to mask, and no
+      // artifact records its id.
+      val presentDead = deadVecs.select(col("doc_id")).distinct().count()
+      val nDocs = st.getAs[Long]("n_docs") - presentDead
       val sumLen = st.getAs[Long]("sum_doclen") - deadLen
       require(nDocs > 0, "deleting every document: rebuild instead")
       Seq((nDocs, sumLen.toDouble / nDocs, sumLen,
@@ -2038,10 +2052,15 @@ object FullText {
     val deadSums = deadVecs.groupBy(col("field"))
       .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // present-docs discipline, same as the single-field exact path:
+    // n_docs decrements only for ids the forward artifact actually
+    // holds (any field) — replayed-past-fold and never-indexed ids
+    // decrement nothing
+    val presentDead = deadVecs.select(col("doc_id")).distinct().count()
     val updated = spark.read.parquet(s"$art/stats").collect()
       .map { r =>
         val f = r.getString(r.fieldIndex("field"))
-        val n = r.getAs[Long]("n_docs") - nDeleted
+        val n = r.getAs[Long]("n_docs") - presentDead
         require(n > 0, "deleting every document: rebuild instead")
         val s = r.getAs[Long]("sum_doclen") - deadSums.getOrElse(f, 0L)
         (f, n, s.toDouble / n, s, true, bk)

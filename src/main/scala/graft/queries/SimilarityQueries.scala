@@ -1252,10 +1252,16 @@ object SimilarityQueries {
       .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
         Seq("vec_id"))
       .join(norms, Seq("vec_id")), s"$indexDir/codes", pgroups)
+    // recorded vector count: one pass over the CHECKPOINTED
+    // assignment (exactly one row per corpus vector, codec-agnostic
+    // — the codes artifact itself is m rows per vector under pq/
+    // residual/opq) — RunStatus serves "how many vectors does this
+    // index hold" from the meta row alone
+    val nVecs = assign.count()
     Seq((codec, m, subdim, numCells, c, coarse, cGrid, pgroups,
-        pgroups0 != 0))
+        pgroups0 != 0, nVecs))
       .toDF("codec", "m", "subdim", "num_cells", "c", "coarse",
-        "c_grid", "pgroups", "pgroups_forced")
+        "c_grid", "pgroups", "pgroups_forced", "n_vecs")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     graft.ops.Checkpoints.unpersist(assign)
   }
@@ -1337,12 +1343,44 @@ object SimilarityQueries {
     metaSrc(spark, indexDir, art)
       .foreach(graft.io.Layout.copyArtifact(spark, _, s"$stage/meta"))
 
+  /** Carry the live meta forward with the recorded vector count
+    * moved by `delta` (an append's admitted rows) — the meta-
+    * rewriting face of [[carryMeta]] for mutations that change the
+    * corpus size. A meta from before the `n_vecs` column byte-copies
+    * unchanged: the base count is unknowable without the corpus scan
+    * the meta row exists to avoid (the next fold records the true
+    * count and upgrades it). */
+  private def carryMetaShifted(spark: SparkSession, indexDir: String,
+      art: String, stage: String, delta: Long): Unit =
+    metaSrc(spark, indexDir, art).foreach { src =>
+      val df = spark.read.parquet(src)
+      if (df.schema.fieldNames.contains("n_vecs"))
+        df.withColumn("n_vecs", col("n_vecs") + lit(delta))
+          .coalesce(1).write.parquet(s"$stage/meta")
+      else graft.io.Layout.copyArtifact(spark, src, s"$stage/meta")
+    }
+
+  /** Carry the live meta forward with the recorded vector count SET
+    * to `n` — the fold's face: tombstones just applied physically,
+    * so the surviving-row count is exact and a legacy meta WITHOUT
+    * the column upgrades here (the fold knows the truth for free —
+    * it already counted the folded codes). */
+  private def carryMetaWithCount(spark: SparkSession, indexDir: String,
+      art: String, stage: String, n: Long): Unit =
+    metaSrc(spark, indexDir, art).foreach { src =>
+      spark.read.parquet(src)
+        .withColumn("n_vecs", lit(n))
+        .coalesce(1).write.parquet(s"$stage/meta")
+    }
+
   /** Stage a meta row identical to `r` but with the re-resolved
     * pgroup count (and, for [[pinVectorLayout]], the forced flag) —
-    * the compaction-time layout upgrade's commit record. */
+    * the compaction-time layout upgrade's commit record. `nVecs` =
+    * the post-fold vector count when the caller just folded (Some),
+    * or preserve `r`'s recorded value (None). */
   private def stageMetaWithPgroups(spark: SparkSession,
       r: org.apache.spark.sql.Row, pgroups: Int, stage: String,
-      forced: Boolean): Unit = {
+      forced: Boolean, nVecs: Option[Long] = None): Unit = {
     import spark.implicits._
     val base = Seq((
       r.getAs[String]("codec"), r.getAs[Int]("m"), r.getAs[Int]("subdim"),
@@ -1356,7 +1394,15 @@ object SimilarityQueries {
       pgroups, forced))
       .toDF("codec", "m", "subdim", "num_cells", "c", "coarse",
         "c_grid", "pgroups", "pgroups_forced")
-    base.coalesce(1).write.parquet(s"$stage/meta")
+    val counted = nVecs.orElse(
+      if (r.schema.fieldNames.contains("n_vecs"))
+        Some(r.getAs[Long]("n_vecs"))
+      else None)
+    val out = counted match {
+      case Some(n) => base.withColumn("n_vecs", lit(n))
+      case None => base
+    }
+    out.coalesce(1).write.parquet(s"$stage/meta")
   }
 
   /** PIN the index's CURRENT physical codes layout as a write-time-
@@ -1835,7 +1881,9 @@ object SimilarityQueries {
     if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
       graft.io.Layout.copyArtifact(spark, s"$art/tombstones",
         s"$stage/tombstones")
-    carryMeta(spark, indexDir, art, stage)
+    // recorded-count maintenance: the checkpointed delta assignment
+    // (one row per admitted vector) shifts meta.n_vecs
+    carryMetaShifted(spark, indexDir, art, stage, assign.count())
     writeVecManifest(spark, stage, oldDirs :+ s"$segName/codes",
       applied :+ segName)
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
@@ -1947,9 +1995,21 @@ object SimilarityQueries {
     // layout the codes were just written in and the meta readers
     // dispatch on become visible together or not at all
     metaRow.foreach { r =>
+      // vectors, not code rows: pq/residual/opq store exactly m sub-
+      // code rows per vector (encode groups per (vec_id, sub_id));
+      // sq8 stores one array row per vector — so the folded VECTOR
+      // count derives from the footer count by arithmetic, never a
+      // distinct() pass over the rewritten codes
+      val mm = r.getAs[Int]("m")
+      val foldedVecs =
+        if (r.getAs[String]("codec") == "sq8") rows else rows / mm
       if (newPgroups != oldPgroups)
-        stageMetaWithPgroups(spark, r, newPgroups, stage, metaForced(r))
-      else carryMeta(spark, indexDir, art, stage)
+        stageMetaWithPgroups(spark, r, newPgroups, stage,
+          metaForced(r), nVecs = Some(foldedVecs))
+      else
+        // tombstones just applied physically: the folded count is
+        // exact, and a pre-n_vecs meta upgrades here for free
+        carryMetaWithCount(spark, indexDir, art, stage, foldedVecs)
     }
     // no tombstones in the new generation: physically applied; the
     // applied-segments registry carries forward past the fold

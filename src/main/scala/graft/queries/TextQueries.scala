@@ -1428,6 +1428,47 @@ object TextQueries {
   def rebucketTextLifecycle(spark: SparkSession, dir: String): DataFrame =
     textLifecycle(spark, dir, rebucketTo = Some(10))
 
+  /** q156 — the MULTI-FIELD stored lifecycle under the correctness
+    * gate (the single-field twin is q155): write a (title, body)
+    * index over the first 4/5 of the corpus with term vectors on,
+    * append the rest, tombstone-delete every doc_id ≡ 5 (mod 97)
+    * through the multi-field EXACT-decrement dispatch (per-field
+    * n_docs/sum_doclen trued at delete time), rebucket-fold 4 → 10
+    * ([[graft.ops.FullText.compactMultiFieldTextIndex]]), then serve
+    * a body-only multi_match from the artifacts.
+    *
+    * The oracle is the q145/q155 single-field BM25 SQL (projected to
+    * the multi_match column shape): `title` is the first three
+    * space-separated words of `text`, so every analyzed title token
+    * is also a body token and the blended per-term df (max over
+    * fields) collapses to the body df — a body-only query over the
+    * two-field index must therefore serve EXACTLY the single-field
+    * page. The mutation path varies (per-field stats/df/postings,
+    * the multi-field compactor, the exact decrement the r16 status
+    * fix gates on); the served answer doesn't — the q155 pattern. */
+  def multiFieldTextLifecycle(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val wm = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-mf-lifecycle").toFile.getAbsolutePath
+    val mf = docs.select($"doc_id",
+      array_join(slice(split($"text", " "), 1, 3), " ").as("title"),
+      $"text".as("body"))
+    FullText.writeMultiFieldTextIndex(mf.filter($"doc_id" <= wm),
+      "doc_id", Seq("title", "body"), idx, buckets = 4,
+      storeTermVectors = true)
+    FullText.appendToMultiFieldTextIndex(spark,
+      mf.filter($"doc_id" > wm), "doc_id", Seq("title", "body"), idx)
+    FullText.deleteFromMultiFieldTextIndex(spark, idx,
+      docs.filter($"doc_id" % 97 === 5).select($"doc_id"), 16)
+    FullText.compactMultiFieldTextIndex(spark, idx,
+      rebucket = Some(10))
+    FullText.multiMatchSearchStored(spark, idx, bm25QueryTerms,
+      Seq(("body", 1.0)), k = 20)
+  }
+
   private def textLifecycle(spark: SparkSession, dir: String,
       rebucketTo: Option[Int]): DataFrame = {
     import spark.implicits._
@@ -3007,6 +3048,16 @@ object TextQueries {
     // over documents minus the deleted ids
     "q145_stored_lifecycle" -> textLifecycleOracle,
     "q155_rebucket_lifecycle" -> textLifecycleOracle,
+    // q156 = the SAME surviving-corpus BM25 (title tokens are a
+    // subset of body tokens by construction, so blended df = body
+    // df), projected to multi_match's three score columns — a
+    // hash-match proves the two-field write → append → exact-delete
+    // → rebucket-fold chain serves the single-field page
+    "q156_multifield_lifecycle" ->
+      s"""WITH page AS ($textLifecycleOracle)
+         |SELECT doc_id, score AS score_best, score AS score_most,
+         |  score AS score_cross
+         |FROM page ORDER BY score_best DESC, doc_id""".stripMargin,
     "q49_length_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | quantile_cont(n_chars, 0.25) AS p25,

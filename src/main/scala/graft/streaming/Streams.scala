@@ -490,8 +490,14 @@ object Streams {
     * live view, and compaction reclaims rows in the usual
     * maintenance window. At-least-once delivery is SAFE because the
     * delete is IDEMPOTENT — the batch anti-joins the live tombstone
-    * set before touching statistics — so a crash-replayed batch
-    * cannot double-decrement df/stats (StreamsSpec pins the replay).
+    * set before touching statistics, and an id replayed ACROSS a
+    * fold boundary (the fold applies tombstones physically and
+    * clears the set, so the anti-join no longer recognizes it)
+    * decrements nothing either: the exact-stats path counts only
+    * dead docs PRESENT in the forward artifact — so a crash-replayed
+    * batch cannot double-decrement df/stats (StreamsSpec pins the
+    * in-window replay; ObjectStoreStreamsSpec pins the cross-fold
+    * replay inside the full streamed lifecycle).
     * The batch frame passes through WHOLE (the DataFrame delete
     * face): a ruling feed that dumps millions of ids into one
     * micro-batch costs shuffles, never a driver collect. */

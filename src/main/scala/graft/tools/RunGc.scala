@@ -39,7 +39,13 @@ object RunGc {
     * the second rename, before the backup delete) and `.new`/
     * `.compact` staging (crash before any rename) are garbage and
     * reclaim. Manifest-referenced names are excluded like everywhere
-    * else. Safe under the lease: no rotation can be in flight. */
+    * else (STRICT: a manifest read failure aborts the sweep — this
+    * set is the only guard on deletion). Safe under the lease for
+    * every ENGINE mutator (all rotations run inside
+    * withMutationLease); legacy direct callers that rotate without
+    * the lease are covered by the `graft.index.gcRotationGraceMs`
+    * mtime grace window (default 15 min, 0 = sweep everything) —
+    * rotation dirs younger than the grace are skipped this run. */
   def run(spark: SparkSession, indexDir: String,
       waitSec: Option[Long] = None): (Int, Long, Int) =
     Layout.withLeaseWait(spark, waitSec) {
@@ -49,19 +55,42 @@ object RunGc {
         val p = new Path(indexDir)
         val fs = p.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        orphans.foreach { case (name, _) =>
-          fs.delete(new Path(p, name), true)
+        // count an orphan reclaimed only when the delete SUCCEEDS —
+        // a false return (permission, transient store error) must
+        // not inflate the reported reclamation
+        var reclaimed = 0
+        var reclaimedBytes = 0L
+        orphans.foreach { case (name, bytes) =>
+          if (fs.delete(new Path(p, name), true)) {
+            reclaimed += 1
+            reclaimedBytes += bytes
+          }
         }
         var healed = 0
-        var garbage = 0
-        var garbageBytes = 0L
         val rotSuffixes = Seq(".old", ".new", ".compact")
-        val referenced = Layout.manifestReferenced(spark, indexDir)
+        // strict: this set is the ONLY thing keeping the sweep off
+        // manifest-referenced segment dirs whose caller-chosen names
+        // end in a rotation suffix — a manifest read failure aborts
+        // here rather than proceed with an empty exclusion
+        val referenced =
+          Layout.manifestReferenced(spark, indexDir, strict = true)
+        // grace window: every ENGINE rotation runs under the lease we
+        // hold, so none can be in flight — but fenceHeldLease admits
+        // legacy direct callers that rotate WITHOUT the lease, and
+        // sweeping their seconds-old staging would abort their
+        // rotation mid-flight. Rotation dirs younger than the grace
+        // are skipped (crashed leftovers are hours old by the time an
+        // operator runs GC; the next run picks up anything skipped).
+        val graceMs = spark.conf
+          .getOption("graft.index.gcRotationGraceMs")
+          .map(_.toLong).getOrElse(15L * 60 * 1000)
+        val now = System.currentTimeMillis()
         fs.listStatus(p).filter(_.isDirectory).foreach { st =>
           val n = st.getPath.getName
           rotSuffixes.find(n.endsWith(_)).foreach { suf =>
             val base = n.dropRight(suf.length)
-            if (base.nonEmpty && !referenced.contains(n)) {
+            if (base.nonEmpty && !referenced.contains(n) &&
+                now - st.getModificationTime >= graceMs) {
               if (suf == ".old" &&
                   !fs.exists(new Path(p, base))) {
                 // the backup is the only copy: restore, don't reclaim
@@ -72,15 +101,14 @@ object RunGc {
                   try fs.getContentSummary(st.getPath).getLength
                   catch { case _: java.io.IOException => 0L }
                 if (fs.delete(st.getPath, true)) {
-                  garbage += 1
-                  garbageBytes += bytes
+                  reclaimed += 1
+                  reclaimedBytes += bytes
                 }
               }
             }
           }
         }
-        (orphans.size + garbage,
-          orphans.map(_._2).sum + garbageBytes, healed)
+        (reclaimed, reclaimedBytes, healed)
       }
     }
 

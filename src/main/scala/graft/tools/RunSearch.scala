@@ -29,10 +29,17 @@ object RunSearch {
     * STORED index ([[FullText.simpleQueryStringStored]] — zero
     * corpus scans for the search; the text join below reads only the
     * k hit rows for highlighting, as a deployment's stored-fields
-    * lookup would). */
+    * lookup would). `generation` (the CLI's `--generation N`) pins
+    * the stored index at committed snapshot N via
+    * [[graft.io.Layout.withPinnedGeneration]] — the operational face
+    * for reproducing a page from a RETAINED generation while newer
+    * commits land (pick N from RunStatus's
+    * `committed_generations`). The pin resolves every artifact path
+    * at plan construction, so the returned frame stays on gen-N. */
   def run(spark: SparkSession, sfDir: String, query: String,
       k: Int = 10, indexDir: Option[String] = None,
-      after: Option[(Double, Long)] = None): DataFrame = {
+      after: Option[(Double, Long)] = None,
+      generation: Option[Long] = None): DataFrame = {
     val p = QueryString.parse(query)
     val hlTerms =
       (p.scoringTerms ++ p.phrases.flatten).distinct
@@ -40,19 +47,29 @@ object RunSearch {
     // pushes below the top-k only where an index serves the ranking
     require(after.isEmpty || indexDir.isDefined,
       "search_after paging requires a stored index")
-    val hits = indexDir match {
-      case Some(idx) =>
-        FullText.simpleQueryStringStored(spark, idx, query, k,
-          after = after)
-      case None => TextQueries.simpleQueryString(spark, sfDir, query, k)
+    require(generation.isEmpty || indexDir.isDefined,
+      "--generation pins a stored index snapshot — pass the index dir")
+    def build(): DataFrame = {
+      val hits = indexDir match {
+        case Some(idx) =>
+          FullText.simpleQueryStringStored(spark, idx, query, k,
+            after = after)
+        case None => TextQueries.simpleQueryString(spark, sfDir, query, k)
+      }
+      hits
+        .join(Tables.documents(spark, sfDir).select(col("doc_id"),
+          col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("score"),
+          FullText.highlightRawText(col("text"), hlTerms)
+            .as("highlighted"))
+        .orderBy(col("score").desc, col("doc_id"))
     }
-    hits
-      .join(Tables.documents(spark, sfDir).select(col("doc_id"),
-        col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("score"),
-        FullText.highlightRawText(col("text"), hlTerms)
-          .as("highlighted"))
-      .orderBy(col("score").desc, col("doc_id"))
+    generation match {
+      case Some(g) =>
+        graft.io.Layout.withPinnedGeneration(spark, indexDir.get, g)(
+          build())
+      case None => build()
+    }
   }
 
   /** HYBRID hits from the persisted indexes: the CLI face of q147 —
@@ -64,25 +81,48 @@ object RunSearch {
     * Output: (doc_id, rrf_score, highlighted). */
   def runHybrid(spark: SparkSession, sfDir: String, query: String,
       textIdx: String, vecIdx: String, queryVecId: Long = 0L,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, generation: Option[Long] = None): DataFrame = {
     val p = QueryString.parse(query)
     val terms = (p.scoringTerms ++ p.phrases.flatten).distinct
     require(terms.nonEmpty, "hybrid search needs scoring terms")
-    val hits = TextQueries.hybridRrfSearchStored(spark, textIdx,
-      vecIdx, sfDir, queryId = queryVecId, k = k, terms = terms)
-    hits
-      .join(Tables.documents(spark, sfDir).select(col("doc_id"),
-        col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("rrf_score"),
-        FullText.highlightRawText(col("text"), terms)
-          .as("highlighted"))
-      .orderBy(col("rrf_score").desc, col("doc_id"))
+    def build(): DataFrame = {
+      val hits = TextQueries.hybridRrfSearchStored(spark, textIdx,
+        vecIdx, sfDir, queryId = queryVecId, k = k, terms = terms)
+      hits
+        .join(Tables.documents(spark, sfDir).select(col("doc_id"),
+          col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("rrf_score"),
+          FullText.highlightRawText(col("text"), terms)
+            .as("highlighted"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }
+    // `--generation` pins the LEXICAL index (the mutation-heavy leg);
+    // the vector index resolves live — pin both by nesting
+    // withPinnedGeneration calls programmatically if needed
+    generation match {
+      case Some(g) =>
+        graft.io.Layout.withPinnedGeneration(spark, textIdx, g)(build())
+      case None => build()
+    }
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    // --generation N: pin the stored index at committed snapshot N
+    // (values from RunStatus's committed_generations); flag-style so
+    // the positional contract stays untouched
+    val genIdx = args0.indexOf("--generation")
+    require(genIdx < 0 || genIdx + 1 < args0.length,
+      "--generation requires a value (see RunStatus " +
+        "committed_generations)")
+    val generation =
+      if (genIdx >= 0) Some(args0(genIdx + 1).toLong) else None
+    val args =
+      if (genIdx >= 0)
+        args0.take(genIdx) ++ args0.drop(genIdx + 2)
+      else args0
     require(args.length >= 2,
       "usage: RunSearch <sfDir> <query> [k] [storedIndexDir] " +
-        "[vectorIndexDir [queryVecId]]")
+        "[vectorIndexDir [queryVecId]] [--generation N]")
     val k = if (args.length >= 3) args(2).toInt else 10
     val idxDir = if (args.length >= 4) Some(args(3)) else None
     if (args.length >= 5) {
@@ -99,7 +139,7 @@ object RunSearch {
       try {
         val vid = if (args.length >= 6) args(5).toLong else 0L
         val rows = runHybrid(spark, args(0), args(1),
-          idxDir.get, args(4), vid, k).collect()
+          idxDir.get, args(4), vid, k, generation).collect()
         println(s"${rows.length} hybrid hits for: ${args(1)}")
         rows.foreach { r =>
           val snippet = r.getString(2)
@@ -121,7 +161,8 @@ object RunSearch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val rows = run(spark, args(0), args(1), k, idxDir).collect()
+      val rows = run(spark, args(0), args(1), k, idxDir,
+        generation = generation).collect()
       println(s"${rows.length} hits for: ${args(1)}")
       rows.foreach { r =>
         val snippet = r.getString(2)

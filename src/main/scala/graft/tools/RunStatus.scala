@@ -28,10 +28,15 @@ import graft.ops.FullText
   * recorded corpus statistics and bucket count plus `n_docs_live` —
   * recorded n_docs minus the tombstoned doc count where the recorded
   * value is Lucene-stale (positions-only and multi-field layouts
-  * leave n_docs untouched until the fold; the exact-decrement
-  * term-vector path already excludes them) — so an operator reads
-  * the servable corpus size directly instead of subtracting; vector
-  * adds the codec/coarse/pgroups meta row. */
+  * leave n_docs untouched until the fold; BOTH families'
+  * exact-decrement term-vector paths already exclude them) — so an
+  * operator reads the servable corpus size directly instead of
+  * subtracting; vector adds the codec/coarse/pgroups meta row plus
+  * the same pair as `n_vecs`/`n_vecs_live` (recorded at write,
+  * shifted at append, trued at fold; deletes derive live through
+  * the tombstone count). `committed_generations` lists every
+  * retained snapshot ascending — the values a `--generation` read
+  * face accepts. */
 object RunStatus {
 
   private def jstr(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
@@ -45,16 +50,23 @@ object RunStatus {
     sb ++= s"""{"tool":"status","family":${jstr(fam)}"""
     sb ++= s""","generation":${gen.getOrElse(-1L)}"""
     sb ++= s""","generations":${math.max(gens.size, 1)}"""
+    // the PINNABLE snapshots, ascending — what an operator passes to
+    // a --generation read face (withPinnedGeneration); more than one
+    // only under graft.index.retainGenerations > 1
+    sb ++= s""","committed_generations":[${gens.mkString(",")}]"""
     fam match {
       case "text" | "multifield" =>
         val art = FullText.liveArtifactDir(spark, indexDir)
         val st = spark.read.parquet(s"$art/stats")
         val tombs = tombRows(spark, s"$art/tombstones")
         // whether the recorded n_docs already EXCLUDES tombstoned
-        // docs: the exact-decrement delete path (single-field with
-        // term vectors) trues statistics at delete time; every other
-        // text variant leaves them Lucene-stale until the fold
-        val statsExact = fam == "text" &&
+        // docs: BOTH families' exact-decrement delete paths (single-
+        // field AND multi-field with term vectors — the multi-field
+        // dispatch in deleteFromMultiFieldTextIndexImpl trues the
+        // per-field statistics at delete time while still recording
+        // tombstones) leave the recorded value live; positions-only
+        // layouts of either family are Lucene-stale until the fold
+        val statsExact = (fam == "text" || fam == "multifield") &&
           FullText.hasTermVectors(spark, indexDir, art, st.head())
         def emitLive(nDocs: Long): Unit = {
           // the number an operator actually wants next to a non-zero
@@ -62,8 +74,12 @@ object RunStatus {
           // Both inputs are already metadata (recorded stats row +
           // recorded tombstone count) — no corpus scan. Tombstones
           // are distinct doc ids by construction, so the subtraction
-          // is exact; under exact-mode stats the recorded n_docs IS
-          // live already and subtracting again would double-count.
+          // is exact for ids that were indexed (a ghost id recorded
+          // by a replayed ruling under-reports live until the fold
+          // reclaims it — the mask-of-nothing row is the only trace
+          // such a delete leaves); under exact-mode stats the
+          // recorded n_docs IS live already and subtracting again
+          // would double-count.
           val live = if (statsExact) nDocs
             else math.max(nDocs - tombs, 0L)
           sb ++= s""","n_docs_live":$live"""
@@ -106,7 +122,19 @@ object RunStatus {
                 r.getAs[String]("dir").startsWith("seg-"))
           else 0
         sb ++= s""","segments":$segs"""
-        sb ++= s""","tombstone_rows":${tombRows(spark, s"$art/tombstones")}"""
+        val vTombs = tombRows(spark, s"$art/tombstones")
+        // recorded at write, shifted at append, trued at fold — the
+        // vector twin of the text family's n_docs/n_docs_live pair.
+        // Deletes leave it recorded-stale (the FAISS remove_ids
+        // economy: quantizers and counts true at the fold), so live
+        // = recorded minus tombstones. Metas from before the column
+        // (upgraded at their next fold) just omit both fields.
+        if (m.schema.fieldNames.contains("n_vecs")) {
+          val nv = m.getAs[Long]("n_vecs")
+          sb ++= s""","n_vecs":$nv"""
+          sb ++= s""","n_vecs_live":${math.max(nv - vTombs, 0L)}"""
+        }
+        sb ++= s""","tombstone_rows":$vTombs"""
       case "band" =>
         // append-only log artifacts: presence is the status; row
         // counts would be corpus scans and belong to the compactor's

@@ -163,7 +163,19 @@ class RunGcSpec extends SparkSpecBase {
     // crash-after-second-rename: a .old beside a live base
     Seq((2L, Seq("y"))).toDF("id", "sh").write
       .parquet(s"$idx/shingles.old")
-    val (reclaimed, bytes, healed) = RunGc.run(spark, idx)
+    // under the DEFAULT grace window these seconds-old dirs read as
+    // possibly-in-flight legacy rotations and the sweep must skip
+    // them ALL — including the restore branch
+    val (r0, _, h0) = RunGc.run(spark, idx)
+    assert(r0 == 0 && h0 == 0,
+      s"fresh rotation dirs must survive the grace window (got $r0/$h0)")
+    assert(Layout.pathExists(spark, s"$idx/bands.old"),
+      "the graced .old must not be touched")
+    // 0 = the operator's explicit "nothing is in flight" override
+    spark.conf.set("graft.index.gcRotationGraceMs", "0")
+    val (reclaimed, bytes, healed) =
+      try RunGc.run(spark, idx)
+      finally spark.conf.unset("graft.index.gcRotationGraceMs")
     assert(healed == 1,
       s"the dangling bands.old must RESTORE, not reclaim (got $healed)")
     assert(reclaimed == 2 && bytes > 0,

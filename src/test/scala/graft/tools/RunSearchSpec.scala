@@ -88,4 +88,48 @@ class RunSearchSpec extends SparkSpecBase {
         s"tag-strip must round-trip doc ${r.getLong(0)}")
     }
   }
+
+  test("--generation pins the page while a newer generation commits between invocations") {
+    val idx = java.nio.file.Files.createTempDirectory("cli-pin")
+      .toFile.getAbsolutePath
+    graft.ops.FullText.writeTextIndex(
+      Tables.documents(spark, dir), "doc_id", "text", idx,
+      storePositions = false)
+    spark.conf.set("graft.index.retainGenerations", "3")
+    try {
+      graft.ops.FullText.appendToTextIndex(spark,
+        Seq((9500001L, "pin probe baseline"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx, segmentId = Some("p1"))
+      val q = "fast vector"
+      def page(gen: Option[Long]) =
+        RunSearch.run(spark, dir, q, 10, Some(idx), generation = gen)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pinned1 = page(Some(1L))
+      assert(pinned1.nonEmpty)
+      // a newer commit lands BETWEEN the two pinned invocations: a
+      // repeated doc stuffed with the query terms that re-ranks the
+      // live page (and moves every BM25 score through n_docs/avgdl)
+      graft.ops.FullText.appendToTextIndex(spark,
+        Seq((9500002L, "fast vector fast vector fast vector"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx, segmentId = Some("p2"))
+      // the synthetic doc can't pass the CLI's highlight join (it
+      // has no corpus text row) — the live page moves through the
+      // corpus statistics instead: n_docs/avgdl shifted, so every
+      // BM25 score drifts off the pinned snapshot's
+      val live = page(None)
+      assert(live != pinned1,
+        "the fixture must actually move the live page")
+      assert(page(Some(1L)) == pinned1,
+        "the pinned page must be bit-stable across the commit")
+      // the pinnable list is discoverable from the status face
+      assert(RunStatus.describe(spark, idx)
+        .contains("\"committed_generations\":[1,2]"))
+      // a pin without a stored index is a usage error, not a scan
+      intercept[IllegalArgumentException] {
+        RunSearch.run(spark, dir, q, 10, None, generation = Some(1L))
+      }
+    } finally spark.conf.unset("graft.index.retainGenerations")
+  }
 }

@@ -154,5 +154,85 @@ class RunStatusSpec extends SparkSpecBase {
       sMf.contains(s""""n_docs":$n""") &&
       sMf.contains(s""""n_docs_live":${n - dead.size}"""),
       s"multi-field live must subtract tombstones (got $sMf)")
+    // multi-field WITH term vectors: the delete dispatch takes the
+    // exact path (per-field n_docs decremented at delete time while
+    // tombstones still record), so live must NOT subtract again
+    val idxMfTv = tmp("status-live-mf-tv")
+    FullText.writeMultiFieldTextIndex(mf, "doc_id",
+      Seq("title", "body"), idxMfTv, storeTermVectors = true)
+    FullText.deleteFromMultiFieldTextIndex(spark, idxMfTv, dead)
+    val sMfTv = RunStatus.describe(spark, idxMfTv)
+    assert(sMfTv.contains(s""""n_docs":${n - dead.size}""") &&
+      sMfTv.contains(s""""n_docs_live":${n - dead.size}""") &&
+      sMfTv.contains(s""""tombstone_rows":${dead.size}"""),
+      s"multi-field exact stats must not double-subtract (got $sMfTv)")
+  }
+
+  test("n_vecs / n_vecs_live: the vector twin across write → append → delete → fold") {
+    val emb = graft.io.Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val idx = tmp("status-nvecs")
+    SimilarityQueries.writeIvfPqIndex(spark, dir, idx)
+    val s0 = RunStatus.describe(spark, idx)
+    assert(s0.contains(s""""n_vecs":$n""") &&
+      s0.contains(s""""n_vecs_live":$n"""),
+      s"write must record the corpus count (got $s0)")
+    // append a delta: recorded count shifts by the admitted rows
+    val delta = emb.filter($"vec_id" % 17 === 3)
+      .select(($"vec_id" + 920000L).as("vec_id"), $"embedding")
+    val dn = delta.count()
+    SimilarityQueries.appendToIvfPqIndex(spark, idx, delta,
+      segmentId = Some("nv1"))
+    val s1 = RunStatus.describe(spark, idx)
+    assert(s1.contains(s""""n_vecs":${n + dn}""") &&
+      s1.contains(s""""n_vecs_live":${n + dn}"""),
+      s"append must shift the recorded count (got $s1)")
+    // a REPLAYED batch must not double-count (the applied-segments
+    // no-op path carries meta unchanged)
+    SimilarityQueries.appendToIvfPqIndex(spark, idx, delta,
+      segmentId = Some("nv1"))
+    assert(RunStatus.describe(spark, idx)
+      .contains(s""""n_vecs":${n + dn}"""),
+      "a replayed append must be count-invariant")
+    // delete: recorded stays (FAISS remove_ids economy), live derives
+    val dead = emb.limit(7).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idx, dead)
+    val s2 = RunStatus.describe(spark, idx)
+    assert(s2.contains(s""""n_vecs":${n + dn}""") &&
+      s2.contains(s""""n_vecs_live":${n + dn - dead.size}""") &&
+      s2.contains(s""""tombstone_rows":${dead.size}"""),
+      s"delete must derive live through tombstones (got $s2)")
+    // the fold applies tombstones physically and trues the record
+    SimilarityQueries.compactIvfPqIndex(spark, idx)
+    val s3 = RunStatus.describe(spark, idx)
+    assert(s3.contains(s""""n_vecs":${n + dn - dead.size}""") &&
+      s3.contains(s""""n_vecs_live":${n + dn - dead.size}""") &&
+      s3.contains("\"tombstone_rows\":0"),
+      s"the fold must true the recorded count (got $s3)")
+  }
+
+  test("committed_generations lists every retained pinnable snapshot ascending") {
+    val docs = graft.io.Tables.documents(spark, dir).limit(50)
+    val idx = tmp("status-gens")
+    spark.conf.set("graft.index.retainGenerations", "4")
+    try {
+      FullText.writeTextIndex(docs, "doc_id", "text", idx)
+      assert(RunStatus.describe(spark, idx)
+        .contains("\"committed_generations\":[]"),
+        "the legacy root layout has no pinnable generations")
+      FullText.appendToTextIndex(spark,
+        Seq((9400001L, "first committed generation"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx, segmentId = Some("g1"))
+      FullText.appendToTextIndex(spark,
+        Seq((9400002L, "second committed generation"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx, segmentId = Some("g2"))
+      val st = RunStatus.describe(spark, idx)
+      assert(st.contains("\"committed_generations\":[1,2]") &&
+        st.contains("\"generation\":2"),
+        s"both retained snapshots must list ascending (got $st)")
+    } finally spark.conf.unset("graft.index.retainGenerations")
   }
 }
