@@ -985,6 +985,31 @@ object Layout {
     * intent, so the manifest exclusion runs strict: a manifest read
     * failure aborts the sweep instead of degrading into an empty
     * protection set. */
+  /** Base names under `indexDir` sitting in the AMBIGUOUS rotation
+    * crash state — live base + `.old` + staging all present (see
+    * [[AmbiguousRotationException]]): every fold of such an artifact
+    * refuses until an operator resolves it, so the monitoring face
+    * must surface the halt without anyone running a mutation.
+    * Driver-side listing + two exists probes per backup — metadata
+    * RPCs only, safe to poll. */
+  def ambiguousRotations(spark: SparkSession,
+      indexDir: String): Seq[String] = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".old") && n.length > 4)
+      .map(_.dropRight(4))
+      .filter { base =>
+        fs.exists(new Path(p, base)) &&
+          Seq(".new", ".compact")
+            .exists(s => fs.exists(new Path(p, base + s)))
+      }
+      .toSeq.sorted
+  }
+
   def orphanedStaging(spark: SparkSession, indexDir: String,
       underLease: Boolean = false): Seq[(String, Long)] = {
     val p = new Path(indexDir)
@@ -1205,25 +1230,91 @@ object Layout {
         schema).coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** The rotation SELF-HEAL, public: restore `<path>.old` to `<path>`
-    * when a crash between a swap rotation's two renames left the live
-    * path missing with the backup holding the only copy. Returns
-    * whether a restore happened. [[rewriteParquet]]/
-    * [[compactParquetDir]]/the band compactor call it internally
-    * before touching anything — but a caller whose replacement frame
-    * is COMPUTED FROM the live path (`spark.read.parquet(path)`
-    * before calling rewriteParquet) hits the missing path first, so
-    * such callers (and operators) heal explicitly before reading.
-    * [[graft.tools.RunGc]] also restores dangling `.old` backups
-    * index-wide. */
+  /** A swap rotation whose crash state cannot be resolved without
+    * risking data: live base + `.old` backup + staging dir all
+    * present. UNREACHABLE on atomic-rename stores (a rename is
+    * instant, so the observable states are base+tmp, `.old`+tmp,
+    * `.old`+base) — but a copy+delete-rename store (bare S3A) passes
+    * through it three ways, and in each a DIFFERENT artifact is the
+    * partial one: crash mid-copy of rename-1 (`.old` partial), crash
+    * mid-copy of rename-2 (base partial), crash during rename-2's
+    * source delete (staging partial). No automatic pick is safe in
+    * all three, so the engine STOPS — every mutator heals before
+    * touching a rotated artifact, and this exception turns what used
+    * to be silent enshrinement of a partial base (the old heal saw
+    * "base exists" and proceeded; the writer's purge then destroyed
+    * the complete copies) into a loud, resolvable halt. The message
+    * carries the operator resolution. */
+  final class AmbiguousRotationException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** The rotation SELF-HEAL, public. Crash states of the shared
+    * swap-rotation sequence (purge tmp+old → write tmp → rename
+    * base→`.old` → rename tmp→base → delete `.old`) resolve here;
+    * returns whether a heal happened.
+    *
+    *  - base MISSING, exactly one staging dir (`.new`/`.compact`)
+    *    beside `.old`: the rename pair was in flight and BOTH
+    *    survivors are complete (`.old` because rename-1's source
+    *    delete only runs after its copy finished; the staging dir
+    *    because rename-2 had not consumed it). Heal FORWARD: promote
+    *    the staging dir, drop the backup — the fold is kept, not
+    *    recomputed. Idempotent under re-crash (the staging dir
+    *    outlives a failed promote on a copy-rename store).
+    *  - base MISSING, `.old` only (or ambiguous double staging): the
+    *    classic between-renames state — restore the backup, the one
+    *    artifact known complete; stray staging dirs become ordinary
+    *    garbage for the sweep.
+    *  - base PRESENT + `.old` + a staging dir: AMBIGUOUS on
+    *    copy-rename stores (three crash points, a different partial
+    *    artifact in each — see [[AmbiguousRotationException]]).
+    *    THROWS instead of guessing. The operator inspects and picks
+    *    — keep the base (delete `.old` + staging), rewind (delete
+    *    base + staging, rename `.old` back), or roll forward (delete
+    *    base + `.old`, rename the staging dir in) — then re-runs.
+    *
+    * `.old` beside a live base with NO staging dir (crash after
+    * rename-2, before the backup delete) needs no heal — the base is
+    * complete; the sweep reclaims the backup. A staging dir with NO
+    * `.old` is a crashed WRITE (the writer purges old first), i.e.
+    * garbage — never promoted.
+    *
+    * [[rewriteParquet]]/[[compactParquetDir]]/the band compactor call
+    * this internally before touching anything — but a caller whose
+    * replacement frame is COMPUTED FROM the live path
+    * (`spark.read.parquet(path)` before calling rewriteParquet) hits
+    * the missing/partial path first, so such callers (and operators)
+    * heal explicitly before reading. [[graft.tools.RunGc]] heals
+    * index-wide, reporting ambiguous rotations instead of dying on
+    * the first one. */
   def healSwapRotation(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(path + ".old")
-    if (!fs.exists(p) && fs.exists(old)) {
-      require(fs.rename(old, p), s"self-heal: $path.old -> $path failed")
-      true
-    } else false
+    if (!fs.exists(old)) return false
+    val tmps = Seq(".new", ".compact").map(s => new Path(path + s))
+      .filter(fs.exists)
+    if (fs.exists(p)) {
+      if (tmps.nonEmpty) throw new AmbiguousRotationException(
+        s"swap rotation of $path crashed mid-flight on a " +
+          "copy-rename store: base, .old and staging " +
+          s"(${tmps.map(_.getName).mkString(", ")}) all exist, and " +
+          "which one is partial depends on where the copy died. " +
+          "Resolve manually — keep the base (delete .old + staging), " +
+          "rewind (delete base + staging, rename .old back), or " +
+          "roll forward (delete base + .old, rename the staging dir " +
+          "in) — then re-run. On atomic-rename stores this state is " +
+          "unreachable.")
+      false // complete base, stray backup: the sweep reclaims it
+    } else tmps match {
+      case Seq(tmp) =>
+        require(fs.rename(tmp, p), s"self-heal: $tmp -> $path failed")
+        fs.delete(old, true)
+        true
+      case _ =>
+        require(fs.rename(old, p), s"self-heal: $path.old -> $path failed")
+        true
+    }
   }
 
   /** Swap-safe overwrite of a parquet artifact whose REPLACEMENT is

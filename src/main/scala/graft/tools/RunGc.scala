@@ -33,21 +33,24 @@ object RunGc {
     * sweep rotation leftovers under the lease, returning
     * (dirsReclaimed, bytesReclaimed, rotationsHealed). The rotation
     * sweep covers the swap-rotation crash states the staging listing
-    * doesn't: a dangling `.old` whose base path is MISSING (crash
-    * between the two renames — the backup holds the only copy) is
-    * RESTORED, never deleted; `.old` beside a live base (crash after
-    * the second rename, before the backup delete) and `.new`/
-    * `.compact` staging (crash before any rename) are garbage and
-    * reclaim. Manifest-referenced names are excluded like everywhere
-    * else (STRICT: a manifest read failure aborts the sweep — this
-    * set is the only guard on deletion). Safe under the lease for
-    * every ENGINE mutator (all rotations run inside
+    * doesn't: any base with a `.old` backup heals through
+    * [[graft.io.Layout.healSwapRotation]] (missing base restores or
+    * rolls forward; an AMBIGUOUS copy-rename crash state — base +
+    * `.old` + staging all present — is REPORTED and left untouched,
+    * never guessed at); what the heal leaves behind (`.old` beside a
+    * live base, `.new`/`.compact` staging with no backup) is garbage
+    * and reclaims. Manifest-referenced names are excluded like
+    * everywhere else (STRICT: a manifest read failure aborts the
+    * sweep — this set is the only guard on deletion). Safe under the
+    * lease for every ENGINE mutator (all rotations run inside
     * withMutationLease); legacy direct callers that rotate without
     * the lease are covered by the `graft.index.gcRotationGraceMs`
     * mtime grace window (default 15 min, 0 = sweep everything) —
-    * rotation dirs younger than the grace are skipped this run. */
+    * rotation dirs younger than the grace are skipped this run.
+    * Returns (dirsReclaimed, bytesReclaimed, rotationsHealed,
+    * ambiguousRotations). */
   def run(spark: SparkSession, indexDir: String,
-      waitSec: Option[Long] = None): (Int, Long, Int) =
+      waitSec: Option[Long] = None): (Int, Long, Int, Int) =
     Layout.withLeaseWait(spark, waitSec) {
       Layout.withMutationLease(spark, indexDir) {
         val orphans = Layout.orphanedStaging(spark, indexDir,
@@ -85,30 +88,56 @@ object RunGc {
           .getOption("graft.index.gcRotationGraceMs")
           .map(_.toLong).getOrElse(15L * 60 * 1000)
         val now = System.currentTimeMillis()
-        fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+        val entries = fs.listStatus(p).filter(st => st.isDirectory &&
+          rotSuffixes.exists(st.getPath.getName.endsWith(_)))
+        def sweepable(
+            st: org.apache.hadoop.fs.FileStatus): Boolean = {
+          val n = st.getPath.getName
+          !referenced.contains(n) &&
+            now - st.getModificationTime >= graceMs
+        }
+        // PASS 1 — heal: every base with a `.old` backup goes through
+        // the one heal (restore, roll-forward, or the AMBIGUOUS
+        // throw). Ambiguous bases are remembered so pass 2 cannot
+        // reclaim the very artifacts an operator needs to resolve.
+        val ambiguousBases = scala.collection.mutable.Set[String]()
+        entries.foreach { st =>
+          val n = st.getPath.getName
+          if (n.endsWith(".old") && n.length > 4 && sweepable(st)) {
+            val base = n.dropRight(4)
+            try {
+              if (Layout.healSwapRotation(spark,
+                  new Path(p, base).toString)) healed += 1
+            } catch {
+              case _: Layout.AmbiguousRotationException =>
+                ambiguousBases += base
+            }
+          }
+        }
+        // PASS 2 — reclaim what the heal left as garbage: `.old`
+        // beside a live base, and staging with no backup (including a
+        // crashed FIRST-EVER write, where no base exists yet — a
+        // `.old` is only ever reclaimed against a live base, since a
+        // backup without one always went through the heal above).
+        // Anything whose base is ambiguous is untouchable this run.
+        entries.foreach { st =>
           val n = st.getPath.getName
           rotSuffixes.find(n.endsWith(_)).foreach { suf =>
             val base = n.dropRight(suf.length)
-            if (base.nonEmpty && !referenced.contains(n) &&
-                now - st.getModificationTime >= graceMs) {
-              if (suf == ".old" &&
-                  !fs.exists(new Path(p, base))) {
-                // the backup is the only copy: restore, don't reclaim
-                if (Layout.healSwapRotation(spark,
-                    new Path(p, base).toString)) healed += 1
-              } else {
-                val bytes =
-                  try fs.getContentSummary(st.getPath).getLength
-                  catch { case _: java.io.IOException => 0L }
-                if (fs.delete(st.getPath, true)) {
-                  reclaimed += 1
-                  reclaimedBytes += bytes
-                }
+            if (base.nonEmpty && !ambiguousBases.contains(base) &&
+                sweepable(st) && fs.exists(st.getPath) &&
+                (suf != ".old" || fs.exists(new Path(p, base)))) {
+              val bytes =
+                try fs.getContentSummary(st.getPath).getLength
+                catch { case _: java.io.IOException => 0L }
+              if (fs.delete(st.getPath, true)) {
+                reclaimed += 1
+                reclaimedBytes += bytes
               }
             }
           }
         }
-        (reclaimed, reclaimedBytes, healed)
+        (reclaimed, reclaimedBytes, healed, ambiguousBases.size)
       }
     }
 
@@ -127,9 +156,10 @@ object RunGc {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (dirs, bytes, healed) = run(spark, args(0), waitSec)
+    val (dirs, bytes, healed, ambiguous) = run(spark, args(0), waitSec)
     println(s"""{"tool":"gc","reclaimed_dirs":$dirs,""" +
-      s""""reclaimed_bytes":$bytes,"rotations_healed":$healed}""")
+      s""""reclaimed_bytes":$bytes,"rotations_healed":$healed,""" +
+      s""""ambiguous_rotations":$ambiguous}""")
     spark.stop()
   }
 }

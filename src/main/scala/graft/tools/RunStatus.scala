@@ -36,7 +36,11 @@ import graft.ops.FullText
   * shifted at append, trued at fold; deletes derive live through
   * the tombstone count). `committed_generations` lists every
   * retained snapshot ascending — the values a `--generation` read
-  * face accepts. */
+  * face accepts. `ambiguous_rotations` (emitted only when non-empty)
+  * lists swap-rotated artifacts halted in the unresolvable
+  * copy-rename crash state — every fold of them refuses until an
+  * operator resolves (Layout.AmbiguousRotationException carries the
+  * options), so the status face is where the halt surfaces first. */
 object RunStatus {
 
   private def jstr(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
@@ -153,6 +157,17 @@ object RunStatus {
       val orphans = Layout.orphanedStaging(spark, indexDir)
       sb ++= s""","orphaned_staging":{"count":${orphans.size}"""
       sb ++= s""","bytes":${orphans.map(_._2).sum}}"""
+    }
+    // the HALTED state an operator must not discover via a failing
+    // fold: swap rotations whose copy-rename crash left base + .old +
+    // staging all present — every mutator refuses until resolved (see
+    // Layout.AmbiguousRotationException); listed only when non-empty
+    // so the steady-state line stays compact
+    locally {
+      val amb = Layout.ambiguousRotations(spark, indexDir)
+      if (amb.nonEmpty)
+        sb ++= amb.map(jstr).mkString(
+          ""","ambiguous_rotations":[""", ",", "]")
     }
     Layout.leaseInfo(spark, indexDir).foreach { case (epoch, owner, age) =>
       sb ++= s""","lease":{"epoch":$epoch,"owner":${jstr(owner)}"""

@@ -25,14 +25,15 @@ class CopyRenameFileSystem extends NoSetTimesFileSystem {
   override def getScheme: String = "cprn"
   override def getUri: URI = URI.create("cprn:///")
 
-  private def copyRec(src: Path, dst: Path, inject: Boolean): Unit = {
+  private def copyRec(src: Path, dst: Path,
+      tick: Option[Path => Unit]): Unit = {
     val st = getFileStatus(src)
     if (st.isDirectory) {
       mkdirs(dst)
       listStatus(src).foreach(c =>
-        copyRec(c.getPath, new Path(dst, c.getPath.getName), inject))
+        copyRec(c.getPath, new Path(dst, c.getPath.getName), tick))
     } else {
-      if (inject) CopyRenameFileSystem.tick(src)
+      tick.foreach(_(src))
       val in = open(src)
       try {
         val out = create(dst, true)
@@ -43,9 +44,21 @@ class CopyRenameFileSystem extends NoSetTimesFileSystem {
 
   override def rename(src: Path, dst: Path): Boolean = {
     if (!exists(src)) return false
-    val inject = CopyRenameFileSystem.stagedRe
-      .pattern.matcher(src.getName).matches()
-    copyRec(src, dst, inject)
+    // two independent crash hooks, each targeting one commit family:
+    // token-unique GENERATION staging renames (the original pin), and
+    // SWAP-ROTATION legs (base→.old / staging→base — the band family
+    // and the generic rewriters). Spark's parquet committer renames
+    // (_temporary task attempts) match neither and never crash.
+    val tick: Option[Path => Unit] =
+      if (CopyRenameFileSystem.stagedRe
+          .pattern.matcher(src.getName).matches())
+        Some(CopyRenameFileSystem.tick)
+      else if (src.getName.endsWith(".new") ||
+          src.getName.endsWith(".compact") ||
+          dst.getName.endsWith(".old"))
+        Some(CopyRenameFileSystem.rotTick)
+      else None
+    copyRec(src, dst, tick)
     delete(src, true) // only after the full copy — the S3A ordering
     true
   }
@@ -60,6 +73,12 @@ object CopyRenameFileSystem {
     * proceeds clean. */
   @volatile var crashStagedRenameAfterFiles: Int = -1
 
+  /** The SWAP-ROTATION twin of [[crashStagedRenameAfterFiles]]: fires
+    * inside renames whose src ends `.new`/`.compact` or whose dst
+    * ends `.old` — the rotation legs of the band family and the
+    * generic rewriters. Same Nth-file semantics, same auto-reset. */
+  @volatile var crashRotationRenameAfterFiles: Int = -1
+
   private def tick(src: Path): Unit = {
     val n = crashStagedRenameAfterFiles
     if (n == 0) {
@@ -67,5 +86,14 @@ object CopyRenameFileSystem {
       throw new java.io.IOException(
         s"simulated crash mid-copy-rename at $src")
     } else if (n > 0) crashStagedRenameAfterFiles = n - 1
+  }
+
+  private def rotTick(src: Path): Unit = {
+    val n = crashRotationRenameAfterFiles
+    if (n == 0) {
+      crashRotationRenameAfterFiles = -1
+      throw new java.io.IOException(
+        s"simulated crash mid-rotation-rename at $src")
+    } else if (n > 0) crashRotationRenameAfterFiles = n - 1
   }
 }

@@ -110,4 +110,63 @@ class CopyRenameFsSpec extends SparkSpecBase {
       !Layout.pathExists(spark, s"$idx/_mutation.lock.hb"),
       "no lease artifact may outlive the mutations")
   }
+
+  test("a swap rotation crashed mid-copy leaves the AMBIGUOUS trio: the next fold refuses, nothing is guessed at, operator resolution recovers") {
+    // the band family commits by swap rotation (no generation
+    // marker), and on a copy-rename store a crash inside either
+    // rotation leg leaves base + .old + staging ALL present with a
+    // DIFFERENT one partial depending on where the copy died — the
+    // one crash state no automatic heal can resolve safely. The old
+    // behavior read the base as live and the next fold enshrined
+    // whatever it happened to hold; now every mutator stops loudly.
+    spark.sparkContext.hadoopConfiguration.set("fs.cprn.impl",
+      classOf[CopyRenameFileSystem].getName)
+    val idx = "cprn://" + java.nio.file.Files
+      .createTempDirectory("cprn-rot").toFile.getAbsolutePath
+    Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$idx/bands")
+    Seq((9L, Seq("s"))).toDF("id", "sh")
+      .write.parquet(s"$idx/shingles")
+    val liveRows = spark.read.parquet(s"$idx/bands").count()
+    // crash the FIRST file copy of rename-1 (bands -> bands.old):
+    // bands stays complete (the delete leg never ran), bands.old is
+    // a partial skeleton, bands.compact was fully staged pre-fence
+    CopyRenameFileSystem.crashRotationRenameAfterFiles = 0
+    try {
+      val e = intercept[Exception] {
+        graft.ops.Dedup.compactBandIndex(spark, idx)
+      }
+      assert(e.getMessage != null &&
+        e.getMessage.contains("simulated crash mid-rotation-rename"),
+        s"the injected rotation crash must surface (got $e)")
+    } finally CopyRenameFileSystem.crashRotationRenameAfterFiles = -1
+    assert(Layout.pathExists(spark, s"$idx/bands") &&
+      Layout.pathExists(spark, s"$idx/bands.old") &&
+      Layout.pathExists(spark, s"$idx/bands.compact"),
+      "the crash must leave the ambiguous trio on disk")
+    assert(spark.read.parquet(s"$idx/bands").count() == liveRows,
+      "the live base must still serve (this crash point kept it)")
+    // the refold heals before reading — and must REFUSE: from the
+    // artifacts alone it cannot know WHICH of the three is partial
+    val refuse = intercept[Layout.AmbiguousRotationException] {
+      graft.ops.Dedup.compactBandIndex(spark, idx)
+    }
+    assert(refuse.getMessage.contains("Resolve manually"))
+    // RunGc reports the ambiguity and touches none of the trio
+    spark.conf.set("graft.index.gcRotationGraceMs", "0")
+    val (reclaimed, _, healed, ambiguous) =
+      try graft.tools.RunGc.run(spark, idx)
+      finally spark.conf.unset("graft.index.gcRotationGraceMs")
+    assert(ambiguous == 1 && reclaimed == 0 && healed == 0,
+      s"GC must report, not resolve (got r=$reclaimed h=$healed a=$ambiguous)")
+    // operator resolution: THIS crash point kept the base complete —
+    // keep it (delete .old + staging, the message's first option)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands.old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands.compact"), true)
+    graft.ops.Dedup.compactBandIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/bands").count() == 2,
+      "the re-run fold must dedup the kept base exactly")
+  }
 }

@@ -850,12 +850,17 @@ class VectorIndexLayoutSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$art/meta").head()
       .getAs[Int]("pgroups") == 4,
       "the re-resolved pgroup count must commit with the generation")
-    // the committed state reads back through the status face
+    // the committed state reads back through the status face — incl.
+    // the recorded vector count the fold just trued (write + append
+    // minus the applied tombstones), maintained on the blind store
+    val expectedVecs = vecs.count() - dead.size
     val st = graft.tools.RunStatus.describe(spark, nIdx)
     assert(st.contains("\"family\":\"vector\"") &&
       st.contains("\"codec\":\"pq\"") &&
       st.contains("\"pgroups\":4") &&
       st.contains("\"segments\":0") &&
+      st.contains(s""""n_vecs":$expectedVecs""") &&
+      st.contains(s""""n_vecs_live":$expectedVecs""") &&
       st.contains("\"tombstone_rows\":0") &&
       st.contains("\"orphaned_staging\":{\"count\":0,\"bytes\":0}"),
       s"got $st")

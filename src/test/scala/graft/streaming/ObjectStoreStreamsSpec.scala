@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.SparkSpecBase
@@ -163,5 +164,127 @@ class ObjectStoreStreamsSpec extends SparkSpecBase {
       "doc_id", "text", idx, segmentId = Some("b1"))
     assert(page(idx) == page(rIdx),
       "a re-delivered segment id must stay a no-op after the crash")
+  }
+
+  test("nost://: vector refresh (with in-stream fold) + vector takedown streams, page-equal to the local twin and a rebuild at fixed artifacts") {
+    import graft.queries.SimilarityQueries
+    spark.sparkContext.hadoopConfiguration.set("fs.nost.impl",
+      classOf[NoSetTimesFileSystem].getName)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    val w = maxId * 4 / 5
+    val base = e.filter($"vec_id" <= w)
+    val freshRows = e.filter($"vec_id" > w)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (f0, rest) = freshRows.splitAt(freshRows.size / 3)
+    val (f1, f2) = rest.splitAt(rest.size / 2)
+    val dead = Seq(1L, 3L)
+    val nIdx = "nost://" + tmp("ovstream-n")
+    val lIdx = tmp("ovstream-l")
+    Seq(nIdx, lIdx).foreach(
+      SimilarityQueries.writeIvfPqIndexFrames(base, base, _))
+    def drive(idx: String, ckpt: String): Unit = {
+      val rSrc = MemoryStream[(Long, Seq[Float])]
+      val tSrc = MemoryStream[Long]
+      // compactEvery = 2: the third append crosses the threshold and
+      // the VECTOR fold (codes-v<gen> rewrite + manifest cutover)
+      // runs inside the stream's serialization, on this scheme
+      val rq = Streams.vectorRefreshStream(
+        rSrc.toDF().toDF("vec_id", "embedding"), idx,
+        s"$ckpt/refresh", compactEvery = 2)
+      val tq = Streams.vectorTakedownStream(
+        tSrc.toDF().toDF("vec_id"), "vec_id", idx, s"$ckpt/takedown")
+      try {
+        rSrc.addData(f0: _*)
+        rq.processAllAvailable()
+        tSrc.addData(dead.head)
+        tq.processAllAvailable()
+        rSrc.addData(f1: _*)
+        rq.processAllAvailable()
+        rSrc.addData(f2: _*)
+        rq.processAllAvailable()
+        tSrc.addData(dead(1), dead.head) // replayed id rides along
+        tq.processAllAvailable()
+      } finally { rq.stop(); tq.stop() }
+    }
+    drive(nIdx, "nost://" + tmp("ovstream-nck"))
+    drive(lIdx, tmp("ovstream-lck"))
+    def vpage(i: String) = SimilarityQueries
+      .ivfPqSearchStored(spark, i, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(vpage(nIdx).nonEmpty && vpage(nIdx) == vpage(lIdx),
+      "the streamed vector lifecycle must be page-equal across schemes")
+    assert(SimilarityQueries.liveSegmentCount(spark, nIdx) ==
+      SimilarityQueries.liveSegmentCount(spark, lIdx),
+      "the in-stream vector fold must have run identically")
+    // rebuild at FIXED artifacts (base-trained cells/codebooks) over
+    // the surviving corpus — the append ≡ rebuild contract, now with
+    // the fold and both streams on the blind store in the chain
+    val rIdx = tmp("ovstream-r")
+    SimilarityQueries.writeIvfPqIndexFrames(base,
+      e.filter(!$"vec_id".isInCollection(dead)), rIdx)
+    assert(vpage(nIdx) == vpage(rIdx),
+      "streams + in-stream vector fold on the blind store must equal " +
+        "the batch rebuild at fixed artifacts")
+  }
+
+  test("cprn://: the admission stream probes, appends and swap-rotates the band index on a copy-rename store, verdict-equal to the local twin") {
+    spark.sparkContext.hadoopConfiguration.set("fs.cprn.impl",
+      classOf[CopyRenameFileSystem].getName)
+    implicit val sqlCtx = spark.sqlContext
+    // the band family commits by SWAP ROTATION (bands.compact →
+    // bands.old/bands), not generation markers — on a copy-rename
+    // store every rotation leg is a recursive copy+delete; this pins
+    // the admission stream's probe → append → in-stream fold chain
+    // verdict- and artifact-equal to the local twin
+    val feed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight!!"),
+      (3L, "an entirely different document about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy cat tonight"),
+      (5L, "vector engines rank documents by cosine similarity"),
+      (6L, "an entirely different document about spark engines..."))
+    val batches = Seq(feed.take(2), feed.slice(2, 4), feed.drop(4))
+    def drive(idx: String, ckpt: String): Seq[(Long, Boolean)] = {
+      val verdicts = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Boolean)]
+      val src = MemoryStream[(Long, String)]
+      val q = Streams.nearDupAdmissionStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        ckpt, annotated => verdicts ++= annotated
+          .select(col("doc_id"), col("admitted"))
+          .collect().map(r => (r.getLong(0), r.getBoolean(1))),
+        compactEvery = 2)
+      try batches.foreach { b =>
+        src.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      verdicts.sortBy(_._1).toSeq
+    }
+    val cIdx = "cprn://" + tmp("oband-c")
+    val lIdx = tmp("oband-l")
+    val cV = drive(cIdx, tmp("oband-cck"))
+    val lV = drive(lIdx, tmp("oband-lck"))
+    assert(cV == lV,
+      s"admission verdicts must match across schemes (got $cV vs $lV)")
+    assert(cV.count(!_._2) >= 1,
+      "the fixture must actually flag a near-duplicate")
+    // the in-stream fold swap-rotated on the copy-rename store: the
+    // admitted index state must equal the local twin's row-for-row
+    def rows(i: String, art: String) = spark.read.parquet(s"$i/$art")
+      .collect().map(_.toSeq).toSet
+    assert(rows(cIdx, "bands") == rows(lIdx, "bands") &&
+      rows(cIdx, "shingles") == rows(lIdx, "shingles"),
+      "band artifacts must be row-equal across schemes after the fold")
+    // no rotation leftovers linger on the copy-rename store
+    val fs = new org.apache.hadoop.fs.Path(cIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(cIdx)).map(_.getPath.getName)
+      .filter(n => n.endsWith(".old") || n.endsWith(".compact"))
+    assert(leftovers.isEmpty,
+      s"a clean fold must leave no rotation suffixes (got ${leftovers.toSeq})")
   }
 }

@@ -74,8 +74,8 @@ class RunGcSpec extends SparkSpecBase {
     // RunGc reclaims under the lease, WITHOUT folding: the live
     // generation number and the search page must not move
     val genBefore = Layout.liveGeneration(spark, idx)
-    val (nDirs, nBytes, healed0) = RunGc.run(spark, idx)
-    assert(nDirs == 3 && nBytes > 0 && healed0 == 0,
+    val (nDirs, nBytes, healed0, amb0) = RunGc.run(spark, idx)
+    assert(nDirs == 3 && nBytes > 0 && healed0 == 0 && amb0 == 0,
       s"the sweep must reclaim all three orphans (got $nDirs)")
     assert(Layout.liveGeneration(spark, idx) == genBefore,
       "GC must not cut a generation — it reclaims, never folds")
@@ -85,7 +85,7 @@ class RunGcSpec extends SparkSpecBase {
     assert(!Layout.pathExists(spark, s"$idx/_mutation.lock"),
       "the GC's own lease must release")
     // idempotent: an empty re-sweep reclaims nothing
-    assert(RunGc.run(spark, idx) == ((0, 0L, 0)))
+    assert(RunGc.run(spark, idx) == ((0, 0L, 0, 0)))
   }
 
   test("an ACTIVE writer's in-flight staging is never reported or reclaimed") {
@@ -109,7 +109,7 @@ class RunGcSpec extends SparkSpecBase {
     val st2 = RunStatus.describe(spark, idx)
     assert(st2.contains("\"orphaned_staging\":{\"count\":1"),
       s"released-without-commit staging must read as orphaned (got $st2)")
-    val (n, _, _) = RunGc.run(spark, idx)
+    val (n, _, _, _) = RunGc.run(spark, idx)
     assert(n == 1)
   }
 
@@ -125,7 +125,7 @@ class RunGcSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val before = page()
     crashMidStage(idx)
-    val (n, b, _) = RunGc.run(spark, idx)
+    val (n, b, _, _) = RunGc.run(spark, idx)
     assert(n == 2 && b > 0,
       s"the sweep must reclaim exactly the crashed stage's two dirs (got $n)")
     assert(Layout.pathExists(spark, s"$idx/seg-keepme"),
@@ -158,35 +158,112 @@ class RunGcSpec extends SparkSpecBase {
     // crash-between-renames: bands gone, bands.old = the only copy
     assert(fs.rename(hp(s"$idx/bands"), hp(s"$idx/bands.old")))
     // crash-before-any-rename: a stale .compact beside live shingles
+    // (no backup — the writer purges .old before staging, so a
+    // crashed WRITE never has one)
     Seq((1L, Seq("x"))).toDF("id", "sh").write
       .parquet(s"$idx/shingles.compact")
-    // crash-after-second-rename: a .old beside a live base
+    // crash-after-second-rename: a .old beside a live base — on a
+    // SEPARATE base (a .old AND a staging dir beside one live base
+    // is the ambiguous copy-rename signature, protocol-unreachable
+    // locally and pinned in its own test below)
+    Seq((3L, Seq("z"))).toDF("id", "sh").write.parquet(s"$idx/aux")
     Seq((2L, Seq("y"))).toDF("id", "sh").write
-      .parquet(s"$idx/shingles.old")
+      .parquet(s"$idx/aux.old")
     // under the DEFAULT grace window these seconds-old dirs read as
     // possibly-in-flight legacy rotations and the sweep must skip
     // them ALL — including the restore branch
-    val (r0, _, h0) = RunGc.run(spark, idx)
+    val (r0, _, h0, _) = RunGc.run(spark, idx)
     assert(r0 == 0 && h0 == 0,
       s"fresh rotation dirs must survive the grace window (got $r0/$h0)")
     assert(Layout.pathExists(spark, s"$idx/bands.old"),
       "the graced .old must not be touched")
     // 0 = the operator's explicit "nothing is in flight" override
     spark.conf.set("graft.index.gcRotationGraceMs", "0")
-    val (reclaimed, bytes, healed) =
+    val (reclaimed, bytes, healed, ambiguous) =
       try RunGc.run(spark, idx)
       finally spark.conf.unset("graft.index.gcRotationGraceMs")
     assert(healed == 1,
       s"the dangling bands.old must RESTORE, not reclaim (got $healed)")
-    assert(reclaimed == 2 && bytes > 0,
+    assert(reclaimed == 2 && bytes > 0 && ambiguous == 0,
       s"the two garbage dirs must reclaim (got $reclaimed)")
     assert(spark.read.parquet(s"$idx/bands").count() == bandRows,
       "the restored rotation must hold every pre-crash row")
     assert(!Layout.pathExists(spark, s"$idx/bands.old") &&
       !Layout.pathExists(spark, s"$idx/shingles.compact") &&
-      !Layout.pathExists(spark, s"$idx/shingles.old"))
+      !Layout.pathExists(spark, s"$idx/aux.old"))
     assert(spark.read.parquet(s"$idx/shingles").count() ==
       prepped.count(), "live shingles must be untouched by the sweep")
+    assert(spark.read.parquet(s"$idx/aux").count() == 1,
+      "the live aux base must be untouched by the backup reclaim")
+  }
+
+  test("roll-forward heal: base missing with .old AND staging promotes the staging dir (the fold survives)") {
+    val idx = tmp("gc-fwd")
+    Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$idx/bands.old")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$idx/bands.compact")
+    // base missing: the crash sat between the two renames — both
+    // survivors are complete by construction, and the heal must keep
+    // the FOLD (promote .compact) instead of rewinding and redoing it
+    assert(Layout.healSwapRotation(spark, s"$idx/bands"),
+      "the in-flight rotation must heal")
+    assert(spark.read.parquet(s"$idx/bands").count() == 2,
+      "the promoted base must be the folded (.compact) content")
+    assert(!Layout.pathExists(spark, s"$idx/bands.old") &&
+      !Layout.pathExists(spark, s"$idx/bands.compact"),
+      "both rotation leftovers must be consumed by the heal")
+  }
+
+  test("ambiguous copy-rename crash state: reported, never guessed at, and the fold refuses to read through it") {
+    // base + .old + .compact all present: on a copy-rename store this
+    // arises from THREE different crash points, each leaving a
+    // DIFFERENT artifact partial — an automatic pick could destroy
+    // the only complete copy, so the engine must stop loudly instead
+    // (the old behavior read the possibly-partial base as live and
+    // the next fold enshrined the loss)
+    val idx = tmp("gc-amb")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$idx/bands")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$idx/bands.old")
+    Seq((1L, "a")).toDF("id", "v")
+      .write.parquet(s"$idx/bands.compact")
+    Seq((1L, Seq("s"))).toDF("id", "sh")
+      .write.parquet(s"$idx/shingles")
+    spark.conf.set("graft.index.gcRotationGraceMs", "0")
+    try {
+      val (reclaimed, _, healed, ambiguous) = RunGc.run(spark, idx)
+      assert(ambiguous == 1 && healed == 0,
+        s"the ambiguous rotation must be reported (got a=$ambiguous h=$healed)")
+      assert(reclaimed == 0 &&
+        Layout.pathExists(spark, s"$idx/bands") &&
+        Layout.pathExists(spark, s"$idx/bands.old") &&
+        Layout.pathExists(spark, s"$idx/bands.compact"),
+        "nothing of the ambiguous trio may be deleted — the operator " +
+          "needs all three to resolve")
+      // the monitoring face surfaces the halt WITHOUT a mutation
+      assert(RunStatus.describe(spark, idx)
+        .contains("\"ambiguous_rotations\":[\"bands\"]"),
+        "status must flag the halted rotation for the operator")
+      // the band fold heals before reading and must REFUSE too — the
+      // base it would read may be the partial artifact
+      val e = intercept[graft.io.Layout.AmbiguousRotationException] {
+        graft.ops.Dedup.compactBandIndex(spark, idx)
+      }
+      assert(e.getMessage.contains("Resolve manually"))
+      // operator resolution (roll forward, per the message), then
+      // both faces work again
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands.old"), true)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/bands.compact"),
+        new org.apache.hadoop.fs.Path(s"$idx/bands")))
+      assert(RunGc.run(spark, idx) == ((0, 0L, 0, 0)))
+      graft.ops.Dedup.compactBandIndex(spark, idx)
+      assert(spark.read.parquet(s"$idx/bands").count() == 1)
+    } finally spark.conf.unset("graft.index.gcRotationGraceMs")
   }
 
   test("the GC faces run on a URI-schemed object-store filesystem") {
@@ -209,7 +286,7 @@ class RunGcSpec extends SparkSpecBase {
     val st = RunStatus.describe(spark, idx)
     assert(st.contains("\"orphaned_staging\":{\"count\":2"),
       s"the blind store's orphans must be visible (got $st)")
-    val (n, b, _) = RunGc.run(spark, idx)
+    val (n, b, _, _) = RunGc.run(spark, idx)
     assert(n == 2 && b > 0,
       s"the sweep must reclaim both orphan dirs on nost:// (got $n)")
     assert(page() == before, "search must be GC-invariant on nost://")
