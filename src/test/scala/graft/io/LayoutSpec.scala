@@ -98,4 +98,33 @@ class LayoutSpec extends SparkSpecBase {
       s"the healed fold must rewrite the restored rows (got $rows)")
     assert(spark.read.parquet(s"$dir/cmp").count() == 3)
   }
+
+  test("the generic swap writers refuse the ambiguous rotation trio and keep all three artifacts") {
+    // base + .old + staging all present: on a copy-rename store a
+    // different one is partial depending on the crash point, so
+    // rewriteParquet/compactParquetDir must NOT purge-and-proceed
+    // (the purge would destroy the only complete copies) — the heal
+    // they share throws before anything is touched
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rot-amb")
+      .toFile.getAbsolutePath
+    def trio(base: String, stagingSuffix: String): Unit = {
+      Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/$base")
+      Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/$base.old")
+      Seq((2L, "b")).toDF("k", "v")
+        .write.parquet(s"$dir/$base$stagingSuffix")
+    }
+    trio("rw", ".new")
+    intercept[Layout.AmbiguousRotationException] {
+      Layout.rewriteParquet(spark,
+        Seq((9L, "z")).toDF("k", "v"), s"$dir/rw")
+    }
+    trio("cp", ".compact")
+    intercept[Layout.AmbiguousRotationException] {
+      Layout.compactParquetDir(spark, s"$dir/cp")
+    }
+    Seq("rw", "rw.old", "rw.new", "cp", "cp.old", "cp.compact")
+      .foreach(n => assert(Layout.pathExists(spark, s"$dir/$n"),
+        s"$n must survive the refusal — the operator needs it"))
+  }
 }
