@@ -33,15 +33,26 @@ trait CommitMarker {
       expectedToken: Option[String]): Boolean
 }
 
-/** The default publisher: one unconditional create. Correct wherever
+/** The default publisher: one create-IF-ABSENT. Correct wherever
   * rename is atomic (HDFS, local, ABFS, GCS) — there the residual
   * window is the instant between the second fence re-read and this
   * create, unreachable without a takeover interleaved inside the
-  * commit sequence (LeaseSpec pins the worst case as benign). */
+  * commit sequence (LeaseSpec pins the worst case as benign). A
+  * pre-existing marker is protocol-unreachable (the generation dir is
+  * staged token-unique and renamed exactly once, and commitGeneration
+  * deletes a leftover finally-named dir before its rename), so
+  * `overwrite = false` costs nothing and turns "can't happen" into a
+  * loud `FileAlreadyExistsException` instead of a silent re-publish.
+  * The marker CONTENT is the fence token this writer committed under
+  * (empty for lease-less legacy callers) — post-mortem attribution of
+  * WHICH writer published a generation comes free with the create. */
 final class CreateCommitMarker extends CommitMarker {
   override def publish(fs: FileSystem, marker: Path, indexDir: String,
       expectedToken: Option[String]): Boolean = {
-    fs.create(marker, true).close()
+    val out = fs.create(marker, false)
+    try out.write(expectedToken.getOrElse("")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     true
   }
 }

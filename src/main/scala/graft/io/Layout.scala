@@ -890,14 +890,28 @@ object Layout {
     * committed generation's `segments` parquet is IMMUTABLE (every
     * mutation stages a NEW generation; nothing rewrites a committed
     * one), so repeated status polls can reuse the parsed set. Keyed
-    * by the segments dir path; the dir's modificationTime guards the
-    * one way the path can change content — the whole index deleted
-    * and rebuilt at the same location (a fresh dir gets a fresh
-    * mtime). One getFileStatus per poll replaces one Spark parquet
-    * job per retained generation. Bounded: cleared wholesale past
-    * 256 entries (an engine touches a handful of indexes). */
+    * by the segments dir path and guarded by a CONTENT fingerprint of
+    * the dir's listing (leaf names + lengths + mtimes hashed — part
+    * file names carry per-write task UUIDs, so an index deleted and
+    * rebuilt at the same path fingerprints differently even on
+    * S3A-class stores whose prefix-"directories" report synthetic or
+    * zero modification times, where a dir-mtime guard is blind). One
+    * listStatus per generation per poll replaces one Spark parquet
+    * job each. Bounded: cleared wholesale past 256 entries (an
+    * engine touches a handful of indexes). */
   private val manifestMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]
+
+  /** The [[manifestMemo]] guard: an order-insensitive hash of the
+    * manifest dir's leaf (name, length, mtime) triples. */
+  private def manifestFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Long =
+    fs.listStatus(p).map { st =>
+      var h = 1125899906842597L // large prime seed
+      st.getPath.getName.foreach(c => h = 31 * h + c)
+      h = 31 * h + st.getLen
+      31 * h + st.getModificationTime
+    }.sum
 
   /** Directories ANY retained committed generation's segment manifest
     * references (both index families commit a `segments` parquet of
@@ -939,16 +953,16 @@ object Layout {
           catch { case _: java.io.FileNotFoundException => None }
         st match {
           case None => Set.empty[String]
-          case Some(s) if art != indexDir =>
+          case Some(_) if art != indexDir =>
             // immutable committed-generation manifest: memoizable
             val key = fs.makeQualified(p).toString
-            val mtime = s.getModificationTime
+            val fp = manifestFingerprint(fs, p)
             manifestMemo.get(key) match {
-              case (t, set) if t == mtime => set
+              case (t, set) if t == fp => set
               case _ =>
                 val set = readSet()
                 if (manifestMemo.size > 256) manifestMemo.clear()
-                manifestMemo.put(key, (mtime, set))
+                manifestMemo.put(key, (fp, set))
                 set
             }
           case Some(_) => readSet()
@@ -1315,6 +1329,88 @@ object Layout {
         require(fs.rename(old, p), s"self-heal: $path.old -> $path failed")
         true
     }
+  }
+
+  /** GUIDED resolution of the [[AmbiguousRotationException]] trio —
+    * the executable form of the exception's three-way operator
+    * message, so recovery stops being hand-run `fs.delete` calls on
+    * the exact state where deleting the wrong artifact destroys the
+    * last complete copy. `arm` picks which survivor is TRUSTED:
+    *
+    *  - `keep-base`   — the live base is complete (crash mid-rename-1:
+    *    its copy died before the source delete): delete `.old` +
+    *    staging.
+    *  - `rewind`      — the `.old` backup is complete (crash
+    *    mid-rename-2 left the base partial): delete base + staging,
+    *    rename `.old` back — the crashed fold re-runs from the
+    *    restored input.
+    *  - `roll-forward` — the staging dir is complete (crash during
+    *    rename-2's source delete: the new base fully landed): delete
+    *    base + `.old`, rename the staging dir in — the fold is KEPT.
+    *
+    * WHICH arm is right is an operator judgment (row counts, footer
+    * sanity, `_rowcount` side files — the artifacts alone cannot say;
+    * that is what made the state ambiguous), but the MECHANICS are
+    * precondition-checked here: each arm refuses when the artifact it
+    * trusts is absent, `roll-forward` refuses when BOTH `.new` and
+    * `.compact` exist (no principled pick between two staging dirs),
+    * and a state the automatic heal can already resolve (not the full
+    * trio) refuses with a pointer to [[healSwapRotation]] /
+    * [[graft.tools.RunGc]] — guided surgery must never race the
+    * self-heal's own arms. Runs are reported through `report` BEFORE
+    * each destructive step (the CLI prints them), and the returned
+    * action list is the executed plan. Callers hold the mutation
+    * lease ([[graft.tools.RunGc]]'s `--resolve` face does). */
+  def resolveAmbiguousRotation(spark: SparkSession, path: String,
+      arm: String, report: String => Unit = _ => ()): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + ".old")
+    val stagings = Seq(".new", ".compact")
+      .map(s => new Path(path + s)).filter(fs.exists)
+    val baseExists = fs.exists(p)
+    require(baseExists && fs.exists(old) && stagings.nonEmpty,
+      s"$path is not in the ambiguous rotation state (base + .old + " +
+        s"staging all present; found base=$baseExists " +
+        s"old=${fs.exists(old)} " +
+        s"staging=${stagings.map(_.getName).mkString(",")}) — " +
+        "anything less than the full trio self-heals: run RunGc " +
+        "without --resolve (or Layout.healSwapRotation) instead.")
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    def destroy(t: Path): Unit = {
+      val a = s"delete $t"
+      report(a)
+      require(fs.delete(t, true), s"resolve $arm: $a failed")
+      actions += a
+    }
+    def promote(src: Path): Unit = {
+      val a = s"rename $src -> $p"
+      report(a)
+      require(fs.rename(src, p), s"resolve $arm: $a failed")
+      actions += a
+    }
+    arm match {
+      case "keep-base" =>
+        destroy(old)
+        stagings.foreach(destroy)
+      case "rewind" =>
+        destroy(p)
+        stagings.foreach(destroy)
+        promote(old)
+      case "roll-forward" =>
+        require(stagings.size == 1,
+          s"refusing roll-forward: ${stagings.size} staging dirs " +
+            s"exist (${stagings.map(_.getName).mkString(", ")}) — " +
+            "roll-forward needs exactly one complete staging dir to " +
+            "promote; keep-base or rewind instead.")
+        destroy(p)
+        destroy(old)
+        promote(stagings.head)
+      case other => throw new IllegalArgumentException(
+        s"unknown resolution arm '$other' — one of keep-base, " +
+          "rewind, roll-forward (see AmbiguousRotationException).")
+    }
+    actions.toSeq
   }
 
   /** Swap-safe overwrite of a parquet artifact whose REPLACEMENT is

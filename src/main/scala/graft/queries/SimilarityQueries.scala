@@ -2074,10 +2074,22 @@ object SimilarityQueries {
     val dedup = ids
       .select(col(ids.columns.head).cast("long").as("vec_id"))
       .filter($"vec_id".isNotNull).distinct()
+    // PRESENT-ONLY discipline (the text family's cross-fold replay
+    // fix, ops/FullText.scala:1229 — same failure shape): a takedown
+    // id replayed AFTER a fold (the fold physically drops the rows
+    // and clears the tombstone set the anti-join above checks) or a
+    // never-indexed id would otherwise land as a GHOST tombstone —
+    // harmless to search (nothing to mask) but under-reporting
+    // `n_vecs_live` (= n_vecs − tombstone rows) until the next fold.
+    // One semi-join against the live codes bounds tombstones to ids
+    // the index actually serves; output is delete-batch-sized, and
+    // the planner broadcasts whichever side is small.
+    val present = codesFrame(spark, indexDir).select($"vec_id")
+      .join(dedup, Seq("vec_id"), "left_semi").distinct()
     // first delete (no tombstones yet) skips the idempotence join
     val fresh =
-      (if (hadTomb) dedup.join(oldTomb, Seq("vec_id"), "left_anti")
-       else dedup).localCheckpoint()
+      (if (hadTomb) present.join(oldTomb, Seq("vec_id"), "left_anti")
+       else present).localCheckpoint()
     val nFresh = fresh.count()
     if (nFresh == 0L) { graft.ops.Checkpoints.unpersist(fresh); return }
     // tombstones + the carried manifest commit as ONE generation

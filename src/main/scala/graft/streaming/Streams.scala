@@ -18,6 +18,55 @@ import graft.io.BulkSink
   */
 object Streams {
 
+  /** THE CHECKPOINT RENAME CONTRACT, enforced at every stream
+    * constructor that takes a checkpoint dir: Spark's streaming WAL
+    * (`HDFSMetadataLog` via `CheckpointFileManager`) commits each
+    * offset/commit batch file BY RENAME, so the checkpoint dir
+    * requires ATOMIC rename even where the index artifacts don't —
+    * the engine's own commit protocol survives copy+delete-rename
+    * stores (staged token-unique generations, `_COMMITTED` markers,
+    * an injectable CAS publisher), but the WAL has no such staging:
+    * a crash mid-"rename" of a batch file on such a store leaves a
+    * PARTIALLY-COPIED file the restart then reads as a corrupt batch
+    * (CheckpointContractSpec pins the warning; ObjectStoreStreamsSpec
+    * pins that nost:// — atomic rename, blind to everything else —
+    * carries a checkpoint fine). Schemes listed in
+    * `graft.streams.nonAtomicRenameSchemes` (default the bare-S3
+    * family plus the cprn:// test store) WARN once per constructor
+    * call; `graft.streams.requireAtomicCheckpoint=true` escalates to
+    * a refusal for deployments that would rather fail at submit than
+    * risk a bricked stream at the next crash. Returns whether the
+    * scheme was flagged (the spec's hook). */
+  private[graft] def checkpointRenameContract(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String): Boolean = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(checkpointDir)
+      .toUri.getScheme).getOrElse(
+      org.apache.hadoop.fs.FileSystem.getDefaultUri(
+        spark.sparkContext.hadoopConfiguration).getScheme)
+    val flagged = spark.conf
+      .getOption("graft.streams.nonAtomicRenameSchemes")
+      .getOrElse("s3,s3a,s3n,oss,cprn")
+      .split(',').map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .contains(Option(scheme).map(_.toLowerCase).getOrElse("file"))
+    if (flagged) {
+      val msg = s"checkpoint dir $checkpointDir resolves to " +
+        s"scheme '$scheme', whose rename is not atomic: Spark's " +
+        "streaming WAL commits batch files by rename, so a crash " +
+        "mid-rename can corrupt the checkpoint and brick the " +
+        "stream's restart. Point the checkpoint at an " +
+        "atomic-rename filesystem (HDFS, ABFS, GCS, local) even " +
+        "when the index itself lives on the object store — see " +
+        "README 'Streaming checkpoints'. Set " +
+        "graft.streams.nonAtomicRenameSchemes to tune this list."
+      if (spark.conf.getOption("graft.streams.requireAtomicCheckpoint")
+          .contains("true"))
+        throw new IllegalArgumentException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    flagged
+  }
+
   /** Tumbling-window rollup with late-data allowance — the streaming
     * twin of the batch hourly rollup (q14). Append mode emits a window
     * only once the watermark passes it. */
@@ -147,7 +196,8 @@ object Streams {
     * reference's idempotent re-index). */
   def bulkSinkStream(docs: DataFrame, index: String, idExpr: Column,
       transport: BulkSink.BulkTransport, checkpointDir: String,
-      batchSize: Int = 500): StreamingQuery =
+      batchSize: Int = 500): StreamingQuery = {
+    checkpointRenameContract(docs.sparkSession, checkpointDir)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -156,6 +206,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   case class BandedDoc(band: Int, band_val: Long, doc_id: Long,
       simhash: Long)
@@ -377,7 +428,8 @@ object Streams {
       textCol: String, indexDir: String, checkpointDir: String,
       sink: DataFrame => Unit,
       numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.7, compactEvery: Int = 0): StreamingQuery =
+      threshold: Double = 0.7, compactEvery: Int = 0): StreamingQuery = {
+    checkpointRenameContract(docs.sparkSession, checkpointDir)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -451,6 +503,7 @@ object Streams {
         }
       }
       .start()
+  }
 
   /** Streaming RAG chunking — q111's sliding-window chunker on the
     * ingest stream (the shape an embedding pipeline actually runs:
@@ -502,7 +555,8 @@ object Streams {
     * face): a ruling feed that dumps millions of ids into one
     * micro-batch costs shuffles, never a driver collect. */
   def takedownStream(ids: DataFrame, idCol: String, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    checkpointRenameContract(ids.sparkSession, checkpointDir)
     ids.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -512,6 +566,7 @@ object Streams {
           batch.select(col(idCol).cast("long").as("doc_id")), 16)
       }
       .start()
+  }
 
   /** The VECTOR twin of [[takedownStream]]: the same ruling stream
     * evicts embeddings from the stored IVF+PQ index
@@ -522,7 +577,8 @@ object Streams {
     * takedown streams off one ruling feed so a document vanishes
     * from lexical, vector, and hybrid pages at the same watermark. */
   def vectorTakedownStream(ids: DataFrame, idCol: String,
-      indexDir: String, checkpointDir: String): StreamingQuery =
+      indexDir: String, checkpointDir: String): StreamingQuery = {
+    checkpointRenameContract(ids.sparkSession, checkpointDir)
     ids.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -532,6 +588,7 @@ object Streams {
           batch.select(col(idCol).cast("long").as("vec_id")))
       }
       .start()
+  }
 
   /** Streaming INGESTION into the stored text index — the refresh
     * loop as a stream: arriving documents append into the persisted
@@ -567,7 +624,8 @@ object Streams {
     * engine a no-op regardless). */
   def indexRefreshStream(docs: DataFrame, idCol: String,
       textCol: String, indexDir: String,
-      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery = {
+    checkpointRenameContract(docs.sparkSession, checkpointDir)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -593,6 +651,7 @@ object Streams {
         }
       }
       .start()
+  }
 
   /** [[indexRefreshStream]] for the MULTI-FIELD text layout: the
     * same staged-segment exactly-once protocol around
@@ -602,7 +661,8 @@ object Streams {
     * single-field one. */
   def multiFieldRefreshStream(docs: DataFrame, idCol: String,
       fields: Seq[String], indexDir: String,
-      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery = {
+    checkpointRenameContract(docs.sparkSession, checkpointDir)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -620,6 +680,7 @@ object Streams {
         }
       }
       .start()
+  }
 
   /** The VECTOR twin of [[indexRefreshStream]]: arriving embeddings
     * assign + encode against the index's FIXED artifacts and land as
@@ -632,7 +693,8 @@ object Streams {
     * streams, with no marker-log residual window. */
   def vectorRefreshStream(vecs: DataFrame, indexDir: String,
       checkpointDir: String, m: Int = 8,
-      subdim: Int = 8, compactEvery: Int = 0): StreamingQuery =
+      subdim: Int = 8, compactEvery: Int = 0): StreamingQuery = {
+    checkpointRenameContract(vecs.sparkSession, checkpointDir)
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -650,6 +712,7 @@ object Streams {
         }
       }
       .start()
+  }
 
   /** Streaming percolation — q143's alerting face in its natural
     * habitat (saved searches match ARRIVING documents — the reason

@@ -40,6 +40,14 @@ object ProbeScaleCurve {
     }.min
   }
 
+  /** Mutations change the index they run on, so they time ONCE — the
+    * curve SHAPE across 1×/10×/100× is the signal, not the absolute. */
+  private def timeOnce(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** ~30-token docs over a Heaps-ish vocabulary: vocab grows with
     * sqrt(N) so the dictionary behaves like real text (bigger corpora
     * add types sublinearly); 20% of slots draw from 64 hot terms (a
@@ -98,6 +106,27 @@ object ProbeScaleCurve {
       println(s"""{"face":"bm25SearchStored","n_docs":$n,""" +
         s""""query_s":${f"$tSearch%.3f"},"dict_terms":$dict,""" +
         s""""matched_postings":$matched}""")
+      // ---- text MUTATION curve: the maintenance story, measured ----
+      // The claims: append cost tracks the DELTA (fixed 1k docs →
+      // flat-ish curve), delete cost tracks the batch + dictionary
+      // carry (fixed 200 ids → flat-to-dictionary-sublinear), fold
+      // cost is the one deliberate corpus-sized rewrite (≈ linear —
+      // superlinear bend = bug). Runs AFTER the search timings so
+      // the query curve measures the pristine write.
+      val tAppend = timeOnce {
+        FullText.appendToTextIndex(spark,
+          syntheticDocs(spark, 1000L)
+            .select(($"doc_id" + n + 1).as("doc_id"), $"text"),
+          "doc_id", "text", idx, segmentId = Some("curve-delta"))
+      }
+      val tDelete = timeOnce {
+        FullText.deleteFromTextIndex(spark, idx, (0L until 200L).toSeq)
+      }
+      val tFold = timeOnce { FullText.compactTextIndex(spark, idx) }
+      println(s"""{"face":"mutation","family":"text","n_docs":$n,""" +
+        s""""append1k_s":${f"$tAppend%.3f"},""" +
+        s""""delete200_s":${f"$tDelete%.3f"},""" +
+        s""""fold_s":${f"$tFold%.3f"}}""")
       graft.ops.Checkpoints.unpersist(docs)
 
       // ---- vector face -----------------------------------------------
@@ -128,6 +157,27 @@ object ProbeScaleCurve {
         s""""cells":$cells,"query_s":${f"$tVec%.3f"},""" +
         s""""probed_vecs":$probedRows,""" +
         s""""brute_force_s":${f"$tBrute%.3f"}}""")
+      // ---- vector MUTATION curve (pq codec): same claims as the
+      // text leg — delta-bounded append (encode 1k vecs against the
+      // FIXED artifacts), batch-bounded delete (the present-only
+      // semi-join reads one codes pass), corpus-sized fold
+      val tVAppend = timeOnce {
+        SimilarityQueries.appendToIvfPqIndex(spark, vidx,
+          syntheticEmbeddings(spark, 1000L)
+            .select(($"vec_id" + n + 1).as("vec_id"), $"embedding"),
+          segmentId = Some("curve-delta"))
+      }
+      val tVDelete = timeOnce {
+        SimilarityQueries.deleteFromIvfPqIndex(spark, vidx,
+          (0L until 200L).toSeq)
+      }
+      val tVFold = timeOnce {
+        SimilarityQueries.compactIvfPqIndex(spark, vidx)
+      }
+      println(s"""{"face":"mutation","family":"vector-pq",""" +
+        s""""n_vecs":$n,"append1k_s":${f"$tVAppend%.3f"},""" +
+        s""""delete200_s":${f"$tVDelete%.3f"},""" +
+        s""""fold_s":${f"$tVFold%.3f"}}""")
       // the round-11 finding: at ~1.4k cells the stored face is
       // LISTING-bound (one directory per cell), not data-bound. The
       // pgroup'd twin groups cells into 64 physical partitions with

@@ -87,14 +87,33 @@ object RunGc {
         val graceMs = spark.conf
           .getOption("graft.index.gcRotationGraceMs")
           .map(_.toLong).getOrElse(15L * 60 * 1000)
-        val now = System.currentTimeMillis()
+        // the grace comparison is store-mtime vs "now" — but driver
+        // clock vs store clock can skew (and some stores stamp mtimes
+        // at copy COMPLETION), which could make seconds-old rotation
+        // dirs read as past the window. Derive "now" from the STORE:
+        // one probe file created under the index (we hold the lease),
+        // its mtime IS the store's clock. A store reporting no usable
+        // mtime for a fresh create (synthetic zeros) falls back to
+        // the driver clock — on such a store every listed mtime is
+        // synthetic too, so the comparison is degenerate either way.
+        val now = if (graceMs <= 0) 0L else {
+          val probe = new Path(p, s"_gc.clockprobe.${
+            java.util.UUID.randomUUID().toString.take(12)}")
+          try {
+            fs.create(probe, true).close()
+            val t = fs.getFileStatus(probe).getModificationTime
+            if (t > 0) t else System.currentTimeMillis()
+          } catch {
+            case _: java.io.IOException => System.currentTimeMillis()
+          } finally fs.delete(probe, false)
+        }
         val entries = fs.listStatus(p).filter(st => st.isDirectory &&
           rotSuffixes.exists(st.getPath.getName.endsWith(_)))
         def sweepable(
             st: org.apache.hadoop.fs.FileStatus): Boolean = {
           val n = st.getPath.getName
-          !referenced.contains(n) &&
-            now - st.getModificationTime >= graceMs
+          !referenced.contains(n) && (graceMs <= 0 ||
+            now - st.getModificationTime >= graceMs)
         }
         // PASS 1 — heal: every base with a `.old` backup goes through
         // the one heal (restore, roll-forward, or the AMBIGUOUS
@@ -119,14 +138,28 @@ object RunGc {
         // crashed FIRST-EVER write, where no base exists yet — a
         // `.old` is only ever reclaimed against a live base, since a
         // backup without one always went through the heal above).
-        // Anything whose base is ambiguous is untouchable this run.
+        // Anything whose base is ambiguous is untouchable this run —
+        // and so is staging whose `${base}.old` STILL EXISTS, however
+        // it got here: staging is written BEFORE the base→`.old`
+        // rename, so it ages past the grace first, and a recent
+        // copy-rename crash can present base + YOUNG `.old` + old
+        // staging — an ambiguous trio pass 1 couldn't flag (the
+        // graced `.old` never reached the heal). Reclaiming that
+        // staging dir would destroy one of the three artifacts the
+        // operator needs, and if the crash sat mid-copy of rename-2
+        // it was the only complete copy. A `.old` is re-checked live
+        // (`fs.exists`) because this very pass may have reclaimed it
+        // a few entries earlier — but only a SWEEPABLE `.old` beside
+        // a live base is ever deleted here, and that pairing passed
+        // through pass 1 un-thrown, so no ambiguity hides behind it.
         entries.foreach { st =>
           val n = st.getPath.getName
           rotSuffixes.find(n.endsWith(_)).foreach { suf =>
             val base = n.dropRight(suf.length)
             if (base.nonEmpty && !ambiguousBases.contains(base) &&
                 sweepable(st) && fs.exists(st.getPath) &&
-                (suf != ".old" || fs.exists(new Path(p, base)))) {
+                (if (suf == ".old") fs.exists(new Path(p, base))
+                 else !fs.exists(new Path(p, base + ".old")))) {
               val bytes =
                 try fs.getContentSummary(st.getPath).getLength
                 catch { case _: java.io.IOException => 0L }
@@ -141,13 +174,60 @@ object RunGc {
       }
     }
 
+  /** `--resolve` face: execute ONE arm of the ambiguous-rotation
+    * three-way ([[graft.io.Layout.resolveAmbiguousRotation]]) under
+    * the mutation lease — the operator recovery for the
+    * `AmbiguousRotationException` halt that used to be hand-run raw
+    * deletes. `base` is the rotated artifact's name relative to
+    * `indexDir` (the name RunGc/RunStatus report in
+    * `ambiguous_rotations`, e.g. `bands`); `arm` is one of
+    * `keep-base` / `rewind` / `roll-forward`. Every destructive step
+    * prints BEFORE it runs; preconditions refuse an arm whose trusted
+    * artifact is missing. Returns the executed action list. */
+  def resolve(spark: SparkSession, indexDir: String, base: String,
+      arm: String, waitSec: Option[Long] = None): Seq[String] =
+    Layout.withLeaseWait(spark, waitSec) {
+      Layout.withMutationLease(spark, indexDir) {
+        Layout.resolveAmbiguousRotation(spark,
+          s"${indexDir.stripSuffix("/")}/$base", arm,
+          a => println(s"resolve[$arm] $a"))
+      }
+    }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: RunGc <indexDir> [--wait <sec>]")
+    require(args.nonEmpty, "usage: RunGc <indexDir> [--wait <sec>] " +
+      "[--resolve <base>:<keep-base|rewind|roll-forward>]")
     val waitSec = args.indexOf("--wait") match {
       case i if i >= 0 && i + 1 < args.length => Some(args(i + 1).toLong)
       case i if i >= 0 => throw new IllegalArgumentException(
         "--wait requires a value in seconds")
       case _ => None
+    }
+    val resolveArg = args.indexOf("--resolve") match {
+      case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+      case i if i >= 0 => throw new IllegalArgumentException(
+        "--resolve requires <base>:<keep-base|rewind|roll-forward> " +
+          "(base = the name RunStatus reports in ambiguous_rotations)")
+      case _ => None
+    }
+    resolveArg.foreach { ra =>
+      val sep = ra.lastIndexOf(':')
+      require(sep > 0 && sep < ra.length - 1,
+        s"--resolve wants <base>:<arm>, got '$ra'")
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+        .appName("graft-gc-resolve")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val actions = resolve(spark, args(0), ra.take(sep),
+        ra.drop(sep + 1), waitSec)
+      println(s"""{"tool":"gc","resolved":"${ra.take(sep)}",""" +
+        s""""arm":"${ra.drop(sep + 1)}",""" +
+        s""""actions":[${actions.map(a => s""""$a"""").mkString(",")}]}""")
+      spark.stop()
+      return
     }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))

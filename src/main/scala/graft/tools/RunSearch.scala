@@ -96,12 +96,24 @@ object RunSearch {
             .as("highlighted"))
         .orderBy(col("rrf_score").desc, col("doc_id"))
     }
-    // `--generation` pins the LEXICAL index (the mutation-heavy leg);
-    // the vector index resolves live — pin both by nesting
-    // withPinnedGeneration calls programmatically if needed
+    // `--generation N` pins the LEXICAL index at N — and the vector
+    // index at ITS OWN live generation AS OF ENTRY, so a vector-index
+    // commit landing mid-run cannot shift the fused page either: the
+    // operator asked for a pinned snapshot, and a half-pinned hybrid
+    // (text frozen, vector drifting) would read as nondeterminism.
+    // The two indexes mutate independently, so N is meaningless for
+    // the vector side — entry-time live is the snapshot the operator
+    // observed when choosing N. A never-committed (legacy-root)
+    // vector index has no generation to pin and resolves live.
     generation match {
       case Some(g) =>
-        graft.io.Layout.withPinnedGeneration(spark, textIdx, g)(build())
+        graft.io.Layout.withPinnedGeneration(spark, textIdx, g) {
+          graft.io.Layout.liveGeneration(spark, vecIdx) match {
+            case Some(vg) => graft.io.Layout
+              .withPinnedGeneration(spark, vecIdx, vg)(build())
+            case None => build()
+          }
+        }
       case None => build()
     }
   }

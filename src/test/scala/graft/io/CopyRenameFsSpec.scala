@@ -160,11 +160,14 @@ class CopyRenameFsSpec extends SparkSpecBase {
     assert(ambiguous == 1 && reclaimed == 0 && healed == 0,
       s"GC must report, not resolve (got r=$reclaimed h=$healed a=$ambiguous)")
     // operator resolution: THIS crash point kept the base complete —
-    // keep it (delete .old + staging, the message's first option)
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands.old"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands.compact"), true)
+    // keep it, through the CLI arm (RunGc --resolve bands:keep-base)
+    // instead of hand-run raw deletes on the store
+    val actions =
+      graft.tools.RunGc.resolve(spark, idx, "bands", "keep-base")
+    assert(actions.size == 2 && actions.forall(_.startsWith("delete")) &&
+      actions.exists(_.endsWith("bands.old")) &&
+      actions.exists(_.endsWith("bands.compact")),
+      s"keep-base must delete exactly the untrusted pair (got $actions)")
     graft.ops.Dedup.compactBandIndex(spark, idx)
     assert(spark.read.parquet(s"$idx/bands").count() == 2,
       "the re-run fold must dedup the kept base exactly")

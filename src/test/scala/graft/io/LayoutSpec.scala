@@ -127,4 +127,39 @@ class LayoutSpec extends SparkSpecBase {
       .foreach(n => assert(Layout.pathExists(spark, s"$dir/$n"),
         s"$n must survive the refusal — the operator needs it"))
   }
+
+  test("CreateCommitMarker is create-IF-ABSENT and stamps the fence token") {
+    // a pre-existing `_COMMITTED` is protocol-unreachable (the gen
+    // dir stages token-unique and commitGeneration deletes a leftover
+    // final name before its rename), so the default publisher turns
+    // "can't happen" into a LOUD failure instead of silently
+    // re-publishing over another writer's marker — and the marker
+    // content records WHICH fence token published the generation
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("marker")
+      .toFile.getAbsolutePath
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$dir/_COMMITTED")
+    val pub = new CreateCommitMarker
+    assert(pub.publish(fs, marker, dir, Some("cafe0123cafe")))
+    def content(): String = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(content() == "cafe0123cafe",
+      "the marker must carry the publishing writer's fence token")
+    val e = intercept[java.io.IOException] {
+      pub.publish(fs, marker, dir, Some("beefbeefbeef"))
+    }
+    assert(e != null)
+    assert(content() == "cafe0123cafe",
+      "a refused re-publish must leave the original marker intact")
+    // a lease-less legacy caller publishes an EMPTY marker (no token
+    // to attribute) — still create-if-absent
+    val marker2 = new Path(s"$dir/_COMMITTED2")
+    assert(pub.publish(fs, marker2, dir, None))
+    assert(fs.getFileStatus(marker2).getLen == 0)
+  }
 }

@@ -252,18 +252,191 @@ class RunGcSpec extends SparkSpecBase {
         graft.ops.Dedup.compactBandIndex(spark, idx)
       }
       assert(e.getMessage.contains("Resolve manually"))
-      // operator resolution (roll forward, per the message), then
-      // both faces work again
-      val fs = new org.apache.hadoop.fs.Path(idx)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands.old"), true)
-      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/bands.compact"),
-        new org.apache.hadoop.fs.Path(s"$idx/bands")))
+      // operator resolution through the CLI face (roll forward, per
+      // the message — no more hand-run raw deletes), then both faces
+      // work again
+      val actions = RunGc.resolve(spark, idx, "bands", "roll-forward")
+      assert(actions.size == 3 &&
+        actions.count(_.startsWith("delete")) == 2 &&
+        actions.exists(_.startsWith("rename")),
+        s"roll-forward = two deletes + one promote (got $actions)")
       assert(RunGc.run(spark, idx) == ((0, 0L, 0, 0)))
       graft.ops.Dedup.compactBandIndex(spark, idx)
       assert(spark.read.parquet(s"$idx/bands").count() == 1)
     } finally spark.conf.unset("graft.index.gcRotationGraceMs")
+  }
+
+  /** Build a REAL ambiguous trio on the copy-rename store: a tiny
+    * band index whose fold is crashed inside one of the two rotation
+    * renames by [[graft.io.CopyRenameFileSystem]]'s injection hook.
+    * `afterFiles = 0` crashes at the first file of rename-1
+    * (base→`.old`): base stays COMPLETE, `.old` is a skeleton, the
+    * staged `.compact` (the folded frame) is complete. `afterFiles =
+    * <files in base>` survives rename-1 whole and crashes at the
+    * first file of rename-2 (`.compact`→base): base is an EMPTY
+    * SKELETON, `.old` and `.compact` complete — a different artifact
+    * partial in each, which is exactly what makes the state
+    * ambiguous. Returns the index dir. */
+  private def injectedTrio(prefix: String,
+      crashInRename2: Boolean): String = {
+    spark.sparkContext.hadoopConfiguration.set("fs.cprn.impl",
+      classOf[graft.io.CopyRenameFileSystem].getName)
+    val idx = "cprn://" + tmp(prefix)
+    Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$idx/bands")
+    Seq((9L, Seq("s"))).toDF("id", "sh")
+      .write.parquet(s"$idx/shingles")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseFiles = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$idx/bands"), true)
+      var n = 0
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+    graft.io.CopyRenameFileSystem.crashRotationRenameAfterFiles =
+      if (crashInRename2) baseFiles else 0
+    try {
+      val e = intercept[Exception] {
+        graft.ops.Dedup.compactBandIndex(spark, idx)
+      }
+      assert(e.getMessage != null &&
+        e.getMessage.contains("simulated crash mid-rotation-rename"),
+        s"the injected rotation crash must surface (got $e)")
+    } finally
+      graft.io.CopyRenameFileSystem.crashRotationRenameAfterFiles = -1
+    assert(graft.io.Layout.pathExists(spark, s"$idx/bands") &&
+      graft.io.Layout.pathExists(spark, s"$idx/bands.old") &&
+      graft.io.Layout.pathExists(spark, s"$idx/bands.compact"),
+      "the crash must leave the full ambiguous trio")
+    idx
+  }
+
+  test("RunGc --resolve keep-base on a real injected cprn:// trio: the complete base survives, the fold re-runs") {
+    // crash at the FIRST file of rename-1: the base never lost a file
+    // (rename-1's source delete only runs after its copy) — keep-base
+    // is the correct operator call for this crash point
+    val idx = injectedTrio("gc-res-kb", crashInRename2 = false)
+    val actions = RunGc.resolve(spark, idx, "bands", "keep-base")
+    assert(actions.size == 2 && actions.forall(_.startsWith("delete")) &&
+      actions.exists(_.endsWith("bands.old")) &&
+      actions.exists(_.endsWith("bands.compact")),
+      s"keep-base deletes exactly the two untrusted artifacts (got $actions)")
+    assert(spark.read.parquet(s"$idx/bands").count() == 3,
+      "the kept base must hold every pre-crash row")
+    assert(RunGc.run(spark, idx) == ((0, 0L, 0, 0)),
+      "nothing ambiguous or sweepable may remain after resolution")
+    graft.ops.Dedup.compactBandIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/bands").count() == 2,
+      "the re-run fold must dedup the kept base exactly")
+    assert(!graft.io.Layout.pathExists(spark, s"$idx/_mutation.lock"),
+      "the resolve CLI's lease must release")
+  }
+
+  test("RunGc --resolve rewind on a real injected cprn:// trio: the backup restores, the fold re-runs from it") {
+    // crash at the first file of rename-2: rename-1 completed (.old
+    // holds every original row), the new base is an empty skeleton —
+    // rewind is the correct operator call for this crash point
+    val idx = injectedTrio("gc-res-rw", crashInRename2 = true)
+    assert(spark.read.parquet(s"$idx/bands.old").count() == 3,
+      "this crash point must leave the backup complete (fixture check)")
+    val actions = RunGc.resolve(spark, idx, "bands", "rewind")
+    assert(actions.last.startsWith("rename") &&
+      actions.last.contains("bands.old ->"),
+      s"rewind must promote the backup last (got $actions)")
+    assert(spark.read.parquet(s"$idx/bands").count() == 3,
+      "the restored base must hold every original row")
+    assert(!graft.io.Layout.pathExists(spark, s"$idx/bands.old") &&
+      !graft.io.Layout.pathExists(spark, s"$idx/bands.compact"))
+    graft.ops.Dedup.compactBandIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/bands").count() == 2,
+      "the crashed fold must re-run cleanly from the restored input")
+  }
+
+  test("RunGc --resolve roll-forward on a real injected cprn:// trio: the staged fold is kept, not recomputed") {
+    // crash at the first file of rename-1 again — but here the
+    // operator trusts the STAGED dir (also complete at this crash
+    // point, since rename-2 never consumed it): the fold survives
+    val idx = injectedTrio("gc-res-rf", crashInRename2 = false)
+    val actions = RunGc.resolve(spark, idx, "bands", "roll-forward")
+    assert(actions.last.startsWith("rename") &&
+      actions.last.contains("bands.compact ->"),
+      s"roll-forward must promote the staging dir last (got $actions)")
+    assert(spark.read.parquet(s"$idx/bands").count() == 2,
+      "the promoted base must be the folded (deduped) content")
+    assert(RunGc.run(spark, idx) == ((0, 0L, 0, 0)))
+  }
+
+  test("RunGc --resolve refuses an arm whose precondition fails and touches nothing") {
+    val idx = tmp("gc-res-refuse")
+    // not the ambiguous trio (no .old): EVERY arm refuses with a
+    // pointer to the self-heal — guided surgery must never race the
+    // states healSwapRotation already resolves
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$idx/bands")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$idx/bands.compact")
+    val e1 = intercept[IllegalArgumentException] {
+      RunGc.resolve(spark, idx, "bands", "rewind")
+    }
+    assert(e1.getMessage.contains("not in the ambiguous rotation state"),
+      s"rewind without a .old backup must refuse (got ${e1.getMessage})")
+    assert(graft.io.Layout.pathExists(spark, s"$idx/bands") &&
+      graft.io.Layout.pathExists(spark, s"$idx/bands.compact"),
+      "a refused arm must not delete anything")
+    // the full trio but BOTH staging dirs: roll-forward has no
+    // principled pick between .new and .compact and must refuse
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$idx/bands.old")
+    Seq((4L, "d")).toDF("id", "v").write.parquet(s"$idx/bands.new")
+    val e2 = intercept[IllegalArgumentException] {
+      RunGc.resolve(spark, idx, "bands", "roll-forward")
+    }
+    assert(e2.getMessage.contains("refusing roll-forward"),
+      s"two staging dirs must refuse roll-forward (got ${e2.getMessage})")
+    Seq("bands", "bands.old", "bands.new", "bands.compact").foreach(n =>
+      assert(graft.io.Layout.pathExists(spark, s"$idx/$n"),
+        s"$n must survive the refusal"))
+    // an unknown arm refuses before touching anything
+    val e3 = intercept[IllegalArgumentException] {
+      RunGc.resolve(spark, idx, "bands", "pick-something")
+    }
+    assert(e3.getMessage.contains("unknown resolution arm"))
+    assert(!graft.io.Layout.pathExists(spark, s"$idx/_mutation.lock"),
+      "refusals must release the lease")
+  }
+
+  test("pass 2 never reclaims staging while ${base}.old exists: the skew window of a recent copy-rename crash is untouchable") {
+    // staging is written BEFORE the base→.old rename, so it ages past
+    // the grace window first: a recent copy-rename crash presents
+    // base + YOUNG .old + OLD staging — an ambiguous trio pass 1
+    // cannot flag (the graced .old never reaches the heal). The old
+    // sweep deleted that staging dir; if the crash sat mid-copy of
+    // rename-2 it was the ONLY complete copy, and the next GC run
+    // would then reclaim .old and silently enshrine the partial base.
+    val idx = tmp("gc-skew")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$idx/bands")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$idx/bands.old")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$idx/bands.compact")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age the staging dir far past any grace; keep .old young
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$idx/bands.compact"),
+      System.currentTimeMillis() - 3600L * 1000, -1)
+    val (reclaimed, _, healed, ambiguous) = RunGc.run(spark, idx)
+    assert(reclaimed == 0 && healed == 0 && ambiguous == 0,
+      s"the skew window must be untouchable (got r=$reclaimed)")
+    Seq("bands", "bands.old", "bands.compact").foreach(n =>
+      assert(graft.io.Layout.pathExists(spark, s"$idx/$n"),
+        s"$n must survive the graced sweep"))
+    // once the grace passes, the trio reads as ambiguous — reported,
+    // still untouched
+    spark.conf.set("graft.index.gcRotationGraceMs", "0")
+    val (r2, _, h2, a2) =
+      try RunGc.run(spark, idx)
+      finally spark.conf.unset("graft.index.gcRotationGraceMs")
+    assert(a2 == 1 && r2 == 0 && h2 == 0,
+      s"past the grace the trio must report ambiguous (got a=$a2)")
+    Seq("bands", "bands.old", "bands.compact").foreach(n =>
+      assert(graft.io.Layout.pathExists(spark, s"$idx/$n")))
   }
 
   test("the GC faces run on a URI-schemed object-store filesystem") {

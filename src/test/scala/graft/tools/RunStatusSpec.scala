@@ -210,6 +210,25 @@ class RunStatusSpec extends SparkSpecBase {
       s3.contains(s""""n_vecs_live":${n + dn - dead.size}""") &&
       s3.contains("\"tombstone_rows\":0"),
       s"the fold must true the recorded count (got $s3)")
+    // CROSS-FOLD REPLAY (the text family's discipline, now
+    // symmetric): the fold physically dropped the dead rows AND
+    // cleared the tombstone set the idempotence anti-join checks, so
+    // a takedown id replayed across the compaction boundary (an
+    // at-least-once ruling feed) used to land as a GHOST tombstone —
+    // harmless to search but under-reporting n_vecs_live until the
+    // next fold. The present-only semi-join against the live codes
+    // must tombstone NOTHING for it
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idx, dead)
+    val s4 = RunStatus.describe(spark, idx)
+    assert(s4.contains(s""""n_vecs_live":${n + dn - dead.size}""") &&
+      s4.contains("\"tombstone_rows\":0"),
+      s"a cross-fold replayed takedown must not ghost-tombstone (got $s4)")
+    // ... and a NEVER-INDEXED id is equally ignored
+    SimilarityQueries.deleteFromIvfPqIndex(spark, idx,
+      Seq(987654321098L))
+    assert(RunStatus.describe(spark, idx)
+      .contains("\"tombstone_rows\":0"),
+      "a never-indexed takedown id must tombstone nothing")
   }
 
   test("committed_generations lists every retained pinnable snapshot ascending") {
