@@ -1160,8 +1160,8 @@ object FullText {
     val fresh =
       (if (hadTomb) dedup.join(oldTomb, Seq("doc_id"), "left_anti")
        else dedup).localCheckpoint()
-    val nDeleted = fresh.count()
-    if (nDeleted == 0L) { Checkpoints.unpersist(fresh); return }
+    val nFresh = fresh.count()
+    if (nFresh == 0L) { Checkpoints.unpersist(fresh); return }
     val st = spark.read.parquet(s"$art/stats").head()
     val bk = statsBuckets(st, buckets)
     // the exact-decrement path needs the single-field forward
@@ -1170,6 +1170,52 @@ object FullText {
     // [[deleteFromMultiFieldTextIndex]]
     val multiField = st.schema.fieldNames.contains("field")
     val hasTv = !multiField && hasTermVectors(spark, indexDir, art, st)
+    // PRESENT-ONLY recording (the discipline the r16 exact-stats fix
+    // applied to the DECREMENT, now applied to the tombstone artifact
+    // itself — and the text twin of the vector delete's codes
+    // semi-join): an id replayed AFTER a fold (which physically drops
+    // the doc's rows and CLEARS the set the anti-join above checks)
+    // or a never-indexed id would otherwise land as a GHOST tombstone
+    // — masking nothing, but (a) under-reporting `n_docs_live` on the
+    // Lucene-stale layouts (status derives it as n_docs − tombstone
+    // rows there) and (b) riding every later delete's `old ∪ batch`
+    // rewrite until the next fold. On the term-vector path the
+    // present set falls out of the dead-vector lookup the stats
+    // decrement already needs (dbucket-pruned, delete-batch-bounded);
+    // on the stale path it costs one postings doc_id-column pass —
+    // the same class as the vector family's codes pass, paid per
+    // delete batch, never per search. A ZERO-TOKEN doc has no
+    // postings/vector rows, so its id records nothing and its n_docs
+    // slot stands until a fold re-derives stats from survivors — the
+    // r16-documented imprecision, unchanged in kind.
+    val deadVecsOpt =
+      if (!hasTv) None
+      else {
+        // bucket PRUNE list: ≤ `buckets` distinct values by
+        // construction — a bounded driver artifact, unlike the ids
+        val dBuckets = fresh
+          .select(pmod(hash(col("doc_id")), lit(bk)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        Some(termVectorsFrame(spark, indexDir)
+          .filter(col("dbucket").isInCollection(dBuckets))
+          .join(fresh, Seq("doc_id"), "left_semi")
+          .localCheckpoint())
+      }
+    val present = deadVecsOpt match {
+      case Some(deadVecs) =>
+        deadVecs.select(col("doc_id")).distinct().localCheckpoint()
+      case None =>
+        postingsFrame(spark, indexDir).select(col("doc_id"))
+          .join(fresh, Seq("doc_id"), "left_semi").distinct()
+          .localCheckpoint()
+    }
+    val nDeleted = present.count()
+    if (nDeleted == 0L) {
+      Checkpoints.unpersist(present)
+      deadVecsOpt.foreach(dv => Checkpoints.unpersist(dv))
+      Checkpoints.unpersist(fresh)
+      return
+    }
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
     val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
@@ -1188,7 +1234,7 @@ object FullText {
           oldTomb)
       else 0L
     graft.io.Layout.writeTombstoneArtifact(spark,
-      if (hadTomb) oldTomb.unionByName(fresh) else fresh,
+      if (hadTomb) oldTomb.unionByName(present) else present,
       s"$stage/tombstones", nOld + nDeleted)
     if (!hasTv) {
       // Lucene mode: stats stay stale until compaction — the new
@@ -1196,15 +1242,7 @@ object FullText {
       spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
       spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
     } else {
-      // bucket PRUNE list: ≤ `buckets` distinct values by
-      // construction — a bounded driver artifact, unlike the ids
-      val dBuckets = fresh
-        .select(pmod(hash(col("doc_id")), lit(bk)).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val deadVecs = termVectorsFrame(spark, indexDir)
-        .filter(col("dbucket").isInCollection(dBuckets))
-        .join(fresh, Seq("doc_id"), "left_semi")
-        .localCheckpoint()
+      val deadVecs = deadVecsOpt.get // hoisted for the present set
       spark.read.parquet(s"$art/df")
         .join(deadVecs.groupBy(col("term"))
             .agg(count(lit(1)).as("df_dead")),
@@ -1215,21 +1253,20 @@ object FullText {
         .write.parquet(s"$stage/df")
       val deadLen = deadVecs.agg(coalesce(sum(col("tf")), lit(0L)))
         .head().getLong(0)
-      // decrement by the dead docs PRESENT in the index (distinct
-      // ids in the forward artifact — delete-batch-bounded), never
-      // by the raw batch count: a replayed id whose doc was already
-      // physically folded away (an at-least-once ruling feed
-      // crossing a compaction boundary — the fold clears the
-      // tombstone set, so the idempotence anti-join no longer
-      // recognizes it) or a never-indexed id would otherwise
-      // corrupt n_docs/avgdl for every later search
+      // decrement by the dead docs PRESENT in the index (nDeleted is
+      // exactly that count — the tombstone artifact and the stats now
+      // share one present set), never by the raw batch count: a
+      // replayed id whose doc was already physically folded away (an
+      // at-least-once ruling feed crossing a compaction boundary —
+      // the fold clears the tombstone set, so the idempotence
+      // anti-join no longer recognizes it) or a never-indexed id
+      // would otherwise corrupt n_docs/avgdl for every later search
       // (ObjectStoreStreamsSpec's nost:// lifecycle caught exactly
       // that). The one imprecision left: a ZERO-TOKEN doc has no
       // vector rows, so deleting one leaves its n_docs slot counted
       // until a rebuild — it has no postings to mask, and no
       // artifact records its id.
-      val presentDead = deadVecs.select(col("doc_id")).distinct().count()
-      val nDocs = st.getAs[Long]("n_docs") - presentDead
+      val nDocs = st.getAs[Long]("n_docs") - nDeleted
       val sumLen = st.getAs[Long]("sum_doclen") - deadLen
       require(nDocs > 0, "deleting every document: rebuild instead")
       Seq((nDocs, sumLen.toDouble / nDocs, sumLen,
@@ -1246,6 +1283,7 @@ object FullText {
         .coalesce(1).write.parquet(s"$stage/segments")
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
+    Checkpoints.unpersist(present)
     Checkpoints.unpersist(fresh)
   }
 
@@ -2013,8 +2051,29 @@ object FullText {
     val fresh =
       (if (hadTomb) dedup.join(oldTomb, Seq("doc_id"), "left_anti")
        else dedup).localCheckpoint()
-    val nDeleted = fresh.count()
-    if (nDeleted == 0L) { Checkpoints.unpersist(fresh); return }
+    val nFresh = fresh.count()
+    if (nFresh == 0L) { Checkpoints.unpersist(fresh); return }
+    val dBuckets = fresh
+      .select(pmod(hash(col("doc_id")), lit(bk)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val deadVecs = termVectorsFrame(spark, indexDir)
+      .filter(col("dbucket").isInCollection(dBuckets))
+      .join(fresh, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // PRESENT-ONLY recording, the single-field discipline: the
+    // tombstone artifact records only ids the forward artifact holds
+    // (any field), falling out of the dead-vector lookup the stats
+    // decrement needs anyway — a replayed-past-fold or never-indexed
+    // id records nothing and `n_docs_live` stays true
+    val present = deadVecs.select(col("doc_id")).distinct()
+      .localCheckpoint()
+    val nDeleted = present.count()
+    if (nDeleted == 0L) {
+      Checkpoints.unpersist(present)
+      Checkpoints.unpersist(deadVecs)
+      Checkpoints.unpersist(fresh)
+      return
+    }
     val gen = graft.io.Layout.liveGeneration(spark, indexDir)
       .getOrElse(0L) + 1
     val stage = graft.io.Layout.stageGenerationDir(spark, indexDir, gen)
@@ -2029,15 +2088,8 @@ object FullText {
           oldTomb)
       else 0L
     graft.io.Layout.writeTombstoneArtifact(spark,
-      if (hadTomb) oldTomb.unionByName(fresh) else fresh,
+      if (hadTomb) oldTomb.unionByName(present) else present,
       s"$stage/tombstones", nOld + nDeleted)
-    val dBuckets = fresh
-      .select(pmod(hash(col("doc_id")), lit(bk)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val deadVecs = termVectorsFrame(spark, indexDir)
-      .filter(col("dbucket").isInCollection(dBuckets))
-      .join(fresh, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
     spark.read.parquet(s"$art/df")
       .join(deadVecs.groupBy(col("field"), col("term"))
           .agg(count(lit(1)).as("df_dead")),
@@ -2055,12 +2107,12 @@ object FullText {
     // present-docs discipline, same as the single-field exact path:
     // n_docs decrements only for ids the forward artifact actually
     // holds (any field) — replayed-past-fold and never-indexed ids
-    // decrement nothing
-    val presentDead = deadVecs.select(col("doc_id")).distinct().count()
+    // decrement nothing (nDeleted IS the present count; the tombstone
+    // artifact above records exactly the same set)
     val updated = spark.read.parquet(s"$art/stats").collect()
       .map { r =>
         val f = r.getString(r.fieldIndex("field"))
-        val n = r.getAs[Long]("n_docs") - presentDead
+        val n = r.getAs[Long]("n_docs") - nDeleted
         require(n > 0, "deleting every document: rebuild instead")
         val s = r.getAs[Long]("sum_doclen") - deadSums.getOrElse(f, 0L)
         (f, n, s.toDouble / n, s, true, bk)
@@ -2076,6 +2128,7 @@ object FullText {
         .coalesce(1).write.parquet(s"$stage/segments")
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
+    Checkpoints.unpersist(present)
     Checkpoints.unpersist(fresh)
   }
 

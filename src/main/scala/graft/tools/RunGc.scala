@@ -97,6 +97,13 @@ object RunGc {
         // the driver clock — on such a store every listed mtime is
         // synthetic too, so the comparison is degenerate either way.
         val now = if (graceMs <= 0) 0L else {
+          // sweep a crashed predecessor's leaked probe first — probes
+          // are FILES, invisible to the dir-only sweeps below, so a
+          // RunGc killed between create and delete would otherwise
+          // leak one forever
+          fs.listStatus(p).filter(st => st.isFile &&
+              st.getPath.getName.startsWith("_gc.clockprobe."))
+            .foreach(st => fs.delete(st.getPath, false))
           val probe = new Path(p, s"_gc.clockprobe.${
             java.util.UUID.randomUUID().toString.take(12)}")
           try {

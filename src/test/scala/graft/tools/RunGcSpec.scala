@@ -427,6 +427,12 @@ class RunGcSpec extends SparkSpecBase {
     Seq("bands", "bands.old", "bands.compact").foreach(n =>
       assert(graft.io.Layout.pathExists(spark, s"$idx/$n"),
         s"$n must survive the graced sweep"))
+    // GC's adjudication is graced, but the MONITORING face is
+    // age-blind: the operator sees the halted trio immediately, not
+    // fifteen minutes later
+    assert(RunStatus.describe(spark, idx)
+      .contains("\"ambiguous_rotations\":[\"bands\"]"),
+      "status must surface the trio even while the GC grace holds")
     // once the grace passes, the trio reads as ambiguous — reported,
     // still untouched
     spark.conf.set("graft.index.gcRotationGraceMs", "0")

@@ -131,6 +131,22 @@ class RunStatusSpec extends SparkSpecBase {
     assert(s2.contains(s""""n_docs":${n + 1 - dead.size}""") &&
       s2.contains(s""""n_docs_live":${n + 1 - dead.size}""") &&
       s2.contains("\"tombstone_rows\":0"), s"got $s2")
+    // CROSS-FOLD REPLAY on the stale layout (the text twin of the
+    // vector present-only discipline): the fold physically dropped
+    // the docs AND cleared the tombstone set, so a replayed takedown
+    // id used to land as a GHOST tombstone — masking nothing, but
+    // making n_docs_live = n_docs − tombstone_rows UNDER-report. The
+    // present-only postings semi-join must record nothing for it
+    FullText.deleteFromTextIndex(spark, idx, dead)
+    val s2r = RunStatus.describe(spark, idx)
+    assert(s2r.contains(s""""n_docs_live":${n + 1 - dead.size}""") &&
+      s2r.contains("\"tombstone_rows\":0"),
+      s"a cross-fold replayed takedown must not ghost-tombstone (got $s2r)")
+    // ... and a NEVER-INDEXED id is equally ignored
+    FullText.deleteFromTextIndex(spark, idx, Seq(987654321098L))
+    assert(RunStatus.describe(spark, idx)
+      .contains("\"tombstone_rows\":0"),
+      "a never-indexed takedown id must tombstone nothing")
     // exact-mode twin (term vectors): the delete already decremented
     // n_docs, so live must NOT subtract the tombstones again
     val idxTv = tmp("status-live-tv")
