@@ -1011,7 +1011,8 @@ object Layout {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).iterator
+    val entries = fs.listStatus(p)
+    val trios = entries.iterator
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".old") && n.length > 4)
@@ -1021,7 +1022,17 @@ object Layout {
           Seq(".new", ".compact")
             .exists(s => fs.exists(new Path(p, base + s)))
       }
-      .toSeq.sorted
+    // a crashed guided resolution's intent marker is the same class
+    // of halt (every fold/sweep refuses until the arm re-runs), and
+    // its intermediate states need not still be the trio — surface
+    // those bases too
+    val midResolve = entries.iterator
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".resolve-intent") &&
+        n.length > ".resolve-intent".length)
+      .map(_.dropRight(".resolve-intent".length))
+    (trios ++ midResolve).toSeq.distinct.sorted
   }
 
   def orphanedStaging(spark: SparkSession, indexDir: String,
@@ -1304,6 +1315,19 @@ object Layout {
   def healSwapRotation(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed GUIDED resolution ([[resolveAmbiguousRotation]]) left
+    // its intent marker: the intermediate states of a resolution arm
+    // are exactly the shapes this heal would mis-resolve (a rewind
+    // that died after deleting the base looks like a roll-forward
+    // candidate), so automation stands down until the arm is re-run
+    // to completion
+    if (fs.exists(new Path(path + ".resolve-intent")))
+      throw new AmbiguousRotationException(
+        s"a guided resolution of $path crashed mid-arm (marker " +
+          s"$path.resolve-intent records which) — re-run " +
+          "`RunGc <indexDir> --resolve` with the recorded arm to " +
+          "finish it; no automatic heal or sweep will touch this " +
+          "artifact until the marker is gone.")
     val old = new Path(path + ".old")
     if (!fs.exists(old)) return false
     val tmps = Seq(".new", ".compact").map(s => new Path(path + s))
@@ -1360,22 +1384,67 @@ object Layout {
     * self-heal's own arms. Runs are reported through `report` BEFORE
     * each destructive step (the CLI prints them), and the returned
     * action list is the executed plan. Callers hold the mutation
-    * lease ([[graft.tools.RunGc]]'s `--resolve` face does). */
+    * lease ([[graft.tools.RunGc]]'s `--resolve` face does).
+    *
+    * CRASH SAFETY — the arm itself can die mid-sequence, and the
+    * intermediate states are exactly the shapes automation
+    * mis-resolves (a roll-forward that died after its deletes leaves
+    * a lone staging dir, which the sweep reads as crashed-write
+    * garbage; a rewind that died after deleting the base leaves
+    * `.old` + staging, which the self-heal rolls FORWARD — the
+    * opposite of the operator's judgment). So every resolution runs
+    * under an INTENT MARKER (`<path>.resolve-intent`, content = the
+    * arm): it is created before the first destructive step and
+    * removed after the last, [[healSwapRotation]] and the
+    * [[graft.tools.RunGc]] sweep refuse to touch a marked artifact,
+    * and re-running `--resolve` with the SAME arm RESUMES — each
+    * step is idempotent against the states the sequence can crash
+    * into. A different arm while a marker stands refuses (the
+    * recorded arm already destroyed what IT distrusted; switching
+    * horses mid-surgery is how the last copy dies). */
   def resolveAmbiguousRotation(spark: SparkSession, path: String,
       arm: String, report: String => Unit = _ => ()): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(path + ".old")
-    val stagings = Seq(".new", ".compact")
+    val intent = new Path(path + ".resolve-intent")
+    require(Seq("keep-base", "rewind", "roll-forward").contains(arm),
+      s"unknown resolution arm '$arm' — one of keep-base, rewind, " +
+        "roll-forward (see AmbiguousRotationException).")
+    def stagings(): Seq[Path] = Seq(".new", ".compact")
       .map(s => new Path(path + s)).filter(fs.exists)
-    val baseExists = fs.exists(p)
-    require(baseExists && fs.exists(old) && stagings.nonEmpty,
-      s"$path is not in the ambiguous rotation state (base + .old + " +
-        s"staging all present; found base=$baseExists " +
-        s"old=${fs.exists(old)} " +
-        s"staging=${stagings.map(_.getName).mkString(",")}) — " +
-        "anything less than the full trio self-heals: run RunGc " +
-        "without --resolve (or Layout.healSwapRotation) instead.")
+    if (fs.exists(intent)) {
+      val prev = {
+        val in = fs.open(intent)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      require(prev == arm,
+        s"a guided resolution of $path crashed mid-'$prev' (marker " +
+          s"$intent) — re-run --resolve with '$prev' to finish it; " +
+          s"'$arm' would delete artifacts the crashed arm already " +
+          "chose to trust. Remove the marker only after manual " +
+          "inspection.")
+    } else {
+      val baseExists = fs.exists(p)
+      val st = stagings()
+      require(baseExists && fs.exists(old) && st.nonEmpty,
+        s"$path is not in the ambiguous rotation state (base + .old " +
+          s"+ staging all present; found base=$baseExists " +
+          s"old=${fs.exists(old)} " +
+          s"staging=${st.map(_.getName).mkString(",")}) — " +
+          "anything less than the full trio self-heals: run RunGc " +
+          "without --resolve (or Layout.healSwapRotation) instead.")
+      if (arm == "roll-forward") require(st.size == 1,
+        s"refusing roll-forward: ${st.size} staging dirs exist " +
+          s"(${st.map(_.getName).mkString(", ")}) — roll-forward " +
+          "needs exactly one complete staging dir to promote; " +
+          "keep-base or rewind instead.")
+      val out = fs.create(intent, false)
+      try out.write(arm.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val actions = scala.collection.mutable.ArrayBuffer[String]()
     def destroy(t: Path): Unit = {
       val a = s"delete $t"
@@ -1389,27 +1458,42 @@ object Layout {
       require(fs.rename(src, p), s"resolve $arm: $a failed")
       actions += a
     }
+    // each arm is a sequence of idempotent steps ordered so that any
+    // crash point resumes (under the marker, nothing else touches
+    // the artifacts in between)
     arm match {
       case "keep-base" =>
-        destroy(old)
-        stagings.foreach(destroy)
+        require(fs.exists(p),
+          s"keep-base cannot complete: no base at $path — the marker" +
+            s" ($intent) guards a state this arm never produces; " +
+            "inspect manually.")
+        if (fs.exists(old)) destroy(old)
+        stagings().foreach(destroy)
       case "rewind" =>
-        destroy(p)
-        stagings.foreach(destroy)
-        promote(old)
+        stagings().foreach(destroy)
+        if (fs.exists(old)) {
+          if (fs.exists(p)) destroy(p)
+          promote(old)
+        } else require(fs.exists(p),
+          s"rewind cannot complete: neither $old nor $path exists — " +
+            "inspect manually before removing the marker.")
       case "roll-forward" =>
-        require(stagings.size == 1,
-          s"refusing roll-forward: ${stagings.size} staging dirs " +
-            s"exist (${stagings.map(_.getName).mkString(", ")}) — " +
-            "roll-forward needs exactly one complete staging dir to " +
-            "promote; keep-base or rewind instead.")
-        destroy(p)
-        destroy(old)
-        promote(stagings.head)
-      case other => throw new IllegalArgumentException(
-        s"unknown resolution arm '$other' — one of keep-base, " +
-          "rewind, roll-forward (see AmbiguousRotationException).")
+        val st = stagings()
+        if (st.nonEmpty) {
+          require(st.size == 1,
+            s"refusing roll-forward: ${st.size} staging dirs exist")
+          if (fs.exists(p)) destroy(p)
+          promote(st.head)
+        } else require(fs.exists(p),
+          s"roll-forward cannot complete: no staging dir and no " +
+            s"base at $path — inspect manually before removing the " +
+            "marker.")
+        if (fs.exists(old)) destroy(old)
     }
+    require(fs.delete(intent, false),
+      s"resolution complete but the intent marker $intent failed to " +
+        "delete — remove it manually (automation refuses the " +
+        "artifact until it is gone).")
     actions.toSeq
   }
 

@@ -1094,12 +1094,22 @@ object FullText {
     * Lucene/ES behavior, where docFreq includes deleted docs until
     * segments merge.
     *
-    * Contract: `ids` are documents the index actually contains
-    * (deleting an absent id over-decrements n_docs). Re-deleting an
-    * already-tombstoned id is a NO-OP (idempotent: the batch first
-    * subtracts the live tombstone set, so retried takedown jobs
-    * cannot double-decrement the statistics; the tombstone read is
-    * delete-batch-sized by the compaction contract).
+    * Contract: deleting is PRESENT-ONLY — the batch is reduced to
+    * ids the forward artifact actually holds before anything records
+    * (free on the term-vector path, one postings doc_id semi-join on
+    * the Lucene-stale path), so an ABSENT id is a strict no-op: a
+    * replayed-past-fold or never-indexed id neither decrements stats
+    * nor lands a ghost tombstone that would under-report
+    * `n_docs_live` and ride every later artifact rewrite. The ES
+    * semantics exactly (DELETE of a missing doc is a 404 no-op) —
+    * which also means a delete arriving BEFORE its document's append
+    * does NOT pre-tombstone the future doc; out-of-order ruling
+    * feeds must order deletes after ingestion, as ES deployments
+    * already must. Re-deleting an already-tombstoned id is equally a
+    * NO-OP (idempotent: the batch first subtracts the live tombstone
+    * set, so retried takedown jobs cannot double-decrement; the
+    * tombstone read is delete-batch-sized by the compaction
+    * contract).
     *
     * Crash safety: tombstones, the decremented dictionary and the
     * decremented statistics are STAGED TOGETHER into generation

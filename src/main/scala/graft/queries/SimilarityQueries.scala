@@ -2035,7 +2035,15 @@ object SimilarityQueries {
     * training artifacts, deliberately fixed between retrains (the
     * q106 stability contract; FAISS `remove_ids` keeps its
     * quantizers the same way) — so search-after-delete is exactly
-    * search-over-surviving-codes (VectorIndexLayoutSpec's pin). */
+    * search-over-surviving-codes (VectorIndexLayoutSpec's pin).
+    *
+    * PRESENT-ONLY, like the text twin: the batch semi-joins the live
+    * codes before tombstoning, so an absent id (replayed past a fold,
+    * or never indexed) is a strict no-op — `n_vecs_live` stays true
+    * and no ghost rows ride later rewrites. Consequently a delete
+    * arriving BEFORE its vector's append does NOT pre-tombstone the
+    * future vector (FAISS `remove_ids` of an unknown id removes
+    * nothing, same semantics); order ruling feeds after ingestion. */
   def deleteFromIvfPqIndex(spark: SparkSession, indexDir: String,
       ids: Seq[Long]): Unit = {
     import spark.implicits._

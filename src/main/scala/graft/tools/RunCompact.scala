@@ -60,7 +60,14 @@ object RunCompact {
     * fail unreadably on it. */
   def detectFamily(spark: SparkSession, indexDir: String): String =
     if (graft.io.Layout.pathExists(spark, s"$indexDir/meta")) "vector"
-    else if (graft.io.Layout.pathExists(spark, s"$indexDir/bands")) "band"
+    // the band base itself can be legitimately absent mid-rotation
+    // (crashed between the swap renames) or mid-guided-resolution —
+    // the monitoring face must still classify the index instead of
+    // falling through to a text-stats read that explodes
+    else if (Seq("bands", "bands.old", "bands.compact", "bands.new",
+        "bands.resolve-intent")
+        .exists(n => graft.io.Layout.pathExists(spark, s"$indexDir/$n")))
+      "band"
     else {
       val art = FullText.liveArtifactDir(spark, indexDir)
       if (spark.read.parquet(s"$art/stats")

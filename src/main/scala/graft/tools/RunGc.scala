@@ -19,6 +19,7 @@ import graft.io.Layout
   * every search page) is bit-identical before and after.
   *
   * Usage: RunGc <indexDir> [--wait <sec>]
+  *        RunGc <indexDir> --resolve <base>:<keep-base|rewind|roll-forward> [--wait <sec>]
   *
   * Runs under the mutation lease (single-writer contract: a zombie
   * whose staging we are deleting is fenced by construction — if it
@@ -26,7 +27,13 @@ import graft.io.Layout
   * and deleting its staging is precisely this tool's job). `--wait`
   * polls the acquisition like RunCompact/RunTakedown. Safe to re-run
   * (an empty sweep deletes nothing). Prints one JSON line with the
-  * reclaimed dir count and bytes. */
+  * reclaimed dir count and bytes.
+  *
+  * `--resolve` is the OPERATOR arm for the one state the sweep
+  * refuses to touch — the ambiguous swap-rotation trio (see
+  * [[graft.io.Layout.AmbiguousRotationException]] and [[resolve]]):
+  * it executes exactly one resolution arm under the lease, printing
+  * each delete/rename before running it, and performs no sweep. */
 object RunGc {
 
   /** Separated from main for RunGcSpec: reclaim orphaned staging and
@@ -165,6 +172,12 @@ object RunGc {
             val base = n.dropRight(suf.length)
             if (base.nonEmpty && !ambiguousBases.contains(base) &&
                 sweepable(st) && fs.exists(st.getPath) &&
+                // a crashed guided resolution's intent marker makes
+                // the whole family untouchable — its intermediate
+                // states (e.g. a lone staging dir mid-roll-forward)
+                // are indistinguishable from sweepable garbage, and
+                // may be the only complete copy
+                !fs.exists(new Path(p, s"$base.resolve-intent")) &&
                 (if (suf == ".old") fs.exists(new Path(p, base))
                  else !fs.exists(new Path(p, base + ".old")))) {
               val bytes =

@@ -332,6 +332,9 @@ class RunGcSpec extends SparkSpecBase {
       "the re-run fold must dedup the kept base exactly")
     assert(!graft.io.Layout.pathExists(spark, s"$idx/_mutation.lock"),
       "the resolve CLI's lease must release")
+    assert(!graft.io.Layout.pathExists(spark,
+      s"$idx/bands.resolve-intent"),
+      "a completed resolution must leave no intent marker")
   }
 
   test("RunGc --resolve rewind on a real injected cprn:// trio: the backup restores, the fold re-runs from it") {
@@ -360,11 +363,73 @@ class RunGcSpec extends SparkSpecBase {
     // point, since rename-2 never consumed it): the fold survives
     val idx = injectedTrio("gc-res-rf", crashInRename2 = false)
     val actions = RunGc.resolve(spark, idx, "bands", "roll-forward")
-    assert(actions.last.startsWith("rename") &&
-      actions.last.contains("bands.compact ->"),
-      s"roll-forward must promote the staging dir last (got $actions)")
+    // the promote sits BETWEEN the two deletes by design: delete base
+    // → promote staging → delete .old is the order whose every crash
+    // point resumes (a crash after the base delete leaves .old +
+    // staging — the exact state the arm itself completes from)
+    assert(actions.exists(a => a.startsWith("rename") &&
+      a.contains("bands.compact ->")) &&
+      actions.last.endsWith("bands.old"),
+      s"roll-forward must promote the staging dir and drop the " +
+        s"backup last (got $actions)")
     assert(spark.read.parquet(s"$idx/bands").count() == 2,
       "the promoted base must be the folded (deduped) content")
+    assert(RunGc.run(spark, idx) == ((0, 0L, 0, 0)))
+  }
+
+  test("a resolution arm that CRASHES mid-sequence is loud, untouchable, and resumes under its intent marker") {
+    // the worst former window: a roll-forward that died after its
+    // deletes leaves a LONE staging dir — precisely the shape the
+    // sweep reads as crashed-write garbage and reclaims, except here
+    // it is the only complete copy. The intent marker written before
+    // the first destructive step turns that into a loud, resumable
+    // halt: the heal throws, the sweep skips, the status face
+    // surfaces the base, a DIFFERENT arm refuses, and re-running the
+    // recorded arm completes idempotently.
+    val idx = tmp("gc-res-crash")
+    Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$idx/bands.compact")
+    Seq((9L, Seq("s"))).toDF("id", "sh")
+      .write.parquet(s"$idx/shingles")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$idx/bands.resolve-intent")
+    val out = fs.create(marker, false)
+    out.write("roll-forward".getBytes("UTF-8")); out.close()
+    // (a) every fold refuses through the heal
+    val e = intercept[graft.io.Layout.AmbiguousRotationException] {
+      graft.ops.Dedup.compactBandIndex(spark, idx)
+    }
+    assert(e.getMessage.contains("crashed mid-arm"))
+    // (b) the sweep reclaims NOTHING of the family, even past grace
+    spark.conf.set("graft.index.gcRotationGraceMs", "0")
+    val (r, _, h, _) =
+      try RunGc.run(spark, idx)
+      finally spark.conf.unset("graft.index.gcRotationGraceMs")
+    assert(r == 0 && h == 0,
+      s"a marked family must be untouchable (got r=$r h=$h)")
+    assert(graft.io.Layout.pathExists(spark, s"$idx/bands.compact"),
+      "the lone staging dir — the only complete copy — must survive")
+    // (c) the monitoring face surfaces the halted base
+    assert(RunStatus.describe(spark, idx)
+      .contains("\"ambiguous_rotations\":[\"bands\"]"))
+    // (d) a different arm refuses — the crashed arm already deleted
+    // what IT distrusted
+    val e2 = intercept[IllegalArgumentException] {
+      RunGc.resolve(spark, idx, "bands", "rewind")
+    }
+    assert(e2.getMessage.contains("crashed mid-'roll-forward'"),
+      s"switching arms mid-surgery must refuse (got ${e2.getMessage})")
+    // (e) the RECORDED arm resumes and completes
+    val actions = RunGc.resolve(spark, idx, "bands", "roll-forward")
+    assert(actions.exists(_.contains("bands.compact ->")),
+      s"the resume must promote the staging dir (got $actions)")
+    assert(!fs.exists(marker), "completion must remove the marker")
+    assert(spark.read.parquet(s"$idx/bands").count() == 3)
+    graft.ops.Dedup.compactBandIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/bands").count() == 2,
+      "the fold must run clean after the resumed resolution")
     assert(RunGc.run(spark, idx) == ((0, 0L, 0, 0)))
   }
 
