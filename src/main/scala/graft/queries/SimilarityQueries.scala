@@ -2669,44 +2669,87 @@ object SimilarityQueries {
     * card faces can never drift. */
   def deriveCalibrationArtifacts(e: DataFrame): CalibrationArtifacts = {
     import e.sparkSession.implicits._
-    val cells = seedCells(e, 16)
-    val assigned = assignToCells(e, cells)
-    val kmCells = kmeansCentroids(e, 16, 2)
+    // Shared members are localCheckpoint'd (r18): the card is ONE
+    // 10-branch union plan, and a LAZY shared artifact re-derives its
+    // whole subtree once per referencing branch — the coarse
+    // assignment alone fed five branches, so the corpus
+    // assignment/encode work ran 4-5x inside a single noop
+    // evaluation. Materializing each member once collapses the plan;
+    // values are unchanged by construction (every member is
+    // deterministic: fixed-point means, explicit tie-breaks). The
+    // blocks free at the caller's consume()/unpersist — every member
+    // is a stored leaf of the frames built from it.
     val subs = ProductQuant.subVectors(e, 8, 8)
-    // residual = x − assigned cell centroid (q64's construction,
-    // trained at the SAME shared seed cells)
-    val resid = e.join(assigned, Seq("vec_id"))
-      .join(broadcast(cells), Seq("cent_id"))
-      .select($"vec_id",
-        zip_with($"embedding", $"cemb", (a, b) => a - b).as("embedding"))
-    val resCb = ProductQuant.trainCodebooks(
-      ProductQuant.subVectors(resid.filter(norm($"embedding") =!= 0d),
-        8, 8), 16, 1)
+    val imiSubs = ProductQuant.subVectors(e, 2, 32)
+    // The six training/derivation chains are mutually independent, so
+    // their eager actions (Lloyd rounds, member checkpoints) fan out
+    // on driver threads (guide §2.6) instead of leaving the cluster
+    // idle through each driver round-trip in turn. Each chain is
+    // deterministic on its own, so concurrency cannot change values.
+    val rs = graft.ops.Jobs.par(Seq[() => Any](
+      // seed IVF family: cells → assignment → residual → residual cb
+      () => {
+        val cells = seedCells(e, 16).localCheckpoint()
+        val assigned = assignToCells(e, cells).localCheckpoint()
+        val resid = e.join(assigned, Seq("vec_id"))
+          .join(broadcast(cells), Seq("cent_id"))
+          .select($"vec_id",
+            zip_with($"embedding", $"cemb", (a, b) => a - b)
+              .as("embedding"))
+          .localCheckpoint()
+        val resCb = ProductQuant.trainCodebooks(
+          ProductQuant.subVectors(
+            resid.filter(norm($"embedding") =!= 0d), 8, 8), 16, 1)
+        (cells, assigned, resid, resCb)
+      },
+      // plain PQ: codebooks → codes
+      () => {
+        val cb = ProductQuant.trainCodebooks(subs, 16, 1)
+        (cb, ProductQuant.encode(subs, cb).localCheckpoint())
+      },
+      // IMI grid: half codebooks → composed cells
+      () => {
+        val imiCb = ProductQuant.trainCodebooks(imiSubs, 16, 1)
+        (imiCb, ProductQuant.encode(imiSubs, imiCb)
+          .groupBy($"vec_id")
+          .agg((max(when($"sub_id" === 0, $"cent_id")) * 16 +
+            max(when($"sub_id" === 1, $"cent_id"))).as("cell_id"))
+          .localCheckpoint())
+      },
+      // k-means IVF: Lloyd centroids → assignment
+      () => {
+        val kmCells = kmeansCentroids(e, 16, 2)
+        (kmCells, assignToCells(e, kmCells).localCheckpoint())
+      },
+      () => e.withColumn("bucket", Ann.bucket($"embedding", 4))
+        .select($"vec_id", $"bucket").localCheckpoint(),
+      () => e.select($"vec_id", norm($"embedding").as("nrm"))
+        .localCheckpoint()))
+    val (cells, assigned, resid, resCb) =
+      rs(0).asInstanceOf[(DataFrame, DataFrame, DataFrame, DataFrame)]
+    val (cb, pqCodes) = rs(1).asInstanceOf[(DataFrame, DataFrame)]
+    val (imiCb, imiCells) = rs(2).asInstanceOf[(DataFrame, DataFrame)]
+    val (kmCells, kmAssigned) = rs(3).asInstanceOf[(DataFrame, DataFrame)]
     val sqStats = e.select(posexplode($"embedding").as(Seq("i", "v")))
       .groupBy($"i").agg(min($"v").as("lo"), max($"v").as("hi"))
       .agg(array_sort(collect_list(struct($"i", $"lo"))).as("slo"),
         array_sort(collect_list(struct($"i", $"hi"))).as("shi"))
       .select(transform($"slo", x => x.getField("lo")).as("lo"),
         transform($"shi", x => x.getField("hi")).as("hi"))
-    val cb = ProductQuant.trainCodebooks(subs, 16, 1)
-    val imiSubs = ProductQuant.subVectors(e, 2, 32)
-    val imiCb = ProductQuant.trainCodebooks(imiSubs, 16, 1)
     CalibrationArtifacts(
-      buckets = e.withColumn("bucket", Ann.bucket($"embedding", 4))
-        .select($"vec_id", $"bucket"),
+      buckets = rs(4).asInstanceOf[DataFrame],
       cells = cells, assigned = assigned,
-      kmCells = kmCells, kmAssigned = assignToCells(e, kmCells),
-      pqCodebooks = cb, pqCodes = ProductQuant.encode(subs, cb),
-      norms = e.select($"vec_id", norm($"embedding").as("nrm")),
+      kmCells = kmCells,
+      kmAssigned = kmAssigned,
+      pqCodebooks = cb,
+      pqCodes = pqCodes,
+      norms = rs(5).asInstanceOf[DataFrame],
       resCodebooks = resCb,
       resCodes = ProductQuant.encodeDet(
         ProductQuant.subVectors(resid, 8, 8), resCb),
       sqStats = sqStats,
       imiCodebooks = imiCb,
-      imiCells = ProductQuant.encode(imiSubs, imiCb)
-        .groupBy($"vec_id")
-        .agg((max(when($"sub_id" === 0, $"cent_id")) * 16 +
-          max(when($"sub_id" === 1, $"cent_id"))).as("cell_id")))
+      imiCells = imiCells)
   }
 
   /** Persists the calibration bundle (one subdirectory per member) —
@@ -2758,9 +2801,14 @@ object SimilarityQueries {
         "norms" -> a.norms)
     (own ++ ivfFamily).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$artDir/$name") }
-    graft.ops.Checkpoints.unpersist(a.pqCodebooks)
-    graft.ops.Checkpoints.unpersist(a.resCodebooks)
-    graft.ops.Checkpoints.unpersist(a.imiCodebooks)
+    // every checkpointed member (codebooks, and the r18 shared-member
+    // checkpoints: cells/assigned/buckets/kmAssigned/pqCodes/norms/
+    // imiCells, plus resCodes' resid leaf) frees here — all writes
+    // above are done, nothing scans these frames again
+    Seq(a.buckets, a.cells, a.assigned, a.kmCells, a.kmAssigned,
+      a.pqCodebooks, a.pqCodes, a.norms, a.resCodebooks, a.resCodes,
+      a.imiCodebooks, a.imiCells)
+      .foreach(graft.ops.Checkpoints.unpersist(_))
   }
 
   /** The CACHED calibration card: every tier priced from the stored
@@ -2828,13 +2876,78 @@ object SimilarityQueries {
     val fp = ProductQuant.fixedPointScale
     val q = e.filter($"vec_id" === queryId)
     val qemb = q.select($"embedding".as("qemb"))
-    val exactIds = exactIdsPre.getOrElse(
-      e.filter($"vec_id" =!= queryId)
-        .crossJoin(broadcast(qemb))
-        .withColumn("cos", cosine($"embedding", $"qemb"))
-        .orderBy($"cos".desc, $"vec_id".asc).limit(k)
-        .select($"vec_id").collect().map(_.getLong(0)).toSeq)
     val nMinus1 = e.filter($"vec_id" =!= queryId).select($"vec_id")
+
+    // LSH family: candidates = probed bucket(s) of the stored bucketing
+    // (candidate frames that feed BOTH a tier's top-k and its
+    // candidate count — or several tiers — are localCheckpoint'd so
+    // one union plan scans them once instead of re-joining the corpus
+    // per reference; r18, values unchanged)
+    val eb = e.join(a.buckets, Seq("vec_id"))
+    val qb = eb.filter($"vec_id" === queryId)
+      .select($"bucket".as("q_bucket"))
+    val lshCand0 = eb.join(broadcast(qb), $"bucket" === $"q_bucket")
+      .filter($"vec_id" =!= queryId)
+    val mpProbes = qb
+      .select(explode(typedLit(0L +: (0 until 4).map(p => 1L << p)))
+        .as("flip"), $"q_bucket")
+      .select($"q_bucket".bitwiseXOR($"flip").as("q_probe"))
+    val mpCand0 = eb.join(broadcast(mpProbes), $"bucket" === $"q_probe")
+      .filter($"vec_id" =!= queryId)
+    // IVF family: the stored assignment backs candidates AND tops of
+    // IVF / IVF+PQ / residual (identical frames by construction)
+    val probe = probeTop(a.cells, qemb, 2)
+    val ivfCandFull0 = e
+      .join(a.assigned.join(broadcast(probe), Seq("cent_id")),
+        Seq("vec_id"))
+      .filter($"vec_id" =!= queryId)
+    val kmProbe = probeTop(a.kmCells, qemb, 2)
+    val kmCandFull0 = e
+      .join(a.kmAssigned.join(broadcast(kmProbe), Seq("cent_id")),
+        Seq("vec_id"))
+      .filter($"vec_id" =!= queryId)
+    // IMI grid tier: probe the stored half-codebooks' top-2 cross
+    // (lazy definition — materialized with the other candidates below)
+    val imiQsubs = ProductQuant.subVectors(q, 2, 32)
+      .select($"sub_id", $"subvec".as("qsub"))
+    val imiRanked = a.imiCodebooks.join(broadcast(imiQsubs), Seq("sub_id"))
+      .withColumn("qcos", cosine($"cvec", $"qsub"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"sub_id").orderBy($"qcos".desc, $"cent_id".asc)))
+      .filter($"rn" <= 2).select($"sub_id", $"cent_id")
+    val imiProbe = imiRanked.filter($"sub_id" === 0)
+      .select($"cent_id".as("c0"))
+      .crossJoin(imiRanked.filter($"sub_id" === 1)
+        .select($"cent_id".as("c1")))
+      .select(($"c0" * 16 + $"c1").as("cell_id"))
+    val imiCandFull0 = e
+      .join(a.imiCells.join(broadcast(imiProbe), Seq("cell_id"))
+        .select($"vec_id"), Seq("vec_id"))
+      .filter($"vec_id" =!= queryId)
+
+    // The exact baseline and the five candidate materializations are
+    // mutually independent actions — fan out on driver threads
+    // (guide §2.6) instead of paying six sequential round-trips.
+    val parRes = graft.ops.Jobs.par(Seq[() => Any](
+      () => exactIdsPre.getOrElse(
+        e.filter($"vec_id" =!= queryId)
+          .crossJoin(broadcast(qemb))
+          .withColumn("cos", cosine($"embedding", $"qemb"))
+          .orderBy($"cos".desc, $"vec_id".asc).limit(k)
+          .select($"vec_id").collect().map(_.getLong(0)).toSeq),
+      () => lshCand0.localCheckpoint(),
+      () => mpCand0.localCheckpoint(),
+      () => ivfCandFull0.localCheckpoint(),
+      () => kmCandFull0.localCheckpoint(),
+      () => imiCandFull0.localCheckpoint()))
+    val exactIds = parRes(0).asInstanceOf[Seq[Long]]
+    val lshCand = parRes(1).asInstanceOf[DataFrame]
+    val mpCand = parRes(2).asInstanceOf[DataFrame]
+    val ivfCandFull = parRes(3).asInstanceOf[DataFrame]
+    val kmCandFull = parRes(4).asInstanceOf[DataFrame]
+    val imiCandFull = parRes(5).asInstanceOf[DataFrame]
+    val ivfCand = ivfCandFull.select($"vec_id")
 
     def row(tier: String, top: DataFrame, cand: DataFrame,
         bytes: Long): DataFrame =
@@ -2849,31 +2962,6 @@ object SimilarityQueries {
       .withColumn("cos", cosine($"embedding", $"qemb"))
       .orderBy($"cos".desc, $"vec_id".asc).limit(k)
 
-    // LSH family: candidates = probed bucket(s) of the stored bucketing
-    val eb = e.join(a.buckets, Seq("vec_id"))
-    val qb = eb.filter($"vec_id" === queryId)
-      .select($"bucket".as("q_bucket"))
-    val lshCand = eb.join(broadcast(qb), $"bucket" === $"q_bucket")
-      .filter($"vec_id" =!= queryId)
-    val mpProbes = qb
-      .select(explode(typedLit(0L +: (0 until 4).map(p => 1L << p)))
-        .as("flip"), $"q_bucket")
-      .select($"q_bucket".bitwiseXOR($"flip").as("q_probe"))
-    val mpCand = eb.join(broadcast(mpProbes), $"bucket" === $"q_probe")
-      .filter($"vec_id" =!= queryId)
-    // IVF family: the stored assignment backs candidates AND tops of
-    // IVF / IVF+PQ / residual (identical frames by construction)
-    val probe = probeTop(a.cells, qemb, 2)
-    val ivfCandFull = e
-      .join(a.assigned.join(broadcast(probe), Seq("cent_id")),
-        Seq("vec_id"))
-      .filter($"vec_id" =!= queryId)
-    val ivfCand = ivfCandFull.select($"vec_id")
-    val kmProbe = probeTop(a.kmCells, qemb, 2)
-    val kmCandFull = e
-      .join(a.kmAssigned.join(broadcast(kmProbe), Seq("cent_id")),
-        Seq("vec_id"))
-      .filter($"vec_id" =!= queryId)
     // PQ tiers: ADC tables from the stored codebooks
     val qsubs = ProductQuant.subVectors(q, 8, 8)
       .select($"sub_id", $"subvec".as("qsub"))
@@ -2925,24 +3013,16 @@ object SimilarityQueries {
       .withColumn("cos_sq", cosine($"recon", $"qemb"))
       .orderBy($"cos_sq".desc, $"vec_id".asc)
       .limit(k)
-    // IMI grid tier: probe the stored half-codebooks' top-2 cross
-    val imiQsubs = ProductQuant.subVectors(q, 2, 32)
-      .select($"sub_id", $"subvec".as("qsub"))
-    val imiRanked = a.imiCodebooks.join(broadcast(imiQsubs), Seq("sub_id"))
-      .withColumn("qcos", cosine($"cvec", $"qsub"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"sub_id").orderBy($"qcos".desc, $"cent_id".asc)))
-      .filter($"rn" <= 2).select($"sub_id", $"cent_id")
-    val imiProbe = imiRanked.filter($"sub_id" === 0)
-      .select($"cent_id".as("c0"))
-      .crossJoin(imiRanked.filter($"sub_id" === 1)
-        .select($"cent_id".as("c1")))
-      .select(($"c0" * 16 + $"c1").as("cell_id"))
-    val imiCandFull = e
-      .join(a.imiCells.join(broadcast(imiProbe), Seq("cell_id"))
-        .select($"vec_id"), Seq("vec_id"))
-      .filter($"vec_id" =!= queryId)
+    // members whose ONLY consumers are the checkpointed candidate
+    // frames above free here: once the candidates materialized they
+    // are never scanned again, and the checkpoint truncated them out
+    // of the final card plan, so the caller's consume() cannot reach
+    // them (hygiene contract). In the stored face these are plain
+    // parquet scans and unpersist is a no-op. cells/assigned/
+    // pq|res codebooks/pqCodes/norms stay: the lazy resCand/pqTop
+    // branches still scan them inside the card evaluation.
+    Seq(a.buckets, a.kmCells, a.kmAssigned, a.imiCells, a.imiCodebooks)
+      .foreach(graft.ops.Checkpoints.unpersist(_))
 
     row("a_brute_force", e.filter($"vec_id".isInCollection(exactIds)),
         nMinus1, 256L)
