@@ -300,19 +300,27 @@ object FullText {
     // I/O, not analysis. (Reusing the lazy tf frame re-runs the
     // analyzer once per artifact: measured 2.5× the write cost.)
     val post = spark.read.parquet(s"$indexDir/postings")
-    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$indexDir/df")
-    // term vectors = Lucene's optional FORWARD index (doc → terms),
-    // DOC-bucketed so a single document's vector is a file-pruned
-    // point read — what more_like_this and highlighting-by-stored-
-    // vector need at query time (off by default, as in Lucene)
-    if (storeTermVectors)
-      post.select(col("doc_id"), col("term"), col("tf"))
-        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
-        .repartition(col("dbucket"))
-        .sortWithinPartitions(col("dbucket"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("dbucket")
-        .parquet(s"$indexDir/termvectors")
+    // the df rollup, the term-vector forward index, and the two
+    // statistics aggregates are INDEPENDENT reads of the postings
+    // just written (and of the raw input) — fan them out on driver
+    // threads (guide §2.6) instead of four sequential round-trips
+    val statParts = graft.ops.Jobs.par(Seq[() => Any](
+      () => post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$indexDir/df"),
+      // term vectors = Lucene's optional FORWARD index (doc → terms),
+      // DOC-bucketed so a single document's vector is a file-pruned
+      // point read — what more_like_this and highlighting-by-stored-
+      // vector need at query time (off by default, as in Lucene)
+      () => if (storeTermVectors)
+        post.select(col("doc_id"), col("term"), col("tf"))
+          .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
+          .repartition(col("dbucket"))
+          .sortWithinPartitions(col("dbucket"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("dbucket")
+          .parquet(s"$indexDir/termvectors"),
+      () => docs.count(),
+      () => post.agg(coalesce(sum(col("tf")), lit(0L)))
+        .head().getLong(0)))
     // Statistics without re-touching documents: n_docs is a plain
     // count of the input (zero-token docs included — they have no
     // posting rows), and sum_doclen = Σ tf over all postings, since
@@ -326,10 +334,9 @@ object FullText {
     // there instead of probing the filesystem (a java.io.File probe
     // resolves only locally; on hdfs://-s3a:// index dirs it reports
     // "absent" and the forward artifact silently stops refreshing)
-    val nDocs = docs.count()
+    val nDocs = statParts(2).asInstanceOf[Long]
     require(nDocs > 0, "writeTextIndex: empty corpus")
-    val sumLen = post.agg(coalesce(sum(col("tf")), lit(0L)))
-      .head().getLong(0)
+    val sumLen = statParts(3).asInstanceOf[Long]
     import spark.implicits._
     // `buckets` records the layout's term-bucket count IN the stats
     // artifact: append/delete/search read it from there (statsBuckets)
@@ -453,37 +460,42 @@ object FullText {
     // segment id and the stats increment still commit, keeping
     // replay identity and n_docs exact
     val deltaEmpty = freshTf.isEmpty
-    if (!deltaEmpty) {
-      freshTf
-        .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("term"))
-        .write.partitionBy("bucket")
-        .parquet(s"$indexDir/$segStaged/postings")
-      if (hasTv)
+    // the segment writes, the dictionary merge, and the two stats
+    // aggregates are independent consumers of the checkpointed delta
+    // (and the old dictionary) — fan out (guide §2.6)
+    val parts = graft.ops.Jobs.par(Seq[() => Any](
+      () => if (!deltaEmpty)
+        freshTf
+          .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("term"))
+          .write.partitionBy("bucket")
+          .parquet(s"$indexDir/$segStaged/postings"),
+      () => if (!deltaEmpty && hasTv)
         freshTf.select(col("doc_id"), col("term"), col("tf"))
           .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
           .repartition(col("dbucket"))
           .sortWithinPartitions(col("dbucket"), col("doc_id"))
           .write.partitionBy("dbucket")
-          .parquet(s"$indexDir/$segStaged/termvectors")
-    }
-    // dictionary merge: old df ⟗ delta df — the ONLY non-delta input
-    // is the dictionary artifact itself (Heaps-law-sized, never the
-    // postings); staged into the NEW generation, never in place
-    val deltaDf = freshTf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df_delta"))
-    spark.read.parquet(s"$art/df")
-      .join(deltaDf, Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("df"), lit(0L)) +
-          coalesce(col("df_delta"), lit(0L))).as("df"))
-      .write.parquet(s"$stage/df")
+          .parquet(s"$indexDir/$segStaged/termvectors"),
+      // dictionary merge: old df ⟗ delta df — the ONLY non-delta input
+      // is the dictionary artifact itself (Heaps-law-sized, never the
+      // postings); staged into the NEW generation, never in place
+      () => spark.read.parquet(s"$art/df")
+        .join(freshTf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df_delta")), Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) +
+            coalesce(col("df_delta"), lit(0L))).as("df"))
+        .write.parquet(s"$stage/df"),
+      () => fresh.count(),
+      () => freshTf.agg(coalesce(sum(col("tf")), lit(0L)))
+        .head().getLong(0)))
     // stats increment: counters + delta aggregates (1-row artifact,
     // already collected above, so the overwrite never races the read)
-    val nDocs = st.getAs[Long]("n_docs") + fresh.count()
+    val nDocs = st.getAs[Long]("n_docs") + parts(3).asInstanceOf[Long]
     val sumLen = st.getAs[Long]("sum_doclen") +
-      freshTf.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+      parts(4).asInstanceOf[Long]
     import spark.implicits._
     Seq((nDocs, sumLen.toDouble / nDocs, sumLen, hasPos, hasTv, bk))
       .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
@@ -1243,26 +1255,39 @@ object FullText {
         graft.io.Layout.tombstoneRowCount(spark, s"$art/tombstones",
           oldTomb)
       else 0L
-    graft.io.Layout.writeTombstoneArtifact(spark,
-      if (hadTomb) oldTomb.unionByName(present) else present,
-      s"$stage/tombstones", nOld + nDeleted)
+    // the tombstone rewrite, the dictionary carry/merge, the stats
+    // carry/derive, and the segment-manifest copy are independent
+    // writes into the same staged generation — fan out (guide §2.6)
+    val tombThunk: () => Any = () =>
+      graft.io.Layout.writeTombstoneArtifact(spark,
+        if (hadTomb) oldTomb.unionByName(present) else present,
+        s"$stage/tombstones", nOld + nDeleted)
+    val segThunk: () => Any = () =>
+      if (graft.io.Layout.pathExists(spark, s"$art/segments"))
+        spark.read.parquet(s"$art/segments")
+          .coalesce(1).write.parquet(s"$stage/segments")
     if (!hasTv) {
       // Lucene mode: stats stay stale until compaction — the new
       // generation carries the dictionary/statistics values forward
-      spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
-      spark.read.parquet(s"$art/stats").write.parquet(s"$stage/stats")
+      graft.ops.Jobs.par(Seq[() => Any](tombThunk, segThunk,
+        () => spark.read.parquet(s"$art/df")
+          .write.parquet(s"$stage/df"),
+        () => spark.read.parquet(s"$art/stats")
+          .write.parquet(s"$stage/stats")))
     } else {
       val deadVecs = deadVecsOpt.get // hoisted for the present set
-      spark.read.parquet(s"$art/df")
-        .join(deadVecs.groupBy(col("term"))
-            .agg(count(lit(1)).as("df_dead")),
-          Seq("term"), "left_outer")
-        .select(col("term"),
-          (col("df") - coalesce(col("df_dead"), lit(0L))).as("df"))
-        .filter(col("df") > 0) // a rebuild has no zero-df dictionary row
-        .write.parquet(s"$stage/df")
-      val deadLen = deadVecs.agg(coalesce(sum(col("tf")), lit(0L)))
-        .head().getLong(0)
+      val parts = graft.ops.Jobs.par(Seq[() => Any](tombThunk, segThunk,
+        () => spark.read.parquet(s"$art/df")
+          .join(deadVecs.groupBy(col("term"))
+              .agg(count(lit(1)).as("df_dead")),
+            Seq("term"), "left_outer")
+          .select(col("term"),
+            (col("df") - coalesce(col("df_dead"), lit(0L))).as("df"))
+          .filter(col("df") > 0) // a rebuild has no zero-df dict row
+          .write.parquet(s"$stage/df"),
+        () => deadVecs.agg(coalesce(sum(col("tf")), lit(0L)))
+          .head().getLong(0)))
+      val deadLen = parts(3).asInstanceOf[Long]
       // decrement by the dead docs PRESENT in the index (nDeleted is
       // exactly that count — the tombstone artifact and the stats now
       // share one present set), never by the raw batch count: a
@@ -1286,11 +1311,8 @@ object FullText {
         .write.parquet(s"$stage/stats")
       Checkpoints.unpersist(deadVecs)
     }
-    // the segment manifest carries forward unchanged — a delete masks
-    // rows, it does not move postings data
-    if (graft.io.Layout.pathExists(spark, s"$art/segments"))
-      spark.read.parquet(s"$art/segments")
-        .coalesce(1).write.parquet(s"$stage/segments")
+    // (the segment manifest carried forward in segThunk above — a
+    // delete masks rows, it does not move postings data)
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
     Checkpoints.unpersist(present)
@@ -1391,32 +1413,57 @@ object FullText {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newPost"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
-    locally {
-      val src = rebucketed(
-        minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
-          .map(d => s"$indexDir/$d"))), "term", "bucket", rebucket)
-      src.repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("term"))
-        .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
-      // a FULL PURGE (every doc tombstoned) folds to zero rows, and a
-      // zero-row partitionBy write is schema-less — keep it readable
-      graft.io.Layout.ensureReadableParquet(spark,
-        s"$indexDir/$stPost", src.schema)
-    }
-    val folded = spark.read.parquet(s"$indexDir/$stPost")
-    val rows = folded.count()
-    if (hasTv) {
-      val src = rebucketed(minus(termVectorsFrame(spark, indexDir)),
-        "doc_id", "dbucket", rebucket)
-      src.repartition(col("dbucket"))
-        .sortWithinPartitions(col("dbucket"), col("doc_id"))
-        .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
-      graft.io.Layout.ensureReadableParquet(spark,
-        s"$indexDir/$stTv", src.schema)
-    }
-    if (hasTomb && !hasTv) {
+    // the postings fold, the term-vector fold, the (exact-mode)
+    // df/stats carries and the manifest write are independent staged
+    // writes — fan out (guide §2.6); the stale-mode stats re-derive
+    // needs the folded postings and runs after the fan-out
+    val exactMode = !(hasTomb && !hasTv)
+    val parts = graft.ops.Jobs.par(Seq[() => Any](
+      () => {
+        val src = rebucketed(
+          minus(readUnion(spark,
+            liveDirs(spark, indexDir, art, "postings")
+              .map(d => s"$indexDir/$d"))), "term", "bucket", rebucket)
+        src.repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("term"))
+          .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
+        // a FULL PURGE (every doc tombstoned) folds to zero rows, and
+        // a zero-row partitionBy write is schema-less — keep it
+        // readable
+        graft.io.Layout.ensureReadableParquet(spark,
+          s"$indexDir/$stPost", src.schema)
+        spark.read.parquet(s"$indexDir/$stPost").count()
+      },
+      () => if (hasTv) {
+        val src = rebucketed(minus(termVectorsFrame(spark, indexDir)),
+          "doc_id", "dbucket", rebucket)
+        src.repartition(col("dbucket"))
+          .sortWithinPartitions(col("dbucket"), col("doc_id"))
+          .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
+        graft.io.Layout.ensureReadableParquet(spark,
+          s"$indexDir/$stTv", src.schema)
+      },
+      // no tombstones in the new generation: physically applied. The
+      // APPLIED-SEGMENTS registry carries forward even though the
+      // live dirs forget the folded segments — a micro-batch
+      // redelivered after this compaction must still read as
+      // already-applied
+      () => writeManifest(spark, stage, Seq(("postings", newPost)) ++
+        (if (hasTv) Seq(("termvectors", newTv)) else Nil) ++
+        appliedSegments(spark, indexDir, art).map(("applied", _)))) ++
+      (if (exactMode) Seq[() => Any](
+        // exact mode (or nothing tombstoned): df/stats carry forward
+        // unchanged — they were decremented exactly at delete time;
+        // a rebucket replaces only the recorded bucket count
+        () => spark.read.parquet(s"$art/df").write.parquet(s"$stage/df"),
+        () => statsWithBuckets(spark.read.parquet(s"$art/stats"),
+          rebucket).write.parquet(s"$stage/stats"))
+       else Nil))
+    val rows = parts(0).asInstanceOf[Long]
+    if (!exactMode) {
       // Lucene mode: statistics were left stale at delete time — true
       // them up from the survivors into the new generation
+      val folded = spark.read.parquet(s"$indexDir/$stPost")
       folded.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .write.parquet(s"$stage/df")
       val r = folded.select(col("doc_id"), col("doclen")).distinct()
@@ -1431,21 +1478,7 @@ object FullText {
         .toDF("n_docs", "avgdl", "sum_doclen", "has_positions",
           "has_termvectors", "buckets")
         .write.parquet(s"$stage/stats")
-    } else {
-      // exact mode (or nothing tombstoned): df/stats carry forward
-      // unchanged — they were decremented exactly at delete time;
-      // a rebucket replaces only the recorded bucket count
-      spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
-      statsWithBuckets(spark.read.parquet(s"$art/stats"), rebucket)
-        .write.parquet(s"$stage/stats")
     }
-    // no tombstones in the new generation: physically applied. The
-    // APPLIED-SEGMENTS registry carries forward even though the live
-    // dirs forget the folded segments — a micro-batch redelivered
-    // after this compaction must still read as already-applied
-    writeManifest(spark, stage, Seq(("postings", newPost)) ++
-      (if (hasTv) Seq(("termvectors", newTv)) else Nil) ++
-      appliedSegments(spark, indexDir, art).map(("applied", _)))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art, sideRenames = Seq(stPost -> newPost) ++
         (if (hasTv) Seq(stTv -> newTv) else Nil))
@@ -1839,27 +1872,34 @@ object FullText {
     // sum_doclen = Σ tf, additive under append (exact-integer
     // discipline, as in the single-field layout).
     val post = spark.read.parquet(s"$indexDir/postings")
-    post.groupBy(col("field"), col("term"))
-      .agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$indexDir/df")
-    // per-FIELD term vectors — the forward artifact the EXACT
-    // multi-field delete decrement needs ([[deleteFromMultiFieldTextIndex]]);
-    // doc-bucketed like the single-field layout so a deleted doc's
-    // vectors are file-pruned point reads. Off by default, as in
-    // Lucene — without it multi-field deletes stay Lucene-stale
-    // until compaction.
-    if (storeTermVectors)
-      post.select(col("field"), col("doc_id"), col("term"), col("tf"))
-        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
-        .repartition(col("dbucket"))
-        .sortWithinPartitions(col("dbucket"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("dbucket")
-        .parquet(s"$indexDir/termvectors")
-    val nDocs = docs.count()
+    // df rollup, forward index, and the two stats aggregates are
+    // independent consumers of the postings just written — fan out
+    // (guide §2.6), the single-field writer's discipline
+    val statParts = graft.ops.Jobs.par(Seq[() => Any](
+      () => post.groupBy(col("field"), col("term"))
+        .agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$indexDir/df"),
+      // per-FIELD term vectors — the forward artifact the EXACT
+      // multi-field delete decrement needs
+      // ([[deleteFromMultiFieldTextIndex]]); doc-bucketed like the
+      // single-field layout so a deleted doc's vectors are
+      // file-pruned point reads. Off by default, as in Lucene —
+      // without it multi-field deletes stay Lucene-stale until
+      // compaction.
+      () => if (storeTermVectors)
+        post.select(col("field"), col("doc_id"), col("term"), col("tf"))
+          .withColumn("dbucket", pmod(hash(col("doc_id")), lit(buckets)))
+          .repartition(col("dbucket"))
+          .sortWithinPartitions(col("dbucket"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("dbucket")
+          .parquet(s"$indexDir/termvectors"),
+      () => docs.count(),
+      () => post.groupBy(col("field"))
+        .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap))
+    val nDocs = statParts(2).asInstanceOf[Long]
     require(nDocs > 0, "writeMultiFieldTextIndex: empty corpus")
-    val sums = post.groupBy(col("field"))
-      .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sums = statParts(3).asInstanceOf[Map[String, Long]]
     import spark.implicits._
     fields.map { f =>
       val s = sums.getOrElse(f, 0L)
@@ -1937,39 +1977,44 @@ object FullText {
     // empty analyzed delta (every doc's every field all-stopword):
     // write and reference NO segment dirs — see appendToTextIndex
     val deltaEmpty = freshTf.isEmpty
-    if (!deltaEmpty) {
-      freshTf
-        .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("term"))
-        .write.partitionBy("bucket")
-        .parquet(s"$indexDir/$segStaged/postings")
-      if (hasTv)
+    // segment writes, dictionary merge, and stats aggregates are
+    // independent consumers of the checkpointed delta — fan out
+    // (guide §2.6), the single-field append's discipline
+    val parts = graft.ops.Jobs.par(Seq[() => Any](
+      () => if (!deltaEmpty)
+        freshTf
+          .withColumn("bucket", pmod(hash(col("term")), lit(bk)))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("term"))
+          .write.partitionBy("bucket")
+          .parquet(s"$indexDir/$segStaged/postings"),
+      () => if (!deltaEmpty && hasTv)
         freshTf.select(col("field"), col("doc_id"), col("term"),
             col("tf"))
           .withColumn("dbucket", pmod(hash(col("doc_id")), lit(bk)))
           .repartition(col("dbucket"))
           .sortWithinPartitions(col("dbucket"), col("doc_id"))
           .write.partitionBy("dbucket")
-          .parquet(s"$indexDir/$segStaged/termvectors")
-    }
-    spark.read.parquet(s"$art/df")
-      .join(freshTf.groupBy(col("field"), col("term"))
-          .agg(count(lit(1)).as("df_delta")),
-        Seq("field", "term"), "full_outer")
-      .select(col("field"), col("term"),
-        (coalesce(col("df"), lit(0L)) +
-          coalesce(col("df_delta"), lit(0L))).as("df"))
-      .write.parquet(s"$stage/df")
+          .parquet(s"$indexDir/$segStaged/termvectors"),
+      () => spark.read.parquet(s"$art/df")
+        .join(freshTf.groupBy(col("field"), col("term"))
+            .agg(count(lit(1)).as("df_delta")),
+          Seq("field", "term"), "full_outer")
+        .select(col("field"), col("term"),
+          (coalesce(col("df"), lit(0L)) +
+            coalesce(col("df_delta"), lit(0L))).as("df"))
+        .write.parquet(s"$stage/df"),
+      () => fresh.count(),
+      () => freshTf.groupBy(col("field"))
+        .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap))
     // |fields|-row statistics: collected, incremented, staged —
     // every delta doc counts in every field (zero-token fields
     // included, like the writer); per-field Σ tf = per-field token
     // total; avgdl = sum/n in exact-integer arithmetic (bit-equal to
     // a rebuild; see appendToTextIndex)
-    val dN = fresh.count()
-    val dSums = freshTf.groupBy(col("field"))
-      .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dN = parts(3).asInstanceOf[Long]
+    val dSums = parts(4).asInstanceOf[Map[String, Long]]
     val updated = spark.read.parquet(s"$art/stats").collect()
       .map { r =>
         val f = r.getString(r.fieldIndex("field"))
@@ -2097,23 +2142,31 @@ object FullText {
         graft.io.Layout.tombstoneRowCount(spark, s"$art/tombstones",
           oldTomb)
       else 0L
-    graft.io.Layout.writeTombstoneArtifact(spark,
-      if (hadTomb) oldTomb.unionByName(present) else present,
-      s"$stage/tombstones", nOld + nDeleted)
-    spark.read.parquet(s"$art/df")
-      .join(deadVecs.groupBy(col("field"), col("term"))
-          .agg(count(lit(1)).as("df_dead")),
-        Seq("field", "term"), "left_outer")
-      .select(col("field"), col("term"),
-        (col("df") - coalesce(col("df_dead"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
-      .write.parquet(s"$stage/df")
-    // per-field Σ tf of the dead vectors = per-field dead doclen
-    // (a zero-token FIELD of a deleted doc has no vector rows —
-    // contributes 0, exactly as the writer counted it)
-    val deadSums = deadVecs.groupBy(col("field"))
-      .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tombstone rewrite, dictionary merge, dead-length aggregate, and
+    // segment-manifest copy are independent staged writes — fan out
+    // (guide §2.6), the single-field delete's discipline
+    val parts = graft.ops.Jobs.par(Seq[() => Any](
+      () => graft.io.Layout.writeTombstoneArtifact(spark,
+        if (hadTomb) oldTomb.unionByName(present) else present,
+        s"$stage/tombstones", nOld + nDeleted),
+      () => spark.read.parquet(s"$art/df")
+        .join(deadVecs.groupBy(col("field"), col("term"))
+            .agg(count(lit(1)).as("df_dead")),
+          Seq("field", "term"), "left_outer")
+        .select(col("field"), col("term"),
+          (col("df") - coalesce(col("df_dead"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+        .write.parquet(s"$stage/df"),
+      // per-field Σ tf of the dead vectors = per-field dead doclen
+      // (a zero-token FIELD of a deleted doc has no vector rows —
+      // contributes 0, exactly as the writer counted it)
+      () => deadVecs.groupBy(col("field"))
+        .agg(coalesce(sum(col("tf")), lit(0L)).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      () => if (graft.io.Layout.pathExists(spark, s"$art/segments"))
+        spark.read.parquet(s"$art/segments")
+          .coalesce(1).write.parquet(s"$stage/segments")))
+    val deadSums = parts(2).asInstanceOf[Map[String, Long]]
     // present-docs discipline, same as the single-field exact path:
     // n_docs decrements only for ids the forward artifact actually
     // holds (any field) — replayed-past-fold and never-indexed ids
@@ -2132,10 +2185,8 @@ object FullText {
         "has_termvectors", "buckets")
       .write.parquet(s"$stage/stats")
     Checkpoints.unpersist(deadVecs)
-    // the segment manifest carries forward unchanged (delete = mask)
-    if (graft.io.Layout.pathExists(spark, s"$art/segments"))
-      spark.read.parquet(s"$art/segments")
-        .coalesce(1).write.parquet(s"$stage/segments")
+    // (segment manifest carried forward in the fan-out above —
+    // delete = mask)
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
     Checkpoints.unpersist(present)
@@ -2205,31 +2256,46 @@ object FullText {
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newPost"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$newTv"), true)
     // rebucket: same fold-time partition resize as the single-field
-    // compactor (term buckets are field-agnostic — one hash space)
-    locally {
-      val src = rebucketed(
-        minus(readUnion(spark, liveDirs(spark, indexDir, art, "postings")
-          .map(d => s"$indexDir/$d"))), "term", "bucket", rebucket)
-      src.repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("term"))
-        .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
-      // a full purge folds to zero rows; a zero-row partitionBy write
-      // is schema-less — keep it readable
-      graft.io.Layout.ensureReadableParquet(spark,
-        s"$indexDir/$stPost", src.schema)
-    }
+    // compactor (term buckets are field-agnostic — one hash space).
+    // The two folds, the exact-mode df/stats carries, and the
+    // manifest write fan out (guide §2.6), as in compactTextIndex.
+    val exactMode = !(hasTomb && !hasTv)
+    val parts = graft.ops.Jobs.par(Seq[() => Any](
+      () => {
+        val src = rebucketed(
+          minus(readUnion(spark,
+            liveDirs(spark, indexDir, art, "postings")
+              .map(d => s"$indexDir/$d"))), "term", "bucket", rebucket)
+        src.repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("term"))
+          .write.partitionBy("bucket").parquet(s"$indexDir/$stPost")
+        // a full purge folds to zero rows; a zero-row partitionBy
+        // write is schema-less — keep it readable
+        graft.io.Layout.ensureReadableParquet(spark,
+          s"$indexDir/$stPost", src.schema)
+        spark.read.parquet(s"$indexDir/$stPost").count()
+      },
+      () => if (hasTv) {
+        val src = rebucketed(minus(termVectorsFrame(spark, indexDir)),
+          "doc_id", "dbucket", rebucket)
+        src.repartition(col("dbucket"))
+          .sortWithinPartitions(col("dbucket"), col("doc_id"))
+          .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
+        graft.io.Layout.ensureReadableParquet(spark,
+          s"$indexDir/$stTv", src.schema)
+      },
+      () => writeManifest(spark, stage, Seq(("postings", newPost)) ++
+        (if (hasTv) Seq(("termvectors", newTv)) else Nil) ++
+        appliedSegments(spark, indexDir, art).map(("applied", _)))) ++
+      (if (exactMode) Seq[() => Any](
+        () => spark.read.parquet(s"$art/df")
+          .write.parquet(s"$stage/df"),
+        () => statsWithBuckets(spark.read.parquet(s"$art/stats"),
+          rebucket).write.parquet(s"$stage/stats"))
+       else Nil))
+    val rows = parts(0).asInstanceOf[Long]
     val folded = spark.read.parquet(s"$indexDir/$stPost")
-    val rows = folded.count()
-    if (hasTv) {
-      val src = rebucketed(minus(termVectorsFrame(spark, indexDir)),
-        "doc_id", "dbucket", rebucket)
-      src.repartition(col("dbucket"))
-        .sortWithinPartitions(col("dbucket"), col("doc_id"))
-        .write.partitionBy("dbucket").parquet(s"$indexDir/$stTv")
-      graft.io.Layout.ensureReadableParquet(spark,
-        s"$indexDir/$stTv", src.schema)
-    }
-    if (hasTomb && !hasTv) {
+    if (!exactMode) {
       // Lucene mode: true the per-field statistics up from survivors
       folded.groupBy(col("field"), col("term"))
         .agg(count(lit(1)).as("df"))
@@ -2256,14 +2322,9 @@ object FullText {
       (rws ++ zeroed).toSeq.toDF("field", "n_docs", "avgdl",
         "sum_doclen", "has_termvectors", "buckets")
         .write.parquet(s"$stage/stats")
-    } else {
-      spark.read.parquet(s"$art/df").write.parquet(s"$stage/df")
-      statsWithBuckets(spark.read.parquet(s"$art/stats"), rebucket)
-        .write.parquet(s"$stage/stats")
     }
-    writeManifest(spark, stage, Seq(("postings", newPost)) ++
-      (if (hasTv) Seq(("termvectors", newTv)) else Nil) ++
-      appliedSegments(spark, indexDir, art).map(("applied", _)))
+    // (exact-mode df/stats carries and the manifest were staged in
+    // the fan-out above)
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art, sideRenames = Seq(stPost -> newPost) ++
         (if (hasTv) Seq(stTv -> newTv) else Nil))

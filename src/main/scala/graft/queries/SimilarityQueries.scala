@@ -1141,7 +1141,7 @@ object SimilarityQueries {
     // join AND (for the residual codec) the residual encode — lazy
     // re-evaluation would re-run the whole score-and-pick chain per
     // consumer (measured seconds per extra pass at bench scale)
-    val assign0 = coarse match {
+    def coarseChain(): DataFrame = (coarse match {
       case "imi" =>
         val imiCb = ProductQuant.trainCodebooks(
           ProductQuant.subVectors(artifactsFrom, 2, halfDim),
@@ -1154,8 +1154,7 @@ object SimilarityQueries {
         val cells = seedCells(artifactsFrom, numCells)
         cells.write.mode("overwrite").parquet(s"$indexDir/cells")
         assignToCells(corpus, spark.read.parquet(s"$indexDir/cells"))
-    }
-    val assign = assign0.localCheckpoint()
+    }).localCheckpoint()
     // coarse centroids for the cell ids in `needed` — the residual
     // codec's reference points, coarse-dispatched (flat: the cells
     // table; imi: composed from the half codebooks, occupied/probed
@@ -1165,7 +1164,12 @@ object SimilarityQueries {
         spark.read.parquet(s"$indexDir/imi_codebooks"), cGrid)
       case _ => spark.read.parquet(s"$indexDir/cells")
     }
-    val codes = codec match {
+    // The coarse chain (cells/IMI codebooks → corpus assignment) and
+    // the codec training chain are independent for every codec except
+    // residual (whose training set IS the residuals against the
+    // coarse assignment) — run them concurrently (guide §2.6);
+    // residual falls back to the sequential order below.
+    def codecChain(assignFor: () => DataFrame): DataFrame = codec match {
       case "pq" =>
         val cb = ProductQuant.trainCodebooks(
           ProductQuant.subVectors(artifactsFrom, m, subdim), c, iters)
@@ -1211,7 +1215,8 @@ object SimilarityQueries {
         graft.ops.Checkpoints.unpersist(cb)
         graft.ops.Checkpoints.unpersist(assignA)
         ProductQuant.encodeDet(
-          ProductQuant.subVectors(residOf(corpus, assign), m, subdim),
+          ProductQuant.subVectors(residOf(corpus, assignFor()), m,
+            subdim),
           spark.read.parquet(s"$indexDir/codebooks"))
       case "opq" =>
         val r = graft.ops.OpqRotation.allocationRotation(
@@ -1247,17 +1252,31 @@ object SimilarityQueries {
         sq8Codes(corpus,
           spark.read.parquet(s"$indexDir/sqstats"), m * subdim)
     }
+    val (assign, codes) =
+      if (codec == "residual") {
+        // residual's training set is the residuals AGAINST the coarse
+        // assignment — strictly sequential
+        val a = coarseChain()
+        (a, codecChain(() => a))
+      } else
+        graft.ops.Jobs.par2(
+          () => coarseChain(),
+          () => codecChain(() => sys.error(
+            "non-residual codec chains never read the assignment")))
     val norms = corpus.select($"vec_id", norm($"embedding").as("nrm"))
-    writeCodes(codes
-      .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
-        Seq("vec_id"))
-      .join(norms, Seq("vec_id")), s"$indexDir/codes", pgroups)
-    // recorded vector count: one pass over the CHECKPOINTED
-    // assignment (exactly one row per corpus vector, codec-agnostic
-    // — the codes artifact itself is m rows per vector under pq/
-    // residual/opq) — RunStatus serves "how many vectors does this
-    // index hold" from the meta row alone
-    val nVecs = assign.count()
+    // the codes write and the recorded-count pass both consume the
+    // checkpointed assignment — independent actions, overlapped
+    val (_, nVecs) = graft.ops.Jobs.par2(
+      () => writeCodes(codes
+        .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
+          Seq("vec_id"))
+        .join(norms, Seq("vec_id")), s"$indexDir/codes", pgroups),
+      // recorded vector count: one pass over the CHECKPOINTED
+      // assignment (exactly one row per corpus vector, codec-agnostic
+      // — the codes artifact itself is m rows per vector under pq/
+      // residual/opq) — RunStatus serves "how many vectors does this
+      // index hold" from the meta row alone
+      () => assign.count())
     Seq((codec, m, subdim, numCells, c, coarse, cGrid, pgroups,
         pgroups0 != 0, nVecs))
       .toDF("codec", "m", "subdim", "num_cells", "c", "coarse",
@@ -1873,19 +1892,23 @@ object SimilarityQueries {
           ProductQuant.subVectors(fresh, mm, sd), cb)
     }
     val norms = fresh.select($"vec_id", norm($"embedding").as("nrm"))
-    writeCodes(codes
-      .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
-        Seq("vec_id"))
-      .join(norms, Seq("vec_id")),
-      s"$indexDir/$segStaged/codes", pgroups)
-    if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
-      graft.io.Layout.copyArtifact(spark, s"$art/tombstones",
-        s"$stage/tombstones")
-    // recorded-count maintenance: the checkpointed delta assignment
-    // (one row per admitted vector) shifts meta.n_vecs
-    carryMetaShifted(spark, indexDir, art, stage, assign.count())
-    writeVecManifest(spark, stage, oldDirs :+ s"$segName/codes",
-      applied :+ segName)
+    // the segment codes write, the recorded-count meta shift, the
+    // tombstone carry and the manifest write are independent staged
+    // artifacts — fan out (guide §2.6), then commit once
+    graft.ops.Jobs.par(Seq[() => Any](
+      () => writeCodes(codes
+        .join(assign.select($"vec_id", $"cent_id".as("cell_id")),
+          Seq("vec_id"))
+        .join(norms, Seq("vec_id")),
+        s"$indexDir/$segStaged/codes", pgroups),
+      () => if (graft.io.Layout.pathExists(spark, s"$art/tombstones"))
+        graft.io.Layout.copyArtifact(spark, s"$art/tombstones",
+          s"$stage/tombstones"),
+      // recorded-count maintenance: the checkpointed delta assignment
+      // (one row per admitted vector) shifts meta.n_vecs
+      () => carryMetaShifted(spark, indexDir, art, stage, assign.count()),
+      () => writeVecManifest(spark, stage, oldDirs :+ s"$segName/codes",
+        applied :+ segName)))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art, sideRenames = Seq(segStaged -> segName))
     graft.ops.Checkpoints.unpersist(assign)
@@ -2115,12 +2138,16 @@ object SimilarityQueries {
         graft.io.Layout.tombstoneRowCount(spark, s"$art/tombstones",
           oldTomb)
       else 0L
-    graft.io.Layout.writeTombstoneArtifact(spark,
-      if (hadTomb) oldTomb.unionByName(fresh) else fresh,
-      s"$stage/tombstones", nOld + nFresh)
-    carryMeta(spark, indexDir, art, stage)
-    writeVecManifest(spark, stage, codesDirs(spark, indexDir, art),
-      vecAppliedSegments(spark, indexDir, art))
+    // tombstone rewrite, meta carry, and manifest carry are
+    // independent staged artifacts — fan out (guide §2.6)
+    graft.ops.Jobs.par(Seq[() => Any](
+      () => graft.io.Layout.writeTombstoneArtifact(spark,
+        if (hadTomb) oldTomb.unionByName(fresh) else fresh,
+        s"$stage/tombstones", nOld + nFresh),
+      () => carryMeta(spark, indexDir, art, stage),
+      () => writeVecManifest(spark, stage,
+        codesDirs(spark, indexDir, art),
+        vecAppliedSegments(spark, indexDir, art))))
     graft.io.Layout.commitGenerationAndRetire(spark, indexDir, stage,
       gen, art)
     graft.ops.Checkpoints.unpersist(fresh)
