@@ -89,10 +89,23 @@ object ProductQuant {
       .withColumn("cent_id",
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("vec_id"))) - 1).cast("long"))
-    var cb = subs.join(broadcast(seedIds), Seq("vec_id"))
+    // the seed codebook is consumed exactly ONCE (round 1's broadcast
+    // side), so it stays LAZY when rounds follow — checkpointing it
+    // was one extra eager action per training call (and the q103 card
+    // trains four codebook families per run); with zero rounds it
+    // checkpoints so the returned frame keeps the documented
+    // materialized-result contract
+    val seed = subs.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("sub_id"), col("cent_id"),
         col("subvec").as("cvec"))
-      .localCheckpoint()
+    var cb = if (iters <= 0) seed.localCheckpoint() else seed
+    // round 1's cb is the LAZY seed whose plan leaves include the
+    // caller's `subs` — unpersisting it would walk through to any
+    // checkpointed frame `subs` is built on (the residual writer's
+    // shared coarse assignment) and free blocks still being read;
+    // only superseded rounds that are THEMSELVES single-leaf
+    // checkpoints may be freed here
+    var cbStored = iters <= 0
     for (_ <- 1 to iters) {
       val assigned = subs.join(broadcast(cb), Seq("sub_id"))
         .groupBy(col("vec_id"), col("sub_id"))
@@ -109,8 +122,9 @@ object ProductQuant {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cvec"))
         .localCheckpoint()
-      Checkpoints.unpersist(cb)
+      if (cbStored) Checkpoints.unpersist(cb)
       cb = next
+      cbStored = true
     }
     cb
   }

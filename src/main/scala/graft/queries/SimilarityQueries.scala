@@ -1204,8 +1204,16 @@ object SimilarityQueries {
             spark.read.parquet(s"$indexDir/cells"))
         }
         // checkpointed for the same reason as `assign`: trainCodebooks
-        // evaluates its input repeatedly across Lloyd rounds
-        val assignA = assignOf(artifactsFrom).localCheckpoint()
+        // evaluates its input repeatedly across Lloyd rounds. When the
+        // TRAINING frame IS the corpus frame (same object — the
+        // lifecycle gates and the full-corpus writer face), the
+        // corpus assignment already materialized in coarseChain is
+        // that assignment: reuse it instead of re-running the whole
+        // coarse scoring pass into a second checkpoint.
+        val sharedAssign = artifactsFrom eq corpus
+        val assignA =
+          if (sharedAssign) assignFor()
+          else assignOf(artifactsFrom).localCheckpoint()
         val residA = residOf(artifactsFrom, assignA)
         val cb = ProductQuant.trainCodebooks(
           ProductQuant.subVectors(
@@ -1213,7 +1221,9 @@ object SimilarityQueries {
           c, iters)
         cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
         graft.ops.Checkpoints.unpersist(cb)
-        graft.ops.Checkpoints.unpersist(assignA)
+        // a shared assignment still feeds the codes join/count —
+        // only a training-only checkpoint frees here
+        if (!sharedAssign) graft.ops.Checkpoints.unpersist(assignA)
         ProductQuant.encodeDet(
           ProductQuant.subVectors(residOf(corpus, assignFor()), m,
             subdim),
@@ -2326,8 +2336,10 @@ object SimilarityQueries {
     // the bench; the deployment-spec equality with q116 runs at
     // cGrid = 16 in VectorIndexLayoutSpec, where quality matters
     val cGrid = 8
-    writeIvfPqIndexFrames(e.filter($"vec_id" <= wm),
-      e.filter($"vec_id" <= wm), idx, numCells = numCells,
+    // ONE frame object for training and corpus — lets the residual
+    // writer reuse the materialized coarse assignment for training
+    val train = e.filter($"vec_id" <= wm)
+    writeIvfPqIndexFrames(train, train, idx, numCells = numCells,
       codec = codec, coarse = coarse, cGrid = cGrid,
       pgroups = pgroups)
     appendToIvfPqIndex(spark, idx, e.filter($"vec_id" > wm))

@@ -25,6 +25,8 @@ object ProbeJobs {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.openCostInBytes", 524288L)
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("GRAFT_PROBE_NOAQE")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -90,16 +92,45 @@ object ProbeJobs {
           .write.format("noop").mode("overwrite").save())
       }
     }
+    if (fam == "imi" || fam == "opq") {
+      // q153/q151 gate shapes: coarse=imi(cGrid 8)+residual / opq,
+      // gate-exact search (all cells probed, corpus shortlist)
+      val e = graft.io.Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding")
+      val wm = e.agg(max($"vec_id")).head().getLong(0) * 4 / 5
+      val train = e.filter($"vec_id" <= wm)
+      val n = e.count().toInt
+      val (codec, coarse, cGrid) =
+        if (fam == "imi") ("residual", "imi", 8) else ("opq", "flat", 16)
+      val allCells = if (coarse == "imi") 64 else 16
+      for (pass <- 1 to 2) {
+        println(s"== vector $fam pass $pass ==")
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"jobs-$fam").toFile.getAbsolutePath
+        phase("write")(SimilarityQueries.writeIvfPqIndexFrames(
+          train, train, idx,
+          numCells = 16, codec = codec, coarse = coarse, cGrid = cGrid))
+        phase("append")(SimilarityQueries.appendToIvfPqIndex(spark, idx,
+          e.filter($"vec_id" > wm)))
+        phase("delete")(SimilarityQueries.deleteFromIvfPqIndex(spark, idx,
+          e.filter($"vec_id" % 3 === 1).select($"vec_id")))
+        phase("search")(SimilarityQueries
+          .ivfPqSearchStored(spark, idx, sfDir, queryId = 0L, k = 10,
+            probes = allCells, shortlist = n)
+          .write.format("noop").mode("overwrite").save())
+      }
+    }
     if (fam == "vector" || fam == "both") {
       val e = graft.io.Tables.embeddings(spark, sfDir)
         .select($"vec_id", $"embedding")
       val wm = e.agg(max($"vec_id")).head().getLong(0) * 4 / 5
+      val train = e.filter($"vec_id" <= wm)
       for (pass <- 1 to 2) {
         println(s"== vector pq pass $pass ==")
         val idx = java.nio.file.Files
           .createTempDirectory("jobs-vec").toFile.getAbsolutePath
         phase("write")(SimilarityQueries.writeIvfPqIndexFrames(
-          e.filter($"vec_id" <= wm), e.filter($"vec_id" <= wm), idx))
+          train, train, idx))
         phase("append")(SimilarityQueries.appendToIvfPqIndex(spark, idx,
           e.filter($"vec_id" > wm)))
         phase("delete")(SimilarityQueries.deleteFromIvfPqIndex(spark, idx,

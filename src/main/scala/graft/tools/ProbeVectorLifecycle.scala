@@ -24,6 +24,7 @@ object ProbeVectorLifecycle {
     val e = graft.io.Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
     val wm = e.agg(max($"vec_id")).head().getLong(0) * 4 / 5
+    val train = e.filter($"vec_id" <= wm)
     val dead = e.filter($"vec_id" % 3 === 1)
       .select($"vec_id").collect().map(_.getLong(0)).toSeq
     def time(f: => Unit): Double = {
@@ -33,7 +34,7 @@ object ProbeVectorLifecycle {
       val idx = java.nio.file.Files
         .createTempDirectory(s"vlc-$codec").toFile.getAbsolutePath
       val tW = time(SimilarityQueries.writeIvfPqIndexFrames(
-        e.filter($"vec_id" <= wm), e.filter($"vec_id" <= wm), idx,
+        train, train, idx,
         codec = codec))
       val tA = time(SimilarityQueries.appendToIvfPqIndex(spark, idx,
         e.filter($"vec_id" > wm)))
