@@ -107,11 +107,18 @@ object ProductQuant {
     // checkpoints may be freed here
     var cbStored = iters <= 0
     for (_ <- 1 to iters) {
+      // one pass per round: max_by carries the row's own subvec
+      // through the argmax (functionally determined by the group key,
+      // so tie behavior is unchanged) instead of re-joining the
+      // corpus-scale `subs` back in afterwards — that join shuffled
+      // the full subvector payload once per Lloyd round just to
+      // recover a column the aggregation already had (guide §2.4)
       val assigned = subs.join(broadcast(cb), Seq("sub_id"))
         .groupBy(col("vec_id"), col("sub_id"))
         .agg(max_by(col("cent_id"), cos(col("subvec"), col("cvec")))
-          .as("cent_id"))
-      val next = assigned.join(subs, Seq("vec_id", "sub_id"))
+          .as("cent_id"),
+          first(col("subvec")).as("subvec"))
+      val next = assigned
         .select(col("sub_id"), col("cent_id"),
           posexplode(col("subvec")).as(Seq("pos", "v")))
         .groupBy(col("sub_id"), col("cent_id"), col("pos"))

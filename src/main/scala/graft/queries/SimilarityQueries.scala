@@ -1169,6 +1169,11 @@ object SimilarityQueries {
     // residual (whose training set IS the residuals against the
     // coarse assignment) — run them concurrently (guide §2.6);
     // residual falls back to the sequential order below.
+    // a codec chain may pin a shared helper checkpoint (opq's rotated
+    // corpus) that the returned `codes` frame still reads — freed
+    // below, after the codes write materializes (assigned inside the
+    // chain, read after Jobs.par joins the thread)
+    var sharedHeld: Option[DataFrame] = None
     def codecChain(assignFor: () => DataFrame): DataFrame = codec match {
       case "pq" =>
         val cb = ProductQuant.trainCodebooks(
@@ -1214,19 +1219,29 @@ object SimilarityQueries {
         val assignA =
           if (sharedAssign) assignFor()
           else assignOf(artifactsFrom).localCheckpoint()
-        val residA = residOf(artifactsFrom, assignA)
+        // the residual frame (two joins + per-element subtraction) is
+        // re-evaluated on every Lloyd scan and once more by the
+        // encode — checkpoint it once; when training and corpus are
+        // the same frame the encode reads the SAME checkpoint (held
+        // via `sharedHeld` until the codes write lands)
+        val residA = residOf(artifactsFrom, assignA).localCheckpoint()
+        if (sharedAssign) sharedHeld = Some(residA)
         val cb = ProductQuant.trainCodebooks(
           ProductQuant.subVectors(
             residA.filter(norm($"embedding") =!= 0d), m, subdim),
           c, iters)
         cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
         graft.ops.Checkpoints.unpersist(cb)
-        // a shared assignment still feeds the codes join/count —
-        // only a training-only checkpoint frees here
-        if (!sharedAssign) graft.ops.Checkpoints.unpersist(assignA)
+        // a shared assignment/residual still feeds the codes
+        // join/count — only training-only checkpoints free here
+        if (!sharedAssign) {
+          graft.ops.Checkpoints.unpersist(residA)
+          graft.ops.Checkpoints.unpersist(assignA)
+        }
         ProductQuant.encodeDet(
-          ProductQuant.subVectors(residOf(corpus, assignFor()), m,
-            subdim),
+          ProductQuant.subVectors(
+            if (sharedAssign) residA
+            else residOf(corpus, assignFor()), m, subdim),
           spark.read.parquet(s"$indexDir/codebooks"))
       case "opq" =>
         val r = graft.ops.OpqRotation.allocationRotation(
@@ -1238,13 +1253,26 @@ object SimilarityQueries {
           .write.mode("overwrite").parquet(s"$indexDir/rotation")
         def rotOf(df: DataFrame) = df.select($"vec_id",
           graft.ops.OpqRotation.rotate($"embedding", r).as("embedding"))
+        // the d×d rotation is the expensive per-row kernel of this
+        // codec, and a lazy rotated frame re-rotates the corpus on
+        // EVERY evaluation — the Lloyd seed, each round's scan, and
+        // the final encode (~4 full rotation passes). When training
+        // and corpus are the same frame, rotate ONCE into a
+        // checkpoint shared by training and encode (freed by the
+        // caller after the codes write via `sharedHeld`).
+        val sharedRot =
+          if (artifactsFrom eq corpus) Some(rotOf(corpus).localCheckpoint())
+          else None
+        sharedHeld = sharedRot
         val cb = ProductQuant.trainCodebooks(
-          ProductQuant.subVectors(rotOf(artifactsFrom), m, subdim),
+          ProductQuant.subVectors(
+            sharedRot.getOrElse(rotOf(artifactsFrom)), m, subdim),
           c, iters)
         cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
         graft.ops.Checkpoints.unpersist(cb)
         ProductQuant.encode(
-          ProductQuant.subVectors(rotOf(corpus), m, subdim),
+          ProductQuant.subVectors(
+            sharedRot.getOrElse(rotOf(corpus)), m, subdim),
           spark.read.parquet(s"$indexDir/codebooks"))
       case "sq8" =>
         // per-dimension ranges from the TRAINING corpus (q90's one
@@ -1293,6 +1321,7 @@ object SimilarityQueries {
         "c_grid", "pgroups", "pgroups_forced", "n_vecs")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     graft.ops.Checkpoints.unpersist(assign)
+    sharedHeld.foreach(graft.ops.Checkpoints.unpersist(_))
   }
 
   /** q90's clamped 8-bit linear quantization over the stored ranges:
